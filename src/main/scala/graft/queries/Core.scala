@@ -1,0 +1,340 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.ops.{Dedup, Upsert}
+
+/** Reference-parity query set (SURVEY.md §2 / §7.5), one per operator
+  * family, over the driver testdata. Every query is deterministic
+  * (SURVEY.md §7.4): money sums use integer cents, averages are a single
+  * double division of exact integers, event-time ordering uses microsecond
+  * epochs with unique-id tiebreaks, and outputs carry an explicit total
+  * order (Catalyst's EliminateSorts drops the sort when a consumer like
+  * `count()` doesn't need it, so bench runs don't pay for it).
+  */
+object Core {
+  import Tables.t
+
+  /** Money as integer cents: `round(x*100)` is identical in Spark and
+    * DuckDB for any double (both round half away from zero on the same
+    * binary value), and bigint sums are order-independent — unlike double
+    * sums, whose value depends on aggregation order.
+    */
+  private def cents(c: Column): Column = round(c * lit(100)).cast("long")
+
+  /** Event-time as epoch microseconds. The events table is
+    * nanosecond-precision parquet, which our table layer surfaces as an
+    * epoch-nanos BIGINT (Tables.t); integer floor-division to micros is
+    * reproduced exactly by the oracle's `epoch_ns(ts) // 1000`.
+    */
+  private val tsUs: Column = expr("ts div 1000")
+  private val OracleTsUs = "CAST(epoch_ns(ts) // 1000 AS BIGINT)"
+
+  // J5/J6 + A4/A5/A8 + F10 — the reference's revenue mart
+  // (07_gold_metrics_revenue.py:26-65): fact ⋈ fact inner, ⋈ dim left,
+  // to_date grouping key, sum + countDistinct.
+  def revenueRollup(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val customer = t(s, dir, "customer")
+    val nation = t(s, dir, "nation")
+    orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"), "inner")
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"), "left")
+      .groupBy(
+        // date grouping key emitted as an ISO string: date/timestamp
+        // physical encodings differ across engines, strings never do
+        date_format(to_date(col("o_orderdate")), "yyyy-MM-dd").as("order_date"),
+        col("n_name").as("nation"),
+        col("o_orderstatus").as("status"))
+      .agg(
+        sum(cents(col("o_totalprice"))).as("revenue_cents"),
+        count_distinct(col("o_orderkey")).as("n_orders"),
+        count_distinct(col("o_custkey")).as("n_customers"))
+      .orderBy(col("order_date"), col("nation"), col("status"))
+  }
+
+  val revenueRollupSql: String =
+    """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+      |       n_name AS nation,
+      |       o_orderstatus AS status,
+      |       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |       COUNT(DISTINCT o_orderkey) AS n_orders,
+      |       COUNT(DISTINCT o_custkey) AS n_customers
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |LEFT JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  // P1-P8 + F5 — projection, aliasing, null/conjunctive/isin/between
+  // filters, cast (02_bronze_to_silver.py:138-151, 02:579-601, 02:517).
+  def projectFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_returnflag").isin("A", "R"))
+      .filter(col("l_quantity").between(10, 40))
+      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+      .select(
+        col("l_orderkey").as("okey"),
+        col("l_linenumber").as("line"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_returnflag").as("flag"),
+        cents(col("l_extendedprice")).as("price_cents"))
+      .orderBy(col("okey"), col("line"))
+
+  val projectFilterSql: String =
+    """SELECT l_orderkey AS okey, l_linenumber AS line,
+      |       CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS flag,
+      |       CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents
+      |FROM lineitem
+      |WHERE l_returnflag IN ('A','R') AND l_quantity BETWEEN 10 AND 40
+      |  AND l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+      |ORDER BY okey, line""".stripMargin
+
+  // W1 — latest-record-wins dedup (02:34-41 et al.), with the §7.4
+  // deterministic tiebreak (event_id desc).
+  def dedupLatest(s: SparkSession, dir: String): DataFrame =
+    Dedup.latestByKey(
+        t(s, dir, "events").withColumn("ts_us", tsUs),
+        Seq("user_id"),
+        Seq(col("ts_us").desc, col("event_id").desc))
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id")
+
+  val dedupLatestSql: String =
+    s"""SELECT user_id, event_id, event_type, value FROM (
+       |  SELECT user_id, event_id, event_type, value,
+       |         row_number() OVER (PARTITION BY user_id
+       |           ORDER BY $OracleTsUs DESC, event_id DESC) AS rn
+       |  FROM events) WHERE rn = 1
+       |ORDER BY user_id""".stripMargin
+
+  // A9 — mode-per-group / argmax (02:164-179, 03:290-309): most frequent
+  // event_type per user.
+  def modePerGroup(s: SparkSession, dir: String): DataFrame =
+    Dedup.modePerGroup(t(s, dir, "events"), Seq("user_id"), "event_type")
+      .orderBy("user_id")
+
+  val modePerGroupSql: String =
+    """SELECT user_id, event_type, n FROM (
+      |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+      |         row_number() OVER (PARTITION BY user_id
+      |           ORDER BY count(*) DESC, event_type ASC) AS rn
+      |  FROM events GROUP BY user_id, event_type) WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  // M1 — insert-only merge (01:58-68): target = events with id < 6000·sf,
+  // source = events with id ≥ 4000·sf re-delivered with doubled value;
+  // overlap rows must keep the target version.
+  def insertOnly(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select("event_id", "user_id", "event_type", "value")
+    val n = ev.count()
+    val (lo, hi) = (n * 2 / 3, n / 3)
+    val target = ev.filter(col("event_id") < lo)
+    val source = ev.filter(col("event_id") >= hi).withColumn("value", col("value") * 2)
+    Upsert.insertOnly(target, source, Seq("event_id")).orderBy("event_id")
+  }
+
+  val insertOnlySql: String =
+    """WITH n AS (SELECT count(*) AS c FROM events),
+      |tgt AS (SELECT event_id, user_id, event_type, value
+      |        FROM events WHERE event_id < (SELECT c*2//3 FROM n)),
+      |src AS (SELECT event_id, user_id, event_type, value*2 AS value
+      |        FROM events WHERE event_id >= (SELECT c//3 FROM n))
+      |SELECT * FROM tgt
+      |UNION ALL
+      |SELECT * FROM src WHERE event_id NOT IN (SELECT event_id FROM tgt)
+      |ORDER BY event_id""".stripMargin
+
+  // M2 — conditional-update (last-writer-wins) merge (02:67-87 + 6 more):
+  // per-user profile from older events upserted with newer events; the
+  // source wins only when strictly newer.
+  def upsertLww(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("ts_us", tsUs)
+      .select("user_id", "event_id", "event_type", "value", "ts_us")
+    val n = ev.count()
+    val split = n / 2
+    def latest(df: DataFrame) =
+      Dedup.latestByKey(df, Seq("user_id"), Seq(col("ts_us").desc, col("event_id").desc))
+    val target = latest(ev.filter(col("event_id") < split))
+    val source = latest(ev.filter(col("event_id") >= split))
+    Upsert.lastWriterWins(target, source, Seq("user_id"), "ts_us")
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  val upsertLwwSql: String =
+    s"""WITH n AS (SELECT count(*) AS c FROM events),
+       |ev AS (SELECT user_id, event_id, event_type, value,
+       |              $OracleTsUs AS ts_us FROM events),
+       |tgt AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+       |          ORDER BY ts_us DESC, event_id DESC) rn
+       |        FROM ev WHERE event_id < (SELECT c//2 FROM n)) WHERE rn = 1),
+       |src AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+       |          ORDER BY ts_us DESC, event_id DESC) rn
+       |        FROM ev WHERE event_id >= (SELECT c//2 FROM n)) WHERE rn = 1),
+       |u AS (SELECT user_id, event_id, event_type, value, ts_us, 1 AS pri FROM tgt
+       |      UNION ALL
+       |      SELECT user_id, event_id, event_type, value, ts_us, 0 AS pri FROM src)
+       |SELECT user_id, event_id, event_type, value FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id
+       |    ORDER BY ts_us DESC, pri DESC) AS rn FROM u) WHERE rn = 1
+       |ORDER BY user_id""".stripMargin
+
+  // A6 — conditional counts via sum(when) (08_gold_metric_orders.py:48-58).
+  def conditionalCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"),
+        count(lit(1)).as("n"))
+      .orderBy("priority")
+
+  val conditionalCountsSql: String =
+    """SELECT o_orderpriority AS priority,
+      |  CAST(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |  CAST(SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // A7 — conditional countDistinct (09_gold_metrics_customers.py:49-59):
+  // `when` without `otherwise` yields NULL, which count_distinct ignores.
+  def conditionalDistinct(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val customer = t(s, dir, "customer")
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(
+        count_distinct(col("c_custkey")).as("n_customers"),
+        count_distinct(when(col("o_orderstatus") === "F", col("o_custkey"))).as("n_custs_f"),
+        count_distinct(col("o_orderkey")).as("n_orders"))
+      .orderBy("segment")
+  }
+
+  val conditionalDistinctSql: String =
+    """SELECT c_mktsegment AS segment,
+      |  COUNT(DISTINCT c_custkey) AS n_customers,
+      |  COUNT(DISTINCT CASE WHEN o_orderstatus='F' THEN o_custkey END) AS n_custs_f,
+      |  COUNT(DISTINCT o_orderkey) AS n_orders
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // F11 + A1 — datediff lifecycle metric (04:79-87, 08:61-66): average as
+  // one double division of exact integer sums.
+  def avgDatediff(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val orders = t(s, dir, "orders")
+    li.join(orders, li("l_orderkey") === orders("o_orderkey"), "inner")
+      .select(col("l_returnflag").as("flag"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("days"))
+      .groupBy("flag")
+      .agg(
+        sum(col("days").cast("long")).as("sum_days"),
+        count(lit(1)).as("n"))
+      .withColumn("avg_days", col("sum_days").cast("double") / col("n"))
+      .orderBy("flag")
+  }
+
+  val avgDatediffSql: String =
+    """SELECT l_returnflag AS flag,
+      |  CAST(SUM(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS BIGINT) AS sum_days,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS DOUBLE) / count(*) AS avg_days
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // F1/F2/F3 — normalization projection (02:48-49, 02:142, 02:815).
+  def normalize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey").as("custkey"),
+        upper(trim(col("c_name"))).as("name_upper"),
+        lower(trim(col("c_mktsegment"))).as("segment_lower"),
+        initcap(lower(trim(col("c_mktsegment")))).as("segment_title"))
+      .orderBy("custkey")
+
+  val normalizeSql: String =
+    """SELECT c_custkey AS custkey,
+      |       upper(trim(c_name)) AS name_upper,
+      |       lower(trim(c_mktsegment)) AS segment_lower,
+      |       upper(substr(lower(trim(c_mktsegment)),1,1)) ||
+      |         substr(lower(trim(c_mktsegment)),2) AS segment_title
+      |FROM customer ORDER BY custkey""".stripMargin
+
+  // F15/F16 + A4 — arithmetic enrichment + rollup (02:310-315, 03:130-135):
+  // TPC-H Q1 shape over lineitem.
+  def itemEnrich(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .withColumn("revenue", col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .withColumn("charged", col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+      .groupBy(col("l_returnflag").as("flag"), col("l_linestatus").as("status"))
+      .agg(
+        sum(cents(col("l_quantity"))).as("qty_cents"),
+        sum(cents(col("revenue"))).as("revenue_cents"),
+        sum(cents(col("charged"))).as("charged_cents"),
+        count(lit(1)).as("n"))
+      .orderBy("flag", "status")
+
+  val itemEnrichSql: String =
+    """SELECT l_returnflag AS flag, l_linestatus AS status,
+      |  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents,
+      |  CAST(SUM(CAST(round((l_extendedprice*(1-l_discount))*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |  CAST(SUM(CAST(round((l_extendedprice*(1-l_discount)*(1+l_tax))*100) AS BIGINT)) AS BIGINT) AS charged_cents,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // §2.7 gap coverage — explicit global top-k (sort + limit).
+  def topkOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey").as("okey"),
+        col("o_totalprice").as("total"),
+        col("o_orderstatus").as("status"))
+      .orderBy(col("total").desc, col("okey").asc)
+      .limit(10)
+
+  val topkOrdersSql: String =
+    """SELECT o_orderkey AS okey, o_totalprice AS total, o_orderstatus AS status
+      |FROM orders ORDER BY total DESC, okey ASC LIMIT 10""".stripMargin
+
+  // F6/F8 + P10 — safe casts: parse-or-null, then null-drop
+  // (02:411-425, 02:524-534).
+  def safeCast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", regexp_extract(col("props"), "([0-9]+)", 1).try_cast("int"))
+      .filter(col("k").isNotNull)
+      .withColumn("day", concat(lit("2024-01-"), lpad((col("k") % 28 + 1).cast("string"), 2, "0")))
+      .withColumn("day_ts", try_to_timestamp(col("day"), lit("yyyy-MM-dd")))
+      .select(
+        col("event_id"),
+        col("k").cast("long").as("k"),
+        date_format(to_date(col("day_ts")), "yyyy-MM-dd").as("k_date"))
+      .orderBy("event_id")
+
+  val safeCastSql: String =
+    """SELECT event_id, CAST(k AS BIGINT) AS k,
+      |       strftime(CAST(try_strptime('2024-01-' || lpad(CAST(k%28+1 AS VARCHAR),2,'0'), '%Y-%m-%d') AS DATE), '%Y-%m-%d') AS k_date
+      |FROM (SELECT event_id, TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS INTEGER) AS k FROM events)
+      |WHERE k IS NOT NULL ORDER BY event_id""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("j5_revenue_rollup", revenueRollup, Some(revenueRollupSql)),
+    QueryDef("p1_project_filter", projectFilter, Some(projectFilterSql)),
+    QueryDef("w1_dedup_latest", dedupLatest, Some(dedupLatestSql)),
+    QueryDef("a9_mode_per_group", modePerGroup, Some(modePerGroupSql)),
+    QueryDef("m1_insert_only", insertOnly, Some(insertOnlySql)),
+    QueryDef("m2_upsert_lww", upsertLww, Some(upsertLwwSql)),
+    QueryDef("a6_conditional_counts", conditionalCounts, Some(conditionalCountsSql)),
+    QueryDef("a7_conditional_distinct", conditionalDistinct, Some(conditionalDistinctSql)),
+    QueryDef("f11_avg_datediff", avgDatediff, Some(avgDatediffSql)),
+    QueryDef("f1_normalize", normalize, Some(normalizeSql)),
+    QueryDef("f15_item_enrich", itemEnrich, Some(itemEnrichSql)),
+    QueryDef("s7_topk_orders", topkOrders, Some(topkOrdersSql)),
+    QueryDef("f6_safe_cast", safeCast, Some(safeCastSql)))
+}
