@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.functions.Text
+
+/** Document deduplication operators for the training-data pipeline
+  * extensions (BASELINE.json north star): exact, n-gram Jaccard
+  * (inverted index), MinHash+LSH, and SimHash.
+  *
+  * Scale design: nothing here is O(n²) on the corpus.
+  *   - exact dedup: one hash-partition shuffle on the text (fingerprint).
+  *   - n-gram Jaccard / MinHash LSH: candidate pairs come from an
+  *     inverted-index self-join on shingles / band keys, so cost follows
+  *     the number of *colliding* pairs, not n². Exact verification runs
+  *     only on candidates.
+  *   - SimHash: pairs via 4-chunk blocking (pigeonhole: hamming ≤ 3 over
+  *     4 chunks ⇒ at least one chunk equal), again an equi-join.
+  * The O(n²) form exists only in the DuckDB oracle SQL.
+  *
+  * Frequent-shingle skew: a shingle shared by k docs produces k² join
+  * rows. `maxShingleFreq` drops shingles above a document-frequency cap
+  * before the self-join (stop-shingle removal) — a standard recall-safe
+  * trick ONLY for candidate generation; we leave it off (Int.MaxValue)
+  * in oracle-checked queries, where the exact-verify step must see every
+  * true pair.
+  */
+object TextDedup {
+
+  /** Exact dedup: one row per distinct text with the minimal id as the
+    * canonical keeper and the duplicate count.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  /** (id, shingle-set) projection shared by the Jaccard-based operators. */
+  private def shingled(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol).as("id"), Text.shingles(col(textCol), k).as("sh"))
+      .withColumn("sz", size(col("sh")))
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index self-join:
+    * explode distinct shingles, equi-join on the shingle, count shared
+    * shingles per pair, `J = c / (|A| + |B| - c)`. Emits (id_a, id_b,
+    * jaccard) for J ≥ threshold, id_a < id_b.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      threshold: Double,
+      maxShingleFreq: Int = Int.MaxValue): DataFrame = {
+    val s = shingled(docs, idCol, textCol, k)
+    var ex = s.select(col("id"), col("sz"), explode(col("sh")).as("s"))
+    if (maxShingleFreq != Int.MaxValue) {
+      val w = Window.partitionBy(col("s"))
+      ex = ex.withColumn("__df", count(lit(1)).over(w))
+        .filter(col("__df") <= maxShingleFreq).drop("__df")
+    }
+    val a = ex.select(col("id").as("id_a"), col("sz").as("sz_a"), col("s"))
+    val b = ex.select(col("id").as("id_b"), col("sz").as("sz_b"), col("s"))
+    a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jaccard", col("c") / (col("sz_a") + col("sz_b") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash + LSH near-dup pairs: signature of `numHashes` permutations
+    * over shingle hashes, banded into `bands` groups of `numHashes/bands`
+    * rows; docs colliding on any band become candidates; candidates are
+    * verified with the exact Jaccard on the shingle sets. With r=4, b=32
+    * the probability of missing a pair at J ≥ 0.8 is (1−J⁴)³² < 5e-8, so
+    * the verified output equals the exact O(n²) answer (the oracle) with
+    * overwhelming probability while scaling like LSH.
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      threshold: Double,
+      numHashes: Int = 128,
+      bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val s = shingled(docs, idCol, textCol, k)
+      .withColumn("hs", array_distinct(transform(col("sh"), h => Text.polyHash(h))))
+      .withColumn("sig", Text.minhashSignature(col("hs"), numHashes))
+
+    // (id, band_idx, band_key): band key = the band's r signature values.
+    val banded = s.select(
+      col("id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        i => concat_ws(":", slice(col("sig"), i * r + 1, lit(r))))))
+      .toDF("id", "band", "key")
+
+    val candA = banded.select(col("id").as("id_a"), col("band"), col("key"))
+    val candB = banded.select(col("id").as("id_b"), col("band"), col("key"))
+    val cands = candA.join(candB, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    // Exact verification on the candidate pairs only.
+    val sets = s.select(col("id"), col("sh"))
+    cands
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", Text.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Per-document SimHash over distinct whitespace tokens, `bits` wide
+    * (default 32 — the portable polyhash provides ~30 good bits).
+    * Bit j is set iff Σ_tokens (bit_j(hash(token)) ? +1 : −1) > 0.
+    * One explode + one hash-aggregate; fully distributed.
+    */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
+    val tok = docs.select(
+      col(idCol).as("id"),
+      explode(array_distinct(Text.tokens(col(textCol)))).as("tk"))
+      .withColumn("hv", Text.polyHash(col("tk")))
+    val sums = (0 until bits).map { j =>
+      val bit = (col("hv") / lit(1L << j)).cast("long") % 2
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val combined = (0 until bits)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tok.groupBy(col("id"))
+      .agg(sums.head, sums.tail: _*)
+      .withColumn("simhash", combined.cast("long"))
+      .select(col("id").as("doc_id"), col("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming (< 8):
+    * blocking on 4 chunks of 8 bits (any pair within hamming 3 must agree
+    * on ≥1 chunk), then exact popcount check. Equi-join, no n².
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = simhashSignatures(docs, idCol, textCol)
+    val chunks = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { i =>
+        struct(lit(i).as("chunk"),
+          pmod(floor(col("simhash") / lit(1L << (8 * i))).cast("long"), lit(256L)).as("ckey"))
+      }: _*)).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.chunk").as("chunk"), col("c.ckey").as("ckey"))
+    val a = chunks.select(col("doc_id").as("id_a"), col("simhash").as("sig_a"), col("chunk"), col("ckey"))
+    val b = chunks.select(col("doc_id").as("id_b"), col("simhash").as("sig_b"), col("chunk"), col("ckey"))
+    a.join(b, Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+  }
+
+  /** Greedy near-duplicate removal: drops the higher-id document of every
+    * near-dup pair (deterministic; not connected-components — a chain
+    * a~b~c keeps only a).
+    */
+  def dropNearDuplicates(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame): DataFrame =
+    docs.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+}

@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.Text
+import graft.operators.{Multimodal, Similarity, TextDedup}
+
+/** Training-data pipeline extension queries (BASELINE.json north star):
+  * dedup (exact / n-gram Jaccard / MinHash LSH / SimHash / embedding),
+  * similarity search (brute-force + IVF), text analysis (lang-id,
+  * quality, token counts, fingerprints), multimodal plumbing.
+  *
+  * Oracle strategy: the Spark side runs the *scalable* formulation
+  * (inverted-index joins, LSH banding, broadcast top-k); the DuckDB SQL
+  * runs the naive exact formulation (O(n²) cross joins, list folds).
+  * Both must produce identical rows — that is the point: the distributed
+  * plan is checked against the textbook definition. All float arithmetic
+  * is double, folded left-to-right in both engines (verified
+  * bit-identical), so thresholds and rankings cannot diverge.
+  */
+object Extensions {
+  import Tables.t
+
+  private val ShingleK = 3
+
+  // ---- shared DuckDB fragments (mirror graft.functions.Text exactly) --
+
+  private def sqlWords(e: String) = s"string_split_regex(trim($e), '\\s+')"
+
+  private def sqlPolyHash(e: String) =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), c -> CAST(ord(c) AS BIGINT))), " +
+      s"(acc,x) -> (acc*${Text.HashBase} + x) % ${Text.HashMod})"
+
+  /** Word 3-gram shingles over a words-list alias `w`. */
+  private val sqlShingles =
+    "CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w)-1), " +
+      "i -> w[i]||' '||w[i+1]||' '||w[i+2])) " +
+      "ELSE [array_to_string(w, ' ')] END"
+
+  private def sqlDot(x: String, y: String) =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, len($x)+1), i -> $x[i]*$y[i])), (acc,v) -> acc+v)"
+
+  /** O(n²) exact Jaccard pair SQL with the size-ratio prefilter
+    * (J ≥ t ⇒ |A|/|B| and |B|/|A| ≥ t — pure speedup, never drops a
+    * qualifying pair).
+    */
+  private def jaccardPairsSql(threshold: Double): String =
+    s"""WITH s AS (SELECT doc_id, $sqlShingles AS sh
+       |           FROM (SELECT doc_id, ${sqlWords("text")} AS w FROM documents)),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |        len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh)) AS jaccard
+       |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |      WHERE len(a.sh) * $threshold <= len(b.sh)
+       |        AND len(b.sh) * $threshold <= len(a.sh))
+       |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- text analysis ---------------------------------------------------
+
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), Text.polyHash(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  val fingerprintSql: String =
+    s"""SELECT doc_id, ${sqlPolyHash("text")} AS fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_ws"),
+        Text.subwordCount(col("text")).cast("long").as("n_subword"))
+      .orderBy("doc_id")
+
+  val tokenCountsSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(${sqlWords("text")}) AS BIGINT) AS n_ws,
+       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_subword
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  def quality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+        Text.qualityScore(col("text")).as("score"))
+      .orderBy("doc_id")
+
+  val qualitySql: String =
+    s"""WITH q AS (SELECT doc_id,
+       |    len(${sqlWords("text")}) AS n_tok,
+       |    len(list_distinct(${sqlWords("text")})) AS n_uniq,
+       |    len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+       |    length(text) AS n_char
+       |  FROM documents)
+       |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+       |  CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), n_tok / CAST(20.0 AS DOUBLE))
+       |  + CAST(0.4 AS DOUBLE) * (n_uniq / CAST(n_tok AS DOUBLE))
+       |  + CAST(0.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - n_punct / CAST(n_char AS DOUBLE)) AS score
+       |FROM q ORDER BY doc_id""".stripMargin
+
+  def langId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  val langIdSql: String = {
+    val scores = Text.LangMarkers.map { case (l, ws) =>
+      s"len(list_intersect(w, [${ws.map(w => s"'$w'").mkString(",")}])) AS s_$l"
+    }.mkString(",\n    ")
+    val best = Text.LangMarkers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    val cases = Text.LangMarkers.map { case (l, _) =>
+      s"WHEN s_$l = best AND s_$l > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""WITH tkn AS (SELECT doc_id, list_distinct(${sqlWords("lower(text)")}) AS w FROM documents),
+       |sc AS (SELECT doc_id,
+       |    $scores
+       |  FROM tkn),
+       |m AS (SELECT *, $best AS best FROM sc)
+       |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- dedup -----------------------------------------------------------
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    TextDedup.exact(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy("keep_id")
+
+  val dedupExactSql: String =
+    """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+
+  def dedupNgram(s: SparkSession, dir: String): DataFrame =
+    TextDedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", ShingleK, 0.6)
+      .orderBy("id_a", "id_b")
+
+  val dedupNgramSql: String = jaccardPairsSql(0.6)
+
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    TextDedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text", ShingleK, 0.8)
+      .orderBy("id_a", "id_b")
+
+  val dedupMinhashSql: String = jaccardPairsSql(0.8)
+
+  val SimhashBits = 32
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    TextDedup.simhashSignatures(t(s, dir, "documents"), "doc_id", "text", SimhashBits)
+      .orderBy("doc_id")
+
+  val dedupSimhashSql: String = {
+    val sums = (0 until SimhashBits).map { j =>
+      s"SUM(CASE WHEN (hv // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(",\n    ")
+    val combine = (0 until SimhashBits).map { j =>
+      s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id, unnest(list_distinct(${sqlWords("text")})) AS tok FROM documents),
+       |h AS (SELECT doc_id, ${sqlPolyHash("tok")} AS hv FROM tk),
+       |sm AS (SELECT doc_id,
+       |    $sums
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($combine AS BIGINT) AS simhash
+       |FROM sm ORDER BY doc_id""".stripMargin
+  }
+
+  def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    TextDedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 2)
+      .orderBy("id_a", "id_b")
+
+  // ---- embedding similarity ---------------------------------------------
+
+  private val EmbedThreshold = 0.35
+
+  def embedPairs(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForcePairs(t(s, dir, "embeddings"), "vec_id", "embedding", EmbedThreshold)
+      .orderBy("id_a", "id_b")
+
+  val embedPairsSql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(${sqlDot("e", "e")}) AS nrm FROM v),
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |        ${sqlDot("a.e", "b.e")} / (a.nrm * b.nrm) AS cos
+       |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, cos FROM p WHERE cos >= $EmbedThreshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  def annTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      .orderBy("q_id", "rank")
+  }
+
+  val annTopKSql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(${sqlDot("e", "e")}) AS nrm FROM v),
+       |q AS (SELECT * FROM n WHERE vec_id < 10),
+       |sc AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |         ${sqlDot("c.e", "q.e")} / (c.nrm * q.nrm) AS cos
+       |       FROM n c JOIN q ON c.vec_id != q.vec_id)
+       |SELECT q_id, vec_id, rank, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM sc) WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nlist = 32, nprobe = 4)
+      .orderBy("q_id", "rank")
+  }
+
+  // ---- multimodal (rows-only: binary plumbing isn't SQL-expressible) ----
+
+  def multimodal(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+        Multimodal.mediaFromDocuments(t(s, dir, "documents")))
+      .toDF()
+      .select(
+        col("media_id"), col("kind"), col("n_bytes"),
+        col("n_frames").cast("long").as("n_frames"),
+        element_at(col("feature"), 1).cast("double").as("feat0"))
+      .orderBy("media_id")
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("x_fingerprint", fingerprint, Some(fingerprintSql)),
+    QueryDef("x_token_counts", tokenCounts, Some(tokenCountsSql)),
+    QueryDef("x_quality_score", quality, Some(qualitySql)),
+    QueryDef("x_lang_id", langId, Some(langIdSql)),
+    QueryDef("x_dedup_exact", dedupExact, Some(dedupExactSql)),
+    QueryDef("x_dedup_ngram", dedupNgram, Some(dedupNgramSql)),
+    QueryDef("x_dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
+    QueryDef("x_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
+    QueryDef("x_simhash_pairs", simhashPairs, None),
+    QueryDef("x_embed_pairs", embedPairs, Some(embedPairsSql)),
+    QueryDef("x_ann_topk", annTopK, Some(annTopKSql)),
+    QueryDef("x_ann_ivf", annIvf, None),
+    QueryDef("x_multimodal", multimodal, None))
+}
