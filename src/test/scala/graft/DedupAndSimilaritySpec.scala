@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, Similarity, TextDedup}
+
+class DedupAndSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+    (2L, "completely different words about spark shuffles and partition pruning here"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (4L, "yet another unrelated document mentioning joins aggregates and windows only"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts under the minimal id") {
+    val out = TextDedup.exact(docs, "doc_id", "text")
+    val m = out.as[(Long, Long)].collect().toMap
+    assert(m(0L) === 2L) // docs 0 and 3
+    assert(out.count() === 4)
+  }
+
+  test("ngramJaccardPairs finds exact and near duplicates, nothing else") {
+    val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L), (0L, 3L), (1L, 3L)))
+  }
+
+  test("minhashLshPairs agrees with exact jaccard at threshold 0.8") {
+    val lsh = TextDedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh === exact)
+    assert(lsh.contains((0L, 3L)))
+  }
+
+  test("simhash: identical texts get identical signatures, hamming 0 pair found") {
+    val sig = TextDedup.simhashSignatures(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sig(0L) === sig(3L))
+    val pairs = TextDedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)))
+  }
+
+  test("dropNearDuplicates removes the higher id of each pair") {
+    val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
+    val kept = TextDedup.dropNearDuplicates(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(0L, 2L, 4L))
+  }
+
+  private val vecs = Seq(
+    (0L, Array(1f, 0f, 0f)),
+    (1L, Array(0.9f, 0.1f, 0f)), // close to 0
+    (2L, Array(0f, 1f, 0f)),
+    (3L, Array(0f, 0.95f, 0.05f)), // close to 2
+    (4L, Array(0f, 0f, 1f)))
+    .toDF("vec_id", "embedding")
+
+  test("bruteForcePairs finds the two near-parallel pairs") {
+    val pairs = Similarity.bruteForcePairs(vecs, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L), (2L, 3L)))
+  }
+
+  test("bruteForceTopK ranks by cosine with self excluded") {
+    val top1 = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding", 1)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSeq
+    assert(top1 === Seq((0L, 1L)))
+  }
+
+  test("ivfTopK with nprobe == nlist degrades to exact brute force") {
+    val bf = Similarity.bruteForceTopK(vecs, vecs.limit(2), "vec_id", "embedding", 3)
+      .select("q_id", "vec_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(vecs, vecs.limit(2), "vec_id", "embedding", 3, nlist = 5, nprobe = 5)
+      .select("q_id", "vec_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(ivf === bf)
+  }
+
+  test("multimodal: deterministic stub features, video frame sampling, binary transport") {
+    val media = Multimodal.mediaFromDocuments(
+      docs.withColumn("n_chars", length(col("text"))))
+    val feats = Multimodal.extractFeatures(media, frameStride = 16)
+    val rows = feats.collect()
+    assert(rows.length === 5)
+    assert(rows.forall(_.feature.length === Multimodal.FeatureDim))
+    val byId = rows.map(r => r.media_id -> r).toMap
+    // identical payloads → identical features (doc 0 and 3 share text)
+    assert(byId(0L).feature.toSeq === byId(3L).feature.toSeq)
+    val video = rows.filter(_.kind == "video")
+    assert(video.forall(v => v.n_frames === ((v.n_bytes + 15) / 16).toInt))
+    assert(rows.filter(_.kind != "video").forall(_.n_frames === 1))
+  }
+}
