@@ -40,10 +40,24 @@ object Text {
   /** Portable polynomial rolling hash of a string:
     * `h = fold(chars, 0, (acc, ch) -> (acc*31 + ascii(ch)) % 1e9+7)`.
     * Used as the document fingerprint and as the shingle hash feeding
-    * MinHash/SimHash. Stays inside whole-stage codegen (HigherOrderFunction
-    * over a small array).
+    * MinHash/SimHash. Evaluated by the fused codegen expression
+    * graft.plans.PolyHash (one pass over the string, no per-character
+    * array); `polyHashReference` keeps the built-in-composition form the
+    * spec checks it against.
     */
-  def polyHash(c: Column): Column =
+  def polyHash(c: Column): Column = graft.plans.expressions.polyHash(c)
+
+  /** Second independent hash family (different base) — combined with
+    * `polyHash` it yields 60 portable bits (each hash < 2^30), used by
+    * the 60-bit SimHash signatures.
+    */
+  val HashBase2: Long = 131L
+  def polyHash2(c: Column): Column = graft.plans.expressions.polyHash(c, HashBase2)
+
+  /** The pre-fusion Column-composition form of `polyHash`; retained as
+    * the oracle for graft.plans.PolyHash's equality spec.
+    */
+  private[graft] def polyHashReference(c: Column): Column =
     aggregate(
       transform(split(c, ""), ch => ascii(ch).cast("long")),
       lit(0L),
@@ -68,18 +82,21 @@ object Text {
     array_distinct(transform(shingles(c, k), s => polyHashExpr(s)))
 
   /** polyHash over an arbitrary (lambda-bound) string expression. */
-  private def polyHashExpr(s: Column): Column =
-    aggregate(
-      transform(split(s, ""), ch => ascii(ch).cast("long")),
-      lit(0L),
-      (acc, x) => (acc * lit(HashBase) + x) % lit(HashMod))
+  private def polyHashExpr(s: Column): Column = graft.plans.expressions.polyHash(s)
 
   /** MinHash signature: for hash family i in [0, n),
     * `sig_i = min over shingle hashes h of (a_i*h + b_i) mod 1e9+7`
     * with `a_i = 2i+1, b_i = 5i+13` (odd multipliers; exact in 64-bit:
-    * a_i*h < 2^39). Returns `array<bigint>` of length n.
+    * a_i*h < 2^39). Returns `array<bigint>` of length n. Evaluated by
+    * graft.plans.MinHashSig — all n minima in one traversal of the
+    * shingle-hash array (the round-1 form ran n separate
+    * `array_min(transform(...))` passes and dominated the bench).
     */
   def minhashSignature(shingleHashes: Column, n: Int): Column =
+    graft.plans.expressions.minhashSig(shingleHashes, n)
+
+  /** Pre-fusion form of `minhashSignature` (equality-spec oracle). */
+  private[graft] def minhashSignatureReference(shingleHashes: Column, n: Int): Column =
     array((0 until n).map { i =>
       val a = 2L * i + 1
       val b = 5L * i + 13

@@ -9,47 +9,81 @@ import graft.functions.Vectors
 /** Similarity search over embedding columns (`array<float>`).
   *
   * Three tiers:
-  *   - `bruteForcePairs` / `bruteForceTopK`: exact cosine, O(n·m). The
-  *     correctness baseline (oracle-checkable); m is either the corpus
-  *     (pairs) or a small query set (top-k — broadcast the queries, so
-  *     the big side streams with no shuffle).
+  *   - `bruteForcePairs` / `bruteForceTopK`: exact cosine. Pairs are
+  *     O(n²) by definition; the plan is a *block-partitioned equi-join*
+  *     (never a BroadcastNestedLoopJoin): each side is bucketed into
+  *     `blocks` id-hash blocks, a tiny block-pair table drives the join,
+  *     and every task computes one block×block slab with the fused
+  *     graft.plans.DotProduct loop. Work is still quadratic — inherent
+  *     to exact all-pairs — but it is evenly sharded across the cluster
+  *     with bounded per-task memory, no driver-side broadcast of the
+  *     corpus, and no nested-loop row-at-a-time evaluation.
+  *   - top-k: the query side is broadcast; the corpus streams through
+  *     one stage.
   *   - `ivfTopK`: IVF-style two-level search — assign vectors to the
-  *     nearest of `nlist` deterministic centroids (one broadcast join),
-  *     probe the `nprobe` best centroids per query. With nprobe = nlist
-  *     it degrades to exact brute force (the unit tests exploit that).
-  *     This is the 100 TB path: candidate scans touch ~nprobe/nlist of
-  *     the corpus, and the corpus side is partitioned by centroid.
+  *     nearest of `nlist` deterministic centroids (broadcast join +
+  *     `max_by` aggregation, no window shuffle), probe the `nprobe`
+  *     best centroids per query. With nprobe = nlist it degrades to
+  *     exact brute force (the unit tests exploit that). This is the
+  *     100 TB path: candidate scans touch ~nprobe/nlist of the corpus,
+  *     and the corpus side is partitioned by centroid.
+  *
+  * For *near-duplicate* thresholds (cos ≳ 0.9) the scale path is
+  * `HyperplaneLsh.cosinePairs` — candidate generation by signed-random-
+  * projection banding, exact verification on candidates only.
   *
   * All cosine arithmetic is double, accumulated left-to-right
-  * (graft.functions.Vectors), bit-reproducible in the DuckDB oracle.
+  * (graft.functions.Vectors / graft.plans.DotProduct), bit-reproducible
+  * in the DuckDB oracle.
   */
 object Similarity {
 
   /** Projects (id, vec double[], norm double); norms computed once. */
-  private def prepared(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private[operators] def prepared(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(
       col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      Vectors.toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(Vectors.dot(col("v"), col("v"))))
 
-  private def dotCols(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-
-  /** All pairs (id_a < id_b) with cosine ≥ threshold, exact. O(n²) —
-    * use for modest n or as the verification stage after blocking.
+  /** All pairs (id_a < id_b) with cosine ≥ threshold, exact.
+    *
+    * Plan shape: `p ⋈ blockPairs (broadcast) ⋈ p (shuffle on blk_b)`.
+    * The left side is replicated ~blocks/2×; pick `blocks` ≈ 2× the
+    * cluster's task slots so slabs stay square-ish and small. Quadratic
+    * compute is the *definition* of this operator — when an approximate
+    * candidate set is acceptable, use HyperplaneLsh.cosinePairs or IVF
+    * blocking instead and keep this as the per-bucket verifier.
     */
   def bruteForcePairs(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      blocks: Int = 64): DataFrame = {
     val p = prepared(emb, idCol, vecCol)
-    val a = p.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
-    val b = p.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", dotCols(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+    val spark = emb.sparkSession
+    import spark.implicits._
+
+    val blockPairs = (for { i <- 0 until blocks; j <- i until blocks } yield (i, j))
+      .toDF("blk_a", "blk_b")
+
+    val a = p.select(
+      col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"),
+      pmod(hash(col("id")), lit(blocks)).as("blk_a"))
+    val b = p.select(
+      col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"),
+      pmod(hash(col("id")), lit(blocks)).as("blk_b"))
+
+    a.join(broadcast(blockPairs), Seq("blk_a"))
+      .join(b, Seq("blk_b"))
+      // same-block slabs would otherwise emit each pair twice
+      .filter(col("blk_a") < col("blk_b") || col("id_a") < col("id_b"))
+      .withColumn("cos", Vectors.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cos") >= threshold)
-      .select("id_a", "id_b", "cos")
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("cos"))
   }
 
   /** Exact top-k cosine neighbors for each query vector (self excluded).
@@ -65,17 +99,17 @@ object Similarity {
     val q = prepared(queries, idCol, vecCol)
       .select(col("id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_n"))
     val scored = c.join(broadcast(q), col("id") =!= col("q_id"))
-      .withColumn("cos", dotCols(col("v"), col("q_v")) / (col("nrm") * col("q_n")))
+      .withColumn("cos", Vectors.dot(col("v"), col("q_v")) / (col("nrm") * col("q_n")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("id").as("vec_id"), col("rank").cast("long").as("rank"), col("cos"))
   }
 
-  /** IVF(-flat) approximate top-k: deterministic centroids (every
-    * `stride`-th vector by id, `nlist` of them), inverted lists built by
-    * nearest-centroid assignment, queries probe their `nprobe` closest
-    * centroids' lists. Exact within probed lists.
+  /** IVF(-flat) approximate top-k: deterministic codebook (the `nlist`
+    * lowest-id vectors — a trained k-means codebook drops in unchanged),
+    * inverted lists built by nearest-centroid assignment, queries probe
+    * their `nprobe` closest centroids' lists. Exact within probed lists.
     */
   def ivfTopK(
       emb: DataFrame,
@@ -86,31 +120,36 @@ object Similarity {
       nlist: Int,
       nprobe: Int): DataFrame = {
     val p = prepared(emb, idCol, vecCol)
-    // Deterministic codebook: the nlist lowest-id vectors. (A trained
-    // k-means codebook drops in here unchanged; selection is a driver-side
-    // small sort, the rest of the pipeline is broadcast joins.)
     val centroids = p.orderBy(col("id")).limit(nlist)
       .select(col("id").as("c_id"), col("v").as("c_v"), col("nrm").as("c_n"))
 
-    def assign(side: DataFrame, vCol: String, nCol: String, take: Int) = {
-      val scored = side.join(broadcast(centroids), expr("true"))
-        .withColumn("c_cos", dotCols(col(vCol), col("c_v")) / (col(nCol) * col("c_n")))
-      val ww = Window.partitionBy(col("id")).orderBy(col("c_cos").desc, col("c_id").asc)
-      scored.withColumn("crank", row_number().over(ww))
-        .filter(col("crank") <= take)
-        .drop("c_v", "c_n", "c_cos", "crank")
-    }
+    def withCentroidScores(side: DataFrame) =
+      side.join(broadcast(centroids), expr("true"))
+        .withColumn("c_cos", Vectors.dot(col("v"), col("c_v")) / (col("nrm") * col("c_n")))
 
-    val lists = assign(p, "v", "nrm", 1)
-      .select(col("id"), col("v"), col("nrm"), col("c_id"))
-    val qs = assign(prepared(queries, idCol, vecCol), "v", "nrm", nprobe)
+    // Corpus assignment: argmax per vector as one map-side-combinable
+    // aggregation (max_by over a (cos, -c_id) tiebreak struct) — no
+    // window shuffle-and-sort over n×nlist rows.
+    val lists = withCentroidScores(p)
+      .groupBy(col("id"))
+      .agg(
+        first(col("v")).as("v"),
+        first(col("nrm")).as("nrm"),
+        max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("c_id"))
+
+    // Query probing keeps the top-nprobe centroids; the query set is
+    // small so the window here is cheap.
+    val qScored = withCentroidScores(prepared(queries, idCol, vecCol))
+    val wq = Window.partitionBy(col("id")).orderBy(col("c_cos").desc, col("c_id").asc)
+    val qs = qScored.withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= nprobe)
       .select(col("id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_n"), col("c_id"))
 
     val scored = lists.join(broadcast(qs), Seq("c_id"))
       .filter(col("id") =!= col("q_id"))
-      .withColumn("cos", dotCols(col("v"), col("q_v")) / (col("nrm") * col("q_n")))
-    val wq = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(wq))
+      .withColumn("cos", Vectors.dot(col("v"), col("q_v")) / (col("nrm") * col("q_n")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("id").as("vec_id"), col("rank").cast("long").as("rank"), col("cos"))
   }

@@ -16,8 +16,9 @@ import graft.functions.Text
   *     inverted-index self-join on shingles / band keys, so cost follows
   *     the number of *colliding* pairs, not n². Exact verification runs
   *     only on candidates.
-  *   - SimHash: pairs via 4-chunk blocking (pigeonhole: hamming ≤ 3 over
-  *     4 chunks ⇒ at least one chunk equal), again an equi-join.
+  *   - SimHash: pairs via (maxHamming+1)-chunk blocking over a 60-bit
+  *     signature (pigeonhole: hamming ≤ m over m+1 chunks ⇒ at least one
+  *     chunk equal — full recall), again an equi-join.
   * The O(n²) form exists only in the DuckDB oracle SQL.
   *
   * Frequent-shingle skew: a shingle shared by k docs produces k² join
@@ -117,19 +118,32 @@ object TextDedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Per-document SimHash over distinct whitespace tokens, `bits` wide
-    * (default 32 — the portable polyhash provides ~30 good bits).
-    * Bit j is set iff Σ_tokens (bit_j(hash(token)) ? +1 : −1) > 0.
-    * One explode + one hash-aggregate; fully distributed.
+  /** Signature width: two independent 30-bit portable polyhashes (bases
+    * 31 and 131) concatenated — 60 usable bits, wide enough that random
+    * doc pairs land ~30 bits apart and chunk blocking gets real buckets.
     */
-  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
+  val SimhashBits = 60
+
+  /** Per-document 60-bit SimHash over distinct whitespace tokens.
+    * Token hash = polyHash(tk) | polyHash2(tk) << 30 (each < 2^30).
+    * Bit j of the signature is set iff
+    * Σ_tokens (bit_j(hash(token)) ? +1 : −1) > 0.
+    * One explode + one hash-aggregate (map-side combinable); fully
+    * distributed, no windows.
+    */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = SimhashBits): DataFrame = {
+    require(bits <= SimhashBits, s"at most $SimhashBits portable bits available, got $bits")
     val tok = docs.select(
       col(idCol).as("id"),
       explode(array_distinct(Text.tokens(col(textCol)))).as("tk"))
-      .withColumn("hv", Text.polyHash(col("tk")))
+      .withColumn("hv",
+        Text.polyHash(col("tk")) + Text.polyHash2(col("tk")) * lit(1L << 30))
+    // NB: bit extraction must be integral — `col / lit` is DOUBLE
+    // division in Spark and silently loses bits above 2^53.
     val sums = (0 until bits).map { j =>
-      val bit = (col("hv") / lit(1L << j)).cast("long") % 2
-      sum(when(bit === 1, 1).otherwise(-1)).as(s"b$j")
+      val bit = col("hv").bitwiseAND(lit(1L << j))
+      sum(when(bit =!= 0, 1).otherwise(-1)).as(s"b$j")
     }
     val combined = (0 until bits)
       .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
@@ -140,20 +154,32 @@ object TextDedup {
       .select(col("id").as("doc_id"), col("simhash"))
   }
 
-  /** SimHash near-dup pairs with hamming distance ≤ maxHamming (< 8):
-    * blocking on 4 chunks of 8 bits (any pair within hamming 3 must agree
-    * on ≥1 chunk), then exact popcount check. Equi-join, no n².
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming.
+    * Blocking splits the 60-bit signature into `maxHamming + 1` equal
+    * chunks — by pigeonhole, any pair within the hamming budget agrees
+    * exactly on at least one chunk, so candidate generation is a pure
+    * equi-join on (chunk index, chunk value) with full recall. With the
+    * default maxHamming = 2 the chunk key is 20 bits (~1M buckets);
+    * maxHamming = 3 gives 15-bit chunks (32k buckets). maxHamming ≤ 4 is
+    * enforced: beyond that the chunks get too narrow to block usefully
+    * (12-bit chunks = 4k buckets) and candidate sets degrade toward n².
     */
   def simhashPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 2): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 4,
+      s"chunk blocking supports maxHamming in [0, 4], got $maxHamming")
+    val nChunks = maxHamming + 1
+    require(SimhashBits % nChunks == 0, s"$nChunks chunks must divide $SimhashBits bits")
+    val chunkBits = SimhashBits / nChunks
     val sig = simhashSignatures(docs, idCol, textCol)
     val chunks = sig.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map { i =>
+      explode(array((0 until nChunks).map { i =>
         struct(lit(i).as("chunk"),
-          pmod(floor(col("simhash") / lit(1L << (8 * i))).cast("long"), lit(256L)).as("ckey"))
+          shiftright(col("simhash"), chunkBits * i)
+            .bitwiseAND(lit((1L << chunkBits) - 1)).as("ckey"))
       }: _*)).as("c"))
       .select(col("doc_id"), col("simhash"), col("c.chunk").as("chunk"), col("c.ckey").as("ckey"))
     val a = chunks.select(col("doc_id").as("id_a"), col("simhash").as("sig_a"), col("chunk"), col("ckey"))

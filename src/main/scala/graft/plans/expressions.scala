@@ -1,0 +1,203 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused Catalyst expressions for the hot paths the round-1 profile
+  * exposed (BENCH_r01: minhash/embedding queries dominated by
+  * interpreted higher-order-function lambdas).
+  *
+  * Each expression replaces a `transform`/`aggregate`/`zip_with`
+  * composition with one tight JVM loop, evaluated once per row (not once
+  * per array element), while producing BIT-IDENTICAL values to the
+  * Column-composition form it replaces — the DuckDB oracle contract
+  * (SURVEY.md §7.4) does not move. `PolyHash` and `DotProduct` take part
+  * in whole-stage codegen via `doGenCode`; `MinHashSig` evaluates per-row
+  * through `nullSafeEval` (one virtual call per row is already off the
+  * per-element hot path).
+  */
+object expressions {
+
+  /** Wraps an expression over Column children. */
+  private[plans] def wrap(e: Expression): Column = Bridge.column(e)
+
+  def polyHash(c: Column, base: Long = PolyHash.DefaultBase): Column =
+    wrap(PolyHash(Bridge.expression(c), base))
+
+  def dotProduct(a: Column, b: Column): Column =
+    wrap(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  def minhashSig(hashes: Column, n: Int): Column =
+    wrap(MinHashSig(Bridge.expression(hashes), n))
+}
+
+/** Portable polynomial rolling hash of a string:
+  * `h = fold(codepoints, 0, (acc, cp) -> (acc*base + cp) % 1e9+7)`.
+  *
+  * Value-identical to the Column form
+  * `aggregate(transform(split(c, ""), ch -> ascii(ch)), 0L, ...)`
+  * (graft.functions.Text.polyHash) and to DuckDB's
+  * `list_reduce(list_transform(string_split(c, ''), c -> ord(c)), ...)`:
+  * all three iterate Unicode codepoints. One pass over the string's
+  * bytes, no per-character array allocation.
+  */
+case class PolyHash(child: Expression, base: Long = PolyHash.DefaultBase)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs a string child, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_polyhash"
+
+  protected override def nullSafeEval(input: Any): Any =
+    PolyHash.hash(input.asInstanceOf[UTF8String], base)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.PolyHash.hash($c, ${base}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+object PolyHash {
+  val Mod: Long = 1000000007L
+  val DefaultBase: Long = 31L
+
+  /** Static entry for both interpreted and generated code paths. */
+  def hash(s: UTF8String, base: Long): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      acc = (acc * base + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
+/** Dot product of two `array<double>` columns, accumulated strictly
+  * left-to-right from 0.0 — bit-identical to
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` (graft.functions.Vectors)
+  * and to the DuckDB oracle's explicit list fold. NULL if either side is
+  * NULL or the lengths differ (zip_with would pad with NULL and poison
+  * the sum).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs two array<double> children, got ${left.dataType} / ${right.dataType}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements != y.numElements) null
+    else DotProduct.dot(x, y)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dot = ctx.freshName("dot")
+    val i = ctx.freshName("i")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |    $dot += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $dot;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  def dot(x: ArrayData, y: ArrayData): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = x.numElements
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+}
+
+/** MinHash signature: one pass over the shingle-hash array producing all
+  * `n` minima, `sig_i = min_h (a_i*h + b_i) mod 1e9+7` with
+  * `a_i = 2i+1, b_i = 5i+13` (graft.functions.Text.minhashSignature's
+  * hash family, unchanged — the LSH banding and the DuckDB-checked
+  * output stay identical). Replaces `n` separate
+  * `array_min(transform(...))` traversals (the round-1 minhash hot spot)
+  * with a single `|hashes| × n` loop on primitive longs.
+  *
+  * Empty input arrays yield an all-NULL signature, matching
+  * `array_min(empty) = NULL`.
+  */
+case class MinHashSig(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n > 0, s"signature length must be positive, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName needs array<bigint>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash_sig"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val m = hs.numElements
+    if (m == 0) {
+      new GenericArrayData(Array.fill[Any](n)(null))
+    } else {
+      val mins = Array.fill(n)(Long.MaxValue)
+      var j = 0
+      while (j < m) {
+        val h = hs.getLong(j)
+        var i = 0
+        while (i < n) {
+          val v = ((2L * i + 1) * h + (5L * i + 13)) % PolyHash.Mod
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+        j += 1
+      }
+      new GenericArrayData(mins)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}

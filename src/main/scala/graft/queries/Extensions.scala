@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Text
-import graft.operators.{Multimodal, Similarity, TextDedup}
+import graft.operators.{HyperplaneLsh, Multimodal, Similarity, TextDedup}
 
 /** Training-data pipeline extension queries (BASELINE.json north star):
   * dedup (exact / n-gram Jaccard / MinHash LSH / SimHash / embedding),
@@ -28,10 +28,10 @@ object Extensions {
 
   private def sqlWords(e: String) = s"string_split_regex(trim($e), '\\s+')"
 
-  private def sqlPolyHash(e: String) =
+  private def sqlPolyHash(e: String, base: Long = Text.HashBase) =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(string_split($e, ''), c -> CAST(ord(c) AS BIGINT))), " +
-      s"(acc,x) -> (acc*${Text.HashBase} + x) % ${Text.HashMod})"
+      s"(acc,x) -> (acc*$base + x) % ${Text.HashMod})"
 
   /** Word 3-gram shingles over a words-list alias `w`. */
   private val sqlShingles =
@@ -149,31 +149,53 @@ object Extensions {
 
   val dedupMinhashSql: String = jaccardPairsSql(0.8)
 
-  val SimhashBits = 32
-
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    TextDedup.simhashSignatures(t(s, dir, "documents"), "doc_id", "text", SimhashBits)
-      .orderBy("doc_id")
-
-  val dedupSimhashSql: String = {
-    val sums = (0 until SimhashBits).map { j =>
+  /** Shared CTE prefix computing the 60-bit SimHash signature per doc —
+    * mirrors TextDedup.simhashSignatures exactly (two polyhash bases,
+    * bit-sum vote, bit recombination).
+    */
+  private val simhashSigSql: String = {
+    val bits = TextDedup.SimhashBits
+    val sums = (0 until bits).map { j =>
       s"SUM(CASE WHEN (hv // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j"
     }.mkString(",\n    ")
-    val combine = (0 until SimhashBits).map { j =>
+    val combine = (0 until bits).map { j =>
       s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
-    s"""WITH tk AS (SELECT doc_id, unnest(list_distinct(${sqlWords("text")})) AS tok FROM documents),
-       |h AS (SELECT doc_id, ${sqlPolyHash("tok")} AS hv FROM tk),
+    s"""tk AS (SELECT doc_id, unnest(list_distinct(${sqlWords("text")})) AS tok FROM documents),
+       |h AS (SELECT doc_id,
+       |    ${sqlPolyHash("tok")} + ${sqlPolyHash("tok", Text.HashBase2)} * ${1L << 30} AS hv
+       |  FROM tk),
        |sm AS (SELECT doc_id,
        |    $sums
-       |  FROM h GROUP BY doc_id)
-       |SELECT doc_id, CAST($combine AS BIGINT) AS simhash
-       |FROM sm ORDER BY doc_id""".stripMargin
+       |  FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM sm)""".stripMargin
   }
 
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    TextDedup.simhashSignatures(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val dedupSimhashSql: String =
+    s"""WITH $simhashSigSql
+       |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin
+
+  private val SimhashMaxHamming = 2
+
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
-    TextDedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 2)
+    TextDedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = SimhashMaxHamming)
       .orderBy("id_a", "id_b")
+
+  /** O(n²) exact hamming check — the textbook definition the chunked
+    * equi-join must reproduce (full recall by pigeonhole).
+    */
+  val simhashPairsSql: String =
+    s"""WITH $simhashSigSql
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming
+       |ORDER BY id_a, id_b""".stripMargin
 
   // ---- embedding similarity ---------------------------------------------
 
@@ -210,6 +232,53 @@ object Extensions {
        |  FROM sc) WHERE rank <= 5
        |ORDER BY q_id, rank""".stripMargin
 
+  // Hyperplane-LSH near-dup pairs. The oracle runs the SAME deterministic
+  // algorithm (the ±1 sign matrix is a pure function of (nbits, dim),
+  // embedded as a literal in both plans), so candidate generation AND
+  // verification are hash-checked — this validates the distributed
+  // banding implementation; recall-vs-exact is the documented algorithm
+  // property, tunable via (r, bands) for the near-dup regime.
+  private val LshBits = 64
+  private val LshR = 8
+  private val LshDim = 64
+  private val LshThreshold = 0.4
+
+  def embedLsh(s: SparkSession, dir: String): DataFrame =
+    HyperplaneLsh.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = LshDim, threshold = LshThreshold, nbits = LshBits, r = LshR)
+      .orderBy("id_a", "id_b")
+
+  val embedLshSql: String = {
+    val signs = HyperplaneLsh.signMatrix(LshBits, LshDim)
+    val matrix = signs.map(_.map(v => if (v > 0) "1.0" else "-1.0")
+      .mkString("[", ",", "]")).mkString("[", ",\n      ", "]")
+    val nBands = LshBits / LshR
+    val bandExpr = (0 until nBands).map { b =>
+      (0 until LshR).map(i => s"bit[${b * LshR + i + 1}]*${1L << i}").mkString(" + ")
+    }.mkString("[", ",\n      ", "]")
+    val dotSign =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(1, ${LshDim + 1}), i -> e[i] * signs[k][i])), (acc,v) -> acc+v)"
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(${sqlDot("e", "e")}) AS nrm FROM v),
+       |m AS (SELECT $matrix AS signs),
+       |bits AS (SELECT vec_id,
+       |    list_transform(range(1, ${LshBits + 1}),
+       |      k -> CASE WHEN $dotSign > 0 THEN 1 ELSE 0 END) AS bit
+       |  FROM n, m),
+       |bk AS (SELECT vec_id, $bandExpr AS keys FROM bits),
+       |banded AS (SELECT vec_id, i - 1 AS band, keys[i] AS key
+       |           FROM bk, range(1, ${nBands + 1}) t(i)),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM banded a JOIN banded b
+       |           ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+       |p AS (SELECT id_a, id_b, ${sqlDot("x.e", "y.e")} / (x.nrm * y.nrm) AS cos
+       |      FROM cand JOIN n x ON cand.id_a = x.vec_id
+       |                JOIN n y ON cand.id_b = y.vec_id)
+       |SELECT id_a, id_b, cos FROM p WHERE cos >= $LshThreshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -238,8 +307,9 @@ object Extensions {
     QueryDef("x_dedup_ngram", dedupNgram, Some(dedupNgramSql)),
     QueryDef("x_dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
     QueryDef("x_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
-    QueryDef("x_simhash_pairs", simhashPairs, None),
+    QueryDef("x_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     QueryDef("x_embed_pairs", embedPairs, Some(embedPairsSql)),
+    QueryDef("x_embed_lsh", embedLsh, Some(embedLshSql)),
     QueryDef("x_ann_topk", annTopK, Some(annTopKSql)),
     QueryDef("x_ann_ivf", annIvf, None),
     QueryDef("x_multimodal", multimodal, None))

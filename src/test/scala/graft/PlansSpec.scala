@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+import graft.functions.{Text, Vectors}
+import graft.operators.HyperplaneLsh
+
+/** graft.plans fused expressions must be value-identical to the
+  * Column-composition forms they replaced — the DuckDB oracle contract
+  * depends on it (SURVEY.md §7.4).
+  */
+class PlansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val texts = Seq(
+    "the quick brown fox", "", "a", "héllo wörld", "tab\tand  spaces",
+    "punctuation, everywhere! yes?", "números 123 foo_bar").toDF("t")
+
+  test("PolyHash matches the split/ascii/aggregate composition") {
+    val got = texts.select(
+      Text.polyHash(col("t")).as("fused"),
+      Text.polyHashReference(col("t")).as("ref")).collect()
+    got.foreach { r => assert(r.get(0) == r.get(1), s"mismatch on $r") }
+  }
+
+  test("PolyHash base-131 family differs from base-31 but is stable") {
+    val r = texts.filter(length(col("t")) > 1).select(
+      Text.polyHash(col("t")).as("h1"),
+      Text.polyHash2(col("t")).as("h2")).collect()
+    r.foreach { row =>
+      assert(row.getLong(0) != row.getLong(1))
+      assert(row.getLong(0) >= 0 && row.getLong(0) < Text.HashMod)
+      assert(row.getLong(1) >= 0 && row.getLong(1) < Text.HashMod)
+    }
+  }
+
+  test("DotProduct matches zip_with/aggregate composition bit-for-bit") {
+    val vecs = Seq(
+      (Seq(1.0f, 2.0f, 3.0f), Seq(0.5f, -1.5f, 2.25f)),
+      (Seq(0.1f, 0.2f), Seq(0.3f, 0.7f)),
+      (Seq.empty[Float], Seq.empty[Float])).toDF("a", "b")
+    val got = vecs.select(
+      Vectors.dot(Vectors.toDouble(col("a")), Vectors.toDouble(col("b"))).as("fused"),
+      Vectors.dotReference(col("a"), col("b")).as("ref")).collect()
+    got.foreach { r =>
+      assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0, s"mismatch on $r")
+    }
+  }
+
+  test("DotProduct is null on length mismatch (zip_with null-poison parity)") {
+    val vecs = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val r = vecs.select(Vectors.dot(col("a"), col("b"))).collect()
+    assert(r.head.isNullAt(0))
+  }
+
+  test("MinHashSig matches the n-pass array_min composition") {
+    val hs = Seq(
+      Seq(17L, 9999999L, 31L, 123456789L),
+      Seq(42L),
+      Seq.empty[Long]).toDF("hs")
+    val n = 16
+    val got = hs.select(
+      Text.minhashSignature(col("hs"), n).as("fused"),
+      Text.minhashSignatureReference(col("hs"), n).as("ref")).collect()
+    got.foreach { r => assert(r.getSeq[Any](0) == r.getSeq[Any](1), s"mismatch on $r") }
+  }
+
+  test("hyperplane sign matrix is deterministic and ±1") {
+    val m1 = HyperplaneLsh.signMatrix(8, 5)
+    val m2 = HyperplaneLsh.signMatrix(8, 5)
+    assert(m1.map(_.toSeq).toSeq == m2.map(_.toSeq).toSeq)
+    assert(m1.flatten.forall(v => v == 1.0 || v == -1.0))
+    // not degenerate: both signs occur
+    assert(m1.flatten.distinct.length == 2)
+  }
+
+  test("whole-stage codegen stays enabled over PolyHash/DotProduct projections") {
+    // spark.range keeps a real physical scan (a LocalRelation would be
+    // constant-folded into a LocalTableScan with no codegen span).
+    val df = spark.range(100)
+      .select(concat(lit("doc "), col("id")).as("t"),
+        array(col("id").cast("double"), lit(2.0)).as("v"))
+      .select(Text.polyHash(col("t")).as("h"), Vectors.dot(col("v"), col("v")).as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the `*(n)` prefix marks operators inside a WholeStageCodegen span
+    assert(plan.contains("*(1) Project [graft_polyhash"), s"no codegen span in:\n$plan")
+    // with fallback disabled, a Janino compile error in our doGenCode
+    // would fail the collect instead of silently interpreting
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try assert(df.collect().length == 100)
+    finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+}
