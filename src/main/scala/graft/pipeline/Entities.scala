@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.{StringType, StructField, StructType, TimestampType}
+
+/** Registry of the reference's eight Olist entities: raw (bronze) CSV
+  * schema, silver upsert keys, and the silver cleanse builder.
+  *
+  * Raw CSVs arrive all-string (`01_bronze_csv_to_delta.py:38-39` infers,
+  * we pin — SURVEY.md §1.3); types are imposed by the cleansers. The
+  * table name doubles as the ingest subdirectory name, which is what
+  * dynamic table discovery (S2, `01:16-31`) enumerates.
+  */
+final case class Entity(
+    name: String,
+    rawColumns: Seq[String],
+    silverKeys: Seq[String],
+    cleanse: DataFrame => DataFrame) {
+
+  /** All-string bronze schema (before ingest metadata columns). */
+  def bronzeSchema: StructType =
+    StructType(rawColumns.map(StructField(_, StringType, nullable = true)))
+
+  /** On-disk bronze schema: raw columns + ingest metadata (S3). Used to
+    * pin the schema when tailing bronze as a stream (S5).
+    */
+  def bronzeStoredSchema: StructType =
+    StructType(bronzeSchema.fields ++ Seq(
+      StructField("ingestion_ts", TimestampType, nullable = true),
+      StructField("source_file", StringType, nullable = true)))
+}
+
+object Entities {
+
+  val customers: Entity = Entity(
+    "customers",
+    Seq("customer_id", "customer_unique_id", "customer_zip_code_prefix",
+      "customer_city", "customer_state"),
+    Seq("customer_id"),
+    Silver.cleanseCustomers)
+
+  val geolocation: Entity = Entity(
+    "geolocation",
+    Seq("geolocation_zip_code_prefix", "geolocation_lat", "geolocation_lng",
+      "geolocation_city", "geolocation_state"),
+    Seq("zip_code_prefix"), // post-cleanse grain: one row per zip
+    Silver.cleanseGeolocation)
+
+  val orderItems: Entity = Entity(
+    "order_items",
+    Seq("order_id", "order_item_id", "product_id", "seller_id",
+      "shipping_limit_date", "price", "freight_value"),
+    Seq("order_id", "order_item_id"),
+    Silver.cleanseOrderItems)
+
+  val orderPayments: Entity = Entity(
+    "order_payments",
+    Seq("order_id", "payment_sequential", "payment_type",
+      "payment_installments", "payment_value"),
+    Seq("order_id", "payment_sequential"),
+    Silver.cleanseOrderPayments)
+
+  val orderReviews: Entity = Entity(
+    "order_reviews",
+    Seq("review_id", "order_id", "review_score", "review_comment_title",
+      "review_comment_message", "review_creation_date", "review_answer_timestamp"),
+    Seq("review_id"),
+    Silver.cleanseOrderReviews)
+
+  val orders: Entity = Entity(
+    "orders",
+    Seq("order_id", "customer_id", "order_status", "order_purchase_timestamp",
+      "order_approved_at", "order_delivered_carrier_date",
+      "order_delivered_customer_date", "order_estimated_delivery_date"),
+    Seq("order_id"),
+    Silver.cleanseOrders)
+
+  val products: Entity = Entity(
+    "products",
+    Seq("product_id", "product_category_name", "product_name_lenght",
+      "product_description_lenght", "product_photos_qty", "product_weight_g",
+      "product_length_cm", "product_height_cm", "product_width_cm"),
+    Seq("product_id"),
+    Silver.cleanseProducts)
+
+  val sellers: Entity = Entity(
+    "sellers",
+    Seq("seller_id", "seller_zip_code_prefix", "seller_city", "seller_state"),
+    Seq("seller_id"),
+    Silver.cleanseSellers)
+
+  val all: Seq[Entity] = Seq(
+    customers, geolocation, orderItems, orderPayments,
+    orderReviews, orders, products, sellers)
+
+  def byName(name: String): Option[Entity] = all.find(_.name == name)
+}

@@ -42,12 +42,18 @@ object Silver {
 
   /** 02:131-185 — geolocation: per-zip average coordinates + most-frequent
     * city/state (A9 mode), one row per zip prefix.
+    *
+    * Numeric coercions here and below use try_cast (Cleanse.safeCast):
+    * the reference's plain `.cast` ran under an ANSI-off runtime where
+    * corrupt values became NULL; Spark 4 defaults to ANSI-on, where
+    * `.cast` would abort the job instead — try_cast is the faithful
+    * translation of the reference's observed corrupt→NULL behavior.
     */
   def cleanseGeolocation(df: DataFrame): DataFrame = {
     val renamed = df.select(
       col("geolocation_zip_code_prefix").cast(StringType).as("zip_code_prefix"),
-      col("geolocation_lat").cast(DoubleType).as("latitude"),
-      col("geolocation_lng").cast(DoubleType).as("longitude"),
+      Cleanse.safeCast(col("geolocation_lat"), DoubleType).as("latitude"),
+      Cleanse.safeCast(col("geolocation_lng"), DoubleType).as("longitude"),
       Cleanse.normUpper(col("geolocation_city")).as("city"),
       Cleanse.normUpper(col("geolocation_state")).as("state"),
       col("ingestion_ts"))
@@ -71,11 +77,12 @@ object Silver {
     */
   def cleanseOrderItems(df: DataFrame): DataFrame =
     Cleanse.dropNullKeys(df, Seq("order_id", "order_item_id", "product_id"))
-      .withColumn("order_item_id", col("order_item_id").cast(IntegerType))
-      .withColumn("shipping_limit_date", to_timestamp(col("shipping_limit_date")))
-      .withColumn("price", col("price").cast(DoubleType))
-      .withColumn("freight_value", col("freight_value").cast(DoubleType))
-      .filter(col("price").isNotNull && col("freight_value").isNotNull)
+      .withColumn("order_item_id", Cleanse.safeCast(col("order_item_id"), IntegerType))
+      .withColumn("shipping_limit_date", Cleanse.safeTimestamp(col("shipping_limit_date")))
+      .withColumn("price", Cleanse.safeCast(col("price"), DoubleType))
+      .withColumn("freight_value", Cleanse.safeCast(col("freight_value"), DoubleType))
+      .filter(col("order_item_id").isNotNull &&
+        col("price").isNotNull && col("freight_value").isNotNull)
       .withColumn("item_total_value", col("price") + col("freight_value"))
       .transform(Dedup.latestByKey(_, Seq("order_id", "order_item_id"),
         Seq(col("ingestion_ts").desc, col("source_file").desc)))
@@ -177,6 +184,19 @@ object Silver {
 /** Gold layer — dimensions (03), facts (04-06), metric marts (07-09). */
 object Gold {
 
+  /** Deterministic surrogate key from the natural key: 60 portable bits
+    * from the two polynomial hash families (graft.functions.Text). The
+    * reference uses monotonically_increasing_id (F17), which is
+    * partitioning-dependent; a keyed hash is reproducible across runs
+    * AND fully distributed — no global row_number window funneling the
+    * table through one partition. Collision odds at 2^60 are ~n²/2^61
+    * (≈ 5e-11 for a 10M-row dimension); uniqueness equals PK uniqueness
+    * for practical dimension sizes.
+    */
+  private def surrogateKey(naturalKey: Column): Column =
+    graft.functions.Text.polyHash(naturalKey) +
+      graft.functions.Text.polyHash2(naturalKey) * lit(1L << 30)
+
   /** 03:25-47 — dim_customers. */
   def dimCustomers(silverCustomers: DataFrame): DataFrame =
     Dedup.latestByKey(silverCustomers, Seq("customer_id"),
@@ -184,44 +204,35 @@ object Gold {
       .select(
         col("customer_id"),
         col("customer_unique_id"),
-        col("customer_zip_code_prefix").cast(IntegerType).as("customer_zip_code_prefix"),
+        Cleanse.safeCast(col("customer_zip_code_prefix"), IntegerType)
+          .as("customer_zip_code_prefix"),
         Cleanse.normLower(col("customer_city")).as("customer_city"),
         Cleanse.normUpper(col("customer_state")).as("customer_state"))
       .withColumn("gold_processed_ts", current_timestamp())
 
-  /** 03:112-145 — dim_products with volume (F16) and surrogate key.
-    * The reference uses monotonically_increasing_id (F17); we derive the
-    * surrogate deterministically from the natural key order (§7.4).
-    */
-  def dimProducts(silverProducts: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** 03:112-145 — dim_products with volume (F16) and surrogate key. */
+  def dimProducts(silverProducts: DataFrame): DataFrame =
     Dedup.latestByKey(silverProducts, Seq("product_id"),
         Seq(col("silver_processed_ts").desc, col("source_file").desc))
       .withColumn("product_volume_cm3",
         col("product_length_cm") * col("product_height_cm") * col("product_width_cm"))
-      .withColumn("product_sk", row_number().over(Window.orderBy(col("product_id"))).cast(LongType))
+      .withColumn("product_sk", surrogateKey(col("product_id")))
       .withColumn("gold_processed_ts", current_timestamp())
-  }
 
   /** 03:211-233 — dim_sellers. */
-  def dimSellers(silverSellers: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def dimSellers(silverSellers: DataFrame): DataFrame =
     Dedup.latestByKey(silverSellers, Seq("seller_id"),
         Seq(col("silver_processed_ts").desc, col("source_file").desc))
-      .withColumn("seller_sk", row_number().over(Window.orderBy(col("seller_id"))).cast(LongType))
+      .withColumn("seller_sk", surrogateKey(col("seller_id")))
       .withColumn("gold_processed_ts", current_timestamp())
-  }
 
   /** 03:276-338 — dim_geolocation: re-aggregated coordinates + mode
     * city/state per zip, deterministic surrogate.
     */
-  def dimGeolocation(silverGeo: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def dimGeolocation(silverGeo: DataFrame): DataFrame =
     silverGeo
-      .withColumn("geolocation_sk",
-        row_number().over(Window.orderBy(col("zip_code_prefix"))).cast(LongType))
+      .withColumn("geolocation_sk", surrogateKey(col("zip_code_prefix")))
       .withColumn("gold_processed_ts", current_timestamp())
-  }
 
   /** 04_gold_fact_orders.py — orders ⋈ customers ⋈ per-order item aggs
     * (A4), lifecycle datediffs (F11).
@@ -235,13 +246,22 @@ object Gold {
       .join(silverCustomers.select("customer_id", "customer_unique_id", "customer_state"),
         Seq("customer_id"), "left")
       .join(itemAggs, Seq("order_id"), "left")
-      .withColumn("days_to_approve",
-        datediff(col("order_approved_at"), col("order_purchase_timestamp")))
-      .withColumn("days_to_deliver",
-        datediff(col("order_delivered_customer_date"), col("order_purchase_timestamp")))
-      .withColumn("delivery_delay_days",
-        datediff(col("order_delivered_customer_date"), col("order_estimated_delivery_date")))
-      .withColumn("gold_processed_ts", current_timestamp())
+      // explicit fact schema mirroring 04:64-91 — customer attributes stay
+      // in the dimension (08/09 re-join dim_customers for state), so the
+      // fact never duplicates dim columns
+      .select(
+        col("order_id"), col("customer_id"), col("order_status"),
+        col("order_purchase_timestamp"), col("order_approved_at"),
+        col("order_delivered_customer_date"), col("order_estimated_delivery_date"),
+        col("item_count"), col("order_value"), col("order_freight"),
+        datediff(col("order_approved_at"), col("order_purchase_timestamp"))
+          .as("days_to_approve"),
+        datediff(col("order_delivered_customer_date"), col("order_purchase_timestamp"))
+          .as("days_to_deliver"),
+        datediff(col("order_delivered_customer_date"), col("order_estimated_delivery_date"))
+          .as("delivery_delay_days"),
+        col("orders_silver_ts"),
+        current_timestamp().as("gold_processed_ts"))
   }
 
   /** 05_gold_fact_payments.py — per-order payment rollup (A4) ⋈ orders. */

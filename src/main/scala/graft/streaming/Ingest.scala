@@ -1,24 +1,37 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.Upsert
+import graft.pipeline.{Entities, LakeRoots, Silver}
 import graft.table.{Table, TableRef}
 
 /** Streaming ingestion — the reference's EP1 entry shape
   * (`01_bronze_csv_to_delta.py`) on OSS Structured Streaming:
-  * file-source CSV scan (S1) with pinned schema, ingestion metadata
-  * stamping (S3), `foreachBatch` sink (S9) running an idempotent
-  * insert-only merge (M1) into the bronze table, per-stream checkpoint
-  * (S10), `Trigger.AvailableNow` drain-and-stop (S11/S12).
+  * file-source CSV scan (S1) with pinned schema, dynamic table discovery
+  * (S2, `01:16-31`), ingestion metadata stamping (S3), `foreachBatch`
+  * sink (S9) running an idempotent insert-only merge (M1) into the
+  * bronze table, per-stream checkpoint (S10), `Trigger.AvailableNow`
+  * drain-and-stop (S11/S12).
   *
   * Exactly-once story, same as the reference: the checkpoint makes each
   * *file* enter at most one batch across restarts, and the M1 merge on
   * `source_file` makes re-delivered files no-ops — so replays after a
   * checkpoint wipe are still safe.
+  *
+  * M1 at scale: Delta resolved "have I seen this file?" against log
+  * metadata; a naive parquet port re-scans the whole bronze table per
+  * micro-batch. Instead each bronze table keeps a tiny *seen-files
+  * manifest* sidecar (one row per ingested file) and the anti-join runs
+  * against that — per-batch cost follows the file count, not the row
+  * count. The bronze append and the manifest append are two writes, not
+  * one transaction: bronze is written first, so a crash between them can
+  * only cause an already-ingested file to be re-appended on a
+  * *checkpoint-wiped* replay (never lost data); with the checkpoint
+  * intact the file never re-enters a batch at all.
   */
 object Ingest {
 
@@ -47,6 +60,9 @@ object Ingest {
     q.awaitTermination()
   }
 
+  /** Seen-files manifest sidecar of a bronze table. */
+  def manifestRef(bronze: TableRef): TableRef = TableRef(bronze.dir + "._manifest")
+
   /** EP1 end-to-end: CSV dir → bronze table, file-level idempotent
     * (01:46-77). Returns after the available input is drained.
     */
@@ -58,13 +74,50 @@ object Ingest {
       checkpoint: String): Unit =
     runAvailableNow(csvStream(spark, srcDir, schema), checkpoint) { (batch, _) =>
       if (!batch.isEmpty) { // P11 batch guard (02:30-31)
+        val manifest = manifestRef(bronze)
         if (!Table.exists(spark, bronze)) {
           Table.overwriteAtomic(batch, bronze)
+          Table.overwriteAtomic(batch.select("source_file").distinct(), manifest)
         } else {
-          // M1: append only rows from files the table has not seen.
-          val target = Table.read(spark, bronze)
-          Table.append(Upsert.newRows(target, batch, Seq("source_file")), bronze)
+          // M1: append only rows from files the manifest has not seen.
+          val seen =
+            if (Table.exists(spark, manifest)) Table.read(spark, manifest)
+            else // migration for manifest-less tables: derive once from bronze
+              Table.read(spark, bronze).select("source_file").distinct()
+          val fresh = batch.join(seen, Seq("source_file"), "left_anti")
+          if (!fresh.isEmpty) {
+            Table.append(fresh, bronze)
+            if (Table.exists(spark, manifest))
+              Table.append(fresh.select("source_file").distinct(), manifest)
+            else
+              Table.overwriteAtomic(
+                Table.read(spark, bronze).select("source_file").distinct(), manifest)
+          }
         }
+      }
+    }
+
+  /** S2 — dynamic table discovery (`01:16-20`): every subdirectory of
+    * the ingest root is a table's CSV drop zone.
+    */
+  def discoverTables(spark: SparkSession, ingestRoot: String): Seq[String] = {
+    val path = new Path(ingestRoot)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+  }
+
+  /** The reference's multi-table ingestion loop (`01:16-31` + per-table
+    * merge): discover table subdirs under `ingestRoot`, ingest every one
+    * with a registered Entity schema into its bronze table. Returns the
+    * table names ingested.
+    */
+  def ingestAll(spark: SparkSession, ingestRoot: String, roots: LakeRoots): Seq[String] =
+    discoverTables(spark, ingestRoot).flatMap { name =>
+      Entities.byName(name).map { e =>
+        csvToBronze(spark, s"$ingestRoot/$name", e.bronzeSchema,
+          roots.bronzeRef(name), s"${roots.checkpoints}/$name")
+        name
       }
     }
 
@@ -83,7 +136,7 @@ object Ingest {
     val stream = spark.readStream.schema(bronzeSchema).parquet(bronze.dir)
     runAvailableNow(stream, checkpoint) { (batch, _) =>
       if (!batch.isEmpty) {
-        graft.pipeline.Silver.upsertInto(spark, silver, cleanse(batch), keys)
+        Silver.upsertInto(spark, silver, cleanse(batch), keys)
       }
     }
   }
