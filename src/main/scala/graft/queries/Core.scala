@@ -124,15 +124,20 @@ object Core {
       |  FROM events GROUP BY user_id, event_type) WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
-  // M1 — insert-only merge (01:58-68): target = events with id < 6000·sf,
-  // source = events with id ≥ 4000·sf re-delivered with doubled value;
-  // overlap rows must keep the target version.
+  // M1 — insert-only merge (01:58-68): target = first two thirds of
+  // events, source = last two thirds re-delivered with doubled value;
+  // overlap rows must keep the target version. The split bounds are
+  // computed INSIDE the plan (broadcast scalar aggregate) — no eager
+  // driver-side count() action before the query runs.
   def insertOnly(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events").select("event_id", "user_id", "event_type", "value")
-    val n = ev.count()
-    val (lo, hi) = (n * 2 / 3, n / 3)
-    val target = ev.filter(col("event_id") < lo)
-    val source = ev.filter(col("event_id") >= hi).withColumn("value", col("value") * 2)
+    val bounds = ev.agg(
+      expr("count(1) * 2 div 3").as("__lo"),
+      expr("count(1) div 3").as("__hi"))
+    val evB = ev.crossJoin(broadcast(bounds))
+    val target = evB.filter(col("event_id") < col("__lo")).drop("__lo", "__hi")
+    val source = evB.filter(col("event_id") >= col("__hi")).drop("__lo", "__hi")
+      .withColumn("value", col("value") * 2)
     Upsert.insertOnly(target, source, Seq("event_id")).orderBy("event_id")
   }
 
@@ -154,12 +159,12 @@ object Core {
     val ev = t(s, dir, "events")
       .withColumn("ts_us", tsUs)
       .select("user_id", "event_id", "event_type", "value", "ts_us")
-    val n = ev.count()
-    val split = n / 2
+    // split bound inside the plan, as in insertOnly
+    val evB = ev.crossJoin(broadcast(ev.agg(expr("count(1) div 2").as("__split"))))
     def latest(df: DataFrame) =
       Dedup.latestByKey(df, Seq("user_id"), Seq(col("ts_us").desc, col("event_id").desc))
-    val target = latest(ev.filter(col("event_id") < split))
-    val source = latest(ev.filter(col("event_id") >= split))
+    val target = latest(evB.filter(col("event_id") < col("__split")).drop("__split"))
+    val source = latest(evB.filter(col("event_id") >= col("__split")).drop("__split"))
     Upsert.lastWriterWins(target, source, Seq("user_id"), "ts_us")
       .select("user_id", "event_id", "event_type", "value")
       .orderBy("user_id")
@@ -323,6 +328,145 @@ object Core {
       |FROM (SELECT event_id, TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS INTEGER) AS k FROM events)
       |WHERE k IS NOT NULL ORDER BY event_id""".stripMargin
 
+  // M3 — unconditional-update merge with an explicit set-list
+  // (03_gold_dimensions.py:64-81, 05:65-85): matched rows take the
+  // source's `value` but keep the target's other columns. Target/source
+  // are per-user profiles from even/odd event ids — a deterministic
+  // split with no count() anywhere.
+  def mergeUnconditional(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("ts_us", tsUs)
+      .select("user_id", "event_id", "event_type", "value", "ts_us")
+    def latest(df: DataFrame) =
+      Dedup.latestByKey(df, Seq("user_id"), Seq(col("ts_us").desc, col("event_id").desc))
+        .drop("ts_us")
+    val target = latest(ev.filter(col("event_id") % 2 === 0))
+    val source = latest(ev.filter(col("event_id") % 2 === 1))
+    Upsert.merge(target, source, Seq("user_id"), setCols = Seq("value"))
+      .orderBy("user_id")
+  }
+
+  private val OracleEvLatest =
+    s"""ev AS (SELECT user_id, event_id, event_type, value,
+       |              $OracleTsUs AS ts_us FROM events),
+       |tgt AS (SELECT user_id, event_id, event_type, value FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY user_id
+       |            ORDER BY ts_us DESC, event_id DESC) rn
+       |          FROM ev WHERE event_id % 2 = 0) WHERE rn = 1),
+       |src AS (SELECT user_id, event_id, event_type, value FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY user_id
+       |            ORDER BY ts_us DESC, event_id DESC) rn
+       |          FROM ev WHERE event_id % 2 = 1) WHERE rn = 1)""".stripMargin
+
+  val mergeUnconditionalSql: String =
+    s"""WITH $OracleEvLatest
+       |SELECT coalesce(s.user_id, t.user_id) AS user_id,
+       |       CASE WHEN t.user_id IS NOT NULL THEN t.event_id ELSE s.event_id END AS event_id,
+       |       CASE WHEN t.user_id IS NOT NULL THEN t.event_type ELSE s.event_type END AS event_type,
+       |       CASE WHEN s.user_id IS NOT NULL THEN s.value ELSE t.value END AS value
+       |FROM tgt t FULL OUTER JOIN src s ON t.user_id = s.user_id
+       |ORDER BY user_id""".stripMargin
+
+  // M4 — update-all merge (02:463-475): matched rows take the source
+  // version wholesale (`whenMatchedUpdateAll`).
+  def mergeUpdateAll(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("ts_us", tsUs)
+      .select("user_id", "event_id", "event_type", "value", "ts_us")
+    def latest(df: DataFrame) =
+      Dedup.latestByKey(df, Seq("user_id"), Seq(col("ts_us").desc, col("event_id").desc))
+        .drop("ts_us")
+    val target = latest(ev.filter(col("event_id") % 2 === 0))
+    val source = latest(ev.filter(col("event_id") % 2 === 1))
+    Upsert.merge(target, source, Seq("user_id")).orderBy("user_id")
+  }
+
+  val mergeUpdateAllSql: String =
+    s"""WITH $OracleEvLatest
+       |SELECT coalesce(s.user_id, t.user_id) AS user_id,
+       |       CASE WHEN s.user_id IS NOT NULL THEN s.event_id ELSE t.event_id END AS event_id,
+       |       CASE WHEN s.user_id IS NOT NULL THEN s.event_type ELSE t.event_type END AS event_type,
+       |       CASE WHEN s.user_id IS NOT NULL THEN s.value ELSE t.value END AS value
+       |FROM tgt t FULL OUTER JOIN src s ON t.user_id = s.user_id
+       |ORDER BY user_id""".stripMargin
+
+  // A2 + F18 — max aggregate and avg-over-expression
+  // (02:161, 08:61-66): latest ship day and average order→ship days per
+  // return flag. The average is a single double division of exact
+  // integer sums, reproduced identically by DuckDB.
+  def lifecycleMax(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val orders = t(s, dir, "orders")
+    li.join(orders, li("l_orderkey") === orders("o_orderkey"), "inner")
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(
+        max(date_format(col("l_shipdate"), "yyyy-MM-dd")).as("last_ship_day"),
+        max(cents(col("l_extendedprice"))).as("max_price_cents"),
+        avg(datediff(col("l_shipdate"), col("o_orderdate"))).as("avg_days"))
+      .orderBy("flag")
+  }
+
+  val lifecycleMaxSql: String =
+    """SELECT l_returnflag AS flag,
+      |  max(strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')) AS last_ship_day,
+      |  max(CAST(round(l_extendedprice*100) AS BIGINT)) AS max_price_cents,
+      |  CAST(SUM(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS DOUBLE)
+      |    / count(*) AS avg_days
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // F7 + F9 — to_timestamp on known-good strings and try_to_timestamp
+  // (default format) on mixed good/corrupt strings (02:277, 06:35-42).
+  def timestampParse(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", regexp_extract(col("props"), "([0-9]+)", 1).try_cast("int"))
+      .filter(col("k").isNotNull)
+      .withColumn("good",
+        concat(lit("2024-01-"), lpad((col("k") % 28 + 1).cast("string"), 2, "0"),
+          lit(" 03:04:05")))
+      .withColumn("mixed", when(col("k") % 3 === 0, lit("not a time")).otherwise(col("good")))
+      .select(
+        col("event_id"),
+        date_format(to_timestamp(col("good")), "yyyy-MM-dd HH:mm:ss").as("parsed_good"),
+        date_format(try_to_timestamp(col("mixed")), "yyyy-MM-dd HH:mm:ss").as("parsed_mixed"))
+      .orderBy("event_id")
+
+  val timestampParseSql: String =
+    """WITH e AS (SELECT event_id,
+      |    TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS INTEGER) AS k FROM events),
+      |g AS (SELECT event_id, k,
+      |    '2024-01-' || lpad(CAST(k%28+1 AS VARCHAR),2,'0') || ' 03:04:05' AS good
+      |  FROM e WHERE k IS NOT NULL)
+      |SELECT event_id,
+      |  strftime(strptime(good, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS parsed_good,
+      |  strftime(try_strptime(CASE WHEN k%3=0 THEN 'not a time' ELSE good END,
+      |    '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS parsed_mixed
+      |FROM g ORDER BY event_id""".stripMargin
+
+  // F17 — deterministic surrogate keys: 60 portable bits from the two
+  // polynomial hash families over the natural key (the distributed
+  // replacement for monotonically_increasing_id, §7.4 — same derivation
+  // as the gold dimension builders).
+  def surrogateKeys(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey").as("custkey"),
+        (Text.polyHash(col("c_name")) + Text.polyHash2(col("c_name")) * lit(1L << 30))
+          .as("customer_sk"))
+      .orderBy("custkey")
+  }
+
+  val surrogateKeysSql: String = {
+    def fold(base: Long) =
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split(c_name, ''), c -> CAST(ord(c) AS BIGINT))), " +
+        s"(acc,x) -> (acc*$base + x) % 1000000007)"
+    s"""SELECT c_custkey AS custkey,
+       |       ${fold(31)} + ${fold(131)} * ${1L << 30} AS customer_sk
+       |FROM customer ORDER BY custkey""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("j5_revenue_rollup", revenueRollup, Some(revenueRollupSql)),
     QueryDef("p1_project_filter", projectFilter, Some(projectFilterSql)),
@@ -336,5 +480,10 @@ object Core {
     QueryDef("f1_normalize", normalize, Some(normalizeSql)),
     QueryDef("f15_item_enrich", itemEnrich, Some(itemEnrichSql)),
     QueryDef("s7_topk_orders", topkOrders, Some(topkOrdersSql)),
-    QueryDef("f6_safe_cast", safeCast, Some(safeCastSql)))
+    QueryDef("f6_safe_cast", safeCast, Some(safeCastSql)),
+    QueryDef("m3_merge_unconditional", mergeUnconditional, Some(mergeUnconditionalSql)),
+    QueryDef("m4_merge_update_all", mergeUpdateAll, Some(mergeUpdateAllSql)),
+    QueryDef("a2_f18_lifecycle", lifecycleMax, Some(lifecycleMaxSql)),
+    QueryDef("f7_f9_timestamps", timestampParse, Some(timestampParseSql)),
+    QueryDef("f17_surrogate", surrogateKeys, Some(surrogateKeysSql)))
 }
