@@ -58,9 +58,10 @@ object TextDedup {
     val s = shingled(docs, idCol, textCol, k)
     var ex = s.select(col("id"), col("sz"), explode(col("sh")).as("s"))
     if (maxShingleFreq != Int.MaxValue) {
+      val dfCol = graft.ops.Dedup.freshName(ex, "__df")
       val w = Window.partitionBy(col("s"))
-      ex = ex.withColumn("__df", count(lit(1)).over(w))
-        .filter(col("__df") <= maxShingleFreq).drop("__df")
+      ex = ex.withColumn(dfCol, count(lit(1)).over(w))
+        .filter(col(dfCol) <= maxShingleFreq).drop(dfCol)
     }
     val a = ex.select(col("id").as("id_a"), col("sz").as("sz_a"), col("s"))
     val b = ex.select(col("id").as("id_b"), col("sz").as("sz_b"), col("s"))

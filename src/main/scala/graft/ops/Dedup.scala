@@ -23,15 +23,27 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Dedup {
 
+  /** A working-column name not present in `df` (deterministic given the
+    * schema, so identical subtrees still plan identically and exchange
+    * reuse keeps working). Guards against clobbering a real input column
+    * that happens to be called `__rn`.
+    */
+  private[graft] def freshName(df: DataFrame, base: String): String = {
+    var n = base
+    while (df.columns.contains(n)) n += "_"
+    n
+  }
+
   /** Keep exactly one row per `keys`: the first under `order`.
     * Callers must pass a total order (append a unique tiebreaker column,
     * SURVEY.md §7.4) for deterministic output.
     */
   def latestByKey(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val rn = freshName(df, "__rn")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(rn)
   }
 
   /** Mode-per-group (A9): the most frequent `valueCol` per `keys`,
@@ -41,11 +53,12 @@ object Dedup {
     */
   def modePerGroup(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
     val counted = df.groupBy((keys :+ valueCol).map(col): _*).agg(count(lit(1)).as("n"))
+    val rn = freshName(counted, "__rn")
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("n").desc, col(valueCol).asc)
-    counted.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    counted.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(rn)
   }
 
   /** Exact duplicate removal by arbitrary key columns: keeps the row with

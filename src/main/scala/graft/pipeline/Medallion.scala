@@ -170,6 +170,11 @@ object Silver {
 
   /** Upserts a cleansed batch into the silver table: LWW on ingestion_ts
     * (M2, `02:67-87`), create-if-missing (S8).
+    *
+    * This is the faithful port of the reference's Delta MERGE minus
+    * Delta's file pruning: the whole target is rewritten per batch. For
+    * large silver tables prefer `upsertIntoBucketed`, which rewrites
+    * only the hash buckets the batch touches.
     */
   def upsertInto(spark: SparkSession, ref: TableRef, batch: DataFrame, keys: Seq[String]): Unit =
     if (!Table.exists(spark, ref)) {
@@ -178,6 +183,20 @@ object Silver {
       val target = Table.read(spark, ref).select(batch.columns.map(col): _*)
       Table.overwriteAtomic(
         Upsert.lastWriterWins(target, batch, keys, "ingestion_ts"), ref)
+    }
+
+  /** Scale-path silver upsert: bucket-pruned LWW rewrite
+    * (graft.table.Bucketed) — per-batch cost follows the touched
+    * buckets, not the table size.
+    */
+  def upsertIntoBucketed(
+      spark: SparkSession,
+      ref: graft.table.BucketedRef,
+      batch: DataFrame): Unit =
+    if (!graft.table.Bucketed.exists(spark, ref)) {
+      graft.table.Bucketed.create(batch, ref)
+    } else {
+      graft.table.Bucketed.upsertLww(spark, ref, batch, "ingestion_ts")
     }
 }
 

@@ -1,0 +1,96 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Upsert
+import graft.table.{Bucketed, BucketedRef}
+
+/** Bucket-partitioned upsert: only buckets containing source keys are
+  * rewritten; everything else on disk stays byte-for-byte untouched.
+  */
+class BucketedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(ids: Seq[Long], v: Long) =
+    ids.map(i => (i, s"payload_$i", v)).toDF("id", "payload", "version")
+
+  /** (path -> (size, mtime)) for every data file under a bucket dir. */
+  private def fileState(dir: String): Map[String, (Long, Long)] = {
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new File(dir)).filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+  }
+
+  test("upsert rewrites only touched buckets and matches the full-table merge") {
+    val root = tmpDir("bucketed")
+    val ref = BucketedRef(s"$root/t", numBuckets = 8, keys = Seq("id"))
+    val base = rows(0L until 64L, v = 1)
+    Bucketed.create(base, ref)
+    assert(Bucketed.read(spark, ref).count() == 64)
+
+    // source touching exactly two keys -> at most two buckets
+    val source = rows(Seq(3L, 7L), v = 2)
+    val touchedBuckets = source.select(ref.bucketCol.as("b"))
+      .distinct().as[Int].collect().toSet
+    val untouched = (0 until 8).filterNot(touchedBuckets)
+    val before = untouched.map(b => b -> fileState(ref.bucketDir(b).dir)).toMap
+
+    Bucketed.upsertLww(spark, ref, source, "version")
+
+    // untouched bucket dirs are byte-identical (same files, sizes, mtimes)
+    untouched.foreach { b =>
+      assert(fileState(ref.bucketDir(b).dir) == before(b), s"bucket $b was rewritten")
+    }
+
+    // result equals the reference full-table LWW merge
+    val got = Bucketed.read(spark, ref).orderBy("id").collect().toSeq
+    val want = Upsert.lastWriterWins(base, source, Seq("id"), "version")
+      .orderBy("id").collect().toSeq
+    assert(got == want)
+    assert(Bucketed.read(spark, ref).filter(col("id") === 3).head.getLong(2) == 2)
+  }
+
+  test("stale source versions lose; new keys land in their buckets") {
+    val root = tmpDir("bucketed2")
+    val ref = BucketedRef(s"$root/t", numBuckets = 4, keys = Seq("id"))
+    Bucketed.create(rows(0L until 10L, v = 5), ref)
+
+    // stale update (version 1 < 5) + brand-new key 100
+    Bucketed.upsertLww(spark, ref, rows(Seq(4L, 100L), v = 1), "version")
+    val t = Bucketed.read(spark, ref)
+    assert(t.count() == 11)
+    assert(t.filter(col("id") === 4).head.getLong(2) == 5) // stale lost
+    assert(t.filter(col("id") === 100).head.getLong(2) == 1) // inserted
+  }
+
+  test("Silver.upsertIntoBucketed: create-if-missing then LWW on ingestion_ts") {
+    val root = tmpDir("bucketed4")
+    val ref = BucketedRef(s"$root/silver_customers", numBuckets = 4, keys = Seq("id"))
+    def batch(ids: Seq[Long], ts: java.sql.Timestamp, city: String) =
+      ids.map(i => (i, city, ts)).toDF("id", "city", "ingestion_ts")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+
+    graft.pipeline.Silver.upsertIntoBucketed(spark, ref, batch(Seq(1L, 2L), t1, "old"))
+    graft.pipeline.Silver.upsertIntoBucketed(spark, ref, batch(Seq(2L, 3L), t2, "new"))
+    val t = Bucketed.read(spark, ref)
+    assert(t.count() == 3)
+    assert(t.filter(col("id") === 1).head.getString(1) == "old")
+    assert(t.filter(col("id") === 2).head.getString(1) == "new") // newer ts won
+  }
+
+  test("upsert is idempotent: replaying the same source converges") {
+    val root = tmpDir("bucketed3")
+    val ref = BucketedRef(s"$root/t", numBuckets = 4, keys = Seq("id"))
+    Bucketed.create(rows(0L until 10L, v = 1), ref)
+    val source = rows(Seq(2L, 9L), v = 3)
+    Bucketed.upsertLww(spark, ref, source, "version")
+    val once = Bucketed.read(spark, ref).orderBy("id").collect().toSeq
+    Bucketed.upsertLww(spark, ref, source, "version")
+    val twice = Bucketed.read(spark, ref).orderBy("id").collect().toSeq
+    assert(once == twice)
+  }
+}
