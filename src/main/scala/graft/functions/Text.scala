@@ -66,9 +66,14 @@ object Text {
   /** Word k-gram shingles, space-joined, distinct.
     * `shingles("a b c d", 3) = ["a b c", "b c d"]`. Documents shorter than
     * k words yield a single shingle of the whole text so they still
-    * participate in dedup.
+    * participate in dedup. Evaluated by graft.plans.WordShingles (one
+    * JVM pass per doc; the slice/concat lambda form below is kept as the
+    * equality-spec reference).
     */
-  def shingles(c: Column, k: Int): Column = {
+  def shingles(c: Column, k: Int): Column = graft.plans.expressions.wordShingles(c, k)
+
+  /** Pre-fusion form of `shingles` (equality-spec oracle). */
+  private[graft] def shinglesReference(c: Column, k: Int): Column = {
     val toks = tokens(c)
     val n = size(toks)
     val full = transform(

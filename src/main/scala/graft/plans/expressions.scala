@@ -35,6 +35,9 @@ object expressions {
 
   def minhashSig(hashes: Column, n: Int): Column =
     wrap(MinHashSig(Bridge.expression(hashes), n))
+
+  def wordShingles(text: Column, k: Int): Column =
+    wrap(WordShingles(Bridge.expression(text), k))
 }
 
 /** Portable polynomial rolling hash of a string:
@@ -150,6 +153,61 @@ object DotProduct {
     }
     acc
   }
+}
+
+/** Distinct word k-gram shingles of a string — the fused form of
+  * graft.functions.Text.shingles:
+  * `array_distinct(transform(sequence(...), i -> concat_ws(" ",
+  * slice(split(trim(c), "\s+"), i, k))))`, whose per-shingle
+  * slice+concat lambdas were the dominant cost of every shingle-based
+  * dedup query in the round-1 profile. Semantics preserved exactly:
+  * whitespace-split of the trimmed text (empty text yields the single
+  * empty token, like split), docs shorter than k words yield one
+  * shingle of the whole normalized text, distinct keeps first
+  * occurrences in order.
+  */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k > 0, s"shingle width must be positive, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs a string child, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_word_shingles"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.trim.split("\\s+", -1)
+    val out = new java.util.LinkedHashSet[String]
+    if (toks.length >= k) {
+      var i = 0
+      val last = toks.length - k
+      val sb = new java.lang.StringBuilder
+      while (i <= last) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out.add(sb.toString)
+        i += 1
+      }
+    } else {
+      out.add(toks.mkString(" "))
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
 }
 
 /** MinHash signature: one pass over the shingle-hash array producing all

@@ -66,6 +66,20 @@ class PlansSpec extends SparkSpec {
     got.foreach { r => assert(r.getSeq[Any](0) == r.getSeq[Any](1), s"mismatch on $r") }
   }
 
+  test("WordShingles matches the transform/slice/concat_ws composition") {
+    val docs = Seq(
+      "a b c d e", "a b", "a", "", "   ", "x  y\tz", "a b c a b c a b c",
+      "word", "two words", "uno dos tres cuatro").toDF("t")
+    for (k <- Seq(1, 2, 3, 5)) {
+      val got = docs.select(
+        Text.shingles(col("t"), k).as("fused"),
+        Text.shinglesReference(col("t"), k).as("ref")).collect()
+      got.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"k=$k mismatch on $r")
+      }
+    }
+  }
+
   test("hyperplane sign matrix is deterministic and ±1") {
     val m1 = HyperplaneLsh.signMatrix(8, 5)
     val m2 = HyperplaneLsh.signMatrix(8, 5)
