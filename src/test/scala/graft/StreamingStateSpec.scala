@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.operators.Sessions
+import graft.operators.Sessions.{Ev, Session}
+import graft.streaming.Windows
+
+/** Streaming semantics beyond the reference (§2.9 extensions):
+  * event-time windowed aggregation under a watermark, and custom
+  * per-key state via flatMapGroupsWithState. Both are reconciled
+  * against their batch twins — the same code paths the DuckDB-checked
+  * w2/w3 queries run.
+  */
+class StreamingStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(h: Int, m: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+
+  test("watermarked tumbling windows emit closed windows that match the batch agg") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = Windows.tumblingTypeAgg(
+      in.toDF().toDF("ts_ts", "event_type", "value").withWatermark("ts_ts", "2 hours"),
+      "ts_ts")
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val early = Seq(
+        (ts(0, 10), "click", 1.50), (ts(0, 40), "click", 2.25),
+        (ts(0, 55), "view", 0.75), (ts(1, 15), "click", 4.00))
+      in.addData(early: _*)
+      q.processAllAvailable()
+      // watermark is still at hour 1 − 2h: nothing may be emitted yet
+      assert(spark.table("win_out").isEmpty)
+
+      // an hour-10 event pushes the watermark to hour 8: hours 0-1 close
+      in.addData((ts(10), "view", 9.99))
+      q.processAllAvailable()
+      in.addData((ts(11), "view", 0.01)) // advance again to flush commit
+      q.processAllAvailable()
+
+      val emitted = spark.table("win_out")
+        .select(date_format(col("window_start"), "HH").as("h"), col("event_type"),
+          col("n"), col("value_cents"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // batch twin over the same closed-window events
+      val batch = Windows.tumblingTypeAgg(
+        early.toDF("ts_ts", "event_type", "value"), "ts_ts")
+        .select(date_format(col("window_start"), "HH"), col("event_type"),
+          col("n"), col("value_cents"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(emitted == batch)
+      assert(emitted == Set(
+        ("00", "click", 2L, 375L), ("00", "view", 1L, 75L), ("01", "click", 1L, 400L)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization matches the batch sessionizer") {
+    implicit val sqlCtx = spark.sqlContext
+    val gapUs = 6L * 3600 * 1000000
+    def us(h: Int): Long = h * 3600L * 1000000
+    val in = MemoryStream[Ev]
+    val q = Sessions.sessionizeStream(in.toDS(), gapUs)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: u1 two events 1h apart (one session), u2 one event
+      in.addData(Ev(1, us(0), 100), Ev(1, us(1), 101), Ev(2, us(0), 200))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").isEmpty) // nothing closed yet
+
+      // batch 2: u1 jumps 20h (closes session 1); u2 stays in gap
+      in.addData(Ev(1, us(21), 102), Ev(2, us(5), 201))
+      q.processAllAvailable()
+      val emitted = spark.table("sess_out").as[Session].collect().toSet
+      assert(emitted == Set(Session(1, us(0), us(1), 2)))
+
+      // reconcile with the batch twin: closed streaming sessions ==
+      // batch sessions minus each user's trailing (still-open) session
+      val allEvents = Seq(
+        (1L, us(0), 100L), (1L, us(1), 101L), (2L, us(0), 200L),
+        (1L, us(21), 102L), (2L, us(5), 201L)).toDF("user_id", "ts_us", "event_id")
+      val batchSessions = Sessions.sessionizeBatch(allEvents, gapUs)
+      val closedBatch = batchSessions
+        .join(Sessions.lastSessionPerUser(batchSessions)
+          .select("user_id", "session_seq"), Seq("user_id", "session_seq"), "left_anti")
+        .select("user_id", "start_us", "end_us", "n_events")
+        .as[Session].collect().toSet
+      assert(closedBatch == emitted)
+    } finally q.stop()
+  }
+}
