@@ -286,7 +286,7 @@ object Extensions {
       .orderBy("q_id", "rank")
   }
 
-  // ---- multimodal (rows-only: binary plumbing isn't SQL-expressible) ----
+  // ---- multimodal --------------------------------------------------------
 
   def multimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
@@ -297,6 +297,28 @@ object Extensions {
         col("n_frames").cast("long").as("n_frames"),
         element_at(col("feature"), 1).cast("double").as("feat0"))
       .orderBy("media_id")
+
+  /** The stub decoder is deterministic, so even the mapPartitions path
+    * is oracle-checkable: document text is ASCII, hence payload bytes ==
+    * codepoints, and DuckDB can replay the byte-stride rolling-hash
+    * feature (positions 1, 9, 17, … feed feature lane 0), the
+    * round-robin kind, and the video frame-sampling count exactly.
+    * feat0's float32 divide is replayed in FLOAT before widening.
+    */
+  val multimodalSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, '') AS cs, length(text) AS n
+       |           FROM documents),
+       |f AS (SELECT doc_id, n,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, n + 1, 8), i -> CAST(ord(cs[i]) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007) AS acc0
+       |  FROM w)
+       |SELECT doc_id AS media_id,
+       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       |  CAST(n AS BIGINT) AS n_bytes,
+       |  CAST(CASE WHEN doc_id % 3 = 2 THEN (n + 63) // 64 ELSE 1 END AS BIGINT) AS n_frames,
+       |  CAST(CAST(acc0 % 1000 AS FLOAT) / CAST(1000 AS FLOAT) AS DOUBLE) AS feat0
+       |FROM f ORDER BY media_id""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("x_fingerprint", fingerprint, Some(fingerprintSql)),
@@ -312,5 +334,5 @@ object Extensions {
     QueryDef("x_embed_lsh", embedLsh, Some(embedLshSql)),
     QueryDef("x_ann_topk", annTopK, Some(annTopKSql)),
     QueryDef("x_ann_ivf", annIvf, None),
-    QueryDef("x_multimodal", multimodal, None))
+    QueryDef("x_multimodal", multimodal, Some(multimodalSql)))
 }

@@ -97,6 +97,80 @@ object Ingest {
       }
     }
 
+  /** Schema evolution (`01:40` `cloudFiles.schemaEvolutionMode =
+    * addNewColumns` analog): union the pinned schema with any new
+    * header columns found in the source directory's CSVs, appended as
+    * nullable strings (raw CSV columns are all-string by contract,
+    * SURVEY.md §1.3). The evolved schema persists at `schemaLocation`
+    * (Auto Loader's schema-tracking analog, `01:37`) so columns
+    * discovered from files that later expire are never forgotten.
+    *
+    * Cost model: one driver-side header line per source file — the same
+    * file-count-scale metadata I/O as the stream's own directory
+    * listing, never a data scan. Assumes evolution appends columns
+    * (CSV parsing under a pinned schema is positional) and simple
+    * un-quoted headers.
+    */
+  def evolveSchema(
+      spark: SparkSession,
+      srcDir: String,
+      base: StructType,
+      schemaLocation: String): StructType = {
+    val fs = new Path(srcDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val persisted: Seq[String] = {
+      val p = new Path(schemaLocation)
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in).getLines().toList
+        finally in.close()
+      } else Seq.empty
+    }
+
+    val discovered: Seq[String] = {
+      val src = new Path(srcDir)
+      if (!fs.exists(src)) Seq.empty
+      else fs.listStatus(src).filter(s => s.isFile && s.getPath.getName.endsWith(".csv"))
+        .toSeq.flatMap { s =>
+          val in = fs.open(s.getPath)
+          try {
+            val header = new java.io.BufferedReader(
+              new java.io.InputStreamReader(in, "UTF-8")).readLine()
+            if (header == null) Seq.empty else header.split(",").map(_.trim).toSeq
+          } finally in.close()
+        }
+    }
+
+    val known = base.fieldNames.toSet
+    val extras = (persisted ++ discovered).distinct.filterNot(known)
+    val evolved = StructType(base.fields ++
+      extras.map(org.apache.spark.sql.types.StructField(_, org.apache.spark.sql.types.StringType, nullable = true)))
+
+    if (extras.nonEmpty) {
+      val out = fs.create(new Path(schemaLocation), true)
+      try out.write((extras.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    evolved
+  }
+
+  /** csvToBronze with schema evolution: resolve the current schema
+    * (pinned ∪ persisted ∪ newly discovered), then ingest. Bronze
+    * grows new columns over time; read it back with `Table.readMerged`
+    * so pre-evolution files surface the new columns as NULL.
+    */
+  def csvToBronzeEvolving(
+      spark: SparkSession,
+      srcDir: String,
+      base: StructType,
+      bronze: TableRef,
+      checkpoint: String,
+      schemaLocation: String): StructType = {
+    val evolved = evolveSchema(spark, srcDir, base, schemaLocation)
+    csvToBronze(spark, srcDir, evolved, bronze, checkpoint)
+    evolved
+  }
+
   /** S2 — dynamic table discovery (`01:16-20`): every subdirectory of
     * the ingest root is a table's CSV drop zone.
     */

@@ -33,6 +33,13 @@ object Table {
   def read(spark: SparkSession, ref: TableRef): DataFrame =
     spark.read.parquet(ref.dir)
 
+  /** Batch scan with parquet schema merging — for tables whose schema
+    * has widened over time (bronze under schema evolution, S1/§1.3):
+    * files written before a column existed surface it as NULL.
+    */
+  def readMerged(spark: SparkSession, ref: TableRef): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(ref.dir)
+
   /** Append (reference first-time bronze materialization, `01:49-56`). */
   def append(df: DataFrame, ref: TableRef): Unit =
     df.write.mode("append").parquet(ref.dir)

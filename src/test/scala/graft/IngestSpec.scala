@@ -93,6 +93,36 @@ class IngestSpec extends SparkSpec {
     assert(Table.read(spark, roots.bronzeRef("sellers")).count() == 1)
   }
 
+  test("schema evolution: new CSV columns widen bronze; old rows read as NULL") {
+    val root = tmpDir("ingest6")
+    val src = s"$root/src"
+    val bronze = TableRef(s"$root/bronze")
+    val schemaLoc = s"$root/schema_track"
+    val base = Entities.customers.bronzeSchema
+
+    writeFile(src, "f1.csv", customersHeader, Seq("c1,u1,01310,spc,sp"))
+    val s1 = Ingest.csvToBronzeEvolving(spark, src, base, bronze, s"$root/cp", schemaLoc)
+    assert(s1.fieldNames.toSeq == base.fieldNames.toSeq) // nothing new yet
+
+    // a producer starts appending a loyalty_tier column
+    writeFile(src, "f2.csv", customersHeader + ",loyalty_tier",
+      Seq("c2,u2,20000,rio,rj,gold"))
+    val s2 = Ingest.csvToBronzeEvolving(spark, src, base, bronze, s"$root/cp", schemaLoc)
+    assert(s2.fieldNames.contains("loyalty_tier"))
+
+    val b = Table.readMerged(spark, bronze)
+    assert(b.count() == 2)
+    assert(b.filter(col("customer_id") === "c2").head
+      .getAs[String]("loyalty_tier") == "gold")
+    assert(b.filter(col("customer_id") === "c1").head
+      .isNullAt(b.columns.indexOf("loyalty_tier"))) // pre-evolution file
+
+    // the discovery persists even after the source file expires
+    rmRecursive(s"$src")
+    val s3 = Ingest.evolveSchema(spark, src, base, schemaLoc)
+    assert(s3.fieldNames.contains("loyalty_tier"))
+  }
+
   test("bronzeToSilver refreshes incrementally with LWW upsert") {
     val root = tmpDir("ingest5")
     val src = s"$root/src"

@@ -1,0 +1,75 @@
+package graft
+
+import graft.queries.{Core, Extensions, Temporal}
+
+/** Physical-plan audit of every declared query (SURVEY.md §4): the
+  * scale properties the engine is designed around must be visible in
+  * the plan, not just hoped for. Runs against sf0.001 — plans don't
+  * change shape with SF (AQE may refine them at runtime, only ever in
+  * the cheaper direction).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val fn = SparkEntry.queries(name)
+    fn(spark, sf).queryExecution.executedPlan.toString
+  }
+
+  /** Queries whose DESIGN includes a bounded-small broadcast side joined
+    * without an equi-condition — BroadcastNestedLoopJoin against a
+    * bounded side is the intended plan there, not an O(n²) smell:
+    * top-k joins the corpus to a small broadcast query set, IVF scores
+    * against nlist broadcast centroids, and the merge-split queries
+    * cross-join a single-row broadcast scalar aggregate (the plan-side
+    * replacement for a driver-side count()).
+    */
+  private val boundedBroadcastByDesign = Set(
+    "x_ann_topk", "x_ann_ivf", "m1_insert_only", "m2_upsert_lww")
+
+  test("no unbounded nested-loop or cartesian join in any declared query") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(boundedBroadcastByDesign)
+      .filter { name =>
+        val p = plan(name)
+        p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
+      }
+    assert(offenders.isEmpty,
+      s"nested-loop/cartesian plans in: ${offenders.mkString(", ")}")
+  }
+
+  test("projection/filter query pushes predicates and prunes columns at the scan") {
+    val p = plan("p1_project_filter")
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
+    assert(p.contains("IsNotNull"), "null filters should reach the parquet scan")
+    // pruned read schema: the scan must NOT materialize unused lineitem
+    // columns like l_comment-ish extras (schema lists only used fields)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_shipdate"),
+      s"scan reads columns the query never touches: $readSchema")
+  }
+
+  test("star joins broadcast the dimension side") {
+    assert(plan("j5_revenue_rollup").contains("BroadcastHashJoin"))
+    assert(plan("a7_conditional_distinct").contains("Join")) // shape smoke
+  }
+
+  test("blocked all-pairs cosine is an equi-join, with the pair table broadcast") {
+    val p = plan("x_embed_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"))
+  }
+
+  test("every declared query plans successfully at sf0.001") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val p = plan(name) // throws on analysis failure
+      assert(p.nonEmpty, s"$name produced an empty plan")
+    }
+  }
+
+  test("entry smoke: flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
