@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
+import graft.operators.Skew
 import graft.ops.{Dedup, Upsert}
 
 /** Reference-parity query set (SURVEY.md §2 / §7.5), one per operator
@@ -467,6 +468,29 @@ object Core {
        |FROM customer ORDER BY custkey""".stripMargin
   }
 
+  // J-skew — salted fact⋈dim join: semantically a plain equi-join (the
+  // oracle IS the plain join), physically spread over (key, salt) so a
+  // hot supplier key cannot serialize one task at scale.
+  def saltedJoin(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedJoin(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+            cents(col("l_extendedprice")).as("price_cents")),
+        t(s, dir, "supplier").select(col("s_suppkey").as("l_suppkey"), col("s_name")),
+        Seq("l_suppkey"),
+        saltBy = col("l_orderkey") * lit(8) + col("l_linenumber"),
+        salts = 16)
+      .groupBy(col("s_name"))
+      .agg(sum(col("price_cents")).as("revenue_cents"), count(lit(1)).as("n_items"))
+      .orderBy("s_name")
+
+  val saltedJoinSql: String =
+    """SELECT s_name,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("j5_revenue_rollup", revenueRollup, Some(revenueRollupSql)),
     QueryDef("p1_project_filter", projectFilter, Some(projectFilterSql)),
@@ -485,5 +509,6 @@ object Core {
     QueryDef("m4_merge_update_all", mergeUpdateAll, Some(mergeUpdateAllSql)),
     QueryDef("a2_f18_lifecycle", lifecycleMax, Some(lifecycleMaxSql)),
     QueryDef("f7_f9_timestamps", timestampParse, Some(timestampParseSql)),
-    QueryDef("f17_surrogate", surrogateKeys, Some(surrogateKeysSql)))
+    QueryDef("f17_surrogate", surrogateKeys, Some(surrogateKeysSql)),
+    QueryDef("j9_salted_join", saltedJoin, Some(saltedJoinSql)))
 }

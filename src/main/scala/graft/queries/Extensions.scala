@@ -286,6 +286,40 @@ object Extensions {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF is approximate w.r.t. exact top-k, but fully deterministic —
+    * so the oracle replays the SAME algorithm (codebook = 32 lowest-id
+    * vectors, argmax assignment with (cos desc, id asc) tiebreak, probe
+    * 4 lists, exact rank within candidates) and the distributed
+    * implementation is hash-checked end to end, like x_embed_lsh.
+    */
+  val annIvfSql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(${sqlDot("e", "e")}) AS nrm FROM v),
+       |cent AS (SELECT vec_id AS c_id, e AS c_e, nrm AS c_n FROM n
+       |         ORDER BY vec_id LIMIT 32),
+       |assign AS (SELECT vec_id, c_id FROM (
+       |    SELECT n.vec_id, cent.c_id,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY ${sqlDot("n.e", "cent.c_e")} / (n.nrm * cent.c_n) DESC,
+       |                      cent.c_id ASC) AS cr
+       |    FROM n, cent) WHERE cr = 1),
+       |qs AS (SELECT vec_id AS q_id, c_id FROM (
+       |    SELECT n.vec_id, cent.c_id,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY ${sqlDot("n.e", "cent.c_e")} / (n.nrm * cent.c_n) DESC,
+       |                      cent.c_id ASC) AS cr
+       |    FROM n, cent WHERE n.vec_id < 10) WHERE cr <= 4),
+       |scored AS (SELECT qs.q_id, a.vec_id,
+       |      ${sqlDot("x.e", "y.e")} / (x.nrm * y.nrm) AS cos
+       |    FROM assign a JOIN qs ON a.c_id = qs.c_id AND a.vec_id != qs.q_id
+       |    JOIN n x ON x.vec_id = a.vec_id
+       |    JOIN n y ON y.vec_id = qs.q_id)
+       |SELECT q_id, vec_id, rank, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, vec_id ASC) AS rank FROM scored)
+       |WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+
   // ---- multimodal --------------------------------------------------------
 
   def multimodal(s: SparkSession, dir: String): DataFrame =
@@ -333,6 +367,6 @@ object Extensions {
     QueryDef("x_embed_pairs", embedPairs, Some(embedPairsSql)),
     QueryDef("x_embed_lsh", embedLsh, Some(embedLshSql)),
     QueryDef("x_ann_topk", annTopK, Some(annTopKSql)),
-    QueryDef("x_ann_ivf", annIvf, None),
+    QueryDef("x_ann_ivf", annIvf, Some(annIvfSql)),
     QueryDef("x_multimodal", multimodal, Some(multimodalSql)))
 }

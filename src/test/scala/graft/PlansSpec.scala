@@ -80,6 +80,20 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin equals the plain equi-join, inner and left") {
+    import graft.operators.Skew
+    // skewed big side: key 1 holds 80% of rows
+    val big = (1L to 100L).map(i => (if (i <= 80) 1L else i % 7 + 2, i))
+      .toDF("k", "row_id")
+    val small = Seq((1L, "hot"), (3L, "warm"), (99L, "unmatched")).toDF("k", "name")
+    for (jt <- Seq("inner", "left")) {
+      val salted = Skew.saltedJoin(big, small, Seq("k"), col("row_id"), salts = 4, joinType = jt)
+        .orderBy("row_id").collect().toSeq
+      val plain = big.join(small, Seq("k"), jt).orderBy("row_id").collect().toSeq
+      assert(salted == plain, s"$jt join mismatch")
+    }
+  }
+
   test("hyperplane sign matrix is deterministic and ±1") {
     val m1 = HyperplaneLsh.signMatrix(8, 5)
     val m2 = HyperplaneLsh.signMatrix(8, 5)
