@@ -195,11 +195,58 @@ object TextDedup {
 
   /** Greedy near-duplicate removal: drops the higher-id document of every
     * near-dup pair (deterministic; not connected-components — a chain
-    * a~b~c keeps only a).
+    * a~b~c keeps only a). For transitive clusters use
+    * `connectedComponents` + keep one doc per component.
     */
   def dropNearDuplicates(
       docs: DataFrame,
       idCol: String,
       pairs: DataFrame): DataFrame =
     docs.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  /** Connected components over a near-dup pair graph: every document
+    * gets the MINIMUM doc id reachable through pairs as its component
+    * label (singletons label themselves) — the transitive-closure
+    * upgrade of `dropNearDuplicates` (a~b~c clusters as one component;
+    * keep `min(id)` per component to dedup).
+    *
+    * Implementation: iterative min-label propagation — per round one
+    * equi-join (labels ⋈ edges) + one min-aggregate, lineage truncated
+    * with localCheckpoint, until a fixpoint (bounded by `maxIter`).
+    * Rounds needed = graph diameter; near-dup clusters are shallow
+    * (diameter a handful), so this converges in a few shuffles at any
+    * scale. (Pathologically long chains would want the large-star/
+    * small-star O(log n) variant; same per-round plan shape.) The
+    * fixpoint is unique, so the output is deterministic regardless of
+    * execution order — the DuckDB oracle replays it as a recursive
+    * reachability CTE.
+    */
+  def connectedComponents(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val nodes = docs.select(col(idCol).cast("long").as("id")).distinct()
+    val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+
+    var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("comp")).as("ncomp"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("comp").as("old"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = next.filter(col("comp") =!= col("old")).count()
+      labels = next.select("id", "comp")
+      iter += 1
+    }
+    labels.select(col("id").as(idCol), col("comp").as("component"))
+  }
 }

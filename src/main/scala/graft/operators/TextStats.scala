@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.functions.Text
+
+/** Corpus-relative text statistics for training-data curation: TF-IDF
+  * keyword extraction, rare-token quality signals, and intra-document
+  * repetition (the Gopher-style repetition rule). No reference
+  * counterpart — these are LLM-pipeline extensions.
+  *
+  * Determinism across engines: every score is integer counting plus a
+  * single IEEE double division (exact and identical in any engine) —
+  * deliberately NO logarithms, whose libm implementations differ in the
+  * last ulp between JVM and C engines and would poison hash-comparison.
+  * tf/df is order-monotone with tf·(N/df) for fixed corpus size N, so
+  * top-term selection matches the classic tf·idf ranking.
+  */
+object TextStats {
+
+  /** (id, tok, tf): within-document term frequencies (whitespace
+    * tokens). One explode + one hash aggregate.
+    */
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("tok"))
+      .groupBy("id", "tok")
+      .agg(count(lit(1)).as("tf"))
+
+  /** (tok, df): document frequencies, derived from `termFrequencies`
+    * (its rows are already (doc, term)-distinct).
+    */
+  def docFrequencies(tf: DataFrame): DataFrame =
+    tf.groupBy("tok").agg(count(lit(1)).as("df"))
+
+  /** The most distinctive term per document: argmax of tf/df, ties to
+    * the lexicographically smallest term. Join on the token is a plain
+    * hash-shuffle (vocabulary-sized, not corpus-sized, after the tf
+    * aggregate).
+    */
+  def topTermPerDoc(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol)
+    val scored = tf.join(docFrequencies(tf), Seq("tok"))
+      .withColumn("score", col("tf").cast("double") / col("df"))
+    val w = Window.partitionBy("id").orderBy(col("score").desc, col("tok").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id").as(idCol), col("tok").as("top_term"),
+        col("tf"), col("df"), col("score"))
+  }
+
+  /** Per-document rarity profile: distinct-token count, number of
+    * corpus-unique tokens (df = 1), and the average document frequency
+    * of the doc's tokens — a commonness score (low = unusual content).
+    */
+  def rareTokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol)
+    tf.join(docFrequencies(tf), Seq("tok"))
+      .groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("df") === 1, 1).otherwise(0)).as("n_rare"),
+        (sum(col("df")).cast("double") / count(lit(1))).as("avg_df"))
+  }
+
+  /** Intra-document 2-gram repetition in [0, 1): `1 − distinct/total`
+    * over word bigrams (0 for docs shorter than 2 tokens). High values
+    * flag boilerplate/spam — the classic repetition quality rule.
+    */
+  def repetitionScore(c: Column): Column = {
+    val nTok = size(Text.tokens(c))
+    val total = (nTok - 1).cast("double")
+    val distinctBigrams = size(Text.shingles(c, 2)).cast("double")
+    when(nTok >= 2, lit(1.0) - distinctBigrams / total).otherwise(lit(0.0))
+  }
+}

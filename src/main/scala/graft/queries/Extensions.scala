@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Text
-import graft.operators.{HyperplaneLsh, Multimodal, Similarity, TextDedup}
+import graft.operators.{HyperplaneLsh, Multimodal, Similarity, TextDedup, TextStats}
 
 /** Training-data pipeline extension queries (BASELINE.json north star):
   * dedup (exact / n-gram Jaccard / MinHash LSH / SimHash / embedding),
@@ -43,20 +43,23 @@ object Extensions {
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
       s"list_transform(range(1, len($x)+1), i -> $x[i]*$y[i])), (acc,v) -> acc+v)"
 
-  /** O(n²) exact Jaccard pair SQL with the size-ratio prefilter
-    * (J ≥ t ⇒ |A|/|B| and |B|/|A| ≥ t — pure speedup, never drops a
-    * qualifying pair).
+  /** O(n²) exact Jaccard pair CTEs (terminating in `jp`) with the
+    * size-ratio prefilter (J ≥ t ⇒ |A|/|B| and |B|/|A| ≥ t — pure
+    * speedup, never drops a qualifying pair).
     */
-  private def jaccardPairsSql(threshold: Double): String =
-    s"""WITH s AS (SELECT doc_id, $sqlShingles AS sh
-       |           FROM (SELECT doc_id, ${sqlWords("text")} AS w FROM documents)),
+  private def jaccardPairsCte(threshold: Double): String =
+    s"""s AS (SELECT doc_id, $sqlShingles AS sh
+       |      FROM (SELECT doc_id, ${sqlWords("text")} AS w FROM documents)),
        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |        len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh)) AS jaccard
        |      FROM s a JOIN s b ON a.doc_id < b.doc_id
        |      WHERE len(a.sh) * $threshold <= len(b.sh)
-       |        AND len(b.sh) * $threshold <= len(a.sh))
-       |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= $threshold
-       |ORDER BY id_a, id_b""".stripMargin
+       |        AND len(b.sh) * $threshold <= len(a.sh)),
+       |jp AS (SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= $threshold)""".stripMargin
+
+  private def jaccardPairsSql(threshold: Double): String =
+    s"""WITH ${jaccardPairsCte(threshold)}
+       |SELECT id_a, id_b, jaccard FROM jp ORDER BY id_a, id_b""".stripMargin
 
   // ---- text analysis ---------------------------------------------------
 
@@ -126,6 +129,58 @@ object Extensions {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  // TF-IDF top term, rare-token profile, repetition — corpus statistics
+  // with log-free scoring (integer counts + one IEEE division) so both
+  // engines compute bit-identical values (graft.operators.TextStats).
+
+  def tfidfTopTerm(s: SparkSession, dir: String): DataFrame =
+    TextStats.topTermPerDoc(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val tfidfTopTermSql: String =
+    s"""WITH tk AS (SELECT doc_id, unnest(${sqlWords("text")}) AS tok FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+       |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT doc_id, tok, tf, df, CAST(tf AS DOUBLE) / df AS score
+       |       FROM tf JOIN df USING (tok))
+       |SELECT doc_id, tok AS top_term, CAST(tf AS BIGINT) AS tf,
+       |       CAST(df AS BIGINT) AS df, score
+       |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY score DESC, tok ASC) AS rn FROM sc)
+       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  def rareTokens(s: SparkSession, dir: String): DataFrame =
+    TextStats.rareTokenStats(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val rareTokensSql: String =
+    s"""WITH tk AS (SELECT doc_id, unnest(${sqlWords("text")}) AS tok FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+       |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_distinct,
+       |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       |  CAST(SUM(df) AS DOUBLE) / count(*) AS avg_df
+       |FROM tf JOIN df USING (tok)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextStats.repetitionScore(col("text")).as("repetition"))
+      .orderBy("doc_id")
+
+  val repetitionSql: String =
+    s"""WITH w AS (SELECT doc_id, ${sqlWords("text")} AS w FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN len(w) >= 2
+       |    THEN CAST(1.0 AS DOUBLE)
+       |      - CAST(len(list_distinct(list_transform(range(1, len(w)),
+       |          i -> w[i] || ' ' || w[i+1]))) AS DOUBLE)
+       |        / CAST(len(w) - 1 AS DOUBLE)
+       |    ELSE CAST(0.0 AS DOUBLE) END AS repetition
+       |FROM w ORDER BY doc_id""".stripMargin
+
   // ---- dedup -----------------------------------------------------------
 
   def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -142,6 +197,30 @@ object Extensions {
       .orderBy("id_a", "id_b")
 
   val dedupNgramSql: String = jaccardPairsSql(0.6)
+
+  /** Transitive near-dup clustering: connected components over the
+    * ngram-Jaccard pair graph, label = min reachable doc_id. The oracle
+    * replays reachability as a recursive CTE over the O(n²) exact pair
+    * set — checking both the pair generation AND the iterative label
+    * propagation.
+    */
+  def dedupComponents(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextDedup.connectedComponents(docs, "doc_id",
+        TextDedup.ngramJaccardPairs(docs, "doc_id", "text", ShingleK, 0.6))
+      .orderBy("doc_id")
+  }
+
+  val dedupComponentsSql: String =
+    s"""WITH RECURSIVE ${jaccardPairsCte(0.6)},
+       |e AS (SELECT id_a AS src, id_b AS dst FROM jp
+       |      UNION ALL SELECT id_b, id_a FROM jp),
+       |r(id, comp) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, r.comp FROM e JOIN r ON r.id = e.dst)
+       |SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS component
+       |FROM r GROUP BY id ORDER BY doc_id""".stripMargin
 
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     TextDedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text", ShingleK, 0.8)
@@ -359,8 +438,12 @@ object Extensions {
     QueryDef("x_token_counts", tokenCounts, Some(tokenCountsSql)),
     QueryDef("x_quality_score", quality, Some(qualitySql)),
     QueryDef("x_lang_id", langId, Some(langIdSql)),
+    QueryDef("x_tfidf_topterm", tfidfTopTerm, Some(tfidfTopTermSql)),
+    QueryDef("x_rare_tokens", rareTokens, Some(rareTokensSql)),
+    QueryDef("x_repetition", repetition, Some(repetitionSql)),
     QueryDef("x_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("x_dedup_ngram", dedupNgram, Some(dedupNgramSql)),
+    QueryDef("x_dedup_components", dedupComponents, Some(dedupComponentsSql)),
     QueryDef("x_dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
     QueryDef("x_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     QueryDef("x_simhash_pairs", simhashPairs, Some(simhashPairsSql)),

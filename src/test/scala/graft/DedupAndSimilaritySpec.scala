@@ -81,6 +81,16 @@ class DedupAndSimilaritySpec extends SparkSpec {
     assert(ivf === bf)
   }
 
+  test("connectedComponents: chains cluster transitively, singletons self-label") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    // chain 1-2-3 (no direct 1-3 edge), pair 4-5, isolated 6
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val comps = TextDedup.connectedComponents(nodes, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
   test("multimodal: deterministic stub features, video frame sampling, binary transport") {
     val media = Multimodal.mediaFromDocuments(
       docs.withColumn("n_chars", length(col("text"))))
