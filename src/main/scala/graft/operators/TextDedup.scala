@@ -58,10 +58,11 @@ object TextDedup {
     val s = shingled(docs, idCol, textCol, k)
     var ex = s.select(col("id"), col("sz"), explode(col("sh")).as("s"))
     if (maxShingleFreq != Int.MaxValue) {
-      val dfCol = graft.ops.Dedup.freshName(ex, "__df")
-      val w = Window.partitionBy(col("s"))
-      ex = ex.withColumn(dfCol, count(lit(1)).over(w))
-        .filter(col(dfCol) <= maxShingleFreq).drop(dfCol)
+      // rare-shingle keep-list via aggregate + semi-join (map-side
+      // combinable; a count-over-window here would shuffle AND sort)
+      val keep = ex.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxShingleFreq).select("s")
+      ex = ex.join(keep, Seq("s"), "left_semi")
     }
     val a = ex.select(col("id").as("id_a"), col("sz").as("sz_a"), col("s"))
     val b = ex.select(col("id").as("id_b"), col("sz").as("sz_b"), col("s"))
@@ -110,6 +111,43 @@ object TextDedup {
       .select("id_a", "id_b").distinct()
 
     // Exact verification on the candidate pairs only.
+    val sets = s.select(col("id"), col("sh"))
+    cands
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", Text.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** The 100 TB formulation of n-gram Jaccard dedup: candidate pairs
+    * come ONLY from shingles shared by ≤ `maxShingleFreq` documents
+    * (stop-shingles like common phrases are excluded from candidate
+    * generation — they are what makes the inverted-index self-join
+    * quadratic on natural text), then candidates are verified with the
+    * EXACT Jaccard over the full, uncapped shingle sets. Recall
+    * argument: a qualifying pair (J ≥ threshold) shares many shingles;
+    * it is missed only if every shared shingle is corpus-frequent —
+    * vanishingly rare for near-duplicates, whose overlap is dominated
+    * by their specific content. The verification step guarantees
+    * precision is exact regardless.
+    */
+  def ngramJaccardPairsCapped(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      threshold: Double,
+      maxShingleFreq: Int): DataFrame = {
+    val s = shingled(docs, idCol, textCol, k)
+    val ex = s.select(col("id"), explode(col("sh")).as("s"))
+    val keep = ex.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxShingleFreq).select("s")
+    val rare = ex.join(keep, Seq("s"), "left_semi")
+    val cands = rare.select(col("id").as("id_a"), col("s"))
+      .join(rare.select(col("id").as("id_b"), col("s")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
     val sets = s.select(col("id"), col("sh"))
     cands
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -227,8 +265,11 @@ object TextDedup {
       pairs: DataFrame,
       maxIter: Int = 25): DataFrame = {
     val nodes = docs.select(col(idCol).cast("long").as("id")).distinct()
+    // materialize once: the pair generation (often an LSH/inverted-index
+    // pipeline) must not re-run on every propagation round
     val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .localCheckpoint()
 
     var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
     var changed = 1L

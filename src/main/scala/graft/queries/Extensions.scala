@@ -198,6 +198,17 @@ object Extensions {
 
   val dedupNgramSql: String = jaccardPairsSql(0.6)
 
+  /** Capped candidate generation + exact verify — the formulation that
+    * survives stop-shingle skew at 100× (see
+    * TextDedup.ngramJaccardPairsCapped). Oracle stays the naive exact
+    * O(n²) form: on this corpus the capped candidates cover every
+    * qualifying pair, which is precisely the claim being checked.
+    */
+  def dedupNgramCapped(s: SparkSession, dir: String): DataFrame =
+    TextDedup.ngramJaccardPairsCapped(t(s, dir, "documents"), "doc_id", "text",
+        ShingleK, 0.6, maxShingleFreq = 50)
+      .orderBy("id_a", "id_b")
+
   /** Transitive near-dup clustering: connected components over the
     * ngram-Jaccard pair graph, label = min reachable doc_id. The oracle
     * replays reachability as a recursive CTE over the O(n²) exact pair
@@ -443,6 +454,7 @@ object Extensions {
     QueryDef("x_repetition", repetition, Some(repetitionSql)),
     QueryDef("x_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("x_dedup_ngram", dedupNgram, Some(dedupNgramSql)),
+    QueryDef("x_dedup_ngram_capped", dedupNgramCapped, Some(jaccardPairsSql(0.6))),
     QueryDef("x_dedup_components", dedupComponents, Some(dedupComponentsSql)),
     QueryDef("x_dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
     QueryDef("x_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
