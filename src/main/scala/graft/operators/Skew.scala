@@ -27,6 +27,15 @@ object Skew {
     * varies within a hot key (a row id, a line number) so the key's
     * rows spread evenly; `salts` ≈ the per-key parallelism wanted.
     */
+  /** Join types whose semantics survive small-side replication: the
+    * output is driven by big-side rows (each matches exactly its salt's
+    * replica). Right/full-outer would emit the `salts − 1` unmatched
+    * replicas of every small row as spurious null-extended output.
+    */
+  private val SupportedJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti", "cross")
+
   def saltedJoin(
       big: DataFrame,
       small: DataFrame,
@@ -35,7 +44,11 @@ object Skew {
       salts: Int,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
-    val salt = Dedup.freshName(big, "__salt")
+    require(SupportedJoinTypes.contains(joinType.toLowerCase),
+      s"saltedJoin preserves semantics only for big-side-driven join types " +
+        s"(${SupportedJoinTypes.toSeq.sorted.mkString(", ")}); got '$joinType' — " +
+        "a right/full outer join would emit every unmatched small-side replica")
+    val salt = Dedup.freshName(big.columns ++ small.columns, "__salt")
     val b = big.withColumn(salt, pmod(hash(saltBy), lit(salts)))
     val s = small.withColumn(salt,
       explode(array((0 until salts).map(lit): _*)))

@@ -47,6 +47,11 @@ object TextDedup {
     * explode distinct shingles, equi-join on the shingle, count shared
     * shingles per pair, `J = c / (|A| + |B| - c)`. Emits (id_a, id_b,
     * jaccard) for J ≥ threshold, id_a < id_b.
+    *
+    * With `maxShingleFreq` set, delegates to `ngramJaccardPairsCapped`:
+    * capping must apply only to CANDIDATE GENERATION (with an exact
+    * full-set verify) — capping the shared-shingle count itself would
+    * underestimate J and silently drop qualifying pairs.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -55,15 +60,10 @@ object TextDedup {
       k: Int,
       threshold: Double,
       maxShingleFreq: Int = Int.MaxValue): DataFrame = {
+    if (maxShingleFreq != Int.MaxValue)
+      return ngramJaccardPairsCapped(docs, idCol, textCol, k, threshold, maxShingleFreq)
     val s = shingled(docs, idCol, textCol, k)
-    var ex = s.select(col("id"), col("sz"), explode(col("sh")).as("s"))
-    if (maxShingleFreq != Int.MaxValue) {
-      // rare-shingle keep-list via aggregate + semi-join (map-side
-      // combinable; a count-over-window here would shuffle AND sort)
-      val keep = ex.groupBy(col("s")).agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= maxShingleFreq).select("s")
-      ex = ex.join(keep, Seq("s"), "left_semi")
-    }
+    val ex = s.select(col("id"), col("sz"), explode(col("sh")).as("s"))
     val a = ex.select(col("id").as("id_a"), col("sz").as("sz_a"), col("s"))
     val b = ex.select(col("id").as("id_b"), col("sz").as("sz_b"), col("s"))
     a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
@@ -288,6 +288,13 @@ object TextDedup {
       labels = next.select("id", "comp")
       iter += 1
     }
+    // an under-merged result is silent data corruption for dedup — fail
+    // loudly; callers with genuinely deep graphs raise maxIter (or port
+    // to the O(log n) large-star/small-star variant)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — component diameter exceeds maxIter")
     labels.select(col("id").as(idCol), col("comp").as("component"))
   }
 }

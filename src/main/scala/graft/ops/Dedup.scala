@@ -28,9 +28,12 @@ object Dedup {
     * reuse keeps working). Guards against clobbering a real input column
     * that happens to be called `__rn`.
     */
-  private[graft] def freshName(df: DataFrame, base: String): String = {
+  private[graft] def freshName(df: DataFrame, base: String): String =
+    freshName(df.columns.toSeq, base)
+
+  private[graft] def freshName(taken: Seq[String], base: String): String = {
     var n = base
-    while (df.columns.contains(n)) n += "_"
+    while (taken.contains(n)) n += "_"
     n
   }
 

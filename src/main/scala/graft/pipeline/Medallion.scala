@@ -261,9 +261,12 @@ object Gold {
       count(lit(1)).as("item_count"),
       sum("price").as("order_value"),
       sum("freight_value").as("order_freight"))
+    // NB: the reference joins customers here and then selects none of
+    // its columns (04:55-59 vs 04:64-91) — a dead join Catalyst cannot
+    // eliminate (it can't prove the right side key-unique). We skip it;
+    // the signature keeps the customers parameter for API parity.
+    val _ = silverCustomers
     silverOrders.withColumnRenamed("silver_processed_ts", "orders_silver_ts")
-      .join(silverCustomers.select("customer_id", "customer_unique_id", "customer_state"),
-        Seq("customer_id"), "left")
       .join(itemAggs, Seq("order_id"), "left")
       // explicit fact schema mirroring 04:64-91 — customer attributes stay
       // in the dimension (08/09 re-join dim_customers for state), so the

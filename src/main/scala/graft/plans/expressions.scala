@@ -93,8 +93,9 @@ object PolyHash {
   * left-to-right from 0.0 — bit-identical to
   * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` (graft.functions.Vectors)
   * and to the DuckDB oracle's explicit list fold. NULL if either side is
-  * NULL or the lengths differ (zip_with would pad with NULL and poison
-  * the sum).
+  * NULL, the lengths differ, or any element is NULL (zip_with's
+  * null-poisoned sum stays NULL through the fold — reading a null slot
+  * as 0.0 would silently diverge from the reference form).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -116,7 +117,15 @@ case class DotProduct(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     if (x.numElements != y.numElements) null
-    else DotProduct.dot(x, y)
+    else {
+      var i = 0
+      val n = x.numElements
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        i += 1
+      }
+      DotProduct.dot(x, y)
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -129,9 +138,10 @@ case class DotProduct(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0;
          |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $dot += $a.getDouble($i) * $b.getDouble($i);
          |  }
-         |  ${ev.value} = $dot;
+         |  if (!${ev.isNull}) { ${ev.value} = $dot; }
          |}
        """.stripMargin
     })

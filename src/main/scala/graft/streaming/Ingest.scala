@@ -28,10 +28,15 @@ import graft.table.{Table, TableRef}
   * manifest* sidecar (one row per ingested file) and the anti-join runs
   * against that — per-batch cost follows the file count, not the row
   * count. The bronze append and the manifest append are two writes, not
-  * one transaction: bronze is written first, so a crash between them can
-  * only cause an already-ingested file to be re-appended on a
-  * *checkpoint-wiped* replay (never lost data); with the checkpoint
-  * intact the file never re-enters a batch at all.
+  * one transaction (that one-commit coupling is exactly what Delta's log
+  * provided): bronze is written first, so a crash between the two writes
+  * can never LOSE data, but it leaves the manifest missing a file that
+  * bronze already holds — and a subsequent *checkpoint-wiped* replay
+  * would then re-append that file (duplicates). That failure needs both
+  * the crash landing in the two-write window AND the checkpoint being
+  * lost; when it happens, `reconcileManifest` restores exact-once with
+  * one bronze scan. With the checkpoint intact the file never re-enters
+  * a batch at all, regardless of crashes.
   */
 object Ingest {
 
@@ -63,6 +68,15 @@ object Ingest {
   /** Seen-files manifest sidecar of a bronze table. */
   def manifestRef(bronze: TableRef): TableRef = TableRef(bronze.dir + "._manifest")
 
+  /** Rebuilds the manifest from the bronze table itself (one full scan).
+    * Use to migrate a manifest-less table, or to repair after the
+    * documented crash window (bronze append committed, manifest append
+    * lost) before a checkpoint-wiped replay — restores exact-once.
+    */
+  def reconcileManifest(spark: SparkSession, bronze: TableRef): Unit =
+    Table.overwriteAtomic(
+      Table.read(spark, bronze).select("source_file").distinct(), manifestRef(bronze))
+
   /** EP1 end-to-end: CSV dir → bronze table, file-level idempotent
     * (01:46-77). Returns after the available input is drained.
     */
@@ -79,19 +93,16 @@ object Ingest {
           Table.overwriteAtomic(batch, bronze)
           Table.overwriteAtomic(batch.select("source_file").distinct(), manifest)
         } else {
+          // migration for manifest-less tables: materialize once from
+          // bronze UNCONDITIONALLY (doing it only when fresh rows exist
+          // would leave all-seen batches full-scanning bronze forever)
+          if (!Table.exists(spark, manifest)) reconcileManifest(spark, bronze)
           // M1: append only rows from files the manifest has not seen.
-          val seen =
-            if (Table.exists(spark, manifest)) Table.read(spark, manifest)
-            else // migration for manifest-less tables: derive once from bronze
-              Table.read(spark, bronze).select("source_file").distinct()
+          val seen = Table.read(spark, manifest)
           val fresh = batch.join(seen, Seq("source_file"), "left_anti")
           if (!fresh.isEmpty) {
             Table.append(fresh, bronze)
-            if (Table.exists(spark, manifest))
-              Table.append(fresh.select("source_file").distinct(), manifest)
-            else
-              Table.overwriteAtomic(
-                Table.read(spark, bronze).select("source_file").distinct(), manifest)
+            Table.append(fresh.select("source_file").distinct(), manifest)
           }
         }
       }
@@ -127,7 +138,12 @@ object Ingest {
       } else Seq.empty
     }
 
-    val discovered: Seq[String] = {
+    // per-file headers, kept separate so divergent evolutions can be
+    // detected (CSV parsing under a pinned schema is positional: two
+    // files each appending a DIFFERENT new column cannot both parse
+    // correctly under one merged schema — fail loudly instead of
+    // silently writing one file's values into the other file's column)
+    val headers: Seq[(String, Seq[String])] = {
       val src = new Path(srcDir)
       if (!fs.exists(src)) Seq.empty
       else fs.listStatus(src).filter(s => s.isFile && s.getPath.getName.endsWith(".csv"))
@@ -136,15 +152,25 @@ object Ingest {
           try {
             val header = new java.io.BufferedReader(
               new java.io.InputStreamReader(in, "UTF-8")).readLine()
-            if (header == null) Seq.empty else header.split(",").map(_.trim).toSeq
+            if (header == null) None
+            else Some(s.getPath.getName -> header.split(",").map(_.trim).toSeq)
           } finally in.close()
         }
     }
 
     val known = base.fieldNames.toSet
-    val extras = (persisted ++ discovered).distinct.filterNot(known)
+    val extras = (persisted ++ headers.flatMap(_._2)).distinct.filterNot(known)
     val evolved = StructType(base.fields ++
       extras.map(org.apache.spark.sql.types.StructField(_, org.apache.spark.sql.types.StringType, nullable = true)))
+
+    headers.foreach { case (file, h) =>
+      val expect = evolved.fieldNames.take(h.length).toSeq
+      if (h != expect)
+        throw new IllegalStateException(
+          s"schema evolution conflict in $file: header (${h.mkString(",")}) is not a " +
+            s"prefix of the evolved schema (${evolved.fieldNames.mkString(",")}) — " +
+            "positional CSV parsing would put values in the wrong columns")
+    }
 
     if (extras.nonEmpty) {
       val out = fs.create(new Path(schemaLocation), true)

@@ -48,8 +48,9 @@ object Bucketed {
     */
   def create(df: DataFrame, ref: BucketedRef): Unit = {
     val spark = df.sparkSession
-    val f = new Path(ref.dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(ref.dir + ".__tmp__")
+    val root = new Path(ref.dir)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(root.getParent, s".${root.getName}.__tmp__")
     f.delete(tmp, true)
     df.withColumn("bucket", ref.bucketCol)
       .write.partitionBy("bucket").parquet(tmp.toString)

@@ -46,8 +46,15 @@ object Table {
 
   /** Full-refresh overwrite with atomic swap (reference `02:543-550`,
     * `03:53-58`, etc. — Delta gave this via log commit; we write the new
-    * version to `<dir>.__tmp__` first so the source plan can safely read
+    * version to a staging dir first so the source plan can safely read
     * the *current* table contents, then swap directories.
+    *
+    * Staging dirs are DOT-PREFIXED siblings (`.<name>.__tmp__`):
+    * Spark/Hadoop file listing and partition discovery skip hidden
+    * paths, so a crash mid-swap can never make stale staging data
+    * visible to readers — critical when the target is a partition
+    * subdirectory of a discovered table (graft.table.Bucketed), where a
+    * bare `<name>.__old__` sibling would be parsed as another partition.
     *
     * At cluster scale the swap is one namenode rename per commit; the
     * data write itself is fully distributed.
@@ -55,8 +62,10 @@ object Table {
   def overwriteAtomic(df: DataFrame, ref: TableRef): Unit = {
     val spark = df.sparkSession
     val f = fs(spark, ref)
-    val tmp = new Path(ref.dir + ".__tmp__")
-    val old = new Path(ref.dir + ".__old__")
+    val parent = ref.path.getParent
+    val name = ref.path.getName
+    val tmp = new Path(parent, s".$name.__tmp__")
+    val old = new Path(parent, s".$name.__old__")
     f.delete(tmp, true)
     f.delete(old, true)
     // Materializes the plan (which may read ref.dir) before any swap.

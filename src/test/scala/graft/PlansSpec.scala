@@ -54,6 +54,17 @@ class PlansSpec extends SparkSpec {
     assert(r.head.isNullAt(0))
   }
 
+  test("DotProduct is null on null elements, matching the reference form") {
+    val df = spark.range(1)
+      .select(
+        array(lit(1.0), lit(null).cast("double"), lit(2.0)).as("a"),
+        array(lit(1.0), lit(1.0), lit(1.0)).as("b"))
+    val r = df.select(
+      Vectors.dot(col("a"), col("b")).as("fused"),
+      Vectors.dotReference(col("a"), col("b")).as("ref")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("MinHashSig matches the n-pass array_min composition") {
     val hs = Seq(
       Seq(17L, 9999999L, 31L, 123456789L),
@@ -91,6 +102,18 @@ class PlansSpec extends SparkSpec {
         .orderBy("row_id").collect().toSeq
       val plain = big.join(small, Seq("k"), jt).orderBy("row_id").collect().toSeq
       assert(salted == plain, s"$jt join mismatch")
+    }
+  }
+
+  test("saltedJoin rejects join types replication would corrupt") {
+    import graft.operators.Skew
+    val big = Seq((1L, 1L)).toDF("k", "row_id")
+    val small = Seq((1L, "x")).toDF("k", "name")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, small, Seq("k"), col("row_id"), 4, joinType = "right")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, small, Seq("k"), col("row_id"), 4, joinType = "full_outer")
     }
   }
 
