@@ -23,6 +23,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 object Sessions {
 
   final case class Ev(user_id: Long, ts_us: Long, event_id: Long)
+
+  /** Watermarked event: the timestamp column must flow INTO the
+    * stateful operator for EventTimeTimeout (Spark's analyzer rejects a
+    * plan whose watermark attribute was projected away).
+    */
+  final case class EvW(user_id: Long, ts_us: Long, event_id: Long, ts_ts: java.sql.Timestamp)
   final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
   final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 
@@ -47,9 +53,9 @@ object Sessions {
 
   /** Streaming sessionization. Emits a session when a later event of
     * the same user closes it; the trailing open session per user stays
-    * in state (a production deployment adds an event-time timeout via
-    * watermark to flush idle sessions — the spec exercises the
-    * close-by-successor path, which is the stateful core).
+    * in state until either a successor arrives or — in
+    * `sessionizeStreamWithTimeout` — the event-time watermark passes
+    * `lastUs + gap` and the idle session is flushed.
     *
     * Assumes event time is non-decreasing ACROSS micro-batches per user
     * (in-batch disorder is fine — each batch is sorted before folding);
@@ -59,26 +65,65 @@ object Sessions {
     import ev.sparkSession.implicits._
     ev.groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, batch: Iterator[Ev], state: GroupState[OpenSession]) =>
-          val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
-          var open = state.getOption
-          val closed = Seq.newBuilder[Session]
-          sorted.foreach { e =>
-            open match {
-              case Some(s) if e.ts_us - s.lastUs > gapUs =>
-                closed += Session(user, s.startUs, s.lastUs, s.n)
-                open = Some(OpenSession(e.ts_us, e.ts_us, 1))
-              case Some(s) =>
-                open = Some(OpenSession(s.startUs, math.max(s.lastUs, e.ts_us), s.n + 1))
-              case None =>
-                open = Some(OpenSession(e.ts_us, e.ts_us, 1))
-            }
-          }
-          open.foreach(state.update)
-          closed.result().iterator
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        sessionFold(gapUs, timeout = false))
+  }
+
+  /** Sessionization with watermark-driven idle flush: takes the raw
+    * (user_id, ts_us, event_id) stream, stamps the event-time column,
+    * applies the watermark, and runs the stateful fold under
+    * EventTimeTimeout — a user whose open session has seen no event by
+    * the time the watermark passes `lastUs + gap` gets that session
+    * EMITTED and the state cleared, so sessions of departed users leave
+    * state instead of parking there forever (the bounded-state
+    * requirement at 100 TB).
+    */
+  def sessionizeStreamWithTimeout(
+      ev: DataFrame,
+      gapUs: Long,
+      maxLateness: String = "0 seconds"): Dataset[Session] = {
+    import ev.sparkSession.implicits._
+    ev.select(col("user_id"), col("ts_us"), col("event_id"))
+      .withColumn("ts_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_ts", maxLateness)
+      .as[EvW]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[EvW], state: GroupState[OpenSession]) =>
+          sessionFold(gapUs, timeout = true)(
+            user, batch.map(e => Ev(e.user_id, e.ts_us, e.event_id)), state)
       }
   }
+
+  private def sessionFold(gapUs: Long, timeout: Boolean)(
+      user: Long, batch: Iterator[Ev], state: GroupState[OpenSession]): Iterator[Session] =
+    if (timeout && state.hasTimedOut) {
+      // watermark passed lastUs + gap with no new events: flush
+      val s = state.get
+      state.remove()
+      Iterator.single(Session(user, s.startUs, s.lastUs, s.n))
+    } else {
+      val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var open = state.getOption
+      val closed = Seq.newBuilder[Session]
+      sorted.foreach { e =>
+        open match {
+          case Some(s) if e.ts_us - s.lastUs > gapUs =>
+            closed += Session(user, s.startUs, s.lastUs, s.n)
+            open = Some(OpenSession(e.ts_us, e.ts_us, 1))
+          case Some(s) =>
+            open = Some(OpenSession(s.startUs, math.max(s.lastUs, e.ts_us), s.n + 1))
+          case None =>
+            open = Some(OpenSession(e.ts_us, e.ts_us, 1))
+        }
+      }
+      open.foreach { s =>
+        state.update(s)
+        if (timeout) state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000 + 1)
+      }
+      closed.result().iterator
+    }
 
   /** The open (unclosed) sessions currently in `sessionizeBatch` terms:
     * the last session of each user — what `sessionizeStream` still holds

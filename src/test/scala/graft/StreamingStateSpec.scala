@@ -63,6 +63,35 @@ class StreamingStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time timeout flushes idle sessions once the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val gapUs = 6L * 3600 * 1000000
+    // keep event times away from epoch 0 (the initial watermark value):
+    // an event exactly AT the watermark is boundary-dropped as late
+    val base = 1700000000L * 1000000
+    def us(h: Int): Long = base + h * 3600L * 1000000
+    val in = MemoryStream[Ev]
+    val q = Sessions.sessionizeStreamWithTimeout(in.toDF(), gapUs)
+      .writeStream.format("memory").queryName("sess_timeout_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Ev(1, us(0), 100), Ev(1, us(1), 101))
+      q.processAllAvailable()
+      assert(spark.table("sess_timeout_out").isEmpty) // watermark at h1: session idle but not expired
+
+      // another user's far-future event advances the watermark past
+      // u1's lastUs + gap → u1's open session must flush via timeout
+      in.addData(Ev(2, us(30), 200))
+      q.processAllAvailable()
+      in.addData(Ev(3, us(31), 300)) // trigger the post-watermark batch
+      q.processAllAvailable()
+
+      val emitted = spark.table("sess_timeout_out").as[Session].collect().toSet
+      assert(emitted.contains(Session(1, us(0), us(1), 2)),
+        s"idle session not flushed; emitted=$emitted")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch sessionizer") {
     implicit val sqlCtx = spark.sqlContext
     val gapUs = 6L * 3600 * 1000000
