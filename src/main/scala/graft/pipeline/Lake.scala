@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.streaming.Ingest
+import graft.table.{Table, TableRef}
+
+/** End-to-end lakehouse orchestration — the reference's nine notebooks
+  * (`01_bronze_csv_to_delta.py` … `09_gold_metrics_customers.py`) as one
+  * call chain: discover + ingest CSV drops into bronze, cleanse/upsert
+  * every entity into silver, rebuild the gold star schema, and register
+  * every table as a temp view so `spark.sql` works over the lakehouse
+  * (the engine's `display`/notebook-SQL analog, S13).
+  */
+object Lake {
+
+  /** Gold table names in build order (deps before dependents). */
+  val GoldTables: Seq[String] = Seq(
+    "dim_customers", "dim_products", "dim_sellers", "dim_geolocation",
+    "fact_orders", "fact_payments", "fact_reviews",
+    "metrics_revenue", "metrics_orders", "metrics_customers")
+
+  /** Bronze + silver for every discovered table (01 + 02 semantics).
+    * Returns the entity names processed.
+    */
+  def refreshSilver(spark: SparkSession, ingestRoot: String, roots: LakeRoots): Seq[String] = {
+    val ingested = Ingest.ingestAll(spark, ingestRoot, roots)
+    ingested.foreach { name =>
+      val e = Entities.byName(name).get
+      val bronze = Table.read(spark, roots.bronzeRef(name))
+      Silver.upsertInto(spark, roots.silverRef(name), e.cleanse(bronze), e.silverKeys)
+    }
+    ingested
+  }
+
+  private def silver(spark: SparkSession, roots: LakeRoots, name: String): DataFrame =
+    Table.read(spark, roots.silverRef(name))
+
+  /** Rebuilds every gold dim/fact/metric from silver (03-09 semantics)
+    * with atomic overwrites (S7), in dependency order.
+    */
+  def refreshGold(spark: SparkSession, roots: LakeRoots): Unit = {
+    def s(name: String) = silver(spark, roots, name)
+    def write(name: String, df: DataFrame): Unit =
+      Table.overwriteAtomic(df, roots.goldRef(name))
+
+    write("dim_customers", Gold.dimCustomers(s("customers")))
+    write("dim_products", Gold.dimProducts(s("products")))
+    write("dim_sellers", Gold.dimSellers(s("sellers")))
+    write("dim_geolocation", Gold.dimGeolocation(s("geolocation")))
+    write("fact_orders", Gold.factOrders(s("orders"), s("customers"), s("order_items")))
+    write("fact_payments", Gold.factPayments(s("order_payments"), s("orders")))
+    write("fact_reviews", Gold.factReviews(s("order_reviews"), s("orders")))
+
+    def g(name: String) = Table.read(spark, roots.goldRef(name))
+    write("metrics_revenue",
+      Gold.metricsRevenue(g("fact_orders"), g("fact_payments"), g("dim_customers")))
+    write("metrics_orders", Gold.metricsOrders(g("fact_orders"), g("dim_customers")))
+    write("metrics_customers", Gold.metricsCustomers(g("dim_customers"), g("fact_orders")))
+  }
+
+  /** The whole pipeline: ingest → silver → gold. */
+  def buildAll(spark: SparkSession, ingestRoot: String, roots: LakeRoots): Seq[String] = {
+    val entities = refreshSilver(spark, ingestRoot, roots)
+    refreshGold(spark, roots)
+    entities
+  }
+
+  /** Registers every existing silver + gold table as `silver_<name>` /
+    * `gold_<name>` temp views, enabling plain `spark.sql` over the
+    * lakehouse. Returns the registered view names.
+    *
+    * A path-based DataFrame snapshots its file listing when created, so
+    * views must be RE-REGISTERED after a refreshSilver/refreshGold —
+    * the atomic overwrite replaces the underlying files (Delta's live
+    * table names came from its catalog+log indirection; a plain-parquet
+    * engine re-resolves by re-registering, which is what this method's
+    * `createOrReplaceTempView` does idempotently).
+    */
+  def registerViews(spark: SparkSession, roots: LakeRoots): Seq[String] = {
+    val silverViews = Entities.all.map(_.name)
+      .filter(n => Table.exists(spark, roots.silverRef(n)))
+      .map { n =>
+        Table.read(spark, roots.silverRef(n)).createOrReplaceTempView(s"silver_$n")
+        s"silver_$n"
+      }
+    val goldViews = GoldTables
+      .filter(n => Table.exists(spark, roots.goldRef(n)))
+      .map { n =>
+        Table.read(spark, roots.goldRef(n)).createOrReplaceTempView(s"gold_$n")
+        s"gold_$n"
+      }
+    silverViews ++ goldViews
+  }
+}

@@ -57,6 +57,7 @@ object Bucketed {
     f.delete(new Path(ref.dir), true)
     if (!f.rename(tmp, new Path(ref.dir)))
       throw new IllegalStateException(s"rename $tmp -> ${ref.dir} failed")
+    spark.catalog.refreshByPath(ref.dir)
   }
 
   /** Full logical view (partition column dropped). */
@@ -84,5 +85,7 @@ object Bucketed {
           Upsert.lastWriterWins(target, slice, ref.keys, versionCol), tgtRef)
       }
     }
+    // readers scan the table ROOT; invalidate its cached file index too
+    spark.catalog.refreshByPath(ref.dir)
   }
 }

@@ -80,5 +80,9 @@ object Table {
       throw new IllegalStateException(s"rename $tmp -> ${ref.dir} failed")
     }
     f.delete(old, true)
+    // drop any cached file listing/plan for this path — a long-lived
+    // session (or a registered temp view) would otherwise keep reading
+    // the pre-swap file names and fail with FILE_NOT_EXIST
+    spark.catalog.refreshByPath(ref.dir)
   }
 }
