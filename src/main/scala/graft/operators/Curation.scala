@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+import graft.functions.Text
+
+/** The canonical training-data curation pipeline, composed from the
+  * engine's verified pieces: language filter → quality floor →
+  * repetition ceiling → transitive near-duplicate removal (connected
+  * components over ngram-Jaccard pairs, keep the minimum doc id per
+  * cluster). One call takes a raw document table to a curated corpus.
+  *
+  * Every stage is deterministic and SQL-expressible, so the WHOLE
+  * pipeline is oracle-checkable end to end — filters, clustering, and
+  * representative selection in one hash-compared result.
+  */
+object Curation {
+
+  final case class Thresholds(
+      lang: String = "en",
+      minQuality: Double = 0.5,
+      maxRepetition: Double = 0.2,
+      jaccard: Double = 0.6,
+      shingleK: Int = 3)
+
+  /** Curated corpus: kept documents with their curation signals.
+    * Output columns: (idCol, lang_pred, score, repetition).
+    */
+  def curate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      th: Thresholds = Thresholds()): DataFrame = {
+    val scored = docs.select(
+      col(idCol),
+      col(textCol),
+      Text.langId(col(textCol)).as("lang_pred"),
+      Text.qualityScore(col(textCol)).as("score"),
+      TextStats.repetitionScore(col(textCol)).as("repetition"))
+    val kept = scored.filter(
+      col("lang_pred") === th.lang &&
+        col("score") >= th.minQuality &&
+        col("repetition") <= th.maxRepetition)
+
+    val pairs = TextDedup.ngramJaccardPairs(
+      kept.select(col(idCol), col(textCol)), idCol, textCol, th.shingleK, th.jaccard)
+    val comps = TextDedup.connectedComponents(kept, idCol, pairs)
+
+    // representative per near-dup cluster = the component's min id
+    kept.join(comps, Seq(idCol))
+      .filter(col(idCol) === col("component"))
+      .select(col(idCol), col("lang_pred"), col("score"), col("repetition"))
+  }
+}

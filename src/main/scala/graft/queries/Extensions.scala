@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Text
-import graft.operators.{HyperplaneLsh, Multimodal, Similarity, TextDedup, TextStats}
+import graft.operators.{Curation, HyperplaneLsh, Multimodal, Similarity, TextDedup, TextStats}
 
 /** Training-data pipeline extension queries (BASELINE.json north star):
   * dedup (exact / n-gram Jaccard / MinHash LSH / SimHash / embedding),
@@ -47,9 +47,9 @@ object Extensions {
     * size-ratio prefilter (J ≥ t ⇒ |A|/|B| and |B|/|A| ≥ t — pure
     * speedup, never drops a qualifying pair).
     */
-  private def jaccardPairsCte(threshold: Double): String =
+  private def jaccardPairsCte(threshold: Double, src: String = "documents"): String =
     s"""s AS (SELECT doc_id, $sqlShingles AS sh
-       |      FROM (SELECT doc_id, ${sqlWords("text")} AS w FROM documents)),
+       |      FROM (SELECT doc_id, ${sqlWords("text")} AS w FROM $src)),
        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |        len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh)) AS jaccard
        |      FROM s a JOIN s b ON a.doc_id < b.doc_id
@@ -287,6 +287,61 @@ object Extensions {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- end-to-end curation ----------------------------------------------
+
+  /** The capstone: the full curation pipeline (language filter, quality
+    * floor, repetition ceiling, transitive near-dup removal, per-cluster
+    * representative) hash-checked as ONE query. The oracle recomputes
+    * every stage in SQL: inline lang/quality/repetition scoring, the
+    * exact O(n²) pair graph over kept docs, recursive-CTE components,
+    * and min-id representative selection.
+    */
+  def curate(s: SparkSession, dir: String): DataFrame =
+    Curation.curate(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val curateSql: String = {
+    val markers = Text.LangMarkers.map { case (l, ws) =>
+      l -> s"len(list_intersect(lw, [${ws.map(w => s"'$w'").mkString(",")}]))"
+    }
+    val best = markers.map(_._2).mkString("greatest(", ", ", ")")
+    val langCase = markers.map { case (l, e) =>
+      s"WHEN $e = best AND $e > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""WITH RECURSIVE lw AS (
+       |  SELECT doc_id, text,
+       |    list_distinct(${sqlWords("lower(text)")}) AS lw,
+       |    ${sqlWords("text")} AS w
+       |  FROM documents),
+       |m AS (SELECT doc_id, text, w, $best AS best, lw FROM lw),
+       |scored AS (SELECT doc_id, text, w,
+       |    CASE $langCase ELSE 'und' END AS lang_pred,
+       |    CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), len(w) / CAST(20.0 AS DOUBLE))
+       |      + CAST(0.4 AS DOUBLE) * (len(list_distinct(w)) / CAST(len(w) AS DOUBLE))
+       |      + CAST(0.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+       |          - len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) / CAST(length(text) AS DOUBLE)) AS score,
+       |    CASE WHEN len(w) >= 2
+       |      THEN CAST(1.0 AS DOUBLE)
+       |        - CAST(len(list_distinct(list_transform(range(1, len(w)),
+       |            i -> w[i] || ' ' || w[i+1]))) AS DOUBLE) / CAST(len(w) - 1 AS DOUBLE)
+       |      ELSE CAST(0.0 AS DOUBLE) END AS repetition
+       |  FROM m),
+       |kept AS (SELECT doc_id, text, lang_pred, score, repetition FROM scored
+       |         WHERE lang_pred = 'en' AND score >= 0.5 AND repetition <= 0.2),
+       |${jaccardPairsCte(0.6, "kept")},
+       |e AS (SELECT id_a AS src, id_b AS dst FROM jp
+       |      UNION ALL SELECT id_b, id_a FROM jp),
+       |r(id, comp) AS (
+       |  SELECT doc_id, doc_id FROM kept
+       |  UNION
+       |  SELECT e.src, r.comp FROM e JOIN r ON r.id = e.dst),
+       |comp AS (SELECT id AS doc_id, min(comp) AS component FROM r GROUP BY id)
+       |SELECT k.doc_id, k.lang_pred, k.score, k.repetition
+       |FROM kept k JOIN comp c ON k.doc_id = c.doc_id
+       |WHERE k.doc_id = c.component
+       |ORDER BY k.doc_id""".stripMargin
+  }
+
   // ---- embedding similarity ---------------------------------------------
 
   private val EmbedThreshold = 0.35
@@ -463,5 +518,6 @@ object Extensions {
     QueryDef("x_embed_lsh", embedLsh, Some(embedLshSql)),
     QueryDef("x_ann_topk", annTopK, Some(annTopKSql)),
     QueryDef("x_ann_ivf", annIvf, Some(annIvfSql)),
-    QueryDef("x_multimodal", multimodal, Some(multimodalSql)))
+    QueryDef("x_multimodal", multimodal, Some(multimodalSql)),
+    QueryDef("x_curate", curate, Some(curateSql)))
 }

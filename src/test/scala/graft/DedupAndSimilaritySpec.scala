@@ -91,6 +91,25 @@ class DedupAndSimilaritySpec extends SparkSpec {
     assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("curation pipeline: filters by lang/quality/repetition, keeps one doc per dup cluster") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val en = "the fox and the hound went to the market for a basket of fresh fruit today"
+    val docs = Seq(
+      (1L, en),                           // kept: representative of {1,2}
+      (2L, en + " indeed"),               // near-dup of 1 -> dropped
+      (3L, "la casa de la playa es de los padres y el mar de verano aqui"), // spanish -> dropped
+      (4L, "the " * 30),                  // pure repetition -> dropped
+      (5L, en + " but entirely different second half about sailing ships and harbors")
+    ).toDF("doc_id", "text")
+    val kept = Curation.curate(docs, "doc_id", "text",
+        Curation.Thresholds(jaccard = 0.3))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && !kept.contains(2L), "near-dup cluster should keep min id")
+    assert(!kept.contains(3L), "non-English should be filtered")
+    assert(!kept.contains(4L), "repetitive doc should be filtered")
+  }
+
   test("multimodal: deterministic stub features, video frame sampling, binary transport") {
     val media = Multimodal.mediaFromDocuments(
       docs.withColumn("n_chars", length(col("text"))))
