@@ -38,10 +38,14 @@ object Curation {
       Text.langId(col(textCol)).as("lang_pred"),
       Text.qualityScore(col(textCol)).as("score"),
       TextStats.repetitionScore(col(textCol)).as("repetition"))
+    // materialize once: kept feeds pair generation, component nodes, and
+    // the final representative join — without this the lang/quality/
+    // repetition scoring re-runs for every consumer (and per CC round)
     val kept = scored.filter(
       col("lang_pred") === th.lang &&
         col("score") >= th.minQuality &&
         col("repetition") <= th.maxRepetition)
+      .localCheckpoint()
 
     val pairs = TextDedup.ngramJaccardPairs(
       kept.select(col(idCol), col(textCol)), idCol, textCol, th.shingleK, th.jaccard)
