@@ -31,10 +31,15 @@ object Skew {
     * output is driven by big-side rows (each matches exactly its salt's
     * replica). Right/full-outer would emit the `salts − 1` unmatched
     * replicas of every small row as spurious null-extended output.
+    * Normalized the way Spark's JoinType.apply does (lowercase, strip
+    * underscores) so every Spark-accepted alias — "semi", "left_semi",
+    * "leftsemi", … — resolves consistently.
     */
   private val SupportedJoinTypes =
-    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
-      "left_anti", "leftanti", "cross")
+    Set("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti", "cross")
+
+  private def normalize(joinType: String): String =
+    joinType.toLowerCase(java.util.Locale.ROOT).replace("_", "")
 
   def saltedJoin(
       big: DataFrame,
@@ -44,7 +49,7 @@ object Skew {
       salts: Int,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
-    require(SupportedJoinTypes.contains(joinType.toLowerCase),
+    require(SupportedJoinTypes.contains(normalize(joinType)),
       s"saltedJoin preserves semantics only for big-side-driven join types " +
         s"(${SupportedJoinTypes.toSeq.sorted.mkString(", ")}); got '$joinType' — " +
         "a right/full outer join would emit every unmatched small-side replica")

@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -111,26 +110,39 @@ object TextDedup {
       .select("id_a", "id_b").distinct()
 
     // Exact verification on the candidate pairs only.
-    val sets = s.select(col("id"), col("sh"))
+    verifyJaccard(cands, s.select(col("id"), col("sh")), threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the full
+    * shingle sets — shared by the LSH and capped candidate generators.
+    */
+  private def verifyJaccard(
+      cands: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
     cands
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", Text.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
 
   /** The 100 TB formulation of n-gram Jaccard dedup: candidate pairs
-    * come ONLY from shingles shared by ≤ `maxShingleFreq` documents
+    * come from shingles shared by ≤ `maxShingleFreq` documents
     * (stop-shingles like common phrases are excluded from candidate
     * generation — they are what makes the inverted-index self-join
-    * quadratic on natural text), then candidates are verified with the
-    * EXACT Jaccard over the full, uncapped shingle sets. Recall
-    * argument: a qualifying pair (J ≥ threshold) shares many shingles;
-    * it is missed only if every shared shingle is corpus-frequent —
-    * vanishingly rare for near-duplicates, whose overlap is dominated
-    * by their specific content. The verification step guarantees
-    * precision is exact regardless.
+    * quadratic on natural text) PLUS each document's minimum-frequency
+    * shingles regardless of the cap, then candidates are verified with
+    * the EXACT Jaccard over the full, uncapped shingle sets.
+    *
+    * Recall: exact duplicates are ALWAYS found — identical docs share
+    * the same minimum-frequency shingle, which stays in candidate
+    * generation however large the duplicate cluster gets (the k²
+    * candidates that produces are exactly the k² output pairs the
+    * cluster requires — output-bound, not waste). A near-dup pair all
+    * of whose shared shingles are frequent AND whose min-df shingles
+    * differ can still be missed; overlap at J ≥ threshold is dominated
+    * by shared content, so this needs the pair's distinctive shingles
+    * to be independently corpus-frequent. Verification keeps precision
+    * exact regardless.
     */
   def ngramJaccardPairsCapped(
       docs: DataFrame,
@@ -139,22 +151,21 @@ object TextDedup {
       k: Int,
       threshold: Double,
       maxShingleFreq: Int): DataFrame = {
-    val s = shingled(docs, idCol, textCol, k)
+    // shingling feeds candidate generation (2×) and verification (2×):
+    // materialize once
+    val s = shingled(docs, idCol, textCol, k).localCheckpoint()
     val ex = s.select(col("id"), explode(col("sh")).as("s"))
-    val keep = ex.groupBy(col("s")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxShingleFreq).select("s")
-    val rare = ex.join(keep, Seq("s"), "left_semi")
-    val cands = rare.select(col("id").as("id_a"), col("s"))
-      .join(rare.select(col("id").as("id_b"), col("s")), Seq("s"))
+    val dfCounts = ex.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+    val exDf = ex.join(dfCounts, Seq("s"))
+    val minDf = exDf.groupBy(col("id")).agg(min(col("__df")).as("__mindf"))
+    val kept = exDf.join(minDf, Seq("id"))
+      .filter(col("__df") <= maxShingleFreq || col("__df") === col("__mindf"))
+      .select("id", "s")
+    val cands = kept.select(col("id").as("id_a"), col("s"))
+      .join(kept.select(col("id").as("id_b"), col("s")), Seq("s"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val sets = s.select(col("id"), col("sh"))
-    cands
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", Text.jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    verifyJaccard(cands, s.select(col("id"), col("sh")), threshold)
   }
 
   /** Signature width: two independent 30-bit portable polyhashes (bases
@@ -264,37 +275,53 @@ object TextDedup {
       idCol: String,
       pairs: DataFrame,
       maxIter: Int = 25): DataFrame = {
-    val nodes = docs.select(col(idCol).cast("long").as("id")).distinct()
+    // ids keep their natural type (long, string, …): min-label works for
+    // any orderable id, and a cast here would silently null out non-long
+    // ids and collapse every component
+    val nodes = docs.select(col(idCol).as("id")).distinct()
     // materialize once: the pair generation (often an LSH/inverted-index
     // pipeline) must not re-run on every propagation round
-    val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
 
     var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
+
+    // one propagation round; returns (labels', changed-count)
+    def propagate(ls: DataFrame): (DataFrame, Long) = {
       val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
+        .join(ls.select(col("id").as("dst"), col("comp")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("comp")).as("ncomp"))
-      val next = labels
+      val next = ls
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("comp").as("old"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
         .localCheckpoint()
-      changed = next.filter(col("comp") =!= col("old")).count()
-      labels = next.select("id", "comp")
+      (next.select("id", "comp"), next.filter(col("comp") =!= col("old")).count())
+    }
+
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val (next, c) = propagate(labels)
+      labels = next
+      changed = c
       iter += 1
     }
-    // an under-merged result is silent data corruption for dedup — fail
-    // loudly; callers with genuinely deep graphs raise maxIter (or port
-    // to the O(log n) large-star/small-star variant)
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds " +
-          s"($changed labels still changing) — component diameter exceeds maxIter")
+    if (changed > 0) {
+      // the final allowed round still changed labels — it may have been
+      // exactly the round that reached the fixpoint. One verification
+      // round decides; an under-merged result is silent data corruption
+      // for dedup, so genuine non-convergence fails loudly (raise
+      // maxIter, or port to the O(log n) large-star/small-star variant).
+      val (next, c) = propagate(labels)
+      if (c > 0)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds " +
+            s"($c labels still changing) — component diameter exceeds maxIter")
+      labels = next
+    }
     labels.select(col("id").as(idCol), col("comp").as("component"))
   }
 }

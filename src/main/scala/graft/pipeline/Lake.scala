@@ -37,9 +37,17 @@ object Lake {
     Table.read(spark, roots.silverRef(name))
 
   /** Rebuilds every gold dim/fact/metric from silver (03-09 semantics)
-    * with atomic overwrites (S7), in dependency order.
+    * with atomic overwrites (S7), in dependency order. Fails with a
+    * clear message (instead of a parquet path error deep inside a gold
+    * build) when silver tables are missing — e.g. a first run over an
+    * ingest root with no CSV drops yet.
     */
   def refreshGold(spark: SparkSession, roots: LakeRoots): Unit = {
+    val missing = Entities.all.map(_.name)
+      .filterNot(n => Table.exists(spark, roots.silverRef(n)))
+    require(missing.isEmpty,
+      s"cannot build gold: silver tables missing for ${missing.mkString(", ")} — " +
+        "run refreshSilver over an ingest root containing their CSV drops first")
     def s(name: String) = silver(spark, roots, name)
     def write(name: String, df: DataFrame): Unit =
       Table.overwriteAtomic(df, roots.goldRef(name))

@@ -81,6 +81,32 @@ class DedupAndSimilaritySpec extends SparkSpec {
     assert(ivf === bf)
   }
 
+  test("capped ngram dedup still catches mass duplicates above the cap") {
+    import spark.implicits._
+    // 8 identical copies of one short text: its whole-text shingle has
+    // df = 8 > cap = 3, but min-df retention must still pair them all
+    val docs = ((1L to 8L).map(i => (i, "tiny boilerplate disclaimer")) ++
+      Seq((100L, "something entirely different and unique here today"))).toDF("doc_id", "text")
+    val pairs = TextDedup.ngramJaccardPairsCapped(docs, "doc_id", "text", 3, 0.9, maxShingleFreq = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == (for { a <- 1L to 8L; b <- a + 1 to 8L } yield (a, b)).toSet)
+  }
+
+  test("connectedComponents works with string ids and verifies convergence at maxIter") {
+    import spark.implicits._
+    val nodes = Seq("a", "b", "c", "d").toDF("doc_id")
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("id_a", "id_b")
+    // diameter 3 with maxIter = 3: the last allowed round completes the
+    // fixpoint; the verification round must accept instead of throwing
+    val comps = TextDedup.connectedComponents(nodes, "doc_id", chain, maxIter = 3)
+      .as[(String, String)].collect().toMap
+    assert(comps == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a"))
+    // genuinely insufficient rounds must still fail loudly
+    intercept[IllegalStateException] {
+      TextDedup.connectedComponents(nodes, "doc_id", chain, maxIter = 1).collect()
+    }
+  }
+
   test("connectedComponents: chains cluster transitively, singletons self-label") {
     import spark.implicits._
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")

@@ -115,6 +115,11 @@ class PlansSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Skew.saltedJoin(big, small, Seq("k"), col("row_id"), 4, joinType = "full_outer")
     }
+    // Spark-accepted aliases of the safe types must keep working
+    assert(Skew.saltedJoin(big, small, Seq("k"), col("row_id"), 4, joinType = "semi")
+      .count() == 1)
+    assert(Skew.saltedJoin(big, small, Seq("k"), col("row_id"), 4, joinType = "left_anti")
+      .count() == 0)
   }
 
   test("hyperplane sign matrix is deterministic and ±1") {
