@@ -491,6 +491,60 @@ object Core {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // A10 — ROLLUP hierarchy totals (beyond the reference, SURVEY §2.5
+  // "not present": grouping sets/cube/rollup): per (status, priority)
+  // with per-status subtotals and a grand total. NULL group keys from
+  // rollup are disambiguated from real NULLs via grouping() flags.
+  def rollupTotals(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        sum(cents(col("o_totalprice"))).as("revenue_cents"),
+        count(lit(1)).as("n"),
+        grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_orderpriority")).cast("long").as("g_priority"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+        coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+        col("revenue_cents"), col("n"), col("g_status"), col("g_priority"))
+      .orderBy("g_status", "g_priority", "status", "priority")
+
+  val rollupTotalsSql: String =
+    """SELECT coalesce(o_orderstatus, '<all>') AS status,
+      |       coalesce(o_orderpriority, '<all>') AS priority,
+      |       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_priority, status, priority""".stripMargin
+
+  // S8-adjacent set operations (SURVEY §2.7 "none in reference"):
+  // UNION ALL / INTERSECT / EXCEPT composed in one query over order-key
+  // slices, so all three set semantics are exercised and checked.
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders").select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"))
+    val a = orders.filter(col("st") === "F")
+    val b = orders.filter(col("st") === "O")
+    val highF = a.filter(col("k") % 3 === 0)
+    a.select("k").intersect(highF.select("k"))
+      .withColumn("src", lit("f_div3"))
+      .unionByName(
+        b.select("k").except(a.select("k")).filter(col("k") % 7 === 0)
+          .withColumn("src", lit("o_not_f_div7")))
+      .orderBy("src", "k")
+  }
+
+  val setOpsSql: String =
+    """WITH a AS (SELECT o_orderkey AS k FROM orders WHERE o_orderstatus='F'),
+      |b AS (SELECT o_orderkey AS k FROM orders WHERE o_orderstatus='O')
+      |SELECT k, 'f_div3' AS src FROM (SELECT k FROM a INTERSECT SELECT k FROM a WHERE k % 3 = 0)
+      |UNION ALL
+      |SELECT k, 'o_not_f_div7' AS src FROM (
+      |  SELECT k FROM (SELECT k FROM b EXCEPT SELECT k FROM a) WHERE k % 7 = 0)
+      |ORDER BY src, k""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("j5_revenue_rollup", revenueRollup, Some(revenueRollupSql)),
     QueryDef("p1_project_filter", projectFilter, Some(projectFilterSql)),
@@ -510,5 +564,7 @@ object Core {
     QueryDef("a2_f18_lifecycle", lifecycleMax, Some(lifecycleMaxSql)),
     QueryDef("f7_f9_timestamps", timestampParse, Some(timestampParseSql)),
     QueryDef("f17_surrogate", surrogateKeys, Some(surrogateKeysSql)),
-    QueryDef("j9_salted_join", saltedJoin, Some(saltedJoinSql)))
+    QueryDef("j9_salted_join", saltedJoin, Some(saltedJoinSql)),
+    QueryDef("a10_rollup", rollupTotals, Some(rollupTotalsSql)),
+    QueryDef("s8_set_ops", setOps, Some(setOpsSql)))
 }
