@@ -401,7 +401,9 @@ object Core {
     li.join(orders, li("l_orderkey") === orders("o_orderkey"), "inner")
       .groupBy(col("l_returnflag").as("flag"))
       .agg(
-        max(date_format(col("l_shipdate"), "yyyy-MM-dd")).as("last_ship_day"),
+        // format AFTER the max — ISO date strings order like dates, so
+        // max(date) then one format per group beats formatting 600k rows
+        date_format(max(to_date(col("l_shipdate"))), "yyyy-MM-dd").as("last_ship_day"),
         max(cents(col("l_extendedprice"))).as("max_price_cents"),
         avg(datediff(col("l_shipdate"), col("o_orderdate"))).as("avg_days"))
       .orderBy("flag")
@@ -409,7 +411,7 @@ object Core {
 
   val lifecycleMaxSql: String =
     """SELECT l_returnflag AS flag,
-      |  max(strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')) AS last_ship_day,
+      |  strftime(max(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS last_ship_day,
       |  max(CAST(round(l_extendedprice*100) AS BIGINT)) AS max_price_cents,
       |  CAST(SUM(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS DOUBLE)
       |    / count(*) AS avg_days
@@ -491,6 +493,34 @@ object Core {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // F-json — semi-structured extraction (beyond the reference, which has
+  // no JSON anywhere): parse the events.props JSON payload both ways —
+  // path extraction (get_json_object) and schema-full parsing
+  // (from_json) — and aggregate over the extracted field.
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k_path", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("k_schema",
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType)))).getField("k"))
+      .filter(col("k_path").isNotNull)
+      .groupBy((col("k_path") % 10).cast("long").as("k_bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k_schema").cast("long")).as("sum_k"),
+        sum(when(col("k_path") === col("k_schema"), 0).otherwise(1)).as("parse_disagreements"))
+      .orderBy("k_bucket")
+
+  val jsonExtractSql: String =
+    """SELECT CAST(k % 10 AS BIGINT) AS k_bucket,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(SUM(k) AS BIGINT) AS sum_k,
+      |       CAST(0 AS BIGINT) AS parse_disagreements
+      |FROM (SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+      |WHERE k IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // A10 — ROLLUP hierarchy totals (beyond the reference, SURVEY §2.5
   // "not present": grouping sets/cube/rollup): per (status, priority)
   // with per-status subtotals and a grand total. NULL group keys from
@@ -566,5 +596,6 @@ object Core {
     QueryDef("f17_surrogate", surrogateKeys, Some(surrogateKeysSql)),
     QueryDef("j9_salted_join", saltedJoin, Some(saltedJoinSql)),
     QueryDef("a10_rollup", rollupTotals, Some(rollupTotalsSql)),
-    QueryDef("s8_set_ops", setOps, Some(setOpsSql)))
+    QueryDef("s8_set_ops", setOps, Some(setOpsSql)),
+    QueryDef("f19_json_extract", jsonExtract, Some(jsonExtractSql)))
 }
