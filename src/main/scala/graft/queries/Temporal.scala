@@ -70,7 +70,44 @@ object Temporal {
        |FROM numbered GROUP BY 1, 2
        |ORDER BY user_id, session_seq""".stripMargin
 
+  // W4 — Spark's BUILT-IN session_window (SessionWindow exec), checked
+  // against the first-principles lag+running-sum definition: both must
+  // produce identical (user, start, end, count) sessions. window.end is
+  // last-event + gap by definition, so end_us subtracts the gap back.
+  // Boundary note: session_window opens a new session at ts − last == gap
+  // (exclusive end) while the lag definition uses strictly >; the two
+  // differ only for events EXACTLY gap-separated to the microsecond,
+  // which the events table cannot produce (sub-second jitter).
+  def sessionWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("ts_ts", timestamp_micros(tsUs))
+      .groupBy(session_window(col("ts_ts"), "6 hours").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        (unix_micros(col("w.end")) - lit(GapUs)).as("end_us"),
+        col("n_events"))
+      .orderBy("user_id", "start_us")
+
+  val sessionWindowSql: String =
+    s"""WITH ev AS (SELECT user_id, event_id, $OracleTsUs AS ts_us FROM events),
+       |flagged AS (SELECT user_id, ts_us, event_id,
+       |    CASE WHEN lag(ts_us) OVER w IS NULL
+       |           OR ts_us - lag(ts_us) OVER w > $GapUs
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       |numbered AS (SELECT user_id, ts_us,
+       |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  FROM flagged)
+       |SELECT user_id, min(ts_us) AS start_us, max(ts_us) AS end_us,
+       |       CAST(count(*) AS BIGINT) AS n_events
+       |FROM numbered GROUP BY user_id, session_seq
+       |ORDER BY user_id, start_us""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("w2_windowed_agg", windowedAgg, Some(windowedAggSql)),
-    QueryDef("w3_sessionize", sessionize, Some(sessionizeSql)))
+    QueryDef("w3_sessionize", sessionize, Some(sessionizeSql)),
+    QueryDef("w4_session_window", sessionWindow, Some(sessionWindowSql)))
 }
