@@ -21,11 +21,13 @@ import graft.functions.Text
   * The O(n²) form exists only in the DuckDB oracle SQL.
   *
   * Frequent-shingle skew: a shingle shared by k docs produces k² join
-  * rows. `maxShingleFreq` drops shingles above a document-frequency cap
-  * before the self-join (stop-shingle removal) — a standard recall-safe
-  * trick ONLY for candidate generation; we leave it off (Int.MaxValue)
-  * in oracle-checked queries, where the exact-verify step must see every
-  * true pair.
+  * rows. `maxShingleFreq` routes to `ngramJaccardPairsCapped`: candidate
+  * generation keeps only shingles under the document-frequency cap PLUS
+  * each document's minimum-frequency shingles (so exact duplicates are
+  * always paired however large their cluster), and candidates are
+  * verified against the full uncapped shingle sets. Both the capped and
+  * uncapped formulations are oracle-checked (x_dedup_ngram_capped /
+  * x_dedup_ngram).
   */
 object TextDedup {
 

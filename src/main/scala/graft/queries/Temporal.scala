@@ -42,8 +42,27 @@ object Temporal {
 
   /** Session gap: 6 hours in micros — sized to the events table's time
     * spread so users get multiple multi-event sessions at every SF.
+    * `GapInterval` derives from it so the session_window query and the
+    * end_us arithmetic cannot drift apart.
     */
   val GapUs: Long = 6L * 3600 * 1000000
+  val GapInterval: String = s"$GapUs microseconds"
+
+  /** Shared sessionization CTE chain (lag → gap flag → running-sum
+    * numbering), terminating in `numbered(user_id, ts_us, session_seq)`
+    * — one definition feeding both session oracles.
+    */
+  private val sessionNumberedCte: String =
+    s"""ev AS (SELECT user_id, event_id, $OracleTsUs AS ts_us FROM events),
+       |flagged AS (SELECT user_id, ts_us, event_id,
+       |    CASE WHEN lag(ts_us) OVER w IS NULL
+       |           OR ts_us - lag(ts_us) OVER w > $GapUs
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       |numbered AS (SELECT user_id, ts_us,
+       |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  FROM flagged)""".stripMargin
 
   // W3 — gap sessionization (lag + running-sum session numbering +
   // per-session aggregate) — the batch twin of the
@@ -54,16 +73,7 @@ object Temporal {
       .orderBy("user_id", "session_seq")
 
   val sessionizeSql: String =
-    s"""WITH ev AS (SELECT user_id, event_id, $OracleTsUs AS ts_us FROM events),
-       |flagged AS (SELECT user_id, ts_us, event_id,
-       |    CASE WHEN lag(ts_us) OVER w IS NULL
-       |           OR ts_us - lag(ts_us) OVER w > $GapUs
-       |         THEN 1 ELSE 0 END AS is_new
-       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-       |numbered AS (SELECT user_id, ts_us,
-       |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-       |      ROWS UNBOUNDED PRECEDING) AS session_seq
-       |  FROM flagged)
+    s"""WITH $sessionNumberedCte
        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        |       min(ts_us) AS start_us, max(ts_us) AS end_us,
        |       CAST(count(*) AS BIGINT) AS n_events
@@ -81,7 +91,7 @@ object Temporal {
   def sessionWindow(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .withColumn("ts_ts", timestamp_micros(tsUs))
-      .groupBy(session_window(col("ts_ts"), "6 hours").as("w"), col("user_id"))
+      .groupBy(session_window(col("ts_ts"), GapInterval).as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(
         col("user_id"),
@@ -91,16 +101,7 @@ object Temporal {
       .orderBy("user_id", "start_us")
 
   val sessionWindowSql: String =
-    s"""WITH ev AS (SELECT user_id, event_id, $OracleTsUs AS ts_us FROM events),
-       |flagged AS (SELECT user_id, ts_us, event_id,
-       |    CASE WHEN lag(ts_us) OVER w IS NULL
-       |           OR ts_us - lag(ts_us) OVER w > $GapUs
-       |         THEN 1 ELSE 0 END AS is_new
-       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-       |numbered AS (SELECT user_id, ts_us,
-       |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-       |      ROWS UNBOUNDED PRECEDING) AS session_seq
-       |  FROM flagged)
+    s"""WITH $sessionNumberedCte
        |SELECT user_id, min(ts_us) AS start_us, max(ts_us) AS end_us,
        |       CAST(count(*) AS BIGINT) AS n_events
        |FROM numbered GROUP BY user_id, session_seq
