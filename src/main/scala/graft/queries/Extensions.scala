@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Text
-import graft.operators.{Curation, HyperplaneLsh, Multimodal, Similarity, TextDedup, TextStats}
+import graft.operators.{Curation, HyperplaneLsh, Multimodal, Quantize, Similarity, TextDedup, TextStats}
 
 /** Training-data pipeline extension queries (BASELINE.json north star):
   * dedup (exact / n-gram Jaccard / MinHash LSH / SimHash / embedding),
@@ -377,6 +377,38 @@ object Extensions {
        |  FROM sc) WHERE rank <= 5
        |ORDER BY q_id, rank""".stripMargin
 
+  // Quantized ANN: int8-style scalar-quantized corpus searched by exact
+  // queries — the disk-ANN storage layout. The oracle replays the
+  // quantization (round half away from zero, identical in both engines)
+  // and the scoring, so codes AND ranking are hash-checked.
+  def annQuantized(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val corpus = Quantize.dequantized(
+      Quantize.scalarQuantize(emb, "vec_id", "embedding"))
+      .select(col("id").as("vec_id"), col("vec").as("embedding"))
+    Similarity.bruteForceTopK(corpus, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      .orderBy("q_id", "rank")
+  }
+
+  val annQuantizedSql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |qz AS (SELECT vec_id,
+       |    list_aggregate(list_transform(e, x -> abs(x)), 'max') / CAST(127.0 AS DOUBLE) AS scale, e
+       |  FROM v),
+       |dq AS (SELECT vec_id,
+       |    CASE WHEN scale = 0 THEN list_transform(e, x -> CAST(0.0 AS DOUBLE))
+       |         ELSE list_transform(e, x -> round(x / scale) * scale) END AS e
+       |  FROM qz),
+       |n AS (SELECT vec_id, e, sqrt(${sqlDot("e", "e")}) AS nrm FROM dq),
+       |q AS (SELECT vec_id, e, sqrt(${sqlDot("e", "e")}) AS nrm FROM v WHERE vec_id < 10),
+       |sc AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |         ${sqlDot("c.e", "q.e")} / (c.nrm * q.nrm) AS cos
+       |       FROM n c JOIN q ON c.vec_id != q.vec_id)
+       |SELECT q_id, vec_id, rank, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM sc) WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+
   // Hyperplane-LSH near-dup pairs. The oracle runs the SAME deterministic
   // algorithm (the ±1 sign matrix is a pure function of (nbits, dim),
   // embedded as a literal in both plans), so candidate generation AND
@@ -518,6 +550,7 @@ object Extensions {
     QueryDef("x_embed_lsh", embedLsh, Some(embedLshSql)),
     QueryDef("x_ann_topk", annTopK, Some(annTopKSql)),
     QueryDef("x_ann_ivf", annIvf, Some(annIvfSql)),
+    QueryDef("x_ann_quantized", annQuantized, Some(annQuantizedSql)),
     QueryDef("x_multimodal", multimodal, Some(multimodalSql)),
     QueryDef("x_curate", curate, Some(curateSql)))
 }
