@@ -10,15 +10,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * bench_out.json — sbt log prefixes make stdout parsing fragile).
   *
   * The measured action hashes EVERY output column (xxhash64 over a
-  * struct of the full row, summed) — a plain count() would let Catalyst
-  * prune the projections away and under-measure projection-heavy
-  * queries.
+  * struct of the full row, xor-folded) — a plain count() would let
+  * Catalyst prune the projections away and under-measure
+  * projection-heavy queries. The fold is bit_xor, NOT sum: summing
+  * full-range 64-bit hashes overflows long, which under Spark 4's
+  * default ANSI mode aborts the final stage (ARITHMETIC_OVERFLOW);
+  * xor is closed over long so the action completes regardless of
+  * row count.
   */
 object Bench {
 
   private def force(df: DataFrame): Unit = {
     val h = df.select(xxhash64(struct(df.columns.map(col): _*)).as("__h"))
-    h.agg(count(lit(1)), sum(col("__h"))).collect()
+    h.agg(count(lit(1)), bit_xor(col("__h"))).collect()
     ()
   }
 
@@ -37,15 +41,31 @@ object Bench {
     // order keeps per-query numbers comparable across rounds.
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // A failed query records its wall time AND an error entry — a
+    // broken query must be visible in the artifact, never silently
+    // folded into a plausible-looking timing.
+    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val err = try { force(fn(spark, sfDir)); None } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          Some(s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err)
+    }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = runs.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errs = runs.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val total = runs.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${runs.count(_._3.isDefined)},"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     println(json)
     spark.stop()

@@ -22,7 +22,14 @@ object Curation {
       minQuality: Double = 0.5,
       maxRepetition: Double = 0.2,
       jaccard: Double = 0.6,
-      shingleK: Int = 3)
+      shingleK: Int = 3,
+      // Document-frequency cap for near-dup CANDIDATE generation
+      // (TextDedup.ngramJaccardPairsCapped): a shingle shared by k docs
+      // contributes k² join rows, so uncapped candidate generation goes
+      // quadratic on common phrases at natural-text scale. Verification
+      // stays exact over the full shingle sets; each doc's min-df
+      // shingles bypass the cap so exact duplicates always pair.
+      maxShingleFreq: Int = 50)
 
   /** Curated corpus: kept documents with their curation signals.
     * Output columns: (idCol, lang_pred, score, repetition).
@@ -47,8 +54,9 @@ object Curation {
         col("repetition") <= th.maxRepetition)
       .localCheckpoint()
 
-    val pairs = TextDedup.ngramJaccardPairs(
-      kept.select(col(idCol), col(textCol)), idCol, textCol, th.shingleK, th.jaccard)
+    val pairs = TextDedup.ngramJaccardPairsCapped(
+      kept.select(col(idCol), col(textCol)), idCol, textCol, th.shingleK, th.jaccard,
+      th.maxShingleFreq)
     val comps = TextDedup.connectedComponents(kept, idCol, pairs)
 
     // representative per near-dup cluster = the component's min id

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.streaming.Ingest
-import graft.table.{Table, TableRef}
+import graft.table.{Bucketed, Table, TableRef}
 
 /** End-to-end lakehouse orchestration — the reference's nine notebooks
   * (`01_bronze_csv_to_delta.py` … `09_gold_metrics_customers.py`) as one
@@ -22,19 +22,33 @@ object Lake {
 
   /** Bronze + silver for every discovered table (01 + 02 semantics).
     * Returns the entity names processed.
+    *
+    * Bronze→silver is INCREMENTAL: each entity's bronze table is tailed
+    * as a stream (S5, checkpointed under `roots.checkpoints`), so a
+    * refresh cleanses only the bronze files that arrived since the last
+    * one — O(new data), not a full bronze recleanse. Silver tables are
+    * hash-bucketed (`roots.silverBuckets`) and upserted through the
+    * bucket-pruned path: the batch rewrites only the buckets it touches
+    * instead of the whole table. Together these are the O(batch)
+    * refresh the reference got from Delta's incremental MERGE with
+    * file pruning (`02:20-101`).
     */
   def refreshSilver(spark: SparkSession, ingestRoot: String, roots: LakeRoots): Seq[String] = {
     val ingested = Ingest.ingestAll(spark, ingestRoot, roots)
     ingested.foreach { name =>
       val e = Entities.byName(name).get
-      val bronze = Table.read(spark, roots.bronzeRef(name))
-      Silver.upsertInto(spark, roots.silverRef(name), e.cleanse(bronze), e.silverKeys)
+      Ingest.bronzeToSilverBucketed(spark, roots.bronzeRef(name), e.bronzeStoredSchema,
+        roots.silverBucketedRef(e), s"${roots.checkpoints}/${name}_silver", e.cleanse)
     }
     ingested
   }
 
+  /** Silver read for gold builds/views — drops the bucket partition
+    * column of the bucketed layout (also reads pre-bucketing flat
+    * tables unchanged: drop of an absent column is a no-op).
+    */
   private def silver(spark: SparkSession, roots: LakeRoots, name: String): DataFrame =
-    Table.read(spark, roots.silverRef(name))
+    Table.read(spark, roots.silverRef(name)).drop("bucket")
 
   /** Rebuilds every gold dim/fact/metric from silver (03-09 semantics)
     * with atomic overwrites (S7), in dependency order. Fails with a
@@ -89,7 +103,7 @@ object Lake {
     val silverViews = Entities.all.map(_.name)
       .filter(n => Table.exists(spark, roots.silverRef(n)))
       .map { n =>
-        Table.read(spark, roots.silverRef(n)).createOrReplaceTempView(s"silver_$n")
+        silver(spark, roots, n).createOrReplaceTempView(s"silver_$n")
         s"silver_$n"
       }
     val goldViews = GoldTables

@@ -15,10 +15,19 @@ import graft.table.{Table, TableRef}
   *
   * Layout: one parquet table dir per entity under the layer root.
   */
-final case class LakeRoots(bronze: String, silver: String, gold: String, checkpoints: String) {
+final case class LakeRoots(
+    bronze: String, silver: String, gold: String, checkpoints: String,
+    // Hash-bucket count for silver tables (graft.table.Bucketed): an
+    // incremental refresh rewrites only the buckets its batch touches,
+    // the analog of the Delta MERGE file pruning the reference relies
+    // on (02:67-87). Size so one bucket ≈ a few GB at the deployed
+    // scale; the default suits test fixtures.
+    silverBuckets: Int = 8) {
   def bronzeRef(t: String): TableRef = TableRef(s"$bronze/$t")
   def silverRef(t: String): TableRef = TableRef(s"$silver/$t")
   def goldRef(t: String): TableRef = TableRef(s"$gold/$t")
+  def silverBucketedRef(e: Entity): graft.table.BucketedRef =
+    graft.table.BucketedRef(s"$silver/${e.name}", silverBuckets, e.silverKeys)
 }
 
 /** Silver cleansing — one function per entity, mirroring
@@ -59,16 +68,32 @@ object Silver {
       col("ingestion_ts"))
       .filter(col("zip_code_prefix").isNotNull &&
         col("latitude").isNotNull && col("longitude").isNotNull)
-    val agg = renamed.groupBy("zip_code_prefix").agg(
-      avg("latitude").as("latitude"),
-      avg("longitude").as("longitude"),
-      max("ingestion_ts").as("ingestion_ts"))
-    val mode = Dedup.modePerGroup(renamed, Seq("zip_code_prefix"), "city")
-      .select(col("zip_code_prefix"), col("city"))
-    val modeState = Dedup.modePerGroup(renamed, Seq("zip_code_prefix"), "state")
-      .select(col("zip_code_prefix"), col("state"))
-    agg.join(mode, Seq("zip_code_prefix"), "left")
-      .join(modeState, Seq("zip_code_prefix"), "left")
+    // ONE full-data exchange: count + coordinate sums per (zip, city,
+    // state) triple, map-side combinable. Everything after runs over the
+    // distinct-triple set (≪ input at geolocation's duplication factor);
+    // the previous form paid two more full-data count-shuffles plus two
+    // window sorts for the city/state modes.
+    val triple = renamed.groupBy("zip_code_prefix", "city", "state").agg(
+      count(lit(1)).as("n"),
+      sum("latitude").as("sum_lat"),
+      sum("longitude").as("sum_lng"),
+      max("ingestion_ts").as("max_ts"))
+    val agg = triple.groupBy("zip_code_prefix").agg(
+      (sum("sum_lat") / sum("n")).as("latitude"),
+      (sum("sum_lng") / sum("n")).as("longitude"),
+      max("max_ts").as("ingestion_ts"))
+    // Exact MARGINAL mode per column (a city's votes summed across its
+    // state variants — argmax over the per-triple n alone would be the
+    // joint mode, a different statistic). Tie-break mirrors
+    // Dedup.modePerGroup: highest count, then ascending value, via
+    // min_by over (-n, value).
+    def marginalMode(vc: String): DataFrame =
+      triple.groupBy(col("zip_code_prefix"), col(vc))
+        .agg(sum("n").as("n"))
+        .groupBy("zip_code_prefix")
+        .agg(min_by(col(vc), struct((-col("n")).as("negn"), col(vc))).as(vc))
+    agg.join(marginalMode("city"), Seq("zip_code_prefix"), "left")
+      .join(marginalMode("state"), Seq("zip_code_prefix"), "left")
       .withColumn("silver_processed_ts", current_timestamp())
   }
 

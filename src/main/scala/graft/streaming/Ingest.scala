@@ -240,4 +240,32 @@ object Ingest {
       }
     }
   }
+
+  /** `bronzeToSilver` with a hash-bucketed target: per micro-batch only
+    * the buckets the batch's keys land in are rewritten
+    * (graft.table.Bucketed), so an incremental refresh costs
+    * O(batch + touched buckets), not O(silver table) — the same file
+    * pruning the reference's Delta MERGE provided (`02:67-87`).
+    *
+    * Cleansing runs per micro-batch, exactly like the reference's
+    * foreachBatch MERGE: for row-local cleansers the result equals the
+    * batch-style full recleanse; for aggregated-grain entities
+    * (geolocation) a key seen in a later batch is re-aggregated from
+    * that batch alone and LWW-replaces the earlier row — the
+    * reference's own micro-batch MERGE semantics (`02:131-185`).
+    */
+  def bronzeToSilverBucketed(
+      spark: SparkSession,
+      bronze: TableRef,
+      bronzeSchema: StructType,
+      silver: graft.table.BucketedRef,
+      checkpoint: String,
+      cleanse: DataFrame => DataFrame): Unit = {
+    val stream = spark.readStream.schema(bronzeSchema).parquet(bronze.dir)
+    runAvailableNow(stream, checkpoint) { (batch, _) =>
+      if (!batch.isEmpty) {
+        Silver.upsertIntoBucketed(spark, silver, cleanse(batch))
+      }
+    }
+  }
 }

@@ -64,27 +64,49 @@ object Bucketed {
   def read(spark: SparkSession, ref: BucketedRef): DataFrame =
     spark.read.parquet(ref.dir).drop("bucket")
 
-  /** LWW upsert rewriting only the buckets the source touches. */
+  /** LWW upsert rewriting only the buckets the source touches.
+    *
+    * The source PLAN (often a whole cleanse pipeline) executes exactly
+    * once: it is staged to a bucket-partitioned parquet directory in one
+    * distributed write, touched bucket ids come from the staging
+    * listing (bounded by numBuckets — the Delta-log-read analog, not a
+    * data-sized action), and each per-bucket merge reads its
+    * partition-pruned slice of the staging dir. Without the staging
+    * step every per-bucket merge would re-execute the source plan —
+    * O(touched buckets × source cost) instead of O(source).
+    */
   def upsertLww(
       spark: SparkSession,
       ref: BucketedRef,
       source: DataFrame,
       versionCol: String): Unit = {
-    val src = source.withColumn("bucket", ref.bucketCol)
-    val touched = src.select("bucket").distinct()
-      .collect().map(_.getInt(0)).sorted // bounded by numBuckets
-    val f = new Path(ref.dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    touched.foreach { b =>
-      val slice = source.filter(ref.bucketCol === b)
-      val tgtRef = ref.bucketDir(b)
-      if (!f.exists(tgtRef.path) || f.listStatus(tgtRef.path).isEmpty) {
-        Table.overwriteAtomic(slice, tgtRef)
-      } else {
-        val target = spark.read.parquet(tgtRef.dir).select(source.columns.map(col): _*)
-        Table.overwriteAtomic(
-          Upsert.lastWriterWins(target, slice, ref.keys, versionCol), tgtRef)
+    val root = new Path(ref.dir)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // dot-prefixed so partition discovery on the parent never sees it
+    val staging = new Path(root.getParent, s".${root.getName}.__stage__")
+    f.delete(staging, true)
+    try {
+      source.withColumn("bucket", ref.bucketCol)
+        .write.partitionBy("bucket").parquet(staging.toString)
+      val touched = f.listStatus(staging).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("bucket="))
+        .map(_.stripPrefix("bucket=").toInt).sorted
+      if (touched.nonEmpty) {
+        val staged = spark.read.parquet(staging.toString)
+        touched.foreach { b =>
+          val slice = staged.filter(col("bucket") === b)
+            .select(source.columns.map(col): _*)
+          val tgtRef = ref.bucketDir(b)
+          if (!f.exists(tgtRef.path) || f.listStatus(tgtRef.path).isEmpty) {
+            Table.overwriteAtomic(slice, tgtRef)
+          } else {
+            val target = spark.read.parquet(tgtRef.dir).select(source.columns.map(col): _*)
+            Table.overwriteAtomic(
+              Upsert.lastWriterWins(target, slice, ref.keys, versionCol), tgtRef)
+          }
+        }
       }
-    }
+    } finally f.delete(staging, true)
     // readers scan the table ROOT; invalidate its cached file index too
     spark.catalog.refreshByPath(ref.dir)
   }

@@ -82,6 +82,30 @@ class BucketedSpec extends SparkSpec {
     assert(t.filter(col("id") === 2).head.getString(1) == "new") // newer ts won
   }
 
+  test("source plan executes exactly once for a multi-bucket batch") {
+    val root = tmpDir("bucketed5")
+    val ref = BucketedRef(s"$root/t", numBuckets = 8, keys = Seq("id"))
+    Bucketed.create(rows(0L until 64L, v = 1), ref)
+
+    // A source plan that counts every row it materializes: if upsertLww
+    // re-evaluated the source per touched bucket (the pre-staging
+    // behavior), the accumulator would read a multiple of the row count.
+    val acc = spark.sparkContext.longAccumulator("sourceRowsMaterialized")
+    val srcIds = 0L until 16L // spreads over several of the 8 buckets
+    val source = rows(srcIds, v = 2).as[(Long, String, Long)]
+      .map { r => acc.add(1); r }.toDF("id", "payload", "version")
+
+    Bucketed.upsertLww(spark, ref, source, "version")
+
+    assert(acc.value == srcIds.size,
+      s"source plan materialized ${acc.value} rows for a ${srcIds.size}-row batch — " +
+        "the plan must execute exactly once (staged), not once per touched bucket")
+    val t = Bucketed.read(spark, ref)
+    assert(t.count() == 64)
+    assert(t.filter(col("id") === 3).head.getLong(2) == 2)
+    assert(t.filter(col("id") === 40).head.getLong(2) == 1)
+  }
+
   test("upsert is idempotent: replaying the same source converges") {
     val root = tmpDir("bucketed3")
     val ref = BucketedRef(s"$root/t", numBuckets = 4, keys = Seq("id"))

@@ -46,6 +46,48 @@ class LakeSpec extends SparkSpec {
       .head.getDouble(0) == 390.0)
   }
 
+  test("incremental refresh rewrites only the silver buckets the new drop touches") {
+    val root = tmpDir("lakeincr")
+    OlistFixtures.write(root)
+    val roots = LakeRoots(
+      s"$root/bronze", s"$root/silver", s"$root/gold", s"$root/checkpoints")
+    Lake.buildAll(spark, s"$root/ingest", roots)
+
+    def fileState(dir: String): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      val d = new java.io.File(dir)
+      if (!d.exists()) Map.empty
+      else walk(d).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val custDir = roots.silverRef("customers").dir
+    val before = (0 until roots.silverBuckets)
+      .map(b => b -> fileState(s"$custDir/bucket=$b")).toMap
+
+    // a new drop containing ONE new customer
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/ingest/customers/c_third.csv"),
+      "customer_id,customer_unique_id,customer_zip_code_prefix,customer_city,customer_state\n" +
+        "c9,u9,50000,curitiba,pr")
+    Lake.refreshSilver(spark, s"$root/ingest", roots)
+
+    import spark.implicits._
+    val e = graft.pipeline.Entities.customers
+    val b9 = Seq("c9").toDF("customer_id")
+      .select(roots.silverBucketedRef(e).bucketCol.as("b")).head.getInt(0)
+    (0 until roots.silverBuckets).filterNot(_ == b9).foreach { b =>
+      assert(fileState(s"$custDir/bucket=$b") == before(b),
+        s"bucket $b rewritten by a batch that only touches bucket $b9")
+    }
+    assert(fileState(s"$custDir/bucket=$b9") != before(b9), "target bucket not written")
+    val cust = graft.table.Bucketed.read(spark,
+      roots.silverBucketedRef(e))
+    assert(cust.count() == 3)
+    assert(cust.filter(col("customer_id") === "c9").head
+      .getAs[String]("customer_city") == "CURITIBA")
+  }
+
   test("reconcileManifest repairs a lost manifest without duplicating bronze") {
     val root = tmpDir("lakerepair")
     val src = s"$root/src"
