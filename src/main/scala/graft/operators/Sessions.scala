@@ -113,7 +113,12 @@ object Sessions {
             closed += Session(user, s.startUs, s.lastUs, s.n)
             open = Some(OpenSession(e.ts_us, e.ts_us, 1))
           case Some(s) =>
-            open = Some(OpenSession(s.startUs, math.max(s.lastUs, e.ts_us), s.n + 1))
+            // min on start as well as max on last: a watermark with
+            // maxLateness > 0 deliberately ADMITS cross-batch disorder,
+            // so a late event may precede the open session's start —
+            // fold it like the batch twin (min/max over members) would
+            open = Some(OpenSession(
+              math.min(s.startUs, e.ts_us), math.max(s.lastUs, e.ts_us), s.n + 1))
           case None =>
             open = Some(OpenSession(e.ts_us, e.ts_us, 1))
         }

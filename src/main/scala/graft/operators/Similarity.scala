@@ -106,10 +106,69 @@ object Similarity {
       .select(col("q_id"), col("id").as("vec_id"), col("rank").cast("long").as("rank"), col("cos"))
   }
 
-  /** IVF(-flat) approximate top-k: deterministic codebook (the `nlist`
-    * lowest-id vectors — a trained k-means codebook drops in unchanged),
-    * inverted lists built by nearest-centroid assignment, queries probe
-    * their `nprobe` closest centroids' lists. Exact within probed lists.
+  /** Fixed-point scale for the k-means accumulator: embedding components
+    * are quantized to round(x · 2²⁰) longs before summation. Long sums
+    * are exact and ORDER-INDEPENDENT — a double sum would depend on
+    * partitioning and never reproduce across engines — so the trained
+    * centroids are a pure function of the data: component =
+    * qsum / (n · 2²⁰), one IEEE division, bit-identical in the DuckDB
+    * oracle. Headroom: |q| ≲ 2²¹ for unit-ish embeddings, so overflow
+    * needs ~2⁴² members per cluster.
+    */
+  val KmeansScale: Long = 1L << 20
+
+  /** Deterministic distributed k-means (Lloyd) codebook over `prepared`
+    * vectors: seeds = the `nlist` lowest-id vectors, a FIXED `iters`
+    * assignment/update rounds (no convergence test — determinism and a
+    * bounded plan beat a data-dependent round count), nearest-centroid
+    * by cosine with (cos desc, c_id asc) tiebreak, empty clusters keep
+    * their previous centroid. Everything is shuffles + broadcast joins:
+    * assignment broadcasts the nlist centroids, the update is one
+    * map-side-combinable (c_id, dim) sum — the k-means ‖ shape minus
+    * the sampling (seeding by id keeps it replayable in SQL).
+    */
+  private[operators] def kmeansCodebook(
+      p: DataFrame, nlist: Int, iters: Int): DataFrame = {
+    val vecs = p.withColumn("qv",
+      transform(col("v"), x => round(x * lit(KmeansScale.toDouble)).cast("long")))
+      .localCheckpoint() // read once, reused every round
+    var cents = vecs.orderBy(col("id")).limit(nlist)
+      .select(col("id").as("c_id"), col("v").as("c_v"), col("nrm").as("c_n"))
+    (0 until iters).foreach { _ =>
+      val assigned = vecs.join(broadcast(cents), expr("true"))
+        .withColumn("c_cos", Vectors.dot(col("v"), col("c_v")) / (col("nrm") * col("c_n")))
+        .groupBy(col("id"))
+        .agg(
+          first(col("qv")).as("qv"),
+          max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("c_id"))
+      val sums = assigned.select(col("c_id"), posexplode(col("qv")))
+        .toDF("c_id", "d", "q")
+        .groupBy(col("c_id"), col("d"))
+        .agg(sum(col("q")).as("qs"), count(lit(1)).as("n"))
+      val trained = sums.groupBy(col("c_id"))
+        .agg(
+          max(col("n")).as("n"), // same member count for every dim
+          array_sort(collect_list(struct(col("d"), col("qs")))).as("ds"))
+        .select(col("c_id"),
+          transform(col("ds"), s =>
+            s.getField("qs").cast("double") /
+              (col("n") * lit(KmeansScale)).cast("double")).as("c_v"))
+        .withColumn("c_n", sqrt(Vectors.dot(col("c_v"), col("c_v"))))
+      cents = cents.select(col("c_id"), col("c_v").as("p_v"), col("c_n").as("p_n"))
+        .join(trained, Seq("c_id"), "left")
+        .select(col("c_id"),
+          coalesce(col("c_v"), col("p_v")).as("c_v"),
+          coalesce(col("c_n"), col("p_n")).as("c_n"))
+        .localCheckpoint() // nlist rows; truncates the per-round lineage
+    }
+    cents
+  }
+
+  /** IVF(-flat) approximate top-k: deterministic codebook — the `nlist`
+    * lowest-id vectors, refined by `trainIters` rounds of deterministic
+    * k-means when `trainIters > 0` — inverted lists built by
+    * nearest-centroid assignment, queries probe their `nprobe` closest
+    * centroids' lists. Exact within probed lists.
     */
   def ivfTopK(
       emb: DataFrame,
@@ -118,10 +177,13 @@ object Similarity {
       vecCol: String,
       k: Int,
       nlist: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int,
+      trainIters: Int = 0): DataFrame = {
     val p = prepared(emb, idCol, vecCol)
-    val centroids = p.orderBy(col("id")).limit(nlist)
-      .select(col("id").as("c_id"), col("v").as("c_v"), col("nrm").as("c_n"))
+    val centroids =
+      if (trainIters > 0) kmeansCodebook(p, nlist, trainIters)
+      else p.orderBy(col("id")).limit(nlist)
+        .select(col("id").as("c_id"), col("v").as("c_v"), col("nrm").as("c_n"))
 
     def withCentroidScores(side: DataFrame) =
       side.join(broadcast(centroids), expr("true"))

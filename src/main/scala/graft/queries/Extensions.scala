@@ -201,8 +201,16 @@ object Extensions {
   /** Capped candidate generation + exact verify — the formulation that
     * survives stop-shingle skew at 100× (see
     * TextDedup.ngramJaccardPairsCapped). Oracle stays the naive exact
-    * O(n²) form: on this corpus the capped candidates cover every
-    * qualifying pair, which is precisely the claim being checked.
+    * O(n²) form — NOTE this makes the gate a CORPUS-SPECIFIC recall
+    * claim, asserted deliberately: on this testdata the capped
+    * candidates cover every qualifying pair. The operator's general
+    * contract is weaker (capped output ⊆ exact output; exact-duplicate
+    * pairs always present — capping may legitimately drop near-dup
+    * pairs whose shared shingles are all corpus-frequent), so if the
+    * testdata is regenerated and this row goes red, check whether the
+    * new corpus merely exercises that documented gap before suspecting
+    * the implementation; the subset+exact-dup contract is what
+    * DedupAndSimilaritySpec asserts corpus-independently.
     */
   def dedupNgramCapped(s: SparkSession, dir: String): DataFrame =
     TextDedup.ngramJaccardPairsCapped(t(s, dir, "documents"), "doc_id", "text",
@@ -497,6 +505,170 @@ object Extensions {
        |WHERE rank <= 5
        |ORDER BY q_id, rank""".stripMargin
 
+  /** IVF with a TRAINED codebook: `IvfTrainIters` rounds of the
+    * deterministic fixed-point k-means (Similarity.kmeansCodebook). The
+    * oracle unrolls the SAME rounds in SQL — integer (×2²⁰) centroid
+    * accumulators make the means order-independent, so the trained
+    * centroids (and therefore assignment, probing, and ranking) are
+    * bit-identical across engines and the whole trainer is hash-checked.
+    *
+    * Recall caveat, measured via x_ann_recall: the synthetic embeddings
+    * are UNIFORM random (within-label mean cosine ≈ cross-label ≈ 0),
+    * so there is no cluster structure for k-means to recover and
+    * trained recall ≈ seed recall (±2 hits of noise) on this testdata.
+    * On corpora with real cluster structure the trained codebook is
+    * what balances lists and lifts recall-per-probe; the measurement
+    * exists precisely so that shows up as a number, not a claim.
+    */
+  private val IvfTrainIters = 2
+  private val EmbedDim = 64
+
+  def annIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nlist = 32, nprobe = 4, trainIters = IvfTrainIters)
+      .orderBy("q_id", "rank")
+  }
+
+  val annIvfTrainedSql: String = {
+    val scale = graft.operators.Similarity.KmeansScale
+    val rounds = (1 to IvfTrainIters).map { i =>
+      val prev = s"c${i - 1}"
+      s"""a$i AS (SELECT vec_id, qv, c_id FROM (
+         |    SELECT n.vec_id, n.qv, c.c_id,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY ${sqlDot("n.e", "c.c_e")} / (n.nrm * c.c_n) DESC,
+         |                      c.c_id ASC) AS cr
+         |    FROM n, $prev c) WHERE cr = 1),
+         |s$i AS (SELECT c_id, d, SUM(qv[d]) AS qs, count(*) AS nm
+         |        FROM a$i, range(1, ${EmbedDim + 1}) t(d) GROUP BY 1, 2),
+         |t$i AS (SELECT c_id,
+         |          list(CAST(qs AS DOUBLE) / CAST(nm * $scale AS DOUBLE) ORDER BY d) AS c_e
+         |        FROM s$i GROUP BY c_id),
+         |c$i AS (SELECT c_id, c_e, sqrt(${sqlDot("c_e", "c_e")}) AS c_n FROM (
+         |    SELECT p.c_id, coalesce(t.c_e, p.c_e) AS c_e
+         |    FROM $prev p LEFT JOIN t$i t USING (c_id)))""".stripMargin
+    }.mkString(",\n")
+    val cT = s"c$IvfTrainIters"
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(${sqlDot("e", "e")}) AS nrm,
+       |        list_transform(e, x -> CAST(round(x * $scale.0) AS BIGINT)) AS qv
+       |      FROM v),
+       |c0 AS (SELECT vec_id AS c_id, e AS c_e, nrm AS c_n FROM n
+       |       ORDER BY vec_id LIMIT 32),
+       |$rounds,
+       |assign AS (SELECT vec_id, c_id FROM (
+       |    SELECT n.vec_id, c.c_id,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY ${sqlDot("n.e", "c.c_e")} / (n.nrm * c.c_n) DESC,
+       |                      c.c_id ASC) AS cr
+       |    FROM n, $cT c) WHERE cr = 1),
+       |qprobe AS (SELECT vec_id AS q_id, c_id FROM (
+       |    SELECT n.vec_id, c.c_id,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY ${sqlDot("n.e", "c.c_e")} / (n.nrm * c.c_n) DESC,
+       |                      c.c_id ASC) AS cr
+       |    FROM n, $cT c WHERE n.vec_id < 10) WHERE cr <= 4),
+       |scored AS (SELECT qprobe.q_id, a.vec_id,
+       |      ${sqlDot("x.e", "y.e")} / (x.nrm * y.nrm) AS cos
+       |    FROM assign a JOIN qprobe ON a.c_id = qprobe.c_id AND a.vec_id != qprobe.q_id
+       |    JOIN n x ON x.vec_id = a.vec_id
+       |    JOIN n y ON y.vec_id = qprobe.q_id)
+       |SELECT q_id, vec_id, rank, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, vec_id ASC) AS rank FROM scored)
+       |WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** recall@k of every approximate tier against the exact answer, AS A
+    * CHECKED QUERY — the accuracy/speed trade is auditable per round
+    * instead of asserted in comments. Top-k tiers (IVF, trained IVF,
+    * quantized) score hits against the brute-force top-5; the LSH pair
+    * tier scores recovered exact pairs at its own threshold. Counts are
+    * integers and recall is ONE division, so the oracle (which replays
+    * each tier with its same-algorithm SQL) matches bit-exactly.
+    */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select(col("q_id"), col("vec_id"))
+      .localCheckpoint() // baseline reused by three tiers
+    def recallOf(name: String, approx: DataFrame, base: DataFrame, keys: Seq[String]) =
+      base.join(approx.withColumn("__hit", lit(1L)), keys, "left")
+        .agg(
+          sum(coalesce(col("__hit"), lit(0L))).as("hits"),
+          count(lit(1)).as("total"))
+        .select(
+          lit(name).as("tier"), col("hits"), col("total"),
+          (col("hits").cast("double") / col("total").cast("double")).as("recall"))
+    val tiers = Seq(
+      recallOf("ivf",
+        Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, 32, 4)
+          .select("q_id", "vec_id"),
+        bf, Seq("q_id", "vec_id")),
+      recallOf("ivf_trained",
+        Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, 32, 4, IvfTrainIters)
+          .select("q_id", "vec_id"),
+        bf, Seq("q_id", "vec_id")),
+      recallOf("lsh_pairs",
+        HyperplaneLsh.cosinePairs(emb, "vec_id", "embedding",
+            dim = LshDim, threshold = LshThreshold, nbits = LshBits, r = LshR)
+          .select("id_a", "id_b"),
+        Similarity.bruteForcePairs(emb, "vec_id", "embedding", LshThreshold)
+          .select("id_a", "id_b"),
+        Seq("id_a", "id_b")),
+      recallOf("quantized",
+        {
+          val corpus = Quantize.dequantized(
+            Quantize.scalarQuantize(emb, "vec_id", "embedding"))
+            .select(col("id").as("vec_id"), col("vec").as("embedding"))
+          Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 5)
+            .select("q_id", "vec_id")
+        },
+        bf, Seq("q_id", "vec_id")))
+    tiers.reduce(_.union(_)).orderBy("tier")
+  }
+
+  val annRecallSql: String = {
+    def topkTier(name: String, sql: String) =
+      s"""SELECT '$name' AS tier,
+         |  (SELECT count(*) FROM bf JOIN (SELECT q_id, vec_id FROM ($sql)) a
+         |     USING (q_id, vec_id)) AS hits,
+         |  (SELECT count(*) FROM bf) AS total,
+         |  CAST((SELECT count(*) FROM bf JOIN (SELECT q_id, vec_id FROM ($sql)) a
+         |     USING (q_id, vec_id)) AS DOUBLE)
+         |    / CAST((SELECT count(*) FROM bf) AS DOUBLE) AS recall""".stripMargin
+    val exactPairs =
+      s"""SELECT id_a, id_b FROM (
+         |  WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |  n AS (SELECT vec_id, e, sqrt(${sqlDot("e", "e")}) AS nrm FROM v)
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |  WHERE ${sqlDot("a.e", "b.e")} / (a.nrm * b.nrm) >= $LshThreshold)""".stripMargin
+    val lshTier =
+      s"""SELECT 'lsh_pairs' AS tier,
+         |  (SELECT count(*) FROM ex JOIN (SELECT id_a, id_b FROM ($embedLshSql)) l
+         |     USING (id_a, id_b)) AS hits,
+         |  (SELECT count(*) FROM ex) AS total,
+         |  CAST((SELECT count(*) FROM ex JOIN (SELECT id_a, id_b FROM ($embedLshSql)) l
+         |     USING (id_a, id_b)) AS DOUBLE)
+         |    / CAST((SELECT count(*) FROM ex) AS DOUBLE) AS recall""".stripMargin
+    s"""WITH bf AS (SELECT q_id, vec_id FROM ($annTopKSql)),
+       |ex AS ($exactPairs)
+       |SELECT tier, CAST(hits AS BIGINT) AS hits, CAST(total AS BIGINT) AS total, recall
+       |FROM (
+       |${topkTier("ivf", annIvfSql)}
+       |UNION ALL
+       |${topkTier("ivf_trained", annIvfTrainedSql)}
+       |UNION ALL
+       |$lshTier
+       |UNION ALL
+       |${topkTier("quantized", annQuantizedSql)}
+       |) ORDER BY tier""".stripMargin
+  }
+
   // ---- multimodal --------------------------------------------------------
 
   def multimodal(s: SparkSession, dir: String): DataFrame =
@@ -550,6 +722,8 @@ object Extensions {
     QueryDef("x_embed_lsh", embedLsh, Some(embedLshSql)),
     QueryDef("x_ann_topk", annTopK, Some(annTopKSql)),
     QueryDef("x_ann_ivf", annIvf, Some(annIvfSql)),
+    QueryDef("x_ann_ivf_trained", annIvfTrained, Some(annIvfTrainedSql)),
+    QueryDef("x_ann_recall", annRecall, Some(annRecallSql)),
     QueryDef("x_ann_quantized", annQuantized, Some(annQuantizedSql)),
     QueryDef("x_multimodal", multimodal, Some(multimodalSql)),
     QueryDef("x_curate", curate, Some(curateSql)))

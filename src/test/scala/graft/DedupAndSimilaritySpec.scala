@@ -92,6 +92,22 @@ class DedupAndSimilaritySpec extends SparkSpec {
     assert(pairs == (for { a <- 1L to 8L; b <- a + 1 to 8L } yield (a, b)).toSet)
   }
 
+  test("capped ngram dedup is a subset of the uncapped exact pairs (precision contract)") {
+    import spark.implicits._
+    // the corpus-independent half of the operator contract: exact
+    // verification means capping can only DROP pairs, never invent or
+    // mis-score one (x_dedup_ngram_capped's oracle additionally asserts
+    // full recall, a property OF THAT corpus)
+    val mixed = (docs.collect().map(r => (r.getLong(0), r.getString(1))) ++
+      (10L to 14L).map(i => (i, "shared common phrase padding " + ("x" * i.toInt)))).toSeq
+      .toDF("doc_id", "text")
+    val exact = TextDedup.ngramJaccardPairs(mixed, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val capped = TextDedup.ngramJaccardPairsCapped(mixed, "doc_id", "text", 3, 0.5, maxShingleFreq = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped.subsetOf(exact), s"capped produced pairs outside the exact set: ${capped -- exact}")
+  }
+
   test("connectedComponents works with string ids and verifies convergence at maxIter") {
     import spark.implicits._
     val nodes = Seq("a", "b", "c", "d").toDF("doc_id")

@@ -26,7 +26,8 @@ class PlanAuditSpec extends SparkSpec {
     * replacement for a driver-side count()).
     */
   private val boundedBroadcastByDesign = Set(
-    "x_ann_topk", "x_ann_ivf", "x_ann_quantized", "m1_insert_only", "m2_upsert_lww")
+    "x_ann_topk", "x_ann_ivf", "x_ann_ivf_trained", "x_ann_recall",
+    "x_ann_quantized", "m1_insert_only", "m2_upsert_lww")
 
   test("no unbounded nested-loop or cartesian join in any declared query") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

@@ -24,6 +24,32 @@ class PlansSpec extends SparkSpec {
     got.foreach { r => assert(r.get(0) == r.get(1), s"mismatch on $r") }
   }
 
+  test("PolyHash iterates codepoints on astral-plane input (emoji, U+1D11E)") {
+    // The oracle contract is codepoint iteration (DuckDB string_split('')
+    // + ord is codepoint-based); the fused expression must fold the
+    // SUPPLEMENTARY character's codepoint, not its surrogate halves.
+    val astral = Seq("a😀b", "𝄞 clef", "mixed 😀 end")
+    def expected(s: String): Long = {
+      var acc = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        acc = (acc * 31 + cp) % Text.HashMod
+        i += Character.charCount(cp)
+      }
+      acc
+    }
+    val got = astral.toDF("t").select(col("t"), Text.polyHash(col("t"))).collect()
+    got.foreach { r =>
+      assert(r.getLong(1) == expected(r.getString(0)), s"codepoint fold mismatch on $r")
+    }
+    // parity with the split/ascii Column composition on the same input
+    val both = astral.toDF("t").select(
+      Text.polyHash(col("t")).as("fused"),
+      Text.polyHashReference(col("t")).as("ref")).collect()
+    both.foreach { r => assert(r.get(0) == r.get(1), s"composition mismatch on $r") }
+  }
+
   test("PolyHash base-131 family differs from base-31 but is stable") {
     val r = texts.filter(length(col("t")) > 1).select(
       Text.polyHash(col("t")).as("h1"),
