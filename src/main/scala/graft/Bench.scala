@@ -45,6 +45,14 @@ object Bench {
     // broken query must be visible in the artifact, never silently
     // folded into a plausible-looking timing.
     val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Per-query isolation: queries materialize localCheckpoint blocks
+      // while building their plans; left in the block manager they
+      // crowd storage memory and taint every LATER query's measurement
+      // (observed: same query 20 s isolated vs 136 s late in a polluted
+      // run). Dropping finished queries' blocks measures each query
+      // from the same clean state its own users would see.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val err = try { force(fn(spark, sfDir)); None } catch {
         case e: Throwable =>

@@ -109,9 +109,20 @@ object Text {
     }: _*)
 
   /** Exact Jaccard similarity of two pre-distinct arrays; integer set
-    * sizes divided as doubles — bit-identical across engines.
+    * sizes divided as doubles — bit-identical across engines. The
+    * intersection size comes from the fused graft.plans.IntersectSize
+    * (no intersect/union array materialization), and for distinct
+    * arrays |A∪B| = |A| + |B| − |A∩B| exactly, so the value is
+    * unchanged from the size(array_intersect)/size(array_union) form
+    * (PlansSpec asserts the equality).
     */
-  def jaccard(a: Column, b: Column): Column =
+  def jaccard(a: Column, b: Column): Column = {
+    val c = graft.plans.expressions.intersectSize(a, b)
+    c.cast("double") / (size(a) + size(b) - c).cast("double")
+  }
+
+  /** Pre-fusion form of `jaccard` (equality-spec oracle). */
+  private[graft] def jaccardReference(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 

@@ -156,16 +156,25 @@ object TextDedup {
     // shingling feeds candidate generation (2×) and verification (2×):
     // materialize once
     val s = shingled(docs, idCol, textCol, k).localCheckpoint()
-    val ex = s.select(col("id"), explode(col("sh")).as("s"))
+    val ex = s.select(col("id"), col("sz"), explode(col("sh")).as("s"))
     val dfCounts = ex.groupBy(col("s")).agg(count(lit(1)).as("__df"))
     val exDf = ex.join(dfCounts, Seq("s"))
-    val minDf = exDf.groupBy(col("id")).agg(min(col("__df")).as("__mindf"))
-    val kept = exDf.join(minDf, Seq("id"))
+    // per-doc min df as a window over the id partitioning — one shuffle,
+    // where a groupBy(id)+self-join would shuffle the exploded set twice
+    val kept = exDf
+      .withColumn("__mindf",
+        min(col("__df")).over(org.apache.spark.sql.expressions.Window.partitionBy("id")))
       .filter(col("__df") <= maxShingleFreq || col("__df") === col("__mindf"))
-      .select("id", "s")
-    val cands = kept.select(col("id").as("id_a"), col("s"))
-      .join(kept.select(col("id").as("id_b"), col("s")), Seq("s"))
-      .filter(col("id_a") < col("id_b"))
+      .select("id", "sz", "s")
+    // size-ratio prefilter (J ≥ t ⇒ t·|A| ≤ |B| and t·|B| ≤ |A|): a pure
+    // speedup that can never drop a qualifying pair — the same filter
+    // the exact oracle applies — pruning candidates BEFORE the distinct
+    // shuffle and the exact-verify stage
+    val cands = kept.select(col("id").as("id_a"), col("sz").as("sz_a"), col("s"))
+      .join(kept.select(col("id").as("id_b"), col("sz").as("sz_b"), col("s")), Seq("s"))
+      .filter(col("id_a") < col("id_b") &&
+        col("sz_a") * threshold <= col("sz_b") &&
+        col("sz_b") * threshold <= col("sz_a"))
       .select("id_a", "id_b").distinct()
     verifyJaccard(cands, s.select(col("id"), col("sh")), threshold)
   }
@@ -281,10 +290,13 @@ object TextDedup {
     // any orderable id, and a cast here would silently null out non-long
     // ids and collapse every component
     val nodes = docs.select(col(idCol).as("id")).distinct()
-    // materialize once: the pair generation (often an LSH/inverted-index
-    // pipeline) must not re-run on every propagation round
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // materialize the pair plan BEFORE the symmetrizing union: the union
+    // references `pairs` twice, so checkpointing only the union would
+    // run the pair generation (often a whole LSH/inverted-index
+    // pipeline) twice — and per propagation round without any checkpoint
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
 
     var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()

@@ -38,6 +38,9 @@ object expressions {
 
   def wordShingles(text: Column, k: Int): Column =
     wrap(WordShingles(Bridge.expression(text), k))
+
+  def intersectSize(a: Column, b: Column): Column =
+    wrap(IntersectSize(Bridge.expression(a), Bridge.expression(b)))
 }
 
 /** Portable polynomial rolling hash of a string:
@@ -218,6 +221,62 @@ case class WordShingles(child: Expression, k: Int)
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
+}
+
+/** `size(array_intersect(a, b))` without materializing the intersection
+  * (or, for the Jaccard denominator via |A|+|B|−c, the union): the
+  * exact-verification hot path of every candidate-based dedup operator
+  * scores millions of candidate pairs against ~10²-element shingle
+  * arrays, and building two throwaway arrays per pair dominated that
+  * stage. One hash set built from the smaller side, one counting pass
+  * over the larger; set-removal on match counts each distinct common
+  * element once, so the count equals `size(array_intersect)` even on
+  * inputs with duplicates. Null elements match like array_intersect's
+  * (null ∈ both ⇒ counted once).
+  */
+case class IntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(_: StringType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs two array<string> children, got ${left.dataType} / ${right.dataType}")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_intersect_size"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (small, big) = if (x.numElements <= y.numElements) (x, y) else (y, x)
+    val set = new java.util.HashSet[UTF8String](small.numElements * 2)
+    var smallHasNull = false
+    var i = 0
+    while (i < small.numElements) {
+      if (small.isNullAt(i)) smallHasNull = true
+      else set.add(small.getUTF8String(i))
+      i += 1
+    }
+    var c = 0
+    var nullCounted = false
+    var j = 0
+    while (j < big.numElements) {
+      if (big.isNullAt(j)) {
+        if (smallHasNull && !nullCounted) { c += 1; nullCounted = true }
+      } else if (set.remove(big.getUTF8String(j))) c += 1
+      j += 1
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectSize =
+    copy(left = newLeft, right = newRight)
 }
 
 /** MinHash signature: one pass over the shingle-hash array producing all

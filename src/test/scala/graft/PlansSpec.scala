@@ -61,6 +61,36 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("IntersectSize matches size(array_intersect); fused Jaccard matches reference") {
+    val pairs = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq.empty[String], Seq("x")),
+      (Seq("a", "a", "b"), Seq("a", "b", "b")), // duplicate elements
+      (Seq("x"), Seq.empty[String]),
+      (Seq("a b", "c d"), Seq("c d", "a b"))).toDF("a", "b")
+    pairs.select(
+      graft.plans.expressions.intersectSize(col("a"), col("b")).as("fused"),
+      size(array_intersect(col("a"), col("b"))).as("ref")).collect()
+      .foreach { r => assert(r.getInt(0) == r.getInt(1), s"mismatch on $r") }
+    // null elements: counted once when present on both sides
+    val withNulls = spark.range(1).select(
+      array(lit("a"), lit(null).cast("string")).as("a"),
+      array(lit(null).cast("string"), lit("b"), lit(null).cast("string")).as("b"))
+    withNulls.select(
+      graft.plans.expressions.intersectSize(col("a"), col("b")).as("fused"),
+      size(array_intersect(col("a"), col("b"))).as("ref")).collect()
+      .foreach { r => assert(r.getInt(0) == r.getInt(1), s"null mismatch on $r") }
+    // Jaccard over pre-distinct arrays equals the intersect/union form
+    Seq((Seq("a", "b", "c"), Seq("b", "c", "d")), (Seq("q"), Seq("q")))
+      .toDF("a", "b")
+      .select(
+        Text.jaccard(col("a"), col("b")).as("fused"),
+        Text.jaccardReference(col("a"), col("b")).as("ref")).collect()
+      .foreach { r =>
+        assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0, s"jaccard mismatch on $r")
+      }
+  }
+
   test("DotProduct matches zip_with/aggregate composition bit-for-bit") {
     val vecs = Seq(
       (Seq(1.0f, 2.0f, 3.0f), Seq(0.5f, -1.5f, 2.25f)),
