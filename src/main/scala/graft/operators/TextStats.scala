@@ -74,4 +74,45 @@ object TextStats {
     val distinctBigrams = size(Text.shingles(c, 2)).cast("double")
     when(nTok >= 2, lit(1.0) - distinctBigrams / total).otherwise(lit(0.0))
   }
+
+  /** Corpus vocabulary: the `k` most frequent whitespace tokens by total
+    * occurrence count, ties to the lexicographically smaller token —
+    * the counting pass a frequency-cutoff tokenizer-training pipeline
+    * starts from. One explode + map-side-combinable count + a top-k
+    * sort bounded to k rows per partition (TakeOrderedAndProject).
+    */
+  def vocabulary(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(Text.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(k)
+
+  /** Exact discrete quantiles of the whitespace-token count per group:
+    * the value at rank `ceil(q·n / 100)` under a (length, id) total
+    * order. Deliberately NOT approx_percentile — its sketch is
+    * merge-order-dependent and engine-specific; exact selection with
+    * integer rank arithmetic picks the identical element in any engine.
+    * One shuffle on the group key (window + aggregate share it).
+    */
+  def lengthQuantiles(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      percentiles: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(percentiles.forall(p => p >= 1 && p <= 100), s"bad percentiles: $percentiles")
+    val w = Window.partitionBy(groupCol).orderBy(col("__len"), col(idCol))
+    val ranked = docs
+      .select(col(groupCol), col(idCol),
+        Text.tokenCount(col(textCol)).cast("long").as("__len"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(groupCol)))
+    val aggs = percentiles.map { p =>
+      // rank target via integer ceil (`div`, not `/` — Column `/` is
+      // DOUBLE division): no FP anywhere in the selection
+      max(when(col("__rn") <= expr(s"(__n * $p + 99) div 100"), col("__len"))).as(s"p$p")
+    }
+    ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), aggs: _*)
+  }
 }

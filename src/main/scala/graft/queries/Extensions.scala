@@ -669,6 +669,87 @@ object Extensions {
        |) ORDER BY tier""".stripMargin
   }
 
+  // ---- corpus preparation ------------------------------------------------
+
+  /** Deterministic train/val/test assignment (operators.Splits): split
+    * is a pure function of the doc id — reproducible across engines,
+    * which is exactly what the hash check asserts.
+    */
+  def splitAssign(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Splits.assign(t(s, dir, "documents"), "doc_id")
+      .orderBy("doc_id")
+
+  val splitAssignSql: String =
+    s"""SELECT doc_id,
+       |  ${sqlPolyHash("CAST(doc_id AS VARCHAR) || ':graft'")} % 100 AS bucket,
+       |  CASE WHEN ${sqlPolyHash("CAST(doc_id AS VARCHAR) || ':graft'")} % 100 < 80 THEN 'train'
+       |       WHEN ${sqlPolyHash("CAST(doc_id AS VARCHAR) || ':graft'")} % 100 < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Corpus vocabulary top-k (tokenizer-training counting pass). */
+  def vocabTopK(s: SparkSession, dir: String): DataFrame =
+    TextStats.vocabulary(t(s, dir, "documents"), "text", 100)
+      .orderBy(col("n").desc, col("tok").asc)
+
+  val vocabTopKSql: String =
+    s"""SELECT tok, CAST(count(*) AS BIGINT) AS n
+       |FROM (SELECT unnest(${sqlWords("text")}) AS tok FROM documents)
+       |GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 100""".stripMargin
+
+  /** Exact per-source token-length quantiles — selection by integer
+    * rank, so both engines pick the identical element (approx_percentile
+    * sketches are merge-order-dependent and would never hash-match).
+    */
+  def lengthQuantiles(s: SparkSession, dir: String): DataFrame =
+    TextStats.lengthQuantiles(t(s, dir, "documents"), "doc_id", "text", "source")
+      .orderBy("source")
+
+  val lengthQuantilesSql: String =
+    s"""WITH l AS (SELECT source, doc_id,
+       |    CAST(len(${sqlWords("text")}) AS BIGINT) AS len FROM documents),
+       |r AS (SELECT source, len,
+       |    row_number() OVER (PARTITION BY source ORDER BY len, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY source) AS n
+       |  FROM l)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  max(CASE WHEN rn <= (n * 50 + 99) // 100 THEN len END) AS p50,
+       |  max(CASE WHEN rn <= (n * 90 + 99) // 100 THEN len END) AS p90,
+       |  max(CASE WHEN rn <= (n * 99 + 99) // 100 THEN len END) AS p99
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+
+  /** Group-wise top-k by quality (per-source best documents) — the
+    * ranked-selection pattern a curation pipeline uses to sample
+    * highest-quality exemplars per domain.
+    */
+  def qualityTopKPerSource(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents").select(
+      col("doc_id"), col("source"), Text.qualityScore(col("text")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("source"), col("doc_id"), col("rank").cast("long").as("rank"), col("score"))
+      .orderBy("source", "rank")
+  }
+
+  val qualityTopKPerSourceSql: String =
+    s"""WITH q AS (SELECT doc_id, source,
+       |    len(${sqlWords("text")}) AS n_tok,
+       |    len(list_distinct(${sqlWords("text")})) AS n_uniq,
+       |    len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+       |    length(text) AS n_char
+       |  FROM documents),
+       |sc AS (SELECT doc_id, source,
+       |  CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), n_tok / CAST(20.0 AS DOUBLE))
+       |  + CAST(0.4 AS DOUBLE) * (n_uniq / CAST(n_tok AS DOUBLE))
+       |  + CAST(0.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - n_punct / CAST(n_char AS DOUBLE)) AS score
+       |  FROM q)
+       |SELECT source, doc_id, rank, score FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY source
+       |    ORDER BY score DESC, doc_id ASC) AS rank FROM sc)
+       |WHERE rank <= 3 ORDER BY source, rank""".stripMargin
+
   // ---- multimodal --------------------------------------------------------
 
   def multimodal(s: SparkSession, dir: String): DataFrame =
@@ -726,5 +807,9 @@ object Extensions {
     QueryDef("x_ann_recall", annRecall, Some(annRecallSql)),
     QueryDef("x_ann_quantized", annQuantized, Some(annQuantizedSql)),
     QueryDef("x_multimodal", multimodal, Some(multimodalSql)),
+    QueryDef("x_split_assign", splitAssign, Some(splitAssignSql)),
+    QueryDef("x_vocab_topk", vocabTopK, Some(vocabTopKSql)),
+    QueryDef("x_length_quantiles", lengthQuantiles, Some(lengthQuantilesSql)),
+    QueryDef("x_quality_topk", qualityTopKPerSource, Some(qualityTopKPerSourceSql)),
     QueryDef("x_curate", curate, Some(curateSql)))
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Splits, TextStats}
+
+/** Corpus-preparation operators: deterministic splits, vocabulary
+  * counting, exact quantile selection.
+  */
+class CorpusPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("split assignment is a deterministic, exhaustive, disjoint partition") {
+    val docs = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = Splits.assign(docs, "doc_id").collect()
+    assert(a.length == 1000)
+    assert(a.forall(r => Set("train", "val", "test")(r.getString(2))))
+    // deterministic: identical on re-evaluation
+    val b = Splits.assign(docs, "doc_id").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // stable under corpus growth: the first 1000 keep their splits
+    val grown = (0L until 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val g = Splits.assign(grown, "doc_id").filter(col("doc_id") < 1000).collect()
+    assert(a.map(_.toSeq).toSet == g.map(_.toSeq).toSet)
+    // uniform-ish at n=1000: train within [70%, 90%]
+    val nTrain = a.count(_.getString(2) == "train")
+    assert(nTrain > 700 && nTrain < 900, s"train fraction off: $nTrain/1000")
+    // a different salt reshuffles some assignments
+    val salted = Splits.assign(docs, "doc_id", salt = "other").collect()
+    assert(salted.map(_.toSeq).toSeq != a.map(_.toSeq).toSeq)
+  }
+
+  test("vocabulary counts total occurrences with (n desc, tok asc) order") {
+    val docs = Seq((1L, "a b b c"), (2L, "b c c a")).toDF("doc_id", "text")
+    val v = TextStats.vocabulary(docs, "text", 2).as[(String, Long)].collect().toSeq
+    assert(v == Seq(("b", 3L), ("c", 3L))) // tie 3-3 broken by token asc
+  }
+
+  test("lengthQuantiles selects exact ranked elements per group") {
+    // group g: lengths 1..10  -> p50 = 5th smallest = 5, p90 = 9, p99 = 10
+    // group h: single doc of length 7 -> all quantiles = 7
+    val docs = ((1 to 10).map(i => (i.toLong, ("w " * i).trim, "g")) :+
+      ((99L, ("w " * 7).trim, "h"))).toDF("doc_id", "text", "source")
+    val q = TextStats.lengthQuantiles(docs, "doc_id", "text", "source")
+      .orderBy("source").collect()
+    assert(q.length == 2)
+    val g = q(0)
+    assert(g.getString(0) == "g" && g.getLong(1) == 10 &&
+      g.getLong(2) == 5 && g.getLong(3) == 9 && g.getLong(4) == 10)
+    val h = q(1)
+    assert(h.getString(0) == "h" && h.getLong(1) == 1 &&
+      h.getLong(2) == 7 && h.getLong(3) == 7 && h.getLong(4) == 7)
+  }
+}
