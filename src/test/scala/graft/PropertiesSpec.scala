@@ -73,6 +73,23 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("IntersectSize equals size(array_intersect) on random string arrays") {
+    val tokGen = Gen.oneOf("a", "b", "c", "aa", "ab", "x y", "", "Ω", "😀")
+    val arrGen = Gen.listOfN(12, tokGen).map(_.take(10))
+    samples(Gen.zip(Gen.listOf(arrGen), Gen.listOf(arrGen)), n = 6).foreach { case (as, bs) =>
+      val pairs = as.zipAll(bs, List.empty[String], List.empty[String])
+      if (pairs.nonEmpty) {
+        val df = pairs.toDF("a", "b")
+        val rows = df.select(
+          graft.plans.expressions.intersectSize(col("a"), col("b")).as("fused"),
+          size(array_intersect(col("a"), col("b"))).as("ref")).collect()
+        rows.foreach { r =>
+          assert(r.getInt(0) == r.getInt(1), s"IntersectSize mismatch: $r")
+        }
+      }
+    }
+  }
+
   test("insert-only merge never changes existing target rows") {
     samples(Gen.zip(tableGen, tableGen)).foreach { case (t, s) =>
       val target = uniq(t)
