@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -17,10 +17,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * composition with one tight JVM loop, evaluated once per row (not once
   * per array element), while producing BIT-IDENTICAL values to the
   * Column-composition form it replaces — the DuckDB oracle contract
-  * (SURVEY.md §7.4) does not move. `PolyHash` and `DotProduct` take part
-  * in whole-stage codegen via `doGenCode`; `MinHashSig` evaluates per-row
-  * through `nullSafeEval` (one virtual call per row is already off the
-  * per-element hot path).
+  * (SURVEY.md §7.4) does not move. Every expression takes part in
+  * whole-stage codegen via `doGenCode` (a static-method call into the
+  * same loop the interpreted path runs — CodegenFallback would split
+  * the generated stage around each dedup projection).
   */
 object expressions {
 
@@ -180,7 +180,7 @@ object DotProduct {
   * occurrences in order.
   */
 case class WordShingles(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(k > 0, s"shingle width must be positive, got $k")
 
@@ -191,8 +191,20 @@ case class WordShingles(child: Expression, k: Int)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_word_shingles"
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString.trim.split("\\s+", -1)
+  protected override def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.WordShingles.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  /** Static entry for both interpreted and generated code paths. */
+  def compute(input: UTF8String, k: Int): ArrayData = {
+    val toks = input.toString.trim.split("\\s+", -1)
     val out = new java.util.LinkedHashSet[String]
     if (toks.length >= k) {
       var i = 0
@@ -218,9 +230,6 @@ case class WordShingles(child: Expression, k: Int)
     while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
     new GenericArrayData(arr)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): WordShingles =
-    copy(child = newChild)
 }
 
 /** `size(array_intersect(a, b))` without materializing the intersection
@@ -235,7 +244,7 @@ case class WordShingles(child: Expression, k: Int)
   * (null ∈ both ⇒ counted once).
   */
 case class IntersectSize(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(e: Expression) = e.dataType match {
@@ -250,9 +259,20 @@ case class IntersectSize(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_intersect_size"
 
-  protected override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    IntersectSize.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.IntersectSize.count($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntersectSize {
+  /** Static entry for both interpreted and generated code paths. */
+  def count(x: ArrayData, y: ArrayData): Int = {
     val (small, big) = if (x.numElements <= y.numElements) (x, y) else (y, x)
     val set = new java.util.HashSet[UTF8String](small.numElements * 2)
     var smallHasNull = false
@@ -273,10 +293,6 @@ case class IntersectSize(left: Expression, right: Expression)
     }
     c
   }
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): IntersectSize =
-    copy(left = newLeft, right = newRight)
 }
 
 /** MinHash signature: one pass over the shingle-hash array producing all
@@ -291,7 +307,7 @@ case class IntersectSize(left: Expression, right: Expression)
   * `array_min(empty) = NULL`.
   */
 case class MinHashSig(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n > 0, s"signature length must be positive, got $n")
 
@@ -303,8 +319,19 @@ case class MinHashSig(child: Expression, n: Int)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_minhash_sig"
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val hs = input.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.MinHashSig.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  /** Static entry for both interpreted and generated code paths. */
+  def compute(hs: ArrayData, n: Int): ArrayData = {
     val m = hs.numElements
     if (m == 0) {
       new GenericArrayData(Array.fill[Any](n)(null))
@@ -324,7 +351,4 @@ case class MinHashSig(child: Expression, n: Int)
       new GenericArrayData(mins)
     }
   }
-
-  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
-    copy(child = newChild)
 }

@@ -187,20 +187,35 @@ class PlansSpec extends SparkSpec {
     assert(m1.flatten.distinct.length == 2)
   }
 
-  test("whole-stage codegen stays enabled over PolyHash/DotProduct projections") {
+  test("whole-stage codegen stays enabled over every fused-expression projection") {
     // spark.range keeps a real physical scan (a LocalRelation would be
     // constant-folded into a LocalTableScan with no codegen span).
     val df = spark.range(100)
-      .select(concat(lit("doc "), col("id")).as("t"),
+      .select(concat(lit("doc words more tail "), col("id")).as("t"),
         array(col("id").cast("double"), lit(2.0)).as("v"))
-      .select(Text.polyHash(col("t")).as("h"), Vectors.dot(col("v"), col("v")).as("d"))
+      .select(
+        Text.polyHash(col("t")).as("h"),
+        Vectors.dot(col("v"), col("v")).as("d"),
+        Text.shingles(col("t"), 2).as("sh"),
+        graft.plans.expressions.minhashSig(
+          array(Text.polyHash(col("t"))), 4).as("sig"),
+        graft.plans.expressions.intersectSize(
+          Text.shingles(col("t"), 2), Text.shingles(col("t"), 3)).as("isz"))
     val plan = df.queryExecution.executedPlan.toString
-    // the `*(n)` prefix marks operators inside a WholeStageCodegen span
+    // the `*(n)` prefix marks operators inside a WholeStageCodegen span —
+    // one CodegenFallback expression would break the whole projection out
     assert(plan.contains("*(1) Project [graft_polyhash"), s"no codegen span in:\n$plan")
-    // with fallback disabled, a Janino compile error in our doGenCode
+    // with fallback disabled, a Janino compile error in any doGenCode
     // would fail the collect instead of silently interpreting
     spark.conf.set("spark.sql.codegen.fallback", "false")
-    try assert(df.collect().length == 100)
-    finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    try {
+      val rows = df.collect()
+      assert(rows.length == 100)
+      // generated and interpreted paths agree
+      val viaInterp = graft.plans.WordShingles.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString("doc words more tail 0"), 2)
+      assert(rows.head.getSeq[String](2) == (0 until viaInterp.numElements)
+        .map(i => viaInterp.getUTF8String(i).toString))
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 }
