@@ -575,8 +575,47 @@ object Core {
       |  SELECT k FROM (SELECT k FROM b EXCEPT SELECT k FROM a) WHERE k % 7 = 0)
       |ORDER BY src, k""".stripMargin
 
+  /** J5-J8 at full star depth — the four-dimension snowflake
+    * (lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ region) that exercises the
+    * remaining testdata tables. Every dimension is broadcast: at any
+    * scale the dims are orders of magnitude smaller than the fact, so
+    * the plan is one fact scan with four broadcast hash joins and a
+    * map-side-combinable aggregate — no fact shuffle before the
+    * grouping. Money as integer cents (order-independent sums); the
+    * average is an explicit sum/count division, not avg(), so the
+    * oracle replays it exactly.
+    */
+  def starMargin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("p_brand").as("brand"))
+      .agg(
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("net_cents"),
+        count(lit(1)).as("n_items"),
+        count_distinct(col("s_suppkey")).as("n_suppliers"),
+        (sum(col("l_quantity").cast("long")).cast("double") / count(lit(1))).as("avg_qty"))
+      .orderBy("region", "brand")
+  }
+
+  val starMarginSql: String =
+    """SELECT r_name AS region, p_brand AS brand,
+      |  CAST(SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS net_cents,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  COUNT(DISTINCT s_suppkey) AS n_suppliers,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("j5_revenue_rollup", revenueRollup, Some(revenueRollupSql)),
+    QueryDef("j10_star_margin", starMargin, Some(starMarginSql)),
     QueryDef("p1_project_filter", projectFilter, Some(projectFilterSql)),
     QueryDef("w1_dedup_latest", dedupLatest, Some(dedupLatestSql)),
     QueryDef("a9_mode_per_group", modePerGroup, Some(modePerGroupSql)),
