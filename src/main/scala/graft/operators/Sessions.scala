@@ -96,6 +96,23 @@ object Sessions {
       }
   }
 
+  /** Batch item for the interval sweep below: a closed range of event
+    * time carrying its member count (an event is a width-0 interval).
+    */
+  private final case class Span(start: Long, end: Long, n: Long)
+
+  /** The per-group fold: merges the admitted batch AND the open session
+    * as one sorted interval sweep, so every disorder pattern a
+    * `maxLateness > 0` watermark admits folds exactly like the batch
+    * twin's min/max-over-members — including a late event that precedes
+    * the open session by MORE than the gap, which forms its own earlier
+    * session (the pre-sweep fold silently absorbed it into the open
+    * session). Reconciliation is necessarily bounded by what is still
+    * in state: an event so late it predates an already-EMITTED session
+    * starts a fresh session rather than reopening the emitted one —
+    * append-mode output cannot be retracted; size the watermark so
+    * admitted lateness stays within the open session's horizon.
+    */
   private def sessionFold(gapUs: Long, timeout: Boolean)(
       user: Long, batch: Iterator[Ev], state: GroupState[OpenSession]): Iterator[Session] =
     if (timeout && state.hasTimedOut) {
@@ -104,29 +121,27 @@ object Sessions {
       state.remove()
       Iterator.single(Session(user, s.startUs, s.lastUs, s.n))
     } else {
-      val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
-      var open = state.getOption
+      val evs = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
+        .map(e => Span(e.ts_us, e.ts_us, 1L))
+      val items = state.getOption match {
+        case Some(s) =>
+          // insert the open interval at its sorted-by-start position
+          val (before, after) = evs.partition(_.start < s.startUs)
+          (before :+ Span(s.startUs, s.lastUs, s.n)) ++ after
+        case None => evs
+      }
       val closed = Seq.newBuilder[Session]
-      sorted.foreach { e =>
-        open match {
-          case Some(s) if e.ts_us - s.lastUs > gapUs =>
-            closed += Session(user, s.startUs, s.lastUs, s.n)
-            open = Some(OpenSession(e.ts_us, e.ts_us, 1))
-          case Some(s) =>
-            // min on start as well as max on last: a watermark with
-            // maxLateness > 0 deliberately ADMITS cross-batch disorder,
-            // so a late event may precede the open session's start —
-            // fold it like the batch twin (min/max over members) would
-            open = Some(OpenSession(
-              math.min(s.startUs, e.ts_us), math.max(s.lastUs, e.ts_us), s.n + 1))
-          case None =>
-            open = Some(OpenSession(e.ts_us, e.ts_us, 1))
+      var cur = items.head // non-empty: invoked with events or a timeout
+      items.tail.foreach { i =>
+        if (i.start - cur.end > gapUs) {
+          closed += Session(user, cur.start, cur.end, cur.n)
+          cur = i
+        } else {
+          cur = Span(cur.start, math.max(cur.end, i.end), cur.n + i.n)
         }
       }
-      open.foreach { s =>
-        state.update(s)
-        if (timeout) state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000 + 1)
-      }
+      state.update(OpenSession(cur.start, cur.end, cur.n))
+      if (timeout) state.setTimeoutTimestamp((cur.end + gapUs) / 1000 + 1)
       closed.result().iterator
     }
 

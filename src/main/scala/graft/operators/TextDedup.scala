@@ -166,15 +166,21 @@ object TextDedup {
         min(col("__df")).over(org.apache.spark.sql.expressions.Window.partitionBy("id")))
       .filter(col("__df") <= maxShingleFreq || col("__df") === col("__mindf"))
       .select("id", "sz", "s")
-    // size-ratio prefilter (J ≥ t ⇒ t·|A| ≤ |B| and t·|B| ≤ |A|): a pure
-    // speedup that can never drop a qualifying pair — the same filter
-    // the exact oracle applies — pruning candidates BEFORE the distinct
-    // shuffle and the exact-verify stage
+    // Size prefilter via the BEST-CASE Jaccard — min(|A|,|B|) shared
+    // shingles — computed with the very FP operations and `>=` the
+    // verifier uses. Provably lossless against the verifier: J(c) =
+    // c/(|A|+|B|−c) is increasing in c and FP rounding is monotone, so
+    // fl(J(c)) ≤ fl(J(min)) for every real c — any pair the verifier
+    // would keep passes this test. (The naive `t·|A| ≤ |B|` form is NOT
+    // lossless: fl(100·0.55) = 55.000…01 > 55 drops an exactly-at-
+    // threshold pair.) Prunes before the distinct shuffle and the
+    // exact-verify stage.
     val cands = kept.select(col("id").as("id_a"), col("sz").as("sz_a"), col("s"))
       .join(kept.select(col("id").as("id_b"), col("sz").as("sz_b"), col("s")), Seq("s"))
       .filter(col("id_a") < col("id_b") &&
-        col("sz_a") * threshold <= col("sz_b") &&
-        col("sz_b") * threshold <= col("sz_a"))
+        least(col("sz_a"), col("sz_b")).cast("double") /
+          (col("sz_a") + col("sz_b") - least(col("sz_a"), col("sz_b"))).cast("double")
+          >= threshold)
       .select("id_a", "id_b").distinct()
     verifyJaccard(cands, s.select(col("id"), col("sh")), threshold)
   }

@@ -15,7 +15,15 @@ final case class Entity(
     name: String,
     rawColumns: Seq[String],
     silverKeys: Seq[String],
-    cleanse: DataFrame => DataFrame) {
+    cleanse: DataFrame => DataFrame,
+    // true when the cleanser AGGREGATES rows into its silver grain
+    // (geolocation: one row per zip from many raw rows). Such entities
+    // must be recleansed from FULL bronze on every silver refresh: a
+    // per-micro-batch cleanse would re-aggregate a re-seen key from the
+    // batch alone and LWW-replace its all-history row — silver would
+    // depend on file arrival order instead of being a pure function of
+    // bronze contents.
+    aggregatedGrain: Boolean = false) {
 
   /** All-string bronze schema (before ingest metadata columns). */
   def bronzeSchema: StructType =
@@ -44,7 +52,8 @@ object Entities {
     Seq("geolocation_zip_code_prefix", "geolocation_lat", "geolocation_lng",
       "geolocation_city", "geolocation_state"),
     Seq("zip_code_prefix"), // post-cleanse grain: one row per zip
-    Silver.cleanseGeolocation)
+    Silver.cleanseGeolocation,
+    aggregatedGrain = true)
 
   val orderItems: Entity = Entity(
     "order_items",

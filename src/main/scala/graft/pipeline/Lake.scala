@@ -37,8 +37,18 @@ object Lake {
     val ingested = Ingest.ingestAll(spark, ingestRoot, roots)
     ingested.foreach { name =>
       val e = Entities.byName(name).get
-      Ingest.bronzeToSilverBucketed(spark, roots.bronzeRef(name), e.bronzeStoredSchema,
-        roots.silverBucketedRef(e), s"${roots.checkpoints}/${name}_silver", e.cleanse)
+      if (e.aggregatedGrain) {
+        // aggregated-grain silver must stay a pure function of ALL
+        // bronze rows (see Entity.aggregatedGrain): full recleanse per
+        // refresh. Such tables are dimension-sized (one row per key),
+        // so the O(bronze_entity) rescan is the correctness price, not
+        // a scale risk — the fact-sized entities below stay incremental.
+        Silver.upsertIntoBucketed(spark, roots.silverBucketedRef(e),
+          e.cleanse(Table.read(spark, roots.bronzeRef(name))))
+      } else {
+        Ingest.bronzeToSilverBucketed(spark, roots.bronzeRef(name), e.bronzeStoredSchema,
+          roots.silverBucketedRef(e), s"${roots.checkpoints}/${name}_silver", e.cleanse)
+      }
     }
     ingested
   }

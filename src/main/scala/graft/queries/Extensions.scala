@@ -590,11 +590,13 @@ object Extensions {
     * each tier with its same-algorithm SQL) matches bit-exactly.
     */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val q = emb.filter(col("vec_id") < 10)
-    val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
-      .select(col("q_id"), col("vec_id"))
-      .localCheckpoint() // baseline reused by three tiers
+    // Each tier IS the corresponding declared query function — no
+    // restated hyperparameters or duplicated pipelines, so the recall
+    // rows always describe exactly the configuration the hash-checked
+    // queries x_ann_{topk,ivf,ivf_trained,quantized} / x_embed_lsh run;
+    // a parameter change there flows into this audit automatically.
+    val bf = annTopK(s, dir).select(col("q_id"), col("vec_id"))
+      .localCheckpoint() // exact baseline reused by three tiers
     def recallOf(name: String, approx: DataFrame, base: DataFrame, keys: Seq[String]) =
       base.join(approx.withColumn("__hit", lit(1L)), keys, "left")
         .agg(
@@ -604,30 +606,17 @@ object Extensions {
           lit(name).as("tier"), col("hits"), col("total"),
           (col("hits").cast("double") / col("total").cast("double")).as("recall"))
     val tiers = Seq(
-      recallOf("ivf",
-        Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, 32, 4)
-          .select("q_id", "vec_id"),
-        bf, Seq("q_id", "vec_id")),
+      recallOf("ivf", annIvf(s, dir).select("q_id", "vec_id"), bf, Seq("q_id", "vec_id")),
       recallOf("ivf_trained",
-        Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, 32, 4, IvfTrainIters)
-          .select("q_id", "vec_id"),
-        bf, Seq("q_id", "vec_id")),
+        annIvfTrained(s, dir).select("q_id", "vec_id"), bf, Seq("q_id", "vec_id")),
       recallOf("lsh_pairs",
-        HyperplaneLsh.cosinePairs(emb, "vec_id", "embedding",
-            dim = LshDim, threshold = LshThreshold, nbits = LshBits, r = LshR)
-          .select("id_a", "id_b"),
-        Similarity.bruteForcePairs(emb, "vec_id", "embedding", LshThreshold)
+        embedLsh(s, dir).select("id_a", "id_b"),
+        // exact pair baseline at the LSH tier's own threshold
+        Similarity.bruteForcePairs(t(s, dir, "embeddings"), "vec_id", "embedding", LshThreshold)
           .select("id_a", "id_b"),
         Seq("id_a", "id_b")),
       recallOf("quantized",
-        {
-          val corpus = Quantize.dequantized(
-            Quantize.scalarQuantize(emb, "vec_id", "embedding"))
-            .select(col("id").as("vec_id"), col("vec").as("embedding"))
-          Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 5)
-            .select("q_id", "vec_id")
-        },
-        bf, Seq("q_id", "vec_id")))
+        annQuantized(s, dir).select("q_id", "vec_id"), bf, Seq("q_id", "vec_id")))
     tiers.reduce(_.union(_)).orderBy("tier")
   }
 

@@ -247,12 +247,14 @@ object Ingest {
     * O(batch + touched buckets), not O(silver table) — the same file
     * pruning the reference's Delta MERGE provided (`02:67-87`).
     *
-    * Cleansing runs per micro-batch, exactly like the reference's
-    * foreachBatch MERGE: for row-local cleansers the result equals the
-    * batch-style full recleanse; for aggregated-grain entities
-    * (geolocation) a key seen in a later batch is re-aggregated from
-    * that batch alone and LWW-replaces the earlier row — the
-    * reference's own micro-batch MERGE semantics (`02:131-185`).
+    * Cleansing runs per micro-batch, so this path is ONLY correct for
+    * row-local cleansers (where per-batch cleanse + LWW merge equals a
+    * full recleanse). Do NOT route aggregated-grain entities here: a
+    * key re-seen in a later batch would be re-aggregated from that
+    * batch alone and LWW-replace its all-history row, making silver
+    * depend on file arrival order. `Lake.refreshSilver` routes
+    * `Entity.aggregatedGrain` entities through a full recleanse
+    * instead.
     */
   def bronzeToSilverBucketed(
       spark: SparkSession,

@@ -88,6 +88,29 @@ class LakeSpec extends SparkSpec {
       .getAs[String]("customer_city") == "CURITIBA")
   }
 
+  test("aggregated-grain silver re-aggregates over ALL bronze rows on incremental refresh") {
+    val root = tmpDir("lakegeo")
+    OlistFixtures.write(root)
+    val roots = LakeRoots(
+      s"$root/bronze", s"$root/silver", s"$root/gold", s"$root/checkpoints")
+    Lake.refreshSilver(spark, s"$root/ingest", roots)
+
+    // a later drop adds ONE more reading for the existing zip 01310:
+    // the silver average must cover all four readings (old + new), not
+    // be replaced by a single-batch aggregate of the new row alone
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/ingest/geolocation/b_second.csv"),
+      "geolocation_zip_code_prefix,geolocation_lat,geolocation_lng,geolocation_city,geolocation_state\n" +
+        "01310,-23.59,-46.60,sao paulo,sp")
+    Lake.refreshSilver(spark, s"$root/ingest", roots)
+
+    val z = graft.table.Bucketed.read(spark,
+        roots.silverBucketedRef(graft.pipeline.Entities.geolocation))
+      .filter(col("zip_code_prefix") === "01310").head
+    assert(math.abs(z.getAs[Double]("latitude") - (-23.5675)) < 1e-9,
+      s"expected the 4-reading average -23.5675, got ${z.getAs[Double]("latitude")}")
+  }
+
   test("reconcileManifest repairs a lost manifest without duplicating bronze") {
     val root = tmpDir("lakerepair")
     val src = s"$root/src"

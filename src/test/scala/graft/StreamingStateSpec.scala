@@ -92,6 +92,40 @@ class StreamingStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("admitted-late events fold like the batch twin: merge within gap, own session beyond it") {
+    implicit val sqlCtx = spark.sqlContext
+    val gapUs = 2L * 3600 * 1000000 // 2h gap
+    val base = 1700000000L * 1000000
+    def us(h: Int): Long = base + h * 3600L * 1000000
+    val in = MemoryStream[Ev]
+    // 24h lateness: cross-batch disorder is deliberately admitted
+    val q = Sessions.sessionizeStreamWithTimeout(in.toDF(), gapUs, maxLateness = "24 hours")
+      .writeStream.format("memory").queryName("sess_late_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // open session [h10, h11]
+      in.addData(Ev(1, us(10), 100), Ev(1, us(11), 101))
+      q.processAllAvailable()
+      // batch 2, both admitted (watermark = h11 - 24h):
+      //   h9  — within gap of the open start → merges, lowering start
+      //   h2  — >gap before the open session → must form its OWN session
+      in.addData(Ev(1, us(9), 102), Ev(1, us(2), 103))
+      q.processAllAvailable()
+
+      val emitted = spark.table("sess_late_out").as[Session].collect().toSet
+      assert(emitted == Set(Session(1, us(2), us(2), 1)),
+        s"far-late event must close as its own session, got $emitted")
+
+      // close the (now widened) open session with a far-future jump and
+      // check it folded the near-late event into [h9, h11] with n=3
+      in.addData(Ev(1, us(40), 104))
+      q.processAllAvailable()
+      val after = spark.table("sess_late_out").as[Session].collect().toSet
+      assert(after.contains(Session(1, us(9), us(11), 3)),
+        s"near-late event must merge into the open session, got $after")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch sessionizer") {
     implicit val sqlCtx = spark.sqlContext
     val gapUs = 6L * 3600 * 1000000
