@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.ops.Dedup
+
+/** Backward as-of join: each left row picks the single right row with
+  * the LARGEST right timestamp satisfying `rightTs <= leftTs` (or
+  * `<` when `strict`) within the same key group — the "state at event
+  * time" lookup of time-series engines (kdb+ `aj`, Pandas
+  * `merge_asof`, DuckDB `ASOF JOIN`).
+  *
+  * Scale shape: the naive formulation is an inequality join — a
+  * broadcast-nested-loop in Spark, quadratic per key group — or a
+  * per-key sort plus binary search that materializes both sides in
+  * memory. This implementation is instead ONE hash exchange of
+  * `left ∪ right` on the key, a per-partition sort on
+  * (key, ts, side), and a running `last(payload, ignoreNulls)`
+  * carry-forward window — i.e. exactly the merge-scan a column-store
+  * executes, with cost O((|L|+|R|) log partition) and zero row
+  * amplification. On a 1000-executor cluster both inputs stream once;
+  * no key group ever has to fit in memory beyond the sort spill.
+  *
+  * Determinism (SURVEY.md §7.4): right rows sharing (keys, rightTs)
+  * are pre-reduced to the one with the highest `tiebreak`, so the
+  * matched payload is a total-order choice even when timestamps
+  * collide.
+  */
+object AsOf {
+
+  /** Left-outer backward as-of join.
+    *
+    * @param left      probe side; all its columns are preserved
+    * @param right     build side: `keys ++ rightTs ++ payload` are read
+    * @param keys      equi-join key columns present on both sides
+    * @param leftTs    left event-time column (any orderable type,
+    *                  same type as `rightTs`)
+    * @param rightTs   right event-time column
+    * @param payload   right columns to carry onto matches (must not
+    *                  collide with left column names)
+    * @param tiebreak  total-orders right rows within (keys, rightTs);
+    *                  highest wins
+    * @param strict    `true` matches `rightTs < leftTs` instead of `<=`
+    */
+  def joinAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      tiebreak: Column,
+      strict: Boolean = false): DataFrame = {
+    require(payload.nonEmpty, "asof join needs at least one payload column")
+    require(payload.forall(right.columns.contains),
+      s"payload ${payload.mkString(",")} must be right-side columns")
+    val dup = payload.filter(left.columns.contains)
+    require(dup.isEmpty,
+      s"payload columns ${dup.mkString(",")} collide with left-side names")
+
+    val taken = (left.columns ++ right.columns).toSeq
+    val ts = Dedup.freshName(taken, "__asof_ts")
+    val side = Dedup.freshName(taken ++ Seq(ts), "__asof_side")
+    val pay = Dedup.freshName(taken ++ Seq(ts, side), "__asof_pay")
+
+    // one row per (keys, rightTs): highest tiebreak wins — makes the
+    // carry-forward's "latest" a total order under ts collisions
+    val r1 = right.groupBy((keys :+ rightTs).map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), tiebreak).as(pay))
+
+    // `<=`: right sorts BEFORE an equal-ts left row (side 0 < 1) so the
+    // carry-forward already holds it; `<`: right sorts after instead.
+    val rSide = if (strict) 2 else 0
+    val payType = r1.schema(pay).dataType
+    val lTagged = left
+      .withColumn(ts, col(leftTs))
+      .withColumn(side, lit(1))
+      .withColumn(pay, lit(null).cast(payType))
+    // align to lTagged's schema: keys + ts/side/pay, other left columns null
+    val rTagged = r1.select(lTagged.columns.map {
+      case c if keys.contains(c) => col(c)
+      case c if c == ts          => col(rightTs).as(ts)
+      case c if c == side        => lit(rSide).as(side)
+      case c if c == pay         => col(pay)
+      case c => lit(null).cast(lTagged.schema(c).dataType).as(c)
+    }: _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts), col(side))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lTagged.unionByName(rTagged)
+      .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
+      .filter(col(side) === 1)
+      .select(left.columns.map(col) ++ payload.map(p => col(s"$pay.$p").as(p)): _*)
+  }
+}

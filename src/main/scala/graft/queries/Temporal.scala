@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Sessions
+import graft.operators.{AsOf, RangeJoin, Sessions}
 
 /** Event-time operators over the events table: tumbling-window
   * aggregation and gap sessionization. Both are the BATCH forms of the
@@ -107,8 +107,93 @@ object Temporal {
        |FROM numbered GROUP BY user_id, session_seq
        |ORDER BY user_id, start_us""".stripMargin
 
+  /** Purchase events (left/probe side of the temporal joins). */
+  private def purchases(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts_us", tsUs)
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts_us")
+
+  /** View events, columns renamed so a self-temporal-join is ambiguity-free. */
+  private def views(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts_us", tsUs)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us").as("view_ts_us"),
+        col("event_id").as("view_event_id"))
+
+  private val purchasesCte =
+    s"""p AS (SELECT user_id, event_id, $OracleTsUs AS ts_us
+       |       FROM events WHERE event_type = 'purchase'),
+       |v0 AS (SELECT user_id, $OracleTsUs AS view_ts_us,
+       |         event_id AS view_event_id
+       |       FROM events WHERE event_type = 'view')""".stripMargin
+
+  // T5 — backward as-of join (kdb aj / merge_asof analog): each purchase
+  // picks the user's LATEST view at or before it. Spark side is the
+  // single-shuffle union + carry-forward merge-scan (AsOf.joinAsOf);
+  // DuckDB's native ASOF LEFT JOIN is the oracle, with the same
+  // (user, ts) → max(event_id) pre-reduction on the right side so ties
+  // are a total order in both engines.
+  def asofJoin(s: SparkSession, dir: String): DataFrame =
+    AsOf.joinAsOf(
+        purchases(s, dir), views(s, dir), Seq("user_id"),
+        leftTs = "ts_us", rightTs = "view_ts_us",
+        payload = Seq("view_event_id", "view_ts_us"),
+        tiebreak = col("view_event_id"))
+      .withColumn("gap_us", col("ts_us") - col("view_ts_us"))
+      .orderBy("event_id")
+
+  val asofJoinSql: String =
+    s"""WITH $purchasesCte,
+       |v AS (SELECT user_id, view_ts_us, max(view_event_id) AS view_event_id
+       |      FROM v0 GROUP BY 1, 2)
+       |SELECT p.user_id, p.event_id, p.ts_us,
+       |       v.view_event_id, v.view_ts_us,
+       |       p.ts_us - v.view_ts_us AS gap_us
+       |FROM p ASOF LEFT JOIN v
+       |  ON p.user_id = v.user_id AND p.ts_us >= v.view_ts_us
+       |ORDER BY p.event_id""".stripMargin
+
+  /** Range-join lookback window: 24 h in micros. */
+  val LookbackUs: Long = 24L * 3600 * 1000000
+
+  // T6 — interval range join, bucketized to an equi-join (RangeJoin):
+  // views of the same user in the 24 h BEFORE each purchase, then a
+  // per-purchase rollup kept left-outer so zero-view purchases survive
+  // with n_views = 0. The oracle runs the naive inequality join the
+  // bucketing is provably equivalent to.
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val p = purchases(s, dir)
+    val joined = RangeJoin.joinRange(
+      p, views(s, dir), Seq("user_id"),
+      leftTs = "ts_us", rightTs = "view_ts_us",
+      lo = -LookbackUs, hi = 0L,
+      payload = Seq("view_ts_us"))
+    val rolled = joined.groupBy("user_id", "event_id", "ts_us")
+      .agg(count(lit(1)).as("n_views"), max("view_ts_us").as("last_view_us"))
+    p.join(rolled, Seq("user_id", "event_id", "ts_us"), "left")
+      .withColumn("n_views", coalesce(col("n_views"), lit(0L)))
+      .orderBy("event_id")
+  }
+
+  val rangeJoinSql: String =
+    s"""WITH $purchasesCte,
+       |j AS (SELECT p.user_id, p.event_id, p.ts_us, v.view_ts_us
+       |      FROM p JOIN v0 v ON p.user_id = v.user_id
+       |        AND v.view_ts_us >= p.ts_us - $LookbackUs
+       |        AND v.view_ts_us < p.ts_us),
+       |a AS (SELECT user_id, event_id, ts_us,
+       |        CAST(count(*) AS BIGINT) AS n_views,
+       |        max(view_ts_us) AS last_view_us
+       |      FROM j GROUP BY 1, 2, 3)
+       |SELECT p.user_id, p.event_id, p.ts_us,
+       |       coalesce(a.n_views, 0) AS n_views, a.last_view_us
+       |FROM p LEFT JOIN a USING (user_id, event_id, ts_us)
+       |ORDER BY p.event_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("w2_windowed_agg", windowedAgg, Some(windowedAggSql)),
     QueryDef("w3_sessionize", sessionize, Some(sessionizeSql)),
-    QueryDef("w4_session_window", sessionWindow, Some(sessionWindowSql)))
+    QueryDef("w4_session_window", sessionWindow, Some(sessionWindowSql)),
+    QueryDef("t5_asof_join", asofJoin, Some(asofJoinSql)),
+    QueryDef("t6_range_join", rangeJoin, Some(rangeJoinSql)))
 }

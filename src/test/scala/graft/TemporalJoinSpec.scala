@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOf, RangeJoin}
+
+/** AsOf.joinAsOf and RangeJoin.joinRange edge semantics: tie-breaks,
+  * strictness, no-match null extension, negative-epoch buckets, and
+  * equivalence of the bucketized range join with the naive inequality
+  * join on random data.
+  */
+class TemporalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def leftDf = Seq(
+    (1L, 100L, "p1"), // before any right row
+    (1L, 200L, "p2"), // exactly ON a right ts
+    (1L, 350L, "p3"),
+    (2L, 500L, "p4")  // key with no right rows at all
+  ).toDF("k", "ts", "tag")
+
+  private def rightDf = Seq(
+    (1L, 200L, "r-early", 10L),
+    (1L, 200L, "r-late", 20L), // same (k, ts): tiebreak must pick this
+    (1L, 300L, "r-mid", 30L)
+  ).toDF("k", "rts", "rtag", "seq")
+
+  test("asof backward inclusive: equal-ts right row matches, ties resolved by tiebreak") {
+    val out = AsOf.joinAsOf(leftDf, rightDf, Seq("k"),
+        "ts", "rts", Seq("rtag", "rts"), tiebreak = col("seq"))
+      .orderBy("k", "ts")
+      .select("tag", "rtag", "rts").as[(String, Option[String], Option[Long])]
+      .collect().toSeq
+    assert(out == Seq(
+      ("p1", None, None),            // nothing at or before 100
+      ("p2", Some("r-late"), Some(200L)), // inclusive + max-seq tie win
+      ("p3", Some("r-mid"), Some(300L)),  // latest of the two prior ts
+      ("p4", None, None)))           // key absent on the right
+  }
+
+  test("asof strict excludes the equal-ts right row") {
+    val out = AsOf.joinAsOf(leftDf, rightDf, Seq("k"),
+        "ts", "rts", Seq("rtag"), tiebreak = col("seq"), strict = true)
+      .orderBy("k", "ts")
+      .select("tag", "rtag").as[(String, Option[String])].collect().toSeq
+    assert(out == Seq(
+      ("p1", None),
+      ("p2", None),         // strict: the equal-ts rts=200 no longer qualifies
+      ("p3", Some("r-mid")), // latest rts strictly before 350 is 300
+      ("p4", None)))
+  }
+
+  test("asof payload name collision with left side is rejected") {
+    val ex = intercept[IllegalArgumentException] {
+      AsOf.joinAsOf(leftDf, rightDf.withColumnRenamed("rtag", "tag"),
+        Seq("k"), "ts", "rts", Seq("tag"), tiebreak = col("seq"))
+    }
+    assert(ex.getMessage.contains("collide"))
+  }
+
+  test("range join matches the naive inequality join on random data incl. negative epochs") {
+    val rnd = new scala.util.Random(7)
+    val ls = Seq.tabulate(300)(i =>
+      (rnd.nextInt(5).toLong, rnd.nextLong() % 10000L - 3000L, i.toLong))
+    val rs = Seq.tabulate(300)(i =>
+      (rnd.nextInt(5).toLong, rnd.nextLong() % 10000L - 3000L, (1000 + i).toLong))
+    val l = ls.toDF("k", "ts", "lid")
+    val r = rs.toDF("k", "rts", "rid")
+    val got = RangeJoin.joinRange(l, r, Seq("k"), "ts", "rts",
+        lo = -700L, hi = 250L, payload = Seq("rid", "rts"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (lk, lt, lid) <- ls
+      (rk, rt, rid) <- rs
+      if lk == rk && rt >= lt - 700L && rt < lt + 250L
+    } yield (lid, rid)).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("range join keeps the physical plan an equi-join (no nested loop)") {
+    val l = Seq((1L, 10L)).toDF("k", "ts")
+    val r = Seq((1L, 12L, "x")).toDF("k", "rts", "p")
+    val plan = RangeJoin.joinRange(l, r, Seq("k"), "ts", "rts", 0L, 100L, Seq("p"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must stay an equi-join:\n$plan")
+  }
+}
