@@ -41,6 +41,12 @@ object expressions {
 
   def intersectSize(a: Column, b: Column): Column =
     wrap(IntersectSize(Bridge.expression(a), Bridge.expression(b)))
+
+  /** KMV sketch state (see plans/aggregates.scala): aggregate returning
+    * the k smallest distinct longs, ascending.
+    */
+  def kMinValues(c: Column, k: Int): Column =
+    wrap(KMinValues(Bridge.expression(c), k).toAggregateExpression())
 }
 
 /** Portable polynomial rolling hash of a string:

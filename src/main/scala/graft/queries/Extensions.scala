@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Text
-import graft.operators.{Curation, HyperplaneLsh, Multimodal, Quantize, Similarity, TextDedup, TextStats}
+import graft.operators.{Curation, HyperplaneLsh, Multimodal, Quantize, Similarity, Sketches, TextDedup, TextStats}
 
 /** Training-data pipeline extension queries (BASELINE.json north star):
   * dedup (exact / n-gram Jaccard / MinHash LSH / SimHash / embedding),
@@ -739,6 +739,99 @@ object Extensions {
        |    ORDER BY score DESC, doc_id ASC) AS rank FROM sc)
        |WHERE rank <= 3 ORDER BY source, rank""".stripMargin
 
+  // ---- sketches ----------------------------------------------------------
+
+  private val KmvK = 256
+  private val CmsD = 4
+  private val CmsW = 2048
+
+  /** Non-empty whitespace tokens with their language. */
+  private def langTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), explode(Text.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+
+  /** KMV approximate-distinct (plans/aggregates.scala): per-language
+    * vocabulary-size estimate from the k smallest distinct token
+    * hashes — the bounded-memory path where `count(DISTINCT tok)` at
+    * 100 TB would shuffle the whole vocabulary. The exact count rides
+    * along so the estimate's error is a measured, hash-checked number
+    * every round (same auditing pattern as x_ann_recall). Estimator:
+    * k_seen < k ⇒ the sketch IS the exact distinct-hash count; else
+    * (k−1)·M / h_k, one double division (SURVEY §7.4).
+    */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    langTokens(s, dir)
+      .groupBy("lang")
+      .agg(
+        graft.plans.expressions.kMinValues(Text.polyHash(col("tok")), KmvK).as("kmin"),
+        countDistinct(col("tok")).as("n_exact"))
+      .select(
+        col("lang"), col("n_exact"),
+        size(col("kmin")).cast("long").as("k_seen"),
+        try_element_at(col("kmin"), lit(KmvK)).as("h_k"),
+        when(size(col("kmin")) < KmvK, size(col("kmin")).cast("double"))
+          .otherwise(lit(((KmvK - 1).toLong * Text.HashMod).toDouble) /
+            try_element_at(col("kmin"), lit(KmvK)))
+          .as("est_distinct"))
+      .orderBy("lang")
+
+  val approxDistinctSql: String = {
+    val num = (KmvK - 1).toLong * Text.HashMod
+    s"""WITH tk AS (SELECT lang, tok
+       |  FROM (SELECT lang, unnest(${sqlWords("text")}) AS tok FROM documents)
+       |  WHERE length(tok) > 0),
+       |hd AS (SELECT DISTINCT lang, ${sqlPolyHash("tok")} AS h FROM tk),
+       |r AS (SELECT lang, h,
+       |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM hd),
+       |km AS (SELECT lang, CAST(count(*) AS BIGINT) AS k_seen,
+       |    max(CASE WHEN rn = $KmvK THEN h END) AS h_k
+       |  FROM r WHERE rn <= $KmvK GROUP BY lang),
+       |ex AS (SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS n_exact
+       |  FROM tk GROUP BY lang)
+       |SELECT lang, n_exact, k_seen, h_k,
+       |  CASE WHEN k_seen < $KmvK THEN CAST(k_seen AS DOUBLE)
+       |       ELSE CAST($num AS DOUBLE) / h_k END AS est_distinct
+       |FROM ex JOIN km USING (lang) ORDER BY lang""".stripMargin
+  }
+
+  /** Count-min heavy hitters (operators/Sketches.scala): the d×w
+    * sketch build is a bounded-output groupBy (shuffle = sketch size,
+    * not vocabulary size); the top-20 exact counts ride along to make
+    * the CMS overestimate a measured, hash-checked number. The exact
+    * side is the audit, not the scale path — at 100 TB one keeps the
+    * sketch and drops the exact groupBy.
+    */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = langTokens(s, dir).select("tok")
+    val sketch = Sketches.countMinBuild(toks, "tok", CmsD, CmsW)
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok").asc).limit(20)
+    Sketches.countMinLookup(sketch, top, "tok", CmsD, CmsW)
+      .withColumn("overcount", col("est_n") - col("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok").asc)
+  }
+
+  val heavyHittersSql: String = {
+    def bucket(tok: String, r: String) =
+      s"${sqlPolyHash(s"$tok || ':cms' || CAST($r AS VARCHAR)")} % $CmsW"
+    s"""WITH toks AS (SELECT tok
+       |  FROM (SELECT unnest(${sqlWords("text")}) AS tok FROM documents)
+       |  WHERE length(tok) > 0),
+       |top AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_exact
+       |  FROM toks GROUP BY tok ORDER BY n_exact DESC, tok LIMIT 20),
+       |cms AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT g.r, ${bucket("t.tok", "g.r")} AS bucket
+       |        FROM toks t CROSS JOIN (SELECT unnest(range($CmsD)) AS r) g)
+       |  GROUP BY r, bucket),
+       |probe AS (SELECT top.tok, top.n_exact, min(cms.n) AS est_n
+       |  FROM top CROSS JOIN (SELECT unnest(range($CmsD)) AS r) g
+       |  JOIN cms ON cms.r = g.r AND cms.bucket = ${bucket("top.tok", "g.r")}
+       |  GROUP BY top.tok, top.n_exact)
+       |SELECT tok, n_exact, est_n, est_n - n_exact AS overcount
+       |FROM probe ORDER BY n_exact DESC, tok""".stripMargin
+  }
+
   // ---- multimodal --------------------------------------------------------
 
   def multimodal(s: SparkSession, dir: String): DataFrame =
@@ -800,5 +893,7 @@ object Extensions {
     QueryDef("x_vocab_topk", vocabTopK, Some(vocabTopKSql)),
     QueryDef("x_length_quantiles", lengthQuantiles, Some(lengthQuantilesSql)),
     QueryDef("x_quality_topk", qualityTopKPerSource, Some(qualityTopKPerSourceSql)),
+    QueryDef("x_approx_distinct", approxDistinct, Some(approxDistinctSql)),
+    QueryDef("x_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("x_curate", curate, Some(curateSql)))
 }
