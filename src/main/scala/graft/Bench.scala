@@ -44,7 +44,12 @@ object Bench {
     // A failed query records its wall time AND an error entry — a
     // broken query must be visible in the artifact, never silently
     // folded into a plausible-looking timing.
-    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the run for targeted profiling
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val runs = selected.map { case (name, fn) =>
       // Per-query isolation: queries materialize localCheckpoint blocks
       // while building their plans; left in the block manager they
       // crowd storage memory and taint every LATER query's measurement
