@@ -613,6 +613,57 @@ object Core {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // S9 — PIVOT (long→wide reshaping, SURVEY §2.7 gap): per-user event
+  // counts spread across one column per type. The pivot value list is
+  // EXPLICIT — with an inferred list Spark first runs a distinct query
+  // whose result order (and thus column order) is nondeterministic, and
+  // at scale the extra pass over the fact table is pure waste.
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def pivotEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .select(col("user_id") +:
+        EventTypes.map(tp => coalesce(col(tp), lit(0L)).as(s"n_$tp")): _*)
+      .orderBy("user_id")
+
+  val pivotEventsSql: String = {
+    val cols = EventTypes.map(tp =>
+      s"CAST(count(*) FILTER (WHERE event_type = '$tp') AS BIGINT) AS n_$tp")
+    s"""SELECT user_id, ${cols.mkString(", ")}
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  // S10 — UNPIVOT/melt (wide→long): the three lineitem amount columns
+  // stacked into (component, amount) rows, then rolled up per
+  // component. Unpivot is a zero-shuffle projection (each input row
+  // emits 3 output rows in place); only the rollup exchanges data.
+  def unpivotAmounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "component", "amount")
+      .groupBy("component")
+      .agg(
+        sum(cents(col("amount"))).as("total_cents"),
+        count(lit(1)).as("n"),
+        max(cents(col("amount"))).as("max_cents"))
+      .orderBy("component")
+
+  val unpivotAmountsSql: String =
+    """WITH m AS (
+      |  SELECT 'l_extendedprice' AS component, l_extendedprice AS amount FROM lineitem
+      |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+      |SELECT component,
+      |  CAST(SUM(CAST(round(amount*100) AS BIGINT)) AS BIGINT) AS total_cents,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(max(CAST(round(amount*100) AS BIGINT)) AS BIGINT) AS max_cents
+      |FROM m GROUP BY component ORDER BY component""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("j5_revenue_rollup", revenueRollup, Some(revenueRollupSql)),
     QueryDef("j10_star_margin", starMargin, Some(starMarginSql)),
@@ -636,5 +687,7 @@ object Core {
     QueryDef("j9_salted_join", saltedJoin, Some(saltedJoinSql)),
     QueryDef("a10_rollup", rollupTotals, Some(rollupTotalsSql)),
     QueryDef("s8_set_ops", setOps, Some(setOpsSql)),
-    QueryDef("f19_json_extract", jsonExtract, Some(jsonExtractSql)))
+    QueryDef("f19_json_extract", jsonExtract, Some(jsonExtractSql)),
+    QueryDef("s9_pivot_events", pivotEvents, Some(pivotEventsSql)),
+    QueryDef("s10_unpivot_amounts", unpivotAmounts, Some(unpivotAmountsSql)))
 }
