@@ -23,10 +23,11 @@ import graft.ops.Dedup
   * amplification. On a 1000-executor cluster both inputs stream once;
   * no key group ever has to fit in memory beyond the sort spill.
   *
-  * Determinism (SURVEY.md §7.4): right rows sharing (keys, rightTs)
-  * are pre-reduced to the one with the highest `tiebreak`, so the
-  * matched payload is a total-order choice even when timestamps
-  * collide.
+  * Determinism (SURVEY.md §7.4): among right rows sharing
+  * (keys, rightTs) the one with the highest `tiebreak` wins — the
+  * window sort ends each equal-ts run on it, so the match is a
+  * total-order choice whenever `tiebreak` totally orders right rows
+  * within (keys, rightTs).
   */
 object AsOf {
 
@@ -64,31 +65,34 @@ object AsOf {
     val ts = Dedup.freshName(taken, "__asof_ts")
     val side = Dedup.freshName(taken ++ Seq(ts), "__asof_side")
     val pay = Dedup.freshName(taken ++ Seq(ts, side), "__asof_pay")
-
-    // one row per (keys, rightTs): highest tiebreak wins — makes the
-    // carry-forward's "latest" a total order under ts collisions
-    val r1 = right.groupBy((keys :+ rightTs).map(col): _*)
-      .agg(max_by(struct(payload.map(col): _*), tiebreak).as(pay))
+    val tb = Dedup.freshName(taken ++ Seq(ts, side, pay), "__asof_tb")
 
     // `<=`: right sorts BEFORE an equal-ts left row (side 0 < 1) so the
     // carry-forward already holds it; `<`: right sorts after instead.
+    // Within equal (ts, side) the sort ends on the HIGHEST tiebreak, so
+    // the carry-forward lands on exactly the max_by choice — resolving
+    // ts collisions inside the sort the window needs anyway, instead of
+    // paying a separate groupBy(keys, ts) shuffle of the right side.
     val rSide = if (strict) 2 else 0
-    val payType = r1.schema(pay).dataType
+    val rPre = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as(ts), lit(rSide).as(side),
+        struct(payload.map(col): _*).as(pay), tiebreak.as(tb)): _*)
+    val payType = rPre.schema(pay).dataType
+    val tbType = rPre.schema(tb).dataType
     val lTagged = left
       .withColumn(ts, col(leftTs))
       .withColumn(side, lit(1))
       .withColumn(pay, lit(null).cast(payType))
-    // align to lTagged's schema: keys + ts/side/pay, other left columns null
-    val rTagged = r1.select(lTagged.columns.map {
-      case c if keys.contains(c) => col(c)
-      case c if c == ts          => col(rightTs).as(ts)
-      case c if c == side        => lit(rSide).as(side)
-      case c if c == pay         => col(pay)
+      .withColumn(tb, lit(null).cast(tbType))
+    // align to lTagged's schema: keys + ts/side/pay/tb, other left cols null
+    val rTagged = rPre.select(lTagged.columns.map {
+      case c if rPre.columns.contains(c) => col(c)
       case c => lit(null).cast(lTagged.schema(c).dataType).as(c)
     }: _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(ts), col(side))
+      .orderBy(col(ts), col(side), col(tb))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lTagged.unionByName(rTagged)
       .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))

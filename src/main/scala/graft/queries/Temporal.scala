@@ -129,10 +129,11 @@ object Temporal {
 
   // T5 — backward as-of join (kdb aj / merge_asof analog): each purchase
   // picks the user's LATEST view at or before it. Spark side is the
-  // single-shuffle union + carry-forward merge-scan (AsOf.joinAsOf);
-  // DuckDB's native ASOF LEFT JOIN is the oracle, with the same
-  // (user, ts) → max(event_id) pre-reduction on the right side so ties
-  // are a total order in both engines.
+  // single-shuffle union + carry-forward merge-scan (AsOf.joinAsOf),
+  // ties resolved by max event_id inside the window sort; DuckDB's
+  // native ASOF LEFT JOIN is the oracle, with an explicit
+  // (user, ts) → max(event_id) pre-reduction making its tie choice the
+  // same total order.
   def asofJoin(s: SparkSession, dir: String): DataFrame =
     AsOf.joinAsOf(
         purchases(s, dir), views(s, dir), Seq("user_id"),

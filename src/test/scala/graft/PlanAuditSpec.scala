@@ -63,6 +63,15 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("SortMergeJoin"))
   }
 
+  test("as-of join is a single-exchange merge-scan (no right-side pre-shuffle)") {
+    val p = plan("t5_asof_join")
+    // exchanges: ONE hashpartitioning on the key for the window, plus
+    // the final orderBy's range partitioning — nothing per-side
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash exchange in the as-of plan, got $hashExchanges:\n$p")
+  }
+
   test("every declared query plans successfully at sf0.001") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name) // throws on analysis failure
