@@ -664,6 +664,135 @@ object Core {
       |  CAST(max(CAST(round(amount*100) AS BIGINT)) AS BIGINT) AS max_cents
       |FROM m GROUP BY component ORDER BY component""".stripMargin
 
+  // J11 — explicit semi/anti joins (used internally by the merge ops;
+  // here as first-class queries): customers WITH an open order (semi —
+  // no row duplication however many orders match, and Spark never
+  // materializes the right payload) and customers with NO order at all
+  // (anti). Both shuffle only the key column of the probe side.
+  def semiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+    val o = t(s, dir, "orders").select("o_custkey", "o_orderstatus")
+    val semi = c.join(o.filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .withColumn("src", lit("has_open"))
+    val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .withColumn("src", lit("no_orders"))
+    semi.unionByName(anti)
+      .select("src", "c_custkey", "c_mktsegment")
+      .orderBy("src", "c_custkey")
+  }
+
+  val semiAntiSql: String =
+    """SELECT 'has_open' AS src, c_custkey, c_mktsegment FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+      |UNION ALL
+      |SELECT 'no_orders', c_custkey, c_mktsegment FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY src, c_custkey""".stripMargin
+
+  // W5 — window-analytics battery over each customer's order history:
+  // running revenue (rows-frame sum), days since the previous order
+  // (lag), revenue rank and quartile (rank/ntile). Every window shares
+  // ONE (custkey → date,key) sort: Spark plans a single exchange +
+  // sort for all four functions. The per-customer order is total
+  // (date, then key) so rank == a deterministic sequence, and ntile's
+  // bucket boundaries are reproducible.
+  def windowAnalytics(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d"), cents(col("o_totalprice")).as("c"))
+    val byDate = Window.partitionBy("o_custkey").orderBy(col("d"), col("o_orderkey"))
+    o.select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(col("d"), "yyyy-MM-dd").as("order_date"),
+        sum(col("c")).over(byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("running_cents"),
+        datediff(col("d"), lag(col("d"), 1).over(byDate)).cast("long").as("days_since_prev"),
+        rank().over(byDate).cast("long").as("seq_rank"),
+        ntile(4).over(byDate).cast("long").as("quartile"))
+      .orderBy("o_custkey", "order_date", "o_orderkey")
+  }
+
+  val windowAnalyticsSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+      |  SUM(CAST(round(o_totalprice*100) AS BIGINT))
+      |    OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+      |          ROWS UNBOUNDED PRECEDING) AS running_cents,
+      |  CAST(date_diff('day',
+      |      lag(CAST(o_orderdate AS DATE)) OVER w, CAST(o_orderdate AS DATE)) AS BIGINT)
+      |    AS days_since_prev,
+      |  CAST(rank() OVER w AS BIGINT) AS seq_rank,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+      |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin
+
+  // F20 — scalar string-function battery (the long tail of §2.8 F-ops
+  // users reach for daily), every function chosen to have an exact
+  // DuckDB twin so the whole battery is hash-checked.
+  def stringFunctions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        concat_ws("|", lower(col("c_mktsegment")), upper(col("c_name"))).as("tagged"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("padded_key"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        substring(col("c_name"), 1, 8).as("prefix8"),
+        reverse(col("c_name")).as("rev"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("xlated"),
+        instr(col("c_name"), "#").cast("long").as("hash_pos"),
+        repeat(col("c_mktsegment"), 2).as("doubled"),
+        length(col("c_name")).cast("long").as("name_len"))
+      .orderBy("c_custkey")
+
+  val stringFunctionsSql: String =
+    """SELECT c_custkey,
+      |  lower(c_mktsegment) || '|' || upper(c_name) AS tagged,
+      |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+      |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+      |  substr(c_name, 1, 8) AS prefix8,
+      |  reverse(c_name) AS rev,
+      |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS xlated,
+      |  CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+      |  repeat(c_mktsegment, 2) AS doubled,
+      |  CAST(length(c_name) AS BIGINT) AS name_len
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // F21 — array/higher-order-function battery over document tokens:
+  // slice/sort/distinct/contains plus a transform+aggregate fold, all
+  // reduced to scalar outputs (list-typed outputs would make the
+  // cross-engine compare depend on pandas list semantics).
+  def arrayFunctions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.Text.tokens(col("text")).as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tok"),
+        concat_ws(" ", slice(col("w"), 1, 3)).as("first3"),
+        concat_ws(" ", slice(sort_array(array_distinct(col("w"))), 1, 5)).as("lex5"),
+        array_contains(col("w"), "the").as("has_the"),
+        aggregate(transform(col("w"), x => length(x).cast("long")),
+          lit(0L), (a, x) => a + x).as("total_chars"),
+        size(filter(col("w"), x => length(x) > 4)).cast("long").as("n_long"))
+      .orderBy("doc_id")
+
+  val arrayFunctionsSql: String =
+    s"""WITH d AS (SELECT doc_id, ${"string_split_regex(trim(text), '\\s+')"} AS w
+       |           FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(w) AS BIGINT) AS n_tok,
+       |  array_to_string(w[1:3], ' ') AS first3,
+       |  array_to_string(list_sort(list_distinct(w))[1:5], ' ') AS lex5,
+       |  list_contains(w, 'the') AS has_the,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(w, x -> CAST(length(x) AS BIGINT))), (a, x) -> a + x)
+       |    AS total_chars,
+       |  CAST(len(list_filter(w, x -> length(x) > 4)) AS BIGINT) AS n_long
+       |FROM d ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("j5_revenue_rollup", revenueRollup, Some(revenueRollupSql)),
     QueryDef("j10_star_margin", starMargin, Some(starMarginSql)),
@@ -689,5 +818,9 @@ object Core {
     QueryDef("s8_set_ops", setOps, Some(setOpsSql)),
     QueryDef("f19_json_extract", jsonExtract, Some(jsonExtractSql)),
     QueryDef("s9_pivot_events", pivotEvents, Some(pivotEventsSql)),
-    QueryDef("s10_unpivot_amounts", unpivotAmounts, Some(unpivotAmountsSql)))
+    QueryDef("s10_unpivot_amounts", unpivotAmounts, Some(unpivotAmountsSql)),
+    QueryDef("j11_semi_anti", semiAnti, Some(semiAntiSql)),
+    QueryDef("w5_window_analytics", windowAnalytics, Some(windowAnalyticsSql)),
+    QueryDef("f20_string_funcs", stringFunctions, Some(stringFunctionsSql)),
+    QueryDef("f21_array_funcs", arrayFunctions, Some(arrayFunctionsSql)))
 }
