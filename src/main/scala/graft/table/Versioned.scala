@@ -1,0 +1,183 @@
+package graft.table
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Log-backed versioned table: the Delta-transaction-log analog the
+  * plain `Table` layer (write-temp + rename) deliberately omits.
+  *
+  * Layout:
+  * {{{
+  *   <dir>/_graft_log/v00000001.json   // snapshot: full data-file list
+  *   <dir>/d-<uuid>/part-*.parquet     // immutable data-file sets
+  * }}}
+  *
+  * Every commit writes a NEW data directory (files are never mutated or
+  * renamed) and then publishes a complete snapshot listing as the next
+  * log entry via an atomic temp-file rename. Readers resolve the file
+  * list from the log, never from directory listing — which is what
+  * makes this the scale shape: at 100 TB a recursive listing of
+  * millions of data files is the slowest part of query planning, while
+  * the log read is one small file. It also yields
+  *
+  *  - snapshot isolation: a reader planning against version N keeps a
+  *    consistent file set however many commits land meanwhile;
+  *  - time travel: `readAt(v)` reproduces any retained version —
+  *    including pre-overwrite data, since overwrite only publishes a
+  *    snapshot that stops referencing old files, it deletes nothing;
+  *  - crash safety: data files written by a failed commit are invisible
+  *    (no snapshot references them) and are swept by `vacuum`.
+  *
+  * Single-writer by contract (like the rest of the table layer):
+  * concurrent committers would race on the next version number; a
+  * multi-writer deployment puts a lock service or conditional-put in
+  * front of the log directory, exactly as Delta does on S3.
+  *
+  * Reference sites being emulated: Delta's `VERSION AS OF` /
+  * `deltaTable.vacuum()` that the reference's storage format provides
+  * implicitly (`01_bronze_csv_to_delta.py:49-56` writes, `02:394-398`
+  * reads).
+  */
+object Versioned {
+
+  private val LogDir = "_graft_log"
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def logPath(dir: String) = new Path(dir, LogDir)
+
+  private def versionFile(dir: String, v: Long) =
+    new Path(logPath(dir), f"v$v%08d.json")
+
+  /** All committed versions, ascending; empty for a non-table. */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val f = fs(spark, dir)
+    if (!f.exists(logPath(dir))) Seq.empty
+    else f.listStatus(logPath(dir)).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+      .sorted
+  }
+
+  def currentVersion(spark: SparkSession, dir: String): Option[Long] =
+    versions(spark, dir).lastOption
+
+  /** Data files (table-relative paths) of snapshot `v`. */
+  def filesAt(spark: SparkSession, dir: String, v: Long): Seq[String] = {
+    val f = fs(spark, dir)
+    val p = versionFile(dir, v)
+    require(f.exists(p), s"version $v does not exist (vacuumed or never committed) at $dir")
+    val in = f.open(p)
+    val json = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    // minimal parse of {"version":N,"op":"...","files":["a","b"]} —
+    // files are uuid/part names we wrote ourselves (no quotes/escapes)
+    val files = json.split("\"files\":\\[", 2)(1).split("]", 2)(0)
+    if (files.trim.isEmpty) Seq.empty
+    else files.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+  }
+
+  /** Latest snapshot scan. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    readAt(spark, dir, currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir")))
+
+  /** Time-travel scan of snapshot `v` (Delta `VERSION AS OF v`). */
+  def readAt(spark: SparkSession, dir: String, v: Long): DataFrame = {
+    val files = filesAt(spark, dir, v)
+    if (files.isEmpty)
+      // schema-less empty snapshot: surface as an empty 0-column frame
+      spark.emptyDataFrame
+    else
+      spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+  }
+
+  private def commit(
+      spark: SparkSession, dir: String, files: Seq[String], op: String): Long = {
+    val f = fs(spark, dir)
+    f.mkdirs(logPath(dir))
+    val v = currentVersion(spark, dir).getOrElse(0L) + 1
+    val json =
+      s"""{"version":$v,"op":"$op","files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
+    val tmp = new Path(logPath(dir), s".v$v.tmp")
+    val out = f.create(tmp, true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (!f.rename(tmp, versionFile(dir, v)))
+      throw new IllegalStateException(
+        s"commit of version $v at $dir lost a race — concurrent writer?")
+    v
+  }
+
+  /** Writes `df` as a fresh immutable file set and returns its
+    * table-relative parquet paths (not yet referenced by any snapshot).
+    */
+  private def writeDataFiles(df: DataFrame, dir: String): Seq[String] = {
+    val sub = s"d-${UUID.randomUUID().toString.take(8)}"
+    df.write.parquet(s"$dir/$sub")
+    val f = fs(df.sparkSession, dir)
+    f.listStatus(new Path(dir, sub)).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet"))
+      .sorted
+      .map(n => s"$sub/$n")
+  }
+
+  /** Append commit: next snapshot = previous files + the new set. */
+  def append(df: DataFrame, dir: String): Long = {
+    val spark = df.sparkSession
+    val prev = currentVersion(spark, dir)
+      .map(filesAt(spark, dir, _)).getOrElse(Seq.empty)
+    commit(spark, dir, prev ++ writeDataFiles(df, dir), "append")
+  }
+
+  /** Overwrite commit: next snapshot = the new set alone. Old versions
+    * stay readable until `vacuum`.
+    */
+  def overwrite(df: DataFrame, dir: String): Long =
+    commit(df.sparkSession, dir, writeDataFiles(df, dir), "overwrite")
+
+  /** Compaction commit (OPTIMIZE analog on the versioned layout): the
+    * current snapshot rewritten as one coalesced file set. Rows are
+    * unchanged — the commit just swaps many small files for few big
+    * ones; history before the compaction still time-travels.
+    */
+  def compact(spark: SparkSession, dir: String): Long =
+    overwrite(read(spark, dir), dir)
+
+  /** Delete data files referenced ONLY by versions older than the
+    * newest `keepVersions`, and their log entries — plus any data
+    * directory no retained snapshot references at all (failed-commit
+    * debris). Time travel contracts to the retained window.
+    */
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 1): Unit = {
+    require(keepVersions >= 1, "must retain at least the current version")
+    val f = fs(spark, dir)
+    val all = versions(spark, dir)
+    val (drop, keep) = all.splitAt(math.max(0, all.size - keepVersions))
+    val live = keep.flatMap(filesAt(spark, dir, _)).toSet
+    // sweep whole data dirs with no live files; else per-file
+    val liveDirs = live.map(_.split("/", 2)(0))
+    f.listStatus(new Path(dir)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("d-"))
+      .foreach { st =>
+        val d = st.getPath.getName
+        if (!liveDirs.contains(d)) f.delete(st.getPath, true)
+        else f.listStatus(st.getPath).toSeq.foreach { fileSt =>
+          val rel = s"$d/${fileSt.getPath.getName}"
+          if (fileSt.getPath.getName.endsWith(".parquet") && !live.contains(rel))
+            f.delete(fileSt.getPath, false)
+        }
+      }
+    drop.foreach(v => f.delete(versionFile(dir, v), false))
+  }
+}

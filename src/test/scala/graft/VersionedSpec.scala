@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.table.Versioned
+
+/** Versioned-table contracts: time travel across appends and
+  * overwrites, snapshot isolation from uncommitted data, vacuum
+  * retention, and log-resolved (not listing-resolved) reads.
+  */
+class VersionedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(dir: String, v: Long): Set[(Long, String)] =
+    Versioned.readAt(spark, dir, v).as[(Long, String)].collect().toSet
+
+  test("append commits accumulate; readAt reproduces every version") {
+    val dir = tmpDir("vt_append")
+    val v1 = Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir)
+    val v2 = Versioned.append(Seq((3L, "c")).toDF("id", "s"), dir)
+    assert((v1, v2) == (1L, 2L))
+    assert(rows(dir, v1) == Set((1L, "a"), (2L, "b")))
+    assert(rows(dir, v2) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(Versioned.read(spark, dir).count() == 3)
+  }
+
+  test("overwrite starts a new snapshot but pre-overwrite versions still time-travel") {
+    val dir = tmpDir("vt_over")
+    Versioned.append(Seq((1L, "old")).toDF("id", "s"), dir)
+    val v2 = Versioned.overwrite(Seq((9L, "new")).toDF("id", "s"), dir)
+    assert(rows(dir, 1L) == Set((1L, "old")), "history must survive overwrite")
+    assert(rows(dir, v2) == Set((9L, "new")))
+  }
+
+  test("uncommitted data files are invisible to readers") {
+    val dir = tmpDir("vt_crash")
+    Versioned.append(Seq((1L, "a")).toDF("id", "s"), dir)
+    // simulate a crashed commit: data lands, log entry never published
+    Seq((666L, "ghost")).toDF("id", "s").write.parquet(s"$dir/d-deadbeef")
+    assert(Versioned.read(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a")), "snapshot reads must resolve files from the log only")
+  }
+
+  test("vacuum drops old versions' files and failed-commit debris, keeps retained window") {
+    val dir = tmpDir("vt_vac")
+    Versioned.append(Seq((1L, "a")).toDF("id", "s"), dir)
+    Versioned.overwrite(Seq((2L, "b")).toDF("id", "s"), dir)
+    Versioned.append(Seq((3L, "c")).toDF("id", "s"), dir)
+    Seq((666L, "ghost")).toDF("id", "s").write.parquet(s"$dir/d-debris")
+    Versioned.vacuum(spark, dir, keepVersions = 2)
+
+    assert(Versioned.versions(spark, dir) == Seq(2L, 3L))
+    assert(rows(dir, 3L) == Set((2L, "b"), (3L, "c")))
+    assert(rows(dir, 2L) == Set((2L, "b")))
+    intercept[IllegalArgumentException] { Versioned.readAt(spark, dir, 1L) }
+    // v1's exclusive files and the debris directory are gone from disk
+    val left = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(!left.contains("d-debris"), s"debris not swept: $left")
+    // only data dirs referenced by retained snapshots survive
+    val liveDirs = Seq(2L, 3L).flatMap(v =>
+      Versioned.filesAt(spark, dir, v)).map(_.split("/")(0)).toSet
+    assert(left.filter(_.startsWith("d-")) == liveDirs,
+      s"unreferenced data dirs must be swept: left=$left live=$liveDirs")
+  }
+
+  test("compact coalesces the current snapshot without changing rows or history") {
+    val dir = tmpDir("vt_comp")
+    (1 to 5).foreach(i =>
+      Versioned.append(Seq((i.toLong, s"r$i")).toDF("id", "s").repartition(3), dir))
+    val before = Versioned.read(spark, dir).as[(Long, String)].collect().toSet
+    val nFilesBefore = Versioned.filesAt(spark, dir, 5L).size
+    val vc = Versioned.compact(spark, dir)
+    val after = Versioned.readAt(spark, dir, vc).as[(Long, String)].collect().toSet
+    assert(after == before)
+    assert(Versioned.filesAt(spark, dir, vc).size < nFilesBefore)
+    assert(rows(dir, 3L).size == 3, "pre-compaction history still travels")
+  }
+
+  test("snapshot isolation: a frame planned at version N is unaffected by later commits") {
+    val dir = tmpDir("vt_iso")
+    Versioned.append(Seq((1L, "a")).toDF("id", "s"), dir)
+    val atV1 = Versioned.readAt(spark, dir, 1L)
+    Versioned.append(Seq((2L, "b")).toDF("id", "s"), dir)
+    Versioned.overwrite(Seq((3L, "c")).toDF("id", "s"), dir)
+    assert(atV1.as[(Long, String)].collect().toSet == Set((1L, "a")))
+  }
+}
