@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.plans.{DotProduct, IntersectSize, MinHashSig, PolyHash, WordShingles}
+import graft.plans.{DotProduct, IntersectSize, KMinValues, MinHashSig, PolyHash, WordShingles}
 
 /** SQL surface of the engine's fused expressions — the standard library
   * extension mechanism (`SparkSessionExtensions`), so a pure-SQL user
@@ -70,6 +70,9 @@ object GraftExtensions {
     }),
     fn("graft_intersect_size", "graft_intersect_size(array<string>, array<string>)", {
       case Seq(a, b) => IntersectSize(a, b)
+    }),
+    fn("graft_kmin", "graft_kmin(bigint, k) — aggregate: k smallest distinct values", {
+      case Seq(c, k) => KMinValues(c, litInt(k, "k")).toAggregateExpression()
     }))
 
   /** Registers every function on an already-built session. */

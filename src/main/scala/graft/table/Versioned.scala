@@ -154,6 +154,24 @@ object Versioned {
   def compact(spark: SparkSession, dir: String): Long =
     overwrite(read(spark, dir), dir)
 
+  /** Row-level change feed between two snapshots (Delta CDF analog,
+    * multiset semantics): rows in `to` but not `from` surface as
+    * `insert`, rows gone as `delete`; an update is a delete+insert
+    * pair. `exceptAll` keeps duplicate multiplicity so an append of an
+    * identical row still shows as one insert. Cost: one anti-style
+    * shuffle over both snapshots' changed columns — at scale, pair it
+    * with partition pruning on the snapshots' shared layout; unchanged
+    * files hash-match and cancel entirely.
+    */
+  def changes(spark: SparkSession, dir: String, from: Long, to: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val before = readAt(spark, dir, from)
+    val after = readAt(spark, dir, to)
+    after.exceptAll(before).withColumn("_change_type", lit("insert"))
+      .unionByName(
+        before.exceptAll(after).withColumn("_change_type", lit("delete")))
+  }
+
   /** Delete data files referenced ONLY by versions older than the
     * newest `keepVersions`, and their log entries — plus any data
     * directory no retained snapshot references at all (failed-commit

@@ -40,6 +40,18 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql.toSeq == viaColumns.toSeq)
   }
 
+  test("graft_kmin SQL aggregate matches the Column-API sketch") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq(5L, 3L, 9L, 3L, 1L, 7L).toDF("v").createOrReplaceTempView("kminsurface")
+    val viaSql = spark.sql("SELECT graft_kmin(v, 3) AS km FROM kminsurface")
+      .as[Seq[Long]].head
+    val viaColumn = spark.table("kminsurface")
+      .agg(graft.plans.expressions.kMinValues(col("v"), 3).as("km"))
+      .as[Seq[Long]].head
+    assert(viaSql == Seq(1L, 3L, 5L) && viaColumn == viaSql)
+  }
+
   test("non-literal width argument fails with a clear message") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {

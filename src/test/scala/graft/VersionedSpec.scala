@@ -76,6 +76,17 @@ class VersionedSpec extends SparkSpec {
     assert(rows(dir, 3L).size == 3, "pre-compaction history still travels")
   }
 
+  test("changes() emits inserts and deletes between snapshots with multiset semantics") {
+    val dir = tmpDir("vt_cdf")
+    Versioned.append(Seq((1L, "a"), (2L, "b"), (2L, "b")).toDF("id", "s"), dir)
+    // v2 drops ONE of the duplicate (2,b) rows and adds (3,c)
+    Versioned.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), dir)
+    val got = Versioned.changes(spark, dir, 1L, 2L)
+      .as[(Long, String, String)].collect().toSeq.sorted
+    assert(got == Seq((2L, "b", "delete"), (3L, "c", "insert")),
+      s"multiset diff expected, got $got")
+  }
+
   test("snapshot isolation: a frame planned at version N is unaffected by later commits") {
     val dir = tmpDir("vt_iso")
     Versioned.append(Seq((1L, "a")).toDF("id", "s"), dir)
