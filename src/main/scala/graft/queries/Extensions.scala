@@ -739,6 +739,96 @@ object Extensions {
        |    ORDER BY score DESC, doc_id ASC) AS rank FROM sc)
        |WHERE rank <= 3 ORDER BY source, rank""".stripMargin
 
+  // ---- corpus preparation, continued -------------------------------------
+
+  /** BPE merge-step primitive: global adjacent-token-pair counts, top
+    * 30 under a total order. One projection (pairs emitted in place,
+    * no self-join) + one map-side-combinable count — the shape a
+    * tokenizer trainer iterates at corpus scale.
+    */
+  def bpePairs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(Text.tokens(col("text")).as("w"))
+      .select(explode(expr(
+        "transform(slice(w, 1, size(w) - 1), (x, i) -> concat(x, ' ', element_at(w, i + 2)))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc).limit(30)
+
+  val bpePairsSql: String =
+    s"""WITH d AS (SELECT ${sqlWords("text")} AS w FROM documents),
+       |p AS (SELECT unnest(list_transform(range(1, len(w)),
+       |        i -> w[i] || ' ' || w[i+1])) AS pair FROM d)
+       |SELECT pair, CAST(count(*) AS BIGINT) AS n
+       |FROM p GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 30""".stripMargin
+
+  /** Deterministic stratified sampling: per-language keep rates
+    * (downsample the dominant language) decided by a pure hash of the
+    * doc id — reproducible across engines/partitionings (never
+    * rand()), stable under corpus growth, zero-shuffle. The rebalancing
+    * pass of a data-mixing pipeline.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("lang") === "en", lit(40L)).otherwise(lit(90L))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .filter(pmod(
+        Text.polyHash(concat(col("doc_id").cast("string"), lit(":sample"))),
+        lit(100L)) < rate)
+      .orderBy("doc_id")
+  }
+
+  val stratifiedSampleSql: String =
+    s"""SELECT doc_id, lang, source FROM documents
+       |WHERE ${sqlPolyHash("CAST(doc_id AS VARCHAR) || ':sample'")} % 100
+       |      < CASE WHEN lang = 'en' THEN 40 ELSE 90 END
+       |ORDER BY doc_id""".stripMargin
+
+  /** Train/test contamination scan: test-split documents sharing word
+    * 3-gram shingles with any train-split document (split assignment =
+    * the deterministic x_split_assign hash). Candidate generation is an
+    * inverted-index equi-join on shingle hash — the scalable shape; at
+    * 100× corpus, cap stop-shingle df exactly as
+    * TextDedup.ngramJaccardPairsCapped does (kept exact here because
+    * the oracle replays the full join).
+    */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sp = graft.operators.Splits.assign(docs, "doc_id").select("doc_id", "split")
+    val sh = docs
+      .select(col("doc_id"), explode(Text.shingleHashes(col("text"), ShingleK)).as("h"))
+      .join(sp, "doc_id")
+    val testSh = sh.filter(col("split") === "test")
+      .select(col("doc_id").as("test_doc"), col("h"))
+    val trainSh = sh.filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc"), col("h"))
+    testSh.join(trainSh, "h")
+      .groupBy("test_doc")
+      .agg(
+        countDistinct(col("h")).as("n_shared_shingles"),
+        countDistinct(col("train_doc")).as("n_train_docs"))
+      .orderBy("test_doc")
+  }
+
+  val contaminationSql: String =
+    s"""WITH sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ${sqlPolyHash("CAST(doc_id AS VARCHAR) || ':graft'")} % 100 < 80 THEN 'train'
+       |         WHEN ${sqlPolyHash("CAST(doc_id AS VARCHAR) || ':graft'")} % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |sh AS (SELECT doc_id,
+       |    unnest(list_distinct(list_transform($sqlShingles, x -> ${sqlPolyHash("x")}))) AS h
+       |  FROM (SELECT doc_id, ${sqlWords("text")} AS w FROM documents)),
+       |tt AS (SELECT s1.doc_id AS test_doc, s2.doc_id AS train_doc, s1.h
+       |  FROM sh s1 JOIN sp p1 ON s1.doc_id = p1.doc_id AND p1.split = 'test'
+       |  JOIN sh s2 ON s1.h = s2.h
+       |  JOIN sp p2 ON s2.doc_id = p2.doc_id AND p2.split = 'train')
+       |SELECT test_doc,
+       |  CAST(count(DISTINCT h) AS BIGINT) AS n_shared_shingles,
+       |  COUNT(DISTINCT train_doc) AS n_train_docs
+       |FROM tt GROUP BY test_doc ORDER BY test_doc""".stripMargin
+
   // ---- sketches ----------------------------------------------------------
 
   private val KmvK = 256
@@ -893,6 +983,9 @@ object Extensions {
     QueryDef("x_vocab_topk", vocabTopK, Some(vocabTopKSql)),
     QueryDef("x_length_quantiles", lengthQuantiles, Some(lengthQuantilesSql)),
     QueryDef("x_quality_topk", qualityTopKPerSource, Some(qualityTopKPerSourceSql)),
+    QueryDef("x_bpe_pairs", bpePairs, Some(bpePairsSql)),
+    QueryDef("x_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
+    QueryDef("x_contamination", contamination, Some(contaminationSql)),
     QueryDef("x_approx_distinct", approxDistinct, Some(approxDistinctSql)),
     QueryDef("x_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("x_curate", curate, Some(curateSql)))
