@@ -829,6 +829,45 @@ object Extensions {
        |  COUNT(DISTINCT train_doc) AS n_train_docs
        |FROM tt GROUP BY test_doc ORDER BY test_doc""".stripMargin
 
+  /** Fixed-point PageRank iterations for x_pagerank (operators/Rank). */
+  private val PageRankIters = 5
+
+  /** PageRank over the near-dup graph (edges = the x_dedup_ngram pair
+    * set at 0.6, nodes = all documents): the canonical-copy chooser for
+    * dedup clusters. Integer micro-unit arithmetic end to end, so the
+    * five distributed iterations hash-match the oracle's five unrolled
+    * SQL stages exactly (see Rank.pageRank's determinism note).
+    */
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.Rank.pageRank(
+        TextDedup.ngramJaccardPairs(docs, "doc_id", "text", ShingleK, 0.6),
+        docs.select(col("doc_id").as("id")),
+        PageRankIters)
+      .select(col("id").as("doc_id"), col("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("doc_id").asc)
+  }
+
+  val pagerankSql: String = {
+    val stages = (1 to PageRankIters).map { i =>
+      s"""r$i AS (SELECT n.v, 150000 + (85 * COALESCE(s.c, 0)) // 100 AS r
+         |  FROM n LEFT JOIN (
+         |    SELECT e.d AS v, CAST(SUM(p.r // dg.dg) AS BIGINT) AS c
+         |    FROM e JOIN r${i - 1} p ON e.s = p.v JOIN dg ON dg.s = e.s
+         |    GROUP BY e.d) s ON n.v = s.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${jaccardPairsCte(0.6)},
+       |e AS (SELECT id_a AS s, id_b AS d FROM jp
+       |      UNION ALL SELECT id_b, id_a FROM jp),
+       |dg AS (SELECT s, CAST(count(*) AS BIGINT) AS dg FROM e GROUP BY s),
+       |n AS (SELECT doc_id AS v FROM documents),
+       |r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM n),
+       |$stages
+       |SELECT v AS doc_id, CAST(r AS BIGINT) AS rank_micro
+       |FROM r$PageRankIters
+       |ORDER BY rank_micro DESC, doc_id ASC""".stripMargin
+  }
+
   // ---- sketches ----------------------------------------------------------
 
   private val KmvK = 256
@@ -983,6 +1022,7 @@ object Extensions {
     QueryDef("x_vocab_topk", vocabTopK, Some(vocabTopKSql)),
     QueryDef("x_length_quantiles", lengthQuantiles, Some(lengthQuantilesSql)),
     QueryDef("x_quality_topk", qualityTopKPerSource, Some(qualityTopKPerSourceSql)),
+    QueryDef("x_pagerank", pagerank, Some(pagerankSql)),
     QueryDef("x_bpe_pairs", bpePairs, Some(bpePairsSql)),
     QueryDef("x_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     QueryDef("x_contamination", contamination, Some(contaminationSql)),

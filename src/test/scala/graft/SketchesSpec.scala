@@ -66,6 +66,27 @@ class SketchesSpec extends SparkSpec {
     assert(Sketches.countMinBuild(df, "item", 3, 64).count() <= 3 * 64)
   }
 
+  test("pageRank: star center outranks leaves, symmetric pairs tie, isolated stay base") {
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val nodes = (0L to 9L).toDF("id")
+    val r = graft.operators.Rank.pageRank(pairs, nodes, 5)
+      .as[(Long, Long)].collect().toMap
+    assert(r(0L) > r(1L), "star center must outrank a leaf")
+    assert(r(1L) == r(2L) && r(2L) == r(3L), "symmetric leaves must tie exactly")
+    assert(r(7L) == r(8L), "an isolated pair's ends must tie")
+    assert(r(9L) == 150000L + 0L, "isolated node converges to the base rank")
+  }
+
+  test("pageRank is partition-count independent (integer arithmetic)") {
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val nodes = (0L to 4L).toDF("id")
+    val a = graft.operators.Rank.pageRank(pairs.repartition(1), nodes.repartition(1), 4)
+      .as[(Long, Long)].collect().toMap
+    val b = graft.operators.Rank.pageRank(pairs.repartition(7), nodes.repartition(3), 4)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
   test("count-min lookup of an unseen item estimates zero") {
     val sketch = Sketches.countMinBuild(Seq("a", "b").toDF("item"), "item", 4, 512)
     val est = Sketches.countMinLookup(

@@ -58,6 +58,26 @@ class TemporalJoinSpec extends SparkSpec {
     assert(ex.getMessage.contains("collide"))
   }
 
+  test("asof join matches the naive per-row argmax on random data (both modes)") {
+    val rnd = new scala.util.Random(23)
+    val ls = Seq.tabulate(250)(i => (rnd.nextInt(6).toLong, rnd.nextInt(500).toLong, i.toLong))
+    val rs = Seq.tabulate(250)(i => (rnd.nextInt(6).toLong, rnd.nextInt(500).toLong, (1000 + i).toLong))
+    val l = ls.toDF("k", "ts", "lid")
+    val r = rs.toDF("k", "rts", "rid")
+    for (strict <- Seq(false, true)) {
+      val got = AsOf.joinAsOf(l, r, Seq("k"), "ts", "rts", Seq("rid"),
+          tiebreak = col("rid"), strict = strict)
+        .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+      val want = ls.map { case (lk, lt, lid) =>
+        val cands = rs.filter { case (rk, rt, _) =>
+          rk == lk && (if (strict) rt < lt else rt <= lt) }
+        lid -> (if (cands.isEmpty) None
+                else Some(cands.maxBy(c => (c._2, c._3))._3)) // latest ts, then max rid
+      }.toMap
+      assert(got == want, s"strict=$strict")
+    }
+  }
+
   test("range join matches the naive inequality join on random data incl. negative epochs") {
     val rnd = new scala.util.Random(7)
     val ls = Seq.tabulate(300)(i =>
