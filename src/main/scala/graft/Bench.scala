@@ -58,6 +58,12 @@ object Bench {
       // from the same clean state its own users would see.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       spark.catalog.clearCache()
+      // ContextCleaner reclaims shuffle files and torn-down broadcasts
+      // only when their weak refs are GC'd; without an explicit GC the
+      // debris of 60+ prior queries stays live and late queries measure
+      // up to 4× slower than isolated (observed: x_curate 13 s isolated
+      // vs 58 s late in a full run)
+      System.gc()
       val t0 = System.nanoTime()
       val err = try { force(fn(spark, sfDir)); None } catch {
         case e: Throwable =>
