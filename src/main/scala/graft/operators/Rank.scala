@@ -25,9 +25,14 @@ import org.apache.spark.sql.DataFrame
   * }}}
   *
   * Each iteration is one equi-join + one map-side-combinable sum —
-  * the standard distributed PageRank shape; the driver loop is bounded
-  * by the FIXED iteration count (localCheckpoint per round keeps
-  * lineage flat, exactly like TextDedup.connectedComponents).
+  * the standard distributed PageRank shape. Unlike the connected-
+  * components fixpoint (which must materialize every round for its
+  * driver-side convergence check), the iteration count here is FIXED,
+  * so the loop builds ONE linear 5-deep plan executed by a single
+  * action — no per-round checkpoint jobs. Only the inputs reused
+  * ACROSS iterations (edges, degrees, vertex set) are checkpointed,
+  * since a frame referenced k times in one plan is otherwise
+  * recomputed k times.
   * Overflow bound: 85 · n · SCALE must stay below 2^63, i.e. up to
   * ~10^11 nodes at SCALE = 10^6 — comfortably past a 100 TB corpus.
   */
@@ -50,20 +55,21 @@ object Rank {
     val sym = p.select(col("id_a").as("s"), col("id_b").as("d"))
       .unionByName(p.select(col("id_b").as("s"), col("id_a").as("d")))
       .localCheckpoint()
-    val deg = sym.groupBy("s").agg(count(lit(1)).as("dg"))
+    // edges-with-degree is referenced once per iteration: checkpoint it
+    // so iteration k doesn't recompute the degree agg k times
+    val symDeg = sym.join(sym.groupBy("s").agg(count(lit(1)).as("dg")), "s")
+      .localCheckpoint()
     val vs = nodes.select(col("id").as("v")).localCheckpoint()
     var ranks = vs.select(col("v"), lit(Scale).as("r"))
     for (_ <- 0 until iters) {
-      val contribs = sym
+      val contribs = symDeg
         .join(ranks.withColumnRenamed("v", "s"), "s")
-        .join(deg, "s")
         .select(col("d").as("v"), expr("r div dg").as("c"))
         .groupBy("v").agg(sum("c").as("c"))
       ranks = vs
         .join(contribs, Seq("v"), "left")
         .select(col("v"),
           (lit(Base) + expr("(85 * coalesce(c, CAST(0 AS BIGINT))) div 100")).as("r"))
-        .localCheckpoint()
     }
     ranks.select(col("v").as("id"), col("r").as("rank_micro"))
   }
