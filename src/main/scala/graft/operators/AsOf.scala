@@ -6,10 +6,11 @@ import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.ops.Dedup
 
-/** Backward as-of join: each left row picks the single right row with
-  * the LARGEST right timestamp satisfying `rightTs <= leftTs` (or
-  * `<` when `strict`) within the same key group — the "state at event
-  * time" lookup of time-series engines (kdb+ `aj`, Pandas
+/** As-of join: each left row picks the single nearest right row at or
+  * before it (backward — the LARGEST `rightTs <= leftTs`) or at or
+  * after it (forward — the SMALLEST `rightTs >= leftTs`), within the
+  * same key group; `strict` excludes the equal-ts row — the "state at
+  * event time" lookup of time-series engines (kdb+ `aj`, Pandas
   * `merge_asof`, DuckDB `ASOF JOIN`).
   *
   * Scale shape: the naive formulation is an inequality join — a
@@ -31,7 +32,7 @@ import graft.ops.Dedup
   */
 object AsOf {
 
-  /** Left-outer backward as-of join.
+  /** Left-outer as-of join.
     *
     * @param left      probe side; all its columns are preserved
     * @param right     build side: `keys ++ rightTs ++ payload` are read
@@ -43,7 +44,11 @@ object AsOf {
     *                  collide with left column names)
     * @param tiebreak  total-orders right rows within (keys, rightTs);
     *                  highest wins
-    * @param strict    `true` matches `rightTs < leftTs` instead of `<=`
+    * @param strict    `true` excludes the equal-ts right row
+    * @param direction `"backward"` (default) matches the latest
+    *                  `rightTs <= leftTs`; `"forward"` the earliest
+    *                  `rightTs >= leftTs` — the same merge-scan run
+    *                  over a descending time sort
     */
   def joinAsOf(
       left: DataFrame,
@@ -53,7 +58,10 @@ object AsOf {
       rightTs: String,
       payload: Seq[String],
       tiebreak: Column,
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got '$direction'")
     require(payload.nonEmpty, "asof join needs at least one payload column")
     require(payload.forall(right.columns.contains),
       s"payload ${payload.mkString(",")} must be right-side columns")
@@ -91,8 +99,12 @@ object AsOf {
       case c => lit(null).cast(lTagged.schema(c).dataType).as(c)
     }: _*)
 
+    // forward = the identical carry-forward scan over DESCENDING time:
+    // "most recent preceding row" then means "smallest rightTs at or
+    // after leftTs", which is exactly the forward match
+    val tsOrd = if (direction == "forward") col(ts).desc else col(ts).asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(ts), col(side), col(tb))
+      .orderBy(tsOrd, col(side), col(tb))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lTagged.unionByName(rTagged)
       .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))

@@ -154,6 +154,31 @@ object Temporal {
        |  ON p.user_id = v.user_id AND p.ts_us >= v.view_ts_us
        |ORDER BY p.event_id""".stripMargin
 
+  // T7 — FORWARD as-of join: the user's EARLIEST view at or after each
+  // purchase (post-purchase behavior lookup). Same merge-scan over a
+  // descending time sort; DuckDB's `<=` ASOF form is the oracle, its
+  // tie choice pinned to the same total order by pre-reducing equal
+  // (user, ts) view rows to max event_id.
+  def asofForward(s: SparkSession, dir: String): DataFrame =
+    AsOf.joinAsOf(
+        purchases(s, dir), views(s, dir), Seq("user_id"),
+        leftTs = "ts_us", rightTs = "view_ts_us",
+        payload = Seq("view_event_id", "view_ts_us"),
+        tiebreak = col("view_event_id"), direction = "forward")
+      .withColumn("gap_us", col("view_ts_us") - col("ts_us"))
+      .orderBy("event_id")
+
+  val asofForwardSql: String =
+    s"""WITH $purchasesCte,
+       |v AS (SELECT user_id, view_ts_us, max(view_event_id) AS view_event_id
+       |      FROM v0 GROUP BY 1, 2)
+       |SELECT p.user_id, p.event_id, p.ts_us,
+       |       v.view_event_id, v.view_ts_us,
+       |       v.view_ts_us - p.ts_us AS gap_us
+       |FROM p ASOF LEFT JOIN v
+       |  ON p.user_id = v.user_id AND p.ts_us <= v.view_ts_us
+       |ORDER BY p.event_id""".stripMargin
+
   /** Range-join lookback window: 24 h in micros. */
   val LookbackUs: Long = 24L * 3600 * 1000000
 
@@ -196,5 +221,6 @@ object Temporal {
     QueryDef("w3_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("w4_session_window", sessionWindow, Some(sessionWindowSql)),
     QueryDef("t5_asof_join", asofJoin, Some(asofJoinSql)),
-    QueryDef("t6_range_join", rangeJoin, Some(rangeJoinSql)))
+    QueryDef("t6_range_join", rangeJoin, Some(rangeJoinSql)),
+    QueryDef("t7_asof_forward", asofForward, Some(asofForwardSql)))
 }

@@ -64,17 +64,27 @@ class TemporalJoinSpec extends SparkSpec {
     val rs = Seq.tabulate(250)(i => (rnd.nextInt(6).toLong, rnd.nextInt(500).toLong, (1000 + i).toLong))
     val l = ls.toDF("k", "ts", "lid")
     val r = rs.toDF("k", "rts", "rid")
-    for (strict <- Seq(false, true)) {
+    for (strict <- Seq(false, true); dir <- Seq("backward", "forward")) {
       val got = AsOf.joinAsOf(l, r, Seq("k"), "ts", "rts", Seq("rid"),
-          tiebreak = col("rid"), strict = strict)
+          tiebreak = col("rid"), strict = strict, direction = dir)
         .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
       val want = ls.map { case (lk, lt, lid) =>
         val cands = rs.filter { case (rk, rt, _) =>
-          rk == lk && (if (strict) rt < lt else rt <= lt) }
+          rk == lk && ((dir, strict) match {
+            case ("backward", false) => rt <= lt
+            case ("backward", true)  => rt < lt
+            case ("forward", false)  => rt >= lt
+            case (_, _)              => rt > lt
+          })
+        }
         lid -> (if (cands.isEmpty) None
-                else Some(cands.maxBy(c => (c._2, c._3))._3)) // latest ts, then max rid
+                else if (dir == "backward")
+                  Some(cands.maxBy(c => (c._2, c._3))._3) // latest ts, then max rid
+                else
+                  // earliest ts; ties still resolved by MAX rid
+                  Some(cands.minBy(c => (c._2, -c._3))._3))
       }.toMap
-      assert(got == want, s"strict=$strict")
+      assert(got == want, s"strict=$strict direction=$dir")
     }
   }
 
