@@ -75,6 +75,31 @@ class StreamJoinsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("KMV sketch aggregate runs inside a watermarked streaming window") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val agg = in.toDF().toDF("ev_ts", "uid")
+      .withWatermark("ev_ts", "1 hour")
+      .groupBy(window(col("ev_ts"), "1 hour").as("w"))
+      .agg(graft.plans.expressions.kMinValues(col("uid"), 4).as("kmin"))
+      .select(col("w.start").as("ws"), col("kmin"))
+    val q = agg.writeStream.format("memory").queryName("kmv_stream_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(1, 5), 50L), (ts(1, 10), 30L), (ts(1, 20), 30L),
+        (ts(1, 30), 10L), (ts(1, 40), 70L), (ts(1, 50), 20L))
+      q.processAllAvailable()
+      in.addData((ts(10), 99L)) // advance watermark: hour-1 window closes
+      q.processAllAvailable()
+      in.addData((ts(11), 98L))
+      q.processAllAvailable()
+      val got = spark.table("kmv_stream_out")
+        .select("kmin").as[Seq[Long]].collect()
+      assert(got.length == 1 && got.head == Seq(10L, 20L, 30L, 50L),
+        s"streaming KMV must equal the batch sketch of the closed window: ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("batch interval-join twin: same predicate via RangeJoin bucketing") {
     // the streaming operator's predicate equals RangeJoin.joinRange on
     // epoch-seconds: check on a small batch both agree
