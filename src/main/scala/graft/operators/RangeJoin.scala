@@ -70,4 +70,61 @@ object RangeJoin {
         col(rightTs) < col(leftTs) + lit(hi))
       .drop((bucket +: (if (payload.contains(rightTs)) Nil else Seq(rightTs))): _*)
   }
+
+  /** Interval-OVERLAP join: left interval `[lStart, lEnd]` ⋈ right
+    * intervals `[rStart, rEnd]` of the same key group that intersect it
+    * (`lStart <= rEnd AND rStart <= lEnd`, closed ends) — "sessions
+    * concurrent with this session", "readings during each outage".
+    *
+    * Blocking: both sides explode into the time buckets their interval
+    * covers at width `maxLen` (an upper bound on EITHER side's interval
+    * length — enforced, not assumed); two overlapping intervals then
+    * share at least one bucket, so a distinct-pair equi-join on
+    * (keys, bucket) followed by the exact predicate reproduces the
+    * naive inequality join. Each interval covers at most
+    * `len/maxLen + 1 ≤ 2` buckets, so row amplification is bounded by
+    * 2× per side regardless of data volume.
+    *
+    * Output has SET semantics (the final distinct dedups pairs that
+    * met in both shared buckets): rows identical across every column
+    * collapse — carry a unique id column when multiplicity matters.
+    */
+  def joinOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      lStart: String, lEnd: String,
+      rStart: String, rEnd: String,
+      maxLen: Long,
+      payload: Seq[String]): DataFrame = {
+    require(maxLen > 0, s"maxLen must be positive, got $maxLen")
+    require(payload.nonEmpty, "overlap join needs at least one payload column")
+    val dup = (Seq(rStart, rEnd) ++ payload).distinct.filter(left.columns.contains)
+    require(dup.isEmpty,
+      s"right-side columns ${dup.mkString(",")} collide with left-side names" +
+        " — rename one side before joining")
+
+    val bucket = Dedup.freshName(left.columns ++ right.columns, "__ov_bucket")
+    def bucketOf(c: Column): Column =
+      floor(c.cast("decimal(38,0)") / lit(maxLen)).cast("long")
+    def guarded(start: String, end: String, df: DataFrame): DataFrame = {
+      // loud failure beats silently missed overlaps: the bound is part
+      // of the operator's contract, checked per row in the same pass
+      val len = col(end) - col(start)
+      df.withColumn(bucket, explode(array_distinct(array(
+        when(len.between(0, maxLen), bucketOf(col(start)))
+          .otherwise(raise_error(concat(
+            lit(s"interval length exceeds maxLen=$maxLen (or is negative): "),
+            len.cast("string")))),
+        bucketOf(col(end))))))
+    }
+    val l = guarded(lStart, lEnd, left)
+    val r = guarded(rStart, rEnd,
+      right.select((keys ++ Seq(rStart, rEnd) ++ payload
+        .filterNot(c => c == rStart || c == rEnd)).distinct.map(col): _*))
+    l.join(r, keys :+ bucket)
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .drop(bucket)
+      .distinct() // adjacent-bucket intervals can pair in two buckets
+  }
 }

@@ -216,11 +216,49 @@ object Temporal {
        |FROM p LEFT JOIN a USING (user_id, event_id, ts_us)
        |ORDER BY p.event_id""".stripMargin
 
+  // T8 — interval-OVERLAP join (RangeJoin.joinOverlap): pairs of the
+  // same customer's orders whose 7-day fulfillment windows [d, d+6]
+  // intersect, with the overlap length. The window length bounds
+  // maxLen by construction; the oracle is the naive inequality
+  // self-join the bucketization is provably equivalent to.
+  def overlapJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      col("o_custkey").as("custkey"),
+      col("o_orderkey"),
+      datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+        .cast("long").as("d0"))
+    val l = o.select(col("custkey"), col("o_orderkey").as("o1"),
+      col("d0").as("ls"), (col("d0") + 6).as("le"))
+    val r = o.select(col("custkey"), col("o_orderkey").as("o2"),
+      col("d0").as("rs"), (col("d0") + 6).as("re"))
+    graft.operators.RangeJoin.joinOverlap(
+        l, r, Seq("custkey"), "ls", "le", "rs", "re",
+        maxLen = 6L, payload = Seq("o2", "rs", "re"))
+      .filter(col("o1") < col("o2"))
+      .select(
+        col("custkey"), col("o1"), col("o2"),
+        (least(col("le"), col("re")) - greatest(col("ls"), col("rs")) + 1)
+          .as("overlap_days"))
+      .orderBy("custkey", "o1", "o2")
+  }
+
+  val overlapJoinSql: String =
+    """WITH o AS (SELECT o_custkey AS k, o_orderkey AS id,
+      |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d0
+      |  FROM orders)
+      |SELECT a.k AS custkey, a.id AS o1, b.id AS o2,
+      |  CAST(least(a.d0 + 6, b.d0 + 6) - greatest(a.d0, b.d0) + 1 AS BIGINT)
+      |    AS overlap_days
+      |FROM o a JOIN o b ON a.k = b.k AND a.id < b.id
+      |  AND a.d0 <= b.d0 + 6 AND b.d0 <= a.d0 + 6
+      |ORDER BY custkey, o1, o2""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("w2_windowed_agg", windowedAgg, Some(windowedAggSql)),
     QueryDef("w3_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("w4_session_window", sessionWindow, Some(sessionWindowSql)),
     QueryDef("t5_asof_join", asofJoin, Some(asofJoinSql)),
     QueryDef("t6_range_join", rangeJoin, Some(rangeJoinSql)),
-    QueryDef("t7_asof_forward", asofForward, Some(asofForwardSql)))
+    QueryDef("t7_asof_forward", asofForward, Some(asofForwardSql)),
+    QueryDef("t8_overlap_join", overlapJoin, Some(overlapJoinSql)))
 }

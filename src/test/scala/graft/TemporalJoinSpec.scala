@@ -107,6 +107,38 @@ class TemporalJoinSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("overlap join matches the naive interval-intersection join on random data") {
+    val rnd = new scala.util.Random(31)
+    def mk(n: Int, idBase: Int) = Seq.tabulate(n) { i =>
+      val s = rnd.nextLong() % 5000L - 1000L
+      (rnd.nextInt(4).toLong, s, s + rnd.nextInt(300), (idBase + i).toLong)
+    }
+    val ls = mk(200, 0)
+    val rs = mk(200, 1000)
+    val got = RangeJoin.joinOverlap(
+        ls.toDF("k", "ls", "le", "lid"), rs.toDF("k", "rs", "re", "rid"),
+        Seq("k"), "ls", "le", "rs", "re", maxLen = 300L, payload = Seq("rid", "rs", "re"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (lk, lsr, ler, lid) <- ls
+      (rk, rsr, rer, rid) <- rs
+      if lk == rk && lsr <= rer && rsr <= ler
+    } yield (lid, rid)).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("overlap join fails loudly when an interval exceeds the declared bound") {
+    val l = Seq((1L, 0L, 500L, 1L)).toDF("k", "ls", "le", "lid") // len 500 > 100
+    val r = Seq((1L, 10L, 20L, 2L)).toDF("k", "rs", "re", "rid")
+    val ex = intercept[Exception] {
+      RangeJoin.joinOverlap(l, r, Seq("k"), "ls", "le", "rs", "re",
+        maxLen = 100L, payload = Seq("rid")).collect()
+    }
+    assert(ex.getMessage != null &&
+      (ex.getMessage.contains("maxLen") || ex.getMessage.contains("USER_RAISED")),
+      s"expected the per-row bound guard to fire, got: ${ex.getMessage}")
+  }
+
   test("range join keeps the physical plan an equi-join (no nested loop)") {
     val l = Seq((1L, 10L)).toDF("k", "ts")
     val r = Seq((1L, 12L, "x")).toDF("k", "rts", "p")
