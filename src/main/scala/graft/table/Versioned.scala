@@ -59,8 +59,8 @@ object Versioned {
     if (!f.exists(logPath(dir))) Seq.empty
     else f.listStatus(logPath(dir)).toSeq
       .map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+      .collect { case n if n.matches("v\\d{8}\\.json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong }
       .sorted
   }
 
@@ -154,6 +154,84 @@ object Versioned {
   def compact(spark: SparkSession, dir: String): Long =
     overwrite(read(spark, dir), dir)
 
+  /** Zone-map sidecar: per-file [min, max] of a designated long-typed
+    * column, written next to a snapshot as `v<N>.zones.json`. The
+    * data-skipping half of the Delta/Iceberg stats story: a reader
+    * with a range predicate on the zoned column prunes files from the
+    * LOG alone — zero data-file opens for planning, which at 100 TB is
+    * the difference between touching 3 files and listing 3 million.
+    * Stats cost one footer-cheap aggregate pass over only the files of
+    * the commit being annotated.
+    */
+  def writeZoneMap(spark: SparkSession, dir: String, v: Long, zoneCol: String): Unit = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val files = filesAt(spark, dir, v)
+    if (files.isEmpty) return
+    val stats = spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(zoneCol)).as("lo"), max(col(zoneCol)).as("hi"))
+      .collect() // ≤ one row per file of one commit — log-sized, not data-sized
+      .map { r =>
+        val rel = files.find(f => r.getString(0).endsWith(f)).getOrElse(
+          throw new IllegalStateException(s"stats row for unknown file ${r.getString(0)}"))
+        (rel, r.getLong(1), r.getLong(2))
+      }
+    val f = fs(spark, dir)
+    val json = stats.sortBy(_._1)
+      .map { case (p, lo, hi) => s"""{"file":"$p","lo":$lo,"hi":$hi}""" }
+      .mkString(s"""{"col":"$zoneCol","zones":[""", ",", "]}")
+    val tmp = new Path(logPath(dir), s".v$v.zones.tmp")
+    val out = f.create(tmp, true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (!f.rename(tmp, new Path(logPath(dir), f"v$v%08d.zones.json")))
+      throw new IllegalStateException(s"zone-map publish for v$v failed")
+  }
+
+  /** Range scan using the zone map: only files whose [lo, hi] intersects
+    * [lo, hi] are read (the residual predicate still applies — zones
+    * prune files, they don't filter rows). Falls back to the full file
+    * set when no zone map exists for the version.
+    */
+  def readWhere(
+      spark: SparkSession, dir: String, v: Long,
+      zoneCol: String, lo: Long, hi: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val pruned = prunedFiles(spark, dir, v, zoneCol, lo, hi)
+    val df =
+      if (pruned.isEmpty) readAt(spark, dir, v).limit(0)
+      else spark.read.parquet(pruned.map(f => s"$dir/$f"): _*)
+    df.filter(col(zoneCol) >= lo && col(zoneCol) <= hi)
+  }
+
+  /** The file subset a zoned range scan of `[lo, hi]` would read. */
+  def prunedFiles(
+      spark: SparkSession, dir: String, v: Long,
+      zoneCol: String, lo: Long, hi: Long): Seq[String] = {
+    val f = fs(spark, dir)
+    val zp = new Path(logPath(dir), f"v$v%08d.zones.json")
+    val all = filesAt(spark, dir, v)
+    if (!f.exists(zp)) return all
+    val in = f.open(zp)
+    val json = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    if (!json.contains(s""""col":"$zoneCol"""")) return all // zoned on another column
+    val zoneRe = """\{"file":"([^"]+)","lo":(-?\d+),"hi":(-?\d+)\}""".r
+    val zoned = zoneRe.findAllMatchIn(json)
+      .map(m => (m.group(1), m.group(2).toLong, m.group(3).toLong)).toSeq
+    val byFile = zoned.map(z => z._1 -> z).toMap
+    all.filter { file =>
+      byFile.get(file) match {
+        case Some((_, zlo, zhi)) => zlo <= hi && lo <= zhi
+        case None => true // file without stats can never be skipped
+      }
+    }
+  }
+
   /** Row-level change feed between two snapshots (Delta CDF analog,
     * multiset semantics): rows in `to` but not `from` surface as
     * `insert`, rows gone as `delete`; an update is a delete+insert
@@ -196,6 +274,9 @@ object Versioned {
             f.delete(fileSt.getPath, false)
         }
       }
-    drop.foreach(v => f.delete(versionFile(dir, v), false))
+    drop.foreach { v =>
+      f.delete(versionFile(dir, v), false)
+      f.delete(new Path(logPath(dir), f"v$v%08d.zones.json"), false)
+    }
   }
 }

@@ -76,6 +76,39 @@ class VersionedSpec extends SparkSpec {
     assert(rows(dir, 3L).size == 3, "pre-compaction history still travels")
   }
 
+  test("zone map prunes files by range from the log alone; results stay exact") {
+    val dir = tmpDir("vt_zones")
+    // three appends with DISJOINT id ranges → three file sets with
+    // non-overlapping zones
+    Versioned.append((0L until 100L).map(i => (i, s"a$i")).toDF("id", "s"), dir)
+    Versioned.append((100L until 200L).map(i => (i, s"b$i")).toDF("id", "s"), dir)
+    val v = Versioned.append((200L until 300L).map(i => (i, s"c$i")).toDF("id", "s"), dir)
+    Versioned.writeZoneMap(spark, dir, v, "id")
+
+    val all = Versioned.filesAt(spark, dir, v)
+    val pruned = Versioned.prunedFiles(spark, dir, v, "id", 120L, 150L)
+    assert(pruned.nonEmpty && pruned.size < all.size,
+      s"zones must prune: kept ${pruned.size} of ${all.size}")
+
+    val got = Versioned.readWhere(spark, dir, v, "id", 120L, 150L)
+      .as[(Long, String)].collect().toSet
+    assert(got == (120L to 150L).map(i => (i, s"b$i")).toSet)
+    // a predicate on an un-zoned column range prunes nothing
+    assert(Versioned.prunedFiles(spark, dir, v, "other", 0L, 1L) == all)
+    // an empty-range scan reads zero files but keeps the schema
+    assert(Versioned.readWhere(spark, dir, v, "id", 5000L, 6000L).isEmpty)
+  }
+
+  test("vacuum sweeps dropped versions' zone maps with their log entries") {
+    val dir = tmpDir("vt_zonevac")
+    Versioned.append(Seq((1L, "a")).toDF("id", "s"), dir)
+    Versioned.writeZoneMap(spark, dir, 1L, "id")
+    Versioned.overwrite(Seq((2L, "b")).toDF("id", "s"), dir)
+    Versioned.vacuum(spark, dir, keepVersions = 1)
+    val logFiles = new java.io.File(s"$dir/_graft_log").listFiles().map(_.getName).toSet
+    assert(!logFiles.exists(_.contains("00000001")), s"v1 artifacts remain: $logFiles")
+  }
+
   test("changes() emits inserts and deletes between snapshots with multiset semantics") {
     val dir = tmpDir("vt_cdf")
     Versioned.append(Seq((1L, "a"), (2L, "b"), (2L, "b")).toDF("id", "s"), dir)
