@@ -40,6 +40,36 @@ object Temporal {
        |FROM events
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // W6 — SLIDING windows (1 h length, 15 min slide): each event lands
+  // in 4 overlapping windows. Spark's window() emits the per-event
+  // window set as a projection (no self-join); the oracle replays it by
+  // unnesting the 4 candidate starts per event and keeping those whose
+  // window contains the event — provably the same set.
+  def slidingWindowAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("ts_ts", timestamp_micros(tsUs))
+      .groupBy(window(col("ts_ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("value_cents"))
+      .orderBy("window_start", "event_type")
+
+  val slidingWindowAggSql: String =
+    s"""WITH ev AS (SELECT $OracleTsUs AS ts_us, event_type,
+       |    CAST(round(value*100) AS BIGINT) AS cents FROM events),
+       |ws AS (SELECT ts_us, event_type, cents,
+       |    (ts_us // 900000000) * 900000000 - k * 900000000 AS win_start
+       |  FROM ev CROSS JOIN (SELECT unnest(range(4)) AS k)
+       |  WHERE (ts_us // 900000000) * 900000000 - k * 900000000 + 3600000000 > ts_us)
+       |SELECT strftime(make_timestamp(win_start), '%Y-%m-%d %H:%M:%S') AS window_start,
+       |       event_type,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       CAST(SUM(cents) AS BIGINT) AS value_cents
+       |FROM ws GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Session gap: 6 hours in micros — sized to the events table's time
     * spread so users get multiple multi-event sessions at every SF.
     * `GapInterval` derives from it so the session_window query and the
@@ -260,5 +290,6 @@ object Temporal {
     QueryDef("t5_asof_join", asofJoin, Some(asofJoinSql)),
     QueryDef("t6_range_join", rangeJoin, Some(rangeJoinSql)),
     QueryDef("t7_asof_forward", asofForward, Some(asofForwardSql)),
-    QueryDef("t8_overlap_join", overlapJoin, Some(overlapJoinSql)))
+    QueryDef("t8_overlap_join", overlapJoin, Some(overlapJoinSql)),
+    QueryDef("w6_sliding_window", slidingWindowAgg, Some(slidingWindowAggSql)))
 }
