@@ -47,6 +47,12 @@ object Bench {
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run for targeted profiling
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}" +
+          " — a typo here would otherwise produce a plausible-looking empty bench run")
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val runs = selected.map { case (name, fn) =>

@@ -64,10 +64,10 @@ object Sketches {
         struct(lit(r).as("r"), cmsBucket(col(itemCol), r, w).as("bucket"))): _*)))
       .select(probes.columns.map(col) :+ col("__rb.r").as("__r") :+
         col("__rb.bucket").as("__bucket"): _*)
-      // an empty bucket never survives countMinBuild's groupBy, so a
-      // probe item unseen by the sketch loses rows here — inner join +
-      // count guard below turns "all d buckets nonzero" into the
-      // standard CMS overestimate; missing rows would mean est 0
+      // LEFT join + coalesce-to-zero: an empty bucket never survives
+      // countMinBuild's groupBy, so a missing match means a zero
+      // counter — and min(…, 0) correctly estimates 0 for items the
+      // sketch never saw (true count 0, the standard CMS answer)
       .join(broadcast(sketch), col("__r") === col("r") && col("__bucket") === col("bucket"), "left")
       .groupBy(probes.columns.map(col): _*)
       .agg(min(coalesce(col("n"), lit(0L))).as(estCol))

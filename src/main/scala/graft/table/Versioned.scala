@@ -67,22 +67,30 @@ object Versioned {
   def currentVersion(spark: SparkSession, dir: String): Option[Long] =
     versions(spark, dir).lastOption
 
-  /** Data files (table-relative paths) of snapshot `v`. */
-  def filesAt(spark: SparkSession, dir: String, v: Long): Seq[String] = {
-    val f = fs(spark, dir)
-    val p = versionFile(dir, v)
-    require(f.exists(p), s"version $v does not exist (vacuumed or never committed) at $dir")
-    val in = f.open(p)
-    val json = try {
+  /** Reads a small log/sidecar file fully as UTF-8. */
+  private def readFully(spark: SparkSession, dir: String, p: Path): String = {
+    val in = fs(spark, dir).open(p)
+    try {
       val buf = new java.io.ByteArrayOutputStream()
       val chunk = new Array[Byte](8192)
       var n = in.read(chunk)
       while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
       new String(buf.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
-    // minimal parse of {"version":N,"op":"...","files":["a","b"]} —
-    // files are uuid/part names we wrote ourselves (no quotes/escapes)
-    val files = json.split("\"files\":\\[", 2)(1).split("]", 2)(0)
+  }
+
+  private def snapshotJson(spark: SparkSession, dir: String, v: Long): String = {
+    val p = versionFile(dir, v)
+    require(fs(spark, dir).exists(p),
+      s"version $v does not exist (vacuumed or never committed) at $dir")
+    readFully(spark, dir, p)
+  }
+
+  /** Data files (table-relative paths) of snapshot `v`. */
+  def filesAt(spark: SparkSession, dir: String, v: Long): Seq[String] = {
+    // minimal parse of {"version":N,...,"files":["a","b"]} — files are
+    // uuid/part names we wrote ourselves (no quotes/escapes)
+    val files = snapshotJson(spark, dir, v).split("\"files\":\\[", 2)(1).split("]", 2)(0)
     if (files.trim.isEmpty) Seq.empty
     else files.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
   }
@@ -95,20 +103,36 @@ object Versioned {
   /** Time-travel scan of snapshot `v` (Delta `VERSION AS OF v`). */
   def readAt(spark: SparkSession, dir: String, v: Long): DataFrame = {
     val files = filesAt(spark, dir, v)
-    if (files.isEmpty)
-      // schema-less empty snapshot: surface as an empty 0-column frame
-      spark.emptyDataFrame
-    else
+    if (files.isEmpty) {
+      // an empty DataFrame writes no part files, so the snapshot keeps
+      // the SCHEMA in its log entry (base64 of StructType.json) —
+      // without it an empty version would surface 0 columns and break
+      // changes()/compact()/readWhere() against it
+      val json = snapshotJson(spark, dir, v)
+      val schema = json.split("\"schema\":\"", 2) match {
+        case Array(_, rest) =>
+          val b64 = rest.split("\"", 2)(0)
+          org.apache.spark.sql.types.DataType
+            .fromJson(new String(
+              java.util.Base64.getDecoder.decode(b64), StandardCharsets.UTF_8))
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+        case _ => new org.apache.spark.sql.types.StructType() // pre-schema log entry
+      }
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else
       spark.read.parquet(files.map(f => s"$dir/$f"): _*)
   }
 
   private def commit(
-      spark: SparkSession, dir: String, files: Seq[String], op: String): Long = {
+      spark: SparkSession, dir: String, files: Seq[String], op: String,
+      schemaJson: String): Long = {
     val f = fs(spark, dir)
     f.mkdirs(logPath(dir))
     val v = currentVersion(spark, dir).getOrElse(0L) + 1
+    val b64 = java.util.Base64.getEncoder
+      .encodeToString(schemaJson.getBytes(StandardCharsets.UTF_8))
     val json =
-      s"""{"version":$v,"op":"$op","files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
+      s"""{"version":$v,"op":"$op","schema":"$b64","files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
     val tmp = new Path(logPath(dir), s".v$v.tmp")
     val out = f.create(tmp, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -137,14 +161,14 @@ object Versioned {
     val spark = df.sparkSession
     val prev = currentVersion(spark, dir)
       .map(filesAt(spark, dir, _)).getOrElse(Seq.empty)
-    commit(spark, dir, prev ++ writeDataFiles(df, dir), "append")
+    commit(spark, dir, prev ++ writeDataFiles(df, dir), "append", df.schema.json)
   }
 
   /** Overwrite commit: next snapshot = the new set alone. Old versions
     * stay readable until `vacuum`.
     */
   def overwrite(df: DataFrame, dir: String): Long =
-    commit(df.sparkSession, dir, writeDataFiles(df, dir), "overwrite")
+    commit(df.sparkSession, dir, writeDataFiles(df, dir), "overwrite", df.schema.json)
 
   /** Compaction commit (OPTIMIZE analog on the versioned layout): the
     * current snapshot rewritten as one coalesced file set. Rows are
@@ -171,6 +195,9 @@ object Versioned {
       .groupBy(input_file_name().as("f"))
       .agg(min(col(zoneCol)).as("lo"), max(col(zoneCol)).as("hi"))
       .collect() // ≤ one row per file of one commit — log-sized, not data-sized
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2)) // all-null zone column:
+      // leave the file out of the sidecar — prunedFiles treats stat-less
+      // files as unskippable, which is the only safe reading of "no stats"
       .map { r =>
         val rel = files.find(f => r.getString(0).endsWith(f)).getOrElse(
           throw new IllegalStateException(s"stats row for unknown file ${r.getString(0)}"))
@@ -211,14 +238,7 @@ object Versioned {
     val zp = new Path(logPath(dir), f"v$v%08d.zones.json")
     val all = filesAt(spark, dir, v)
     if (!f.exists(zp)) return all
-    val in = f.open(zp)
-    val json = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val chunk = new Array[Byte](8192)
-      var n = in.read(chunk)
-      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-      new String(buf.toByteArray, StandardCharsets.UTF_8)
-    } finally in.close()
+    val json = readFully(spark, dir, zp)
     if (!json.contains(s""""col":"$zoneCol"""")) return all // zoned on another column
     val zoneRe = """\{"file":"([^"]+)","lo":(-?\d+),"hi":(-?\d+)\}""".r
     val zoned = zoneRe.findAllMatchIn(json)

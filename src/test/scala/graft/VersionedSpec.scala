@@ -76,6 +76,34 @@ class VersionedSpec extends SparkSpec {
     assert(rows(dir, 3L).size == 3, "pre-compaction history still travels")
   }
 
+  test("an empty snapshot keeps the schema: changes/readWhere/compact survive it") {
+    val dir = tmpDir("vt_empty")
+    Versioned.append(Seq((1L, "a")).toDF("id", "s"), dir)
+    val v2 = Versioned.overwrite(
+      Seq((1L, "a")).toDF("id", "s").filter(col("id") < 0L), dir) // writes no files
+    assert(Versioned.readAt(spark, dir, v2).schema.fieldNames.toSeq == Seq("id", "s"))
+    assert(Versioned.readAt(spark, dir, v2).isEmpty)
+    // CDF across the empty version: everything from v1 shows as deleted
+    val ch = Versioned.changes(spark, dir, 1L, v2)
+      .as[(Long, String, String)].collect().toSeq
+    assert(ch == Seq((1L, "a", "delete")))
+    // compacting an empty snapshot commits another (schema-bearing) empty one
+    val vc = Versioned.compact(spark, dir)
+    assert(Versioned.readAt(spark, dir, vc).schema.fieldNames.nonEmpty)
+    // zoned range scan of the empty version returns an empty, typed frame
+    assert(Versioned.readWhere(spark, dir, v2, "id", 0L, 10L).isEmpty)
+  }
+
+  test("writeZoneMap tolerates an all-null zone column (file stays unskippable)") {
+    val dir = tmpDir("vt_nullzone")
+    val v = Versioned.append(
+      Seq((Option.empty[java.lang.Long], "x"), (None, "y"))
+        .toDF("id", "s"), dir)
+    Versioned.writeZoneMap(spark, dir, v, "id") // must not NPE
+    assert(Versioned.prunedFiles(spark, dir, v, "id", 0L, 1L) ==
+      Versioned.filesAt(spark, dir, v), "stat-less files must never be pruned")
+  }
+
   test("zone map prunes files by range from the log alone; results stay exact") {
     val dir = tmpDir("vt_zones")
     // three appends with DISJOINT id ranges → three file sets with
