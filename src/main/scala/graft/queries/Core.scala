@@ -550,6 +550,35 @@ object Core {
       |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY g_status, g_priority, status, priority""".stripMargin
 
+  // A11 — CUBE (the remaining multi-grouping shape next to a10's
+  // ROLLUP): all four grouping sets of (returnflag, linestatus) in one
+  // pass — Spark expands the cube map-side, so the shuffle carries one
+  // partial aggregate per (set, key), not four scans of lineitem.
+  def cubeTotals(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"))
+      .select(
+        coalesce(col("l_returnflag"), lit("<all>")).as("flag"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("status"),
+        col("sum_qty"), col("n"), col("g_flag"), col("g_status"))
+      .orderBy("g_flag", "g_status", "flag", "status")
+
+  val cubeTotalsSql: String =
+    """SELECT coalesce(l_returnflag, '<all>') AS flag,
+      |       coalesce(l_linestatus, '<all>') AS status,
+      |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+      |       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY g_flag, g_status, flag, status""".stripMargin
+
   // S8-adjacent set operations (SURVEY §2.7 "none in reference"):
   // UNION ALL / INTERSECT / EXCEPT composed in one query over order-key
   // slices, so all three set semantics are exercised and checked.
@@ -793,6 +822,34 @@ object Core {
        |  CAST(len(list_filter(w, x -> length(x) > 4)) AS BIGINT) AS n_long
        |FROM d ORDER BY doc_id""".stripMargin
 
+  // F22 — Morton z-value encoding (the clustering key behind
+  // Versioned.compactClustered): pure shift/mask integer algebra, so
+  // the DuckDB twin replays the identical five dilation rounds and the
+  // curve math itself is hash-checked (the file-pruning effect it
+  // exists for is spec-asserted in VersionedSpec).
+  def zorderEncode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        graft.functions.ZOrder.zValue(
+          col("c_custkey").cast("long"), col("c_nationkey").cast("long")).as("zval"))
+      .orderBy("c_custkey")
+
+  val zorderEncodeSql: String = {
+    // the same five (x | x<<s) & mask rounds, one CTE per round
+    val masks = Seq(
+      16 -> 281470681808895L, 8 -> 71777214294589695L, 4 -> 1085102592571150095L,
+      2 -> 3689348814741910323L, 1 -> 6148914691236517205L)
+    val steps = masks.zipWithIndex.map { case ((sh, m), i) =>
+      s"s${i + 1} AS (SELECT c_custkey, (x|(x<<$sh)) & $m AS x, (y|(y<<$sh)) & $m AS y FROM s$i)"
+    }.mkString(",\n")
+    s"""WITH s0 AS (SELECT c_custkey,
+       |    CAST(c_custkey AS BIGINT) & 2147483647 AS x,
+       |    CAST(c_nationkey AS BIGINT) & 2147483647 AS y FROM customer),
+       |$steps
+       |SELECT c_custkey, x | (y<<1) AS zval FROM s5 ORDER BY c_custkey""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("j5_revenue_rollup", revenueRollup, Some(revenueRollupSql)),
     QueryDef("j10_star_margin", starMargin, Some(starMarginSql)),
@@ -815,6 +872,7 @@ object Core {
     QueryDef("f17_surrogate", surrogateKeys, Some(surrogateKeysSql)),
     QueryDef("j9_salted_join", saltedJoin, Some(saltedJoinSql)),
     QueryDef("a10_rollup", rollupTotals, Some(rollupTotalsSql)),
+    QueryDef("a11_cube", cubeTotals, Some(cubeTotalsSql)),
     QueryDef("s8_set_ops", setOps, Some(setOpsSql)),
     QueryDef("f19_json_extract", jsonExtract, Some(jsonExtractSql)),
     QueryDef("s9_pivot_events", pivotEvents, Some(pivotEventsSql)),
@@ -822,5 +880,6 @@ object Core {
     QueryDef("j11_semi_anti", semiAnti, Some(semiAntiSql)),
     QueryDef("w5_window_analytics", windowAnalytics, Some(windowAnalyticsSql)),
     QueryDef("f20_string_funcs", stringFunctions, Some(stringFunctionsSql)),
-    QueryDef("f21_array_funcs", arrayFunctions, Some(arrayFunctionsSql)))
+    QueryDef("f21_array_funcs", arrayFunctions, Some(arrayFunctionsSql)),
+    QueryDef("f22_zorder", zorderEncode, Some(zorderEncodeSql)))
 }

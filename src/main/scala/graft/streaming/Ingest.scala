@@ -65,6 +65,23 @@ object Ingest {
     q.awaitTermination()
   }
 
+  /** Exactly-once stream → versioned table: each micro-batch commits
+    * through `Versioned.appendIdempotent` keyed by (`appId`, batchId).
+    * The table's own log carries the high-water batchId per writer, so
+    * a replayed micro-batch — retried epoch, or a full re-run after the
+    * CHECKPOINT is wiped (batchIds restart at 0, all at-or-below the
+    * watermark) — is refused at the log and never duplicates rows.
+    * This is the second half of the exactly-once contract the
+    * checkpoint alone can't give (the Delta `txnAppId`/`txnVersion`
+    * sink option; reference site `01_bronze_csv_to_delta.py:49-56`
+    * leans on Delta for this implicitly).
+    */
+  def sinkVersionedExactlyOnce(
+      stream: DataFrame, dir: String, appId: String, checkpoint: String): Unit =
+    runAvailableNow(stream, checkpoint) { (batch, batchId) =>
+      graft.table.Versioned.appendIdempotent(batch, dir, appId, batchId)
+    }
+
   /** Seen-files manifest sidecar of a bronze table. */
   def manifestRef(bronze: TableRef): TableRef = TableRef(bronze.dir + "._manifest")
 

@@ -123,16 +123,51 @@ object Versioned {
       spark.read.parquet(files.map(f => s"$dir/$f"): _*)
   }
 
+  /** Writer-transaction watermarks carried by snapshot `v`: the highest
+    * transaction version each named application has committed. The
+    * Delta `txnAppId`/`txnVersion` analog that makes streaming sinks
+    * exactly-once: a replayed micro-batch re-presents an already-seen
+    * (app, version) and is refused before any snapshot is published.
+    */
+  def txnsAt(spark: SparkSession, dir: String, v: Long): Map[String, Long] = {
+    val json = snapshotJson(spark, dir, v)
+    json.split("\"txns\":\\{", 2) match {
+      case Array(_, rest) =>
+        val body = rest.split("}", 2)(0).trim
+        if (body.isEmpty) Map.empty
+        else body.split(",").map { kv =>
+          val Array(k, n) = kv.split(":", 2)
+          k.trim.stripPrefix("\"").stripSuffix("\"") -> n.trim.toLong
+        }.toMap
+      case _ => Map.empty // pre-txn log entry
+    }
+  }
+
+  /** Highest transaction version `appId` has committed, if any. */
+  def lastTxnVersion(spark: SparkSession, dir: String, appId: String): Option[Long] =
+    currentVersion(spark, dir).flatMap(v => txnsAt(spark, dir, v).get(appId))
+
   private def commit(
       spark: SparkSession, dir: String, files: Seq[String], op: String,
-      schemaJson: String): Long = {
+      schemaJson: String, txn: Option[(String, Long)] = None): Long = {
     val f = fs(spark, dir)
     f.mkdirs(logPath(dir))
-    val v = currentVersion(spark, dir).getOrElse(0L) + 1
+    val prev = currentVersion(spark, dir)
+    val v = prev.getOrElse(0L) + 1
+    // txn watermarks carry forward through EVERY commit (append,
+    // overwrite, compact): replacing data does not reset exactly-once
+    // bookkeeping, or a compaction between two micro-batches would
+    // let a replayed batch double-apply
+    val txns = prev.map(txnsAt(spark, dir, _)).getOrElse(Map.empty) ++ txn
+    val txnsJson =
+      if (txns.isEmpty) ""
+      else txns.toSeq.sorted
+        .map { case (a, n) => s""""$a":$n""" }
+        .mkString(""","txns":{""", ",", "}")
     val b64 = java.util.Base64.getEncoder
       .encodeToString(schemaJson.getBytes(StandardCharsets.UTF_8))
     val json =
-      s"""{"version":$v,"op":"$op","schema":"$b64","files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
+      s"""{"version":$v,"op":"$op","schema":"$b64"$txnsJson,"files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
     val tmp = new Path(logPath(dir), s".v$v.tmp")
     val out = f.create(tmp, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -164,11 +199,49 @@ object Versioned {
     commit(spark, dir, prev ++ writeDataFiles(df, dir), "append", df.schema.json)
   }
 
+  /** Idempotent append (exactly-once sink contract): commits `df` tagged
+    * with writer transaction (`appId`, `txnVersion`); if the table has
+    * already committed `txnVersion` or later for `appId`, the call is a
+    * no-op returning None — BEFORE writing data files, so a replayed
+    * micro-batch costs a log read, not a write. This is how a
+    * `foreachBatch(batchId => ...)` sink survives checkpoint replay
+    * without duplicating rows (Delta's `txnAppId`/`txnVersion` option).
+    *
+    * Requires monotonically increasing `txnVersion` per `appId` (which
+    * Structured Streaming's batchId provides).
+    */
+  def appendIdempotent(
+      df: DataFrame, dir: String, appId: String, txnVersion: Long): Option[Long] = {
+    require(appId.matches("[A-Za-z0-9_.:/-]+"),
+      s"appId must be log-safe ([A-Za-z0-9_.:/-]+): $appId")
+    val spark = df.sparkSession
+    if (lastTxnVersion(spark, dir, appId).exists(_ >= txnVersion)) None
+    else {
+      val prev = currentVersion(spark, dir)
+        .map(filesAt(spark, dir, _)).getOrElse(Seq.empty)
+      Some(commit(spark, dir, prev ++ writeDataFiles(df, dir), "append",
+        df.schema.json, Some(appId -> txnVersion)))
+    }
+  }
+
   /** Overwrite commit: next snapshot = the new set alone. Old versions
     * stay readable until `vacuum`.
     */
   def overwrite(df: DataFrame, dir: String): Long =
     commit(df.sparkSession, dir, writeDataFiles(df, dir), "overwrite", df.schema.json)
+
+  /** Idempotent overwrite: `overwrite` guarded by the same writer-
+    * transaction watermark as [[appendIdempotent]].
+    */
+  def overwriteIdempotent(
+      df: DataFrame, dir: String, appId: String, txnVersion: Long): Option[Long] = {
+    require(appId.matches("[A-Za-z0-9_.:/-]+"),
+      s"appId must be log-safe ([A-Za-z0-9_.:/-]+): $appId")
+    val spark = df.sparkSession
+    if (lastTxnVersion(spark, dir, appId).exists(_ >= txnVersion)) None
+    else Some(commit(spark, dir, writeDataFiles(df, dir), "overwrite",
+      df.schema.json, Some(appId -> txnVersion)))
+  }
 
   /** Compaction commit (OPTIMIZE analog on the versioned layout): the
     * current snapshot rewritten as one coalesced file set. Rows are
@@ -178,41 +251,83 @@ object Versioned {
   def compact(spark: SparkSession, dir: String): Long =
     overwrite(read(spark, dir), dir)
 
-  /** Zone-map sidecar: per-file [min, max] of a designated long-typed
-    * column, written next to a snapshot as `v<N>.zones.json`. The
+  /** Z-order clustered compaction (Delta `OPTIMIZE ZORDER BY` analog):
+    * rewrites the current snapshot range-partitioned and sorted along
+    * the Morton curve of two long columns, then publishes zone maps
+    * for BOTH. Files now cover tight rectangles of (x, y) space, so a
+    * range predicate on either column prunes from the log — a plain
+    * single-column sort can only serve its own column. Rows unchanged;
+    * history still time-travels. The curve math is
+    * [[graft.functions.ZOrder.zValue]] (low-31-bit domain — cluster on
+    * ranks or offsets for wider columns).
+    */
+  def compactClustered(
+      spark: SparkSession, dir: String,
+      xCol: String, yCol: String, targetFiles: Int = 8): Long = {
+    import org.apache.spark.sql.functions.col
+    val z = graft.functions.ZOrder.zValue(col(xCol), col(yCol))
+    val clustered = read(spark, dir)
+      .withColumn("__z", z)
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    val v = overwrite(clustered, dir)
+    writeZoneMaps(spark, dir, v, Seq(xCol, yCol))
+    v
+  }
+
+  /** Zone-map sidecar: per-file [min, max] of designated long-typed
+    * columns, written next to a snapshot as `v<N>.zones.json`. The
     * data-skipping half of the Delta/Iceberg stats story: a reader
-    * with a range predicate on the zoned column prunes files from the
+    * with a range predicate on a zoned column prunes files from the
     * LOG alone — zero data-file opens for planning, which at 100 TB is
     * the difference between touching 3 files and listing 3 million.
     * Stats cost one footer-cheap aggregate pass over only the files of
-    * the commit being annotated.
+    * the commit being annotated, covering every requested column at
+    * once.
     */
-  def writeZoneMap(spark: SparkSession, dir: String, v: Long, zoneCol: String): Unit = {
+  def writeZoneMaps(
+      spark: SparkSession, dir: String, v: Long, zoneCols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    require(zoneCols.nonEmpty, "at least one zone column")
     val files = filesAt(spark, dir, v)
     if (files.isEmpty) return
+    val aggs = zoneCols.flatMap(c =>
+      Seq(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c")))
     val stats = spark.read.parquet(files.map(f => s"$dir/$f"): _*)
       .groupBy(input_file_name().as("f"))
-      .agg(min(col(zoneCol)).as("lo"), max(col(zoneCol)).as("hi"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect() // ≤ one row per file of one commit — log-sized, not data-sized
-      .filter(r => !r.isNullAt(1) && !r.isNullAt(2)) // all-null zone column:
-      // leave the file out of the sidecar — prunedFiles treats stat-less
-      // files as unskippable, which is the only safe reading of "no stats"
       .map { r =>
         val rel = files.find(f => r.getString(0).endsWith(f)).getOrElse(
           throw new IllegalStateException(s"stats row for unknown file ${r.getString(0)}"))
-        (rel, r.getLong(1), r.getLong(2))
+        rel -> r
       }
+    val blocks = zoneCols.zipWithIndex.map { case (c, i) =>
+      val lo = 1 + 2 * i
+      val hi = lo + 1
+      // all-null zone column in a file: leave the file out of that
+      // column's block — prunedFiles treats stat-less files as
+      // unskippable, which is the only safe reading of "no stats"
+      val zones = stats
+        .filter { case (_, r) => !r.isNullAt(lo) && !r.isNullAt(hi) }
+        .sortBy(_._1)
+        .map { case (p, r) =>
+          s"""{"file":"$p","lo":${r.getLong(lo)},"hi":${r.getLong(hi)}}""" }
+      zones.mkString(s"""{"col":"$c","zones":[""", ",", "]}")
+    }
+    val json = blocks.mkString("[", ",", "]")
     val f = fs(spark, dir)
-    val json = stats.sortBy(_._1)
-      .map { case (p, lo, hi) => s"""{"file":"$p","lo":$lo,"hi":$hi}""" }
-      .mkString(s"""{"col":"$zoneCol","zones":[""", ",", "]}")
     val tmp = new Path(logPath(dir), s".v$v.zones.tmp")
     val out = f.create(tmp, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
     if (!f.rename(tmp, new Path(logPath(dir), f"v$v%08d.zones.json")))
       throw new IllegalStateException(s"zone-map publish for v$v failed")
   }
+
+  /** Single-column zone map (the common case). */
+  def writeZoneMap(spark: SparkSession, dir: String, v: Long, zoneCol: String): Unit =
+    writeZoneMaps(spark, dir, v, Seq(zoneCol))
 
   /** Range scan using the zone map: only files whose [lo, hi] intersects
     * [lo, hi] are read (the residual predicate still applies — zones
@@ -239,9 +354,17 @@ object Versioned {
     val all = filesAt(spark, dir, v)
     if (!f.exists(zp)) return all
     val json = readFully(spark, dir, zp)
-    if (!json.contains(s""""col":"$zoneCol"""")) return all // zoned on another column
+    // the sidecar holds one {"col":...,"zones":[...]} block per zoned
+    // column; scope the zone parse to this column's block (zones
+    // arrays never nest brackets)
+    val blockRe = ("""\{"col":"""" + java.util.regex.Pattern.quote(zoneCol) +
+      """","zones":\[([^\]]*)\]\}""").r
+    val block = blockRe.findFirstMatchIn(json) match {
+      case Some(m) => m.group(1)
+      case None => return all // zoned on other columns only
+    }
     val zoneRe = """\{"file":"([^"]+)","lo":(-?\d+),"hi":(-?\d+)\}""".r
-    val zoned = zoneRe.findAllMatchIn(json)
+    val zoned = zoneRe.findAllMatchIn(block)
       .map(m => (m.group(1), m.group(2).toLong, m.group(3).toLong)).toSeq
     val byFile = zoned.map(z => z._1 -> z).toMap
     all.filter { file =>

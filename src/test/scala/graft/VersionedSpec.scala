@@ -148,6 +148,59 @@ class VersionedSpec extends SparkSpec {
       s"multiset diff expected, got $got")
   }
 
+  test("zValue interleaves bits and matches a reference Scala Morton encoder") {
+    def mortonRef(x: Long, y: Long): Long = {
+      var z = 0L
+      (0 until 31).foreach { i =>
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    // known vectors: z(3,1)=0b0111, z(1,3)=0b1011
+    val pts = Seq((3L, 1L), (1L, 3L), (0L, 0L)) ++
+      (1 to 200).map(i => (((i * 2654435761L) >>> 33), ((i * 40503L) >>> 17)))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.functions.ZOrder.zValue(col("x"), col("y")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) =>
+      assert(z == mortonRef(x, y), s"zValue($x, $y) = $z, want ${mortonRef(x, y)}")
+      assert(z >= 0, "31-bit domain must yield a non-negative z")
+    }
+    assert(got.take(2).map(_._3).toSeq == Seq(7L, 11L))
+  }
+
+  test("z-order clustering makes BOTH columns prunable from the log") {
+    val dir = tmpDir("vt_zorder")
+    // 64×64 grid appended in hash-shuffled order: natural file layout
+    // has no locality in either column
+    val pts = (0L until 4096L).map(i => (i * 2654435761L % 4096L))
+      .distinct.map(c => (c / 64L, c % 64L))
+    pts.grouped(1024).foreach(chunk =>
+      Versioned.append(chunk.toDF("x", "y").repartition(4), dir))
+    val v0 = Versioned.currentVersion(spark, dir).get
+    Versioned.writeZoneMaps(spark, dir, v0, Seq("x", "y"))
+    val before = Versioned.filesAt(spark, dir, v0)
+    assert(Versioned.prunedFiles(spark, dir, v0, "x", 0L, 7L).size == before.size,
+      "shuffled layout must NOT prune (test setup sanity)")
+
+    val v = Versioned.compactClustered(spark, dir, "x", "y", targetFiles = 8)
+    val all = Versioned.filesAt(spark, dir, v)
+    val px = Versioned.prunedFiles(spark, dir, v, "x", 0L, 7L)
+    val py = Versioned.prunedFiles(spark, dir, v, "y", 0L, 7L)
+    assert(px.size < all.size, s"x-range must prune: ${px.size} of ${all.size}")
+    assert(py.size < all.size, s"y-range must prune: ${py.size} of ${all.size}")
+
+    // results stay exact on both dimensions
+    val gotX = Versioned.readWhere(spark, dir, v, "x", 0L, 7L)
+      .as[(Long, Long)].collect().toSet
+    assert(gotX == pts.filter(_._1 <= 7L).toSet)
+    val gotY = Versioned.readWhere(spark, dir, v, "y", 0L, 7L)
+      .as[(Long, Long)].collect().toSet
+    assert(gotY == pts.filter(_._2 <= 7L).toSet)
+  }
+
   test("snapshot isolation: a frame planned at version N is unaffected by later commits") {
     val dir = tmpDir("vt_iso")
     Versioned.append(Seq((1L, "a")).toDF("id", "s"), dir)
