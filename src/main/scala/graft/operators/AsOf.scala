@@ -82,7 +82,15 @@ object AsOf {
     // ts collisions inside the sort the window needs anyway, instead of
     // paying a separate groupBy(keys, ts) shuffle of the right side.
     val rSide = if (strict) 2 else 0
-    val rPre = right.select(
+    // Standard ASOF null semantics (kdb+/Pandas/DuckDB): null keys and
+    // null timestamps never match. Without this filter the window's
+    // partitionBy would group null keys together (matching them against
+    // each other where an equi-join would mismatch), and a null rightTs
+    // sorts first under the ascending order, carrying its payload onto
+    // left rows that have no real preceding match.
+    val rightNonNull = (keys :+ rightTs)
+      .map(col(_).isNotNull).reduce(_ && _)
+    val rPre = right.filter(rightNonNull).select(
       keys.map(col) ++ Seq(
         col(rightTs).as(ts), lit(rSide).as(side),
         struct(payload.map(col): _*).as(pay), tiebreak.as(tb)): _*)
@@ -106,9 +114,16 @@ object AsOf {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(tsOrd, col(side), col(tb))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // a left row with a null ts or null key matches NOTHING (same
+    // standard semantics as above). The sort alone doesn't guarantee
+    // that: under the forward direction's descending order Spark sorts
+    // nulls last, so a null-ts left row would otherwise sit after every
+    // right row and absorb its carry-forward.
+    val leftNull = (keys :+ ts).map(col(_).isNull).reduce(_ || _)
     lTagged.unionByName(rTagged)
       .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
       .filter(col(side) === 1)
+      .withColumn(pay, when(leftNull, lit(null).cast(payType)).otherwise(col(pay)))
       .select(left.columns.map(col) ++ payload.map(p => col(s"$pay.$p").as(p)): _*)
   }
 }

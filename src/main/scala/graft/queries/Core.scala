@@ -746,9 +746,9 @@ object Core {
   val windowAnalyticsSql: String =
     """SELECT o_custkey, o_orderkey,
       |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
-      |  SUM(CAST(round(o_totalprice*100) AS BIGINT))
+      |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT))
       |    OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
-      |          ROWS UNBOUNDED PRECEDING) AS running_cents,
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents,
       |  CAST(date_diff('day',
       |      lag(CAST(o_orderdate AS DATE)) OVER w, CAST(o_orderdate AS DATE)) AS BIGINT)
       |    AS days_since_prev,

@@ -43,6 +43,29 @@ object Bucketed {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Migration guard: refuses to upsert into a legacy FLAT table dir.
+    * A pre-bucketing silver table holds root-level parquet files; a
+    * bucketed write on top would mix them with `bucket=N/` partition
+    * dirs, breaking partition discovery or duplicating rows on read.
+    * Failing loudly here turns a silent data corruption into a clear
+    * one-time migration step (read the flat table, `create` it
+    * bucketed).
+    */
+  def assertBucketedLayout(spark: SparkSession, ref: BucketedRef): Unit = {
+    val root = new Path(ref.dir)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(root)) {
+      val flat = f.listStatus(root).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.getName)
+      require(flat.isEmpty,
+        s"${ref.dir} holds a legacy FLAT table layout (root-level parquet: " +
+          s"${flat.take(3).mkString(", ")}${if (flat.size > 3) ", …" else ""}); " +
+          "migrate it first — read the flat table and Bucketed.create it — " +
+          "before bucketed upserts")
+    }
+  }
+
   /** Initial materialization: one distributed write, partitioned into
     * `bucket=NNN/` dirs, atomically swapped into place.
     */
@@ -80,11 +103,15 @@ object Bucketed {
       ref: BucketedRef,
       source: DataFrame,
       versionCol: String): Unit = {
+    assertBucketedLayout(spark, ref)
     val root = new Path(ref.dir)
     val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // dot-prefixed so partition discovery on the parent never sees it
-    val staging = new Path(root.getParent, s".${root.getName}.__stage__")
-    f.delete(staging, true)
+    // dot-prefixed so partition discovery on the parent never sees it;
+    // UUID-suffixed so two concurrent upserts into the same table can't
+    // clobber each other's staged input — racing callers now collide
+    // only at the per-bucket atomic swap (loud), never at staging
+    val staging = new Path(root.getParent,
+      s".${root.getName}.__stage__${java.util.UUID.randomUUID().toString}")
     try {
       source.withColumn("bucket", ref.bucketCol)
         .write.partitionBy("bucket").parquet(staging.toString)

@@ -171,17 +171,41 @@ object Versioned {
     val tmp = new Path(logPath(dir), s".v$v.tmp")
     val out = f.create(tmp, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (!f.rename(tmp, versionFile(dir, v)))
-      throw new IllegalStateException(
-        s"commit of version $v at $dir lost a race — concurrent writer?")
+    publishOnce(f, tmp, versionFile(dir, v))
     v
+  }
+
+  /** The atomicity point of every commit: publish `tmp` as `dest`,
+    * refusing when `dest` already exists. Race detection cannot rely on
+    * rename alone — RawLocalFileSystem (and object-store connectors)
+    * OVERWRITE on rename, so a lost race would silently vanish the
+    * winning committer's log entry. The version number was computed
+    * from the log, so an existing destination means a concurrent writer
+    * published it since; the loser deletes its temp and fails loudly.
+    * This narrows (not closes) the check-then-rename window on
+    * overwriting filesystems; true multi-writer needs a lock service or
+    * conditional-put in front of the log, exactly as Delta on S3.
+    */
+  private[graft] def publishOnce(
+      f: org.apache.hadoop.fs.FileSystem, tmp: Path, dest: Path): Unit = {
+    if (f.exists(dest)) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(
+        s"commit of $dest lost a race — a concurrent writer published this " +
+          "version first (single-writer contract violated); retry from the new log head")
+    }
+    if (!f.rename(tmp, dest))
+      throw new IllegalStateException(
+        s"commit of $dest lost a race — concurrent writer?")
   }
 
   /** Writes `df` as a fresh immutable file set and returns its
     * table-relative parquet paths (not yet referenced by any snapshot).
     */
   private def writeDataFiles(df: DataFrame, dir: String): Seq[String] = {
-    val sub = s"d-${UUID.randomUUID().toString.take(8)}"
+    // full UUID: an 8-hex prefix (~2^32 namespace) invites a birthday
+    // collision at high commit counts, failing the write spuriously
+    val sub = s"d-${UUID.randomUUID().toString}"
     df.write.parquet(s"$dir/$sub")
     val f = fs(df.sparkSession, dir)
     f.listStatus(new Path(dir, sub)).toSeq
@@ -209,6 +233,13 @@ object Versioned {
     *
     * Requires monotonically increasing `txnVersion` per `appId` (which
     * Structured Streaming's batchId provides).
+    *
+    * SINGLE-WRITER contract per `appId`: the watermark check and the
+    * commit are not one atomic step, so two concurrent replays of the
+    * SAME batch could both pass the check. Structured Streaming never
+    * runs two instances of one query concurrently against one
+    * checkpoint, which is the deployment this guards; a multi-writer
+    * log needs a lock service / conditional-put (see [[commit]]).
     */
   def appendIdempotent(
       df: DataFrame, dir: String, appId: String, txnVersion: Long): Option[Long] = {

@@ -1,0 +1,99 @@
+package graft.table
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared per-file zone-map machinery: compute [lo, hi] column stats
+  * for a file set, serialize/parse the sidecar blocks, and prune a file
+  * listing against a range predicate.
+  *
+  * Zone columns must be losslessly long-castable (integral types,
+  * timestamps as epoch seconds) — one stats domain keeps the sidecar
+  * format and the pruning comparison trivial and exact. Files with no
+  * stats for a column (all-null, or written before the column was
+  * zoned) are never pruned: "no stats" can only widen a scan, never
+  * lose rows.
+  *
+  * Both versioned tables ([[Versioned.writeZoneMaps]]) and bucketed
+  * tables ([[Bucketed.writeZoneMaps]]) publish this format — the
+  * data-skipping half of the Delta/Iceberg stats story (SURVEY.md §4).
+  */
+private[graft] object ZoneMaps {
+
+  /** (file, lo, hi) triples for one zoned column. */
+  type Zones = Seq[(String, Long, Long)]
+
+  /** Per-file [lo, hi] of each column over `relFiles` (paths relative
+    * to `base`), one footer-cheap aggregate pass covering every column
+    * at once. Files where a column is all-null are left out of that
+    * column's zones.
+    */
+  def compute(
+      spark: SparkSession, base: String, relFiles: Seq[String],
+      cols: Seq[String]): Map[String, Zones] = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    require(cols.nonEmpty, "at least one zone column")
+    if (relFiles.isEmpty) return cols.map(_ -> Seq.empty[(String, Long, Long)]).toMap
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("long")).as(s"lo_$c"), max(col(c).cast("long")).as(s"hi_$c")))
+    val stats = spark.read.parquet(relFiles.map(f => s"$base/$f"): _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per file of one write — log-sized, not data-sized
+      .map { r =>
+        val rel = relFiles.find(f => r.getString(0).endsWith(f)).getOrElse(
+          throw new IllegalStateException(s"stats row for unknown file ${r.getString(0)}"))
+        rel -> r
+      }
+    cols.zipWithIndex.map { case (c, i) =>
+      val lo = 1 + 2 * i
+      val hi = lo + 1
+      c -> stats.toSeq
+        .filter { case (_, r) => !r.isNullAt(lo) && !r.isNullAt(hi) }
+        .sortBy(_._1)
+        .map { case (p, r) => (p, r.getLong(lo), r.getLong(hi)) }
+    }.toMap
+  }
+
+  /** `{"col":"c","zones":[{"file":"f","lo":1,"hi":2},…]}` blocks joined
+    * as a JSON array, one block per column in `cols` order.
+    */
+  def blocksJson(cols: Seq[String], zones: Map[String, Zones]): String =
+    cols.map { c =>
+      zones.getOrElse(c, Seq.empty)
+        .map { case (p, lo, hi) => s"""{"file":"$p","lo":$lo,"hi":$hi}""" }
+        .mkString(s"""{"col":"$c","zones":[""", ",", "]}")
+    }.mkString("[", ",", "]")
+
+  /** One column's zones out of a [[blocksJson]] payload; None when the
+    * column has no block (zoned on other columns only).
+    */
+  def parseBlock(json: String, zoneCol: String): Option[Zones] = {
+    val blockRe = ("""\{"col":"""" + java.util.regex.Pattern.quote(zoneCol) +
+      """","zones":\[([^\]]*)\]\}""").r
+    blockRe.findFirstMatchIn(json).map { m =>
+      val zoneRe = """\{"file":"([^"]+)","lo":(-?\d+),"hi":(-?\d+)\}""".r
+      zoneRe.findAllMatchIn(m.group(1))
+        .map(z => (z.group(1), z.group(2).toLong, z.group(3).toLong)).toSeq
+    }
+  }
+
+  /** Every column name carrying a block in a [[blocksJson]] payload, in
+    * block order.
+    */
+  def blockCols(json: String): Seq[String] =
+    """\{"col":"([^"]+)","zones":\[""".r
+      .findAllMatchIn(json).map(_.group(1)).toSeq
+
+  /** The subset of `all` a `[lo, hi]` range scan must read: a file is
+    * skipped only when its zone exists and provably misses the range.
+    */
+  def prune(all: Seq[String], zones: Zones, lo: Long, hi: Long): Seq[String] = {
+    val byFile = zones.map(z => z._1 -> z).toMap
+    all.filter { file =>
+      byFile.get(file) match {
+        case Some((_, zlo, zhi)) => zlo <= hi && lo <= zhi
+        case None => true // file without stats can never be skipped
+      }
+    }
+  }
+}

@@ -106,6 +106,42 @@ class BucketedSpec extends SparkSpec {
     assert(t.filter(col("id") === 40).head.getLong(2) == 1)
   }
 
+  test("staging dir is per-invocation: a concurrent upsert's stage is never clobbered") {
+    val root = tmpDir("bucketed6")
+    val ref = BucketedRef(s"$root/t", numBuckets = 4, keys = Seq("id"))
+    Bucketed.create(rows(0L until 10L, v = 1), ref)
+    // simulate another in-flight upsert staged at the OLD fixed path:
+    // before the per-invocation UUID suffix, upsertLww began by
+    // deleting exactly this directory — corrupting the concurrent
+    // caller's staged input
+    val otherStage = new File(s"$root/.t.__stage__")
+    assert(otherStage.mkdirs())
+    val marker = new File(otherStage, "bucket=0")
+    assert(marker.mkdirs())
+    Bucketed.upsertLww(spark, ref, rows(Seq(3L), v = 2), "version")
+    assert(otherStage.exists() && marker.exists(),
+      "a concurrent caller's staging dir must survive another upsert")
+    assert(Bucketed.read(spark, ref).filter(col("id") === 3).head.getLong(2) == 2)
+    // and this invocation's own staging debris is swept
+    val leftover = new File(root).listFiles().map(_.getName)
+      .filter(_.startsWith(".t.__stage__")).toSet
+    assert(leftover == Set(".t.__stage__"), s"staging debris left behind: $leftover")
+  }
+
+  test("upsert into a legacy FLAT table layout fails loudly with a migration message") {
+    val root = tmpDir("bucketed7")
+    val flatDir = s"$root/t"
+    rows(0L until 10L, v = 1).coalesce(1).write.parquet(flatDir) // pre-bucketing layout
+    val ref = BucketedRef(flatDir, numBuckets = 4, keys = Seq("id"))
+    val ex = intercept[IllegalArgumentException] {
+      Bucketed.upsertLww(spark, ref, rows(Seq(3L), v = 2), "version")
+    }
+    assert(ex.getMessage.contains("FLAT") && ex.getMessage.contains("migrate"),
+      s"wanted the migration guard, got: ${ex.getMessage}")
+    // the flat table is untouched — corruption refused, not performed
+    assert(spark.read.parquet(flatDir).count() == 10)
+  }
+
   test("upsert is idempotent: replaying the same source converges") {
     val root = tmpDir("bucketed3")
     val ref = BucketedRef(s"$root/t", numBuckets = 4, keys = Seq("id"))

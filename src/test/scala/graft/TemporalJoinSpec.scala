@@ -88,6 +88,29 @@ class TemporalJoinSpec extends SparkSpec {
     }
   }
 
+  test("asof null semantics: null keys and null timestamps never match (both directions)") {
+    val l = Seq(
+      (Some(1L), Some(100L), "normal"),
+      (Some(1L), None, "null-ts"),   // null left ts → no match
+      (None, Some(100L), "null-key") // null left key → no match
+    ).toDF("k", "ts", "tag")
+    val r = Seq(
+      (Some(1L), Some(50L), "real", 1L),
+      (Some(1L), None, "ghost-ts", 2L), // null rts must never carry forward
+      (None, Some(40L), "ghost-key", 3L) // null key must never equi-match
+    ).toDF("k", "rts", "rtag", "seq")
+    for (dir <- Seq("backward", "forward")) {
+      val got = AsOf.joinAsOf(l, r, Seq("k"), "ts", "rts", Seq("rtag"),
+          tiebreak = col("seq"), direction = dir)
+        .select("tag", "rtag").as[(String, Option[String])].collect().toMap
+      assert(got("null-ts").isEmpty, s"[$dir] null left ts must match nothing")
+      assert(got("null-key").isEmpty, s"[$dir] null left key must match nothing")
+      val wantNormal = if (dir == "backward") Some("real") else None
+      assert(got("normal") == wantNormal,
+        s"[$dir] only the non-null right row may match: $got")
+    }
+  }
+
   test("range join matches the naive inequality join on random data incl. negative epochs") {
     val rnd = new scala.util.Random(7)
     val ls = Seq.tabulate(300)(i =>

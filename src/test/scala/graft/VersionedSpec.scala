@@ -201,6 +201,36 @@ class VersionedSpec extends SparkSpec {
     assert(gotY == pts.filter(_._2 <= 7L).toSet)
   }
 
+  test("a commit losing the version race fails loudly instead of overwriting") {
+    val dir = tmpDir("vt_race")
+    Versioned.append(Seq((1L, "a")).toDF("id", "s"), dir)
+    // interleave at the atomicity point: a concurrent committer
+    // publishes v2 after this writer computed its version but before
+    // its rename (RawLocalFileSystem renames OVERWRITE, so without the
+    // explicit exists-check the loser would silently vanish the
+    // winner's log entry)
+    val log = new java.io.File(s"$dir/_graft_log")
+    val winner = new java.io.File(log, "v00000002.json")
+    val json = """{"version":2,"op":"append","schema":"","files":[]}"""
+    java.nio.file.Files.write(winner.toPath, json.getBytes)
+    val loserTmp = new java.io.File(log, ".v2.tmp")
+    java.nio.file.Files.write(loserTmp.toPath, "loser".getBytes)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ex = intercept[IllegalStateException] {
+      Versioned.publishOnce(f,
+        new org.apache.hadoop.fs.Path(loserTmp.getPath),
+        new org.apache.hadoop.fs.Path(winner.getPath))
+    }
+    assert(ex.getMessage.contains("race"))
+    // exactly one v2 survives — the winner's, byte-identical — and the
+    // loser's temp is swept
+    assert(new String(java.nio.file.Files.readAllBytes(winner.toPath)) == json,
+      "the winner's commit must not be overwritten")
+    assert(!loserTmp.exists(), "the losing committer's temp file must be deleted")
+    assert(Versioned.versions(spark, dir) == Seq(1L, 2L))
+  }
+
   test("snapshot isolation: a frame planned at version N is unaffected by later commits") {
     val dir = tmpDir("vt_iso")
     Versioned.append(Seq((1L, "a")).toDF("id", "s"), dir)
