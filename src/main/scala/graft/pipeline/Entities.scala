@@ -23,7 +23,17 @@ final case class Entity(
     // batch alone and LWW-replace its all-history row — silver would
     // depend on file arrival order instead of being a pure function of
     // bronze contents.
-    aggregatedGrain: Boolean = false) {
+    aggregatedGrain: Boolean = false,
+    // long-castable CLEANSED columns to zone-map in the bucketed silver
+    // layout (graft.table.ZoneSpec): bucket writes range-cluster on the
+    // first and publish per-file [lo, hi] sidecars for all, so range
+    // scans (Lake.silverWhere) prune files at planning time — the Delta
+    // data-skipping row of SURVEY.md §4
+    zoneCols: Seq[String] = Nil) {
+
+  /** Bucketed-silver clustering contract, when `zoneCols` declares one. */
+  def zoneSpec: Option[graft.table.ZoneSpec] =
+    if (zoneCols.isEmpty) None else Some(graft.table.ZoneSpec(zoneCols))
 
   /** All-string bronze schema (before ingest metadata columns). */
   def bronzeSchema: StructType =
@@ -82,7 +92,11 @@ object Entities {
       "order_approved_at", "order_delivered_carrier_date",
       "order_delivered_customer_date", "order_estimated_delivery_date"),
     Seq("order_id"),
-    Silver.cleanseOrders)
+    Silver.cleanseOrders,
+    // THE lakehouse range predicate is purchase time; delivered-customer
+    // correlates with it, so its zones stay tight under the same
+    // clustering and time-window scans on either column prune
+    zoneCols = Seq("order_purchase_timestamp", "order_delivered_customer_date"))
 
   val products: Entity = Entity(
     "products",
@@ -96,7 +110,8 @@ object Entities {
     "sellers",
     Seq("seller_id", "seller_zip_code_prefix", "seller_city", "seller_state"),
     Seq("seller_id"),
-    Silver.cleanseSellers)
+    Silver.cleanseSellers,
+    zoneCols = Seq("seller_zip_code_prefix"))
 
   val all: Seq[Entity] = Seq(
     customers, geolocation, orderItems, orderPayments,

@@ -44,10 +44,11 @@ object Lake {
         // so the O(bronze_entity) rescan is the correctness price, not
         // a scale risk — the fact-sized entities below stay incremental.
         Silver.upsertIntoBucketed(spark, roots.silverBucketedRef(e),
-          e.cleanse(Table.read(spark, roots.bronzeRef(name))))
+          e.cleanse(Table.read(spark, roots.bronzeRef(name))), e.zoneSpec)
       } else {
         Ingest.bronzeToSilverBucketed(spark, roots.bronzeRef(name), e.bronzeStoredSchema,
-          roots.silverBucketedRef(e), s"${roots.checkpoints}/${name}_silver", e.cleanse)
+          roots.silverBucketedRef(e), s"${roots.checkpoints}/${name}_silver", e.cleanse,
+          e.zoneSpec)
       }
     }
     ingested
@@ -59,6 +60,22 @@ object Lake {
     */
   private def silver(spark: SparkSession, roots: LakeRoots, name: String): DataFrame =
     Table.read(spark, roots.silverRef(name)).drop("bucket")
+
+  /** Zone-pruned range scan over a bucketed silver table: only files
+    * whose sidecar [lo, hi] (long domain — timestamps as epoch seconds)
+    * intersects the range are opened; the residual predicate still
+    * applies. The data-skipping read the reference got from Delta's
+    * file stats (SURVEY.md §4) — at 100 TB a one-day window over a
+    * years-deep orders table opens ~1/filesPerBucket of each bucket
+    * instead of every file.
+    */
+  def silverWhere(
+      spark: SparkSession, roots: LakeRoots, name: String,
+      zoneCol: String, lo: Long, hi: Long): DataFrame = {
+    val e = Entities.byName(name).getOrElse(
+      throw new IllegalArgumentException(s"unknown silver entity: $name"))
+    Bucketed.readWhere(spark, roots.silverBucketedRef(e), zoneCol, lo, hi)
+  }
 
   /** Rebuilds every gold dim/fact/metric from silver (03-09 semantics)
     * with atomic overwrites (S7), in dependency order. Fails with a

@@ -217,9 +217,13 @@ object Silver {
   def upsertIntoBucketed(
       spark: SparkSession,
       ref: graft.table.BucketedRef,
-      batch: DataFrame): Unit =
+      batch: DataFrame,
+      zone: Option[graft.table.ZoneSpec] = None): Unit =
     if (!graft.table.Bucketed.exists(spark, ref)) {
-      graft.table.Bucketed.create(batch, ref)
+      // creation establishes the zone sidecar; every later upsert
+      // maintains it from the contract recorded there (Bucketed
+      // .zoneSpec), so callers only declare zoning once
+      graft.table.Bucketed.create(batch, ref, zone)
     } else {
       graft.table.Bucketed.upsertLww(spark, ref, batch, "ingestion_ts")
     }

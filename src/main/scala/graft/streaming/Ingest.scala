@@ -279,11 +279,12 @@ object Ingest {
       bronzeSchema: StructType,
       silver: graft.table.BucketedRef,
       checkpoint: String,
-      cleanse: DataFrame => DataFrame): Unit = {
+      cleanse: DataFrame => DataFrame,
+      zone: Option[graft.table.ZoneSpec] = None): Unit = {
     val stream = spark.readStream.schema(bronzeSchema).parquet(bronze.dir)
     runAvailableNow(stream, checkpoint) { (batch, _) =>
       if (!batch.isEmpty) {
-        Silver.upsertIntoBucketed(spark, silver, cleanse(batch))
+        Silver.upsertIntoBucketed(spark, silver, cleanse(batch), zone)
       }
     }
   }

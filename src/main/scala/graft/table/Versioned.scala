@@ -319,35 +319,14 @@ object Versioned {
     */
   def writeZoneMaps(
       spark: SparkSession, dir: String, v: Long, zoneCols: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     require(zoneCols.nonEmpty, "at least one zone column")
     val files = filesAt(spark, dir, v)
     if (files.isEmpty) return
-    val aggs = zoneCols.flatMap(c =>
-      Seq(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c")))
-    val stats = spark.read.parquet(files.map(f => s"$dir/$f"): _*)
-      .groupBy(input_file_name().as("f"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect() // ≤ one row per file of one commit — log-sized, not data-sized
-      .map { r =>
-        val rel = files.find(f => r.getString(0).endsWith(f)).getOrElse(
-          throw new IllegalStateException(s"stats row for unknown file ${r.getString(0)}"))
-        rel -> r
-      }
-    val blocks = zoneCols.zipWithIndex.map { case (c, i) =>
-      val lo = 1 + 2 * i
-      val hi = lo + 1
-      // all-null zone column in a file: leave the file out of that
-      // column's block — prunedFiles treats stat-less files as
-      // unskippable, which is the only safe reading of "no stats"
-      val zones = stats
-        .filter { case (_, r) => !r.isNullAt(lo) && !r.isNullAt(hi) }
-        .sortBy(_._1)
-        .map { case (p, r) =>
-          s"""{"file":"$p","lo":${r.getLong(lo)},"hi":${r.getLong(hi)}}""" }
-      zones.mkString(s"""{"col":"$c","zones":[""", ",", "]}")
-    }
-    val json = blocks.mkString("[", ",", "]")
+    // all-null zone column in a file: ZoneMaps.compute leaves the file
+    // out of that column's block — prunedFiles treats stat-less files
+    // as unskippable, the only safe reading of "no stats"
+    val json = ZoneMaps.blocksJson(zoneCols,
+      ZoneMaps.compute(spark, dir, files, zoneCols))
     val f = fs(spark, dir)
     val tmp = new Path(logPath(dir), s".v$v.zones.tmp")
     val out = f.create(tmp, true)
@@ -385,24 +364,9 @@ object Versioned {
     val all = filesAt(spark, dir, v)
     if (!f.exists(zp)) return all
     val json = readFully(spark, dir, zp)
-    // the sidecar holds one {"col":...,"zones":[...]} block per zoned
-    // column; scope the zone parse to this column's block (zones
-    // arrays never nest brackets)
-    val blockRe = ("""\{"col":"""" + java.util.regex.Pattern.quote(zoneCol) +
-      """","zones":\[([^\]]*)\]\}""").r
-    val block = blockRe.findFirstMatchIn(json) match {
-      case Some(m) => m.group(1)
-      case None => return all // zoned on other columns only
-    }
-    val zoneRe = """\{"file":"([^"]+)","lo":(-?\d+),"hi":(-?\d+)\}""".r
-    val zoned = zoneRe.findAllMatchIn(block)
-      .map(m => (m.group(1), m.group(2).toLong, m.group(3).toLong)).toSeq
-    val byFile = zoned.map(z => z._1 -> z).toMap
-    all.filter { file =>
-      byFile.get(file) match {
-        case Some((_, zlo, zhi)) => zlo <= hi && lo <= zhi
-        case None => true // file without stats can never be skipped
-      }
+    ZoneMaps.parseBlock(json, zoneCol) match {
+      case Some(zones) => ZoneMaps.prune(all, zones, lo, hi)
+      case None => all // zoned on other columns only
     }
   }
 

@@ -5,7 +5,7 @@ import java.io.File
 import org.apache.spark.sql.functions._
 
 import graft.ops.Upsert
-import graft.table.{Bucketed, BucketedRef}
+import graft.table.{Bucketed, BucketedRef, ZoneSpec}
 
 /** Bucket-partitioned upsert: only buckets containing source keys are
   * rewritten; everything else on disk stays byte-for-byte untouched.
@@ -140,6 +140,52 @@ class BucketedSpec extends SparkSpec {
       s"wanted the migration guard, got: ${ex.getMessage}")
     // the flat table is untouched — corruption refused, not performed
     assert(spark.read.parquet(flatDir).count() == 10)
+  }
+
+  test("zone maps: range scans open only the pruned file subset, across upserts") {
+    val root = tmpDir("bucketed8")
+    val ref = BucketedRef(s"$root/t", numBuckets = 4, keys = Seq("id"))
+    val spec = ZoneSpec(Seq("ts"), filesPerBucket = 4)
+    def mk(ids: Seq[Long], v: Long) =
+      ids.map(i => (i, i * 10L, v)).toDF("id", "ts", "version")
+    // 256 keys hash-spread over 4 buckets; ts spans [0, 2550] in EVERY
+    // bucket — without range clustering no file could be skipped
+    Bucketed.create(mk(0L until 256L, v = 1), ref, Some(spec))
+
+    val all = Bucketed.prunedFiles(spark, ref, "ts", Long.MinValue, Long.MaxValue)
+    assert(all.size >= 8, s"expected a multi-file-per-bucket layout, got ${all.size}")
+    val pruned = Bucketed.prunedFiles(spark, ref, "ts", 0L, 500L)
+    assert(pruned.size <= all.size / 2,
+      s"a ~20% range must skip at least half the files: kept ${pruned.size}/${all.size}")
+    // results exact, and pruning never loses rows
+    val got = Bucketed.readWhere(spark, ref, "ts", 0L, 500L)
+      .select("id").as[Long].collect().toSet
+    assert(got == (0L to 50L).toSet)
+    // un-zoned column: nothing pruned, scan still correct
+    assert(Bucketed.prunedFiles(spark, ref, "version", 0L, 0L) == all)
+
+    // an upsert refreshes touched buckets' zones and keeps the rest:
+    // move two keys to ts values far outside their old file ranges
+    val src = Seq((3L, 2000L, 2L), (7L, 2100L, 2L)).toDF("id", "ts", "version")
+    Bucketed.upsertLww(spark, ref, src, "version")
+    val got2 = Bucketed.readWhere(spark, ref, "ts", 0L, 500L)
+      .select("id").as[Long].collect().toSet
+    assert(got2 == (0L to 50L).toSet -- Set(3L, 7L),
+      "moved keys must leave the range after the upsert")
+    // ids with ts in [1990, 2150]: the untouched 199..215 plus the two
+    // moved keys (3 -> 2000, 7 -> 2100)
+    val got3 = Bucketed.readWhere(spark, ref, "ts", 1990L, 2150L)
+      .select("id").as[Long].collect().toSet
+    assert(got3 == (199L to 215L).toSet ++ Set(3L, 7L), s"got $got3")
+    // the refreshed sidecar still prunes
+    val prunedAfter = Bucketed.prunedFiles(spark, ref, "ts", 0L, 500L)
+    val allAfter = Bucketed.prunedFiles(spark, ref, "ts", Long.MinValue, Long.MaxValue)
+    assert(prunedAfter.size < allAfter.size,
+      s"zones must survive the upsert: kept ${prunedAfter.size}/${allAfter.size}")
+    // an empty range opens zero files but keeps the schema
+    assert(Bucketed.readWhere(spark, ref, "ts", 100000L, 200000L).isEmpty)
+    assert(Bucketed.readWhere(spark, ref, "ts", 100000L, 200000L)
+      .columns.toSeq == Seq("id", "ts", "version"))
   }
 
   test("upsert is idempotent: replaying the same source converges") {

@@ -111,6 +111,45 @@ class LakeSpec extends SparkSpec {
       s"expected the 4-reading average -23.5675, got ${z.getAs[Double]("latitude")}")
   }
 
+  test("silver range scans prune files through the zone sidecar end to end") {
+    val root = tmpDir("lakezones")
+    OlistFixtures.write(root)
+    val roots = LakeRoots(
+      s"$root/bronze", s"$root/silver", s"$root/gold", s"$root/checkpoints")
+    Lake.refreshSilver(spark, s"$root/ingest", roots)
+
+    // the orders entity declares zone columns, so its bucketed silver
+    // carries the sidecar from its very first write
+    val ordersDir = roots.silverRef("orders").dir
+    assert(new java.io.File(s"$ordersDir/_graft_zones.json").isFile,
+      "silver orders must publish a zone sidecar")
+
+    // a purchase-time window covering only o1 (2017-01-01T08:00:00Z);
+    // o2 purchased a day later must be filtered AND its files prunable
+    val ref = roots.silverBucketedRef(graft.pipeline.Entities.orders)
+    val lo = java.time.Instant.parse("2017-01-01T00:00:00Z").getEpochSecond
+    val hi = java.time.Instant.parse("2017-01-01T23:59:59Z").getEpochSecond
+    val got = Lake.silverWhere(spark, roots, "orders",
+        "order_purchase_timestamp", lo, hi)
+      .select("order_id").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("o1"), s"expected exactly o1 in the window, got $got")
+
+    // data skipping is real: when the two orders land in different
+    // files, the window's file subset is strictly smaller than the table
+    val all = graft.table.Bucketed.prunedFiles(
+      spark, ref, "order_purchase_timestamp", Long.MinValue, Long.MaxValue)
+    val pruned = graft.table.Bucketed.prunedFiles(
+      spark, ref, "order_purchase_timestamp", lo, hi)
+    assert(pruned.size < all.size || all.size == 1,
+      s"window scan must prune files: kept ${pruned.size}/${all.size}")
+
+    // an entity WITHOUT zone columns reads fine through silverWhere's
+    // fallback (no sidecar -> every file kept, residual filter applies)
+    val cust = Lake.silverWhere(spark, roots, "customers",
+      "silver_processed_ts", 0L, Long.MaxValue)
+    assert(cust.count() == 2)
+  }
+
   test("reconcileManifest repairs a lost manifest without duplicating bronze") {
     val root = tmpDir("lakerepair")
     val src = s"$root/src"
