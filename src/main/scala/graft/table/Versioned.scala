@@ -31,10 +31,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - crash safety: data files written by a failed commit are invisible
   *    (no snapshot references them) and are swept by `vacuum`.
   *
-  * Single-writer by contract (like the rest of the table layer):
-  * concurrent committers would race on the next version number; a
-  * multi-writer deployment puts a lock service or conditional-put in
-  * front of the log directory, exactly as Delta does on S3.
+  * Concurrency: commits are OPTIMISTIC. Every committer computes the
+  * next version from the log head and publishes through an atomic
+  * create-if-absent ([[publishOnce]]); losing a race raises
+  * [[CommitRace]]. `append`/`overwrite` (and their idempotent forms)
+  * retry automatically from the new head — their file sets are
+  * independent of the snapshot they started from, so the retry is
+  * sound. Commits that REWRITE data they read (compact, delete,
+  * update) are pinned to the version they read and fail loudly on
+  * conflict instead, exactly Delta's conflict rules. The publish
+  * primitive is truly atomic on local filesystems (hard-link CAS) and
+  * on HDFS-likes (rename refuses existing destinations); object-store
+  * connectors without atomic namespace ops still need a lock service
+  * or conditional-put in front of the log, as Delta needs on S3.
   *
   * Reference sites being emulated: Delta's `VERSION AS OF` /
   * `deltaTable.vacuum()` that the reference's storage format provides
@@ -147,13 +156,32 @@ object Versioned {
   def lastTxnVersion(spark: SparkSession, dir: String, appId: String): Option[Long] =
     currentVersion(spark, dir).flatMap(v => txnsAt(spark, dir, v).get(appId))
 
-  private def commit(
-      spark: SparkSession, dir: String, files: Seq[String], op: String,
-      schemaJson: String, txn: Option[(String, Long)] = None): Long = {
+  /** A lost optimistic-commit race: another writer published the
+    * version this committer computed. Retryable for commits whose file
+    * set does not depend on the snapshot they started from.
+    */
+  final class CommitRace(msg: String) extends IllegalStateException(msg)
+
+  /** One commit attempt at the current log head. `filesFor` receives
+    * the head snapshot's file list and returns the new snapshot's;
+    * `basedOn` (when set) pins the commit to a specific head version —
+    * the conflict rule for commits that rewrite data they read.
+    */
+  private def commitAttempt(
+      spark: SparkSession, dir: String, op: String, schemaJson: String,
+      txn: Option[(String, Long)], filesFor: Seq[String] => Seq[String],
+      basedOn: Option[Long] = None): Long = {
     val f = fs(spark, dir)
     f.mkdirs(logPath(dir))
     val prev = currentVersion(spark, dir)
+    basedOn.foreach { b =>
+      if (!prev.contains(b))
+        throw new CommitRace(
+          s"$op at $dir was planned against v$b but the table is now at " +
+            s"v${prev.getOrElse(0L)} — concurrent commit; re-plan and retry")
+    }
     val v = prev.getOrElse(0L) + 1
+    val files = filesFor(prev.map(filesAt(spark, dir, _)).getOrElse(Seq.empty))
     // txn watermarks carry forward through EVERY commit (append,
     // overwrite, compact): replacing data does not reset exactly-once
     // bookkeeping, or a compaction between two micro-batches would
@@ -168,35 +196,82 @@ object Versioned {
       .encodeToString(schemaJson.getBytes(StandardCharsets.UTF_8))
     val json =
       s"""{"version":$v,"op":"$op","schema":"$b64"$txnsJson,"files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
-    val tmp = new Path(logPath(dir), s".v$v.tmp")
+    // per-attempt unique temp name: racing committers must never share
+    // a temp file, or a loser's cleanup could delete the winner's
+    // in-flight content
+    val tmp = new Path(logPath(dir), s".v$v-${UUID.randomUUID().toString}.tmp")
     val out = f.create(tmp, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
     publishOnce(f, tmp, versionFile(dir, v))
     v
   }
 
+  /** Optimistic-retry commit for snapshot-independent file sets
+    * (append: head files + new files; overwrite: new files alone).
+    * On a lost race the attempt recomputes everything from the NEW
+    * head — version number, carried txn watermarks, and (for appends)
+    * the base file list — so no concurrent commit is ever dropped.
+    * The idempotence guard re-evaluates per attempt: if the txn
+    * watermark advanced past ours meanwhile, the commit becomes a
+    * no-op (None) instead of double-applying.
+    */
+  private def commitRetry(
+      spark: SparkSession, dir: String, op: String, schemaJson: String,
+      txn: Option[(String, Long)], filesFor: Seq[String] => Seq[String],
+      maxAttempts: Int = 16): Option[Long] = {
+    var attempt = 1
+    while (true) {
+      if (txn.exists { case (a, n) =>
+            lastTxnVersion(spark, dir, a).exists(_ >= n) }) return None
+      try return Some(commitAttempt(spark, dir, op, schemaJson, txn, filesFor))
+      catch {
+        case e: CommitRace =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+          Thread.sleep(
+            5L * attempt + java.util.concurrent.ThreadLocalRandom.current().nextInt(20))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+
   /** The atomicity point of every commit: publish `tmp` as `dest`,
-    * refusing when `dest` already exists. Race detection cannot rely on
-    * rename alone — RawLocalFileSystem (and object-store connectors)
-    * OVERWRITE on rename, so a lost race would silently vanish the
-    * winning committer's log entry. The version number was computed
-    * from the log, so an existing destination means a concurrent writer
-    * published it since; the loser deletes its temp and fails loudly.
-    * This narrows (not closes) the check-then-rename window on
-    * overwriting filesystems; true multi-writer needs a lock service or
-    * conditional-put in front of the log, exactly as Delta on S3.
+    * failing with [[CommitRace]] when `dest` already exists.
+    *
+    * On `file://` this is a true compare-and-set: POSIX hard-link
+    * creation is atomic and fails EEXIST, so of N racing committers
+    * exactly one publishes — no check-then-rename window (local
+    * rename(2) silently REPLACES an existing destination, which is
+    * why rename alone cannot detect the race). On HDFS-like
+    * filesystems the rename path below is already atomic-no-overwrite.
+    * Object-store connectors with copy-based rename still need a lock
+    * service or conditional-put in front of the log, as Delta on S3.
     */
   private[graft] def publishOnce(
       f: org.apache.hadoop.fs.FileSystem, tmp: Path, dest: Path): Unit = {
-    if (f.exists(dest)) {
-      f.delete(tmp, false)
-      throw new IllegalStateException(
-        s"commit of $dest lost a race — a concurrent writer published this " +
-          "version first (single-writer contract violated); retry from the new log head")
+    def race() = new CommitRace(
+      s"commit of $dest lost a race — a concurrent writer published this " +
+        "version first; retry from the new log head")
+    val destUri = f.makeQualified(dest).toUri
+    if (destUri.getScheme == "file") {
+      val t = java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath)
+      val d = java.nio.file.Paths.get(destUri.getPath)
+      try {
+        java.nio.file.Files.createLink(d, t)
+        f.delete(tmp, false) // Hadoop delete also removes the .crc sidecar
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          f.delete(tmp, false)
+          throw race()
+      }
+    } else {
+      if (f.exists(dest)) {
+        f.delete(tmp, false)
+        throw race()
+      }
+      if (!f.rename(tmp, dest)) throw race()
     }
-    if (!f.rename(tmp, dest))
-      throw new IllegalStateException(
-        s"commit of $dest lost a race — concurrent writer?")
   }
 
   /** Writes `df` as a fresh immutable file set and returns its
@@ -215,12 +290,15 @@ object Versioned {
       .map(n => s"$sub/$n")
   }
 
-  /** Append commit: next snapshot = previous files + the new set. */
+  /** Append commit: next snapshot = previous files + the new set. Safe
+    * under concurrent writers — a lost race recomputes the base file
+    * list from the new head and re-publishes (the data files were
+    * already written and are snapshot-independent).
+    */
   def append(df: DataFrame, dir: String): Long = {
     val spark = df.sparkSession
-    val prev = currentVersion(spark, dir)
-      .map(filesAt(spark, dir, _)).getOrElse(Seq.empty)
-    commit(spark, dir, prev ++ writeDataFiles(df, dir), "append", df.schema.json)
+    val fresh = writeDataFiles(df, dir)
+    commitRetry(spark, dir, "append", df.schema.json, None, prev => prev ++ fresh).get
   }
 
   /** Idempotent append (exactly-once sink contract): commits `df` tagged
@@ -234,12 +312,14 @@ object Versioned {
     * Requires monotonically increasing `txnVersion` per `appId` (which
     * Structured Streaming's batchId provides).
     *
-    * SINGLE-WRITER contract per `appId`: the watermark check and the
-    * commit are not one atomic step, so two concurrent replays of the
-    * SAME batch could both pass the check. Structured Streaming never
-    * runs two instances of one query concurrently against one
-    * checkpoint, which is the deployment this guards; a multi-writer
-    * log needs a lock service / conditional-put (see [[commit]]).
+    * Writers with DIFFERENT appIds may commit concurrently — the
+    * optimistic retry serializes them. Per `appId` the contract is
+    * still single-writer: two concurrent replays of the SAME batch can
+    * both pass the watermark check before either commits (the
+    * re-check inside each retry attempt narrows but cannot close that
+    * window). Structured Streaming never runs two instances of one
+    * query against one checkpoint, which is the deployment this
+    * guards.
     */
   def appendIdempotent(
       df: DataFrame, dir: String, appId: String, txnVersion: Long): Option[Long] = {
@@ -248,18 +328,19 @@ object Versioned {
     val spark = df.sparkSession
     if (lastTxnVersion(spark, dir, appId).exists(_ >= txnVersion)) None
     else {
-      val prev = currentVersion(spark, dir)
-        .map(filesAt(spark, dir, _)).getOrElse(Seq.empty)
-      Some(commit(spark, dir, prev ++ writeDataFiles(df, dir), "append",
-        df.schema.json, Some(appId -> txnVersion)))
+      val fresh = writeDataFiles(df, dir)
+      commitRetry(spark, dir, "append", df.schema.json,
+        Some(appId -> txnVersion), prev => prev ++ fresh)
     }
   }
 
   /** Overwrite commit: next snapshot = the new set alone. Old versions
     * stay readable until `vacuum`.
     */
-  def overwrite(df: DataFrame, dir: String): Long =
-    commit(df.sparkSession, dir, writeDataFiles(df, dir), "overwrite", df.schema.json)
+  def overwrite(df: DataFrame, dir: String): Long = {
+    val files = writeDataFiles(df, dir)
+    commitRetry(df.sparkSession, dir, "overwrite", df.schema.json, None, _ => files).get
+  }
 
   /** Idempotent overwrite: `overwrite` guarded by the same writer-
     * transaction watermark as [[appendIdempotent]].
@@ -270,17 +351,39 @@ object Versioned {
       s"appId must be log-safe ([A-Za-z0-9_.:/-]+): $appId")
     val spark = df.sparkSession
     if (lastTxnVersion(spark, dir, appId).exists(_ >= txnVersion)) None
-    else Some(commit(spark, dir, writeDataFiles(df, dir), "overwrite",
-      df.schema.json, Some(appId -> txnVersion)))
+    else {
+      val files = writeDataFiles(df, dir)
+      commitRetry(spark, dir, "overwrite", df.schema.json,
+        Some(appId -> txnVersion), _ => files)
+    }
   }
+
+  /** Pinned commit for operations that REWRITE rows they read
+    * (compact, delete, update): the snapshot must still be at the
+    * version the rewrite was planned against, else the rewrite would
+    * silently drop whatever a concurrent commit changed. Fails with
+    * [[CommitRace]] on conflict — the caller re-plans from the new
+    * head, exactly Delta's conflict-resolution rule for
+    * rewrite-style transactions.
+    */
+  private[graft] def commitPinned(
+      spark: SparkSession, dir: String, basedOn: Long, op: String,
+      schemaJson: String, files: Seq[String]): Long =
+    commitAttempt(spark, dir, op, schemaJson, None, _ => files, Some(basedOn))
 
   /** Compaction commit (OPTIMIZE analog on the versioned layout): the
     * current snapshot rewritten as one coalesced file set. Rows are
     * unchanged — the commit just swaps many small files for few big
-    * ones; history before the compaction still time-travels.
+    * ones; history before the compaction still time-travels. Pinned:
+    * a concurrent commit fails the compaction (re-run it), never the
+    * other way around.
     */
-  def compact(spark: SparkSession, dir: String): Long =
-    overwrite(read(spark, dir), dir)
+  def compact(spark: SparkSession, dir: String): Long = {
+    val v = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
+    val df = readAt(spark, dir, v)
+    commitPinned(spark, dir, v, "overwrite", df.schema.json, writeDataFiles(df, dir))
+  }
 
   /** Z-order clustered compaction (Delta `OPTIMIZE ZORDER BY` analog):
     * rewrites the current snapshot range-partitioned and sorted along
@@ -296,13 +399,16 @@ object Versioned {
       spark: SparkSession, dir: String,
       xCol: String, yCol: String, targetFiles: Int = 8): Long = {
     import org.apache.spark.sql.functions.col
+    val base = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
     val z = graft.functions.ZOrder.zValue(col(xCol), col(yCol))
-    val clustered = read(spark, dir)
+    val clustered = readAt(spark, dir, base)
       .withColumn("__z", z)
       .repartitionByRange(targetFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-    val v = overwrite(clustered, dir)
+    val v = commitPinned(spark, dir, base, "overwrite", clustered.schema.json,
+      writeDataFiles(clustered, dir))
     writeZoneMaps(spark, dir, v, Seq(xCol, yCol))
     v
   }
@@ -368,6 +474,125 @@ object Versioned {
       case Some(zones) => ZoneMaps.prune(all, zones, lo, hi)
       case None => all // zoned on other columns only
     }
+  }
+
+  /** Row-level DELETE (the Delta `DELETE FROM t WHERE …` analog),
+    * copy-on-write: only files containing at least one matching row
+    * are rewritten (minus their matching rows); every other file
+    * carries into the new snapshot verbatim — at 100 TB the commit
+    * cost follows the matched-file footprint, not the table. Rows
+    * where `cond` is NULL are kept, matching SQL DELETE semantics.
+    * Returns None (no commit) when nothing matches. Pinned to the
+    * version it read: a concurrent commit fails this rewrite loudly
+    * (re-run it) rather than being silently dropped.
+    *
+    * `zoneHint` bounds the touched-file scan via the snapshot's zone
+    * map: pass the (zonedCol, lo, hi) range that `cond` implies and
+    * provably-unmatched files are never even opened during planning.
+    * The hint must be IMPLIED by `cond` (rows matching `cond` always
+    * fall in the range) or matches outside it will be missed.
+    */
+  def deleteWhere(
+      spark: SparkSession, dir: String, cond: org.apache.spark.sql.Column,
+      zoneHint: Option[(String, Long, Long)] = None): Option[Long] = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    rewriteMatching(spark, dir, "delete", cond, zoneHint)(
+      (touched, c) => touched.filter(not(coalesce(c, lit(false)))))
+  }
+
+  /** Row-level UPDATE (the Delta `UPDATE t SET … WHERE …` analog):
+    * same copy-on-write/pinning/hint contract as [[deleteWhere]];
+    * `set` maps column names to replacement expressions, applied only
+    * where `cond` is TRUE and cast back to the column's existing type
+    * so the snapshot schema never drifts.
+    */
+  def updateWhere(
+      spark: SparkSession, dir: String, cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      zoneHint: Option[(String, Long, Long)] = None): Option[Long] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(set.nonEmpty, "UPDATE needs at least one SET column")
+    rewriteMatching(spark, dir, "update", cond, zoneHint) { (touched, c) =>
+      val unknown = set.keySet -- touched.schema.fieldNames
+      require(unknown.isEmpty, s"SET references unknown columns: ${unknown.mkString(", ")}")
+      touched.select(touched.schema.fields.map { f =>
+        set.get(f.name) match {
+          case Some(e) =>
+            when(coalesce(c, lit(false)), e.cast(f.dataType))
+              .otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }.toSeq: _*)
+    }
+  }
+
+  /** Shared copy-on-write core of DELETE/UPDATE: find the files of the
+    * current snapshot containing matching rows (one pass collecting
+    * distinct file names — log-sized, the same touched-file discovery
+    * Delta's MERGE runs), rewrite ONLY those through `rewrite`, and
+    * publish kept + rewritten files pinned to the planned version.
+    * Zone-map sidecars carry across so data skipping survives the
+    * commit.
+    */
+  private def rewriteMatching(
+      spark: SparkSession, dir: String, op: String,
+      cond: org.apache.spark.sql.Column,
+      zoneHint: Option[(String, Long, Long)])(
+      rewrite: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Option[Long] = {
+    import org.apache.spark.sql.functions.input_file_name
+    val base = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
+    val all = filesAt(spark, dir, base)
+    if (all.isEmpty) return None
+    val candidates = zoneHint match {
+      case Some((zc, lo, hi)) => prunedFiles(spark, dir, base, zc, lo, hi)
+      case None => all
+    }
+    if (candidates.isEmpty) return None
+    val matched = spark.read.parquet(candidates.map(f => s"$dir/$f"): _*)
+      .filter(cond)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+    val touched = candidates.filter(rel => matched.exists(_.endsWith(rel)))
+    if (touched.isEmpty) return None
+    val touchedSet = touched.toSet
+    val kept = all.filterNot(touchedSet)
+    val touchedDf = spark.read.parquet(touched.map(f => s"$dir/$f"): _*)
+    val fresh = writeDataFiles(rewrite(touchedDf, cond), dir)
+    val v = commitPinned(spark, dir, base, op, touchedDf.schema.json, kept ++ fresh)
+    carryZones(spark, dir, base, v, kept.toSet, fresh)
+    Some(v)
+  }
+
+  /** Carries the zone-map sidecar across a copy-on-write commit: kept
+    * files keep their stats verbatim (no re-scan); rewritten output
+    * gets fresh stats. Without this every DELETE/UPDATE would silently
+    * drop the table's data skipping until the next explicit
+    * [[writeZoneMaps]].
+    */
+  private def carryZones(
+      spark: SparkSession, dir: String, baseV: Long, newV: Long,
+      kept: Set[String], fresh: Seq[String]): Unit = {
+    val f = fs(spark, dir)
+    val zp = new Path(logPath(dir), f"v$baseV%08d.zones.json")
+    if (!f.exists(zp)) return
+    val json = readFully(spark, dir, zp)
+    val cols = ZoneMaps.blockCols(json)
+    if (cols.isEmpty) return
+    val freshStats =
+      if (fresh.isEmpty) Map.empty[String, ZoneMaps.Zones]
+      else ZoneMaps.compute(spark, dir, fresh, cols)
+    val merged = cols.map { c =>
+      val carried = ZoneMaps.parseBlock(json, c).getOrElse(Seq.empty)
+        .filter(z => kept.contains(z._1))
+      c -> (carried ++ freshStats.getOrElse(c, Seq.empty)).sortBy(_._1)
+    }.toMap
+    val out = ZoneMaps.blocksJson(cols, merged)
+    val tmp = new Path(logPath(dir), s".v$newV.zones.tmp")
+    val o = f.create(tmp, true)
+    try o.write(out.getBytes(StandardCharsets.UTF_8)) finally o.close()
+    if (!f.rename(tmp, new Path(logPath(dir), f"v$newV%08d.zones.json")))
+      throw new IllegalStateException(s"zone-map publish for v$newV failed")
   }
 
   /** Row-level change feed between two snapshots (Delta CDF analog,

@@ -239,4 +239,106 @@ class VersionedSpec extends SparkSpec {
     Versioned.overwrite(Seq((3L, "c")).toDF("id", "s"), dir)
     assert(atV1.as[(Long, String)].collect().toSet == Set((1L, "a")))
   }
+
+  test("concurrent appenders all commit; no version or row is lost") {
+    val dir = tmpDir("vt_concurrent")
+    Versioned.append(Seq((0L, "seed")).toDF("id", "s"), dir)
+    val n = 6
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val futures = (1 to n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            Versioned.append(Seq((i.toLong, s"w$i")).toDF("id", "s"), dir)
+        })
+      }
+      val versions = futures.map(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+      // optimistic retry serialized the racers onto distinct versions
+      assert(versions.toSet.size == n, s"collided versions: $versions")
+    } finally pool.shutdown()
+    assert(Versioned.currentVersion(spark, dir).contains(1L + n))
+    assert(Versioned.read(spark, dir).count() == 1L + n,
+      "a lost commit race dropped an appender's rows")
+  }
+
+  test("deleteWhere rewrites only matching files; history and schema survive") {
+    val dir = tmpDir("vt_delete")
+    // two appends → two data-file sets; the delete matches only the second
+    Versioned.append(Seq((1L, "keep"), (2L, "keep")).toDF("id", "s"), dir)
+    Versioned.append(Seq((3L, "keep"), (4L, "drop")).toDF("id", "s"), dir)
+    val beforeFiles = Versioned.filesAt(spark, dir, 2L)
+
+    import org.apache.spark.sql.functions.col
+    val v = Versioned.deleteWhere(spark, dir, col("s") === "drop")
+    assert(v.contains(3L))
+    assert(Versioned.read(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "keep"), (2L, "keep"), (3L, "keep")))
+    // copy-on-write: the untouched first append's files carry verbatim
+    val afterFiles = Versioned.filesAt(spark, dir, 3L)
+    val firstAppend = Versioned.filesAt(spark, dir, 1L)
+    assert(firstAppend.forall(afterFiles.contains),
+      "files without matches must not be rewritten")
+    assert(!beforeFiles.forall(afterFiles.contains), "the matched file must be replaced")
+    // time travel still sees the pre-delete row
+    assert(Versioned.readAt(spark, dir, 2L).count() == 4)
+    // NULL predicate rows are kept (SQL DELETE semantics), and a
+    // no-match delete commits nothing
+    assert(Versioned.deleteWhere(spark, dir, col("s") === "absent").isEmpty)
+    assert(Versioned.currentVersion(spark, dir).contains(3L))
+  }
+
+  test("updateWhere applies SET only where cond is true, keeping column types") {
+    val dir = tmpDir("vt_update")
+    Versioned.append(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "s", "n"), dir)
+    Versioned.append(Seq((3L, "b", 30L)).toDF("id", "s", "n"), dir)
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = Versioned.updateWhere(spark, dir, col("s") === "b",
+      Map("n" -> (col("n") + lit(1)), "s" -> lit("B")))
+    assert(v.contains(3L))
+    assert(Versioned.read(spark, dir).as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "a", 10L), (2L, "B", 21L), (3L, "B", 31L)))
+    assert(Versioned.read(spark, dir).schema.json ==
+      Versioned.readAt(spark, dir, 2L).schema.json, "UPDATE must not drift the schema")
+    intercept[IllegalArgumentException] {
+      Versioned.updateWhere(spark, dir, col("s") === "B", Map("nope" -> lit(1)))
+    }
+  }
+
+  test("delete with a zone hint opens only zone-matched files and carries the sidecar") {
+    val dir = tmpDir("vt_delete_zones")
+    Versioned.append((1L to 10L).map(i => (i, s"r$i")).toDF("k", "s"), dir)
+    Versioned.append((11L to 20L).map(i => (i, s"r$i")).toDF("k", "s"), dir)
+    Versioned.writeZoneMap(spark, dir, 2L, "k")
+    import org.apache.spark.sql.functions.col
+    // hint implied by cond: k between 15 and 16 → only the second file set
+    val v = Versioned.deleteWhere(spark, dir, col("k").between(15L, 16L),
+      zoneHint = Some(("k", 15L, 16L)))
+    assert(v.contains(3L))
+    assert(Versioned.read(spark, dir).count() == 18)
+    val firstAppend = Versioned.filesAt(spark, dir, 1L)
+    val after = Versioned.filesAt(spark, dir, 3L)
+    assert(firstAppend.forall(after.contains))
+    // the carried sidecar still prunes: a scan of [1, 5] opens only
+    // the untouched first file set
+    val pruned = Versioned.prunedFiles(spark, dir, 3L, "k", 1L, 5L)
+    assert(pruned.nonEmpty && pruned.toSet.subsetOf(firstAppend.toSet),
+      s"zone carry lost data skipping: $pruned")
+    assert(Versioned.readWhere(spark, dir, 3L, "k", 1L, 5L).count() == 5)
+  }
+
+  test("a rewrite pinned to a stale version fails instead of dropping concurrent commits") {
+    val dir = tmpDir("vt_pinned")
+    Versioned.append(Seq((1L, "a")).toDF("id", "s"), dir)
+    val planned = Versioned.currentVersion(spark, dir).get
+    // a concurrent append lands between plan and commit
+    Versioned.append(Seq((2L, "b")).toDF("id", "s"), dir)
+    val ex = intercept[Versioned.CommitRace] {
+      Versioned.commitPinned(spark, dir, planned, "overwrite",
+        Versioned.read(spark, dir).schema.json, Seq.empty)
+    }
+    assert(ex.getMessage.contains("concurrent commit"))
+    // both appends survive; no snapshot was published by the failed rewrite
+    assert(Versioned.versions(spark, dir) == Seq(1L, 2L))
+    assert(Versioned.read(spark, dir).count() == 2)
+  }
 }
