@@ -579,6 +579,40 @@ object Core {
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY g_flag, g_status, flag, status""".stripMargin
 
+  // A12 — explicit GROUPING SETS (the third multi-grouping shape next
+  // to a10's ROLLUP and a11's CUBE): an arbitrary set list —
+  // (status, priority), (priority), () — that neither rollup nor cube
+  // can express (rollup would include (status); cube all four). Spark
+  // expands the sets map-side exactly like rollup/cube: one scan, one
+  // shuffle of per-(set, key) partials.
+  def groupingSetsTotals(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        sum(cents(col("o_totalprice"))).as("revenue_cents"),
+        count(lit(1)).as("n"),
+        grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_orderpriority")).cast("long").as("g_priority"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+        coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+        col("revenue_cents"), col("n"), col("g_status"), col("g_priority"))
+      .orderBy("g_status", "g_priority", "status", "priority")
+
+  val groupingSetsTotalsSql: String =
+    """SELECT coalesce(o_orderstatus, '<all>') AS status,
+      |       coalesce(o_orderpriority, '<all>') AS priority,
+      |       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+      |ORDER BY g_status, g_priority, status, priority""".stripMargin
+
   // S8-adjacent set operations (SURVEY §2.7 "none in reference"):
   // UNION ALL / INTERSECT / EXCEPT composed in one query over order-key
   // slices, so all three set semantics are exercised and checked.
@@ -758,6 +792,40 @@ object Core {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
       |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin
 
+  // W7 — RANGE window frame (the value-based frame w5's ROWS battery
+  // leaves uncovered): per customer, trailing-30-day revenue and order
+  // count at each order. The frame is defined by the DAY-NUMBER range,
+  // so all orders on tied dates are peers and the result is
+  // deterministic under any tie order — no tiebreak column needed,
+  // unlike every ROWS frame. One exchange + sort serves both
+  // aggregates; integer day numbers keep the frame arithmetic exact in
+  // both engines.
+  def rangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d"), cents(col("o_totalprice")).as("c"))
+      .withColumn("day_no", unix_date(col("d")).cast("long"))
+    val trailing30 = Window.partitionBy("o_custkey").orderBy(col("day_no"))
+      .rangeBetween(-30, Window.currentRow)
+    o.select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(col("d"), "yyyy-MM-dd").as("order_date"),
+        sum(col("c")).over(trailing30).as("trail30_cents"),
+        count(lit(1)).over(trailing30).cast("long").as("trail30_n"))
+      .orderBy("o_custkey", "order_date", "o_orderkey")
+  }
+
+  val rangeFrameSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+      |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) OVER w AS BIGINT) AS trail30_cents,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS trail30_n
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+      |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin
+
   // F20 — scalar string-function battery (the long tail of §2.8 F-ops
   // users reach for daily), every function chosen to have an exact
   // DuckDB twin so the whole battery is hash-checked.
@@ -873,6 +941,8 @@ object Core {
     QueryDef("j9_salted_join", saltedJoin, Some(saltedJoinSql)),
     QueryDef("a10_rollup", rollupTotals, Some(rollupTotalsSql)),
     QueryDef("a11_cube", cubeTotals, Some(cubeTotalsSql)),
+    QueryDef("a12_grouping_sets", groupingSetsTotals, Some(groupingSetsTotalsSql)),
+    QueryDef("w7_range_frame", rangeFrame, Some(rangeFrameSql)),
     QueryDef("s8_set_ops", setOps, Some(setOpsSql)),
     QueryDef("f19_json_extract", jsonExtract, Some(jsonExtractSql)),
     QueryDef("s9_pivot_events", pivotEvents, Some(pivotEventsSql)),

@@ -367,6 +367,35 @@ object Extensions {
        |SELECT id_a, id_b, cos FROM p WHERE cos >= $EmbedThreshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  // SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+  // drop every vector that has a near-duplicate (cosine ≥ threshold)
+  // with a smaller id; the smallest id of each near-dup star survives
+  // as the canonical copy. Candidate generation is the same blocked
+  // equi-join as x_embed_pairs (no nested loop, PlanAuditSpec's
+  // contract); the retention pass is one anti-join against the
+  // dropped-id set — at 100 TB both sides stay shuffle-bounded.
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val dropped = Similarity
+      .bruteForcePairs(emb, "vec_id", "embedding", EmbedThreshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    emb.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+      .orderBy("vec_id")
+  }
+
+  val semDedupSql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(${sqlDot("e", "e")}) AS nrm FROM v),
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |        ${sqlDot("a.e", "b.e")} / (a.nrm * b.nrm) AS cos
+       |      FROM n a JOIN n b ON a.vec_id < b.vec_id),
+       |dropped AS (SELECT DISTINCT id_b FROM p WHERE cos >= $EmbedThreshold)
+       |SELECT e.vec_id, CAST(e.label AS BIGINT) AS label
+       |FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.id_b
+       |WHERE d.id_b IS NULL
+       |ORDER BY e.vec_id""".stripMargin
+
   def annTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
@@ -1011,6 +1040,7 @@ object Extensions {
     QueryDef("x_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     QueryDef("x_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     QueryDef("x_embed_pairs", embedPairs, Some(embedPairsSql)),
+    QueryDef("x_semdedup", semDedup, Some(semDedupSql)),
     QueryDef("x_embed_lsh", embedLsh, Some(embedLshSql)),
     QueryDef("x_ann_topk", annTopK, Some(annTopKSql)),
     QueryDef("x_ann_ivf", annIvf, Some(annIvfSql)),
