@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Core, Extensions, QueryDef, Temporal}
+import graft.queries.{Core, Extensions, QueryDef, StreamingQueries, Temporal}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,8 @@ import graft.queries.{Core, Extensions, QueryDef, Temporal}
   */
 object SparkEntry {
 
-  private def defs: Seq[QueryDef] = Core.all ++ Temporal.all ++ Extensions.all
+  private def defs: Seq[QueryDef] =
+    Core.all ++ Temporal.all ++ StreamingQueries.all ++ Extensions.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

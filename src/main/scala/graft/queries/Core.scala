@@ -826,6 +826,53 @@ object Core {
       |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin
 
+  // W8 — rank/navigation battery complementing w5 (which covers
+  // running sum / lag / rank / ntile): dense_rank over the DATE-only
+  // order (tied dates are peers, so no tiebreak column is needed),
+  // lead (days until the next order), first/last/nth order key over
+  // the full-partition frame, percent_rank and cume_dist over the
+  // total (date, key) order. Both rank-family doubles are a SINGLE
+  // integer division — (rank−1)/(n−1) and peers/n — so Spark and
+  // DuckDB produce bit-identical float64 (SURVEY §7.4). The (d) sort
+  // is a prefix of the (d, key) sort, so Spark satisfies every window
+  // from ONE exchange + one sort.
+  def rankNavigation(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), to_date(col("o_orderdate")).as("d"))
+    val byDateKey = Window.partitionBy("o_custkey").orderBy(col("d"), col("o_orderkey"))
+    val byDate = Window.partitionBy("o_custkey").orderBy(col("d"))
+    val full = byDateKey.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    o.select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(col("d"), "yyyy-MM-dd").as("order_date"),
+        dense_rank().over(byDate).cast("long").as("date_rank"),
+        datediff(lead(col("d"), 1).over(byDateKey), col("d")).cast("long").as("days_to_next"),
+        first(col("o_orderkey")).over(full).as("first_key"),
+        last(col("o_orderkey")).over(full).as("last_key"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_key"),
+        percent_rank().over(byDateKey).as("pct_rank"),
+        cume_dist().over(byDateKey).as("cum_dist"))
+      .orderBy("o_custkey", "order_date", "o_orderkey")
+  }
+
+  val rankNavigationSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+      |  CAST(dense_rank() OVER (PARTITION BY o_custkey
+      |                          ORDER BY CAST(o_orderdate AS DATE)) AS BIGINT) AS date_rank,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE),
+      |      lead(CAST(o_orderdate AS DATE)) OVER w) AS BIGINT) AS days_to_next,
+      |  first_value(o_orderkey) OVER wf AS first_key,
+      |  last_value(o_orderkey) OVER wf AS last_key,
+      |  nth_value(o_orderkey, 2) OVER wf AS second_key,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cum_dist
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+      |  wf AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin
+
   // F20 — scalar string-function battery (the long tail of §2.8 F-ops
   // users reach for daily), every function chosen to have an exact
   // DuckDB twin so the whole battery is hash-checked.
@@ -890,6 +937,30 @@ object Core {
        |  CAST(len(list_filter(w, x -> length(x) > 4)) AS BIGINT) AS n_long
        |FROM d ORDER BY doc_id""".stripMargin
 
+  // F23 — generator/flatMap family (LATERAL VIEW posexplode): the one
+  // row-producing operator shape f21's array battery leaves uncovered.
+  // Every internal blocking operator (LSH bands, salting, range-bucket
+  // explode) is built on generate; this exposes it as a user-facing,
+  // hash-checked query: tokens → one (doc_id, pos, token) row each,
+  // 1-based position to match SQL ordinality. Generate is
+  // pipeline-local (no shuffle, no state) — output partitioning
+  // follows the input, so at 100 TB it scales linearly with no
+  // exchange; the orderBy exists only for the deterministic dump.
+  def explodeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("w"))
+      .select(col("doc_id"), posexplode(col("w")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("token"))
+      .orderBy("doc_id", "pos")
+
+  val explodeTokensSql: String =
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |           FROM documents)
+      |SELECT doc_id,
+      |  CAST(unnest(range(1, len(w)+1)) AS BIGINT) AS pos,
+      |  unnest(w) AS token
+      |FROM d ORDER BY doc_id, pos""".stripMargin
+
   // F22 — Morton z-value encoding (the clustering key behind
   // Versioned.compactClustered): pure shift/mask integer algebra, so
   // the DuckDB twin replays the identical five dilation rounds and the
@@ -943,6 +1014,7 @@ object Core {
     QueryDef("a11_cube", cubeTotals, Some(cubeTotalsSql)),
     QueryDef("a12_grouping_sets", groupingSetsTotals, Some(groupingSetsTotalsSql)),
     QueryDef("w7_range_frame", rangeFrame, Some(rangeFrameSql)),
+    QueryDef("w8_rank_nav", rankNavigation, Some(rankNavigationSql)),
     QueryDef("s8_set_ops", setOps, Some(setOpsSql)),
     QueryDef("f19_json_extract", jsonExtract, Some(jsonExtractSql)),
     QueryDef("s9_pivot_events", pivotEvents, Some(pivotEventsSql)),
@@ -951,5 +1023,6 @@ object Core {
     QueryDef("w5_window_analytics", windowAnalytics, Some(windowAnalyticsSql)),
     QueryDef("f20_string_funcs", stringFunctions, Some(stringFunctionsSql)),
     QueryDef("f21_array_funcs", arrayFunctions, Some(arrayFunctionsSql)),
-    QueryDef("f22_zorder", zorderEncode, Some(zorderEncodeSql)))
+    QueryDef("f22_zorder", zorderEncode, Some(zorderEncodeSql)),
+    QueryDef("f23_explode", explodeTokens, Some(explodeTokensSql)))
 }

@@ -295,6 +295,46 @@ object Extensions {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- data-quality expectations ----------------------------------------
+
+  /** Declarative quality gate (graft.ops.Quality — the DLT-expectations
+    * analog): five named rules over orders, reported as per-rule
+    * fail counts + rates from ONE map-side aggregate scan. The rules
+    * mix pass-all, partial-fail, and regex shapes so the metric path,
+    * not just the happy path, is hash-checked. NULL rule results count
+    * as failures (pipeline-gate semantics, not SQL CHECK).
+    */
+  def expectations(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Quality
+    val rules = Seq(
+      Quality.Rule("custkey_present", col("o_custkey").isNotNull),
+      Quality.Rule("date_pre_2001",
+        to_date(col("o_orderdate")) < lit("2001-01-01").cast("date")),
+      Quality.Rule("price_le_200k", col("o_totalprice") <= 200000.0),
+      Quality.Rule("priority_high_fmt", col("o_orderpriority").rlike("^[12]-")),
+      Quality.Rule("status_final", col("o_orderstatus").isin("F", "O")))
+    Quality.summary(t(s, dir, "orders"), rules).orderBy("rule")
+  }
+
+  val expectationsSql: String = {
+    val rules = Seq(
+      "custkey_present" -> "o_custkey IS NOT NULL",
+      "date_pre_2001" -> "CAST(o_orderdate AS DATE) < DATE '2001-01-01'",
+      "price_le_200k" -> "o_totalprice <= 200000.0",
+      "priority_high_fmt" -> "regexp_matches(o_orderpriority, '^[12]-')",
+      "status_final" -> "o_orderstatus IN ('F', 'O')")
+    val aggs = rules.map { case (n, c) =>
+      s"CAST(SUM(CASE WHEN coalesce($c, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS f_$n" }
+      .mkString(", ")
+    val arms = rules.map { case (n, _) =>
+      s"SELECT '$n' AS rule, n_rows, f_$n AS n_fail FROM m" }
+      .mkString("\n  UNION ALL ")
+    s"""WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, $aggs FROM orders)
+       |SELECT rule, n_rows, n_fail, n_fail / n_rows AS fail_rate FROM (
+       |  $arms)
+       |ORDER BY rule""".stripMargin
+  }
+
   // ---- end-to-end curation ----------------------------------------------
 
   /** The capstone: the full curation pipeline (language filter, quality
@@ -1058,5 +1098,6 @@ object Extensions {
     QueryDef("x_contamination", contamination, Some(contaminationSql)),
     QueryDef("x_approx_distinct", approxDistinct, Some(approxDistinctSql)),
     QueryDef("x_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
+    QueryDef("x_expectations", expectations, Some(expectationsSql)),
     QueryDef("x_curate", curate, Some(curateSql)))
 }

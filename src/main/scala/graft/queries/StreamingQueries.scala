@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Declared queries that run the STREAMING engine itself under the
+  * DuckDB oracle gate — not batch twins of streaming fragments (w2–w6
+  * already check those semantics), but actual `readStream` →
+  * `writeStream` executions whose drained output must hash-match the
+  * batch SQL answer. This is the strongest correctness statement the
+  * harness can make about Structured Streaming: the incremental engine,
+  * run for real with checkpoints and triggers, produces bit-identical
+  * results to the one-shot relational definition.
+  *
+  * Determinism contract: results must not depend on how the file source
+  * splits input into micro-batches.
+  *  - st1 uses COMPLETE output mode with no watermark, so aggregation
+  *    state is never evicted and no input row is ever dropped as late —
+  *    the final table equals the batch GROUP BY under any batch split.
+  *  - st2 is a stateless stream–static join in APPEND mode: every input
+  *    row contributes exactly one output row set independent of
+  *    batching.
+  *  - st3 projects to the dedup key BEFORE dropDuplicates, so
+  *    first-arrival nondeterminism cannot reach the output set.
+  *  - st4 is an unwatermarked stream–stream inner join: no state is
+  *    ever evicted, so the emitted pair SET equals the batch join.
+  * Reference analog: the 9-notebook pipeline runs exactly this pattern
+  * (stream in, relational transform, sink out) and trusts Delta to keep
+  * the streaming answer consistent with batch reads
+  * (`01_bronze_csv_to_delta.py:33-68`).
+  */
+object StreamingQueries {
+  import Tables.t
+
+  /** Drains `out` through a fresh AvailableNow memory-sink query named
+    * `name` and returns the sink table. The checkpoint is a throwaway
+    * temp dir: these are verification queries, re-planned from scratch
+    * per run — durable checkpoints belong to the ingestion layer
+    * (graft.streaming.Ingest), not the oracle surface.
+    */
+  private def drainToTable(
+      s: SparkSession, out: DataFrame, name: String, mode: String): DataFrame = {
+    s.catalog.dropTempView(name) // stale sink table from a prior run in this session
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"graft-$name-ckpt").toString
+    val q = out.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** Streaming source over the events table with the same epoch-micros
+    * event-time derivation as the batch queries (Temporal.tsUs). The
+    * batch read first pins the schema — streaming file sources cannot
+    * infer — and sets the nanos-as-long conf the events file needs.
+    */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = t(s, dir, "events").schema
+    // glob, not the literal file: for a non-glob path the file source
+    // force-sets basePath to the path itself, and a single-FILE
+    // basePath fails planning ("must be a directory"); a glob leaves
+    // partition discovery anchored at the parent directory
+    s.readStream.schema(schema).parquet(s"$dir/events.parque[t]")
+  }
+
+  // ST1 — the streaming engine's windowed aggregation end to end:
+  // streaming parquet scan → the SAME shared tumbling-agg fragment the
+  // batch w2 query uses (graft.streaming.Windows.tumblingTypeAgg) →
+  // complete-mode memory sink drained by Trigger.AvailableNow. The
+  // oracle is w2's SQL verbatim: streaming must equal batch.
+  def streamAgg(s: SparkSession, dir: String): DataFrame = {
+    val src = eventsStream(s, dir)
+      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+    val agg = graft.streaming.Windows.tumblingTypeAgg(src, "ts_ts")
+    drainToTable(s, agg, "graft_st1_sink", "complete")
+      .withColumn("window_start",
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
+      .orderBy("window_start", "event_type")
+  }
+
+  val streamAggSql: String = Temporal.windowedAggSql
+
+  // ST2 — stream–static join (the lakehouse enrichment shape: a live
+  // event stream joined to a slowly-changing dimension read as a plain
+  // batch table): purchases joined to the customer dim with an explicit
+  // broadcast — the static side ships once per executor, the stream
+  // side never shuffles. Stateless, append mode, deterministic under
+  // any batch split.
+  def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val src = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val joined = src
+      .join(broadcast(dim), src("user_id") === dim("c_custkey"))
+      .select("event_id", "user_id", "cents", "c_mktsegment")
+    drainToTable(s, joined, "graft_st2_sink", "append")
+      .orderBy("event_id")
+  }
+
+  val streamStaticJoinSql: String =
+    """SELECT event_id, user_id,
+      |       CAST(round(value*100) AS BIGINT) AS cents, c_mktsegment
+      |FROM events JOIN customer ON user_id = c_custkey
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
+  // ST3 — streaming stateful deduplication (`dropDuplicates` over an
+  // unbounded key state store, the streaming half of W1's batch dedup).
+  // Batch-split independence demands care: dropDuplicates keeps the
+  // FIRST arrival per key, and which physical row that is depends on
+  // how the source batches — so the query projects down to the key
+  // columns BEFORE deduplicating, making every duplicate row identical
+  // and the output the exact distinct key set under any arrival order.
+  // No watermark → state is never evicted → no row is ever wrongly
+  // re-admitted. Oracle: SELECT DISTINCT.
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val keys = eventsStream(s, dir)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    drainToTable(s, keys, "graft_st3_sink", "append")
+      .orderBy("user_id", "event_type")
+  }
+
+  val streamDedupSql: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // ST4 — stream–stream inner equi-join: each user's purchases joined
+  // to the SAME stream's views (a self-join of two filtered
+  // branches — the attribution shape). With no watermark both sides'
+  // state is retained forever, so every cross-batch pairing is found
+  // exactly once and the append-mode output SET equals the batch inner
+  // join under any batch split; only arrival ORDER varies, which the
+  // declared total sort erases. The join is an equi-join on user_id →
+  // one hash exchange per side, state-store lookups thereafter — the
+  // 100 TB-safe shape (a time-interval condition would additionally
+  // bound state; here the verification table is finite by design).
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(s, dir)
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("buy_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"))
+    val joined = buys.join(views, col("user_id") === col("v_user"))
+      .select("user_id", "buy_id", "view_id")
+    drainToTable(s, joined, "graft_st4_sink", "append")
+      .orderBy("user_id", "buy_id", "view_id")
+  }
+
+  val streamStreamJoinSql: String =
+    """SELECT b.user_id, b.event_id AS buy_id, v.event_id AS view_id
+      |FROM events b JOIN events v ON b.user_id = v.user_id
+      |WHERE b.event_type = 'purchase' AND v.event_type = 'view'
+      |ORDER BY b.user_id, buy_id, view_id""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("st1_stream_agg", streamAgg, Some(streamAggSql)),
+    QueryDef("st2_stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
+    QueryDef("st3_stream_dedup", streamDedup, Some(streamDedupSql)),
+    QueryDef("st4_stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)))
+}

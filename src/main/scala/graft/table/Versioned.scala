@@ -109,27 +109,40 @@ object Versioned {
     readAt(spark, dir, currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $dir")))
 
-  /** Time-travel scan of snapshot `v` (Delta `VERSION AS OF v`). */
+  /** The schema snapshot `v` committed (base64 StructType.json in the
+    * log entry); None for a pre-schema log entry.
+    */
+  def schemaAt(spark: SparkSession, dir: String, v: Long):
+      Option[org.apache.spark.sql.types.StructType] =
+    snapshotJson(spark, dir, v).split("\"schema\":\"", 2) match {
+      case Array(_, rest) =>
+        val b64 = rest.split("\"", 2)(0)
+        Some(org.apache.spark.sql.types.DataType
+          .fromJson(new String(
+            java.util.Base64.getDecoder.decode(b64), StandardCharsets.UTF_8))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      case _ => None
+    }
+
+  /** Time-travel scan of snapshot `v` (Delta `VERSION AS OF v`). The
+    * scan applies the schema the snapshot COMMITTED, not what the file
+    * footers happen to agree on: after a mergeSchema append (schema
+    * evolution), files written before the widening lack the new
+    * columns and surface NULL there — the Delta/Iceberg read contract.
+    * An empty snapshot still binds its schema for the same reason:
+    * zero part files must not mean zero columns.
+    */
   def readAt(spark: SparkSession, dir: String, v: Long): DataFrame = {
     val files = filesAt(spark, dir, v)
-    if (files.isEmpty) {
-      // an empty DataFrame writes no part files, so the snapshot keeps
-      // the SCHEMA in its log entry (base64 of StructType.json) —
-      // without it an empty version would surface 0 columns and break
-      // changes()/compact()/readWhere() against it
-      val json = snapshotJson(spark, dir, v)
-      val schema = json.split("\"schema\":\"", 2) match {
-        case Array(_, rest) =>
-          val b64 = rest.split("\"", 2)(0)
-          org.apache.spark.sql.types.DataType
-            .fromJson(new String(
-              java.util.Base64.getDecoder.decode(b64), StandardCharsets.UTF_8))
-            .asInstanceOf[org.apache.spark.sql.types.StructType]
-        case _ => new org.apache.spark.sql.types.StructType() // pre-schema log entry
-      }
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else
-      spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+    val schema = schemaAt(spark, dir, v)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema.getOrElse(new org.apache.spark.sql.types.StructType()))
+    else schema match {
+      case Some(s) => spark.read.schema(s).parquet(files.map(f => s"$dir/$f"): _*)
+      case None => spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+    }
   }
 
   /** Writer-transaction watermarks carried by snapshot `v`: the highest
@@ -216,14 +229,17 @@ object Versioned {
     * no-op (None) instead of double-applying.
     */
   private def commitRetry(
-      spark: SparkSession, dir: String, op: String, schemaJson: String,
+      spark: SparkSession, dir: String, op: String, schemaJson: () => String,
       txn: Option[(String, Long)], filesFor: Seq[String] => Seq[String],
       maxAttempts: Int = 16): Option[Long] = {
     var attempt = 1
     while (true) {
       if (txn.exists { case (a, n) =>
             lastTxnVersion(spark, dir, a).exists(_ >= n) }) return None
-      try return Some(commitAttempt(spark, dir, op, schemaJson, txn, filesFor))
+      // schema recomputed per attempt: a racing mergeSchema append may
+      // have widened the head meanwhile, and this commit must compose
+      // with it rather than clobber its columns
+      try return Some(commitAttempt(spark, dir, op, schemaJson(), txn, filesFor))
       catch {
         case e: CommitRace =>
           if (attempt >= maxAttempts) throw e
@@ -290,15 +306,69 @@ object Versioned {
       .map(n => s"$sub/$n")
   }
 
+  /** Schema enforcement + evolution for append commits (Delta's
+    * `mergeSchema` contract). Returns the schema JSON the commit should
+    * record.
+    *
+    *  - Same column set (name → type, order-insensitive): the HEAD
+    *    schema stays canonical — appenders may present columns in any
+    *    order without churning the committed schema.
+    *  - Differing set, `mergeSchema = false`: refused loudly. Schema
+    *    enforcement is the lakehouse guarantee that a misconfigured
+    *    writer cannot silently corrupt a 100 TB table.
+    *  - Differing set, `mergeSchema = true`: head columns keep their
+    *    positions, brand-new columns append after; a column present in
+    *    both MUST keep its type (no implicit retype). Every field goes
+    *    nullable — old files lack the new columns and new files may
+    *    lack old ones, so NULLs are now possible on both.
+    *
+    * Re-evaluated per optimistic-retry attempt against the CURRENT
+    * head, so two racing mergeSchema appends compose instead of one
+    * clobbering the other's columns.
+    */
+  private def evolvedSchemaJson(
+      spark: SparkSession, dir: String,
+      df: DataFrame, mergeSchema: Boolean): String = {
+    import org.apache.spark.sql.types.StructType
+    val headOpt = currentVersion(spark, dir).flatMap(schemaAt(spark, dir, _))
+      .filter(_.nonEmpty)
+    headOpt match {
+      case None => df.schema.json // first commit (or pre-schema log) defines
+      case Some(head) =>
+        val headTypes = head.fields.map(f => f.name -> f.dataType.catalogString).toMap
+        val newTypes = df.schema.fields.map(f => f.name -> f.dataType.catalogString).toMap
+        val retyped = newTypes.collect {
+          case (n, t) if headTypes.get(n).exists(_ != t) => s"$n: ${headTypes(n)} -> $t" }
+        require(retyped.isEmpty,
+          s"append to $dir would RETYPE columns (${retyped.mkString("; ")}) — " +
+            "rewrite via overwrite() if a type change is intended")
+        if (headTypes == newTypes) head.json
+        else if (!mergeSchema)
+          throw new IllegalArgumentException(
+            s"append schema mismatch at $dir: table has " +
+              s"[${headTypes.keys.toSeq.sorted.mkString(", ")}], append has " +
+              s"[${newTypes.keys.toSeq.sorted.mkString(", ")}] — pass " +
+              "mergeSchema = true to evolve the table schema")
+        else {
+          val added = df.schema.fields.filter(f => !headTypes.contains(f.name))
+          StructType((head.fields ++ added).map(_.copy(nullable = true))).json
+        }
+    }
+  }
+
   /** Append commit: next snapshot = previous files + the new set. Safe
     * under concurrent writers — a lost race recomputes the base file
     * list from the new head and re-publishes (the data files were
-    * already written and are snapshot-independent).
+    * already written and are snapshot-independent). Schema is ENFORCED
+    * against the head snapshot; widen explicitly with
+    * `mergeSchema = true` (see [[evolvedSchemaJson]]).
     */
-  def append(df: DataFrame, dir: String): Long = {
+  def append(df: DataFrame, dir: String, mergeSchema: Boolean = false): Long = {
     val spark = df.sparkSession
     val fresh = writeDataFiles(df, dir)
-    commitRetry(spark, dir, "append", df.schema.json, None, prev => prev ++ fresh).get
+    commitRetry(spark, dir, "append",
+      () => evolvedSchemaJson(spark, dir, df, mergeSchema),
+      None, prev => prev ++ fresh).get
   }
 
   /** Idempotent append (exactly-once sink contract): commits `df` tagged
@@ -329,7 +399,8 @@ object Versioned {
     if (lastTxnVersion(spark, dir, appId).exists(_ >= txnVersion)) None
     else {
       val fresh = writeDataFiles(df, dir)
-      commitRetry(spark, dir, "append", df.schema.json,
+      commitRetry(spark, dir, "append",
+        () => evolvedSchemaJson(spark, dir, df, mergeSchema = false),
         Some(appId -> txnVersion), prev => prev ++ fresh)
     }
   }
@@ -339,7 +410,8 @@ object Versioned {
     */
   def overwrite(df: DataFrame, dir: String): Long = {
     val files = writeDataFiles(df, dir)
-    commitRetry(df.sparkSession, dir, "overwrite", df.schema.json, None, _ => files).get
+    commitRetry(df.sparkSession, dir, "overwrite",
+      () => df.schema.json, None, _ => files).get
   }
 
   /** Idempotent overwrite: `overwrite` guarded by the same writer-
@@ -353,7 +425,7 @@ object Versioned {
     if (lastTxnVersion(spark, dir, appId).exists(_ >= txnVersion)) None
     else {
       val files = writeDataFiles(df, dir)
-      commitRetry(spark, dir, "overwrite", df.schema.json,
+      commitRetry(spark, dir, "overwrite", () => df.schema.json,
         Some(appId -> txnVersion), _ => files)
     }
   }
@@ -411,6 +483,39 @@ object Versioned {
       writeDataFiles(clustered, dir))
     writeZoneMaps(spark, dir, v, Seq(xCol, yCol))
     v
+  }
+
+  /** RESTORE analog (Delta `RESTORE TABLE t TO VERSION AS OF v`):
+    * publishes snapshot `v`'s exact file list — and schema — as a NEW
+    * head version. Nothing is copied: the old files are simply
+    * re-referenced, so a restore is a log-sized operation however big
+    * the table. History is preserved (the rolled-back versions still
+    * time-travel until `vacuum`), and the restored version's zone-map
+    * sidecar carries over verbatim since the file set is identical.
+    *
+    * Pinned to the head observed at planning: a concurrent commit
+    * fails the restore loudly rather than being silently thrown away
+    * by it. Requires `v` to still be retained (not vacuumed).
+    */
+  def restore(spark: SparkSession, dir: String, v: Long): Long = {
+    val head = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
+    val files = filesAt(spark, dir, v) // validates v exists
+    val schemaJson = schemaAt(spark, dir, v)
+      .map(_.json)
+      .getOrElse(new org.apache.spark.sql.types.StructType().json)
+    val nv = commitPinned(spark, dir, head, "restore", schemaJson, files)
+    val f = fs(spark, dir)
+    val srcZones = new Path(logPath(dir), f"v$v%08d.zones.json")
+    if (f.exists(srcZones)) {
+      val tmp = new Path(logPath(dir), s".v$nv.zones.tmp")
+      val out = f.create(tmp, true)
+      try out.write(readFully(spark, dir, srcZones).getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      if (!f.rename(tmp, new Path(logPath(dir), f"v$nv%08d.zones.json")))
+        throw new IllegalStateException(s"zone-map publish for v$nv failed")
+    }
+    nv
   }
 
   /** Zone-map sidecar: per-file [min, max] of designated long-typed
@@ -605,12 +710,23 @@ object Versioned {
     * files hash-match and cancel entirely.
     */
   def changes(spark: SparkSession, dir: String, from: Long, to: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{col, lit}
     val before = readAt(spark, dir, from)
     val after = readAt(spark, dir, to)
-    after.exceptAll(before).withColumn("_change_type", lit("insert"))
+    // align to the union of the two snapshots' columns (schema may have
+    // evolved between them): absent columns surface as typed NULLs, so
+    // a widened-then-backfilled row correctly diffs as delete+insert
+    val union = before.schema.fields ++
+      after.schema.fields.filterNot(f => before.schema.fieldNames.contains(f.name))
+    def aligned(df: DataFrame) = df.select(union.toSeq.map { f =>
+      if (df.schema.fieldNames.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    val b = aligned(before)
+    val a = aligned(after)
+    a.exceptAll(b).withColumn("_change_type", lit("insert"))
       .unionByName(
-        before.exceptAll(after).withColumn("_change_type", lit("delete")))
+        b.exceptAll(a).withColumn("_change_type", lit("delete")))
   }
 
   /** Delete data files referenced ONLY by versions older than the

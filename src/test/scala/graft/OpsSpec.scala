@@ -73,4 +73,29 @@ class OpsSpec extends SparkSpec {
     val out = df.select(Text.langId(col("s"))).as[String].collect().toSeq
     assert(out === Seq("en", "es", "und"))
   }
+
+  test("Quality rules flag, split, and summarize consistently; NULL cond fails") {
+    import graft.ops.Quality
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "ok"), (2L, "bad"), (null, "ok"), (4L, null))
+      .toDF("k", "s")
+    val rules = Seq(
+      Quality.Rule("k_present", col("k").isNotNull),
+      Quality.Rule("s_ok", col("s") === "ok")) // NULL s → NULL cond → fail
+    val flagged = Quality.flag(df, rules)
+      .select(col("s"), col("_violations"))
+      .as[(Option[String], Seq[String])].collect()
+    assert(flagged.toSet === Set(
+      (Some("ok"), Seq.empty),
+      (Some("bad"), Seq("s_ok")),
+      (Some("ok"), Seq("k_present")),
+      (None, Seq("s_ok"))))
+    val (clean, dirty) = Quality.split(df, rules)
+    assert(clean.columns.toSeq == df.columns.toSeq) // schema untouched
+    assert(clean.count() == 1 && dirty.count() == 3)
+    val sm = Quality.summary(df, rules)
+      .select("rule", "n_rows", "n_fail")
+      .as[(String, Long, Long)].collect().toSet
+    assert(sm === Set(("k_present", 4L, 1L), ("s_ok", 4L, 2L)))
+  }
 }

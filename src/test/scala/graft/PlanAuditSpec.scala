@@ -72,6 +72,24 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly 1 hash exchange in the as-of plan, got $hashExchanges:\n$p")
   }
 
+  test("w8 rank/navigation battery shares one hash exchange across all windows") {
+    val p = plan("w8_rank_nav")
+    // all three window specs share PARTITION BY o_custkey → one hash
+    // exchange feeds every WindowExec; the only other exchange is the
+    // final orderBy's range partitioning
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash exchange in the w8 plan, got $hashExchanges:\n$p")
+  }
+
+  test("f23 generate is pipeline-local (no shuffle below the explode)") {
+    val p = plan("f23_explode")
+    assert(p.contains("Generate"), s"no Generate node in:\n$p")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 0,
+      s"explode should not shuffle (only the final sort repartitions):\n$p")
+  }
+
   test("every declared query plans successfully at sf0.001") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name) // throws on analysis failure

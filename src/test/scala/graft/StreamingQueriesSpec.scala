@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{StreamingQueries, Tables, Temporal}
+
+/** The oracle-gated streaming queries (st1/st2): the actual streaming
+  * engine — readStream, AvailableNow drain, memory sink — must produce
+  * exactly the batch answer over the same input. These are the local
+  * twins of the DuckDB hash-checks the driver runs at sf0.01.
+  */
+class StreamingQueriesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("st1: streamed tumbling agg equals the batch w2 result") {
+    val streamed = StreamingQueries.streamAgg(spark, sf).collect().toSeq
+    val batch = Temporal.windowedAgg(spark, sf).collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("st2: streamed stream-static join equals the batch join") {
+    val streamed = StreamingQueries.streamStaticJoin(spark, sf).collect().toSeq
+    val ev = Tables.t(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val dim = Tables.t(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val batch = ev.join(dim, ev("user_id") === dim("c_custkey"))
+      .select("event_id", "user_id", "cents", "c_mktsegment")
+      .orderBy("event_id").collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("st3: streamed stateful dedup equals batch DISTINCT") {
+    val streamed = StreamingQueries.streamDedup(spark, sf).collect().toSeq
+    val batch = Tables.t(spark, sf, "events")
+      .select("user_id", "event_type").distinct()
+      .orderBy("user_id", "event_type").collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("st4: streamed stream-stream join equals the batch self-join") {
+    val streamed = StreamingQueries.streamStreamJoin(spark, sf).collect().toSeq
+    val ev = Tables.t(spark, sf, "events")
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("buy_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"))
+    val batch = buys.join(views, col("user_id") === col("v_user"))
+      .select("user_id", "buy_id", "view_id")
+      .orderBy("user_id", "buy_id", "view_id").collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("st1 is idempotent per session (sink table replaced, not appended)") {
+    val first = StreamingQueries.streamAgg(spark, sf).count()
+    val second = StreamingQueries.streamAgg(spark, sf).count()
+    assert(first == second)
+  }
+}

@@ -341,4 +341,75 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.versions(spark, dir) == Seq(1L, 2L))
     assert(Versioned.read(spark, dir).count() == 2)
   }
+
+  test("restore republishes an old version's files as the new head, keeping history") {
+    val dir = tmpDir("vt_restore")
+    Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir) // v1
+    Versioned.append(Seq((3L, "c")).toDF("id", "s"), dir)            // v2
+    val v3 = Versioned.restore(spark, dir, 1L)
+    assert(v3 == 3L)
+    assert(Versioned.read(spark, dir).select("id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L))
+    // the rolled-back version still time-travels
+    assert(Versioned.readAt(spark, dir, 2L).count() == 3)
+    // CDF across the restore shows exactly the rows it removed
+    val ch = Versioned.changes(spark, dir, 2L, 3L)
+    assert(ch.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().toSeq == Seq(3L))
+    assert(ch.filter(col("_change_type") === "insert").isEmpty)
+  }
+
+  test("restore carries the restored version's zone-map sidecar") {
+    val dir = tmpDir("vt_restore_zones")
+    Versioned.append(
+      spark.range(0, 100).withColumn("k", col("id")).repartitionByRange(4, col("k")),
+      dir)
+    Versioned.writeZoneMap(spark, dir, 1L, "k")
+    Versioned.overwrite(spark.range(0, 5).withColumn("k", col("id")), dir) // v2, no zones
+    val v3 = Versioned.restore(spark, dir, 1L)
+    val pruned = Versioned.prunedFiles(spark, dir, v3, "k", 10L, 20L)
+    assert(pruned.size < Versioned.filesAt(spark, dir, v3).size,
+      s"restored snapshot lost data skipping: $pruned")
+    assert(Versioned.readWhere(spark, dir, v3, "k", 10L, 20L).count() == 11)
+  }
+
+  test("append enforces the head schema; a mismatched writer is refused") {
+    val dir = tmpDir("vt_enforce")
+    Versioned.append(Seq((1L, "a")).toDF("id", "s"), dir)
+    val ex = intercept[IllegalArgumentException] {
+      Versioned.append(Seq((2L, 9L)).toDF("id", "extra"), dir)
+    }
+    assert(ex.getMessage.contains("mergeSchema"))
+    // a retype is refused even WITH mergeSchema
+    val ex2 = intercept[IllegalArgumentException] {
+      Versioned.append(Seq((3L, 7L)).toDF("id", "s"), dir, mergeSchema = true)
+    }
+    assert(ex2.getMessage.contains("RETYPE"))
+    assert(Versioned.versions(spark, dir) == Seq(1L)) // nothing published
+    // column ORDER alone is not a schema change
+    Versioned.append(Seq(("b", 2L)).toDF("s", "id"), dir)
+    assert(Versioned.read(spark, dir).columns.toSeq == Seq("id", "s"))
+    assert(Versioned.read(spark, dir).count() == 2)
+  }
+
+  test("mergeSchema append widens the table; old files surface NULL for new columns") {
+    val dir = tmpDir("vt_evolve")
+    Versioned.append(Seq((1L, "a")).toDF("id", "s"), dir)                    // v1
+    Versioned.append(Seq((2L, "b", 3.5)).toDF("id", "s", "score"), dir,
+      mergeSchema = true)                                                    // v2
+    val now = Versioned.read(spark, dir)
+    assert(now.columns.toSeq == Seq("id", "s", "score"))
+    assert(now.filter(col("id") === 1L).select("score").first().isNullAt(0))
+    assert(now.filter(col("id") === 2L).select("score").as[Double].head() == 3.5)
+    // time travel keeps the version's OWN schema
+    assert(Versioned.readAt(spark, dir, 1L).columns.toSeq == Seq("id", "s"))
+    // CDF across the widening aligns columns instead of failing
+    val ch = Versioned.changes(spark, dir, 1L, 2L)
+    assert(ch.filter(col("_change_type") === "insert").count() == 1)
+    assert(ch.filter(col("_change_type") === "delete").isEmpty)
+    // a post-evolution narrow append (missing the new column) needs mergeSchema
+    Versioned.append(Seq((4L, "d")).toDF("id", "s"), dir, mergeSchema = true) // v3
+    assert(Versioned.read(spark, dir).filter(col("id") === 4L)
+      .select("score").first().isNullAt(0))
+  }
 }
