@@ -335,6 +335,104 @@ object Extensions {
        |ORDER BY rule""".stripMargin
   }
 
+  // ---- context-window prep: chunking + sequence packing ------------------
+
+  private val ChunkSize = 32   // tokens per chunk
+  private val ChunkStride = 24 // overlap = ChunkSize - ChunkStride
+
+  /** Overlapping fixed-size token chunking — the context-window prep op
+    * (RAG indexing, long-doc training): each doc explodes into
+    * ceil-stride windows of `ChunkSize` tokens every `ChunkStride`.
+    * Shape: per-row `sequence` + `explode` + `slice` — pipeline-local
+    * like f23 (no shuffle; output partitioning follows the input), so
+    * at 100 TB it scales linearly and the chunk table lands ready for
+    * downstream embedding without a repartition. Chunk count is
+    * `(max(n−size,0) + stride−1) div stride + 1`: every token is
+    * covered, the last chunk may be short, a short doc yields exactly
+    * one chunk.
+    */
+  def chunk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+      // `div`, not `/`: Column./ on longs is DOUBLE division
+      .withColumn("cidx", explode(sequence(lit(0L),
+        expr(s"(greatest(n - $ChunkSize, 0L) + ${ChunkStride - 1}) div $ChunkStride"))))
+      .withColumn("ck", slice(col("w"),
+        (col("cidx") * ChunkStride + 1).cast("int"), lit(ChunkSize)))
+      .select(
+        col("doc_id"),
+        (col("cidx") + 1).as("chunk_id"),
+        size(col("ck")).cast("long").as("chunk_tok"),
+        concat_ws(" ", col("ck")).as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+
+  val chunkSql: String =
+    s"""WITH d AS (SELECT doc_id, ${sqlWords("text")} AS w FROM documents),
+       |c AS (SELECT doc_id, w,
+       |        unnest(range(0, (greatest(len(w) - $ChunkSize, 0) + ${ChunkStride - 1})
+       |                        // $ChunkStride + 1)) AS cidx
+       |      FROM d)
+       |SELECT doc_id, CAST(cidx + 1 AS BIGINT) AS chunk_id,
+       |  CAST(len(w[cidx*$ChunkStride + 1 : cidx*$ChunkStride + $ChunkSize]) AS BIGINT) AS chunk_tok,
+       |  array_to_string(w[cidx*$ChunkStride + 1 : cidx*$ChunkStride + $ChunkSize], ' ') AS chunk_text
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  private val PackBudget = 256L // tokens per packed context window
+
+  private val PackShardSpan = 64L // contiguous doc_ids per prefix-sum shard
+
+  /** Sequence packing, concat-and-cut form (GPT-style pretraining: all
+    * docs are concatenated in doc_id order and the token stream is cut
+    * every `PackBudget` tokens). A global running token offset is a
+    * distributed PREFIX SUM, and a bare `Window.orderBy` would compute
+    * it on ONE partition — the classic scale killer — so this uses the
+    * two-pass formulation: contiguous `doc_id div span` shards each
+    * compute their local running sum in parallel, per-shard totals
+    * (#shards rows, trivially small) get their own running sum, and a
+    * broadcast join adds each shard's base offset. Emits each doc's map
+    * into the packed stream: offset, first/last bin, bins spanned —
+    * exactly what a loader needs to slice examples back out.
+    */
+  def pack(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), Text.tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("shard", expr(s"doc_id div $PackShardSpan"))
+    val within = W.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(W.unboundedPreceding, -1)
+    val bases = docs.groupBy("shard").agg(sum("n_tok").as("tot"))
+      .withColumn("base", coalesce(sum(col("tot"))
+        .over(W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select("shard", "base")
+    docs
+      .withColumn("within", coalesce(sum(col("n_tok")).over(within), lit(0L)))
+      .join(broadcast(bases), "shard")
+      .withColumn("tok_offset", col("base") + col("within"))
+      // `div` keeps the bin math in exact long arithmetic end to end
+      .withColumn("first_bin", expr(s"tok_offset div $PackBudget"))
+      .withColumn("last_bin", expr(s"(tok_offset + n_tok - 1) div $PackBudget"))
+      .select(
+        col("doc_id"), col("n_tok"), col("tok_offset"),
+        col("first_bin"), col("last_bin"),
+        (col("last_bin") - col("first_bin") + 1).as("bins_spanned"))
+      .orderBy("doc_id")
+  }
+
+  val packSql: String =
+    s"""WITH d AS (SELECT doc_id, CAST(len(${sqlWords("text")}) AS BIGINT) AS n_tok
+       |           FROM documents),
+       |o AS (SELECT doc_id, n_tok,
+       |        coalesce(SUM(n_tok) OVER (ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS t_off
+       |      FROM d)
+       |SELECT doc_id, n_tok, CAST(t_off AS BIGINT) AS tok_offset,
+       |  CAST(t_off // $PackBudget AS BIGINT) AS first_bin,
+       |  CAST((t_off + n_tok - 1) // $PackBudget AS BIGINT) AS last_bin,
+       |  CAST((t_off + n_tok - 1) // $PackBudget - t_off // $PackBudget + 1 AS BIGINT)
+       |    AS bins_spanned
+       |FROM o ORDER BY doc_id""".stripMargin
+
   // ---- end-to-end curation ----------------------------------------------
 
   /** The capstone: the full curation pipeline (language filter, quality
@@ -1099,5 +1197,7 @@ object Extensions {
     QueryDef("x_approx_distinct", approxDistinct, Some(approxDistinctSql)),
     QueryDef("x_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("x_expectations", expectations, Some(expectationsSql)),
+    QueryDef("x_chunk", chunk, Some(chunkSql)),
+    QueryDef("x_pack", pack, Some(packSql)),
     QueryDef("x_curate", curate, Some(curateSql)))
 }
