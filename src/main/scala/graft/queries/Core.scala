@@ -873,6 +873,38 @@ object Core {
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin
 
+  // W9 — SCD2 interval build (the slowly-changing-dimension type-2
+  // shape every gold dim table needs): each user's event-type history
+  // collapses runs of the same state (lag ≠ current), then lead()
+  // closes each surviving row's validity window — [valid_from, next
+  // change) with NULL for the open current state. Two window passes
+  // over the SAME (user → us, event_id) order: one exchange, one sort,
+  // the filter between them is pipeline-local. Event-time ties are
+  // broken by event_id, so run-collapsing is total-order deterministic
+  // (SURVEY §7.4).
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), tsUs.as("us"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byTime))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .select(
+        col("user_id"), col("event_type"), col("event_id"),
+        col("us").as("valid_from_us"),
+        lead(col("us"), 1).over(byTime).as("valid_to_us"))
+      .orderBy("user_id", "valid_from_us", "event_id")
+  }
+
+  val scd2IntervalsSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, $OracleTsUs AS us FROM events),
+       |c AS (SELECT *, lag(event_type) OVER w AS prev FROM e
+       |      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |f AS (SELECT user_id, event_id, event_type, us FROM c
+       |      WHERE prev IS NULL OR prev <> event_type)
+       |SELECT user_id, event_type, event_id, us AS valid_from_us,
+       |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us
+       |FROM f ORDER BY user_id, valid_from_us, event_id""".stripMargin
+
   // F20 — scalar string-function battery (the long tail of §2.8 F-ops
   // users reach for daily), every function chosen to have an exact
   // DuckDB twin so the whole battery is hash-checked.
@@ -1015,6 +1047,7 @@ object Core {
     QueryDef("a12_grouping_sets", groupingSetsTotals, Some(groupingSetsTotalsSql)),
     QueryDef("w7_range_frame", rangeFrame, Some(rangeFrameSql)),
     QueryDef("w8_rank_nav", rankNavigation, Some(rankNavigationSql)),
+    QueryDef("w9_scd2", scd2Intervals, Some(scd2IntervalsSql)),
     QueryDef("s8_set_ops", setOps, Some(setOpsSql)),
     QueryDef("f19_json_extract", jsonExtract, Some(jsonExtractSql)),
     QueryDef("s9_pivot_events", pivotEvents, Some(pivotEventsSql)),

@@ -51,4 +51,41 @@ class CorpusPrepSpec extends SparkSpec {
     assert(h.getString(0) == "h" && h.getLong(1) == 1 &&
       h.getLong(2) == 7 && h.getLong(3) == 7 && h.getLong(4) == 7)
   }
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("x_chunk tiles every document exactly: full interior chunks, last chunk ends at n") {
+    import graft.queries.{Extensions, Tables}
+    import org.apache.spark.sql.expressions.Window
+    val size = 32; val stride = 24
+    val chunks = Extensions.chunk(spark, sf)
+      .withColumn("max_id", max(col("chunk_id")).over(Window.partitionBy("doc_id")))
+    val n = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.functions.Text.tokenCount(col("text")).cast("long").as("n"))
+    val bad = chunks.join(n, "doc_id").filter(
+      (col("chunk_id") =!= col("max_id") && col("chunk_tok") =!= size) ||
+        (col("chunk_id") === col("max_id") &&
+          ((col("chunk_id") - 1) * stride + col("chunk_tok")) =!= col("n")) ||
+        col("chunk_tok") < 1 || col("chunk_tok") > size)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("x_pack offsets are the exact global prefix sum, bins well-formed") {
+    import graft.queries.Extensions
+    val rows = Extensions.pack(spark, sf)
+      .select("doc_id", "n_tok", "tok_offset", "first_bin", "last_bin", "bins_spanned")
+      .collect().sortBy(_.getLong(0))
+    assert(rows.nonEmpty && rows.head.getLong(2) == 0L)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(2) == a.getLong(2) + a.getLong(1),
+          s"offset gap at doc ${b.getLong(0)}")
+      case _ =>
+    }
+    rows.foreach { r =>
+      assert(r.getLong(5) == r.getLong(4) - r.getLong(3) + 1 && r.getLong(5) >= 1)
+    }
+  }
 }

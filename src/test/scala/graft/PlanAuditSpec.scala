@@ -82,6 +82,16 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly 1 hash exchange in the w8 plan, got $hashExchanges:\n$p")
   }
 
+  test("w9 SCD2 reuses one exchange+sort across both window passes") {
+    val p = plan("w9_scd2")
+    // lag (run-collapse) and lead (interval close) share the same
+    // (user_id → us, event_id) spec; the filter between them preserves
+    // order, so the second window must not re-exchange or re-sort
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash exchange in the w9 plan, got $hashExchanges:\n$p")
+  }
+
   test("f23 generate is pipeline-local (no shuffle below the explode)") {
     val p = plan("f23_explode")
     assert(p.contains("Generate"), s"no Generate node in:\n$p")
