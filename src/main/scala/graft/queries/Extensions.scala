@@ -335,6 +335,31 @@ object Extensions {
        |ORDER BY rule""".stripMargin
   }
 
+  // ---- pure-SQL surface ---------------------------------------------------
+
+  /** The SQL-only client path under the oracle gate: a temp view plus
+    * the `GraftExtensions`-registered functions, executed through
+    * `spark.sql` — the same fused Catalyst expressions the Column API
+    * plans, so the session-extension registration path itself (not just
+    * the expressions) is hash-checked against DuckDB's replay of the
+    * identical algorithms.
+    */
+  def sqlSurface(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s) // idempotent re-registration
+    t(s, dir, "documents").createOrReplaceTempView("graft_sql_docs")
+    s.sql(
+      """SELECT doc_id,
+        |  graft_polyhash(text) AS fp,
+        |  CAST(size(graft_word_shingles(text, 3)) AS BIGINT) AS n_shingles
+        |FROM graft_sql_docs ORDER BY doc_id""".stripMargin)
+  }
+
+  val sqlSurfaceSql: String =
+    s"""WITH d AS (SELECT doc_id, text, ${sqlWords("text")} AS w FROM documents)
+       |SELECT doc_id, ${sqlPolyHash("text")} AS fp,
+       |  CAST(len($sqlShingles) AS BIGINT) AS n_shingles
+       |FROM d ORDER BY doc_id""".stripMargin
+
   // ---- context-window prep: chunking + sequence packing ------------------
 
   private val ChunkSize = 32   // tokens per chunk
@@ -1197,6 +1222,7 @@ object Extensions {
     QueryDef("x_approx_distinct", approxDistinct, Some(approxDistinctSql)),
     QueryDef("x_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("x_expectations", expectations, Some(expectationsSql)),
+    QueryDef("x_sql_surface", sqlSurface, Some(sqlSurfaceSql)),
     QueryDef("x_chunk", chunk, Some(chunkSql)),
     QueryDef("x_pack", pack, Some(packSql)),
     QueryDef("x_curate", curate, Some(curateSql)))

@@ -100,6 +100,14 @@ class PlanAuditSpec extends SparkSpec {
       s"explode should not shuffle (only the final sort repartitions):\n$p")
   }
 
+  test("x_chunk is pipeline-local like f23 (chunks land partitioned with their source)") {
+    val p = plan("x_chunk")
+    assert(p.contains("Generate"), s"no Generate node in:\n$p")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 0,
+      s"chunking should not shuffle (only the final sort repartitions):\n$p")
+  }
+
   test("every declared query plans successfully at sf0.001") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name) // throws on analysis failure
