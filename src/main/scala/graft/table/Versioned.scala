@@ -654,7 +654,18 @@ object Versioned {
       case None => all
     }
     if (candidates.isEmpty) return None
-    val matched = spark.read.parquet(candidates.map(f => s"$dir/$f"): _*)
+    // read under the LOG's schema, not the touched files' footers: after
+    // a mergeSchema evolution the touched files may predate a widened
+    // column — the footer schema would make `cond`/`set` references to
+    // it fail, the rewrite output narrow, and (worst) the commit would
+    // re-publish the NARROW schema as the table's, silently dropping
+    // the evolution for every file in the snapshot
+    val logSchema = schemaAt(spark, dir, base)
+    def readFiles(files: Seq[String]) = {
+      val r = logSchema.map(sc => spark.read.schema(sc)).getOrElse(spark.read)
+      r.parquet(files.map(f => s"$dir/$f"): _*)
+    }
+    val matched = readFiles(candidates)
       .filter(cond)
       .select(input_file_name().as("f")).distinct()
       .collect().map(_.getString(0))
@@ -662,9 +673,10 @@ object Versioned {
     if (touched.isEmpty) return None
     val touchedSet = touched.toSet
     val kept = all.filterNot(touchedSet)
-    val touchedDf = spark.read.parquet(touched.map(f => s"$dir/$f"): _*)
+    val touchedDf = readFiles(touched)
     val fresh = writeDataFiles(rewrite(touchedDf, cond), dir)
-    val v = commitPinned(spark, dir, base, op, touchedDf.schema.json, kept ++ fresh)
+    val schemaJson = logSchema.map(_.json).getOrElse(touchedDf.schema.json)
+    val v = commitPinned(spark, dir, base, op, schemaJson, kept ++ fresh)
     carryZones(spark, dir, base, v, kept.toSet, fresh)
     Some(v)
   }

@@ -359,6 +359,24 @@ class VersionedSpec extends SparkSpec {
     assert(ch.filter(col("_change_type") === "insert").isEmpty)
   }
 
+  test("restore to a pre-evolution version narrows the head contract") {
+    val dir = tmpDir("vt_restore_schema")
+    Versioned.append(Seq((1L, "a")).toDF("id", "s"), dir)                    // v1 narrow
+    Versioned.append(Seq((2L, "b", 5.0)).toDF("id", "s", "score"), dir,
+      mergeSchema = true)                                                    // v2 wide
+    Versioned.restore(spark, dir, 1L)                                        // v3 = v1
+    // the head reads with the restored (narrow) schema…
+    assert(Versioned.read(spark, dir).columns.toSeq == Seq("id", "s"))
+    // …and enforces it: a wide append is again a schema mismatch
+    val ex = intercept[IllegalArgumentException] {
+      Versioned.append(Seq((3L, "c", 1.0)).toDF("id", "s", "score"), dir)
+    }
+    assert(ex.getMessage.contains("mergeSchema"))
+    // CDF across the restore aligns the evolved column away cleanly
+    val ch = Versioned.changes(spark, dir, 2L, 3L)
+    assert(ch.filter(col("_change_type") === "delete").count() == 1)
+  }
+
   test("restore carries the restored version's zone-map sidecar") {
     val dir = tmpDir("vt_restore_zones")
     Versioned.append(
@@ -411,5 +429,29 @@ class VersionedSpec extends SparkSpec {
     Versioned.append(Seq((4L, "d")).toDF("id", "s"), dir, mergeSchema = true) // v3
     assert(Versioned.read(spark, dir).filter(col("id") === 4L)
       .select("score").first().isNullAt(0))
+  }
+
+  test("DELETE/UPDATE touching pre-evolution files keeps the widened schema") {
+    val dir = tmpDir("vt_evolve_rewrite")
+    Versioned.append(Seq((1L, "a"), (2L, "drop")).toDF("id", "s"), dir)      // v1, narrow
+    Versioned.append(Seq((3L, "c", 9.0)).toDF("id", "s", "score"), dir,
+      mergeSchema = true)                                                    // v2, wide
+    // the delete matches only rows in the NARROW v1 file; the commit
+    // must still publish the WIDE head schema, and the cond/set side
+    // must be able to reference the widened column against those files
+    val v = Versioned.deleteWhere(spark, dir,
+      col("s") === "drop" && col("score").isNull)
+    assert(v.contains(3L))
+    val now = Versioned.read(spark, dir)
+    assert(now.columns.toSeq == Seq("id", "s", "score"),
+      "rewrite narrowed the evolved table schema")
+    assert(now.as[(Long, String, Option[Double])].collect().toSet ==
+      Set((1L, "a", None), (3L, "c", Some(9.0))))
+    // UPDATE can SET the widened column on a pre-evolution row
+    val v2 = Versioned.updateWhere(spark, dir, col("id") === 1L,
+      Map("score" -> lit(1.25)))
+    assert(v2.contains(4L))
+    assert(Versioned.read(spark, dir).filter(col("id") === 1L)
+      .select("score").as[Double].head() == 1.25)
   }
 }
