@@ -139,10 +139,38 @@ object Versioned {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema.getOrElse(new org.apache.spark.sql.types.StructType()))
-    else schema match {
-      case Some(s) => spark.read.schema(s).parquet(files.map(f => s"$dir/$f"): _*)
-      case None => spark.read.parquet(files.map(f => s"$dir/$f"): _*)
-    }
+    else applyDvs(spark, readRaw(spark, dir, schema, files), dvsAt(spark, dir, v))
+  }
+
+  private def readRaw(
+      spark: SparkSession, dir: String,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      files: Seq[String]): DataFrame = schema match {
+    case Some(s) => spark.read.schema(s).parquet(files.map(f => s"$dir/$f"): _*)
+    case None => spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+  }
+
+  /** Subtracts a snapshot's deletion vectors from a raw file scan: an
+    * anti-join of (file, row position) against the broadcast DV set.
+    * `_metadata.row_index` is the parquet reader's physical row
+    * position — stable for immutable files, which ours are by
+    * construction. No DVs → the scan passes through untouched (the
+    * common case pays nothing).
+    */
+  private def applyDvs(
+      spark: SparkSession, df: DataFrame, dvs: Map[String, Seq[Long]]): DataFrame = {
+    if (dvs.isEmpty) return df
+    import org.apache.spark.sql.functions.{broadcast, col, input_file_name, substring_index}
+    import spark.implicits._
+    val dvDf = dvs.toSeq
+      .flatMap { case (f, idxs) => idxs.map(i => (f, i)) }
+      .toDF("__dv_rel", "__dv_idx")
+    val cols = df.columns.toSeq
+    df
+      .withColumn("__dv_rel", substring_index(input_file_name(), "/", -2))
+      .withColumn("__dv_idx", col("_metadata.row_index"))
+      .join(broadcast(dvDf), Seq("__dv_rel", "__dv_idx"), "left_anti")
+      .select(cols.map(col): _*)
   }
 
   /** Writer-transaction watermarks carried by snapshot `v`: the highest
@@ -169,6 +197,31 @@ object Versioned {
   def lastTxnVersion(spark: SparkSession, dir: String, appId: String): Option[Long] =
     currentVersion(spark, dir).flatMap(v => txnsAt(spark, dir, v).get(appId))
 
+  /** Deletion vectors of snapshot `v`: per data file, the sorted row
+    * indices soft-deleted by merge-on-read DELETEs ([[deleteWhereMoR]]).
+    * Stored INSIDE the commit JSON — a DV is visible exactly when its
+    * commit is, with no sidecar-publish race — and carried/filtered by
+    * every subsequent commit like txn watermarks. Values are arrays of
+    * numbers and keys are our own uuid/part names, so the minimal
+    * parser below is safe (first `}` closes the object).
+    */
+  def dvsAt(spark: SparkSession, dir: String, v: Long): Map[String, Seq[Long]] = {
+    val json = snapshotJson(spark, dir, v)
+    json.split("\"dvs\":\\{", 2) match {
+      case Array(_, rest) =>
+        val body = rest.split("}", 2)(0).trim
+        if (body.isEmpty) Map.empty
+        else body.split("]\\s*,\\s*\"").map { entry =>
+          val Array(k, arr) = entry.split(":\\[", 2)
+          val idxs = arr.stripSuffix("]").trim
+          k.trim.stripPrefix("\"").stripSuffix("\"") ->
+            (if (idxs.isEmpty) Seq.empty[Long]
+             else idxs.split(",").toSeq.map(_.trim.toLong))
+        }.toMap
+      case _ => Map.empty // pre-DV log entry
+    }
+  }
+
   /** A lost optimistic-commit race: another writer published the
     * version this committer computed. Retryable for commits whose file
     * set does not depend on the snapshot they started from.
@@ -183,7 +236,8 @@ object Versioned {
   private def commitAttempt(
       spark: SparkSession, dir: String, op: String, schemaJson: String,
       txn: Option[(String, Long)], filesFor: Seq[String] => Seq[String],
-      basedOn: Option[Long] = None): Long = {
+      basedOn: Option[Long] = None,
+      dvsFor: Map[String, Seq[Long]] => Map[String, Seq[Long]] = identity): Long = {
     val f = fs(spark, dir)
     f.mkdirs(logPath(dir))
     val prev = currentVersion(spark, dir)
@@ -205,10 +259,24 @@ object Versioned {
       else txns.toSeq.sorted
         .map { case (a, n) => s""""$a":$n""" }
         .mkString(""","txns":{""", ",", "}")
+    // deletion vectors: the caller transforms the HEAD's DV map (carry,
+    // merge, or drop); entries for files the new snapshot no longer
+    // references are filtered unconditionally — a DV without its file
+    // is meaningless and a file re-referenced later (restore) must not
+    // inherit a stale one by accident
+    val fileSet = files.toSet
+    val dvs = dvsFor(prev.map(dvsAt(spark, dir, _)).getOrElse(Map.empty))
+      .filter { case (df, idxs) => fileSet.contains(df) && idxs.nonEmpty }
+    val dvsJson =
+      if (dvs.isEmpty) ""
+      else dvs.toSeq.sortBy(_._1)
+        .map { case (df, idxs) =>
+          s""""$df":[${idxs.distinct.sorted.mkString(",")}]""" }
+        .mkString(""","dvs":{""", ",", "}")
     val b64 = java.util.Base64.getEncoder
       .encodeToString(schemaJson.getBytes(StandardCharsets.UTF_8))
     val json =
-      s"""{"version":$v,"op":"$op","schema":"$b64"$txnsJson,"files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
+      s"""{"version":$v,"op":"$op","schema":"$b64"$txnsJson$dvsJson,"files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
     // per-attempt unique temp name: racing committers must never share
     // a temp file, or a loser's cleanup could delete the winner's
     // in-flight content
@@ -231,7 +299,9 @@ object Versioned {
   private def commitRetry(
       spark: SparkSession, dir: String, op: String, schemaJson: () => String,
       txn: Option[(String, Long)], filesFor: Seq[String] => Seq[String],
-      maxAttempts: Int = 16): Option[Long] = {
+      maxAttempts: Int = 16,
+      dvsFor: Map[String, Seq[Long]] => Map[String, Seq[Long]] = identity)
+      : Option[Long] = {
     var attempt = 1
     while (true) {
       if (txn.exists { case (a, n) =>
@@ -239,7 +309,8 @@ object Versioned {
       // schema recomputed per attempt: a racing mergeSchema append may
       // have widened the head meanwhile, and this commit must compose
       // with it rather than clobber its columns
-      try return Some(commitAttempt(spark, dir, op, schemaJson(), txn, filesFor))
+      try return Some(
+        commitAttempt(spark, dir, op, schemaJson(), txn, filesFor, dvsFor = dvsFor))
       catch {
         case e: CommitRace =>
           if (attempt >= maxAttempts) throw e
@@ -440,8 +511,9 @@ object Versioned {
     */
   private[graft] def commitPinned(
       spark: SparkSession, dir: String, basedOn: Long, op: String,
-      schemaJson: String, files: Seq[String]): Long =
-    commitAttempt(spark, dir, op, schemaJson, None, _ => files, Some(basedOn))
+      schemaJson: String, files: Seq[String],
+      dvsFor: Map[String, Seq[Long]] => Map[String, Seq[Long]] = identity): Long =
+    commitAttempt(spark, dir, op, schemaJson, None, _ => files, Some(basedOn), dvsFor)
 
   /** Compaction commit (OPTIMIZE analog on the versioned layout): the
     * current snapshot rewritten as one coalesced file set. Rows are
@@ -504,7 +576,10 @@ object Versioned {
     val schemaJson = schemaAt(spark, dir, v)
       .map(_.json)
       .getOrElse(new org.apache.spark.sql.types.StructType().json)
-    val nv = commitPinned(spark, dir, head, "restore", schemaJson, files)
+    // the restored snapshot's OWN deletion vectors come back with it —
+    // carrying the head's would resurrect or over-delete rows
+    val nv = commitPinned(spark, dir, head, "restore", schemaJson, files,
+      _ => dvsAt(spark, dir, v))
     val f = fs(spark, dir)
     val srcZones = new Path(logPath(dir), f"v$v%08d.zones.json")
     if (f.exists(srcZones)) {
@@ -562,7 +637,9 @@ object Versioned {
     val pruned = prunedFiles(spark, dir, v, zoneCol, lo, hi)
     val df =
       if (pruned.isEmpty) readAt(spark, dir, v).limit(0)
-      else spark.read.parquet(pruned.map(f => s"$dir/$f"): _*)
+      else applyDvs(spark,
+        spark.read.parquet(pruned.map(f => s"$dir/$f"): _*),
+        dvsAt(spark, dir, v))
     df.filter(col(zoneCol) >= lo && col(zoneCol) <= hi)
   }
 
@@ -631,6 +708,63 @@ object Versioned {
     }
   }
 
+  /** Merge-on-read DELETE (the Delta deletion-vector analog): instead
+    * of rewriting matched files ([[deleteWhere]]'s copy-on-write), the
+    * commit publishes the SAME file set plus deletion vectors — per
+    * file, the row positions now soft-deleted. Readers subtract them
+    * via a broadcast anti-join ([[applyDvs]]); [[compact]] materializes
+    * and purges them (Delta's REORG … APPLY (PURGE)). Write cost is one
+    * matched-row position scan + a log-sized commit, however many rows
+    * match — the right trade for SPARSE deletes (GDPR row erasure,
+    * point corrections) where copy-on-write would rewrite gigabytes to
+    * drop kilobytes; bulk deletes should stay copy-on-write, since DV
+    * size grows with matched rows and every subsequent read pays the
+    * anti-join. Pinned + carried like every other commit: DVs merge
+    * per file across commits, append/restore never resurrect
+    * soft-deleted rows, and the zone-map sidecar carries verbatim
+    * (file set unchanged; zones prune files, never rows).
+    */
+  def deleteWhereMoR(
+      spark: SparkSession, dir: String, cond: org.apache.spark.sql.Column,
+      zoneHint: Option[(String, Long, Long)] = None): Option[Long] = {
+    import org.apache.spark.sql.functions.{broadcast, col, collect_list, input_file_name, substring_index}
+    import spark.implicits._
+    val base = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
+    val all = filesAt(spark, dir, base)
+    if (all.isEmpty) return None
+    val candidates = zoneHint match {
+      case Some((zc, lo, hi)) => prunedFiles(spark, dir, base, zc, lo, hi)
+      case None => all
+    }
+    if (candidates.isEmpty) return None
+    val logSchema = schemaAt(spark, dir, base)
+    val headDvs = dvsAt(spark, dir, base)
+    val scan = readRaw(spark, dir, logSchema, candidates)
+      .withColumn("__dv_rel", substring_index(input_file_name(), "/", -2))
+      .withColumn("__dv_idx", col("_metadata.row_index"))
+    val live =
+      if (headDvs.isEmpty) scan
+      else scan.join(
+        broadcast(headDvs.toSeq
+          .flatMap { case (f, is) => is.map(i => (f, i)) }
+          .toDF("__dv_rel", "__dv_idx")),
+        Seq("__dv_rel", "__dv_idx"), "left_anti")
+    val matched = live.filter(cond)
+      .groupBy("__dv_rel").agg(collect_list("__dv_idx").as("idxs"))
+      .as[(String, Seq[Long])].collect().toMap
+    if (matched.isEmpty) return None
+    val v = commitPinned(spark, dir, base, "delete-mor",
+      logSchema.map(_.json).getOrElse(
+        new org.apache.spark.sql.types.StructType().json),
+      all,
+      head => (head.keySet ++ matched.keySet).map { f =>
+        f -> (head.getOrElse(f, Seq.empty) ++ matched.getOrElse(f, Seq.empty))
+      }.toMap)
+    carryZones(spark, dir, base, v, kept = all.toSet, fresh = Seq.empty)
+    Some(v)
+  }
+
   /** Shared copy-on-write core of DELETE/UPDATE: find the files of the
     * current snapshot containing matching rows (one pass collecting
     * distinct file names — log-sized, the same touched-file discovery
@@ -661,10 +795,11 @@ object Versioned {
     // re-publish the NARROW schema as the table's, silently dropping
     // the evolution for every file in the snapshot
     val logSchema = schemaAt(spark, dir, base)
-    def readFiles(files: Seq[String]) = {
-      val r = logSchema.map(sc => spark.read.schema(sc)).getOrElse(spark.read)
-      r.parquet(files.map(f => s"$dir/$f"): _*)
-    }
+    // DV-aware: rows already soft-deleted by a merge-on-read DELETE
+    // must neither re-match nor be RESURRECTED into the rewritten files
+    val headDvs = dvsAt(spark, dir, base)
+    def readFiles(files: Seq[String]) =
+      applyDvs(spark, readRaw(spark, dir, logSchema, files), headDvs)
     val matched = readFiles(candidates)
       .filter(cond)
       .select(input_file_name().as("f")).distinct()

@@ -359,6 +359,75 @@ class VersionedSpec extends SparkSpec {
     assert(ch.filter(col("_change_type") === "insert").isEmpty)
   }
 
+  test("merge-on-read DELETE: same files, rows gone, compact purges the DVs") {
+    val dir = tmpDir("vt_dv")
+    Versioned.append(Seq((1L, "a"), (2L, "drop"), (3L, "c")).toDF("id", "s"), dir) // v1
+    Versioned.append(Seq((4L, "drop")).toDF("id", "s"), dir)                       // v2
+    val before = Versioned.filesAt(spark, dir, 2L)
+
+    val v = Versioned.deleteWhereMoR(spark, dir, col("s") === "drop")
+    assert(v.contains(3L))
+    // merge-on-read: NO file was rewritten — the commit is log-sized
+    assert(Versioned.filesAt(spark, dir, 3L) == before)
+    assert(Versioned.dvsAt(spark, dir, 3L).values.map(_.size).sum == 2)
+    assert(Versioned.read(spark, dir).select("id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 3L))
+    // time travel still sees the soft-deleted rows
+    assert(Versioned.readAt(spark, dir, 2L).count() == 4)
+    // CDF across the MoR delete reports exactly the removed rows
+    val ch = Versioned.changes(spark, dir, 2L, 3L)
+    assert(ch.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(2L, 4L))
+    // a second MoR delete merges into the carried DV set
+    assert(Versioned.deleteWhereMoR(spark, dir, col("id") === 1L).contains(4L))
+    assert(Versioned.read(spark, dir).select("id").as[Long].collect().toSeq ==
+      Seq(3L))
+    // an append carries the DVs — soft-deleted rows stay deleted
+    Versioned.append(Seq((5L, "e")).toDF("id", "s"), dir) // v5
+    assert(Versioned.read(spark, dir).select("id").as[Long].collect().sorted
+      .toSeq == Seq(3L, 5L))
+    // no-match MoR delete commits nothing
+    assert(Versioned.deleteWhereMoR(spark, dir, col("s") === "absent").isEmpty)
+    // compact materializes the subtraction and purges the DVs (REORG)
+    val cv = Versioned.compact(spark, dir)
+    assert(Versioned.dvsAt(spark, dir, cv).isEmpty)
+    assert(Versioned.readAt(spark, dir, cv).select("id").as[Long].collect().sorted
+      .toSeq == Seq(3L, 5L))
+  }
+
+  test("copy-on-write rewrites after a MoR delete do not resurrect soft-deleted rows") {
+    val dir = tmpDir("vt_dv_cow")
+    Versioned.append(
+      Seq((1L, "x"), (2L, "soft"), (3L, "hard")).toDF("id", "s"), dir)  // v1, one file
+    assert(Versioned.deleteWhereMoR(spark, dir, col("s") === "soft").contains(2L))
+    // the CoW delete rewrites the file the soft-deleted row lives in;
+    // the rewritten file must NOT bring that row back
+    assert(Versioned.deleteWhere(spark, dir, col("s") === "hard").contains(3L))
+    assert(Versioned.read(spark, dir).select("id").as[Long].collect().toSeq ==
+      Seq(1L))
+    // restore to the MoR-delete version brings back ITS deletion state
+    val rv = Versioned.restore(spark, dir, 2L)
+    assert(Versioned.readAt(spark, dir, rv).select("id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 3L))
+  }
+
+  test("MoR delete with a zone hint scans only zone-matched files and keeps pruning") {
+    val dir = tmpDir("vt_dv_zones")
+    Versioned.append(
+      spark.range(0, 100).withColumn("k", col("id")).repartitionByRange(4, col("k")),
+      dir)
+    Versioned.writeZoneMap(spark, dir, 1L, "k")
+    val v = Versioned.deleteWhereMoR(spark, dir, col("k").between(10L, 12L),
+      zoneHint = Some(("k", 10L, 12L)))
+    assert(v.contains(2L))
+    assert(Versioned.read(spark, dir).count() == 97)
+    // the zone sidecar carried: range reads still prune files
+    assert(Versioned.prunedFiles(spark, dir, 2L, "k", 50L, 60L).size <
+      Versioned.filesAt(spark, dir, 2L).size)
+    // and the pruned read path also honors the DVs
+    assert(Versioned.readWhere(spark, dir, 2L, "k", 0L, 20L).count() == 18)
+  }
+
   test("restore to a pre-evolution version narrows the head contract") {
     val dir = tmpDir("vt_restore_schema")
     Versioned.append(Seq((1L, "a")).toDF("id", "s"), dir)                    // v1 narrow
