@@ -765,6 +765,64 @@ object Versioned {
     Some(v)
   }
 
+  /** Merge-on-read UPDATE: soft-deletes the matched rows' positions
+    * ([[deleteWhereMoR]]'s DV mechanics) and appends their updated
+    * copies — ONE commit, no matched-file rewrite. Same sparse-update
+    * trade and carry/purge lifecycle as MoR DELETE; `set` semantics
+    * (cast back to the column's type, unknown columns refused) match
+    * [[updateWhere]].
+    */
+  def updateWhereMoR(
+      spark: SparkSession, dir: String, cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      zoneHint: Option[(String, Long, Long)] = None): Option[Long] = {
+    import org.apache.spark.sql.functions.{broadcast, col, collect_list, input_file_name, substring_index}
+    import spark.implicits._
+    require(set.nonEmpty, "UPDATE needs at least one SET column")
+    val base = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
+    val all = filesAt(spark, dir, base)
+    if (all.isEmpty) return None
+    val candidates = zoneHint match {
+      case Some((zc, lo, hi)) => prunedFiles(spark, dir, base, zc, lo, hi)
+      case None => all
+    }
+    if (candidates.isEmpty) return None
+    val logSchema = schemaAt(spark, dir, base)
+    val headDvs = dvsAt(spark, dir, base)
+    val scan = readRaw(spark, dir, logSchema, candidates)
+      .withColumn("__dv_rel", substring_index(input_file_name(), "/", -2))
+      .withColumn("__dv_idx", col("_metadata.row_index"))
+    val live =
+      if (headDvs.isEmpty) scan
+      else scan.join(
+        broadcast(headDvs.toSeq
+          .flatMap { case (f, is) => is.map(i => (f, i)) }
+          .toDF("__dv_rel", "__dv_idx")),
+        Seq("__dv_rel", "__dv_idx"), "left_anti")
+    val hit = live.filter(cond)
+    val matched = hit
+      .groupBy("__dv_rel").agg(collect_list("__dv_idx").as("idxs"))
+      .as[(String, Seq[Long])].collect().toMap
+    if (matched.isEmpty) return None
+    val dataCols = hit.columns.filterNot(_.startsWith("__dv_")).toSeq
+    val unknown = set.keySet -- dataCols
+    require(unknown.isEmpty, s"SET references unknown columns: ${unknown.mkString(", ")}")
+    val fieldType = hit.schema.fields.map(f => f.name -> f.dataType).toMap
+    val updated = hit.select(dataCols.map { c =>
+      set.get(c).map(_.cast(fieldType(c)).as(c)).getOrElse(col(c))
+    }: _*)
+    val fresh = writeDataFiles(updated, dir)
+    val v = commitPinned(spark, dir, base, "update-mor",
+      logSchema.map(_.json).getOrElse(updated.schema.json),
+      all ++ fresh,
+      head => (head.keySet ++ matched.keySet).map { f =>
+        f -> (head.getOrElse(f, Seq.empty) ++ matched.getOrElse(f, Seq.empty))
+      }.toMap)
+    carryZones(spark, dir, base, v, kept = all.toSet, fresh = fresh)
+    Some(v)
+  }
+
   /** Shared copy-on-write core of DELETE/UPDATE: find the files of the
     * current snapshot containing matching rows (one pass collecting
     * distinct file names — log-sized, the same touched-file discovery

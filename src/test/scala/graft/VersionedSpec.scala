@@ -428,6 +428,31 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.readWhere(spark, dir, 2L, "k", 0L, 20L).count() == 18)
   }
 
+  test("merge-on-read UPDATE soft-deletes the old row and appends the new copy") {
+    val dir = tmpDir("vt_dv_update")
+    Versioned.append(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "s", "n"), dir)
+    val before = Versioned.filesAt(spark, dir, 1L)
+    val v = Versioned.updateWhereMoR(spark, dir, col("s") === "b",
+      Map("n" -> (col("n") + 5)))
+    assert(v.contains(2L))
+    // original files untouched; fresh updated-copies files added
+    val after = Versioned.filesAt(spark, dir, 2L)
+    assert(before.forall(after.contains) && after.size > before.size)
+    assert(Versioned.read(spark, dir).as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "a", 10L), (2L, "b", 25L)))
+    // time travel sees the pre-update value; unknown SET column refused
+    assert(Versioned.readAt(spark, dir, 1L)
+      .filter(col("id") === 2L).select("n").as[Long].head() == 20L)
+    intercept[IllegalArgumentException] {
+      Versioned.updateWhereMoR(spark, dir, col("id") === 1L, Map("nope" -> lit(1)))
+    }
+    // compact materializes: DVs purged, values preserved
+    val cv = Versioned.compact(spark, dir)
+    assert(Versioned.dvsAt(spark, dir, cv).isEmpty)
+    assert(Versioned.readAt(spark, dir, cv).as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "a", 10L), (2L, "b", 25L)))
+  }
+
   test("restore to a pre-evolution version narrows the head contract") {
     val dir = tmpDir("vt_restore_schema")
     Versioned.append(Seq((1L, "a")).toDF("id", "s"), dir)                    // v1 narrow
