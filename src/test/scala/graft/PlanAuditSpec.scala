@@ -108,6 +108,16 @@ class PlanAuditSpec extends SparkSpec {
       s"chunking should not shuffle (only the final sort repartitions):\n$p")
   }
 
+  test("x_pack's prefix sum is sharded: base offsets broadcast, no global-order window on data") {
+    val p = plan("x_pack")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-shard base offsets must join by broadcast:\n$p")
+    // exactly one SinglePartition exchange is allowed: the #shards-row
+    // base table's own running sum — never the document data
+    val single = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(single <= 1, s"data-sized single-partition exchange in x_pack:\n$p")
+  }
+
   test("every declared query plans successfully at sf0.001") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name) // throws on analysis failure
