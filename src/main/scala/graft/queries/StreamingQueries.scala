@@ -163,9 +163,47 @@ object StreamingQueries {
       |WHERE b.event_type = 'purchase' AND v.event_type = 'view'
       |ORDER BY b.user_id, buy_id, view_id""".stripMargin
 
+  // ST5 — watermarked tumbling aggregation in APPEND mode: the
+  // watermark-eviction half of the streaming engine st1's complete
+  // mode never exercises. Append mode emits a window only once the
+  // watermark (max event time − 1 h) passes its end, so the drained
+  // output is exactly the FINALIZED windows — the trailing window(s)
+  // above the final watermark are withheld, and the oracle replays
+  // that rule relationally (HAVING window_end ≤ max(ts) − delay).
+  // Determinism: the single-file source yields one data batch (no row
+  // is ever late), and AvailableNow runs the no-data finalization
+  // batch before terminating, so emission depends only on the data's
+  // own max event time.
+  def streamWatermarkAgg(s: SparkSession, dir: String): DataFrame = {
+    val src = eventsStream(s, dir)
+      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_ts", "1 hour")
+    val agg = src
+      .groupBy(window(col("ts_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"))
+    drainToTable(s, agg, "graft_st5_sink", "append")
+      .orderBy("window_start", "event_type")
+  }
+
+  val streamWatermarkAggSql: String =
+    """WITH e AS (SELECT CAST(epoch_ns(ts)//1000 AS BIGINT) AS us, event_type
+      |           FROM events),
+      |m AS (SELECT max(us) AS mx FROM e),
+      |w AS (SELECT us - us % 3600000000 AS ws, event_type FROM e)
+      |SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |       event_type, CAST(count(*) AS BIGINT) AS n
+      |FROM w, m
+      |GROUP BY ws, event_type, mx
+      |HAVING ws + 3600000000 <= mx - 3600000000
+      |ORDER BY window_start, event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("st1_stream_agg", streamAgg, Some(streamAggSql)),
     QueryDef("st2_stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
     QueryDef("st3_stream_dedup", streamDedup, Some(streamDedupSql)),
-    QueryDef("st4_stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)))
+    QueryDef("st4_stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
+    QueryDef("st5_stream_watermark_agg", streamWatermarkAgg, Some(streamWatermarkAggSql)))
 }

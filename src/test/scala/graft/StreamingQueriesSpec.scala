@@ -58,6 +58,29 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("st5: append-mode watermark agg emits exactly the finalized windows") {
+    val streamed = StreamingQueries.streamWatermarkAgg(spark, sf).collect().toSeq
+    // relational replay of the eviction rule: tumbling 1h windows whose
+    // end precedes (max event time − 1h)
+    val us = expr("ts div 1000")
+    val e = Tables.t(spark, sf, "events").select(us.as("us"), col("event_type"))
+    val mx = e.agg(max("us")).head().getLong(0)
+    val batch = e
+      .withColumn("ws", col("us") - col("us") % 3600000000L)
+      .filter(col("ws") + 3600000000L <= mx - 3600000000L)
+      .groupBy("ws", "event_type").agg(count(lit(1)).as("n"))
+      .select(
+        date_format(timestamp_micros(col("ws")), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"))
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+    // the trailing (unfinalized) window really is withheld
+    val allWindows = e.select((col("us") - col("us") % 3600000000L).as("ws"))
+      .distinct().count()
+    assert(streamed.map(_.getString(0)).distinct.size < allWindows)
+  }
+
   test("st1 is idempotent per session (sink table replaced, not appended)") {
     val first = StreamingQueries.streamAgg(spark, sf).count()
     val second = StreamingQueries.streamAgg(spark, sf).count()
