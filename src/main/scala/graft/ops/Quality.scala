@@ -60,12 +60,16 @@ object Quality {
   def summary(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "at least one rule")
     val n = count(lit(1))
+    // rule names are user text: resolve the generated columns through
+    // backtick-quoted refs so a dot (or other column-path syntax) in a
+    // name can't be parsed as a nested-field reference
+    def fCol(r: Rule) = col(s"`__f_${r.name.replace("`", "``")}`")
     val agg = df.agg(
       n.as("n_rows"),
       rules.map(r => sum(when(r.passes, 0L).otherwise(1L)).as(s"__f_${r.name}")): _*)
     // one input row per rule: unpivot the single aggregate row
     val perRule = rules.map(r =>
-      struct(lit(r.name).as("rule"), col(s"__f_${r.name}").as("n_fail")))
+      struct(lit(r.name).as("rule"), fCol(r).as("n_fail")))
     agg.select(col("n_rows"), explode(array(perRule: _*)).as("r"))
       .select(
         col("r.rule").as("rule"),

@@ -191,7 +191,7 @@ object StreamingQueries {
   val streamWatermarkAggSql: String =
     """WITH e AS (SELECT CAST(epoch_ns(ts)//1000 AS BIGINT) AS us, event_type
       |           FROM events),
-      |m AS (SELECT max(us) AS mx FROM e),
+      |m AS (SELECT (max(us)//1000)*1000 AS mx FROM e),
       |w AS (SELECT us - us % 3600000000 AS ws, event_type FROM e)
       |SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
       |       event_type, CAST(count(*) AS BIGINT) AS n

@@ -207,6 +207,15 @@ object Versioned {
     */
   def dvsAt(spark: SparkSession, dir: String, v: Long): Map[String, Seq[Long]] = {
     val json = snapshotJson(spark, dir, v)
+    json.split("\"dvfile\":\"", 2) match {
+      case Array(_, rest) => // spilled DV sidecar (see commitAttempt)
+        val name = rest.split("\"", 2)(0)
+        parseDvs(readFully(spark, dir, new Path(logPath(dir), name)))
+      case _ => parseDvs(json)
+    }
+  }
+
+  private def parseDvs(json: String): Map[String, Seq[Long]] =
     json.split("\"dvs\":\\{", 2) match {
       case Array(_, rest) =>
         val body = rest.split("}", 2)(0).trim
@@ -220,7 +229,6 @@ object Versioned {
         }.toMap
       case _ => Map.empty // pre-DV log entry
     }
-  }
 
   /** A lost optimistic-commit race: another writer published the
     * version this committer computed. Retryable for commits whose file
@@ -232,12 +240,27 @@ object Versioned {
     * the head snapshot's file list and returns the new snapshot's;
     * `basedOn` (when set) pins the commit to a specific head version —
     * the conflict rule for commits that rewrite data they read.
+    *
+    * `schemaJsonFor` receives the SAME head version every other part of
+    * the attempt (file list, txn watermarks, DV carry) is computed
+    * from. Deriving the schema from a separate `currentVersion` read
+    * would open a race: a mergeSchema append landing between the two
+    * reads publishes new columns that this attempt's stale schema would
+    * then silently drop — here any commit landing after the single
+    * `prev` read collides on the version CAS and forces a full
+    * recompute-retry instead.
+    *
+    * Returns None iff the attempt's writer transaction is already at or
+    * past `txn`'s version at this head — the idempotence no-op,
+    * evaluated against the same snapshot the commit would publish over
+    * (no separate check-then-commit window).
     */
   private def commitAttempt(
-      spark: SparkSession, dir: String, op: String, schemaJson: String,
+      spark: SparkSession, dir: String, op: String,
+      schemaJsonFor: Option[Long] => String,
       txn: Option[(String, Long)], filesFor: Seq[String] => Seq[String],
       basedOn: Option[Long] = None,
-      dvsFor: Map[String, Seq[Long]] => Map[String, Seq[Long]] = identity): Long = {
+      dvsFor: Map[String, Seq[Long]] => Map[String, Seq[Long]] = identity): Option[Long] = {
     val f = fs(spark, dir)
     f.mkdirs(logPath(dir))
     val prev = currentVersion(spark, dir)
@@ -247,13 +270,16 @@ object Versioned {
           s"$op at $dir was planned against v$b but the table is now at " +
             s"v${prev.getOrElse(0L)} — concurrent commit; re-plan and retry")
     }
-    val v = prev.getOrElse(0L) + 1
-    val files = filesFor(prev.map(filesAt(spark, dir, _)).getOrElse(Seq.empty))
     // txn watermarks carry forward through EVERY commit (append,
     // overwrite, compact): replacing data does not reset exactly-once
     // bookkeeping, or a compaction between two micro-batches would
     // let a replayed batch double-apply
-    val txns = prev.map(txnsAt(spark, dir, _)).getOrElse(Map.empty) ++ txn
+    val prevTxns = prev.map(txnsAt(spark, dir, _)).getOrElse(Map.empty)
+    if (txn.exists { case (a, n) => prevTxns.get(a).exists(_ >= n) }) return None
+    val v = prev.getOrElse(0L) + 1
+    val files = filesFor(prev.map(filesAt(spark, dir, _)).getOrElse(Seq.empty))
+    val schemaJson = schemaJsonFor(prev)
+    val txns = prevTxns ++ txn
     val txnsJson =
       if (txns.isEmpty) ""
       else txns.toSeq.sorted
@@ -267,12 +293,33 @@ object Versioned {
     val fileSet = files.toSet
     val dvs = dvsFor(prev.map(dvsAt(spark, dir, _)).getOrElse(Map.empty))
       .filter { case (df, idxs) => fileSet.contains(df) && idxs.nonEmpty }
+    val dvsBody = dvs.toSeq.sortBy(_._1)
+      .map { case (df, idxs) =>
+        s""""$df":[${idxs.distinct.sorted.mkString(",")}]""" }
+      .mkString(",")
+    // small DV sets inline in the commit (visible exactly when the
+    // commit is, no sidecar race); past the threshold the payload
+    // spills to a uuid-named sidecar the commit REFERENCES — otherwise
+    // every subsequent commit re-serializes the full cumulative DV map
+    // and log size grows O(#commits × soft-deleted positions). The
+    // sidecar is written before publish, so a referenced DV file always
+    // exists; orphans from failed commits are swept by vacuum.
     val dvsJson =
       if (dvs.isEmpty) ""
-      else dvs.toSeq.sortBy(_._1)
-        .map { case (df, idxs) =>
-          s""""$df":[${idxs.distinct.sorted.mkString(",")}]""" }
-        .mkString(""","dvs":{""", ",", "}")
+      else if (dvs.valuesIterator.map(_.size).sum <= DvInlineMax)
+        s""","dvs":{$dvsBody}"""
+      else {
+        val name = s"dv-${UUID.randomUUID().toString}.json"
+        val dvTmp = new Path(logPath(dir), s".$name.tmp")
+        val o = f.create(dvTmp, true)
+        try o.write(s"""{"dvs":{$dvsBody}}""".getBytes(StandardCharsets.UTF_8))
+        finally o.close()
+        if (!f.rename(dvTmp, new Path(logPath(dir), name))) {
+          f.delete(dvTmp, false)
+          throw new IllegalStateException(s"DV sidecar publish failed for $name")
+        }
+        s""","dvfile":"$name""""
+      }
     val b64 = java.util.Base64.getEncoder
       .encodeToString(schemaJson.getBytes(StandardCharsets.UTF_8))
     val json =
@@ -284,8 +331,22 @@ object Versioned {
     val out = f.create(tmp, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
     publishOnce(f, tmp, versionFile(dir, v))
-    v
+    Some(v)
   }
+
+  /** Max deletion-vector positions inlined in a commit's JSON line;
+    * larger DV maps spill to a referenced sidecar file.
+    */
+  private[graft] val DvInlineMax = 1024
+
+  /** Default cap on rows a single merge-on-read DELETE/UPDATE may
+    * match. MoR materializes matched (file, position) pairs on the
+    * driver — the right trade for SPARSE row-level mutations, and this
+    * bound is what keeps "sparse" honest: a broad predicate fails
+    * loudly (use the copy-on-write path) instead of OOMing the driver
+    * and bloating every subsequent commit with megabytes of DV.
+    */
+  val MoRMatchCap = 1000000L
 
   /** Optimistic-retry commit for snapshot-independent file sets
     * (append: head files + new files; overwrite: new files alone).
@@ -297,20 +358,21 @@ object Versioned {
     * no-op (None) instead of double-applying.
     */
   private def commitRetry(
-      spark: SparkSession, dir: String, op: String, schemaJson: () => String,
+      spark: SparkSession, dir: String, op: String,
+      schemaJsonFor: Option[Long] => String,
       txn: Option[(String, Long)], filesFor: Seq[String] => Seq[String],
       maxAttempts: Int = 16,
       dvsFor: Map[String, Seq[Long]] => Map[String, Seq[Long]] = identity)
       : Option[Long] = {
     var attempt = 1
     while (true) {
-      if (txn.exists { case (a, n) =>
-            lastTxnVersion(spark, dir, a).exists(_ >= n) }) return None
-      // schema recomputed per attempt: a racing mergeSchema append may
-      // have widened the head meanwhile, and this commit must compose
-      // with it rather than clobber its columns
-      try return Some(
-        commitAttempt(spark, dir, op, schemaJson(), txn, filesFor, dvsFor = dvsFor))
+      // schema and idempotence guard are both evaluated INSIDE the
+      // attempt against the head it publishes over: a racing
+      // mergeSchema append (or a racing replay of the same txn) that
+      // lands after the attempt's head read collides on the version
+      // CAS and forces this recompute-retry
+      try return commitAttempt(
+        spark, dir, op, schemaJsonFor, txn, filesFor, dvsFor = dvsFor)
       catch {
         case e: CommitRace =>
           if (attempt >= maxAttempts) throw e
@@ -357,7 +419,12 @@ object Versioned {
         f.delete(tmp, false)
         throw race()
       }
-      if (!f.rename(tmp, dest)) throw race()
+      if (!f.rename(tmp, dest)) {
+        // clean up on BOTH failure paths — a crashed committer can
+        // still leave a tmp behind, which vacuum sweeps by age
+        f.delete(tmp, false)
+        throw race()
+      }
     }
   }
 
@@ -398,10 +465,13 @@ object Versioned {
     * clobbering the other's columns.
     */
   private def evolvedSchemaJson(
-      spark: SparkSession, dir: String,
+      spark: SparkSession, dir: String, head: Option[Long],
       df: DataFrame, mergeSchema: Boolean): String = {
     import org.apache.spark.sql.types.StructType
-    val headOpt = currentVersion(spark, dir).flatMap(schemaAt(spark, dir, _))
+    // `head` is the exact version the enclosing commit attempt is
+    // publishing over (passed in, never re-read): schema evolution and
+    // the file-list base always come from ONE snapshot
+    val headOpt = head.flatMap(schemaAt(spark, dir, _))
       .filter(_.nonEmpty)
     headOpt match {
       case None => df.schema.json // first commit (or pre-schema log) defines
@@ -438,7 +508,7 @@ object Versioned {
     val spark = df.sparkSession
     val fresh = writeDataFiles(df, dir)
     commitRetry(spark, dir, "append",
-      () => evolvedSchemaJson(spark, dir, df, mergeSchema),
+      head => evolvedSchemaJson(spark, dir, head, df, mergeSchema),
       None, prev => prev ++ fresh).get
   }
 
@@ -471,7 +541,7 @@ object Versioned {
     else {
       val fresh = writeDataFiles(df, dir)
       commitRetry(spark, dir, "append",
-        () => evolvedSchemaJson(spark, dir, df, mergeSchema = false),
+        head => evolvedSchemaJson(spark, dir, head, df, mergeSchema = false),
         Some(appId -> txnVersion), prev => prev ++ fresh)
     }
   }
@@ -482,7 +552,7 @@ object Versioned {
   def overwrite(df: DataFrame, dir: String): Long = {
     val files = writeDataFiles(df, dir)
     commitRetry(df.sparkSession, dir, "overwrite",
-      () => df.schema.json, None, _ => files).get
+      _ => df.schema.json, None, _ => files).get
   }
 
   /** Idempotent overwrite: `overwrite` guarded by the same writer-
@@ -496,7 +566,7 @@ object Versioned {
     if (lastTxnVersion(spark, dir, appId).exists(_ >= txnVersion)) None
     else {
       val files = writeDataFiles(df, dir)
-      commitRetry(spark, dir, "overwrite", () => df.schema.json,
+      commitRetry(spark, dir, "overwrite", _ => df.schema.json,
         Some(appId -> txnVersion), _ => files)
     }
   }
@@ -513,7 +583,66 @@ object Versioned {
       spark: SparkSession, dir: String, basedOn: Long, op: String,
       schemaJson: String, files: Seq[String],
       dvsFor: Map[String, Seq[Long]] => Map[String, Seq[Long]] = identity): Long =
-    commitAttempt(spark, dir, op, schemaJson, None, _ => files, Some(basedOn), dvsFor)
+    // schema precomputed by the caller against `basedOn`, which the
+    // attempt verifies is still the head — no staleness window
+    commitAttempt(
+      spark, dir, op, _ => schemaJson, None, _ => files, Some(basedOn), dvsFor).get
+
+  /** Publishes a row-level rewrite — `touched` files replaced by
+    * `fresh`, everything else carried — with Delta's WriteSerializable
+    * commute rule instead of [[commitPinned]]'s fail-on-any-commit:
+    * when a concurrent commit lands, the rewrite RE-BASES and retries
+    * iff its read set provably still holds at the new head —
+    *
+    *  - every touched file is still live (nobody else rewrote,
+    *    compacted, or overwrote what this rewrite read),
+    *  - the touched files' deletion vectors are unchanged (a
+    *    concurrent MoR delete of a touched row would be resurrected
+    *    by our rewrite output),
+    *  - the committed schema is unchanged (our output was produced
+    *    under the base schema; republishing it after an evolution
+    *    would narrow the table).
+    *
+    * Blind appends and rewrites of DISJOINT file sets therefore both
+    * land; overlapping rewrites and schema changes still fail loudly
+    * with [[CommitRace]]. Snapshot-isolation caveat, exactly Delta's:
+    * rows a concurrent append added are NOT re-examined by this
+    * rewrite's predicate (WriteSerializable, not Serializable).
+    */
+  private[graft] def commitRewriteCommuting(
+      spark: SparkSession, dir: String, basedOn: Long, op: String,
+      schemaJson: String, touched: Seq[String], fresh: Seq[String],
+      dvsFor: Map[String, Seq[Long]] => Map[String, Seq[Long]] = identity,
+      maxAttempts: Int = 16): Long = {
+    val touchedSet = touched.toSet
+    val baseDvs = dvsAt(spark, dir, basedOn)
+    var base = basedOn
+    var attempt = 1
+    while (true) {
+      val kept = filesAt(spark, dir, base).filterNot(touchedSet)
+      try return commitPinned(spark, dir, base, op, schemaJson, kept ++ fresh, dvsFor)
+      catch {
+        case e: CommitRace =>
+          if (attempt >= maxAttempts) throw e
+          val head = currentVersion(spark, dir).getOrElse(throw e)
+          val headFiles = filesAt(spark, dir, head).toSet
+          val headDvs = dvsAt(spark, dir, head)
+          val readSetHolds =
+            touched.forall(headFiles.contains) &&
+              touched.forall(f =>
+                headDvs.getOrElse(f, Seq.empty) == baseDvs.getOrElse(f, Seq.empty)) &&
+              schemaAt(spark, dir, head).map(_.json) ==
+                schemaAt(spark, dir, basedOn).map(_.json)
+          if (!readSetHolds)
+            throw new CommitRace(
+              s"$op at $dir read files a concurrent commit changed " +
+                s"(planned at v$basedOn, head now v$head) — re-plan and retry")
+          base = head
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Compaction commit (OPTIMIZE analog on the versioned layout): the
     * current snapshot rewritten as one coalesced file set. Rows are
@@ -637,8 +766,11 @@ object Versioned {
     val pruned = prunedFiles(spark, dir, v, zoneCol, lo, hi)
     val df =
       if (pruned.isEmpty) readAt(spark, dir, v).limit(0)
+      // bind the snapshot's COMMITTED schema like readAt does: after a
+      // mergeSchema evolution a pruned set of pre-widening files would
+      // otherwise surface whichever narrow footer schema gets sampled
       else applyDvs(spark,
-        spark.read.parquet(pruned.map(f => s"$dir/$f"): _*),
+        readRaw(spark, dir, schemaAt(spark, dir, v), pruned),
         dvsAt(spark, dir, v))
     df.filter(col(zoneCol) >= lo && col(zoneCol) <= hi)
   }
@@ -708,6 +840,87 @@ object Versioned {
     }
   }
 
+  /** MERGE INTO the versioned table — the Delta `DeltaTable.merge`
+    * analog running UNDER the transaction log (the reference's core
+    * mutation: `02_bronze_to_silver.py:67-87`, `03_gold_dimensions.py:64-81`):
+    * matched target rows take the source version when `updateWhen`
+    * holds (a predicate over [[graft.ops.Upsert.tcol]] /
+    * [[graft.ops.Upsert.scol]] refs; default: always), writing
+    * `setCols` (default: all non-key columns); unmatched source rows
+    * INSERT. The source must be key-unique, as for Delta MERGE.
+    *
+    * Copy-on-write on MATCHED FILES ONLY: touched-file discovery is
+    * one semi-join of the snapshot against the source's distinct key
+    * set (broadcast — a merge source is the small side by
+    * construction); files with no matching live row carry into the new
+    * snapshot verbatim, so at 100 TB the commit cost follows the
+    * matched-file footprint plus the insert set, not the table.
+    * DV-aware on both ends: soft-deleted rows neither match (their key
+    * re-inserts fresh) nor resurrect (the rewrite reads DV-subtracted
+    * rows; touched files' DVs retire with the files). Schema-ENFORCED:
+    * the source must present exactly the table's columns with
+    * unchanged types — merge never evolves schema (widen explicitly
+    * via `append(mergeSchema = true)` first). Zone maps carry, and the
+    * commit uses the commuting conflict rule
+    * ([[commitRewriteCommuting]]): concurrent blind appends and
+    * disjoint-file rewrites land; overlapping rewrites fail loudly.
+    */
+  def merge(
+      spark: SparkSession, dir: String, source: DataFrame, keys: Seq[String],
+      updateWhen: org.apache.spark.sql.Column =
+        org.apache.spark.sql.functions.lit(true),
+      setCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
+    require(keys.nonEmpty, "MERGE needs at least one key column")
+    val base = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
+    val logSchema = schemaAt(spark, dir, base).getOrElse(
+      throw new IllegalArgumentException(
+        s"MERGE requires a schema-bearing snapshot at $dir"))
+    val tTypes = logSchema.fields.map(f => f.name -> f.dataType.catalogString).toMap
+    val sTypes = source.schema.fields.map(f => f.name -> f.dataType.catalogString).toMap
+    require(tTypes == sTypes,
+      "MERGE source schema must match the table exactly — table " +
+        s"[${tTypes.toSeq.sortBy(_._1).mkString(", ")}] vs source " +
+        s"[${sTypes.toSeq.sortBy(_._1).mkString(", ")}]; widen the table " +
+        "first with append(mergeSchema = true) if evolution is intended")
+    require(keys.forall(tTypes.contains),
+      s"unknown key columns: ${keys.filterNot(tTypes.contains).mkString(", ")}")
+    val src = source.select(logSchema.fieldNames.toSeq.map(col): _*)
+    val all = filesAt(spark, dir, base)
+    val headDvs = dvsAt(spark, dir, base)
+    def readFiles(files: Seq[String]) =
+      applyDvs(spark, readRaw(spark, dir, Some(logSchema), files), headDvs)
+    val touched: Seq[String] =
+      if (all.isEmpty) Seq.empty
+      else {
+        // same touched-file discovery as rewriteMatching, with the
+        // predicate replaced by a broadcast semi-join on the keys;
+        // input_file_name() is evaluated scan-side (the broadcast
+        // joins never shuffle the probe side), so the collected set
+        // is exact and log-sized
+        val srcKeys = src.select(keys.map(col): _*).distinct()
+        val matchedFiles = readFiles(all)
+          .join(broadcast(srcKeys), keys, "left_semi")
+          .select(input_file_name().as("f")).distinct()
+          .collect().map(_.getString(0))
+        all.filter(rel => matchedFiles.exists(_.endsWith(rel)))
+      }
+    val target =
+      if (touched.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logSchema)
+      else readFiles(touched)
+    val merged = graft.ops.Upsert.merge(target, src, keys, updateWhen, setCols)
+      .select(logSchema.fieldNames.toSeq.map(col): _*)
+    val fresh = writeDataFiles(merged, dir)
+    val v = commitRewriteCommuting(
+      spark, dir, base, "merge", logSchema.json, touched, fresh)
+    carryZones(spark, dir, base, v,
+      filesAt(spark, dir, v).toSet -- fresh.toSet, fresh)
+    v
+  }
+
   /** Merge-on-read DELETE (the Delta deletion-vector analog): instead
     * of rewriting matched files ([[deleteWhere]]'s copy-on-write), the
     * commit publishes the SAME file set plus deletion vectors — per
@@ -726,7 +939,8 @@ object Versioned {
     */
   def deleteWhereMoR(
       spark: SparkSession, dir: String, cond: org.apache.spark.sql.Column,
-      zoneHint: Option[(String, Long, Long)] = None): Option[Long] = {
+      zoneHint: Option[(String, Long, Long)] = None,
+      maxMatched: Long = MoRMatchCap): Option[Long] = {
     import org.apache.spark.sql.functions.{broadcast, col, collect_list, input_file_name, substring_index}
     import spark.implicits._
     val base = currentVersion(spark, dir).getOrElse(
@@ -750,10 +964,19 @@ object Versioned {
           .flatMap { case (f, is) => is.map(i => (f, i)) }
           .toDF("__dv_rel", "__dv_idx")),
         Seq("__dv_rel", "__dv_idx"), "left_anti")
-    val matched = live.filter(cond)
+    val hit = live.filter(cond)
+    // count BEFORE collecting positions: the cap must trip without ever
+    // materializing an unbounded match set on the driver
+    val nMatched = hit.count()
+    if (nMatched == 0) return None
+    require(nMatched <= maxMatched,
+      s"merge-on-read DELETE at $dir matched $nMatched rows (cap $maxMatched): " +
+        "deletion vectors are for SPARSE deletes — use the copy-on-write path " +
+        "(deleteWhere), which rewrites matched files instead of accumulating " +
+        "per-row positions in the log")
+    val matched = hit
       .groupBy("__dv_rel").agg(collect_list("__dv_idx").as("idxs"))
       .as[(String, Seq[Long])].collect().toMap
-    if (matched.isEmpty) return None
     val v = commitPinned(spark, dir, base, "delete-mor",
       logSchema.map(_.json).getOrElse(
         new org.apache.spark.sql.types.StructType().json),
@@ -775,7 +998,8 @@ object Versioned {
   def updateWhereMoR(
       spark: SparkSession, dir: String, cond: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column],
-      zoneHint: Option[(String, Long, Long)] = None): Option[Long] = {
+      zoneHint: Option[(String, Long, Long)] = None,
+      maxMatched: Long = MoRMatchCap): Option[Long] = {
     import org.apache.spark.sql.functions.{broadcast, col, collect_list, input_file_name, substring_index}
     import spark.implicits._
     require(set.nonEmpty, "UPDATE needs at least one SET column")
@@ -801,10 +1025,16 @@ object Versioned {
           .toDF("__dv_rel", "__dv_idx")),
         Seq("__dv_rel", "__dv_idx"), "left_anti")
     val hit = live.filter(cond)
+    val nMatched = hit.count()
+    if (nMatched == 0) return None
+    require(nMatched <= maxMatched,
+      s"merge-on-read UPDATE at $dir matched $nMatched rows (cap $maxMatched): " +
+        "deletion vectors are for SPARSE updates — use the copy-on-write path " +
+        "(updateWhere), which rewrites matched files instead of accumulating " +
+        "per-row positions in the log")
     val matched = hit
       .groupBy("__dv_rel").agg(collect_list("__dv_idx").as("idxs"))
       .as[(String, Seq[Long])].collect().toMap
-    if (matched.isEmpty) return None
     val dataCols = hit.columns.filterNot(_.startsWith("__dv_")).toSeq
     val unknown = set.keySet -- dataCols
     require(unknown.isEmpty, s"SET references unknown columns: ${unknown.mkString(", ")}")
@@ -864,13 +1094,14 @@ object Versioned {
       .collect().map(_.getString(0))
     val touched = candidates.filter(rel => matched.exists(_.endsWith(rel)))
     if (touched.isEmpty) return None
-    val touchedSet = touched.toSet
-    val kept = all.filterNot(touchedSet)
     val touchedDf = readFiles(touched)
     val fresh = writeDataFiles(rewrite(touchedDf, cond), dir)
     val schemaJson = logSchema.map(_.json).getOrElse(touchedDf.schema.json)
-    val v = commitPinned(spark, dir, base, op, schemaJson, kept ++ fresh)
-    carryZones(spark, dir, base, v, kept.toSet, fresh)
+    val v = commitRewriteCommuting(spark, dir, base, op, schemaJson, touched, fresh)
+    // kept set read back from the PUBLISHED snapshot: a commute-retry
+    // may have re-based onto concurrently appended files
+    carryZones(spark, dir, base, v,
+      filesAt(spark, dir, v).toSet -- fresh.toSet, fresh)
     Some(v)
   }
 
@@ -934,17 +1165,42 @@ object Versioned {
         b.exceptAll(a).withColumn("_change_type", lit("delete")))
   }
 
+  /** The DV sidecar file a snapshot references, if its DVs spilled. */
+  private def dvFileAt(spark: SparkSession, dir: String, v: Long): Option[String] =
+    snapshotJson(spark, dir, v).split("\"dvfile\":\"", 2) match {
+      case Array(_, rest) => Some(rest.split("\"", 2)(0))
+      case _ => None
+    }
+
   /** Delete data files referenced ONLY by versions older than the
     * newest `keepVersions`, and their log entries — plus any data
     * directory no retained snapshot references at all (failed-commit
-    * debris). Time travel contracts to the retained window.
+    * debris), orphaned DV sidecars, and commit temp files older than
+    * `tmpRetentionMs` (a tmp younger than that may belong to an
+    * in-flight committer). Time travel contracts to the retained
+    * window.
     */
-  def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 1): Unit = {
+  def vacuum(
+      spark: SparkSession, dir: String, keepVersions: Int = 1,
+      tmpRetentionMs: Long = 3600000L): Unit = {
     require(keepVersions >= 1, "must retain at least the current version")
     val f = fs(spark, dir)
     val all = versions(spark, dir)
     val (drop, keep) = all.splitAt(math.max(0, all.size - keepVersions))
     val live = keep.flatMap(filesAt(spark, dir, _)).toSet
+    val liveDvFiles = keep.flatMap(dvFileAt(spark, dir, _)).toSet
+    val cutoff = System.currentTimeMillis() - tmpRetentionMs
+    f.listStatus(logPath(dir)).toSeq.foreach { st =>
+      val n = st.getPath.getName
+      val staleTmp = n.startsWith(".") && n.endsWith(".tmp") &&
+        st.getModificationTime < cutoff
+      // age-guarded like tmps: a committer publishes its DV sidecar
+      // BEFORE its commit, so a young unreferenced sidecar may belong
+      // to an in-flight commit, not a failed one
+      val orphanDv = n.startsWith("dv-") && n.endsWith(".json") &&
+        !liveDvFiles.contains(n) && st.getModificationTime < cutoff
+      if (staleTmp || orphanDv) f.delete(st.getPath, false)
+    }
     // sweep whole data dirs with no live files; else per-file
     val liveDirs = live.map(_.split("/", 2)(0))
     f.listStatus(new Path(dir)).toSeq

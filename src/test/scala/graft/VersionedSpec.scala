@@ -548,4 +548,210 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, dir).filter(col("id") === 1L)
       .select("score").as[Double].head() == 1.25)
   }
+
+  test("MERGE updates matched rows, inserts new ones, rewrites matched files only") {
+    val dir = tmpDir("vt_merge")
+    Versioned.append(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "s", "n"), dir) // v1
+    Versioned.append(Seq((3L, "c", 30L)).toDF("id", "s", "n"), dir)                 // v2
+    val firstAppend = Versioned.filesAt(spark, dir, 1L)
+    // source touches only v2's file (key 3) and inserts key 4
+    val src = Seq((3L, "C", 33L), (4L, "d", 40L)).toDF("id", "s", "n")
+    val v = Versioned.merge(spark, dir, src, Seq("id"))
+    assert(v == 3L)
+    assert(Versioned.read(spark, dir).as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "a", 10L), (2L, "b", 20L), (3L, "C", 33L), (4L, "d", 40L)))
+    // matched-files-only: the unmatched first append carries verbatim
+    val after = Versioned.filesAt(spark, dir, v)
+    assert(firstAppend.forall(after.contains),
+      "files without matching keys must not be rewritten by MERGE")
+    assert(!Versioned.filesAt(spark, dir, 2L).forall(after.contains),
+      "the matched file must be replaced")
+    // time travel still sees the pre-merge state
+    assert(Versioned.readAt(spark, dir, 2L).as[(Long, String, Long)].collect().toSet
+      .contains((3L, "c", 30L)))
+  }
+
+  test("MERGE honors updateWhen and setCols; schema-mismatched source is refused") {
+    val dir = tmpDir("vt_merge_lww")
+    Versioned.append(
+      Seq((1L, "old", 5L), (2L, "old", 9L)).toDF("id", "s", "ver"), dir)
+    // LWW: source wins only where its ver is strictly newer; only s is set
+    val src = Seq((1L, "new", 7L), (2L, "new", 3L)).toDF("id", "s", "ver")
+    Versioned.merge(spark, dir, src, Seq("id"),
+      updateWhen = graft.ops.Upsert.scol("ver") > graft.ops.Upsert.tcol("ver"),
+      setCols = Seq("s"))
+    assert(Versioned.read(spark, dir).as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "new", 5L), (2L, "old", 9L)),
+      "updateWhen=false rows must keep target values; setCols limits writes")
+    // merge never evolves schema
+    val ex = intercept[IllegalArgumentException] {
+      Versioned.merge(spark, dir,
+        Seq((9L, "x")).toDF("id", "s"), Seq("id"))
+    }
+    assert(ex.getMessage.contains("mergeSchema"))
+  }
+
+  test("MERGE after a MoR delete: soft-deleted keys re-insert fresh, never resurrect") {
+    val dir = tmpDir("vt_merge_dv")
+    Versioned.append(
+      Seq((1L, "keep", 1L), (2L, "soft", 2L)).toDF("id", "s", "n"), dir) // v1, one file
+    assert(Versioned.deleteWhereMoR(spark, dir, col("s") === "soft").contains(2L))
+    val beforeFiles = Versioned.filesAt(spark, dir, 2L)
+    // source re-presents the soft-deleted key 2 and adds key 3; neither
+    // matches a LIVE row in the file, so the file is NOT touched and
+    // both source rows INSERT
+    val src = Seq((2L, "reborn", 22L), (3L, "new", 33L)).toDF("id", "s", "n")
+    val v = Versioned.merge(spark, dir, src, Seq("id"))
+    assert(Versioned.read(spark, dir).as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "keep", 1L), (2L, "reborn", 22L), (3L, "new", 33L)),
+      "the soft-deleted (2, soft) row must not resurrect")
+    assert(beforeFiles.forall(Versioned.filesAt(spark, dir, v).contains),
+      "a file whose only matching rows are soft-deleted must not be rewritten")
+    // the carried DV still suppresses the old row in the kept file
+    assert(Versioned.dvsAt(spark, dir, v).values.map(_.size).sum == 1)
+  }
+
+  test("commuting rewrites: a blind append between plan and commit re-bases and lands") {
+    val dir = tmpDir("vt_commute")
+    Versioned.append(Seq((1L, "a"), (2L, "a")).toDF("id", "s"), dir)  // v1, files A
+    Versioned.append(Seq((3L, "b"), (4L, "b")).toDF("id", "s"), dir)  // v2, files B
+    val base = 2L
+    val filesB = Versioned.filesAt(spark, dir, 2L)
+      .filterNot(Versioned.filesAt(spark, dir, 1L).toSet)
+    val schema = Versioned.read(spark, dir).schema.json
+    // concurrent blind append lands AFTER the rewrite planned at v2
+    Versioned.append(Seq((5L, "c")).toDF("id", "s"), dir)             // v3
+    // rewrite planned at v2 removes files B entirely (fresh = none):
+    // must re-base onto v3 and publish A + C
+    val v = Versioned.commitRewriteCommuting(
+      spark, dir, base, "delete", schema, touched = filesB, fresh = Seq.empty)
+    assert(v == 4L)
+    assert(Versioned.read(spark, dir).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 5L), "the re-based rewrite must keep the concurrent append's rows")
+  }
+
+  test("commuting rewrites: overlapping rewrite, DV change, or schema change conflict") {
+    val dir = tmpDir("vt_commute_conflict")
+    Versioned.append(Seq((1L, "a"), (2L, "a")).toDF("id", "s"), dir)  // v1, files A
+    Versioned.append(Seq((3L, "b"), (4L, "b")).toDF("id", "s"), dir)  // v2, files B
+    val filesB = Versioned.filesAt(spark, dir, 2L)
+      .filterNot(Versioned.filesAt(spark, dir, 1L).toSet)
+    val schema = Versioned.read(spark, dir).schema.json
+    // conflict 1: a concurrent rewrite REPLACED a touched file (compact
+    // rewrites everything)
+    Versioned.compact(spark, dir)                                      // v3
+    intercept[Versioned.CommitRace] {
+      Versioned.commitRewriteCommuting(
+        spark, dir, 2L, "delete", schema, touched = filesB, fresh = Seq.empty)
+    }
+    // conflict 2: a concurrent MoR delete changed a touched file's DVs
+    val dir2 = tmpDir("vt_commute_dv")
+    Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir2)  // v1, one file
+    val files1 = Versioned.filesAt(spark, dir2, 1L)
+    val schema2 = Versioned.read(spark, dir2).schema.json
+    Versioned.deleteWhereMoR(spark, dir2, col("id") === 2L)            // v2: DV on file
+    intercept[Versioned.CommitRace] {
+      Versioned.commitRewriteCommuting(
+        spark, dir2, 1L, "delete", schema2, touched = files1, fresh = Seq.empty)
+    }
+    // conflict 3: a concurrent mergeSchema append widened the schema
+    val dir3 = tmpDir("vt_commute_schema")
+    Versioned.append(Seq((1L, "a")).toDF("id", "s"), dir3)             // v1, files A
+    Versioned.append(Seq((2L, "b")).toDF("id", "s"), dir3)             // v2, files B
+    val files3 = Versioned.filesAt(spark, dir3, 2L)
+      .filterNot(Versioned.filesAt(spark, dir3, 1L).toSet)
+    val schema3 = Versioned.read(spark, dir3).schema.json
+    Versioned.append(Seq((3L, "c", 1.0)).toDF("id", "s", "score"), dir3,
+      mergeSchema = true)                                              // v3 widens
+    intercept[Versioned.CommitRace] {
+      Versioned.commitRewriteCommuting(
+        spark, dir3, 2L, "delete", schema3, touched = files3, fresh = Seq.empty)
+    }
+  }
+
+  test("two concurrent disjoint-file deletes both land (threaded commute matrix)") {
+    val dir = tmpDir("vt_commute_threads")
+    Versioned.append((1L to 10L).map(i => (i, "a")).toDF("id", "s"), dir)   // files A
+    Versioned.append((11L to 20L).map(i => (i, "b")).toDF("id", "s"), dir)  // files B
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(new java.util.concurrent.Callable[Option[Long]] {
+        def call() = Versioned.deleteWhere(spark, dir, col("id") === 1L)
+      })
+      val fb = pool.submit(new java.util.concurrent.Callable[Option[Long]] {
+        def call() = Versioned.deleteWhere(spark, dir, col("id") === 11L)
+      })
+      assert(fa.get(300, java.util.concurrent.TimeUnit.SECONDS).nonEmpty)
+      assert(fb.get(300, java.util.concurrent.TimeUnit.SECONDS).nonEmpty)
+    } finally pool.shutdown()
+    assert(Versioned.read(spark, dir).select("id").as[Long].collect().sorted.toSeq ==
+      ((2L to 10L) ++ (12L to 20L)),
+      "both disjoint-file deletes must apply — whichever committed second " +
+        "must have re-based, not dropped the other or failed")
+  }
+
+  test("MoR delete/update refuse broad matches with copy-on-write guidance") {
+    val dir = tmpDir("vt_dv_cap")
+    Versioned.append((1L to 10L).map(i => (i, "x")).toDF("id", "s"), dir)
+    val ex = intercept[IllegalArgumentException] {
+      Versioned.deleteWhereMoR(spark, dir, col("id") <= 5L, maxMatched = 3L)
+    }
+    assert(ex.getMessage.contains("copy-on-write") && ex.getMessage.contains("cap"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Versioned.updateWhereMoR(spark, dir, col("id") <= 5L,
+        Map("s" -> lit("y")), maxMatched = 3L)
+    }
+    assert(ex2.getMessage.contains("copy-on-write"))
+    // nothing was committed by the refused mutations
+    assert(Versioned.versions(spark, dir) == Seq(1L))
+    assert(Versioned.read(spark, dir).count() == 10)
+  }
+
+  test("oversized DV sets spill to a sidecar; commit JSON stays bounded across commits") {
+    val dir = tmpDir("vt_dv_spill")
+    val n = Versioned.DvInlineMax + 476 // 1500 rows, DV of 1100 > inline max
+    Versioned.append((1L to n.toLong).map(i => (i, "x")).toDF("id", "s"), dir)
+    assert(Versioned.deleteWhereMoR(spark, dir, col("id") <= 1100L).contains(2L))
+    // every live row survives, every deleted row is gone
+    assert(Versioned.read(spark, dir).count() == n - 1100L)
+    assert(Versioned.dvsAt(spark, dir, 2L).values.map(_.size).sum == 1100)
+    // subsequent commits carry the big DV map WITHOUT re-inlining it
+    Versioned.append(Seq((9001L, "y")).toDF("id", "s"), dir)
+    Versioned.append(Seq((9002L, "z")).toDF("id", "s"), dir)
+    val log = new java.io.File(s"$dir/_graft_log")
+    log.listFiles().filter(_.getName.matches("v\\d{8}\\.json")).foreach { f =>
+      assert(f.length() < 4096,
+        s"${f.getName} is ${f.length()} bytes — DV payload must spill to a " +
+          "sidecar, not inline in every commit")
+    }
+    // the spilled DVs still apply at the head
+    assert(Versioned.read(spark, dir).count() == n - 1100L + 2)
+    assert(Versioned.dvsAt(spark, dir, 4L).values.map(_.size).sum == 1100)
+    // compact purges them; the purged commit goes back to inline-free
+    val cv = Versioned.compact(spark, dir)
+    assert(Versioned.dvsAt(spark, dir, cv).isEmpty)
+    assert(Versioned.readAt(spark, dir, cv).count() == n - 1100L + 2)
+  }
+
+  test("vacuum sweeps stale commit tmps and orphaned DV sidecars, keeps referenced ones") {
+    val dir = tmpDir("vt_vac_tmp")
+    val n = Versioned.DvInlineMax + 476
+    Versioned.append((1L to n.toLong).map(i => (i, "x")).toDF("id", "s"), dir)
+    Versioned.deleteWhereMoR(spark, dir, col("id") <= 1100L) // v2 spills a DV sidecar
+    val log = new java.io.File(s"$dir/_graft_log")
+    val referenced = log.listFiles().map(_.getName)
+      .filter(nm => nm.startsWith("dv-") && nm.endsWith(".json")).toSet
+    assert(referenced.size == 1, s"expected one spilled sidecar, got $referenced")
+    // debris: a crashed committer's tmp and an unreferenced sidecar
+    java.nio.file.Files.write(
+      new java.io.File(log, ".v9-deadbeef.tmp").toPath, "junk".getBytes)
+    java.nio.file.Files.write(
+      new java.io.File(log, "dv-orphan.json").toPath, """{"dvs":{}}""".getBytes)
+    Versioned.vacuum(spark, dir, keepVersions = 2, tmpRetentionMs = -1000L)
+    val left = log.listFiles().map(_.getName).toSet
+    assert(!left.contains(".v9-deadbeef.tmp"), s"stale tmp not swept: $left")
+    assert(!left.contains("dv-orphan.json"), s"orphan sidecar not swept: $left")
+    assert(referenced.subsetOf(left), "the referenced DV sidecar must survive")
+    assert(Versioned.read(spark, dir).count() == n - 1100L)
+  }
 }
