@@ -164,6 +164,53 @@ object Similarity {
     cents
   }
 
+  /** Cluster-blocked near-duplicate pairs — the actual SemDeDup
+    * formulation (Abbas et al. 2023, arXiv:2303.09540 §3: cluster the
+    * corpus, then dedup WITHIN clusters): assign every vector to its
+    * nearest codebook centroid (trained k-means when `trainIters > 0`,
+    * else the `nlist` lowest-id seeds), self-join on the centroid id,
+    * and exactly verify cosine ≥ `threshold` on those candidates only.
+    * Candidate compute drops from the all-pairs O(n²) dot products to
+    * Σ|cluster|² ≈ n²/nlist with a balanced codebook, and the join is
+    * a hash EQUI-join on `c_id` — the corpus shuffles once, partitioned
+    * by cluster, which is the 100 TB shape (`bruteForcePairs` stays the
+    * exact-twin oracle form). Pairs straddling two clusters are not
+    * candidates: that is the algorithm's documented recall trade, not a
+    * defect — raise `nlist` training quality or fall back to
+    * `HyperplaneLsh.cosinePairs` when cross-cluster near-dups matter.
+    */
+  def clusterBlockedPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nlist: Int,
+      trainIters: Int = 0): DataFrame = {
+    val p = prepared(emb, idCol, vecCol)
+    val centroids =
+      if (trainIters > 0) kmeansCodebook(p, nlist, trainIters)
+      else p.orderBy(col("id")).limit(nlist)
+        .select(col("id").as("c_id"), col("v").as("c_v"), col("nrm").as("c_n"))
+    // same argmax assignment as ivfTopK: map-side-combinable max_by,
+    // (cos desc, c_id asc) tiebreak, no window shuffle
+    val assigned = p.join(broadcast(centroids), expr("true"))
+      .withColumn("c_cos", Vectors.dot(col("v"), col("c_v")) / (col("nrm") * col("c_n")))
+      .groupBy(col("id"))
+      .agg(
+        first(col("v")).as("v"),
+        first(col("nrm")).as("nrm"),
+        max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("c_id"))
+    val a = assigned.select(
+      col("c_id"), col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = assigned.select(
+      col("c_id"), col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+    a.join(b, Seq("c_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Vectors.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** IVF(-flat) approximate top-k: deterministic codebook — the `nlist`
     * lowest-id vectors, refined by `trainIters` rounds of deterministic
     * k-means when `trainIters > 0` — inverted lists built by

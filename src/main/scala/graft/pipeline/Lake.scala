@@ -54,6 +54,42 @@ object Lake {
     ingested
   }
 
+  /** Versioned-silver mode: the same incremental bronze→silver refresh
+    * as [[refreshSilver]], but every entity's silver table is a
+    * LOG-BACKED versioned table (graft.table.Versioned) and each
+    * micro-batch lands as an ACID MERGE commit — so the medallion
+    * pipeline itself time-travels (`Versioned.readAt`) and serves CDF
+    * (`Versioned.changes`), which the reference gets for free from
+    * Delta at every silver write (`02_bronze_to_silver.py:56-62`).
+    * Aggregated-grain entities recleanse from full bronze and commit as
+    * `overwrite` versions (same correctness rule as refreshSilver);
+    * everything else tails bronze with a checkpoint and MERGEs each
+    * batch through the log with LWW on `ingestion_ts`. Returns the
+    * entity names processed; read the result via
+    * `Versioned.read(spark, roots.versionedSilverDir(name))`.
+    */
+  def refreshSilverVersioned(
+      spark: SparkSession, ingestRoot: String, roots: LakeRoots): Seq[String] = {
+    val ingested = Ingest.ingestAll(spark, ingestRoot, roots)
+    ingested.foreach { name =>
+      val e = Entities.byName(name).get
+      val dir = roots.versionedSilverDir(name)
+      if (e.aggregatedGrain) {
+        graft.table.Versioned.overwrite(
+          e.cleanse(Table.read(spark, roots.bronzeRef(name))), dir)
+      } else {
+        val stream = spark.readStream
+          .schema(e.bronzeStoredSchema).parquet(roots.bronzeRef(name).dir)
+        Ingest.runAvailableNow(stream, s"${roots.checkpoints}/${name}_vsilver") {
+          (batch, _) =>
+            if (!batch.isEmpty)
+              Silver.upsertIntoVersioned(spark, dir, e.cleanse(batch), e.silverKeys)
+        }
+      }
+    }
+    ingested
+  }
+
   /** Silver read for gold builds/views — drops the bucket partition
     * column of the bucketed layout (also reads pre-bucketing flat
     * tables unchanged: drop of an absent column is a no-op).

@@ -25,6 +25,10 @@ final case class LakeRoots(
     silverBuckets: Int = 8) {
   def bronzeRef(t: String): TableRef = TableRef(s"$bronze/$t")
   def silverRef(t: String): TableRef = TableRef(s"$silver/$t")
+  /** Log-backed (time-traveling) silver table root — the optional
+    * versioned-silver mode of `Lake.refreshSilverVersioned`.
+    */
+  def versionedSilverDir(t: String): String = s"$silver/${t}_v"
   def goldRef(t: String): TableRef = TableRef(s"$gold/$t")
   def silverBucketedRef(e: Entity): graft.table.BucketedRef =
     graft.table.BucketedRef(s"$silver/${e.name}", silverBuckets, e.silverKeys)
@@ -227,6 +231,22 @@ object Silver {
     } else {
       graft.table.Bucketed.upsertLww(spark, ref, batch, "ingestion_ts")
     }
+
+  /** Versioned-silver upsert: the same LWW merge, committed THROUGH
+    * the transaction log (graft.table.Versioned.merge) — every refresh
+    * is an ACID version, so silver itself time-travels and serves CDF,
+    * which is what the reference gets from Delta at every silver write
+    * (`02_bronze_to_silver.py:56-62`). Matched-file pruning replaces
+    * the bucketed path's bucket pruning: per batch only files holding
+    * matched keys rewrite.
+    */
+  def upsertIntoVersioned(
+      spark: SparkSession, dir: String, batch: DataFrame, keys: Seq[String]): Unit =
+    if (graft.table.Versioned.currentVersion(spark, dir).isEmpty)
+      graft.table.Versioned.append(batch, dir)
+    else
+      graft.table.Versioned.merge(spark, dir, batch, keys,
+        updateWhen = Upsert.scol("ingestion_ts") > Upsert.tcol("ingestion_ts"))
 }
 
 /** Gold layer — dimensions (03), facts (04-06), metric marts (07-09). */

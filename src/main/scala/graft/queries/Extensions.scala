@@ -722,7 +722,14 @@ object Extensions {
       .orderBy("q_id", "rank")
   }
 
-  val annIvfTrainedSql: String = {
+  /** Shared oracle CTE text: the deterministic fixed-point k-means
+    * trainer (`IvfTrainIters` unrolled rounds — the SQL twin of
+    * Similarity.kmeansCodebook) up through `assign`, the per-vector
+    * argmax centroid assignment. Factored so the trained-IVF and the
+    * cluster-blocked-SemDeDup oracles replay the SAME trainer text — a
+    * parameter change cannot silently diverge the two.
+    */
+  private def trainedAssignCtes: String = {
     val scale = graft.operators.Similarity.KmeansScale
     val rounds = (1 to IvfTrainIters).map { i =>
       val prev = s"c${i - 1}"
@@ -742,7 +749,7 @@ object Extensions {
          |    FROM $prev p LEFT JOIN t$i t USING (c_id)))""".stripMargin
     }.mkString(",\n")
     val cT = s"c$IvfTrainIters"
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |n AS (SELECT vec_id, e, sqrt(${sqlDot("e", "e")}) AS nrm,
        |        list_transform(e, x -> CAST(round(x * $scale.0) AS BIGINT)) AS qv
        |      FROM v),
@@ -754,7 +761,12 @@ object Extensions {
        |           row_number() OVER (PARTITION BY n.vec_id
        |             ORDER BY ${sqlDot("n.e", "c.c_e")} / (n.nrm * c.c_n) DESC,
        |                      c.c_id ASC) AS cr
-       |    FROM n, $cT c) WHERE cr = 1),
+       |    FROM n, $cT c) WHERE cr = 1)""".stripMargin
+  }
+
+  val annIvfTrainedSql: String = {
+    val cT = s"c$IvfTrainIters"
+    s"""WITH $trainedAssignCtes,
        |qprobe AS (SELECT vec_id AS q_id, c_id FROM (
        |    SELECT n.vec_id, c.c_id,
        |           row_number() OVER (PARTITION BY n.vec_id
@@ -772,6 +784,43 @@ object Extensions {
        |WHERE rank <= 5
        |ORDER BY q_id, rank""".stripMargin
   }
+
+  /** Cluster-blocked SemDeDup — the SCALE form of x_semdedup (Abbas
+    * et al. 2023's actual formulation: k-means first, dedup within
+    * clusters). Candidate generation routes through the trained
+    * codebook (Similarity.clusterBlockedPairs), so the compute is
+    * Σ|cluster|² instead of x_semdedup's exact all-pairs n² — at
+    * 100 TB that is the difference between a per-cluster job and a job
+    * that never finishes. Fully deterministic (fixed-point trainer,
+    * argmax tiebreaks), so the oracle replays the SAME algorithm via
+    * the shared `trainedAssignCtes` trainer text and the whole path —
+    * training, assignment, within-cluster pairs, survivor set — is
+    * hash-checked; x_semdedup stays as the exact twin measuring the
+    * recall trade.
+    */
+  def semDedupIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val dropped = Similarity.clusterBlockedPairs(emb, "vec_id", "embedding",
+        EmbedThreshold, nlist = 32, trainIters = IvfTrainIters)
+      .select(col("id_b").as("vec_id")).distinct()
+    emb.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+      .orderBy("vec_id")
+  }
+
+  val semDedupIvfSql: String =
+    s"""WITH $trainedAssignCtes,
+       |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |        ${sqlDot("x.e", "y.e")} / (x.nrm * y.nrm) AS cos
+       |      FROM assign a JOIN assign b
+       |        ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+       |      JOIN n x ON x.vec_id = a.vec_id
+       |      JOIN n y ON y.vec_id = b.vec_id),
+       |dropped AS (SELECT DISTINCT id_b FROM pairs WHERE cos >= $EmbedThreshold)
+       |SELECT e.vec_id, CAST(e.label AS BIGINT) AS label
+       |FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.id_b
+       |WHERE d.id_b IS NULL
+       |ORDER BY e.vec_id""".stripMargin
 
   /** recall@k of every approximate tier against the exact answer, AS A
     * CHECKED QUERY — the accuracy/speed trade is auditable per round
@@ -1204,6 +1253,7 @@ object Extensions {
     QueryDef("x_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     QueryDef("x_embed_pairs", embedPairs, Some(embedPairsSql)),
     QueryDef("x_semdedup", semDedup, Some(semDedupSql)),
+    QueryDef("x_semdedup_ivf", semDedupIvf, Some(semDedupIvfSql)),
     QueryDef("x_embed_lsh", embedLsh, Some(embedLshSql)),
     QueryDef("x_ann_topk", annTopK, Some(annTopKSql)),
     QueryDef("x_ann_ivf", annIvf, Some(annIvfSql)),

@@ -200,10 +200,66 @@ object StreamingQueries {
       |HAVING ws + 3600000000 <= mx - 3600000000
       |ORDER BY window_start, event_type""".stripMargin
 
+  // ST6 — WATERMARKED left-outer interval stream–stream join: the
+  // state-EVICTION half of stream joins that st4's unwatermarked inner
+  // form never exercises (graft.streaming.StreamJoins.intervalJoin is
+  // the operator shape). Each purchase left-joins the same stream's
+  // views within [0, 30 min] after it, both sides watermarked 1 h.
+  // Determinism under AvailableNow mirrors st5: the single-file source
+  // yields ONE data batch (watermark still 0 → every in-interval pair
+  // matches, none is late), then the no-data finalization batch
+  // advances the watermark to max(event time, ms floor) − 1 h and
+  // EVICTS left state — unmatched purchases whose match window
+  // [b_ts, b_ts + 30 min] is fully below the final watermark emit
+  // exactly one null-padded row; unmatched purchases above it are
+  // withheld in state forever. The oracle replays that rule
+  // relationally: batch interval join for the matched set, NOT EXISTS
+  // + the watermark bound for the null set.
+  def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(s, dir)
+      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_ts", "1 hour")
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("buy_id"), col("ts_ts").as("b_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts_ts").as("v_ts"))
+    val joined = buys.join(views,
+        col("user_id") === col("v_user") &&
+          col("v_ts") >= col("b_ts") &&
+          col("v_ts") <= col("b_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select("user_id", "buy_id", "view_id")
+    drainToTable(s, joined, "graft_st6_sink", "append")
+      .orderBy("user_id", "buy_id", "view_id")
+  }
+
+  val streamIntervalJoinSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |                  CAST(epoch_ns(ts)//1000 AS BIGINT) AS us FROM events),
+      |m AS (SELECT (max(us)//1000)*1000 - 3600000000 AS wm FROM e),
+      |b AS (SELECT user_id, event_id AS buy_id, us AS b_us FROM e
+      |      WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id AS v_user, event_id AS view_id, us AS v_us FROM e
+      |      WHERE event_type = 'view'),
+      |matched AS (SELECT b.user_id, b.buy_id, v.view_id
+      |            FROM b JOIN v ON b.user_id = v.v_user
+      |              AND v.v_us >= b.b_us AND v.v_us <= b.b_us + 1800000000),
+      |unmatched AS (SELECT b.user_id, b.buy_id, CAST(NULL AS BIGINT) AS view_id
+      |              FROM b, m
+      |              WHERE NOT EXISTS (SELECT 1 FROM v
+      |                  WHERE v.v_user = b.user_id
+      |                    AND v.v_us >= b.b_us AND v.v_us <= b.b_us + 1800000000)
+      |                AND b.b_us + 1800000000 < m.wm)
+      |SELECT user_id, buy_id, view_id FROM matched
+      |UNION ALL SELECT user_id, buy_id, view_id FROM unmatched
+      |ORDER BY user_id, buy_id, view_id NULLS FIRST""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("st1_stream_agg", streamAgg, Some(streamAggSql)),
     QueryDef("st2_stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
     QueryDef("st3_stream_dedup", streamDedup, Some(streamDedupSql)),
     QueryDef("st4_stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
-    QueryDef("st5_stream_watermark_agg", streamWatermarkAgg, Some(streamWatermarkAggSql)))
+    QueryDef("st5_stream_watermark_agg", streamWatermarkAgg, Some(streamWatermarkAggSql)),
+    QueryDef("st6_stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinSql)))
 }

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.{Dedup, Upsert}
+import graft.table.Versioned
+
+/** Declared queries that run the VERSIONED TABLE layer itself under the
+  * DuckDB oracle gate — the log-backed engine (append → MoR delete →
+  * MERGE → snapshot read) executed for real against a throwaway table,
+  * with the final snapshot hash-matched against a one-shot relational
+  * replay of the same mutations. This is the lakehouse counterpart of
+  * the `st*` streaming queries: not a batch twin of the semantics, but
+  * the actual transactional machinery (commit log, deletion vectors,
+  * matched-file rewrite) producing the checked rows.
+  *
+  * Reference analog: every silver upsert runs Delta MERGE under the
+  * transaction log (`02_bronze_to_silver.py:67-87` and 12 more sites);
+  * m5 is that exact shape — LWW MERGE into a multi-file ACID table that
+  * has live deletion vectors.
+  */
+object VersionedQueries {
+  import Tables.t
+
+  private val tsUs = expr("ts div 1000")
+  private val OracleTsUs = "CAST(epoch_ns(ts) // 1000 AS BIGINT)"
+
+  // M5 — MERGE INTO a versioned table. Data derivation mirrors m2
+  // (older-half latest-per-user profile upserted with the newer half,
+  // LWW on event time), but the target LIVES in the transaction log:
+  //  - two appends split by user parity → multiple immutable file sets,
+  //    so the merge's matched-file pruning is exercised for real;
+  //  - a sparse MoR DELETE (user_id % 10 == 0) leaves live deletion
+  //    vectors, so the merge must neither match nor resurrect
+  //    soft-deleted rows — their keys re-enter as fresh inserts;
+  //  - Versioned.merge commits through the log (schema enforced, DVs
+  //    carried, commuting conflict rule) and the head snapshot is read
+  //    back through the same log.
+  def versionedMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("ts_us", tsUs)
+      .select("user_id", "event_id", "event_type", "value", "ts_us")
+    val evB = ev.crossJoin(broadcast(ev.agg(expr("count(1) div 2").as("__split"))))
+    def latest(df: DataFrame) =
+      Dedup.latestByKey(df, Seq("user_id"), Seq(col("ts_us").desc, col("event_id").desc))
+    val target = latest(evB.filter(col("event_id") < col("__split")).drop("__split"))
+    val source = latest(evB.filter(col("event_id") >= col("__split")).drop("__split"))
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_m5").toString
+    Versioned.append(target.filter(col("user_id") % 2 === 0), tableDir)
+    Versioned.append(target.filter(col("user_id") % 2 === 1), tableDir)
+    Versioned.deleteWhereMoR(s, tableDir, col("user_id") % 10 === 0)
+    Versioned.merge(s, tableDir, source, Seq("user_id"),
+      updateWhen = Upsert.scol("ts_us") > Upsert.tcol("ts_us"))
+    Versioned.read(s, tableDir)
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  // The oracle replays the mutations relationally: the MoR delete is a
+  // filter on the target (soft-deleted rows are invisible to the merge
+  // and stay deleted), and the LWW merge is the same union +
+  // row_number replay as m2's oracle — deleted-then-re-presented users
+  // resolve to the source row, exactly what insert-after-soft-delete
+  // must produce.
+  val versionedMergeSql: String =
+    s"""WITH n AS (SELECT count(*) AS c FROM events),
+       |ev AS (SELECT user_id, event_id, event_type, value,
+       |              $OracleTsUs AS ts_us FROM events),
+       |tgt0 AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+       |          ORDER BY ts_us DESC, event_id DESC) rn
+       |        FROM ev WHERE event_id < (SELECT c//2 FROM n)) WHERE rn = 1),
+       |tgt AS (SELECT * FROM tgt0 WHERE user_id % 10 <> 0),
+       |src AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+       |          ORDER BY ts_us DESC, event_id DESC) rn
+       |        FROM ev WHERE event_id >= (SELECT c//2 FROM n)) WHERE rn = 1),
+       |u AS (SELECT user_id, event_id, event_type, value, ts_us, 1 AS pri FROM tgt
+       |      UNION ALL
+       |      SELECT user_id, event_id, event_type, value, ts_us, 0 AS pri FROM src)
+       |SELECT user_id, event_id, event_type, value FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id
+       |    ORDER BY ts_us DESC, pri DESC) AS rn FROM u) WHERE rn = 1
+       |ORDER BY user_id""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("m5_versioned_merge", versionedMerge, Some(versionedMergeSql)))
+}

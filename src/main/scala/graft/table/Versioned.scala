@@ -895,16 +895,33 @@ object Versioned {
       if (all.isEmpty) Seq.empty
       else {
         // same touched-file discovery as rewriteMatching, with the
-        // predicate replaced by a broadcast semi-join on the keys;
-        // input_file_name() is evaluated scan-side (the broadcast
-        // joins never shuffle the probe side), so the collected set
-        // is exact and log-sized
+        // predicate replaced by a broadcast semi-join on the keys.
+        // File identity comes from `_metadata.file_path` — bound to
+        // THIS scan's relation — not input_file_name(), which Spark
+        // refuses in a plan with a second file source (the key set
+        // also scans parquet). The broadcast joins never shuffle the
+        // probe side, so the collected set is exact and log-sized.
+        import org.apache.spark.sql.functions.substring_index
         val srcKeys = src.select(keys.map(col): _*).distinct()
-        val matchedFiles = readFiles(all)
+        val scan = readRaw(spark, dir, Some(logSchema), all)
+          .withColumn("__dv_rel",
+            substring_index(col("_metadata.file_path"), "/", -2))
+          .withColumn("__dv_idx", col("_metadata.row_index"))
+        val live =
+          if (headDvs.isEmpty) scan
+          else {
+            import spark.implicits._
+            scan.join(
+              broadcast(headDvs.toSeq
+                .flatMap { case (f, is) => is.map(i => (f, i)) }
+                .toDF("__dv_rel", "__dv_idx")),
+              Seq("__dv_rel", "__dv_idx"), "left_anti")
+          }
+        val matchedFiles = live
           .join(broadcast(srcKeys), keys, "left_semi")
-          .select(input_file_name().as("f")).distinct()
-          .collect().map(_.getString(0))
-        all.filter(rel => matchedFiles.exists(_.endsWith(rel)))
+          .select("__dv_rel").distinct()
+          .collect().map(_.getString(0)).toSet
+        all.filter(matchedFiles)
       }
     val target =
       if (touched.isEmpty)

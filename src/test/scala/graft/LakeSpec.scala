@@ -150,6 +150,45 @@ class LakeSpec extends SparkSpec {
     assert(cust.count() == 2)
   }
 
+  test("versioned silver: refreshes land as ACID versions and CDF equals the new drop") {
+    val root = tmpDir("lakever")
+    OlistFixtures.write(root)
+    val roots = LakeRoots(
+      s"$root/bronze", s"$root/silver", s"$root/gold", s"$root/checkpoints")
+    Lake.refreshSilverVersioned(spark, s"$root/ingest", roots)
+
+    val custDir = roots.versionedSilverDir("customers")
+    val v1 = graft.table.Versioned.currentVersion(spark, custDir).get
+    assert(graft.table.Versioned.read(spark, custDir).count() == 2)
+
+    // a second drop with ONE new customer
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/ingest/customers/c_third.csv"),
+      "customer_id,customer_unique_id,customer_zip_code_prefix,customer_city,customer_state\n" +
+        "c9,u9,50000,curitiba,pr")
+    Lake.refreshSilverVersioned(spark, s"$root/ingest", roots)
+    val v2 = graft.table.Versioned.currentVersion(spark, custDir).get
+    assert(v2 > v1, "the second refresh must land as a new version")
+
+    // head serves all three; the pre-drop state still time-travels
+    assert(graft.table.Versioned.read(spark, custDir).count() == 3)
+    assert(graft.table.Versioned.readAt(spark, custDir, v1).count() == 2)
+
+    // CDF between the two refreshes is exactly the second drop's
+    // cleansed rows — the Delta change-feed contract over silver
+    val ch = graft.table.Versioned.changes(spark, custDir, v1, v2)
+      .select("customer_id", "customer_city", "_change_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(ch == Seq(("c9", "CURITIBA", "insert")),
+      s"CDF must be the new drop's cleansed rows alone, got $ch")
+
+    // aggregated-grain entities commit a full-recleanse version per
+    // refresh (same correctness rule as the bucketed path)
+    val geoDir = roots.versionedSilverDir("geolocation")
+    assert(graft.table.Versioned.versions(spark, geoDir).size == 2)
+    assert(graft.table.Versioned.read(spark, geoDir).count() > 0)
+  }
+
   test("reconcileManifest repairs a lost manifest without duplicating bronze") {
     val root = tmpDir("lakerepair")
     val src = s"$root/src"

@@ -27,7 +27,8 @@ class PlanAuditSpec extends SparkSpec {
     */
   private val boundedBroadcastByDesign = Set(
     "x_ann_topk", "x_ann_ivf", "x_ann_ivf_trained", "x_ann_recall",
-    "x_ann_quantized", "m1_insert_only", "m2_upsert_lww")
+    "x_ann_quantized", "x_semdedup_ivf", "m1_insert_only", "m2_upsert_lww",
+    "m5_versioned_merge")
 
   test("no unbounded nested-loop or cartesian join in any declared query") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
@@ -116,6 +117,42 @@ class PlanAuditSpec extends SparkSpec {
     // base table's own running sum — never the document data
     val single = "Exchange SinglePartition".r.findAllIn(p).size
     assert(single <= 1, s"data-sized single-partition exchange in x_pack:\n$p")
+  }
+
+  test("cluster-blocked semdedup candidates are a small fraction of exact all-pairs") {
+    val emb = graft.queries.Tables.t(spark, sf, "embeddings")
+    val n = emb.count()
+    // threshold −1 admits every candidate the cluster blocking
+    // generates, so this counts candidate-generation COMPUTE (the
+    // x_semdedup weakness being fixed), not the verifier's output
+    val candidates = graft.operators.Similarity
+      .clusterBlockedPairs(emb, "vec_id", "embedding", threshold = -1.0, nlist = 32)
+      .count()
+    val exact = n * (n - 1) / 2
+    assert(candidates * 4 <= exact,
+      s"cluster blocking generated $candidates of $exact exact pairs — " +
+        "the scale path must cut candidate compute, not relabel it")
+  }
+
+  test("x_chunk row width stays bounded when documents grow 100×") {
+    import spark.implicits._
+    // a synthetic documents table whose doc is ~100× the chunk size:
+    // output rows must stay chunk-sized (the slice bounds them), never
+    // document-sized — the generated-row-width contract at scale
+    val d = tmpDir("chunk_long")
+    val n = 3200
+    val longDoc = (1 to n).map(i => s"tok$i").mkString(" ")
+    Seq((1L, longDoc), (2L, "short doc")).toDF("doc_id", "text")
+      .write.parquet(s"$d/documents.parquet")
+    val rows = graft.queries.Extensions.chunk(spark, d).collect()
+    val expected = ((n - 32) + 23) / 24 + 1
+    assert(rows.count(_.getLong(0) == 1L) == expected,
+      s"ceil-stride chunk count: got ${rows.count(_.getLong(0) == 1L)}, want $expected")
+    assert(rows.forall(_.getAs[Long]("chunk_tok") <= 32L),
+      "a chunk exceeded ChunkSize tokens")
+    val maxLen = rows.map(_.getAs[String]("chunk_text").length).max
+    assert(maxLen <= 32 * 8,
+      s"chunk_text width $maxLen grew with the document, not the chunk size")
   }
 
   test("every declared query plans successfully at sf0.001") {
