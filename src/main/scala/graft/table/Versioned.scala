@@ -173,6 +173,51 @@ object Versioned {
       .select(cols.map(col): _*)
   }
 
+  /** The operation that produced snapshot `v` (append, overwrite,
+    * merge, delete, delete-mor, update, update-mor, restore).
+    */
+  def opAt(spark: SparkSession, dir: String, v: Long): String =
+    snapshotJson(spark, dir, v).split("\"op\":\"", 2) match {
+      case Array(_, rest) => rest.split("\"", 2)(0)
+      case _ => "unknown"
+    }
+
+  /** Wall-clock commit time of snapshot `v` (epoch millis). Pre-ts log
+    * entries fall back to the log file's modification time.
+    */
+  def commitTimestampAt(spark: SparkSession, dir: String, v: Long): Long =
+    snapshotJson(spark, dir, v).split("\"ts\":", 2) match {
+      case Array(_, rest) => rest.takeWhile(_.isDigit).toLong
+      case _ => fs(spark, dir).getFileStatus(versionFile(dir, v)).getModificationTime
+    }
+
+  /** Commit history, oldest first — the DESCRIBE HISTORY analog: one
+    * row per retained version with its operation, wall-clock commit
+    * time, and referenced-file count. Log-sized (no data files opened).
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    versions(spark, dir).map { v =>
+      (v, opAt(spark, dir, v), commitTimestampAt(spark, dir, v),
+        filesAt(spark, dir, v).size.toLong)
+    }.toDF("version", "op", "commit_ts", "n_files")
+  }
+
+  /** Time travel by wall clock (Delta `TIMESTAMP AS OF`): reads the
+    * newest snapshot committed at or before `tsMillis`. Fails loudly
+    * when every retained version is newer (the requested instant
+    * precedes the table, or vacuum dropped it).
+    */
+  def readAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed versions at $dir")
+    val v = vs.filter(commitTimestampAt(spark, dir, _) <= tsMillis).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no version committed at or before $tsMillis at $dir — the oldest " +
+          s"retained commit is ${commitTimestampAt(spark, dir, vs.head)}"))
+    readAt(spark, dir, v)
+  }
+
   /** Writer-transaction watermarks carried by snapshot `v`: the highest
     * transaction version each named application has committed. The
     * Delta `txnAppId`/`txnVersion` analog that makes streaming sinks
@@ -322,8 +367,11 @@ object Versioned {
       }
     val b64 = java.util.Base64.getEncoder
       .encodeToString(schemaJson.getBytes(StandardCharsets.UTF_8))
+    // wall-clock commit timestamp: serves history() and readAsOf()
+    // (Delta's DESCRIBE HISTORY / TIMESTAMP AS OF). Stored explicitly
+    // rather than relying on file mtime, which copies/restores clobber.
     val json =
-      s"""{"version":$v,"op":"$op","schema":"$b64"$txnsJson$dvsJson,"files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
+      s"""{"version":$v,"op":"$op","ts":${System.currentTimeMillis()},"schema":"$b64"$txnsJson$dvsJson,"files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
     // per-attempt unique temp name: racing committers must never share
     // a temp file, or a loser's cleanup could delete the winner's
     // in-flight content
@@ -524,13 +572,14 @@ object Versioned {
     * Structured Streaming's batchId provides).
     *
     * Writers with DIFFERENT appIds may commit concurrently — the
-    * optimistic retry serializes them. Per `appId` the contract is
-    * still single-writer: two concurrent replays of the SAME batch can
-    * both pass the watermark check before either commits (the
-    * re-check inside each retry attempt narrows but cannot close that
-    * window). Structured Streaming never runs two instances of one
-    * query against one checkpoint, which is the deployment this
-    * guards.
+    * optimistic retry serializes them. Concurrent replays of the SAME
+    * (appId, txnVersion) are also safe: the watermark guard is
+    * evaluated INSIDE each commit attempt against the very head
+    * snapshot the version CAS then verifies, so of two racers at the
+    * same head exactly one publishes (CAS) and the loser's retry
+    * re-reads the new head, sees the watermark, and returns None —
+    * at-most-once without any check-then-commit window. (The early
+    * check below is only a fast path that skips writing data files.)
     */
   def appendIdempotent(
       df: DataFrame, dir: String, appId: String, txnVersion: Long): Option[Long] = {

@@ -733,6 +733,61 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.readAt(spark, dir, cv).count() == n - 1100L + 2)
   }
 
+  test("history lists every retained commit; readAsOf time-travels by wall clock") {
+    val dir = tmpDir("vt_history")
+    Versioned.append(Seq((1L, "a")).toDF("id", "s"), dir)
+    Thread.sleep(25) // ms-granularity commit timestamps must separate
+    val between = System.currentTimeMillis()
+    Thread.sleep(25)
+    Versioned.overwrite(Seq((2L, "b")).toDF("id", "s"), dir)
+    Versioned.deleteWhere(spark, dir, col("id") === 2L)
+
+    val h = Versioned.history(spark, dir)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(h.map(r => (r._1, r._2)) ==
+      Seq((1L, "append"), (2L, "overwrite"), (3L, "delete")))
+    assert(h.map(_._3).sorted == h.map(_._3), "commit_ts must be nondecreasing")
+
+    // TIMESTAMP AS OF: an instant between v1 and v2 resolves to v1
+    assert(Versioned.readAsOf(spark, dir, between)
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    assert(Versioned.readAsOf(spark, dir, System.currentTimeMillis()).isEmpty,
+      "asof now must see the delete-emptied head")
+    val ex = intercept[IllegalArgumentException] {
+      Versioned.readAsOf(spark, dir, 1L) // 1970: before the table existed
+    }
+    assert(ex.getMessage.contains("no version committed"))
+  }
+
+  test("concurrent replays of the same (appId, txnVersion) commit at most once") {
+    val dir = tmpDir("vt_txn_race")
+    Versioned.append(Seq((0L, "seed")).toDF("id", "s"), dir)
+    val n = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val futures = (1 to n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Option[Long]] {
+          def call(): Option[Long] = {
+            gate.await()
+            Versioned.appendIdempotent(
+              Seq((9L, s"replay$i")).toDF("id", "s"), dir, "app", txnVersion = 7L)
+          }
+        })
+      }
+      gate.countDown() // release all replayers at once
+      val results = futures.map(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+      assert(results.count(_.nonEmpty) == 1,
+        s"exactly one replay of (app, 7) may commit, got $results")
+    } finally pool.shutdown()
+    // the batch landed once: no duplicate rows, watermark recorded
+    assert(Versioned.read(spark, dir).filter(col("id") === 9L).count() == 1)
+    assert(Versioned.lastTxnVersion(spark, dir, "app").contains(7L))
+    // a later replay after the fact is a cheap no-op
+    assert(Versioned.appendIdempotent(
+      Seq((9L, "late")).toDF("id", "s"), dir, "app", 7L).isEmpty)
+  }
+
   test("vacuum sweeps stale commit tmps and orphaned DV sidecars, keeps referenced ones") {
     val dir = tmpDir("vt_vac_tmp")
     val n = Versioned.DvInlineMax + 476
