@@ -44,14 +44,25 @@ object StreamingQueries {
     s.catalog.dropTempView(name) // stale sink table from a prior run in this session
     val ckpt = java.nio.file.Files
       .createTempDirectory(s"graft-$name-ckpt").toString
-    val q = out.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Stateful operators create one state-store instance PER shuffle
+    // partition, and each instance writes checkpoint files every
+    // micro-batch — at the verification data scale the per-partition
+    // state overhead dominates, so the drain runs with a smaller
+    // partition count (fixed at first checkpoint creation; results are
+    // partition-count-independent by the determinism contract). The
+    // session value is restored for the batch queries afterwards.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = out.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.table(name)
   }
 

@@ -707,6 +707,42 @@ object Versioned {
     commitPinned(spark, dir, v, "overwrite", df.schema.json, writeDataFiles(df, dir))
   }
 
+  /** Incremental compaction (the shape of Delta's actual `OPTIMIZE`):
+    * bin-packs only files SMALLER than `smallBytes` into `targetFiles`
+    * coalesced outputs and leaves already-compact files untouched — at
+    * 100 TB an OPTIMIZE that rewrites the whole table per run
+    * ([[compact]]) is itself the bottleneck; the steady-state cost must
+    * follow the small-file debris (streaming commits, sparse MoR
+    * update copies), not table size. File sizes come from one metadata
+    * stat per log-listed file — no data opens. Touched files' deletion
+    * vectors are materialized into the rewrite and retire with them
+    * (kept files keep theirs); zone sidecars carry; commits under the
+    * commuting rule, so concurrent appends land. Returns None when
+    * fewer than two small files exist (nothing to bin).
+    */
+  def compactSmall(
+      spark: SparkSession, dir: String,
+      smallBytes: Long = 32L << 20, targetFiles: Int = 1): Option[Long] = {
+    require(targetFiles >= 1, "targetFiles must be at least 1")
+    val base = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
+    val all = filesAt(spark, dir, base)
+    val f = fs(spark, dir)
+    val small = all.filter(rel =>
+      f.getFileStatus(new Path(dir, rel)).getLen < smallBytes)
+    if (small.size <= 1) return None
+    val logSchema = schemaAt(spark, dir, base)
+    val binned = applyDvs(
+      spark, readRaw(spark, dir, logSchema, small), dvsAt(spark, dir, base))
+      .coalesce(targetFiles)
+    val fresh = writeDataFiles(binned, dir)
+    val v = commitRewriteCommuting(spark, dir, base, "compact-small",
+      logSchema.map(_.json).getOrElse(binned.schema.json), small, fresh)
+    carryZones(spark, dir, base, v,
+      filesAt(spark, dir, v).toSet -- fresh.toSet, fresh)
+    Some(v)
+  }
+
   /** Z-order clustered compaction (Delta `OPTIMIZE ZORDER BY` analog):
     * rewrites the current snapshot range-partitioned and sorted along
     * the Morton curve of two long columns, then publishes zone maps

@@ -733,6 +733,36 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.readAt(spark, dir, cv).count() == n - 1100L + 2)
   }
 
+  test("compactSmall bins only small files, materializes their DVs, keeps big files") {
+    val dir = tmpDir("vt_compact_small")
+    // one "big" file set and a trail of small single-row appends
+    Versioned.append(
+      (1L to 1000L).map(i => (i, s"row$i")).toDF("id", "s").coalesce(1), dir)
+    (1 to 4).foreach(i =>
+      Versioned.append(Seq((10000L + i, s"tail$i")).toDF("id", "s").coalesce(1), dir))
+    val bigFiles = Versioned.filesAt(spark, dir, 1L)
+    // soft-delete one row living in a SMALL file: the bin-pack must
+    // materialize the DV, not resurrect the row
+    Versioned.deleteWhereMoR(spark, dir, col("id") === 10001L)
+    val before = Versioned.read(spark, dir).count()
+
+    // threshold sits between the tail files and the 1000-row file
+    val smallBytes = new java.io.File(s"$dir/${bigFiles.head}").length()
+    val v = Versioned.compactSmall(spark, dir, smallBytes = smallBytes)
+    assert(v.nonEmpty)
+    val after = Versioned.filesAt(spark, dir, v.get)
+    assert(bigFiles.forall(after.contains), "already-compact files must not rewrite")
+    assert(after.size == bigFiles.size + 1,
+      s"4 small files must bin into 1, got ${after.size - bigFiles.size}")
+    assert(Versioned.read(spark, dir).count() == before)
+    assert(Versioned.read(spark, dir).filter(col("id") === 10001L).isEmpty,
+      "the soft-deleted row must stay deleted through the bin-pack")
+    assert(Versioned.dvsAt(spark, dir, v.get).isEmpty,
+      "small-file DVs must be materialized and purged by the rewrite")
+    // an already-binned table is a no-op
+    assert(Versioned.compactSmall(spark, dir, smallBytes = smallBytes).isEmpty)
+  }
+
   test("history lists every retained commit; readAsOf time-travels by wall clock") {
     val dir = tmpDir("vt_history")
     Versioned.append(Seq((1L, "a")).toDF("id", "s"), dir)
