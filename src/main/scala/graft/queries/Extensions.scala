@@ -129,6 +129,50 @@ object Extensions {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhonePat = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** PII redaction — the scrub pass a training-data pipeline runs
+    * before release: normalize emails and phone numbers to typed
+    * placeholder tokens and count what was removed (the audit number a
+    * compliance review wants). The synthetic corpus carries no PII, so
+    * the query deterministically PLANTS one email and one phone per
+    * document (derived from doc_id, identically in both engines) ahead
+    * of a text prefix — the redactor is verified against non-trivial
+    * input, not vacuously green. Both patterns avoid lookaround, so
+    * Java regex (Spark) and RE2 (DuckDB) match identically. One
+    * projection, shuffle-free below the declared sort — a map-only
+    * pass at any scale.
+    */
+  def redact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(
+          lit("contact user"), col("doc_id").cast("string"),
+          lit("@example.com or call 415-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" re: "), substring(col("text"), 1, 80)).as("txt"))
+      .select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("txt"), lit(EmailPat), lit("<EMAIL>")),
+          lit(PhonePat), lit("<PHONE>")).as("redacted"),
+        regexp_count(col("txt"), lit(EmailPat)).cast("long").as("n_email"),
+        regexp_count(col("txt"), lit(PhonePat)).cast("long").as("n_phone"))
+      .orderBy("doc_id")
+
+  val redactSql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |    'contact user' || CAST(doc_id AS VARCHAR) || '@example.com or call 415-555-' ||
+       |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' re: ' || substr(text, 1, 80) AS txt
+       |  FROM documents)
+       |SELECT doc_id,
+       |  regexp_replace(regexp_replace(txt, '$EmailPat', '<EMAIL>', 'g'),
+       |    '$PhonePat', '<PHONE>', 'g') AS redacted,
+       |  CAST(len(regexp_extract_all(txt, '$EmailPat')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(txt, '$PhonePat')) AS BIGINT) AS n_phone
+       |FROM d ORDER BY doc_id""".stripMargin
+
   // TF-IDF top term, rare-token profile, repetition — corpus statistics
   // with log-free scoring (integer counts + one IEEE division) so both
   // engines compute bit-identical values (graft.operators.TextStats).
@@ -1241,6 +1285,7 @@ object Extensions {
     QueryDef("x_token_counts", tokenCounts, Some(tokenCountsSql)),
     QueryDef("x_quality_score", quality, Some(qualitySql)),
     QueryDef("x_lang_id", langId, Some(langIdSql)),
+    QueryDef("x_redact", redact, Some(redactSql)),
     QueryDef("x_tfidf_topterm", tfidfTopTerm, Some(tfidfTopTermSql)),
     QueryDef("x_rare_tokens", rareTokens, Some(rareTokensSql)),
     QueryDef("x_repetition", repetition, Some(repetitionSql)),

@@ -658,11 +658,18 @@ object Versioned {
     * rows a concurrent append added are NOT re-examined by this
     * rewrite's predicate (WriteSerializable, not Serializable).
     */
+  /** See class note; `commuteCheck(head)` lets the caller veto a
+    * re-base with operation-specific read-set logic — MERGE uses it to
+    * scan concurrently-ADDED files for its source keys, because its
+    * insert clause read "key absent", which a blind append can
+    * invalidate even though no touched file changed.
+    */
   private[graft] def commitRewriteCommuting(
       spark: SparkSession, dir: String, basedOn: Long, op: String,
       schemaJson: String, touched: Seq[String], fresh: Seq[String],
       dvsFor: Map[String, Seq[Long]] => Map[String, Seq[Long]] = identity,
-      maxAttempts: Int = 16): Long = {
+      maxAttempts: Int = 16,
+      commuteCheck: Long => Boolean = _ => true): Long = {
     val touchedSet = touched.toSet
     val baseDvs = dvsAt(spark, dir, basedOn)
     var base = basedOn
@@ -681,7 +688,8 @@ object Versioned {
               touched.forall(f =>
                 headDvs.getOrElse(f, Seq.empty) == baseDvs.getOrElse(f, Seq.empty)) &&
               schemaAt(spark, dir, head).map(_.json) ==
-                schemaAt(spark, dir, basedOn).map(_.json)
+                schemaAt(spark, dir, basedOn).map(_.json) &&
+              commuteCheck(head)
           if (!readSetHolds)
             throw new CommitRace(
               s"$op at $dir read files a concurrent commit changed " +
@@ -955,7 +963,27 @@ object Versioned {
       updateWhen: org.apache.spark.sql.Column =
         org.apache.spark.sql.functions.lit(true),
       setCols: Seq[String] = Nil): Long = {
-    import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
+    // MERGE is a pure function of (head snapshot, source), so a genuine
+    // read-set conflict re-PLANS the whole merge from the new head
+    // instead of surfacing CommitRace — a key concurrently inserted
+    // becomes a matched update on the re-plan, never a duplicate
+    var attempt = 1
+    while (true) {
+      try return mergeOnce(spark, dir, source, keys, updateWhen, setCols)
+      catch {
+        case e: CommitRace =>
+          if (attempt >= 4) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def mergeOnce(
+      spark: SparkSession, dir: String, source: DataFrame, keys: Seq[String],
+      updateWhen: org.apache.spark.sql.Column,
+      setCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
     require(keys.nonEmpty, "MERGE needs at least one key column")
     val base = currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $dir"))
@@ -974,40 +1002,40 @@ object Versioned {
     val src = source.select(logSchema.fieldNames.toSeq.map(col): _*)
     val all = filesAt(spark, dir, base)
     val headDvs = dvsAt(spark, dir, base)
+    val srcKeys = src.select(keys.map(col): _*).distinct()
     def readFiles(files: Seq[String]) =
       applyDvs(spark, readRaw(spark, dir, Some(logSchema), files), headDvs)
+    // Files of `files` holding at least one LIVE row whose key appears
+    // in the source — the touched-file discovery, reused by the commute
+    // check on concurrently-added files. File identity comes from
+    // `_metadata.file_path` — bound to THIS scan's relation — not
+    // input_file_name(), which Spark refuses in a plan with a second
+    // file source (the key set also scans parquet). The broadcast
+    // joins never shuffle the probe side, so the collected set is
+    // exact and log-sized.
+    def filesWithMatches(files: Seq[String], dvs: Map[String, Seq[Long]]): Set[String] = {
+      import org.apache.spark.sql.functions.substring_index
+      val scan = readRaw(spark, dir, Some(logSchema), files)
+        .withColumn("__dv_rel",
+          substring_index(col("_metadata.file_path"), "/", -2))
+        .withColumn("__dv_idx", col("_metadata.row_index"))
+      val live =
+        if (dvs.isEmpty) scan
+        else {
+          import spark.implicits._
+          scan.join(
+            broadcast(dvs.toSeq
+              .flatMap { case (f, is) => is.map(i => (f, i)) }
+              .toDF("__dv_rel", "__dv_idx")),
+            Seq("__dv_rel", "__dv_idx"), "left_anti")
+        }
+      live.join(broadcast(srcKeys), keys, "left_semi")
+        .select("__dv_rel").distinct()
+        .collect().map(_.getString(0)).toSet
+    }
     val touched: Seq[String] =
       if (all.isEmpty) Seq.empty
-      else {
-        // same touched-file discovery as rewriteMatching, with the
-        // predicate replaced by a broadcast semi-join on the keys.
-        // File identity comes from `_metadata.file_path` — bound to
-        // THIS scan's relation — not input_file_name(), which Spark
-        // refuses in a plan with a second file source (the key set
-        // also scans parquet). The broadcast joins never shuffle the
-        // probe side, so the collected set is exact and log-sized.
-        import org.apache.spark.sql.functions.substring_index
-        val srcKeys = src.select(keys.map(col): _*).distinct()
-        val scan = readRaw(spark, dir, Some(logSchema), all)
-          .withColumn("__dv_rel",
-            substring_index(col("_metadata.file_path"), "/", -2))
-          .withColumn("__dv_idx", col("_metadata.row_index"))
-        val live =
-          if (headDvs.isEmpty) scan
-          else {
-            import spark.implicits._
-            scan.join(
-              broadcast(headDvs.toSeq
-                .flatMap { case (f, is) => is.map(i => (f, i)) }
-                .toDF("__dv_rel", "__dv_idx")),
-              Seq("__dv_rel", "__dv_idx"), "left_anti")
-          }
-        val matchedFiles = live
-          .join(broadcast(srcKeys), keys, "left_semi")
-          .select("__dv_rel").distinct()
-          .collect().map(_.getString(0)).toSet
-        all.filter(matchedFiles)
-      }
+      else all.filter(filesWithMatches(all, headDvs))
     val target =
       if (touched.isEmpty)
         spark.createDataFrame(
@@ -1016,8 +1044,21 @@ object Versioned {
     val merged = graft.ops.Upsert.merge(target, src, keys, updateWhen, setCols)
       .select(logSchema.fieldNames.toSeq.map(col): _*)
     val fresh = writeDataFiles(merged, dir)
+    // MERGE's insert clause read "key ABSENT from the table" — a
+    // concurrently-appended file can invalidate that without touching
+    // any file this merge read, so the commute additionally requires
+    // the added files to hold no live source key (otherwise the merge
+    // would duplicate it; the CommitRace routes back to the re-plan
+    // loop, where the key resolves as a matched update). This is
+    // Delta's ConcurrentAppendException for MERGE, relaxed to the
+    // no-overlap case.
+    val addedDisjoint = (head: Long) => {
+      val added = filesAt(spark, dir, head).filterNot(all.toSet)
+      added.isEmpty || filesWithMatches(added, dvsAt(spark, dir, head)).isEmpty
+    }
     val v = commitRewriteCommuting(
-      spark, dir, base, "merge", logSchema.json, touched, fresh)
+      spark, dir, base, "merge", logSchema.json, touched, fresh,
+      commuteCheck = addedDisjoint)
     carryZones(spark, dir, base, v,
       filesAt(spark, dir, v).toSet -- fresh.toSet, fresh)
     v

@@ -155,6 +155,13 @@ class PlanAuditSpec extends SparkSpec {
       s"chunk_text width $maxLen grew with the document, not the chunk size")
   }
 
+  test("x_redact is a map-only pass (no shuffle below the declared sort)") {
+    val p = plan("x_redact")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 0,
+      s"redaction must not shuffle (only the final sort repartitions):\n$p")
+  }
+
   test("every declared query plans successfully at sf0.001") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name) // throws on analysis failure

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.ops.Upsert
 import graft.table.Versioned
 
 /** Versioned-table contracts: time travel across appends and
@@ -667,6 +668,71 @@ class VersionedSpec extends SparkSpec {
       Versioned.commitRewriteCommuting(
         spark, dir3, 2L, "delete", schema3, touched = files3, fresh = Seq.empty)
     }
+    // conflict 4: the caller's operation-specific commuteCheck vetoes —
+    // the hook MERGE uses to detect concurrently-appended source keys
+    val dir4 = tmpDir("vt_commute_veto")
+    Versioned.append(Seq((1L, "a")).toDF("id", "s"), dir4)             // v1
+    val schema4 = Versioned.read(spark, dir4).schema.json
+    Versioned.append(Seq((2L, "b")).toDF("id", "s"), dir4)             // v2 concurrent
+    intercept[Versioned.CommitRace] {
+      Versioned.commitRewriteCommuting(spark, dir4, 1L, "merge", schema4,
+        touched = Seq.empty, fresh = Seq.empty, commuteCheck = _ => false)
+    }
+  }
+
+  test("versioned MERGE equals the relational merge on randomized data") {
+    // the log path adds file pruning, DV handling, and commit machinery
+    // on top of Upsert.merge — this pins that none of it changes the
+    // ANSWER: merging through the log equals merging the snapshots
+    // relationally, across random overlap patterns and file splits
+    val rnd = new scala.util.Random(20260813)
+    (1 to 3).foreach { round =>
+      val dir = tmpDir(s"vt_merge_prop$round")
+      val target = (0 to 30).filter(_ => rnd.nextBoolean())
+        .map(k => (k.toLong, s"t$k", rnd.nextInt(100).toLong))
+      val source = (15 to 45).filter(_ => rnd.nextBoolean())
+        .map(k => (k.toLong, s"s$k", rnd.nextInt(100).toLong))
+      if (target.nonEmpty && source.nonEmpty) {
+        val tDf = target.toDF("id", "s", "ver")
+        val sDf = source.toDF("id", "s", "ver")
+        // random file split: three appends by id mod 3
+        (0 to 2).foreach(m =>
+          Versioned.append(tDf.filter(col("id") % 3 === m), dir))
+        Versioned.merge(spark, dir, sDf, Seq("id"),
+          updateWhen = Upsert.scol("ver") > Upsert.tcol("ver"))
+        val got = Versioned.read(spark, dir)
+          .as[(Long, String, Long)].collect().toSet
+        val want = Upsert.lastWriterWins(tDf, sDf, Seq("id"), "ver")
+          .as[(Long, String, Long)].collect().toSet
+        assert(got == want, s"round $round: log merge diverged from relational merge")
+      }
+    }
+  }
+
+  test("concurrent MERGEs inserting the same new key never duplicate it") {
+    val dir = tmpDir("vt_merge_race")
+    Versioned.append(Seq((1L, "a", 0L)).toDF("id", "s", "ver"), dir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val futures = (1 to 2).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            gate.await()
+            Versioned.merge(spark, dir,
+              Seq((42L, s"writer$i", i.toLong)).toDF("id", "s", "ver"), Seq("id"))
+          }
+        })
+      }
+      gate.countDown()
+      futures.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    // whichever merge lost the race re-planned: its insert became a
+    // matched update, so the key exists exactly once
+    val rows = Versioned.read(spark, dir).filter(col("id") === 42L).collect()
+    assert(rows.length == 1,
+      s"concurrent merges duplicated key 42: ${rows.toSeq}")
+    assert(Versioned.read(spark, dir).count() == 2)
   }
 
   test("two concurrent disjoint-file deletes both land (threaded commute matrix)") {
