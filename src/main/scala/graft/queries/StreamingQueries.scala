@@ -266,11 +266,49 @@ object StreamingQueries {
       |UNION ALL SELECT user_id, buy_id, view_id FROM unmatched
       |ORDER BY user_id, buy_id, view_id NULLS FIRST""".stripMargin
 
+  // ST7 — CUSTOM stateful operator under the gate: gap sessionization
+  // via flatMapGroupsWithState with EventTimeTimeout
+  // (graft.operators.Sessions.sessionizeStreamWithTimeout) — the one
+  // streaming primitive st1–st6 don't reach (arbitrary user state).
+  // Determinism under AvailableNow, same reasoning as st5/st6: the
+  // single data batch folds every user's full event set at once
+  // (sorted inside the fold), emitting every session CLOSED by a
+  // successor; the finalization batch advances the watermark to
+  // max event time (ms floor, 0 s lateness) and fires EventTimeTimeout
+  // for open sessions whose idle deadline (end + gap, ms floor, + 1)
+  // has passed — those flush; later-deadline sessions stay in state,
+  // withheld. The oracle replays exactly that split on w3's relational
+  // session definition: every non-last session per user, plus the last
+  // session where the timeout deadline precedes the final watermark.
+  def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    val src = eventsStream(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"))
+    val sessions = graft.operators.Sessions
+      .sessionizeStreamWithTimeout(src, Temporal.GapUs)
+    drainToTable(s, sessions.toDF(), "graft_st7_sink", "append")
+      .orderBy("user_id", "start_us")
+  }
+
+  val streamSessionizeSql: String =
+    s"""WITH ${Temporal.sessionNumberedCte},
+       |sess AS (SELECT user_id, session_seq,
+       |           min(ts_us) AS start_us, max(ts_us) AS end_us,
+       |           CAST(count(*) AS BIGINT) AS n_events
+       |         FROM numbered GROUP BY 1, 2),
+       |m AS (SELECT max(ts_us)//1000 AS wm_ms FROM ev),
+       |last AS (SELECT user_id, max(session_seq) AS last_seq FROM sess GROUP BY 1)
+       |SELECT s.user_id, s.start_us, s.end_us, s.n_events
+       |FROM sess s JOIN last l ON s.user_id = l.user_id, m
+       |WHERE s.session_seq < l.last_seq
+       |   OR (s.end_us + ${Temporal.GapUs})//1000 + 1 < m.wm_ms
+       |ORDER BY s.user_id, start_us""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("st1_stream_agg", streamAgg, Some(streamAggSql)),
     QueryDef("st2_stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
     QueryDef("st3_stream_dedup", streamDedup, Some(streamDedupSql)),
     QueryDef("st4_stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
     QueryDef("st5_stream_watermark_agg", streamWatermarkAgg, Some(streamWatermarkAggSql)),
-    QueryDef("st6_stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinSql)))
+    QueryDef("st6_stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinSql)),
+    QueryDef("st7_stream_sessionize", streamSessionize, Some(streamSessionizeSql)))
 }

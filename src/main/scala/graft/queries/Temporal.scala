@@ -82,7 +82,7 @@ object Temporal {
     * numbering), terminating in `numbered(user_id, ts_us, session_seq)`
     * — one definition feeding both session oracles.
     */
-  private val sessionNumberedCte: String =
+  private[queries] val sessionNumberedCte: String =
     s"""ev AS (SELECT user_id, event_id, $OracleTsUs AS ts_us FROM events),
        |flagged AS (SELECT user_id, ts_us, event_id,
        |    CASE WHEN lag(ts_us) OVER w IS NULL

@@ -555,9 +555,16 @@ object Versioned {
   def append(df: DataFrame, dir: String, mergeSchema: Boolean = false): Long = {
     val spark = df.sparkSession
     val fresh = writeDataFiles(df, dir)
-    commitRetry(spark, dir, "append",
+    val v = commitRetry(spark, dir, "append",
       head => evolvedSchemaJson(spark, dir, head, df, mergeSchema),
       None, prev => prev ++ fresh).get
+    // a zoned table must not lose data skipping at every append: carry
+    // the previous sidecar (kept files' stats verbatim) and stat only
+    // the fresh files — O(batch), not O(table). Versions are dense, so
+    // the committed version's predecessor is the snapshot it extended.
+    carryZones(spark, dir, v - 1, v,
+      filesAt(spark, dir, v).toSet -- fresh.toSet, fresh)
+    v
   }
 
   /** Idempotent append (exactly-once sink contract): commits `df` tagged
@@ -589,9 +596,12 @@ object Versioned {
     if (lastTxnVersion(spark, dir, appId).exists(_ >= txnVersion)) None
     else {
       val fresh = writeDataFiles(df, dir)
-      commitRetry(spark, dir, "append",
+      val committed = commitRetry(spark, dir, "append",
         head => evolvedSchemaJson(spark, dir, head, df, mergeSchema = false),
         Some(appId -> txnVersion), prev => prev ++ fresh)
+      committed.foreach(v => carryZones(spark, dir, v - 1, v,
+        filesAt(spark, dir, v).toSet -- fresh.toSet, fresh))
+      committed
     }
   }
 
@@ -712,7 +722,13 @@ object Versioned {
     val v = currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $dir"))
     val df = readAt(spark, dir, v)
-    commitPinned(spark, dir, v, "overwrite", df.schema.json, writeDataFiles(df, dir))
+    val fresh = writeDataFiles(df, dir)
+    val nv = commitPinned(spark, dir, v, "overwrite", df.schema.json, fresh)
+    // re-stat the rewritten files under the base sidecar's columns (a
+    // stat pass over files the compaction just rewrote anyway) so a
+    // zoned table keeps data skipping through OPTIMIZE
+    carryZones(spark, dir, v, nv, kept = Set.empty, fresh = fresh)
+    nv
   }
 
   /** Incremental compaction (the shape of Delta's actual `OPTIMIZE`):

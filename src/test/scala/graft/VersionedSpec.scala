@@ -128,6 +128,27 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.readWhere(spark, dir, v, "id", 5000L, 6000L).isEmpty)
   }
 
+  test("zone sidecars survive appends and compaction without a full re-stat") {
+    val dir = tmpDir("vt_zone_carry")
+    Versioned.append((0L until 100L).map(i => (i, s"a$i")).toDF("id", "s"), dir)
+    Versioned.writeZoneMap(spark, dir, 1L, "id")
+    // an append must CARRY the sidecar (stats for fresh files only) —
+    // without the carry every append silently disables data skipping
+    val v2 = Versioned.append(
+      (1000L until 1100L).map(i => (i, s"b$i")).toDF("id", "s"), dir)
+    val all2 = Versioned.filesAt(spark, dir, v2)
+    val pruned2 = Versioned.prunedFiles(spark, dir, v2, "id", 0L, 50L)
+    assert(pruned2.nonEmpty && pruned2.size < all2.size,
+      s"append dropped the zone sidecar: kept ${pruned2.size}/${all2.size}")
+    assert(Versioned.readWhere(spark, dir, v2, "id", 1000L, 1010L).count() == 11)
+    // compaction rewrites the table; the sidecar must follow the output
+    val v3 = Versioned.compact(spark, dir)
+    val all3 = Versioned.filesAt(spark, dir, v3)
+    assert(Versioned.readWhere(spark, dir, v3, "id", 0L, 50L).count() == 51)
+    val zp = new java.io.File(s"$dir/_graft_log/" + f"v$v3%08d.zones.json")
+    assert(zp.isFile, "compact must republish zone stats for its output")
+  }
+
   test("vacuum sweeps dropped versions' zone maps with their log entries") {
     val dir = tmpDir("vt_zonevac")
     Versioned.append(Seq((1L, "a")).toDF("id", "s"), dir)
