@@ -218,6 +218,90 @@ object Versioned {
     readAt(spark, dir, v)
   }
 
+  /** Named CHECK constraints in force at snapshot `v` (constraint name
+    * → SQL boolean expression), carried through every commit like txn
+    * watermarks. SQL CHECK semantics: a row violates only when the
+    * expression is strictly FALSE — NULL passes (unlike
+    * [[graft.ops.Quality.Rule]], whose pipeline gates treat
+    * unevaluable as dirty; a table constraint is the storage contract,
+    * so it matches `ALTER TABLE ADD CONSTRAINT` exactly).
+    */
+  def constraintsAt(spark: SparkSession, dir: String, v: Long): Map[String, String] = {
+    val json = snapshotJson(spark, dir, v)
+    json.split("\"constraints\":\\{", 2) match {
+      case Array(_, rest) =>
+        val body = rest.split("}", 2)(0).trim
+        if (body.isEmpty) Map.empty
+        else body.split(",").map { kv =>
+          val Array(k, b64) = kv.split(":", 2)
+          k.trim.stripPrefix("\"").stripSuffix("\"") ->
+            new String(java.util.Base64.getDecoder.decode(
+              b64.trim.stripPrefix("\"").stripSuffix("\"")), StandardCharsets.UTF_8)
+        }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  private def headConstraints(spark: SparkSession, dir: String): Map[String, String] =
+    currentVersion(spark, dir).map(constraintsAt(spark, dir, _)).getOrElse(Map.empty)
+
+  /** Fails loudly when any row of `df` violates a constraint — one
+    * aggregate pass over the batch for ALL constraints at once.
+    */
+  private def requireSatisfied(df: DataFrame, cons: Map[String, String]): Unit = {
+    if (cons.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
+    val ordered = cons.toSeq.sortBy(_._1)
+    val aggs = ordered.zipWithIndex.map { case ((_, sql), i) =>
+      sum(when(coalesce(not(expr(sql)), lit(false)), 1L).otherwise(0L)).as(s"__c$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    ordered.zipWithIndex.foreach { case ((name, sql), i) =>
+      require(row.getLong(i) == 0,
+        s"CHECK constraint '$name' ($sql) violated by ${row.getLong(i)} row(s) — " +
+          "nothing was committed; fix the batch or dropConstraint first")
+    }
+  }
+
+  /** Registers a named CHECK constraint (Delta `ALTER TABLE t ADD
+    * CONSTRAINT name CHECK (expr)`): the CURRENT snapshot is validated
+    * first (one aggregate scan — a constraint the table already
+    * violates is refused), then the constraint is committed to the log
+    * and enforced on every subsequent append, merge, and row-level
+    * update. Pinned: any concurrent commit fails this registration
+    * (re-run it), so no unvalidated batch can slip in between
+    * validation and publish. Caveat, documented not closed: RESTORE
+    * re-references historical files without re-validating them against
+    * constraints added after that version.
+    */
+  def addConstraint(spark: SparkSession, dir: String, name: String, condSql: String): Long = {
+    require(name.matches("[A-Za-z0-9_-]+"),
+      s"constraint name must be log-safe ([A-Za-z0-9_-]+): $name")
+    val base = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
+    requireSatisfied(readAt(spark, dir, base), Map(name -> condSql))
+    commitAttempt(spark, dir, "set-constraint",
+      _ => schemaAt(spark, dir, base)
+        .map(_.json).getOrElse(new org.apache.spark.sql.types.StructType().json),
+      None, identity, Some(base),
+      constraint = Some(name -> Some(condSql))).get
+  }
+
+  /** Drops a named constraint (no validation needed). Pinned like
+    * [[addConstraint]].
+    */
+  def dropConstraint(spark: SparkSession, dir: String, name: String): Long = {
+    val base = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
+    require(constraintsAt(spark, dir, base).contains(name),
+      s"no constraint named '$name' at $dir")
+    commitAttempt(spark, dir, "drop-constraint",
+      _ => schemaAt(spark, dir, base)
+        .map(_.json).getOrElse(new org.apache.spark.sql.types.StructType().json),
+      None, identity, Some(base),
+      constraint = Some(name -> None)).get
+  }
+
   /** Writer-transaction watermarks carried by snapshot `v`: the highest
     * transaction version each named application has committed. The
     * Delta `txnAppId`/`txnVersion` analog that makes streaming sinks
@@ -305,7 +389,9 @@ object Versioned {
       schemaJsonFor: Option[Long] => String,
       txn: Option[(String, Long)], filesFor: Seq[String] => Seq[String],
       basedOn: Option[Long] = None,
-      dvsFor: Map[String, Seq[Long]] => Map[String, Seq[Long]] = identity): Option[Long] = {
+      dvsFor: Map[String, Seq[Long]] => Map[String, Seq[Long]] = identity,
+      constraint: Option[(String, Option[String])] = None,
+      preCommit: Map[String, String] => Unit = _ => ()): Option[Long] = {
     val f = fs(spark, dir)
     f.mkdirs(logPath(dir))
     val prev = currentVersion(spark, dir)
@@ -325,6 +411,26 @@ object Versioned {
     val files = filesFor(prev.map(filesAt(spark, dir, _)).getOrElse(Seq.empty))
     val schemaJson = schemaJsonFor(prev)
     val txns = prevTxns ++ txn
+    // CHECK constraints carry like txn watermarks; `preCommit` lets the
+    // writer validate its batch against the EXACT set this attempt
+    // publishes under — a constraint added concurrently collides on the
+    // version CAS, and the retry re-validates against the new set
+    val prevCons = prev.map(constraintsAt(spark, dir, _)).getOrElse(Map.empty)
+    val cons = constraint match {
+      case Some((n, Some(sql))) => prevCons + (n -> sql)
+      case Some((n, None)) => prevCons - n
+      case None => prevCons
+    }
+    preCommit(cons)
+    val consJson =
+      if (cons.isEmpty) ""
+      else cons.toSeq.sorted
+        .map { case (n, sql) =>
+          val b64 = java.util.Base64.getEncoder
+            .encodeToString(sql.getBytes(StandardCharsets.UTF_8))
+          s""""$n":"$b64""""
+        }
+        .mkString(""","constraints":{""", ",", "}")
     val txnsJson =
       if (txns.isEmpty) ""
       else txns.toSeq.sorted
@@ -371,7 +477,7 @@ object Versioned {
     // (Delta's DESCRIBE HISTORY / TIMESTAMP AS OF). Stored explicitly
     // rather than relying on file mtime, which copies/restores clobber.
     val json =
-      s"""{"version":$v,"op":"$op","ts":${System.currentTimeMillis()},"schema":"$b64"$txnsJson$dvsJson,"files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
+      s"""{"version":$v,"op":"$op","ts":${System.currentTimeMillis()},"schema":"$b64"$txnsJson$consJson$dvsJson,"files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
     // per-attempt unique temp name: racing committers must never share
     // a temp file, or a loser's cleanup could delete the winner's
     // in-flight content
@@ -410,7 +516,8 @@ object Versioned {
       schemaJsonFor: Option[Long] => String,
       txn: Option[(String, Long)], filesFor: Seq[String] => Seq[String],
       maxAttempts: Int = 16,
-      dvsFor: Map[String, Seq[Long]] => Map[String, Seq[Long]] = identity)
+      dvsFor: Map[String, Seq[Long]] => Map[String, Seq[Long]] = identity,
+      preCommit: Map[String, String] => Unit = _ => ())
       : Option[Long] = {
     var attempt = 1
     while (true) {
@@ -420,7 +527,8 @@ object Versioned {
       // lands after the attempt's head read collides on the version
       // CAS and forces this recompute-retry
       try return commitAttempt(
-        spark, dir, op, schemaJsonFor, txn, filesFor, dvsFor = dvsFor)
+        spark, dir, op, schemaJsonFor, txn, filesFor, dvsFor = dvsFor,
+        preCommit = preCommit)
       catch {
         case e: CommitRace =>
           if (attempt >= maxAttempts) throw e
@@ -552,12 +660,24 @@ object Versioned {
     * against the head snapshot; widen explicitly with
     * `mergeSchema = true` (see [[evolvedSchemaJson]]).
     */
+  /** Memoizing batch validator: one [[requireSatisfied]] pass per
+    * DISTINCT constraint set a commit attempt publishes under (the
+    * common case validates once; a concurrent addConstraint forces one
+    * re-validation on the retry).
+    */
+  private def validatorFor(df: DataFrame): Map[String, String] => Unit = {
+    var seen = Set.empty[Map[String, String]]
+    cons => if (!seen.contains(cons)) { requireSatisfied(df, cons); seen += cons }
+  }
+
   def append(df: DataFrame, dir: String, mergeSchema: Boolean = false): Long = {
     val spark = df.sparkSession
+    val validate = validatorFor(df)
+    validate(headConstraints(spark, dir)) // fail BEFORE writing data files
     val fresh = writeDataFiles(df, dir)
     val v = commitRetry(spark, dir, "append",
       head => evolvedSchemaJson(spark, dir, head, df, mergeSchema),
-      None, prev => prev ++ fresh).get
+      None, prev => prev ++ fresh, preCommit = validate).get
     // a zoned table must not lose data skipping at every append: carry
     // the previous sidecar (kept files' stats verbatim) and stat only
     // the fresh files — O(batch), not O(table). Versions are dense, so
@@ -595,10 +715,12 @@ object Versioned {
     val spark = df.sparkSession
     if (lastTxnVersion(spark, dir, appId).exists(_ >= txnVersion)) None
     else {
+      val validate = validatorFor(df)
+      validate(headConstraints(spark, dir))
       val fresh = writeDataFiles(df, dir)
       val committed = commitRetry(spark, dir, "append",
         head => evolvedSchemaJson(spark, dir, head, df, mergeSchema = false),
-        Some(appId -> txnVersion), prev => prev ++ fresh)
+        Some(appId -> txnVersion), prev => prev ++ fresh, preCommit = validate)
       committed.foreach(v => carryZones(spark, dir, v - 1, v,
         filesAt(spark, dir, v).toSet -- fresh.toSet, fresh))
       committed
@@ -609,9 +731,12 @@ object Versioned {
     * stay readable until `vacuum`.
     */
   def overwrite(df: DataFrame, dir: String): Long = {
+    val spark = df.sparkSession
+    val validate = validatorFor(df)
+    validate(headConstraints(spark, dir))
     val files = writeDataFiles(df, dir)
-    commitRetry(df.sparkSession, dir, "overwrite",
-      _ => df.schema.json, None, _ => files).get
+    commitRetry(spark, dir, "overwrite",
+      _ => df.schema.json, None, _ => files, preCommit = validate).get
   }
 
   /** Idempotent overwrite: `overwrite` guarded by the same writer-
@@ -624,9 +749,11 @@ object Versioned {
     val spark = df.sparkSession
     if (lastTxnVersion(spark, dir, appId).exists(_ >= txnVersion)) None
     else {
+      val validate = validatorFor(df)
+      validate(headConstraints(spark, dir))
       val files = writeDataFiles(df, dir)
       commitRetry(spark, dir, "overwrite", _ => df.schema.json,
-        Some(appId -> txnVersion), _ => files)
+        Some(appId -> txnVersion), _ => files, preCommit = validate)
     }
   }
 
@@ -699,6 +826,10 @@ object Versioned {
                 headDvs.getOrElse(f, Seq.empty) == baseDvs.getOrElse(f, Seq.empty)) &&
               schemaAt(spark, dir, head).map(_.json) ==
                 schemaAt(spark, dir, basedOn).map(_.json) &&
+              // the rewrite output was validated under the base's CHECK
+              // constraints; a concurrent constraint change must force
+              // a re-plan, not slip through the re-base
+              constraintsAt(spark, dir, head) == constraintsAt(spark, dir, basedOn) &&
               commuteCheck(head)
           if (!readSetHolds)
             throw new CommitRace(
@@ -1059,6 +1190,10 @@ object Versioned {
       else readFiles(touched)
     val merged = graft.ops.Upsert.merge(target, src, keys, updateWhen, setCols)
       .select(logSchema.fieldNames.toSeq.map(col): _*)
+    // CHECK constraints: the merge output (updated + inserted rows plus
+    // carried target rows of touched files) must satisfy the contract;
+    // constraint stability across a commute re-base is enforced below
+    requireSatisfied(merged, constraintsAt(spark, dir, base))
     val fresh = writeDataFiles(merged, dir)
     // MERGE's insert clause read "key ABSENT from the table" — a
     // concurrently-appended file can invalidate that without touching
@@ -1201,6 +1336,7 @@ object Versioned {
     val updated = hit.select(dataCols.map { c =>
       set.get(c).map(_.cast(fieldType(c)).as(c)).getOrElse(col(c))
     }: _*)
+    requireSatisfied(updated, constraintsAt(spark, dir, base))
     val fresh = writeDataFiles(updated, dir)
     val v = commitPinned(spark, dir, base, "update-mor",
       logSchema.map(_.json).getOrElse(updated.schema.json),
@@ -1254,7 +1390,12 @@ object Versioned {
     val touched = candidates.filter(rel => matched.exists(_.endsWith(rel)))
     if (touched.isEmpty) return None
     val touchedDf = readFiles(touched)
-    val fresh = writeDataFiles(rewrite(touchedDf, cond), dir)
+    val out = rewrite(touchedDf, cond)
+    // an UPDATE's SET can introduce constraint violations (a DELETE's
+    // row subset cannot, but the shared check keeps the contract in
+    // one place at matched-file cost)
+    requireSatisfied(out, constraintsAt(spark, dir, base))
+    val fresh = writeDataFiles(out, dir)
     val schemaJson = logSchema.map(_.json).getOrElse(touchedDf.schema.json)
     val v = commitRewriteCommuting(spark, dir, base, op, schemaJson, touched, fresh)
     // kept set read back from the PUBLISHED snapshot: a commute-retry

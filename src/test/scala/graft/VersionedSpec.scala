@@ -701,6 +701,55 @@ class VersionedSpec extends SparkSpec {
     }
   }
 
+  test("CHECK constraints: registered in the log, enforced on every write path") {
+    val dir = tmpDir("vt_constraints")
+    Versioned.append(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "s", "n"), dir)
+    val cv = Versioned.addConstraint(spark, dir, "n_positive", "n > 0")
+    assert(Versioned.constraintsAt(spark, dir, cv) == Map("n_positive" -> "n > 0"))
+    assert(Versioned.opAt(spark, dir, cv) == "set-constraint")
+
+    // a constraint the existing data violates is refused
+    val ex0 = intercept[IllegalArgumentException] {
+      Versioned.addConstraint(spark, dir, "n_small", "n < 15")
+    }
+    assert(ex0.getMessage.contains("n_small"))
+
+    // appends: violating batch refused BEFORE any version is published
+    val ex1 = intercept[IllegalArgumentException] {
+      Versioned.append(Seq((3L, "c", -5L)).toDF("id", "s", "n"), dir)
+    }
+    assert(ex1.getMessage.contains("n_positive") && ex1.getMessage.contains("1 row"))
+    assert(Versioned.currentVersion(spark, dir).contains(cv))
+    // NULL passes — SQL CHECK semantics, not Quality.Rule's gate rule
+    Versioned.append(
+      Seq((3L, "c", Option.empty[java.lang.Long])).toDF("id", "s", "n"), dir)
+
+    // UPDATE SET that breaks the contract is refused (CoW and MoR)
+    val ex2 = intercept[IllegalArgumentException] {
+      Versioned.updateWhere(spark, dir, col("id") === 1L, Map("n" -> lit(-1L)))
+    }
+    assert(ex2.getMessage.contains("n_positive"))
+    val ex3 = intercept[IllegalArgumentException] {
+      Versioned.updateWhereMoR(spark, dir, col("id") === 1L, Map("n" -> lit(-1L)))
+    }
+    assert(ex3.getMessage.contains("n_positive"))
+
+    // MERGE: violating source rows are refused
+    val ex4 = intercept[IllegalArgumentException] {
+      Versioned.merge(spark, dir,
+        Seq((9L, "z", -3L)).toDF("id", "s", "n"), Seq("id"))
+    }
+    assert(ex4.getMessage.contains("n_positive"))
+
+    // the constraint carries through unrelated commits, then drops
+    Versioned.compact(spark, dir)
+    assert(Versioned.constraintsAt(spark, dir,
+      Versioned.currentVersion(spark, dir).get).contains("n_positive"))
+    Versioned.dropConstraint(spark, dir, "n_positive")
+    Versioned.append(Seq((4L, "d", -9L)).toDF("id", "s", "n"), dir)
+    assert(Versioned.read(spark, dir).filter(col("n") === -9L).count() == 1)
+  }
+
   test("versioned MERGE equals the relational merge on randomized data") {
     // the log path adds file pruning, DV handling, and commit machinery
     // on top of Upsert.merge — this pins that none of it changes the
