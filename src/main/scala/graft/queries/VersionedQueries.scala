@@ -26,6 +26,18 @@ object VersionedQueries {
   private val tsUs = expr("ts div 1000")
   private val OracleTsUs = "CAST(epoch_ns(ts) // 1000 AS BIGINT)"
 
+  /** Throwaway table root, swept at JVM exit — the consumer acts on
+    * the returned (lazy) DataFrame after this function returns, so the
+    * files must outlive the call but not the process.
+    */
+  private def scratchDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val _ = new scala.reflect.io.Directory(d.toFile).deleteRecursively()
+    }))
+    d.toString
+  }
+
   // M5 — MERGE INTO a versioned table. Data derivation mirrors m2
   // (older-half latest-per-user profile upserted with the newer half,
   // LWW on event time), but the target LIVES in the transaction log:
@@ -46,7 +58,7 @@ object VersionedQueries {
       Dedup.latestByKey(df, Seq("user_id"), Seq(col("ts_us").desc, col("event_id").desc))
     val target = latest(evB.filter(col("event_id") < col("__split")).drop("__split"))
     val source = latest(evB.filter(col("event_id") >= col("__split")).drop("__split"))
-    val tableDir = java.nio.file.Files.createTempDirectory("graft_m5").toString
+    val tableDir = scratchDir("graft_m5")
     Versioned.append(target.filter(col("user_id") % 2 === 0), tableDir)
     Versioned.append(target.filter(col("user_id") % 2 === 1), tableDir)
     Versioned.deleteWhereMoR(s, tableDir, col("user_id") % 10 === 0)

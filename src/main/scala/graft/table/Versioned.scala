@@ -95,14 +95,12 @@ object Versioned {
     readFully(spark, dir, p)
   }
 
-  /** Data files (table-relative paths) of snapshot `v`. */
-  def filesAt(spark: SparkSession, dir: String, v: Long): Seq[String] = {
-    // minimal parse of {"version":N,...,"files":["a","b"]} — files are
-    // uuid/part names we wrote ourselves (no quotes/escapes)
-    val files = snapshotJson(spark, dir, v).split("\"files\":\\[", 2)(1).split("]", 2)(0)
-    if (files.trim.isEmpty) Seq.empty
-    else files.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-  }
+  /** Data files (table-relative paths) of snapshot `v` — a minimal
+    * parse of `{"version":N,...,"files":["a","b"]}`; files are
+    * uuid/part names we wrote ourselves (no quotes/escapes).
+    */
+  def filesAt(spark: SparkSession, dir: String, v: Long): Seq[String] =
+    filesOf(snapshotJson(spark, dir, v))
 
   /** Latest snapshot scan. */
   def read(spark: SparkSession, dir: String): DataFrame =
@@ -173,33 +171,52 @@ object Versioned {
       .select(cols.map(col): _*)
   }
 
-  /** The operation that produced snapshot `v` (append, overwrite,
-    * merge, delete, delete-mor, update, update-mor, restore).
-    */
-  def opAt(spark: SparkSession, dir: String, v: Long): String =
-    snapshotJson(spark, dir, v).split("\"op\":\"", 2) match {
+  private def opOf(json: String): String =
+    json.split("\"op\":\"", 2) match {
       case Array(_, rest) => rest.split("\"", 2)(0)
       case _ => "unknown"
     }
 
-  /** Wall-clock commit time of snapshot `v` (epoch millis). Pre-ts log
-    * entries fall back to the log file's modification time.
+  private def tsOf(json: String): Option[Long] =
+    json.split("\"ts\":", 2) match {
+      case Array(_, rest) => Some(rest.takeWhile(_.isDigit).toLong)
+      case _ => None
+    }
+
+  private def filesOf(json: String): Seq[String] = {
+    val files = json.split("\"files\":\\[", 2)(1).split("]", 2)(0)
+    if (files.trim.isEmpty) Seq.empty
+    else files.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+  }
+
+  /** The operation that produced snapshot `v` (append, overwrite,
+    * merge, delete, delete-mor, update, update-mor, restore,
+    * set-constraint, drop-constraint).
+    */
+  def opAt(spark: SparkSession, dir: String, v: Long): String =
+    opOf(snapshotJson(spark, dir, v))
+
+  /** Wall-clock commit time of snapshot `v` (epoch millis,
+    * nondecreasing in version order). Pre-ts log entries fall back to
+    * the log file's modification time.
     */
   def commitTimestampAt(spark: SparkSession, dir: String, v: Long): Long =
-    snapshotJson(spark, dir, v).split("\"ts\":", 2) match {
-      case Array(_, rest) => rest.takeWhile(_.isDigit).toLong
-      case _ => fs(spark, dir).getFileStatus(versionFile(dir, v)).getModificationTime
-    }
+    tsOf(snapshotJson(spark, dir, v)).getOrElse(
+      fs(spark, dir).getFileStatus(versionFile(dir, v)).getModificationTime)
 
   /** Commit history, oldest first — the DESCRIBE HISTORY analog: one
     * row per retained version with its operation, wall-clock commit
-    * time, and referenced-file count. Log-sized (no data files opened).
+    * time, and referenced-file count. Log-sized: ONE log-file read per
+    * version (op/ts/files all parse from the same JSON text).
     */
   def history(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     versions(spark, dir).map { v =>
-      (v, opAt(spark, dir, v), commitTimestampAt(spark, dir, v),
-        filesAt(spark, dir, v).size.toLong)
+      val json = snapshotJson(spark, dir, v)
+      (v, opOf(json),
+        tsOf(json).getOrElse(
+          fs(spark, dir).getFileStatus(versionFile(dir, v)).getModificationTime),
+        filesOf(json).size.toLong)
     }.toDF("version", "op", "commit_ts", "n_files")
   }
 
@@ -475,9 +492,15 @@ object Versioned {
       .encodeToString(schemaJson.getBytes(StandardCharsets.UTF_8))
     // wall-clock commit timestamp: serves history() and readAsOf()
     // (Delta's DESCRIBE HISTORY / TIMESTAMP AS OF). Stored explicitly
-    // rather than relying on file mtime, which copies/restores clobber.
+    // rather than relying on file mtime, which copies/restores clobber
+    // — and clamped to the predecessor's timestamp so commit times are
+    // NONDECREASING in version order even across writers with skewed
+    // clocks (Delta's commit-timestamp adjustment); readAsOf depends
+    // on that monotonicity to resolve an instant to one snapshot.
+    val ts = math.max(System.currentTimeMillis(),
+      prev.map(commitTimestampAt(spark, dir, _)).getOrElse(0L))
     val json =
-      s"""{"version":$v,"op":"$op","ts":${System.currentTimeMillis()},"schema":"$b64"$txnsJson$consJson$dvsJson,"files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
+      s"""{"version":$v,"op":"$op","ts":$ts,"schema":"$b64"$txnsJson$consJson$dvsJson,"files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
     // per-attempt unique temp name: racing committers must never share
     // a temp file, or a loser's cleanup could delete the winner's
     // in-flight content
@@ -663,16 +686,31 @@ object Versioned {
   /** Memoizing batch validator: one [[requireSatisfied]] pass per
     * DISTINCT constraint set a commit attempt publishes under (the
     * common case validates once; a concurrent addConstraint forces one
-    * re-validation on the retry).
+    * re-validation on the retry). The batch is first ALIGNED to the
+    * head schema — columns the batch legally omits (narrow mergeSchema
+    * appends) surface as typed NULLs, which SQL CHECK semantics let
+    * pass, instead of failing constraint-expression resolution.
     */
-  private def validatorFor(df: DataFrame): Map[String, String] => Unit = {
+  private def validatorFor(
+      spark: SparkSession, dir: String, df: DataFrame): Map[String, String] => Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val aligned = currentVersion(spark, dir).flatMap(schemaAt(spark, dir, _)) match {
+      case Some(head) =>
+        val have = df.schema.fieldNames.toSet
+        val missing = head.fields.filterNot(f => have.contains(f.name))
+        if (missing.isEmpty) df
+        else df.select(df.columns.toSeq.map(col) ++
+          missing.toSeq.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+      case None => df
+    }
     var seen = Set.empty[Map[String, String]]
-    cons => if (!seen.contains(cons)) { requireSatisfied(df, cons); seen += cons }
+    cons =>
+      if (!seen.contains(cons)) { requireSatisfied(aligned, cons); seen += cons }
   }
 
   def append(df: DataFrame, dir: String, mergeSchema: Boolean = false): Long = {
     val spark = df.sparkSession
-    val validate = validatorFor(df)
+    val validate = validatorFor(spark, dir, df)
     validate(headConstraints(spark, dir)) // fail BEFORE writing data files
     val fresh = writeDataFiles(df, dir)
     val v = commitRetry(spark, dir, "append",
@@ -715,7 +753,7 @@ object Versioned {
     val spark = df.sparkSession
     if (lastTxnVersion(spark, dir, appId).exists(_ >= txnVersion)) None
     else {
-      val validate = validatorFor(df)
+      val validate = validatorFor(spark, dir, df)
       validate(headConstraints(spark, dir))
       val fresh = writeDataFiles(df, dir)
       val committed = commitRetry(spark, dir, "append",
@@ -732,7 +770,7 @@ object Versioned {
     */
   def overwrite(df: DataFrame, dir: String): Long = {
     val spark = df.sparkSession
-    val validate = validatorFor(df)
+    val validate = validatorFor(spark, dir, df)
     validate(headConstraints(spark, dir))
     val files = writeDataFiles(df, dir)
     commitRetry(spark, dir, "overwrite",
@@ -749,7 +787,7 @@ object Versioned {
     val spark = df.sparkSession
     if (lastTxnVersion(spark, dir, appId).exists(_ >= txnVersion)) None
     else {
-      val validate = validatorFor(df)
+      val validate = validatorFor(spark, dir, df)
       validate(headConstraints(spark, dir))
       val files = writeDataFiles(df, dir)
       commitRetry(spark, dir, "overwrite", _ => df.schema.json,
@@ -979,9 +1017,10 @@ object Versioned {
     if (files.isEmpty) return
     // all-null zone column in a file: ZoneMaps.compute leaves the file
     // out of that column's block — prunedFiles treats stat-less files
-    // as unskippable, the only safe reading of "no stats"
+    // as unskippable, the only safe reading of "no stats". The scan is
+    // bound to the snapshot's schema so pre-evolution files stat clean.
     val json = ZoneMaps.blocksJson(zoneCols,
-      ZoneMaps.compute(spark, dir, files, zoneCols))
+      ZoneMaps.compute(spark, dir, files, zoneCols, schemaAt(spark, dir, v)))
     val f = fs(spark, dir)
     val tmp = new Path(logPath(dir), s".v$v.zones.tmp")
     val out = f.create(tmp, true)
@@ -1231,14 +1270,22 @@ object Versioned {
     * soft-deleted rows, and the zone-map sidecar carries verbatim
     * (file set unchanged; zones prune files, never rows).
     */
-  def deleteWhereMoR(
-      spark: SparkSession, dir: String, cond: org.apache.spark.sql.Column,
-      zoneHint: Option[(String, Long, Long)] = None,
-      maxMatched: Long = MoRMatchCap): Option[Long] = {
+  /** Shared merge-on-read preamble of [[deleteWhereMoR]] /
+    * [[updateWhereMoR]]: DV-subtracted live scan of the zone-pruned
+    * candidate files with per-row (file, position) identity, the rows
+    * matching `cond`, and their positions collected under the match
+    * cap (counted BEFORE collecting — the cap must trip without ever
+    * materializing an unbounded match set on the driver). None when
+    * nothing can match or nothing does.
+    */
+  private def morMatched(
+      spark: SparkSession, dir: String, base: Long,
+      cond: org.apache.spark.sql.Column,
+      zoneHint: Option[(String, Long, Long)],
+      maxMatched: Long, opNoun: String, cowHint: String)
+      : Option[(DataFrame, Map[String, Seq[Long]])] = {
     import org.apache.spark.sql.functions.{broadcast, col, collect_list, input_file_name, substring_index}
     import spark.implicits._
-    val base = currentVersion(spark, dir).getOrElse(
-      throw new IllegalArgumentException(s"no committed versions at $dir"))
     val all = filesAt(spark, dir, base)
     if (all.isEmpty) return None
     val candidates = zoneHint match {
@@ -1246,9 +1293,8 @@ object Versioned {
       case None => all
     }
     if (candidates.isEmpty) return None
-    val logSchema = schemaAt(spark, dir, base)
     val headDvs = dvsAt(spark, dir, base)
-    val scan = readRaw(spark, dir, logSchema, candidates)
+    val scan = readRaw(spark, dir, schemaAt(spark, dir, base), candidates)
       .withColumn("__dv_rel", substring_index(input_file_name(), "/", -2))
       .withColumn("__dv_idx", col("_metadata.row_index"))
     val live =
@@ -1259,27 +1305,38 @@ object Versioned {
           .toDF("__dv_rel", "__dv_idx")),
         Seq("__dv_rel", "__dv_idx"), "left_anti")
     val hit = live.filter(cond)
-    // count BEFORE collecting positions: the cap must trip without ever
-    // materializing an unbounded match set on the driver
     val nMatched = hit.count()
     if (nMatched == 0) return None
     require(nMatched <= maxMatched,
-      s"merge-on-read DELETE at $dir matched $nMatched rows (cap $maxMatched): " +
-        "deletion vectors are for SPARSE deletes — use the copy-on-write path " +
-        "(deleteWhere), which rewrites matched files instead of accumulating " +
-        "per-row positions in the log")
+      s"merge-on-read $opNoun at $dir matched $nMatched rows (cap $maxMatched): " +
+        s"deletion vectors are for SPARSE ${opNoun.toLowerCase}s — use the " +
+        s"copy-on-write path ($cowHint), which rewrites matched files instead " +
+        "of accumulating per-row positions in the log")
     val matched = hit
       .groupBy("__dv_rel").agg(collect_list("__dv_idx").as("idxs"))
       .as[(String, Seq[Long])].collect().toMap
-    val v = commitPinned(spark, dir, base, "delete-mor",
-      logSchema.map(_.json).getOrElse(
-        new org.apache.spark.sql.types.StructType().json),
-      all,
-      head => (head.keySet ++ matched.keySet).map { f =>
-        f -> (head.getOrElse(f, Seq.empty) ++ matched.getOrElse(f, Seq.empty))
-      }.toMap)
-    carryZones(spark, dir, base, v, kept = all.toSet, fresh = Seq.empty)
-    Some(v)
+    Some((hit, matched))
+  }
+
+  def deleteWhereMoR(
+      spark: SparkSession, dir: String, cond: org.apache.spark.sql.Column,
+      zoneHint: Option[(String, Long, Long)] = None,
+      maxMatched: Long = MoRMatchCap): Option[Long] = {
+    val base = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
+    morMatched(spark, dir, base, cond, zoneHint, maxMatched,
+      "DELETE", "deleteWhere").map { case (_, matched) =>
+      val all = filesAt(spark, dir, base)
+      val v = commitPinned(spark, dir, base, "delete-mor",
+        schemaAt(spark, dir, base).map(_.json).getOrElse(
+          new org.apache.spark.sql.types.StructType().json),
+        all,
+        head => (head.keySet ++ matched.keySet).map { f =>
+          f -> (head.getOrElse(f, Seq.empty) ++ matched.getOrElse(f, Seq.empty))
+        }.toMap)
+      carryZones(spark, dir, base, v, kept = all.toSet, fresh = Seq.empty)
+      v
+    }
   }
 
   /** Merge-on-read UPDATE: soft-deletes the matched rows' positions
@@ -1294,58 +1351,33 @@ object Versioned {
       set: Map[String, org.apache.spark.sql.Column],
       zoneHint: Option[(String, Long, Long)] = None,
       maxMatched: Long = MoRMatchCap): Option[Long] = {
-    import org.apache.spark.sql.functions.{broadcast, col, collect_list, input_file_name, substring_index}
-    import spark.implicits._
+    import org.apache.spark.sql.functions.col
     require(set.nonEmpty, "UPDATE needs at least one SET column")
     val base = currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $dir"))
-    val all = filesAt(spark, dir, base)
-    if (all.isEmpty) return None
-    val candidates = zoneHint match {
-      case Some((zc, lo, hi)) => prunedFiles(spark, dir, base, zc, lo, hi)
-      case None => all
+    morMatched(spark, dir, base, cond, zoneHint, maxMatched,
+      "UPDATE", "updateWhere").map { case (hit, matched) =>
+      val all = filesAt(spark, dir, base)
+      val logSchema = schemaAt(spark, dir, base)
+      val dataCols = hit.columns.filterNot(_.startsWith("__dv_")).toSeq
+      val unknown = set.keySet -- dataCols
+      require(unknown.isEmpty,
+        s"SET references unknown columns: ${unknown.mkString(", ")}")
+      val fieldType = hit.schema.fields.map(f => f.name -> f.dataType).toMap
+      val updated = hit.select(dataCols.map { c =>
+        set.get(c).map(_.cast(fieldType(c)).as(c)).getOrElse(col(c))
+      }: _*)
+      requireSatisfied(updated, constraintsAt(spark, dir, base))
+      val fresh = writeDataFiles(updated, dir)
+      val v = commitPinned(spark, dir, base, "update-mor",
+        logSchema.map(_.json).getOrElse(updated.schema.json),
+        all ++ fresh,
+        head => (head.keySet ++ matched.keySet).map { f =>
+          f -> (head.getOrElse(f, Seq.empty) ++ matched.getOrElse(f, Seq.empty))
+        }.toMap)
+      carryZones(spark, dir, base, v, kept = all.toSet, fresh = fresh)
+      v
     }
-    if (candidates.isEmpty) return None
-    val logSchema = schemaAt(spark, dir, base)
-    val headDvs = dvsAt(spark, dir, base)
-    val scan = readRaw(spark, dir, logSchema, candidates)
-      .withColumn("__dv_rel", substring_index(input_file_name(), "/", -2))
-      .withColumn("__dv_idx", col("_metadata.row_index"))
-    val live =
-      if (headDvs.isEmpty) scan
-      else scan.join(
-        broadcast(headDvs.toSeq
-          .flatMap { case (f, is) => is.map(i => (f, i)) }
-          .toDF("__dv_rel", "__dv_idx")),
-        Seq("__dv_rel", "__dv_idx"), "left_anti")
-    val hit = live.filter(cond)
-    val nMatched = hit.count()
-    if (nMatched == 0) return None
-    require(nMatched <= maxMatched,
-      s"merge-on-read UPDATE at $dir matched $nMatched rows (cap $maxMatched): " +
-        "deletion vectors are for SPARSE updates — use the copy-on-write path " +
-        "(updateWhere), which rewrites matched files instead of accumulating " +
-        "per-row positions in the log")
-    val matched = hit
-      .groupBy("__dv_rel").agg(collect_list("__dv_idx").as("idxs"))
-      .as[(String, Seq[Long])].collect().toMap
-    val dataCols = hit.columns.filterNot(_.startsWith("__dv_")).toSeq
-    val unknown = set.keySet -- dataCols
-    require(unknown.isEmpty, s"SET references unknown columns: ${unknown.mkString(", ")}")
-    val fieldType = hit.schema.fields.map(f => f.name -> f.dataType).toMap
-    val updated = hit.select(dataCols.map { c =>
-      set.get(c).map(_.cast(fieldType(c)).as(c)).getOrElse(col(c))
-    }: _*)
-    requireSatisfied(updated, constraintsAt(spark, dir, base))
-    val fresh = writeDataFiles(updated, dir)
-    val v = commitPinned(spark, dir, base, "update-mor",
-      logSchema.map(_.json).getOrElse(updated.schema.json),
-      all ++ fresh,
-      head => (head.keySet ++ matched.keySet).map { f =>
-        f -> (head.getOrElse(f, Seq.empty) ++ matched.getOrElse(f, Seq.empty))
-      }.toMap)
-    carryZones(spark, dir, base, v, kept = all.toSet, fresh = fresh)
-    Some(v)
   }
 
   /** Shared copy-on-write core of DELETE/UPDATE: find the files of the
@@ -1415,18 +1447,32 @@ object Versioned {
       spark: SparkSession, dir: String, baseV: Long, newV: Long,
       kept: Set[String], fresh: Seq[String]): Unit = {
     val f = fs(spark, dir)
-    val zp = new Path(logPath(dir), f"v$baseV%08d.zones.json")
-    if (!f.exists(zp)) return
-    val json = readFully(spark, dir, zp)
+    // the immediate predecessor may not have published its sidecar YET
+    // (a concurrent appender's carry runs after its commit) or ever —
+    // anchor on the nearest zoned ancestor in a bounded window; kept
+    // files the anchor lacks stats for (landed in the gap) are statted
+    // here, so a carry gap SELF-HEALS instead of silently disabling
+    // data skipping for the rest of the table's life
+    val anchor = (baseV to math.max(1L, baseV - 7) by -1L).find(w =>
+      f.exists(new Path(logPath(dir), f"v$w%08d.zones.json")))
+    if (anchor.isEmpty) return
+    val json = readFully(spark, dir,
+      new Path(logPath(dir), f"v${anchor.get}%08d.zones.json"))
     val cols = ZoneMaps.blockCols(json)
     if (cols.isEmpty) return
+    val carried = cols.map(c =>
+      c -> ZoneMaps.parseBlock(json, c).getOrElse(Seq.empty)
+        .filter(z => kept.contains(z._1))).toMap
+    val covered = carried.values.flatten.map(_._1).toSet
+    val toStat = (kept -- covered).toSeq.sorted ++ fresh
+    // stats read under the snapshot's COMMITTED schema: a fresh file
+    // from a narrow mergeSchema batch surfaces the zoned column as
+    // NULL (→ no stats → unskippable) instead of failing resolution
     val freshStats =
-      if (fresh.isEmpty) Map.empty[String, ZoneMaps.Zones]
-      else ZoneMaps.compute(spark, dir, fresh, cols)
+      if (toStat.isEmpty) Map.empty[String, ZoneMaps.Zones]
+      else ZoneMaps.compute(spark, dir, toStat, cols, schemaAt(spark, dir, newV))
     val merged = cols.map { c =>
-      val carried = ZoneMaps.parseBlock(json, c).getOrElse(Seq.empty)
-        .filter(z => kept.contains(z._1))
-      c -> (carried ++ freshStats.getOrElse(c, Seq.empty)).sortBy(_._1)
+      c -> (carried(c) ++ freshStats.getOrElse(c, Seq.empty)).sortBy(_._1)
     }.toMap
     val out = ZoneMaps.blocksJson(cols, merged)
     val tmp = new Path(logPath(dir), s".v$newV.zones.tmp")

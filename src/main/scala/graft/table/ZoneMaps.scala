@@ -25,17 +25,28 @@ private[graft] object ZoneMaps {
   /** Per-file [lo, hi] of each column over `relFiles` (paths relative
     * to `base`), one footer-cheap aggregate pass covering every column
     * at once. Files where a column is all-null are left out of that
-    * column's zones.
+    * column's zones. Pass `schema` to bind a table-level schema over
+    * the footers (files written by a pre-widening batch then surface
+    * the zoned column as NULL → no stats → unskippable, instead of
+    * failing column resolution); columns absent even from the bound
+    * schema yield no stats for any file.
     */
   def compute(
       spark: SparkSession, base: String, relFiles: Seq[String],
-      cols: Seq[String]): Map[String, Zones] = {
+      colsRequested: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Map[String, Zones] = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
-    require(cols.nonEmpty, "at least one zone column")
-    if (relFiles.isEmpty) return cols.map(_ -> Seq.empty[(String, Long, Long)]).toMap
+    require(colsRequested.nonEmpty, "at least one zone column")
+    val cols = schema match {
+      case Some(s) => colsRequested.filter(s.fieldNames.contains)
+      case None => colsRequested
+    }
+    if (relFiles.isEmpty || cols.isEmpty)
+      return colsRequested.map(_ -> Seq.empty[(String, Long, Long)]).toMap
     val aggs = cols.flatMap(c =>
       Seq(min(col(c).cast("long")).as(s"lo_$c"), max(col(c).cast("long")).as(s"hi_$c")))
-    val stats = spark.read.parquet(relFiles.map(f => s"$base/$f"): _*)
+    val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
+    val stats = reader.parquet(relFiles.map(f => s"$base/$f"): _*)
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect() // one row per file of one write — log-sized, not data-sized

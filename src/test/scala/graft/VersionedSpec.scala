@@ -701,6 +701,39 @@ class VersionedSpec extends SparkSpec {
     }
   }
 
+  test("zone carry and constraints tolerate narrow mergeSchema batches; sidecar self-heals") {
+    val dir = tmpDir("vt_zone_narrow")
+    Versioned.append(
+      (0L until 50L).map(i => (i, s"a$i", i * 2)).toDF("id", "s", "n"), dir)
+    Versioned.writeZoneMap(spark, dir, 1L, "n")
+    Versioned.addConstraint(spark, dir, "n_even", "n % 2 = 0")
+    // a narrow batch omitting the ZONED+CONSTRAINED column is legal
+    // evolution: rows surface n = NULL (constraint passes per SQL
+    // CHECK), the commit must not throw post-publish, and the fresh
+    // file simply has no stats (unskippable) while carried stats hold
+    val v = Versioned.append(
+      Seq((900L, "narrow")).toDF("id", "s"), dir, mergeSchema = true)
+    assert(Versioned.read(spark, dir).count() == 51)
+    val pruned = Versioned.prunedFiles(spark, dir, v, "n", 0L, 10L)
+    val all = Versioned.filesAt(spark, dir, v)
+    assert(pruned.size < all.size,
+      s"carried stats must still prune after a narrow append: ${pruned.size}/${all.size}")
+    assert(Versioned.readWhere(spark, dir, v, "n", 0L, 10L).count() == 6)
+
+    // self-heal: a missing predecessor sidecar (concurrent-append gap,
+    // or deleted) is bridged by anchoring on the nearest zoned ancestor
+    // and statting the gap's files
+    val sidecar = new java.io.File(s"$dir/_graft_log/" + f"v$v%08d.zones.json")
+    assert(sidecar.isFile)
+    assert(sidecar.delete())
+    val v2 = Versioned.append(
+      (2000L until 2050L).map(i => (i, s"c$i", i * 2)).toDF("id", "s", "n"), dir)
+    val pruned2 = Versioned.prunedFiles(spark, dir, v2, "n", 4000L, 4020L)
+    assert(pruned2.nonEmpty && pruned2.size < Versioned.filesAt(spark, dir, v2).size,
+      s"sidecar gap did not self-heal: ${pruned2.size}")
+    assert(Versioned.readWhere(spark, dir, v2, "n", 0L, 10L).count() == 6)
+  }
+
   test("CHECK constraints: registered in the log, enforced on every write path") {
     val dir = tmpDir("vt_constraints")
     Versioned.append(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "s", "n"), dir)
