@@ -243,8 +243,10 @@ object Versioned {
     * unevaluable as dirty; a table constraint is the storage contract,
     * so it matches `ALTER TABLE ADD CONSTRAINT` exactly).
     */
-  def constraintsAt(spark: SparkSession, dir: String, v: Long): Map[String, String] = {
-    val json = snapshotJson(spark, dir, v)
+  def constraintsAt(spark: SparkSession, dir: String, v: Long): Map[String, String] =
+    constraintsOf(snapshotJson(spark, dir, v))
+
+  private def constraintsOf(json: String): Map[String, String] =
     json.split("\"constraints\":\\{", 2) match {
       case Array(_, rest) =>
         val body = rest.split("}", 2)(0).trim
@@ -257,7 +259,6 @@ object Versioned {
         }.toMap
       case _ => Map.empty
     }
-  }
 
   private def headConstraints(spark: SparkSession, dir: String): Map[String, String] =
     currentVersion(spark, dir).map(constraintsAt(spark, dir, _)).getOrElse(Map.empty)
@@ -280,6 +281,33 @@ object Versioned {
     }
   }
 
+  /** Top-level column names a constraint expression references
+    * (unresolved attribute heads, lowercased — Spark resolves
+    * case-insensitively by default).
+    */
+  private def constraintRefs(spark: SparkSession, sql: String): Seq[String] =
+    spark.sessionState.sqlParser.parseExpression(sql).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.head.toLowerCase(java.util.Locale.ROOT)
+    }.distinct
+
+  /** Refuses publishing `newSchema` while a live constraint references
+    * a column it lacks: carried constraints would then fail resolution
+    * on every subsequent write, silently write-blocking the table —
+    * the trap Delta avoids by refusing to drop constrained columns.
+    */
+  private def requireConstrainedColsPresent(
+      spark: SparkSession, cons: Map[String, String],
+      newSchema: org.apache.spark.sql.types.StructType, what: String): Unit = {
+    val have = newSchema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val broken = cons.toSeq.sortBy(_._1).flatMap { case (n, sql) =>
+      constraintRefs(spark, sql).filterNot(have).map(c => s"'$n' references $c")
+    }
+    require(broken.isEmpty,
+      s"$what would drop column(s) referenced by CHECK constraints " +
+        s"(${broken.mkString("; ")}) — dropConstraint first")
+  }
+
   /** Registers a named CHECK constraint (Delta `ALTER TABLE t ADD
     * CONSTRAINT name CHECK (expr)`): the CURRENT snapshot is validated
     * first (one aggregate scan — a constraint the table already
@@ -291,11 +319,25 @@ object Versioned {
     * re-references historical files without re-validating them against
     * constraints added after that version.
     */
+  /** Commit-JSON top-level keys: the minimal parsers probe for these
+    * textually, so user-supplied names (constraint names) must never
+    * collide — a constraint named `dvfile` would otherwise satisfy
+    * `dvsAt`'s key probe and make every read chase a bogus sidecar.
+    */
+  private val ReservedLogKeys = Set(
+    "version", "op", "ts", "schema", "txns", "constraints", "dvs", "dvfile", "files")
+
   def addConstraint(spark: SparkSession, dir: String, name: String, condSql: String): Long = {
     require(name.matches("[A-Za-z0-9_-]+"),
       s"constraint name must be log-safe ([A-Za-z0-9_-]+): $name")
+    require(!ReservedLogKeys.contains(name),
+      s"constraint name '$name' is a reserved log key")
     val base = currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $dir"))
+    require(!constraintsAt(spark, dir, base).contains(name),
+      s"a constraint named '$name' already exists at $dir — dropConstraint " +
+        "first if replacing it is intended (silent replacement would weaken " +
+        "the storage contract without a trace)")
     requireSatisfied(readAt(spark, dir, base), Map(name -> condSql))
     commitAttempt(spark, dir, "set-constraint",
       _ => schemaAt(spark, dir, base)
@@ -325,8 +367,10 @@ object Versioned {
     * exactly-once: a replayed micro-batch re-presents an already-seen
     * (app, version) and is refused before any snapshot is published.
     */
-  def txnsAt(spark: SparkSession, dir: String, v: Long): Map[String, Long] = {
-    val json = snapshotJson(spark, dir, v)
+  def txnsAt(spark: SparkSession, dir: String, v: Long): Map[String, Long] =
+    txnsOf(snapshotJson(spark, dir, v))
+
+  private def txnsOf(json: String): Map[String, Long] =
     json.split("\"txns\":\\{", 2) match {
       case Array(_, rest) =>
         val body = rest.split("}", 2)(0).trim
@@ -337,7 +381,6 @@ object Versioned {
         }.toMap
       case _ => Map.empty // pre-txn log entry
     }
-  }
 
   /** Highest transaction version `appId` has committed, if any. */
   def lastTxnVersion(spark: SparkSession, dir: String, appId: String): Option[Long] =
@@ -351,15 +394,16 @@ object Versioned {
     * numbers and keys are our own uuid/part names, so the minimal
     * parser below is safe (first `}` closes the object).
     */
-  def dvsAt(spark: SparkSession, dir: String, v: Long): Map[String, Seq[Long]] = {
-    val json = snapshotJson(spark, dir, v)
+  def dvsAt(spark: SparkSession, dir: String, v: Long): Map[String, Seq[Long]] =
+    dvsOf(spark, dir, snapshotJson(spark, dir, v))
+
+  private def dvsOf(spark: SparkSession, dir: String, json: String): Map[String, Seq[Long]] =
     json.split("\"dvfile\":\"", 2) match {
       case Array(_, rest) => // spilled DV sidecar (see commitAttempt)
         val name = rest.split("\"", 2)(0)
         parseDvs(readFully(spark, dir, new Path(logPath(dir), name)))
       case _ => parseDvs(json)
     }
-  }
 
   private def parseDvs(json: String): Map[String, Seq[Long]] =
     json.split("\"dvs\":\\{", 2) match {
@@ -408,7 +452,7 @@ object Versioned {
       basedOn: Option[Long] = None,
       dvsFor: Map[String, Seq[Long]] => Map[String, Seq[Long]] = identity,
       constraint: Option[(String, Option[String])] = None,
-      preCommit: Map[String, String] => Unit = _ => ()): Option[Long] = {
+      preCommit: (Option[Long], Map[String, String]) => Unit = (_, _) => ()): Option[Long] = {
     val f = fs(spark, dir)
     f.mkdirs(logPath(dir))
     val prev = currentVersion(spark, dir)
@@ -418,27 +462,32 @@ object Versioned {
           s"$op at $dir was planned against v$b but the table is now at " +
             s"v${prev.getOrElse(0L)} — concurrent commit; re-plan and retry")
     }
+    // ONE read of the predecessor's log entry serves every carried
+    // field below (txns, files, constraints, DVs, timestamp) — the
+    // log read is the commit's critical path on high-latency stores
+    val prevJson = prev.map(snapshotJson(spark, dir, _))
     // txn watermarks carry forward through EVERY commit (append,
     // overwrite, compact): replacing data does not reset exactly-once
     // bookkeeping, or a compaction between two micro-batches would
     // let a replayed batch double-apply
-    val prevTxns = prev.map(txnsAt(spark, dir, _)).getOrElse(Map.empty)
+    val prevTxns = prevJson.map(txnsOf).getOrElse(Map.empty)
     if (txn.exists { case (a, n) => prevTxns.get(a).exists(_ >= n) }) return None
     val v = prev.getOrElse(0L) + 1
-    val files = filesFor(prev.map(filesAt(spark, dir, _)).getOrElse(Seq.empty))
+    val files = filesFor(prevJson.map(filesOf).getOrElse(Seq.empty))
     val schemaJson = schemaJsonFor(prev)
     val txns = prevTxns ++ txn
     // CHECK constraints carry like txn watermarks; `preCommit` lets the
-    // writer validate its batch against the EXACT set this attempt
-    // publishes under — a constraint added concurrently collides on the
-    // version CAS, and the retry re-validates against the new set
-    val prevCons = prev.map(constraintsAt(spark, dir, _)).getOrElse(Map.empty)
+    // writer validate its batch against the EXACT (head, set) this
+    // attempt publishes under — a constraint added concurrently
+    // collides on the version CAS, and the retry re-validates against
+    // the new set, aligned to the new head's schema
+    val prevCons = prevJson.map(constraintsOf).getOrElse(Map.empty)
     val cons = constraint match {
       case Some((n, Some(sql))) => prevCons + (n -> sql)
       case Some((n, None)) => prevCons - n
       case None => prevCons
     }
-    preCommit(cons)
+    preCommit(prev, cons)
     val consJson =
       if (cons.isEmpty) ""
       else cons.toSeq.sorted
@@ -459,7 +508,7 @@ object Versioned {
     // is meaningless and a file re-referenced later (restore) must not
     // inherit a stale one by accident
     val fileSet = files.toSet
-    val dvs = dvsFor(prev.map(dvsAt(spark, dir, _)).getOrElse(Map.empty))
+    val dvs = dvsFor(prevJson.map(dvsOf(spark, dir, _)).getOrElse(Map.empty))
       .filter { case (df, idxs) => fileSet.contains(df) && idxs.nonEmpty }
     val dvsBody = dvs.toSeq.sortBy(_._1)
       .map { case (df, idxs) =>
@@ -498,7 +547,7 @@ object Versioned {
     // clocks (Delta's commit-timestamp adjustment); readAsOf depends
     // on that monotonicity to resolve an instant to one snapshot.
     val ts = math.max(System.currentTimeMillis(),
-      prev.map(commitTimestampAt(spark, dir, _)).getOrElse(0L))
+      prevJson.flatMap(tsOf).getOrElse(0L))
     val json =
       s"""{"version":$v,"op":"$op","ts":$ts,"schema":"$b64"$txnsJson$consJson$dvsJson,"files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
     // per-attempt unique temp name: racing committers must never share
@@ -540,7 +589,7 @@ object Versioned {
       txn: Option[(String, Long)], filesFor: Seq[String] => Seq[String],
       maxAttempts: Int = 16,
       dvsFor: Map[String, Seq[Long]] => Map[String, Seq[Long]] = identity,
-      preCommit: Map[String, String] => Unit = _ => ())
+      preCommit: (Option[Long], Map[String, String]) => Unit = (_, _) => ())
       : Option[Long] = {
     var attempt = 1
     while (true) {
@@ -684,34 +733,46 @@ object Versioned {
     * `mergeSchema = true` (see [[evolvedSchemaJson]]).
     */
   /** Memoizing batch validator: one [[requireSatisfied]] pass per
-    * DISTINCT constraint set a commit attempt publishes under (the
-    * common case validates once; a concurrent addConstraint forces one
-    * re-validation on the retry). The batch is first ALIGNED to the
-    * head schema — columns the batch legally omits (narrow mergeSchema
-    * appends) surface as typed NULLs, which SQL CHECK semantics let
-    * pass, instead of failing constraint-expression resolution.
+    * DISTINCT (head schema, constraint set) a commit attempt publishes
+    * under (the common case validates once; a concurrent addConstraint
+    * or schema evolution forces one re-validation on the retry). The
+    * batch is ALIGNED to the head schema AT VALIDATION TIME — columns
+    * the batch legally omits (narrow mergeSchema appends) surface as
+    * typed NULLs, which SQL CHECK semantics let pass, instead of
+    * failing constraint-expression resolution; re-aligning per attempt
+    * means a constraint added concurrently on a concurrently widened
+    * column also evaluates (as NULL) rather than failing resolution
+    * against a stale alignment.
     */
   private def validatorFor(
-      spark: SparkSession, dir: String, df: DataFrame): Map[String, String] => Unit = {
+      spark: SparkSession, dir: String, df: DataFrame)
+      : (Option[Long], Map[String, String]) => Unit = {
     import org.apache.spark.sql.functions.{col, lit}
-    val aligned = currentVersion(spark, dir).flatMap(schemaAt(spark, dir, _)) match {
-      case Some(head) =>
-        val have = df.schema.fieldNames.toSet
-        val missing = head.fields.filterNot(f => have.contains(f.name))
-        if (missing.isEmpty) df
-        else df.select(df.columns.toSeq.map(col) ++
-          missing.toSeq.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
-      case None => df
+    def alignedTo(headSchema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+      headSchema match {
+        case Some(head) =>
+          val have = df.schema.fieldNames.toSet
+          val missing = head.fields.filterNot(f => have.contains(f.name))
+          if (missing.isEmpty) df
+          else df.select(df.columns.toSeq.map(col) ++
+            missing.toSeq.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+        case None => df
+      }
+    var seen = Set.empty[(String, Map[String, String])]
+    (head, cons) => {
+      val schema = head.flatMap(schemaAt(spark, dir, _))
+      val key = (schema.map(_.json).getOrElse(""), cons)
+      if (!seen.contains(key)) {
+        requireSatisfied(alignedTo(schema), cons)
+        seen += key
+      }
     }
-    var seen = Set.empty[Map[String, String]]
-    cons =>
-      if (!seen.contains(cons)) { requireSatisfied(aligned, cons); seen += cons }
   }
 
   def append(df: DataFrame, dir: String, mergeSchema: Boolean = false): Long = {
     val spark = df.sparkSession
     val validate = validatorFor(spark, dir, df)
-    validate(headConstraints(spark, dir)) // fail BEFORE writing data files
+    validate(currentVersion(spark, dir), headConstraints(spark, dir)) // fail BEFORE writing data files
     val fresh = writeDataFiles(df, dir)
     val v = commitRetry(spark, dir, "append",
       head => evolvedSchemaJson(spark, dir, head, df, mergeSchema),
@@ -754,7 +815,7 @@ object Versioned {
     if (lastTxnVersion(spark, dir, appId).exists(_ >= txnVersion)) None
     else {
       val validate = validatorFor(spark, dir, df)
-      validate(headConstraints(spark, dir))
+      validate(currentVersion(spark, dir), headConstraints(spark, dir))
       val fresh = writeDataFiles(df, dir)
       val committed = commitRetry(spark, dir, "append",
         head => evolvedSchemaJson(spark, dir, head, df, mergeSchema = false),
@@ -770,8 +831,10 @@ object Versioned {
     */
   def overwrite(df: DataFrame, dir: String): Long = {
     val spark = df.sparkSession
+    requireConstrainedColsPresent(
+      spark, headConstraints(spark, dir), df.schema, s"overwrite of $dir")
     val validate = validatorFor(spark, dir, df)
-    validate(headConstraints(spark, dir))
+    validate(currentVersion(spark, dir), headConstraints(spark, dir))
     val files = writeDataFiles(df, dir)
     commitRetry(spark, dir, "overwrite",
       _ => df.schema.json, None, _ => files, preCommit = validate).get
@@ -787,8 +850,10 @@ object Versioned {
     val spark = df.sparkSession
     if (lastTxnVersion(spark, dir, appId).exists(_ >= txnVersion)) None
     else {
+      requireConstrainedColsPresent(
+        spark, headConstraints(spark, dir), df.schema, s"overwrite of $dir")
       val validate = validatorFor(spark, dir, df)
-      validate(headConstraints(spark, dir))
+      validate(currentVersion(spark, dir), headConstraints(spark, dir))
       val files = writeDataFiles(df, dir)
       commitRetry(spark, dir, "overwrite", _ => df.schema.json,
         Some(appId -> txnVersion), _ => files, preCommit = validate)
@@ -980,9 +1045,13 @@ object Versioned {
     val head = currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $dir"))
     val files = filesAt(spark, dir, v) // validates v exists
-    val schemaJson = schemaAt(spark, dir, v)
-      .map(_.json)
-      .getOrElse(new org.apache.spark.sql.types.StructType().json)
+    val restoredSchema = schemaAt(spark, dir, v)
+      .getOrElse(new org.apache.spark.sql.types.StructType())
+    // carried constraints must stay resolvable over the restored schema
+    // (restoring past a widening would otherwise write-block the table)
+    requireConstrainedColsPresent(
+      spark, constraintsAt(spark, dir, head), restoredSchema, s"restore of $dir to v$v")
+    val schemaJson = restoredSchema.json
     // the restored snapshot's OWN deletion vectors come back with it —
     // carrying the head's would resurrect or over-delete rows
     val nv = commitPinned(spark, dir, head, "restore", schemaJson, files,

@@ -24,12 +24,12 @@ private[graft] object ZoneMaps {
 
   /** Per-file [lo, hi] of each column over `relFiles` (paths relative
     * to `base`), one footer-cheap aggregate pass covering every column
-    * at once. Files where a column is all-null are left out of that
-    * column's zones. Pass `schema` to bind a table-level schema over
-    * the footers (files written by a pre-widening batch then surface
-    * the zoned column as NULL → no stats → unskippable, instead of
-    * failing column resolution); columns absent even from the bound
-    * schema yield no stats for any file.
+    * at once. Files where a column is all-null carry an EMPTY-range
+    * sentinel (exact to skip on bounded scans; see below). Pass
+    * `schema` to bind a table-level schema over the footers (files
+    * written by a pre-widening batch then surface the zoned column as
+    * NULL → sentinel, instead of failing column resolution); columns
+    * absent even from the bound schema yield no stats for any file.
     */
   def compute(
       spark: SparkSession, base: String, relFiles: Seq[String],
@@ -59,9 +59,17 @@ private[graft] object ZoneMaps {
       val lo = 1 + 2 * i
       val hi = lo + 1
       c -> stats.toSeq
-        .filter { case (_, r) => !r.isNullAt(lo) && !r.isNullAt(hi) }
         .sortBy(_._1)
-        .map { case (p, r) => (p, r.getLong(lo), r.getLong(hi)) }
+        .map { case (p, r) =>
+          // statted-but-all-NULL: an EMPTY-range sentinel, not a
+          // missing entry. Skipping such a file on any bounded range
+          // scan is exact (NULL never satisfies the residual range
+          // predicate), and recording it distinguishes "statted, no
+          // values" from "never statted" — carry passes would
+          // otherwise re-stat all-NULL files on every commit forever
+          if (r.isNullAt(lo) || r.isNullAt(hi)) (p, Long.MaxValue, Long.MinValue)
+          else (p, r.getLong(lo), r.getLong(hi))
+        }
     }.toMap
   }
 

@@ -95,14 +95,22 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.readWhere(spark, dir, v2, "id", 0L, 10L).isEmpty)
   }
 
-  test("writeZoneMap tolerates an all-null zone column (file stays unskippable)") {
+  test("writeZoneMap marks an all-null zone column with an empty-range sentinel") {
     val dir = tmpDir("vt_nullzone")
     val v = Versioned.append(
       Seq((Option.empty[java.lang.Long], "x"), (None, "y"))
         .toDF("id", "s"), dir)
     Versioned.writeZoneMap(spark, dir, v, "id") // must not NPE
-    assert(Versioned.prunedFiles(spark, dir, v, "id", 0L, 1L) ==
-      Versioned.filesAt(spark, dir, v), "stat-less files must never be pruned")
+    // the sentinel SKIPS the file on bounded range scans — exact, since
+    // NULL never satisfies the residual range predicate — while marking
+    // it statted so carry passes don't re-stat it on every commit
+    assert(Versioned.prunedFiles(spark, dir, v, "id", 0L, 1L).isEmpty,
+      "an all-NULL zoned file can never match a bounded range")
+    assert(Versioned.readWhere(spark, dir, v, "id", 0L, 1L).isEmpty)
+    // files with NO stats at all (never statted) remain unskippable
+    val fresh = Versioned.append(Seq((Option.empty[java.lang.Long], "z")).toDF("id", "s"), dir)
+    assert(Versioned.readWhere(spark, dir, fresh, "id", 0L, 1L).isEmpty)
+    assert(Versioned.read(spark, dir).count() == 3)
   }
 
   test("zone map prunes files by range from the log alone; results stay exact") {
@@ -746,6 +754,19 @@ class VersionedSpec extends SparkSpec {
       Versioned.addConstraint(spark, dir, "n_small", "n < 15")
     }
     assert(ex0.getMessage.contains("n_small"))
+    // reserved log keys would collide with the commit parsers' probes
+    assert(intercept[IllegalArgumentException] {
+      Versioned.addConstraint(spark, dir, "dvfile", "n > 0")
+    }.getMessage.contains("reserved"))
+    // silent replacement of an existing constraint is refused
+    assert(intercept[IllegalArgumentException] {
+      Versioned.addConstraint(spark, dir, "n_positive", "n > -100")
+    }.getMessage.contains("already exists"))
+    // an overwrite (or restore) dropping the constrained column would
+    // write-block the table — refused with guidance
+    assert(intercept[IllegalArgumentException] {
+      Versioned.overwrite(Seq((1L, "a")).toDF("id", "s"), dir)
+    }.getMessage.contains("dropConstraint"))
 
     // appends: violating batch refused BEFORE any version is published
     val ex1 = intercept[IllegalArgumentException] {
