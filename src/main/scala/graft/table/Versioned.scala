@@ -547,7 +547,10 @@ object Versioned {
     // clocks (Delta's commit-timestamp adjustment); readAsOf depends
     // on that monotonicity to resolve an instant to one snapshot.
     val ts = math.max(System.currentTimeMillis(),
-      prevJson.flatMap(tsOf).getOrElse(0L))
+      prev.map(p => prevJson.flatMap(tsOf).getOrElse(
+        // pre-ts predecessor: same mtime fallback as commitTimestampAt,
+        // or the monotonic clamp silently dies on legacy tables
+        f.getFileStatus(versionFile(dir, p)).getModificationTime)).getOrElse(0L))
     val json =
       s"""{"version":$v,"op":"$op","ts":$ts,"schema":"$b64"$txnsJson$consJson$dvsJson,"files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
     // per-attempt unique temp name: racing committers must never share
@@ -758,9 +761,16 @@ object Versioned {
             missing.toSeq.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
         case None => df
       }
+    var schemaCache = Map.empty[Option[Long], Option[org.apache.spark.sql.types.StructType]]
     var seen = Set.empty[(String, Map[String, String])]
     (head, cons) => {
-      val schema = head.flatMap(schemaAt(spark, dir, _))
+      // log entries are immutable, so the per-head schema lookup caches
+      // across retry attempts (one read per distinct head, not per call)
+      val schema = schemaCache.getOrElse(head, {
+        val s = head.flatMap(schemaAt(spark, dir, _))
+        schemaCache += head -> s
+        s
+      })
       val key = (schema.map(_.json).getOrElse(""), cons)
       if (!seen.contains(key)) {
         requireSatisfied(alignedTo(schema), cons)
@@ -772,7 +782,10 @@ object Versioned {
   def append(df: DataFrame, dir: String, mergeSchema: Boolean = false): Long = {
     val spark = df.sparkSession
     val validate = validatorFor(spark, dir, df)
-    validate(currentVersion(spark, dir), headConstraints(spark, dir)) // fail BEFORE writing data files
+    // fast-fail BEFORE writing data files, pairing version and
+    // constraint set from ONE head read (the attempt re-pairs anyway)
+    val head0 = currentVersion(spark, dir)
+    validate(head0, head0.map(constraintsAt(spark, dir, _)).getOrElse(Map.empty))
     val fresh = writeDataFiles(df, dir)
     val v = commitRetry(spark, dir, "append",
       head => evolvedSchemaJson(spark, dir, head, df, mergeSchema),
@@ -815,7 +828,8 @@ object Versioned {
     if (lastTxnVersion(spark, dir, appId).exists(_ >= txnVersion)) None
     else {
       val validate = validatorFor(spark, dir, df)
-      validate(currentVersion(spark, dir), headConstraints(spark, dir))
+      val head0 = currentVersion(spark, dir)
+      validate(head0, head0.map(constraintsAt(spark, dir, _)).getOrElse(Map.empty))
       val fresh = writeDataFiles(df, dir)
       val committed = commitRetry(spark, dir, "append",
         head => evolvedSchemaJson(spark, dir, head, df, mergeSchema = false),
@@ -831,13 +845,21 @@ object Versioned {
     */
   def overwrite(df: DataFrame, dir: String): Long = {
     val spark = df.sparkSession
-    requireConstrainedColsPresent(
-      spark, headConstraints(spark, dir), df.schema, s"overwrite of $dir")
     val validate = validatorFor(spark, dir, df)
-    validate(currentVersion(spark, dir), headConstraints(spark, dir))
+    // the dropped-column guard runs INSIDE each attempt against the
+    // constraint set it publishes under — a concurrent addConstraint
+    // referencing a column this overwrite drops must fail THIS commit,
+    // not write-block the table (the attempt's own alignment would let
+    // it pass as NULL)
+    val guarded = (head: Option[Long], cons: Map[String, String]) => {
+      requireConstrainedColsPresent(spark, cons, df.schema, s"overwrite of $dir")
+      validate(head, cons)
+    }
+    val head0 = currentVersion(spark, dir)
+    guarded(head0, head0.map(constraintsAt(spark, dir, _)).getOrElse(Map.empty))
     val files = writeDataFiles(df, dir)
     commitRetry(spark, dir, "overwrite",
-      _ => df.schema.json, None, _ => files, preCommit = validate).get
+      _ => df.schema.json, None, _ => files, preCommit = guarded).get
   }
 
   /** Idempotent overwrite: `overwrite` guarded by the same writer-
@@ -850,13 +872,16 @@ object Versioned {
     val spark = df.sparkSession
     if (lastTxnVersion(spark, dir, appId).exists(_ >= txnVersion)) None
     else {
-      requireConstrainedColsPresent(
-        spark, headConstraints(spark, dir), df.schema, s"overwrite of $dir")
       val validate = validatorFor(spark, dir, df)
-      validate(currentVersion(spark, dir), headConstraints(spark, dir))
+      val guarded = (head: Option[Long], cons: Map[String, String]) => {
+        requireConstrainedColsPresent(spark, cons, df.schema, s"overwrite of $dir")
+        validate(head, cons)
+      }
+      val head0 = currentVersion(spark, dir)
+      guarded(head0, head0.map(constraintsAt(spark, dir, _)).getOrElse(Map.empty))
       val files = writeDataFiles(df, dir)
       commitRetry(spark, dir, "overwrite", _ => df.schema.json,
-        Some(appId -> txnVersion), _ => files, preCommit = validate)
+        Some(appId -> txnVersion), _ => files, preCommit = guarded)
     }
   }
 
@@ -1084,10 +1109,11 @@ object Versioned {
     require(zoneCols.nonEmpty, "at least one zone column")
     val files = filesAt(spark, dir, v)
     if (files.isEmpty) return
-    // all-null zone column in a file: ZoneMaps.compute leaves the file
-    // out of that column's block — prunedFiles treats stat-less files
-    // as unskippable, the only safe reading of "no stats". The scan is
-    // bound to the snapshot's schema so pre-evolution files stat clean.
+    // all-null zone column in a file: ZoneMaps.compute records an
+    // EMPTY-RANGE sentinel — exact to skip on bounded scans (NULL never
+    // passes the residual predicate) and marked statted; files absent
+    // from the sidecar entirely stay unskippable. The scan is bound to
+    // the snapshot's schema so pre-evolution files stat clean.
     val json = ZoneMaps.blocksJson(zoneCols,
       ZoneMaps.compute(spark, dir, files, zoneCols, schemaAt(spark, dir, v)))
     val f = fs(spark, dir)
@@ -1536,7 +1562,8 @@ object Versioned {
     val toStat = (kept -- covered).toSeq.sorted ++ fresh
     // stats read under the snapshot's COMMITTED schema: a fresh file
     // from a narrow mergeSchema batch surfaces the zoned column as
-    // NULL (→ no stats → unskippable) instead of failing resolution
+    // NULL (→ empty-range sentinel, skipped exactly and never
+    // re-statted) instead of failing resolution
     val freshStats =
       if (toStat.isEmpty) Map.empty[String, ZoneMaps.Zones]
       else ZoneMaps.compute(spark, dir, toStat, cols, schemaAt(spark, dir, newV))

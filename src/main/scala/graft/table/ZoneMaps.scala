@@ -8,10 +8,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Zone columns must be losslessly long-castable (integral types,
   * timestamps as epoch seconds) — one stats domain keeps the sidecar
-  * format and the pruning comparison trivial and exact. Files with no
-  * stats for a column (all-null, or written before the column was
-  * zoned) are never pruned: "no stats" can only widen a scan, never
-  * lose rows.
+  * format and the pruning comparison trivial and exact. Files ABSENT
+  * from a column's zones (never statted) are never pruned: "no stats"
+  * can only widen a scan, never lose rows. Files statted as all-NULL
+  * carry an empty-range sentinel instead and ARE skipped on bounded
+  * scans — exact, because NULL never satisfies the residual range
+  * predicate that every zoned read applies.
   *
   * Both versioned tables ([[Versioned.writeZoneMaps]]) and bucketed
   * tables ([[Bucketed.writeZoneMaps]]) publish this format — the

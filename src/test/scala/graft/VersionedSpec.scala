@@ -107,7 +107,14 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.prunedFiles(spark, dir, v, "id", 0L, 1L).isEmpty,
       "an all-NULL zoned file can never match a bounded range")
     assert(Versioned.readWhere(spark, dir, v, "id", 0L, 1L).isEmpty)
-    // files with NO stats at all (never statted) remain unskippable
+    // files with NO stats at all (never statted) remain unskippable —
+    // pinned at the prune primitive, where the None branch lives
+    assert(graft.table.ZoneMaps.prune(
+      Seq("a", "b"), Seq(("a", 0L, 10L)), 20L, 30L) == Seq("b"),
+      "a file absent from the zones must never be pruned")
+    // and the sentinel skips exactly on bounded ranges, keeps on full
+    assert(graft.table.ZoneMaps.prune(
+      Seq("a"), Seq(("a", Long.MaxValue, Long.MinValue)), 0L, 10L).isEmpty)
     val fresh = Versioned.append(Seq((Option.empty[java.lang.Long], "z")).toDF("id", "s"), dir)
     assert(Versioned.readWhere(spark, dir, fresh, "id", 0L, 1L).isEmpty)
     assert(Versioned.read(spark, dir).count() == 3)
