@@ -220,6 +220,32 @@ object Versioned {
     }.toDF("version", "op", "commit_ts", "n_files")
   }
 
+  /** Table-level summary of the CURRENT snapshot (the DESCRIBE DETAIL
+    * analog): head version, commit time, file count, total data bytes,
+    * live soft-deleted positions, and the names of registered
+    * constraints. One log read plus one metadata stat per referenced
+    * file — no data opens.
+    */
+  def detail(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
+    val json = snapshotJson(spark, dir, v)
+    val files = filesOf(json)
+    val f = fs(spark, dir)
+    val bytes = files.map(rel => f.getFileStatus(new Path(dir, rel)).getLen).sum
+    Seq((
+      v,
+      tsOf(json).getOrElse(
+        f.getFileStatus(versionFile(dir, v)).getModificationTime),
+      files.size.toLong,
+      bytes,
+      dvsOf(spark, dir, json).values.map(_.size.toLong).sum,
+      constraintsOf(json).keys.toSeq.sorted
+    )).toDF("version", "commit_ts", "n_files", "size_bytes",
+      "n_soft_deleted", "constraints")
+  }
+
   /** Time travel by wall clock (Delta `TIMESTAMP AS OF`): reads the
     * newest snapshot committed at or before `tsMillis`. Fails loudly
     * when every retained version is newer (the requested instant

@@ -960,6 +960,20 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.compactSmall(spark, dir, smallBytes = smallBytes).isEmpty)
   }
 
+  test("detail summarizes the head snapshot from the log and file metadata alone") {
+    val dir = tmpDir("vt_detail")
+    Versioned.append(Seq((1L, "a", 5L), (2L, "b", 6L)).toDF("id", "s", "n"), dir)
+    Versioned.addConstraint(spark, dir, "n_positive", "n > 0")
+    Versioned.deleteWhereMoR(spark, dir, col("id") === 1L)
+    val d = Versioned.detail(spark, dir).collect()(0)
+    assert(d.getAs[Long]("version") == 3L)
+    assert(d.getAs[Long]("n_files") == Versioned.filesAt(spark, dir, 3L).size)
+    assert(d.getAs[Long]("size_bytes") > 0)
+    assert(d.getAs[Long]("n_soft_deleted") == 1L)
+    assert(d.getAs[scala.collection.Seq[String]]("constraints").toSeq == Seq("n_positive"))
+    assert(d.getAs[Long]("commit_ts") > 0)
+  }
+
   test("history lists every retained commit; readAsOf time-travels by wall clock") {
     val dir = tmpDir("vt_history")
     Versioned.append(Seq((1L, "a")).toDF("id", "s"), dir)
