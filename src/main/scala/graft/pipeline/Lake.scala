@@ -2,8 +2,9 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.ops.Upsert
 import graft.streaming.Ingest
-import graft.table.{Bucketed, Table, TableRef}
+import graft.table.{Bucketed, Table, TableRef, Versioned}
 
 /** End-to-end lakehouse orchestration — the reference's nine notebooks
   * (`01_bronze_csv_to_delta.py` … `09_gold_metrics_customers.py`) as one
@@ -148,6 +149,145 @@ object Lake {
   def buildAll(spark: SparkSession, ingestRoot: String, roots: LakeRoots): Seq[String] = {
     val entities = refreshSilver(spark, ingestRoot, roots)
     refreshGold(spark, roots)
+    entities
+  }
+
+  /** Versioned-bronze mode: every discovered table's CSV drops stream
+    * into a LOG-BACKED bronze table through the exactly-once sink
+    * (`Ingest.sinkVersionedExactlyOnce`) — each micro-batch is one ACID
+    * append commit watermarked by (appId, batchId) in the table's own
+    * log, so a replayed batch (retried epoch, or a full re-run after
+    * the CHECKPOINT is wiped) is refused at the log and never
+    * duplicates rows. This is the reference's bronze tier exactly
+    * (`01_bronze_csv_to_delta.py:49-56`: Delta append under the
+    * transaction log), where [[refreshSilver]]'s plain-parquet bronze
+    * needed the seen-files manifest to approximate it.
+    */
+  def refreshBronzeVersioned(
+      spark: SparkSession, ingestRoot: String, roots: LakeRoots): Seq[String] =
+    Ingest.discoverTables(spark, ingestRoot).flatMap { name =>
+      Entities.byName(name).map { e =>
+        Ingest.sinkVersionedExactlyOnce(
+          Ingest.csvStream(spark, s"$ingestRoot/$name", e.bronzeSchema),
+          roots.versionedBronzeDir(name), s"graft-bronze-$name",
+          s"${roots.checkpoints}/${name}_vbronze")
+        name
+      }
+    }
+
+  /** CDF-driven bronze→silver propagation over versioned tiers: the
+    * SILVER table's log carries, per entity, the highest bronze version
+    * already reflected (writer transaction `graft-silver-<name>`), and
+    * a refresh MERGEs only `Versioned.addedSince(lastApplied, head)` —
+    * the log's add-actions read as data, O(new bronze) however big the
+    * table (bronze is append-only by construction, which is exactly
+    * `addedSince`'s contract). The watermark and the merged rows land
+    * in ONE commit ([[graft.table.Versioned.mergeIdempotent]]), so a
+    * refresh that crashes mid-way either left no trace or is a no-op on
+    * replay — never a half-applied batch. No streaming checkpoint is
+    * involved: the logs themselves are the progress tracking, the
+    * second half of what Delta's `txnVersion` gave the reference.
+    *
+    * Aggregated-grain entities recleanse from full bronze (same
+    * correctness rule as [[refreshSilver]]) as idempotent overwrite
+    * commits. A silver vacuumed past its bronze watermark falls back
+    * to one full recleanse-merge — loud in the log (`merge` op over
+    * all keys), never silently incomplete. Returns the entities whose
+    * silver actually advanced.
+    */
+  def refreshSilverFromVersionedBronze(
+      spark: SparkSession, roots: LakeRoots, names: Seq[String]): Seq[String] =
+    names.filter { name =>
+      val e = Entities.byName(name).getOrElse(
+        throw new IllegalArgumentException(s"unknown entity: $name"))
+      val bronzeDir = roots.versionedBronzeDir(name)
+      val silverDir = roots.versionedSilverDir(name)
+      val appId = s"graft-silver-$name"
+      val lww = Upsert.scol("ingestion_ts") > Upsert.tcol("ingestion_ts")
+      Versioned.currentVersion(spark, bronzeDir) match {
+        case None => false
+        case Some(bv) =>
+          val applied = Versioned.lastTxnVersion(spark, silverDir, appId)
+          if (applied.exists(_ >= bv)) false
+          else {
+            if (e.aggregatedGrain)
+              Versioned.overwriteIdempotent(
+                e.cleanse(Versioned.read(spark, bronzeDir)), silverDir, appId, bv)
+            else applied match {
+              case Some(a) if Versioned.versions(spark, bronzeDir).contains(a) =>
+                Versioned.mergeIdempotent(spark, silverDir,
+                  e.cleanse(Versioned.addedSince(spark, bronzeDir, a, bv)),
+                  e.silverKeys, appId, bv, updateWhen = lww)
+              case _ =>
+                val cleansed = e.cleanse(Versioned.readAt(spark, bronzeDir, bv))
+                if (Versioned.currentVersion(spark, silverDir).isEmpty)
+                  Versioned.appendIdempotent(cleansed, silverDir, appId, bv)
+                else
+                  Versioned.mergeIdempotent(spark, silverDir, cleansed,
+                    e.silverKeys, appId, bv, updateWhen = lww)
+            }
+            true
+          }
+      }
+    }
+
+  /** Versioned gold: every mart rebuilt from the VERSIONED silver tier
+    * and committed as an idempotent overwrite into a log-backed table —
+    * gold time-travels, serves `history()`/`detail()`, and skips
+    * cleanly when nothing changed: the tier watermark is the SUM of
+    * all silver head versions (monotonic — versions only grow), so a
+    * refresh over unchanged silver is ten no-ops costing log reads
+    * only. The reference gets exactly this from writing marts as Delta
+    * tables (`07_gold_metrics_revenue.py:72-78`).
+    *
+    * The metric marts all hinge on `count_distinct`, which is NOT
+    * self-inverting and therefore does not qualify for
+    * [[IncrementalAgg]]'s O(changes) maintenance (its contract:
+    * count/sum only); they rebuild from silver heads. The qualifying
+    * shape — count/sum gold maintained from `Versioned.changes` — is
+    * what `m6_incremental_gold` runs under the oracle gate.
+    */
+  def refreshGoldVersioned(spark: SparkSession, roots: LakeRoots): Unit = {
+    val missing = Entities.all.map(_.name)
+      .filter(n => Versioned.currentVersion(spark, roots.versionedSilverDir(n)).isEmpty)
+    require(missing.isEmpty,
+      s"cannot build versioned gold: versioned silver missing for " +
+        s"${missing.mkString(", ")} — run refreshSilverFromVersionedBronze (or " +
+        "refreshSilverVersioned) first")
+    val watermark = Entities.all
+      .map(e => Versioned.currentVersion(spark, roots.versionedSilverDir(e.name)).get)
+      .sum
+    def s(name: String) = Versioned.read(spark, roots.versionedSilverDir(name))
+    def g(name: String) = Versioned.read(spark, roots.versionedGoldDir(name))
+    def write(name: String, df: => DataFrame): Unit =
+      Versioned.overwriteIdempotent(df, roots.versionedGoldDir(name),
+        "graft-gold", watermark)
+
+    write("dim_customers", Gold.dimCustomers(s("customers")))
+    write("dim_products", Gold.dimProducts(s("products")))
+    write("dim_sellers", Gold.dimSellers(s("sellers")))
+    write("dim_geolocation", Gold.dimGeolocation(s("geolocation")))
+    write("fact_orders", Gold.factOrders(s("orders"), s("customers"), s("order_items")))
+    write("fact_payments", Gold.factPayments(s("order_payments"), s("orders")))
+    write("fact_reviews", Gold.factReviews(s("order_reviews"), s("orders")))
+    write("metrics_revenue",
+      Gold.metricsRevenue(g("fact_orders"), g("fact_payments"), g("dim_customers")))
+    write("metrics_orders", Gold.metricsOrders(g("fact_orders"), g("dim_customers")))
+    write("metrics_customers", Gold.metricsCustomers(g("dim_customers"), g("fact_orders")))
+  }
+
+  /** The whole pipeline with EVERY tier under a transaction log:
+    * bronze ingest commits are exactly-once, silver follows bronze via
+    * its add-actions, gold follows silver via the tier watermark — the
+    * full medallion time-travels and a crash-replay at any tier is a
+    * no-op. This is the complete ACID story the reference gets
+    * implicitly from running every notebook against Delta.
+    */
+  def buildAllVersioned(
+      spark: SparkSession, ingestRoot: String, roots: LakeRoots): Seq[String] = {
+    val entities = refreshBronzeVersioned(spark, ingestRoot, roots)
+    refreshSilverFromVersionedBronze(spark, roots, entities)
+    refreshGoldVersioned(spark, roots)
     entities
   }
 

@@ -29,6 +29,12 @@ final case class LakeRoots(
     * versioned-silver mode of `Lake.refreshSilverVersioned`.
     */
   def versionedSilverDir(t: String): String = s"$silver/${t}_v"
+  /** Log-backed bronze table root — `Lake.buildAllVersioned`'s ACID
+    * ingestion tier.
+    */
+  def versionedBronzeDir(t: String): String = s"$bronze/${t}_v"
+  /** Log-backed gold table root — `Lake.refreshGoldVersioned`. */
+  def versionedGoldDir(t: String): String = s"$gold/${t}_v"
   def goldRef(t: String): TableRef = TableRef(s"$gold/$t")
   def silverBucketedRef(e: Entity): graft.table.BucketedRef =
     graft.table.BucketedRef(s"$silver/${e.name}", silverBuckets, e.silverKeys)

@@ -3,7 +3,9 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.operators.TextDedup
 import graft.ops.{Dedup, Upsert}
+import graft.pipeline.IncrementalAgg
 import graft.table.Versioned
 
 /** Declared queries that run the VERSIONED TABLE layer itself under the
@@ -94,6 +96,91 @@ object VersionedQueries {
        |    ORDER BY ts_us DESC, pri DESC) AS rn FROM u) WHERE rn = 1
        |ORDER BY user_id""".stripMargin
 
+  // M6 — incrementally-maintained gold over a versioned silver's change
+  // feed. Silver mutates exactly like m5 (two parity appends, a sparse
+  // MoR delete, an LWW MERGE); gold = groupBy(event_type).agg(n,
+  // sum(value_c)) is refreshed TWICE through IncrementalAgg:
+  //  - after the appends → the full-recompute bootstrap path,
+  //  - after delete+merge → the O(changes) path, aggregating only
+  //    Versioned.changes(2, 4) with ±1/±value signs and merging the
+  //    per-key deltas into the (small) gold table.
+  // The oracle recomputes gold from the final silver state relationally
+  // — so a green row proves the incremental maintenance is bit-exact
+  // against full recompute (value is pre-floored to integer cents;
+  // float sums would accumulate reordering ulps, SURVEY §7.4). Gold
+  // itself is a VERSIONED table (refresh commits are idempotent
+  // overwrites watermarked by silver version), the reference's ACID
+  // gold tier (`07_gold_metrics_revenue.py:54-65`).
+  def incrementalGold(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("ts_us", tsUs)
+      .withColumn("value_c", floor(col("value") * 100))
+      .select("user_id", "event_id", "event_type", "value_c", "ts_us")
+    val evB = ev.crossJoin(broadcast(ev.agg(expr("count(1) div 2").as("__split"))))
+    def latest(df: DataFrame) =
+      Dedup.latestByKey(df, Seq("user_id"), Seq(col("ts_us").desc, col("event_id").desc))
+    val target = latest(evB.filter(col("event_id") < col("__split")).drop("__split"))
+    val source = latest(evB.filter(col("event_id") >= col("__split")).drop("__split"))
+    val silverDir = scratchDir("graft_m6_silver")
+    val goldDir = scratchDir("graft_m6_gold")
+    Versioned.append(target.filter(col("user_id") % 2 === 0), silverDir)
+    Versioned.append(target.filter(col("user_id") % 2 === 1), silverDir)
+    IncrementalAgg.refresh(s, silverDir, goldDir, Seq("event_type"), Seq("value_c"))
+    Versioned.deleteWhereMoR(s, silverDir, col("user_id") % 10 === 0)
+    Versioned.merge(s, silverDir, source, Seq("user_id"),
+      updateWhen = Upsert.scol("ts_us") > Upsert.tcol("ts_us"))
+    IncrementalAgg.refresh(s, silverDir, goldDir, Seq("event_type"), Seq("value_c"))
+    Versioned.read(s, goldDir).orderBy("event_type")
+  }
+
+  // Final silver state = m5's relational replay (with integer-cents
+  // value); gold = one GROUP BY over it — the full-recompute twin the
+  // incremental path must equal.
+  val incrementalGoldSql: String =
+    s"""WITH n AS (SELECT count(*) AS c FROM events),
+       |ev AS (SELECT user_id, event_id, event_type,
+       |              CAST(floor(value * 100) AS BIGINT) AS value_c,
+       |              $OracleTsUs AS ts_us FROM events),
+       |tgt0 AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+       |          ORDER BY ts_us DESC, event_id DESC) rn
+       |        FROM ev WHERE event_id < (SELECT c//2 FROM n)) WHERE rn = 1),
+       |tgt AS (SELECT * FROM tgt0 WHERE user_id % 10 <> 0),
+       |src AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+       |          ORDER BY ts_us DESC, event_id DESC) rn
+       |        FROM ev WHERE event_id >= (SELECT c//2 FROM n)) WHERE rn = 1),
+       |u AS (SELECT user_id, event_type, value_c, ts_us, 1 AS pri FROM tgt
+       |      UNION ALL
+       |      SELECT user_id, event_type, value_c, ts_us, 0 AS pri FROM src),
+       |fin AS (SELECT event_type, value_c FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id
+       |    ORDER BY ts_us DESC, pri DESC) AS rn FROM u) WHERE rn = 1)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(value_c) AS BIGINT) AS sum_value_c
+       |FROM fin GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // X — a curation operator composed over the versioned read path:
+  // exact dedup runs against a log-resolved, DV-subtracted snapshot
+  // (two parity appends + a sparse MoR delete), proving the extension
+  // surface and the transactional surface compose — the dedup input is
+  // what the LOG says is live, not what a directory listing finds.
+  def dedupVersioned(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val tableDir = scratchDir("graft_xdv")
+    Versioned.append(docs.filter(col("doc_id") % 2 === 0), tableDir)
+    Versioned.append(docs.filter(col("doc_id") % 2 === 1), tableDir)
+    Versioned.deleteWhereMoR(s, tableDir, col("doc_id") % 7 === 0)
+    TextDedup.exact(Versioned.read(s, tableDir), "doc_id", "text")
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy("keep_id")
+  }
+
+  val dedupVersionedSql: String =
+    """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+      |FROM documents WHERE doc_id % 7 <> 0
+      |GROUP BY text ORDER BY keep_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
-    QueryDef("m5_versioned_merge", versionedMerge, Some(versionedMergeSql)))
+    QueryDef("m5_versioned_merge", versionedMerge, Some(versionedMergeSql)),
+    QueryDef("m6_incremental_gold", incrementalGold, Some(incrementalGoldSql)),
+    QueryDef("x_dedup_versioned", dedupVersioned, Some(dedupVersionedSql)))
 }

@@ -1,0 +1,89 @@
+package graft.table
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The commit log's atomicity seam (Delta's `LogStore` analog): every
+  * versioned-table commit funnels its publish through exactly one call
+  * to [[LogStore.publishOnce]], so the filesystem-specific
+  * "create-if-absent" primitive is swappable without touching commit
+  * logic.
+  *
+  * THE CONTRACT. `publishOnce(fs, tmp, dest)` must
+  *
+  *  1. make `dest` exist with exactly `tmp`'s content, or throw;
+  *  2. be MUTUALLY EXCLUSIVE: of N concurrent calls targeting the same
+  *     `dest`, at most one succeeds and every loser throws
+  *     [[Versioned.CommitRace]] — with no window in which a reader can
+  *     observe a partially-written `dest`;
+  *  3. clean up `tmp` on both success and failure (crashed callers may
+  *     still leak temps; `Versioned.vacuum` sweeps them by age).
+  *
+  * Property 2 is what turns optimistic commits into a total order: the
+  * version number is the CAS token and `dest` (`vNNNNNNNN.json`) is the
+  * CAS cell.
+  *
+  * Implementations provided / required:
+  *
+  *  - `file://` — [[HadoopFsLogStore]] uses POSIX hard-link creation,
+  *    a true atomic create-if-absent (fails EEXIST); local rename(2)
+  *    alone could NOT detect the race, since it silently replaces an
+  *    existing destination.
+  *  - HDFS-like stores (atomic no-overwrite rename) —
+  *    [[HadoopFsLogStore]] uses exists-check + rename; the rename
+  *    itself refuses existing destinations, so the pre-check is only a
+  *    fast path.
+  *  - S3-class object stores — NOT safe with either primitive: their
+  *    "rename" is copy+delete and unconditional PUT is
+  *    last-writer-wins, so two committers can both believe they
+  *    published the same version. A correct implementation needs a
+  *    conditional-write primitive (S3 `If-None-Match` PUT, GCS
+  *    generation preconditions, Azure ETags) or an external
+  *    coordination service — exactly the constraint Delta documents
+  *    for its S3 LogStore. None ships here (this build targets
+  *    local/HDFS filesystems); the seam is where one would plug in.
+  */
+trait LogStore {
+
+  /** Publish `tmp`'s content as `dest`, atomically and exactly once
+    * per `dest`; throws [[Versioned.CommitRace]] when `dest` already
+    * exists or a concurrent call won.
+    */
+  def publishOnce(fs: FileSystem, tmp: Path, dest: Path): Unit
+}
+
+/** Hadoop-filesystem [[LogStore]]: hard-link CAS on `file://`, atomic
+  * no-overwrite rename elsewhere. See the trait scaladoc for why
+  * object stores need a different implementation.
+  */
+object HadoopFsLogStore extends LogStore {
+
+  override def publishOnce(fs: FileSystem, tmp: Path, dest: Path): Unit = {
+    def race() = new Versioned.CommitRace(
+      s"commit of $dest lost a race — a concurrent writer published this " +
+        "version first; retry from the new log head")
+    val destUri = fs.makeQualified(dest).toUri
+    if (destUri.getScheme == "file") {
+      val t = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
+      val d = java.nio.file.Paths.get(destUri.getPath)
+      try {
+        java.nio.file.Files.createLink(d, t)
+        fs.delete(tmp, false) // Hadoop delete also removes the .crc sidecar
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          fs.delete(tmp, false)
+          throw race()
+      }
+    } else {
+      if (fs.exists(dest)) {
+        fs.delete(tmp, false)
+        throw race()
+      }
+      if (!fs.rename(tmp, dest)) {
+        // clean up on BOTH failure paths — a crashed committer can
+        // still leave a tmp behind, which vacuum sweeps by age
+        fs.delete(tmp, false)
+        throw race()
+      }
+    }
+  }
+}

@@ -11,17 +11,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Layout:
   * {{{
-  *   <dir>/_graft_log/v00000001.json   // snapshot: full data-file list
+  *   <dir>/_graft_log/v00000001.json   // checkpoint: full data-file list
+  *   <dir>/_graft_log/v00000002.json   // delta: add/remove file actions
   *   <dir>/d-<uuid>/part-*.parquet     // immutable data-file sets
   * }}}
   *
   * Every commit writes a NEW data directory (files are never mutated or
-  * renamed) and then publishes a complete snapshot listing as the next
-  * log entry via an atomic temp-file rename. Readers resolve the file
-  * list from the log, never from directory listing — which is what
-  * makes this the scale shape: at 100 TB a recursive listing of
+  * renamed) and then publishes the next log entry via an atomic
+  * temp-file rename. Entries carry INCREMENTAL file actions —
+  * `"add"`/`"remove"` deltas against the predecessor — so commit
+  * metadata costs O(files touched), not O(table file count): a 100 TB
+  * table with a million live files pays a few hundred bytes per
+  * append, not tens of megabytes. Every [[CheckpointInterval]]-th
+  * version (and the first, and any commit whose file order a delta
+  * replay cannot reproduce) is a CHECKPOINT entry carrying the full
+  * reconstructed list, bounding read-side resolution: [[filesAt]]
+  * reads the nearest checkpoint plus the delta suffix — at most
+  * `CheckpointInterval` small files, never a log replay from v1
+  * (Delta's `_last_checkpoint` + actions design). Readers resolve the
+  * file list from the log, never from directory listing — which is
+  * what makes this the scale shape: at 100 TB a recursive listing of
   * millions of data files is the slowest part of query planning, while
-  * the log read is one small file. It also yields
+  * the log read is a bounded handful of small files. It also yields
   *
   *  - snapshot isolation: a reader planning against version N keeps a
   *    consistent file set however many commits land meanwhile;
@@ -62,6 +73,19 @@ object Versioned {
   private def versionFile(dir: String, v: Long) =
     new Path(logPath(dir), f"v$v%08d.json")
 
+  /** Checkpoint sidecar holding version `v`'s full file list — written
+    * by [[vacuum]] before truncating the delta chain below `v`, so the
+    * oldest retained version stays resolvable without its ancestors.
+    */
+  private def ckptFile(dir: String, v: Long) =
+    new Path(logPath(dir), f"v$v%08d.ckpt.json")
+
+  /** Every Nth version commits a checkpoint entry (full file list)
+    * instead of an add/remove delta, bounding both the walk-back depth
+    * of [[filesAt]] and how much log [[vacuum]] must retain.
+    */
+  private[graft] val CheckpointInterval = 16L
+
   /** All committed versions, ascending; empty for a non-table. */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {
     val f = fs(spark, dir)
@@ -95,12 +119,59 @@ object Versioned {
     readFully(spark, dir, p)
   }
 
-  /** Data files (table-relative paths) of snapshot `v` — a minimal
-    * parse of `{"version":N,...,"files":["a","b"]}`; files are
-    * uuid/part names we wrote ourselves (no quotes/escapes).
+  /** Data files (table-relative paths) of snapshot `v`, resolved from
+    * the nearest checkpoint at or below `v` plus the delta suffix —
+    * at most [[CheckpointInterval]] log reads. Fails loudly when the
+    * chain is broken (log truncated below the nearest checkpoint with
+    * no `.ckpt.json` sidecar), never returns a partial list.
     */
   def filesAt(spark: SparkSession, dir: String, v: Long): Seq[String] =
-    filesOf(snapshotJson(spark, dir, v))
+    resolveFiles(spark, dir, v, None)
+
+  /** Walk back from `v` to the nearest full file list (a checkpoint
+    * entry, a legacy full-list entry, or a vacuum-written `.ckpt.json`
+    * sidecar), then replay the add/remove deltas forward. `headJson`
+    * lets callers that already read `v`'s entry skip one log read.
+    */
+  private def resolveFiles(
+      spark: SparkSession, dir: String, v: Long,
+      headJson: Option[String]): Seq[String] = {
+    val f = fs(spark, dir)
+    var deltas = List.empty[(Seq[String], Seq[String])]
+    var cur = v
+    var json = headJson.getOrElse(snapshotJson(spark, dir, cur))
+    while (true) {
+      filesOfOpt(json) match {
+        case Some(full) => return replayDeltas(full, deltas)
+        case None =>
+          // a vacuum-written sidecar holds cur's POST-commit state, so
+          // cur's own delta is already folded in — check before pushing
+          val ck = ckptFile(dir, cur)
+          if (f.exists(ck))
+            return replayDeltas(
+              filesOfOpt(readFully(spark, dir, ck)).getOrElse(Seq.empty), deltas)
+          deltas = (listOf(json, "add"), listOf(json, "remove")) :: deltas
+          cur -= 1
+          require(cur >= 1 && f.exists(versionFile(dir, cur)),
+            s"cannot resolve the file list of v$v at $dir: the log is " +
+              s"truncated below v${cur + 1} with no checkpoint — the version " +
+              "is outside the vacuum-retained window")
+          json = snapshotJson(spark, dir, cur)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Applies add/remove deltas (oldest first) to a base file list:
+    * removed files drop (order of survivors preserved), added files
+    * append — exactly how every commit path builds its new list.
+    */
+  private def replayDeltas(
+      base: Seq[String], deltas: List[(Seq[String], Seq[String])]): Seq[String] =
+    deltas.foldLeft(base) { case (acc, (add, remove)) =>
+      val gone = remove.toSet
+      acc.filterNot(gone) ++ add
+    }
 
   /** Latest snapshot scan. */
   def read(spark: SparkSession, dir: String): DataFrame =
@@ -183,11 +254,34 @@ object Versioned {
       case _ => None
     }
 
-  private def filesOf(json: String): Seq[String] = {
-    val files = json.split("\"files\":\\[", 2)(1).split("]", 2)(0)
-    if (files.trim.isEmpty) Seq.empty
-    else files.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-  }
+  /** The full file list of a CHECKPOINT entry (or legacy full-list
+    * entry); None for an add/remove delta entry. File names are
+    * uuid/part names we wrote ourselves (no quotes/escapes), so the
+    * minimal textual parse is safe.
+    */
+  private def filesOfOpt(json: String): Option[Seq[String]] =
+    json.split("\"files\":\\[", 2) match {
+      case Array(_, rest) =>
+        val files = rest.split("]", 2)(0)
+        Some(
+          if (files.trim.isEmpty) Seq.empty
+          else files.split(",").toSeq
+            .map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+      case _ => None
+    }
+
+  /** A top-level string-array value (`"key":["a","b"]`); empty when the
+    * key is absent.
+    */
+  private def listOf(json: String, key: String): Seq[String] =
+    json.split("\"" + key + "\":\\[", 2) match {
+      case Array(_, rest) =>
+        val body = rest.split("]", 2)(0)
+        if (body.trim.isEmpty) Seq.empty
+        else body.split(",").toSeq
+          .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      case _ => Seq.empty
+    }
 
   /** The operation that produced snapshot `v` (append, overwrite,
     * merge, delete, delete-mor, update, update-mor, restore,
@@ -207,16 +301,24 @@ object Versioned {
   /** Commit history, oldest first — the DESCRIBE HISTORY analog: one
     * row per retained version with its operation, wall-clock commit
     * time, and referenced-file count. Log-sized: ONE log-file read per
-    * version (op/ts/files all parse from the same JSON text).
+    * version — file counts come from a single forward replay of the
+    * add/remove actions (the oldest retained version anchors via
+    * [[resolveFiles]], which a vacuum-written checkpoint sidecar
+    * serves when the chain below it is truncated).
     */
   def history(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    versions(spark, dir).map { v =>
+    var running: Seq[String] = Seq.empty
+    versions(spark, dir).zipWithIndex.map { case (v, i) =>
       val json = snapshotJson(spark, dir, v)
+      running =
+        if (i == 0) resolveFiles(spark, dir, v, Some(json))
+        else filesOfOpt(json).getOrElse(
+          replayDeltas(running, List((listOf(json, "add"), listOf(json, "remove")))))
       (v, opOf(json),
         tsOf(json).getOrElse(
           fs(spark, dir).getFileStatus(versionFile(dir, v)).getModificationTime),
-        filesOf(json).size.toLong)
+        running.size.toLong)
     }.toDF("version", "op", "commit_ts", "n_files")
   }
 
@@ -231,7 +333,7 @@ object Versioned {
     val v = currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $dir"))
     val json = snapshotJson(spark, dir, v)
-    val files = filesOf(json)
+    val files = resolveFiles(spark, dir, v, Some(json))
     val f = fs(spark, dir)
     val bytes = files.map(rel => f.getFileStatus(new Path(dir, rel)).getLen).sum
     Seq((
@@ -351,7 +453,21 @@ object Versioned {
     * `dvsAt`'s key probe and make every read chase a bogus sidecar.
     */
   private val ReservedLogKeys = Set(
-    "version", "op", "ts", "schema", "txns", "constraints", "dvs", "dvfile", "files")
+    "version", "op", "ts", "schema", "txns", "constraints", "dvs", "dvfile",
+    "files", "add", "remove")
+
+  /** Writer appIds share the commit JSON with the reserved keys (as
+    * txn-map keys), so they get the same reservation check as
+    * constraint names — an appId "ts" on a pre-ts legacy entry would
+    * otherwise satisfy `tsOf`'s textual probe and masquerade its txn
+    * version as the commit time.
+    */
+  private def requireLogSafeAppId(appId: String): Unit = {
+    require(appId.matches("[A-Za-z0-9_.:/-]+"),
+      s"appId must be log-safe ([A-Za-z0-9_.:/-]+): $appId")
+    require(!ReservedLogKeys.contains(appId),
+      s"appId '$appId' is a reserved log key")
+  }
 
   def addConstraint(spark: SparkSession, dir: String, name: String, condSql: String): Long = {
     require(name.matches("[A-Za-z0-9_-]+"),
@@ -499,7 +615,10 @@ object Versioned {
     val prevTxns = prevJson.map(txnsOf).getOrElse(Map.empty)
     if (txn.exists { case (a, n) => prevTxns.get(a).exists(_ >= n) }) return None
     val v = prev.getOrElse(0L) + 1
-    val files = filesFor(prevJson.map(filesOf).getOrElse(Seq.empty))
+    val prevFiles = prev
+      .map(p => resolveFiles(spark, dir, p, prevJson))
+      .getOrElse(Seq.empty)
+    val files = filesFor(prevFiles)
     val schemaJson = schemaJsonFor(prev)
     val txns = prevTxns ++ txn
     // CHECK constraints carry like txn watermarks; `preCommit` lets the
@@ -577,8 +696,23 @@ object Versioned {
         // pre-ts predecessor: same mtime fallback as commitTimestampAt,
         // or the monotonic clamp silently dies on legacy tables
         f.getFileStatus(versionFile(dir, p)).getModificationTime)).getOrElse(0L))
+    // incremental file actions: the entry carries the add/remove delta
+    // against the predecessor — O(files touched) commit metadata — and
+    // only checkpoints (first version, every CheckpointInterval-th, or
+    // a file order the delta replay cannot reproduce, e.g. a restore
+    // re-interleaving historical files) inline the full list
+    val prevSet = prevFiles.toSet
+    val newSet = files.toSet
+    val added = files.filterNot(prevSet)
+    val removed = prevFiles.filterNot(newSet)
+    val replayable = (prevFiles.filter(newSet) ++ added) == files
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString(",")
+    val actionsJson =
+      if (prev.isEmpty || v % CheckpointInterval == 0 || !replayable)
+        s""""files":[${arr(files)}]"""
+      else s""""add":[${arr(added)}],"remove":[${arr(removed)}]"""
     val json =
-      s"""{"version":$v,"op":"$op","ts":$ts,"schema":"$b64"$txnsJson$consJson$dvsJson,"files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
+      s"""{"version":$v,"op":"$op","ts":$ts,"schema":"$b64"$txnsJson$consJson$dvsJson,$actionsJson}"""
     // per-attempt unique temp name: racing committers must never share
     // a temp file, or a loser's cleanup could delete the winner's
     // in-flight content
@@ -642,48 +776,18 @@ object Versioned {
   }
 
 
-  /** The atomicity point of every commit: publish `tmp` as `dest`,
-    * failing with [[CommitRace]] when `dest` already exists.
-    *
-    * On `file://` this is a true compare-and-set: POSIX hard-link
-    * creation is atomic and fails EEXIST, so of N racing committers
-    * exactly one publishes — no check-then-rename window (local
-    * rename(2) silently REPLACES an existing destination, which is
-    * why rename alone cannot detect the race). On HDFS-like
-    * filesystems the rename path below is already atomic-no-overwrite.
-    * Object-store connectors with copy-based rename still need a lock
-    * service or conditional-put in front of the log, as Delta on S3.
+  /** The atomicity point of every commit, delegated through the
+    * [[LogStore]] seam (Delta's LogStore analog): hard-link CAS on
+    * `file://`, atomic no-overwrite rename on HDFS-likes. The seam's
+    * scaladoc states the full contract — in particular that S3-class
+    * object stores need a conditional-write implementation that does
+    * NOT ship here.
     */
+  private[graft] val logStore: LogStore = HadoopFsLogStore
+
   private[graft] def publishOnce(
-      f: org.apache.hadoop.fs.FileSystem, tmp: Path, dest: Path): Unit = {
-    def race() = new CommitRace(
-      s"commit of $dest lost a race — a concurrent writer published this " +
-        "version first; retry from the new log head")
-    val destUri = f.makeQualified(dest).toUri
-    if (destUri.getScheme == "file") {
-      val t = java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath)
-      val d = java.nio.file.Paths.get(destUri.getPath)
-      try {
-        java.nio.file.Files.createLink(d, t)
-        f.delete(tmp, false) // Hadoop delete also removes the .crc sidecar
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          f.delete(tmp, false)
-          throw race()
-      }
-    } else {
-      if (f.exists(dest)) {
-        f.delete(tmp, false)
-        throw race()
-      }
-      if (!f.rename(tmp, dest)) {
-        // clean up on BOTH failure paths — a crashed committer can
-        // still leave a tmp behind, which vacuum sweeps by age
-        f.delete(tmp, false)
-        throw race()
-      }
-    }
-  }
+      f: org.apache.hadoop.fs.FileSystem, tmp: Path, dest: Path): Unit =
+    logStore.publishOnce(f, tmp, dest)
 
   /** Writes `df` as a fresh immutable file set and returns its
     * table-relative parquet paths (not yet referenced by any snapshot).
@@ -780,8 +884,14 @@ object Versioned {
     def alignedTo(headSchema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
       headSchema match {
         case Some(head) =>
-          val have = df.schema.fieldNames.toSet
-          val missing = head.fields.filterNot(f => have.contains(f.name))
+          // case-insensitive like constraint resolution and
+          // requireConstrainedColsPresent — a batch presenting 'ID'
+          // against head 'id' must not gain a duplicate NULL column
+          // (ambiguous-reference failure instead of evaluation)
+          val have = df.schema.fieldNames
+            .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+          val missing = head.fields.filterNot(f =>
+            have.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
           if (missing.isEmpty) df
           else df.select(df.columns.toSeq.map(col) ++
             missing.toSeq.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
@@ -848,8 +958,7 @@ object Versioned {
     */
   def appendIdempotent(
       df: DataFrame, dir: String, appId: String, txnVersion: Long): Option[Long] = {
-    require(appId.matches("[A-Za-z0-9_.:/-]+"),
-      s"appId must be log-safe ([A-Za-z0-9_.:/-]+): $appId")
+    requireLogSafeAppId(appId)
     val spark = df.sparkSession
     if (lastTxnVersion(spark, dir, appId).exists(_ >= txnVersion)) None
     else {
@@ -893,8 +1002,7 @@ object Versioned {
     */
   def overwriteIdempotent(
       df: DataFrame, dir: String, appId: String, txnVersion: Long): Option[Long] = {
-    require(appId.matches("[A-Za-z0-9_.:/-]+"),
-      s"appId must be log-safe ([A-Za-z0-9_.:/-]+): $appId")
+    requireLogSafeAppId(appId)
     val spark = df.sparkSession
     if (lastTxnVersion(spark, dir, appId).exists(_ >= txnVersion)) None
     else {
@@ -922,11 +1030,15 @@ object Versioned {
   private[graft] def commitPinned(
       spark: SparkSession, dir: String, basedOn: Long, op: String,
       schemaJson: String, files: Seq[String],
-      dvsFor: Map[String, Seq[Long]] => Map[String, Seq[Long]] = identity): Long =
+      dvsFor: Map[String, Seq[Long]] => Map[String, Seq[Long]] = identity,
+      txn: Option[(String, Long)] = None): Option[Long] =
     // schema precomputed by the caller against `basedOn`, which the
-    // attempt verifies is still the head — no staleness window
+    // attempt verifies is still the head — no staleness window. None
+    // only under `txn`: the watermark already covers this version
+    // (idempotent replay), evaluated inside the attempt like
+    // appendIdempotent's guard.
     commitAttempt(
-      spark, dir, op, _ => schemaJson, None, _ => files, Some(basedOn), dvsFor).get
+      spark, dir, op, _ => schemaJson, txn, _ => files, Some(basedOn), dvsFor)
 
   /** Publishes a row-level rewrite — `touched` files replaced by
     * `fresh`, everything else carried — with Delta's WriteSerializable
@@ -960,14 +1072,16 @@ object Versioned {
       schemaJson: String, touched: Seq[String], fresh: Seq[String],
       dvsFor: Map[String, Seq[Long]] => Map[String, Seq[Long]] = identity,
       maxAttempts: Int = 16,
-      commuteCheck: Long => Boolean = _ => true): Long = {
+      commuteCheck: Long => Boolean = _ => true,
+      txn: Option[(String, Long)] = None): Option[Long] = {
     val touchedSet = touched.toSet
     val baseDvs = dvsAt(spark, dir, basedOn)
     var base = basedOn
     var attempt = 1
     while (true) {
       val kept = filesAt(spark, dir, base).filterNot(touchedSet)
-      try return commitPinned(spark, dir, base, op, schemaJson, kept ++ fresh, dvsFor)
+      try return commitPinned(
+        spark, dir, base, op, schemaJson, kept ++ fresh, dvsFor, txn)
       catch {
         case e: CommitRace =>
           if (attempt >= maxAttempts) throw e
@@ -1008,7 +1122,7 @@ object Versioned {
       throw new IllegalArgumentException(s"no committed versions at $dir"))
     val df = readAt(spark, dir, v)
     val fresh = writeDataFiles(df, dir)
-    val nv = commitPinned(spark, dir, v, "overwrite", df.schema.json, fresh)
+    val nv = commitPinned(spark, dir, v, "overwrite", df.schema.json, fresh).get
     // re-stat the rewritten files under the base sidecar's columns (a
     // stat pass over files the compaction just rewrote anyway) so a
     // zoned table keeps data skipping through OPTIMIZE
@@ -1046,7 +1160,7 @@ object Versioned {
       .coalesce(targetFiles)
     val fresh = writeDataFiles(binned, dir)
     val v = commitRewriteCommuting(spark, dir, base, "compact-small",
-      logSchema.map(_.json).getOrElse(binned.schema.json), small, fresh)
+      logSchema.map(_.json).getOrElse(binned.schema.json), small, fresh).get
     carryZones(spark, dir, base, v,
       filesAt(spark, dir, v).toSet -- fresh.toSet, fresh)
     Some(v)
@@ -1075,7 +1189,7 @@ object Versioned {
       .sortWithinPartitions("__z")
       .drop("__z")
     val v = commitPinned(spark, dir, base, "overwrite", clustered.schema.json,
-      writeDataFiles(clustered, dir))
+      writeDataFiles(clustered, dir)).get
     writeZoneMaps(spark, dir, v, Seq(xCol, yCol))
     v
   }
@@ -1106,7 +1220,7 @@ object Versioned {
     // the restored snapshot's OWN deletion vectors come back with it —
     // carrying the head's would resurrect or over-delete rows
     val nv = commitPinned(spark, dir, head, "restore", schemaJson, files,
-      _ => dvsAt(spark, dir, v))
+      _ => dvsAt(spark, dir, v)).get
     val f = fs(spark, dir)
     val srcZones = new Path(logPath(dir), f"v$v%08d.zones.json")
     if (f.exists(srcZones)) {
@@ -1269,14 +1383,42 @@ object Versioned {
       spark: SparkSession, dir: String, source: DataFrame, keys: Seq[String],
       updateWhen: org.apache.spark.sql.Column =
         org.apache.spark.sql.functions.lit(true),
-      setCols: Seq[String] = Nil): Long = {
+      setCols: Seq[String] = Nil): Long =
+    mergeReplanning(spark, dir, source, keys, updateWhen, setCols, None).get
+
+  /** [[merge]] guarded by the same writer-transaction watermark as
+    * [[appendIdempotent]]: if the table has already committed
+    * `txnVersion` or later for `appId`, the whole merge — including
+    * its touched-file discovery scan — is a no-op returning None. This
+    * is what makes a CDF-driven silver refresh exactly-once: the
+    * watermark (the bronze version the merge reflects) and the merged
+    * rows land in ONE log commit, so a crash-replayed refresh either
+    * sees the watermark (no-op) or re-runs the merge in full — never a
+    * half-applied batch.
+    */
+  def mergeIdempotent(
+      spark: SparkSession, dir: String, source: DataFrame, keys: Seq[String],
+      appId: String, txnVersion: Long,
+      updateWhen: org.apache.spark.sql.Column =
+        org.apache.spark.sql.functions.lit(true),
+      setCols: Seq[String] = Nil): Option[Long] = {
+    requireLogSafeAppId(appId)
+    if (lastTxnVersion(spark, dir, appId).exists(_ >= txnVersion)) None
+    else mergeReplanning(
+      spark, dir, source, keys, updateWhen, setCols, Some(appId -> txnVersion))
+  }
+
+  private def mergeReplanning(
+      spark: SparkSession, dir: String, source: DataFrame, keys: Seq[String],
+      updateWhen: org.apache.spark.sql.Column, setCols: Seq[String],
+      txn: Option[(String, Long)]): Option[Long] = {
     // MERGE is a pure function of (head snapshot, source), so a genuine
     // read-set conflict re-PLANS the whole merge from the new head
     // instead of surfacing CommitRace — a key concurrently inserted
     // becomes a matched update on the re-plan, never a duplicate
     var attempt = 1
     while (true) {
-      try return mergeOnce(spark, dir, source, keys, updateWhen, setCols)
+      try return mergeOnce(spark, dir, source, keys, updateWhen, setCols, txn)
       catch {
         case e: CommitRace =>
           if (attempt >= 4) throw e
@@ -1289,7 +1431,7 @@ object Versioned {
   private def mergeOnce(
       spark: SparkSession, dir: String, source: DataFrame, keys: Seq[String],
       updateWhen: org.apache.spark.sql.Column,
-      setCols: Seq[String]): Long = {
+      setCols: Seq[String], txn: Option[(String, Long)]): Option[Long] = {
     import org.apache.spark.sql.functions.{broadcast, col}
     require(keys.nonEmpty, "MERGE needs at least one key column")
     val base = currentVersion(spark, dir).getOrElse(
@@ -1367,12 +1509,12 @@ object Versioned {
       val added = filesAt(spark, dir, head).filterNot(all.toSet)
       added.isEmpty || filesWithMatches(added, dvsAt(spark, dir, head)).isEmpty
     }
-    val v = commitRewriteCommuting(
+    val committed = commitRewriteCommuting(
       spark, dir, base, "merge", logSchema.json, touched, fresh,
-      commuteCheck = addedDisjoint)
-    carryZones(spark, dir, base, v,
-      filesAt(spark, dir, v).toSet -- fresh.toSet, fresh)
-    v
+      commuteCheck = addedDisjoint, txn = txn)
+    committed.foreach(v => carryZones(spark, dir, base, v,
+      filesAt(spark, dir, v).toSet -- fresh.toSet, fresh))
+    committed
   }
 
   /** Merge-on-read DELETE (the Delta deletion-vector analog): instead
@@ -1454,7 +1596,7 @@ object Versioned {
         all,
         head => (head.keySet ++ matched.keySet).map { f =>
           f -> (head.getOrElse(f, Seq.empty) ++ matched.getOrElse(f, Seq.empty))
-        }.toMap)
+        }.toMap).get
       carryZones(spark, dir, base, v, kept = all.toSet, fresh = Seq.empty)
       v
     }
@@ -1495,7 +1637,7 @@ object Versioned {
         all ++ fresh,
         head => (head.keySet ++ matched.keySet).map { f =>
           f -> (head.getOrElse(f, Seq.empty) ++ matched.getOrElse(f, Seq.empty))
-        }.toMap)
+        }.toMap).get
       carryZones(spark, dir, base, v, kept = all.toSet, fresh = fresh)
       v
     }
@@ -1550,7 +1692,8 @@ object Versioned {
     requireSatisfied(out, constraintsAt(spark, dir, base))
     val fresh = writeDataFiles(out, dir)
     val schemaJson = logSchema.map(_.json).getOrElse(touchedDf.schema.json)
-    val v = commitRewriteCommuting(spark, dir, base, op, schemaJson, touched, fresh)
+    val v = commitRewriteCommuting(
+      spark, dir, base, op, schemaJson, touched, fresh).get
     // kept set read back from the PUBLISHED snapshot: a commute-retry
     // may have re-based onto concurrently appended files
     carryZones(spark, dir, base, v,
@@ -1576,6 +1719,19 @@ object Versioned {
     // data skipping for the rest of the table's life
     val anchor = (baseV to math.max(1L, baseV - 7) by -1L).find(w =>
       f.exists(new Path(logPath(dir), f"v$w%08d.zones.json")))
+      .orElse {
+        // window miss (sidecar gap > 8 commits — e.g. a table zoned long
+        // ago, or repeated carry failures): ONE log-dir listing finds
+        // the newest sidecar at or below base instead of silently
+        // leaving data skipping off for the rest of the table's life
+        if (!f.exists(logPath(dir))) None
+        else f.listStatus(logPath(dir)).toSeq
+          .map(_.getPath.getName)
+          .collect { case n if n.matches("v\\d{8}\\.zones\\.json") =>
+            n.stripPrefix("v").stripSuffix(".zones.json").toLong }
+          .filter(_ <= baseV)
+          .sorted.lastOption
+      }
     if (anchor.isEmpty) return
     val json = readFully(spark, dir,
       new Path(logPath(dir), f"v${anchor.get}%08d.zones.json"))
@@ -1633,6 +1789,43 @@ object Versioned {
         b.exceptAll(a).withColumn("_change_type", lit("delete")))
   }
 
+  /** Insert-only change feed: the rows of files ADDED between
+    * snapshots `from` (exclusive) and `to` (inclusive) — the log's
+    * add-actions read as data, which is exactly how Delta's streaming
+    * source tails a table. Cost is O(new data): only the added files
+    * are opened, never the snapshots (contrast [[changes]], whose
+    * general diff scans both). This is the right primitive for
+    * propagating an APPEND-ONLY tier (e.g. versioned bronze →
+    * silver): the commits in the window are REQUIRED to be appends (or
+    * constraint-only) — a rewrite op (merge/update/compact/restore)
+    * re-publishes old rows into fresh files, which an add-action read
+    * would misreport as inserts, so those fail loudly toward
+    * [[changes]] instead.
+    */
+  def addedSince(spark: SparkSession, dir: String, from: Long, to: Long): DataFrame = {
+    require(from <= to, s"addedSince window is inverted: $from > $to")
+    val nonAppend = (from + 1 to to).map(v => v -> opAt(spark, dir, v))
+      .filterNot { case (_, op) =>
+        op == "append" || op == "set-constraint" || op == "drop-constraint" }
+    require(nonAppend.isEmpty,
+      s"addedSince($from, $to) at $dir requires an append-only window, but it " +
+        s"contains ${nonAppend.map { case (v, op) => s"v$v=$op" }.mkString(", ")} — " +
+        "rewritten files would surface carried rows as inserts; diff with " +
+        "changes() instead")
+    val before = filesAt(spark, dir, from).toSet
+    val added = filesAt(spark, dir, to).filterNot(before)
+    val schema = schemaAt(spark, dir, to)
+    if (added.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema.getOrElse(new org.apache.spark.sql.types.StructType()))
+    else {
+      val addedSet = added.toSet
+      applyDvs(spark, readRaw(spark, dir, schema, added),
+        dvsAt(spark, dir, to).filter { case (f, _) => addedSet.contains(f) })
+    }
+  }
+
   /** The DV sidecar file a snapshot references, if its DVs spilled. */
   private def dvFileAt(spark: SparkSession, dir: String, v: Long): Option[String] =
     snapshotJson(spark, dir, v).split("\"dvfile\":\"", 2) match {
@@ -1655,6 +1848,29 @@ object Versioned {
     val f = fs(spark, dir)
     val all = versions(spark, dir)
     val (drop, keep) = all.splitAt(math.max(0, all.size - keepVersions))
+    // anchor the retained window BEFORE truncating: if the oldest kept
+    // entry is an add/remove delta, its file list resolves through
+    // ancestors about to be deleted — publish a checkpoint sidecar
+    // holding its full list first (atomic tmp+rename; crash before the
+    // deletes just leaves a harmless extra sidecar)
+    if (drop.nonEmpty && keep.nonEmpty) {
+      val oldest = keep.head
+      val json = snapshotJson(spark, dir, oldest)
+      if (filesOfOpt(json).isEmpty && !f.exists(ckptFile(dir, oldest))) {
+        val full = resolveFiles(spark, dir, oldest, Some(json))
+        val tmp = new Path(logPath(dir), s".v$oldest.ckpt.tmp")
+        val out = f.create(tmp, true)
+        try out.write(
+          s"""{"files":[${full.map("\"" + _ + "\"").mkString(",")}]}"""
+            .getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        if (!f.rename(tmp, ckptFile(dir, oldest))) {
+          f.delete(tmp, false)
+          throw new IllegalStateException(
+            s"checkpoint sidecar publish for v$oldest failed — log NOT truncated")
+        }
+      }
+    }
     val live = keep.flatMap(filesAt(spark, dir, _)).toSet
     val liveDvFiles = keep.flatMap(dvFileAt(spark, dir, _)).toSet
     val cutoff = System.currentTimeMillis() - tmpRetentionMs
@@ -1685,6 +1901,7 @@ object Versioned {
     drop.foreach { v =>
       f.delete(versionFile(dir, v), false)
       f.delete(new Path(logPath(dir), f"v$v%08d.zones.json"), false)
+      f.delete(ckptFile(dir, v), false)
     }
   }
 }

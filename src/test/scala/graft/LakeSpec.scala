@@ -189,6 +189,79 @@ class LakeSpec extends SparkSpec {
     assert(graft.table.Versioned.read(spark, geoDir).count() > 0)
   }
 
+  test("buildAllVersioned: every tier ACID, crash-replay exactly-once, gold time-travels") {
+    import graft.table.Versioned
+    import spark.implicits._
+    val root = tmpDir("lakeacid")
+    OlistFixtures.write(root)
+    val roots = LakeRoots(
+      s"$root/bronze", s"$root/silver", s"$root/gold", s"$root/checkpoints")
+
+    val entities = Lake.buildAllVersioned(spark, s"$root/ingest", roots)
+    assert(entities.size == 8)
+    def revenue(): Double = Versioned
+      .read(spark, roots.versionedGoldDir("metrics_revenue"))
+      .agg(sum("total_revenue")).head.getDouble(0)
+    Lake.GoldTables.foreach { g =>
+      val d = roots.versionedGoldDir(g)
+      assert(Versioned.currentVersion(spark, d).contains(1L), s"gold $g not at v1")
+      assert(Versioned.read(spark, d).count() > 0, s"gold $g empty")
+    }
+    assert(revenue() == 390.0) // MedallionSpec's hand math
+
+    // drop 2: a new delivered order + its payment (intact checkpoints —
+    // the normal incremental run)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/ingest/orders/c_third.csv"),
+      "order_id,customer_id,order_status,order_purchase_timestamp,order_approved_at," +
+        "order_delivered_carrier_date,order_delivered_customer_date,order_estimated_delivery_date\n" +
+        "o5,c2,delivered,2017-01-05 08:00:00,2017-01-05 09:00:00," +
+        "2017-01-06 08:00:00,2017-01-08 08:00:00,2017-01-12 00:00:00")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/ingest/order_payments/c_third.csv"),
+      "order_id,payment_sequential,payment_type,payment_installments,payment_value\n" +
+        "o5,1,credit_card,1,60.00")
+    Lake.buildAllVersioned(spark, s"$root/ingest", roots)
+
+    val goldDir = roots.versionedGoldDir("metrics_revenue")
+    assert(Versioned.currentVersion(spark, goldDir).contains(2L),
+      "the refresh over changed silver must land as gold v2")
+    assert(revenue() == 450.0)
+    // gold TIME-TRAVELS: the pre-drop mart is still a consistent read
+    assert(Versioned.readAt(spark, goldDir, 1L)
+      .agg(sum("total_revenue")).head.getDouble(0) == 390.0)
+    // and introspects: history shows both refresh commits, detail the head
+    val hist = Versioned.history(spark, goldDir)
+      .select("version", "op").as[(Long, String)].collect().toSeq
+    assert(hist == Seq((1L, "overwrite"), (2L, "overwrite")), s"got $hist")
+    assert(Versioned.detail(spark, goldDir).select("version").head.getLong(0) == 2L)
+    // bronze → silver propagation was O(new data): the orders silver
+    // advanced by ONE merge commit driven by bronze's add-actions
+    val ordersSilver = roots.versionedSilverDir("orders")
+    assert(Versioned.opAt(spark, ordersSilver,
+      Versioned.currentVersion(spark, ordersSilver).get) == "merge")
+
+    // crash replay: wipe EVERY checkpoint and rebuild — batchIds restart
+    // at 0, the bronze logs' txn watermarks refuse them, silver/gold
+    // watermarks are already current: NO tier moves, data unchanged
+    def heads(): Map[String, Long] =
+      (entities.map(n => s"bronze/$n" ->
+        Versioned.currentVersion(spark, roots.versionedBronzeDir(n)).get) ++
+        entities.map(n => s"silver/$n" ->
+          Versioned.currentVersion(spark, roots.versionedSilverDir(n)).get) ++
+        Lake.GoldTables.map(g => s"gold/$g" ->
+          Versioned.currentVersion(spark, roots.versionedGoldDir(g)).get)).toMap
+    val before = heads()
+    val _ = new scala.reflect.io.Directory(
+      new java.io.File(roots.checkpoints)).deleteRecursively()
+    Lake.buildAllVersioned(spark, s"$root/ingest", roots)
+    assert(heads() == before,
+      "a checkpoint-wiped replay must be refused at every tier's log")
+    assert(revenue() == 450.0)
+    assert(Versioned.read(spark, roots.versionedBronzeDir("orders")).count() == 5,
+      "replayed bronze batches must not duplicate rows")
+  }
+
   test("reconcileManifest repairs a lost manifest without duplicating bronze") {
     val root = tmpDir("lakerepair")
     val src = s"$root/src"

@@ -661,7 +661,7 @@ class VersionedSpec extends SparkSpec {
     // rewrite planned at v2 removes files B entirely (fresh = none):
     // must re-base onto v3 and publish A + C
     val v = Versioned.commitRewriteCommuting(
-      spark, dir, base, "delete", schema, touched = filesB, fresh = Seq.empty)
+      spark, dir, base, "delete", schema, touched = filesB, fresh = Seq.empty).get
     assert(v == 4L)
     assert(Versioned.read(spark, dir).select("id").as[Long].collect().sorted.toSeq ==
       Seq(1L, 2L, 5L), "the re-based rewrite must keep the concurrent append's rows")
@@ -1049,5 +1049,171 @@ class VersionedSpec extends SparkSpec {
     assert(!left.contains("dv-orphan.json"), s"orphan sidecar not swept: $left")
     assert(referenced.subsetOf(left), "the referenced DV sidecar must survive")
     assert(Versioned.read(spark, dir).count() == n - 1100L)
+  }
+
+  private def logEntry(dir: String, v: Long): java.io.File =
+    new java.io.File(s"$dir/_graft_log/" + f"v$v%08d.json")
+
+  test("log entries carry add/remove deltas; entry size stays O(batch) as appends accumulate") {
+    val dir = tmpDir("vt_delta")
+    (1 to 20).foreach(i =>
+      Versioned.append(Seq((i.toLong, s"r$i")).toDF("id", "s").repartition(1), dir))
+    def entry(v: Long) = new String(
+      java.nio.file.Files.readAllBytes(logEntry(dir, v).toPath), "UTF-8")
+    // first version and every CheckpointInterval-th are checkpoints
+    // (full list); everything else is a delta with no file list
+    assert(entry(1L).contains("\"files\":["))
+    assert(entry(16L).contains("\"files\":["))
+    (2L to 20L).filterNot(_ == 16L).foreach { v =>
+      assert(!entry(v).contains("\"files\":["), s"v$v should be a delta entry")
+      assert(entry(v).contains("\"add\":["), s"v$v should carry an add action")
+    }
+    // the scale pin: a delta entry's size is O(files touched), not
+    // O(table files) — v20 (19 files live) must not exceed v2's (1
+    // file live) by more than noise (both add exactly one file)
+    val v2 = logEntry(dir, 2L).length()
+    val v20 = logEntry(dir, 20L).length()
+    assert(v20 <= v2 + 64,
+      s"delta entry grew with table size: v2=$v2 bytes, v20=$v20 bytes")
+    // and reads still resolve exactly across the checkpoint + suffix
+    assert(rows(dir, 20L) == (1 to 20).map(i => (i.toLong, s"r$i")).toSet)
+    assert(rows(dir, 15L) == (1 to 15).map(i => (i.toLong, s"r$i")).toSet)
+    assert(Versioned.filesAt(spark, dir, 20L).size == 20)
+    // history's forward replay counts files per version without
+    // re-walking the log per row
+    val hist = Versioned.history(spark, dir)
+      .select("version", "n_files").as[(Long, Long)].collect().toMap
+    assert(hist(1L) == 1L && hist(16L) == 16L && hist(20L) == 20L)
+  }
+
+  test("vacuum of a delta chain checkpoints the oldest retained version; outside refuses loudly") {
+    val dir = tmpDir("vt_vac_delta")
+    (1 to 20).foreach(i =>
+      Versioned.append(Seq((i.toLong, s"r$i")).toDF("id", "s").repartition(1), dir))
+    // oldest kept (v18) is a delta entry — vacuum must anchor it
+    Versioned.vacuum(spark, dir, keepVersions = 3)
+    assert(Versioned.versions(spark, dir) == Seq(18L, 19L, 20L))
+    val ckpt = new java.io.File(s"$dir/_graft_log/" + f"v${18L}%08d.ckpt.json")
+    assert(ckpt.exists(), "vacuum must publish a checkpoint sidecar for the oldest kept delta")
+    // head reads and in-retention time travel still resolve
+    assert(rows(dir, 20L) == (1 to 20).map(i => (i.toLong, s"r$i")).toSet)
+    assert(rows(dir, 18L) == (1 to 18).map(i => (i.toLong, s"r$i")).toSet)
+    assert(Versioned.history(spark, dir).count() == 3)
+    // outside retention: loud refusal, not a broken walk
+    intercept[IllegalArgumentException] { Versioned.readAt(spark, dir, 17L) }
+    // a second vacuum drops the now-superfluous sidecars of dropped versions
+    Versioned.append(Seq((21L, "r21")).toDF("id", "s").repartition(1), dir)
+    Versioned.vacuum(spark, dir, keepVersions = 1)
+    assert(!ckpt.exists(), "dropped versions' checkpoint sidecars must be swept")
+    assert(rows(dir, 21L) == (1 to 21).map(i => (i.toLong, s"r$i")).toSet)
+  }
+
+  test("a legacy full-list entry mid-log reads natively and anchors later deltas") {
+    val dir = tmpDir("vt_legacy")
+    Versioned.append(Seq((1L, "a")).toDF("id", "s").repartition(1), dir)
+    // hand-craft a LEGACY v2: full file list, old key order, no actions
+    val df = Seq((2L, "b")).toDF("id", "s").repartition(1)
+    df.write.parquet(s"$dir/d-legacy")
+    val part = new java.io.File(s"$dir/d-legacy").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq
+    val v1Files = Versioned.filesAt(spark, dir, 1L)
+    val all = v1Files ++ part.map(p => s"d-legacy/$p")
+    val b64 = java.util.Base64.getEncoder.encodeToString(df.schema.json.getBytes("UTF-8"))
+    val legacy = s"""{"version":2,"op":"append","ts":${System.currentTimeMillis()},""" +
+      s""""schema":"$b64","files":[${all.map("\"" + _ + "\"").mkString(",")}]}"""
+    java.nio.file.Files.write(logEntry(dir, 2L).toPath, legacy.getBytes("UTF-8"))
+    // a new-code append lands a delta on top of the legacy entry
+    Versioned.append(Seq((3L, "c")).toDF("id", "s").repartition(1), dir)
+    assert(rows(dir, 2L) == Set((1L, "a"), (2L, "b")))
+    assert(rows(dir, 3L) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(!new String(java.nio.file.Files.readAllBytes(logEntry(dir, 3L).toPath), "UTF-8")
+      .contains("\"files\":["), "v3 should be a delta anchored on the legacy entry")
+  }
+
+  test("reserved log keys are refused as writer appIds") {
+    val dir = tmpDir("vt_appid")
+    Versioned.append(Seq((1L, "a")).toDF("id", "s"), dir)
+    val e = intercept[IllegalArgumentException] {
+      Versioned.appendIdempotent(Seq((2L, "b")).toDF("id", "s"), dir, "ts", 1L)
+    }
+    assert(e.getMessage.contains("reserved"))
+    intercept[IllegalArgumentException] {
+      Versioned.overwriteIdempotent(Seq((2L, "b")).toDF("id", "s"), dir, "files", 1L)
+    }
+  }
+
+  test("constraint validation of a differently-cased batch evaluates instead of going ambiguous") {
+    val dir = tmpDir("vt_case")
+    Versioned.append(Seq((1L, "a")).toDF("id", "s"), dir)
+    Versioned.addConstraint(spark, dir, "pos_id", "id > 0")
+    // batch presents ID/S: alignment must NOT append a duplicate null
+    // 'id' (ambiguous reference); the append is then refused by schema
+    // ENFORCEMENT with its clear message, not an AnalysisException
+    val e = intercept[IllegalArgumentException] {
+      Versioned.append(Seq((2L, "b")).toDF("ID", "S"), dir)
+    }
+    assert(e.getMessage.contains("schema mismatch"), s"got: ${e.getMessage}")
+  }
+
+  test("addedSince reads only add-action files; non-append windows refuse loudly") {
+    val dir = tmpDir("vt_added")
+    Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir) // v1
+    Versioned.append(Seq((3L, "c")).toDF("id", "s"), dir) // v2
+    Versioned.addConstraint(spark, dir, "posid", "id > 0") // v3: no file changes
+    Versioned.append(Seq((4L, "d")).toDF("id", "s"), dir) // v4
+    assert(Versioned.addedSince(spark, dir, 1L, 4L)
+      .as[(Long, String)].collect().toSet == Set((3L, "c"), (4L, "d")))
+    assert(Versioned.addedSince(spark, dir, 4L, 4L).isEmpty)
+    // a rewrite op in the window republishes old rows into fresh files —
+    // an add-action read would misreport them as inserts, so it refuses
+    Versioned.updateWhere(spark, dir, col("id") === 1L, Map("s" -> lit("A"))) // v5
+    val e = intercept[IllegalArgumentException] {
+      Versioned.addedSince(spark, dir, 4L, 5L)
+    }
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+  }
+
+  test("mergeIdempotent: watermark and merged rows land in one commit; replay is a no-op") {
+    val dir = tmpDir("vt_midem")
+    Versioned.append(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "s", "ts"), dir)
+    val src = Seq((2L, "B", 2L), (3L, "c", 2L)).toDF("id", "s", "ts")
+    val v = Versioned.mergeIdempotent(spark, dir, src, Seq("id"), "job", 10L,
+      updateWhen = Upsert.scol("ts") > Upsert.tcol("ts"))
+    assert(v.nonEmpty)
+    assert(Versioned.read(spark, dir).as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "a", 1L), (2L, "B", 2L), (3L, "c", 2L)))
+    // crash-replay of the same refresh: refused at the log, no version
+    assert(Versioned.mergeIdempotent(spark, dir, src, Seq("id"), "job", 10L).isEmpty)
+    assert(Versioned.mergeIdempotent(spark, dir, src, Seq("id"), "job", 9L).isEmpty)
+    assert(Versioned.currentVersion(spark, dir) == v)
+    // a genuinely newer refresh applies
+    assert(Versioned.mergeIdempotent(spark, dir, src, Seq("id"), "job", 11L,
+      updateWhen = Upsert.scol("ts") > Upsert.tcol("ts")).nonEmpty)
+    // reserved appIds refused here too
+    intercept[IllegalArgumentException] {
+      Versioned.mergeIdempotent(spark, dir, src, Seq("id"), "dvs", 12L)
+    }
+  }
+
+  test("zone carry recovers across a sidecar gap wider than the bounded window") {
+    val dir = tmpDir("vt_zone_gap")
+    Versioned.append((1L to 100L).map(i => (i, s"r$i")).toDF("id", "s").repartition(2), dir)
+    Versioned.writeZoneMap(spark, dir, 1L, "id")
+    // 10 constraint commits bump the version without touching files or
+    // sidecars — the v1 sidecar falls out of the 8-version carry window
+    (1 to 5).foreach { i =>
+      Versioned.addConstraint(spark, dir, s"c$i", "id > 0")
+      Versioned.dropConstraint(spark, dir, s"c$i")
+    }
+    assert(Versioned.currentVersion(spark, dir).contains(11L))
+    val v = Versioned.append((101L to 110L).map(i => (i, s"r$i")).toDF("id", "s")
+      .repartition(1), dir)
+    val sidecar = new java.io.File(s"$dir/_graft_log/" + f"v$v%08d.zones.json")
+    assert(sidecar.exists(),
+      "carry must fall back to the newest existing sidecar, not give up")
+    // and the carried stats still prune: a range matching only the
+    // fresh file opens fewer files than the snapshot references
+    val pruned = Versioned.prunedFiles(spark, dir, v, "id", 101L, 110L)
+    assert(pruned.size < Versioned.filesAt(spark, dir, v).size)
   }
 }
