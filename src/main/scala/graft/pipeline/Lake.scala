@@ -126,10 +126,21 @@ object Lake {
     require(missing.isEmpty,
       s"cannot build gold: silver tables missing for ${missing.mkString(", ")} — " +
         "run refreshSilver over an ingest root containing their CSV drops first")
-    def s(name: String) = silver(spark, roots, name)
-    def write(name: String, df: DataFrame): Unit =
-      Table.overwriteAtomic(df, roots.goldRef(name))
+    buildGoldMarts(
+      silver(spark, roots, _),
+      name => Table.read(spark, roots.goldRef(name)),
+      (name, df) => Table.overwriteAtomic(df, roots.goldRef(name)))
+  }
 
+  /** The 10-mart star-schema build in dependency order (03-09
+    * semantics), shared by the plain and versioned gold tiers: `s`
+    * reads a silver entity, `g` reads an already-written gold mart
+    * (metric marts consume the dims/facts written earlier in the same
+    * pass — deps precede dependents), `write` persists one mart.
+    */
+  private def buildGoldMarts(
+      s: String => DataFrame, g: String => DataFrame,
+      write: (String, DataFrame) => Unit): Unit = {
     write("dim_customers", Gold.dimCustomers(s("customers")))
     write("dim_products", Gold.dimProducts(s("products")))
     write("dim_sellers", Gold.dimSellers(s("sellers")))
@@ -137,8 +148,6 @@ object Lake {
     write("fact_orders", Gold.factOrders(s("orders"), s("customers"), s("order_items")))
     write("fact_payments", Gold.factPayments(s("order_payments"), s("orders")))
     write("fact_reviews", Gold.factReviews(s("order_reviews"), s("orders")))
-
-    def g(name: String) = Table.read(spark, roots.goldRef(name))
     write("metrics_revenue",
       Gold.metricsRevenue(g("fact_orders"), g("fact_payments"), g("dim_customers")))
     write("metrics_orders", Gold.metricsOrders(g("fact_orders"), g("dim_customers")))
@@ -248,32 +257,22 @@ object Lake {
     * what `m6_incremental_gold` runs under the oracle gate.
     */
   def refreshGoldVersioned(spark: SparkSession, roots: LakeRoots): Unit = {
-    val missing = Entities.all.map(_.name)
-      .filter(n => Versioned.currentVersion(spark, roots.versionedSilverDir(n)).isEmpty)
+    // one head read per silver log: the missing-check and the tier
+    // watermark both derive from the same listing, so they can't
+    // disagree under a concurrent silver commit
+    val heads = Entities.all.map(e =>
+      e.name -> Versioned.currentVersion(spark, roots.versionedSilverDir(e.name)))
+    val missing = heads.collect { case (n, None) => n }
     require(missing.isEmpty,
       s"cannot build versioned gold: versioned silver missing for " +
         s"${missing.mkString(", ")} — run refreshSilverFromVersionedBronze (or " +
         "refreshSilverVersioned) first")
-    val watermark = Entities.all
-      .map(e => Versioned.currentVersion(spark, roots.versionedSilverDir(e.name)).get)
-      .sum
-    def s(name: String) = Versioned.read(spark, roots.versionedSilverDir(name))
-    def g(name: String) = Versioned.read(spark, roots.versionedGoldDir(name))
-    def write(name: String, df: => DataFrame): Unit =
-      Versioned.overwriteIdempotent(df, roots.versionedGoldDir(name),
-        "graft-gold", watermark)
-
-    write("dim_customers", Gold.dimCustomers(s("customers")))
-    write("dim_products", Gold.dimProducts(s("products")))
-    write("dim_sellers", Gold.dimSellers(s("sellers")))
-    write("dim_geolocation", Gold.dimGeolocation(s("geolocation")))
-    write("fact_orders", Gold.factOrders(s("orders"), s("customers"), s("order_items")))
-    write("fact_payments", Gold.factPayments(s("order_payments"), s("orders")))
-    write("fact_reviews", Gold.factReviews(s("order_reviews"), s("orders")))
-    write("metrics_revenue",
-      Gold.metricsRevenue(g("fact_orders"), g("fact_payments"), g("dim_customers")))
-    write("metrics_orders", Gold.metricsOrders(g("fact_orders"), g("dim_customers")))
-    write("metrics_customers", Gold.metricsCustomers(g("dim_customers"), g("fact_orders")))
+    val watermark = heads.map(_._2.get).sum
+    buildGoldMarts(
+      name => Versioned.read(spark, roots.versionedSilverDir(name)),
+      name => Versioned.read(spark, roots.versionedGoldDir(name)),
+      (name, df) => Versioned.overwriteIdempotent(df, roots.versionedGoldDir(name),
+        "graft-gold", watermark))
   }
 
   /** The whole pipeline with EVERY tier under a transaction log:

@@ -40,6 +40,25 @@ object VersionedQueries {
     d.toString
   }
 
+  /** Latest-per-user halves of the events table split at the median
+    * event_id: target = older half, source = newer half (m2's
+    * derivation). Shared by m5 and m6 so the split and LWW tie-break
+    * semantics — which both oracles replay — cannot silently drift
+    * between the two queries. Both halves are materialized once
+    * (localCheckpoint): each feeds multiple commit actions (append
+    * writes, merge key-set broadcast, merge join), and without this
+    * the full events scan + window re-executes per action.
+    */
+  private def splitLatestHalves(ev: DataFrame): (DataFrame, DataFrame) = {
+    val evB = ev.crossJoin(broadcast(ev.agg(expr("count(1) div 2").as("__split"))))
+    def latest(df: DataFrame) =
+      Dedup.latestByKey(df, Seq("user_id"), Seq(col("ts_us").desc, col("event_id").desc))
+    (latest(evB.filter(col("event_id") < col("__split")).drop("__split"))
+       .localCheckpoint(),
+     latest(evB.filter(col("event_id") >= col("__split")).drop("__split"))
+       .localCheckpoint())
+  }
+
   // M5 — MERGE INTO a versioned table. Data derivation mirrors m2
   // (older-half latest-per-user profile upserted with the newer half,
   // LWW on event time), but the target LIVES in the transaction log:
@@ -55,11 +74,7 @@ object VersionedQueries {
     val ev = t(s, dir, "events")
       .withColumn("ts_us", tsUs)
       .select("user_id", "event_id", "event_type", "value", "ts_us")
-    val evB = ev.crossJoin(broadcast(ev.agg(expr("count(1) div 2").as("__split"))))
-    def latest(df: DataFrame) =
-      Dedup.latestByKey(df, Seq("user_id"), Seq(col("ts_us").desc, col("event_id").desc))
-    val target = latest(evB.filter(col("event_id") < col("__split")).drop("__split"))
-    val source = latest(evB.filter(col("event_id") >= col("__split")).drop("__split"))
+    val (target, source) = splitLatestHalves(ev)
     val tableDir = scratchDir("graft_m5")
     Versioned.append(target.filter(col("user_id") % 2 === 0), tableDir)
     Versioned.append(target.filter(col("user_id") % 2 === 1), tableDir)
@@ -116,11 +131,7 @@ object VersionedQueries {
       .withColumn("ts_us", tsUs)
       .withColumn("value_c", floor(col("value") * 100))
       .select("user_id", "event_id", "event_type", "value_c", "ts_us")
-    val evB = ev.crossJoin(broadcast(ev.agg(expr("count(1) div 2").as("__split"))))
-    def latest(df: DataFrame) =
-      Dedup.latestByKey(df, Seq("user_id"), Seq(col("ts_us").desc, col("event_id").desc))
-    val target = latest(evB.filter(col("event_id") < col("__split")).drop("__split"))
-    val source = latest(evB.filter(col("event_id") >= col("__split")).drop("__split"))
+    val (target, source) = splitLatestHalves(ev)
     val silverDir = scratchDir("graft_m6_silver")
     val goldDir = scratchDir("graft_m6_gold")
     Versioned.append(target.filter(col("user_id") % 2 === 0), silverDir)

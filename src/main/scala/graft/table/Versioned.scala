@@ -132,8 +132,31 @@ object Versioned {
     * entry, a legacy full-list entry, or a vacuum-written `.ckpt.json`
     * sidecar), then replay the add/remove deltas forward. `headJson`
     * lets callers that already read `v`'s entry skip one log read.
+    *
+    * A concurrent vacuum can truncate ancestors mid-walk AFTER this
+    * walker checked for (and missed) the not-yet-published checkpoint
+    * sidecar — vacuum publishes the sidecar before deleting, so as
+    * long as `v` itself is still retained, a fresh walk resolves from
+    * the sidecar. Hence the guarded retry: rethrow only when `v`'s own
+    * entry is gone (genuinely outside the retained window).
     */
   private def resolveFiles(
+      spark: SparkSession, dir: String, v: Long,
+      headJson: Option[String]): Seq[String] = {
+    var attempt = 0
+    while (true) {
+      try return resolveFilesOnce(
+        spark, dir, v, if (attempt == 0) headJson else None)
+      catch {
+        case _: Exception
+            if attempt < 2 && fs(spark, dir).exists(versionFile(dir, v)) =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def resolveFilesOnce(
       spark: SparkSession, dir: String, v: Long,
       headJson: Option[String]): Seq[String] = {
     val f = fs(spark, dir)
@@ -1764,15 +1787,41 @@ object Versioned {
     * multiset semantics): rows in `to` but not `from` surface as
     * `insert`, rows gone as `delete`; an update is a delete+insert
     * pair. `exceptAll` keeps duplicate multiplicity so an append of an
-    * identical row still shows as one insert. Cost: one anti-style
-    * shuffle over both snapshots' changed columns — at scale, pair it
-    * with partition pruning on the snapshots' shared layout; unchanged
-    * files hash-match and cancel entirely.
+    * identical row still shows as one insert.
+    *
+    * Cost is O(changed files), not O(snapshot): a file present in BOTH
+    * snapshots with identical DV positions contributes the same row
+    * multiset to each side, and multiset difference depends only on
+    * per-row count deltas — equal sub-multisets cancel exactly — so
+    * such files are pruned from both scans before the diff. (The
+    * schema alignment below pads BOTH sides with the same typed NULLs,
+    * so the cancellation survives column-add evolution too.) Only the
+    * files the log says were added, removed, or DV-touched in the
+    * window are opened, then one anti-style shuffle diffs them.
     */
   def changes(spark: SparkSession, dir: String, from: Long, to: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val before = readAt(spark, dir, from)
-    val after = readAt(spark, dir, to)
+    val bFiles = filesAt(spark, dir, from)
+    val aFiles = filesAt(spark, dir, to)
+    val dvB = dvsAt(spark, dir, from)
+    val dvA = dvsAt(spark, dir, to)
+    val unchanged = (bFiles.toSet & aFiles.toSet).filter(f =>
+      dvB.getOrElse(f, Seq.empty).toSet == dvA.getOrElse(f, Seq.empty).toSet)
+    def side(v: Long, files: Seq[String], dvs: Map[String, Seq[Long]]) = {
+      val kept = files.filterNot(unchanged)
+      val schema = schemaAt(spark, dir, v)
+      if (kept.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          schema.getOrElse(new org.apache.spark.sql.types.StructType()))
+      else {
+        val keptSet = kept.toSet
+        applyDvs(spark, readRaw(spark, dir, schema, kept),
+          dvs.filter { case (f, _) => keptSet.contains(f) })
+      }
+    }
+    val before = side(from, bFiles, dvB)
+    val after = side(to, aFiles, dvA)
     // align to the union of the two snapshots' columns (schema may have
     // evolved between them): absent columns surface as typed NULLs, so
     // a widened-then-backfilled row correctly diffs as delete+insert

@@ -1216,4 +1216,47 @@ class VersionedSpec extends SparkSpec {
     val pruned = Versioned.prunedFiles(spark, dir, v, "id", 101L, 110L)
     assert(pruned.size < Versioned.filesAt(spark, dir, v).size)
   }
+
+  test("resolveFiles recovers via a checkpoint sidecar after ancestors are truncated") {
+    // the interleaving a concurrent vacuum produces: ancestors of a
+    // RETAINED version vanish, but the sidecar vacuum published first
+    // is there — a (re)walk must resolve from it, and without it the
+    // refusal must still be loud
+    val dir = tmpDir("vt_race")
+    (1 to 5).foreach(i =>
+      Versioned.append(Seq((i.toLong, s"r$i")).toDF("id", "s").repartition(1), dir))
+    val v3Files = Versioned.filesAt(spark, dir, 3L)
+    // truncate v1-v2 with NO sidecar: v5 exists but cannot resolve → loud
+    (1L to 2L).foreach(v => assert(logEntry(dir, v).delete()))
+    val e = intercept[IllegalArgumentException] { Versioned.filesAt(spark, dir, 5L) }
+    assert(e.getMessage.contains("truncated"), e.getMessage)
+    // vacuum's sidecar appears (post-commit state of v3) → same walk succeeds
+    val ckpt = s"""{"files":[${v3Files.map("\"" + _ + "\"").mkString(",")}]}"""
+    java.nio.file.Files.write(
+      new java.io.File(s"$dir/_graft_log/" + f"v${3L}%08d.ckpt.json").toPath,
+      ckpt.getBytes("UTF-8"))
+    assert(rows(dir, 5L) == (1 to 5).map(i => (i.toLong, s"r$i")).toSet)
+    assert(rows(dir, 3L) == (1 to 3).map(i => (i.toLong, s"r$i")).toSet)
+  }
+
+  test("changes() opens only files the window added, removed, or DV-touched") {
+    val dir = tmpDir("vt_cdf_prune")
+    Versioned.append(Seq((1L, "a")).toDF("id", "s").repartition(1), dir) // v1
+    Versioned.append(Seq((2L, "b")).toDF("id", "s").repartition(1), dir) // v2
+    Versioned.append(Seq((3L, "c")).toDF("id", "s").repartition(1), dir) // v3
+    val ch = Versioned.changes(spark, dir, 2L, 3L)
+    assert(ch.as[(Long, String, String)].collect().toSet == Set((3L, "c", "insert")))
+    // the two files shared by v2 and v3 cancel by construction — the
+    // plan must not even open them
+    val opened = ch.inputFiles.map(_.split("/").takeRight(2).mkString("/")).toSet
+    val v2Files = Versioned.filesAt(spark, dir, 2L).toSet
+    assert(opened.intersect(v2Files).isEmpty,
+      s"unchanged files scanned: ${opened.intersect(v2Files)}")
+    // a DV touch re-opens exactly that file: MoR delete of id=2
+    Versioned.deleteWhereMoR(spark, dir, col("id") === 2L) // v4
+    val ch2 = Versioned.changes(spark, dir, 3L, 4L)
+    assert(ch2.as[(Long, String, String)].collect().toSet == Set((2L, "b", "delete")))
+    assert(ch2.inputFiles.map(_.split("/").takeRight(2).mkString("/")).toSet
+      .subsetOf(v2Files), "only the DV-touched file should be opened")
+  }
 }
