@@ -38,7 +38,24 @@ object Curation {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      th: Thresholds = Thresholds()): DataFrame = {
+      th: Thresholds = Thresholds()): DataFrame =
+    curateWith(docs, idCol, textCol, th,
+      kept => TextDedup.ngramJaccardPairsCapped(
+        kept, idCol, textCol, th.shingleK, th.jaccard, th.maxShingleFreq))
+
+  /** [[curate]] with a pluggable near-dup candidate strategy: `pairGen`
+    * maps the kept (id, text) docs to their near-dup pair set — swap in
+    * `TextDedup.minhashLshPairs` when exact-Jaccard candidate recall is
+    * negotiable and the corpus is at the scale where even the df-capped
+    * inverted index is the dominant stage (LSH cost follows band
+    * collisions, the sharpest candidate bound available at 100 TB).
+    */
+  def curateWith(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      th: Thresholds,
+      pairGen: DataFrame => DataFrame): DataFrame = {
     val scored = docs.select(
       col(idCol),
       col(textCol),
@@ -54,9 +71,7 @@ object Curation {
         col("repetition") <= th.maxRepetition)
       .localCheckpoint()
 
-    val pairs = TextDedup.ngramJaccardPairsCapped(
-      kept.select(col(idCol), col(textCol)), idCol, textCol, th.shingleK, th.jaccard,
-      th.maxShingleFreq)
+    val pairs = pairGen(kept.select(col(idCol), col(textCol)))
     val comps = TextDedup.connectedComponents(kept, idCol, pairs)
 
     // representative per near-dup cluster = the component's min id

@@ -515,7 +515,25 @@ object Extensions {
     Curation.curate(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
-  val curateSql: String = {
+  /** The same pipeline with the near-dup stage routed through
+    * MinHash+LSH candidate generation — the swap a 100 TB user makes
+    * when the profiled dominant stage (pair generation; BASELINE.md)
+    * must follow band collisions instead of shingle df. Runs at J ≥
+    * 0.8, where the (1−J⁴)³² band-miss probability is < 5e-8 and the
+    * verified LSH output provably equals the exact pair set the oracle
+    * computes (the same recall contract x_dedup_minhash is gated on —
+    * at 0.6 the miss rate would be ~1% and the oracle would diverge).
+    */
+  def curateLsh(s: SparkSession, dir: String): DataFrame =
+    Curation.curateWith(t(s, dir, "documents"), "doc_id", "text",
+        Curation.Thresholds(jaccard = 0.8),
+        kept => TextDedup.minhashLshPairs(kept, "doc_id", "text", ShingleK, 0.8))
+      .orderBy("doc_id")
+
+  val curateSql: String = curateSqlAt(0.6)
+  val curateLshSql: String = curateSqlAt(0.8)
+
+  private def curateSqlAt(jaccard: Double): String = {
     val markers = Text.LangMarkers.map { case (l, ws) =>
       l -> s"len(list_intersect(lw, [${ws.map(w => s"'$w'").mkString(",")}]))"
     }
@@ -543,7 +561,7 @@ object Extensions {
        |  FROM m),
        |kept AS (SELECT doc_id, text, lang_pred, score, repetition FROM scored
        |         WHERE lang_pred = 'en' AND score >= 0.5 AND repetition <= 0.2),
-       |${jaccardPairsCte(0.6, "kept")},
+       |${jaccardPairsCte(jaccard, "kept")},
        |e AS (SELECT id_a AS src, id_b AS dst FROM jp
        |      UNION ALL SELECT id_b, id_a FROM jp),
        |r(id, comp) AS (
@@ -1320,5 +1338,6 @@ object Extensions {
     QueryDef("x_sql_surface", sqlSurface, Some(sqlSurfaceSql)),
     QueryDef("x_chunk", chunk, Some(chunkSql)),
     QueryDef("x_pack", pack, Some(packSql)),
-    QueryDef("x_curate", curate, Some(curateSql)))
+    QueryDef("x_curate", curate, Some(curateSql)),
+    QueryDef("x_curate_lsh", curateLsh, Some(curateLshSql)))
 }

@@ -169,6 +169,32 @@ object VersionedQueries {
        |       CAST(sum(value_c) AS BIGINT) AS sum_value_c
        |FROM fin GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // M7 — clustering OPTIMIZE under the gate. Two event_id-parity
+  // appends interleave user_id across every file (the post-ingest state
+  // where zone maps prune nothing); optimizeClusterBy rewrites the
+  // snapshot range-clustered on user_id and publishes the zone sidecar;
+  // the checked rows then come through readWhere — the ZONE-PRUNED scan
+  // path, so a green row proves the clustered layout + sidecar + pruned
+  // read return exactly the rows a plain filter does. OptimizeSpec
+  // (VersionedSpec) separately pins that the pruned file set is a
+  // strict subset after optimize.
+  def optimizeCluster(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("ts_us", tsUs)
+      .select("user_id", "event_id", "event_type", "value", "ts_us")
+    val tableDir = scratchDir("graft_m7")
+    Versioned.append(ev.filter(col("event_id") % 2 === 0), tableDir)
+    Versioned.append(ev.filter(col("event_id") % 2 === 1), tableDir)
+    val v = Versioned.optimizeClusterBy(s, tableDir, Seq("user_id"), targetFiles = 8)
+    Versioned.readWhere(s, tableDir, v, "user_id", 3L, 9L)
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id", "event_id")
+  }
+
+  val optimizeClusterSql: String =
+    """SELECT user_id, event_id, event_type, value FROM events
+      |WHERE user_id BETWEEN 3 AND 9 ORDER BY user_id, event_id""".stripMargin
+
   // X — a curation operator composed over the versioned read path:
   // exact dedup runs against a log-resolved, DV-subtracted snapshot
   // (two parity appends + a sparse MoR delete), proving the extension
@@ -193,5 +219,6 @@ object VersionedQueries {
   val all: Seq[QueryDef] = Seq(
     QueryDef("m5_versioned_merge", versionedMerge, Some(versionedMergeSql)),
     QueryDef("m6_incremental_gold", incrementalGold, Some(incrementalGoldSql)),
+    QueryDef("m7_optimize_cluster", optimizeCluster, Some(optimizeClusterSql)),
     QueryDef("x_dedup_versioned", dedupVersioned, Some(dedupVersionedSql)))
 }

@@ -1153,6 +1153,53 @@ object Versioned {
     nv
   }
 
+  /** Clustering OPTIMIZE (the `OPTIMIZE … ZORDER BY` / liquid-
+    * clustering analog): rewrites the current snapshot RANGE-
+    * partitioned and sorted on `clusterCols`, then publishes a fresh
+    * zone sidecar for the long-castable ones — after appends have
+    * interleaved values across files, every file spans the whole
+    * domain and zone maps prune nothing; clustering is what makes the
+    * per-file [lo, hi] ranges narrow and disjoint, so a zoned range
+    * scan opens ~range/domain of the files instead of all of them.
+    * Rows are unchanged (live rows only: DVs materialize into the
+    * rewrite and retire with the files that carried them). Commits
+    * pinned like [[compact]]: a concurrent commit fails the optimize
+    * (re-run it), never the other way around, and pre-optimize
+    * versions still time-travel. Multi-column lists cluster
+    * lexicographically — the practical equivalent of Z-ordering when
+    * range predicates hit the leading column.
+    */
+  def optimizeClusterBy(
+      spark: SparkSession, dir: String, clusterCols: Seq[String],
+      targetFiles: Int = 0): Long = {
+    import org.apache.spark.sql.functions.col
+    require(clusterCols.nonEmpty, "at least one cluster column")
+    val v = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
+    val df = readAt(spark, dir, v)
+    val absent = clusterCols.filterNot(df.schema.fieldNames.contains)
+    require(absent.isEmpty,
+      s"cluster columns absent from the snapshot schema: ${absent.mkString(", ")}")
+    val n = if (targetFiles > 0) targetFiles
+      else math.max(1, filesAt(spark, dir, v).size)
+    val cols = clusterCols.map(col)
+    val clustered = df.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
+    val fresh = writeDataFiles(clustered, dir)
+    val nv = commitPinned(spark, dir, v, "optimize", df.schema.json, fresh).get
+    // stats only make sense in the long domain (integral/timestamp);
+    // a string cluster column still sorts the layout but is not zoned
+    val zoneable = clusterCols.filter { c =>
+      import org.apache.spark.sql.types._
+      df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType |
+             DateType | TimestampType => true
+        case _ => false
+      }
+    }
+    if (zoneable.nonEmpty) writeZoneMaps(spark, dir, nv, zoneable)
+    nv
+  }
+
   /** Incremental compaction (the shape of Delta's actual `OPTIMIZE`):
     * bin-packs only files SMALLER than `smallBytes` into `targetFiles`
     * coalesced outputs and leaves already-compact files untouched — at

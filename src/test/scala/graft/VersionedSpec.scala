@@ -1239,6 +1239,33 @@ class VersionedSpec extends SparkSpec {
     assert(rows(dir, 3L) == (1 to 3).map(i => (i.toLong, s"r$i")).toSet)
   }
 
+  test("optimizeClusterBy sharpens zone pruning; content, DVs, and history unchanged") {
+    val dir = tmpDir("vt_optimize")
+    // two id-interleaved appends: every file spans the whole id domain,
+    // so the zone map prunes nothing
+    Versioned.append((1L to 100L).filter(_ % 2 == 0).map(i => (i, s"r$i"))
+      .toDF("id", "s").repartition(2), dir)
+    Versioned.append((1L to 100L).filter(_ % 2 == 1).map(i => (i, s"r$i"))
+      .toDF("id", "s").repartition(2), dir)
+    Versioned.deleteWhereMoR(spark, dir, col("id") === 50L) // v3: live DV
+    Versioned.writeZoneMap(spark, dir, 3L, "id")
+    assert(Versioned.prunedFiles(spark, dir, 3L, "id", 10L, 15L).size ==
+      Versioned.filesAt(spark, dir, 3L).size, "interleaved files should not prune")
+
+    val v = Versioned.optimizeClusterBy(spark, dir, Seq("id"), targetFiles = 4)
+    val expected = (1L to 100L).filter(_ != 50L).map(i => (i, s"r$i")).toSet
+    assert(rows(dir, v) == expected, "optimize must not change live rows")
+    assert(Versioned.dvsAt(spark, dir, v).isEmpty,
+      "materialized DVs must retire with the files that carried them")
+    assert(Versioned.prunedFiles(spark, dir, v, "id", 10L, 15L).size <
+      Versioned.filesAt(spark, dir, v).size, "clustered files must prune")
+    // the pruned scan is also CORRECT, and pre-optimize versions travel
+    assert(Versioned.readWhere(spark, dir, v, "id", 10L, 15L)
+      .as[(Long, String)].collect().toSet ==
+      expected.filter(r => r._1 >= 10L && r._1 <= 15L))
+    assert(rows(dir, 2L) == (1L to 100L).map(i => (i, s"r$i")).toSet)
+  }
+
   test("changes() opens only files the window added, removed, or DV-touched") {
     val dir = tmpDir("vt_cdf_prune")
     Versioned.append(Seq((1L, "a")).toDF("id", "s").repartition(1), dir) // v1
