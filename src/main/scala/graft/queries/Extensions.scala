@@ -524,14 +524,21 @@ object Extensions {
     * computes (the same recall contract x_dedup_minhash is gated on —
     * at 0.6 the miss rate would be ~1% and the oracle would diverge).
     */
-  def curateLsh(s: SparkSession, dir: String): DataFrame =
-    Curation.curateWith(t(s, dir, "documents"), "doc_id", "text",
-        Curation.Thresholds(jaccard = 0.8),
-        kept => TextDedup.minhashLshPairs(kept, "doc_id", "text", ShingleK, 0.8))
+  /** The one Scala-side constant the LSH-curation oracle must agree
+    * with — threaded through Thresholds, the pairGen closure, and
+    * `curateSqlAt` so the three sites cannot drift.
+    */
+  private val CurateLshJaccard = 0.8
+
+  def curateLsh(s: SparkSession, dir: String): DataFrame = {
+    val th = Curation.Thresholds(jaccard = CurateLshJaccard)
+    Curation.curateWith(t(s, dir, "documents"), "doc_id", "text", th,
+        kept => TextDedup.minhashLshPairs(kept, "doc_id", "text", ShingleK, th.jaccard))
       .orderBy("doc_id")
+  }
 
   val curateSql: String = curateSqlAt(0.6)
-  val curateLshSql: String = curateSqlAt(0.8)
+  val curateLshSql: String = curateSqlAt(CurateLshJaccard)
 
   private def curateSqlAt(jaccard: Double): String = {
     val markers = Text.LangMarkers.map { case (l, ws) =>

@@ -1153,6 +1153,30 @@ object Versioned {
     nv
   }
 
+  /** Shared core of the clustered-rewrite OPTIMIZEs ([[optimizeClusterBy]],
+    * [[compactClustered]]): rewrites the whole current snapshot through
+    * `cluster` (live rows only — DVs materialize into the rewrite and
+    * retire with the files that carried them), commits pinned under the
+    * one `optimize` op label, and publishes ONE fresh sidecar covering
+    * both the requested zone columns and every column the table was
+    * already zoned on — a clustering rewrite must never cost a
+    * previously-zoned column its data skipping.
+    */
+  private def clusteredRewrite(
+      spark: SparkSession, dir: String,
+      cluster: DataFrame => DataFrame, zoneCols: Seq[String]): Long = {
+    val v = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
+    val df = readAt(spark, dir, v)
+    val fresh = writeDataFiles(cluster(df), dir)
+    val nv = commitPinned(spark, dir, v, "optimize", df.schema.json, fresh).get
+    val cols = (zoneCols ++
+      zonedAnchorJson(spark, dir, v).map(ZoneMaps.blockCols).getOrElse(Seq.empty))
+      .distinct
+    if (cols.nonEmpty) writeZoneMaps(spark, dir, nv, cols)
+    nv
+  }
+
   /** Clustering OPTIMIZE (the `OPTIMIZE … ZORDER BY` / liquid-
     * clustering analog): rewrites the current snapshot RANGE-
     * partitioned and sorted on `clusterCols`, then publishes a fresh
@@ -1161,13 +1185,18 @@ object Versioned {
     * domain and zone maps prune nothing; clustering is what makes the
     * per-file [lo, hi] ranges narrow and disjoint, so a zoned range
     * scan opens ~range/domain of the files instead of all of them.
-    * Rows are unchanged (live rows only: DVs materialize into the
-    * rewrite and retire with the files that carried them). Commits
-    * pinned like [[compact]]: a concurrent commit fails the optimize
-    * (re-run it), never the other way around, and pre-optimize
-    * versions still time-travel. Multi-column lists cluster
-    * lexicographically — the practical equivalent of Z-ordering when
-    * range predicates hit the leading column.
+    * Rows are unchanged. Commits pinned like [[compact]]: a concurrent
+    * commit fails the optimize (re-run it), never the other way
+    * around, and pre-optimize versions still time-travel. Multi-column
+    * lists cluster lexicographically — the practical equivalent of
+    * Z-ordering when range predicates hit the leading column.
+    *
+    * Zone stats live in the long domain: integral columns serve the
+    * full zoned read path ([[readWhere]]); timestamp columns zone as
+    * epoch seconds and prune via [[prunedFiles]]/`zoneHint` (the
+    * residual long comparison `readWhere` applies needs an integral
+    * column — pre-floor timestamps into one, as the testdata's `ts_us`
+    * does); other types sort the layout but are not zoned.
     */
   def optimizeClusterBy(
       spark: SparkSession, dir: String, clusterCols: Seq[String],
@@ -1176,28 +1205,23 @@ object Versioned {
     require(clusterCols.nonEmpty, "at least one cluster column")
     val v = currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $dir"))
-    val df = readAt(spark, dir, v)
-    val absent = clusterCols.filterNot(df.schema.fieldNames.contains)
+    val schema = readAt(spark, dir, v).schema
+    val absent = clusterCols.filterNot(schema.fieldNames.contains)
     require(absent.isEmpty,
       s"cluster columns absent from the snapshot schema: ${absent.mkString(", ")}")
     val n = if (targetFiles > 0) targetFiles
       else math.max(1, filesAt(spark, dir, v).size)
-    val cols = clusterCols.map(col)
-    val clustered = df.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
-    val fresh = writeDataFiles(clustered, dir)
-    val nv = commitPinned(spark, dir, v, "optimize", df.schema.json, fresh).get
-    // stats only make sense in the long domain (integral/timestamp);
-    // a string cluster column still sorts the layout but is not zoned
     val zoneable = clusterCols.filter { c =>
       import org.apache.spark.sql.types._
-      df.schema(c).dataType match {
-        case ByteType | ShortType | IntegerType | LongType |
-             DateType | TimestampType => true
-        case _ => false
+      schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType | TimestampType => true
+        case _ => false // DATE does not cast to long; strings sort but don't zone
       }
     }
-    if (zoneable.nonEmpty) writeZoneMaps(spark, dir, nv, zoneable)
-    nv
+    val cols = clusterCols.map(col)
+    clusteredRewrite(spark, dir,
+      df => df.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*),
+      zoneable)
   }
 
   /** Incremental compaction (the shape of Delta's actual `OPTIMIZE`):
@@ -1250,18 +1274,13 @@ object Versioned {
       spark: SparkSession, dir: String,
       xCol: String, yCol: String, targetFiles: Int = 8): Long = {
     import org.apache.spark.sql.functions.col
-    val base = currentVersion(spark, dir).getOrElse(
-      throw new IllegalArgumentException(s"no committed versions at $dir"))
     val z = graft.functions.ZOrder.zValue(col(xCol), col(yCol))
-    val clustered = readAt(spark, dir, base)
-      .withColumn("__z", z)
-      .repartitionByRange(targetFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-    val v = commitPinned(spark, dir, base, "overwrite", clustered.schema.json,
-      writeDataFiles(clustered, dir)).get
-    writeZoneMaps(spark, dir, v, Seq(xCol, yCol))
-    v
+    clusteredRewrite(spark, dir,
+      df => df.withColumn("__z", z)
+        .repartitionByRange(targetFiles, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z"),
+      Seq(xCol, yCol))
   }
 
   /** RESTORE analog (Delta `RESTORE TABLE t TO VERSION AS OF v`):
@@ -1771,6 +1790,32 @@ object Versioned {
     Some(v)
   }
 
+  /** The zone sidecar JSON anchoring `baseV`: the nearest zoned
+    * ancestor within a bounded window — the immediate predecessor may
+    * not have published its sidecar yet (a concurrent appender's carry
+    * runs after its commit) or ever — falling back to ONE log-dir
+    * listing for the newest sidecar at or below base when the window
+    * misses (sidecar gap > 8 commits), instead of silently leaving
+    * data skipping off for the rest of the table's life.
+    */
+  private def zonedAnchorJson(
+      spark: SparkSession, dir: String, baseV: Long): Option[String] = {
+    val f = fs(spark, dir)
+    (baseV to math.max(1L, baseV - 7) by -1L).find(w =>
+      f.exists(new Path(logPath(dir), f"v$w%08d.zones.json")))
+      .orElse {
+        if (!f.exists(logPath(dir))) None
+        else f.listStatus(logPath(dir)).toSeq
+          .map(_.getPath.getName)
+          .collect { case n if n.matches("v\\d{8}\\.zones\\.json") =>
+            n.stripPrefix("v").stripSuffix(".zones.json").toLong }
+          .filter(_ <= baseV)
+          .sorted.lastOption
+      }
+      .map(a => readFully(spark, dir,
+        new Path(logPath(dir), f"v$a%08d.zones.json")))
+  }
+
   /** Carries the zone-map sidecar across a copy-on-write commit: kept
     * files keep their stats verbatim (no re-scan); rewritten output
     * gets fresh stats. Without this every DELETE/UPDATE would silently
@@ -1787,24 +1832,9 @@ object Versioned {
     // files the anchor lacks stats for (landed in the gap) are statted
     // here, so a carry gap SELF-HEALS instead of silently disabling
     // data skipping for the rest of the table's life
-    val anchor = (baseV to math.max(1L, baseV - 7) by -1L).find(w =>
-      f.exists(new Path(logPath(dir), f"v$w%08d.zones.json")))
-      .orElse {
-        // window miss (sidecar gap > 8 commits — e.g. a table zoned long
-        // ago, or repeated carry failures): ONE log-dir listing finds
-        // the newest sidecar at or below base instead of silently
-        // leaving data skipping off for the rest of the table's life
-        if (!f.exists(logPath(dir))) None
-        else f.listStatus(logPath(dir)).toSeq
-          .map(_.getPath.getName)
-          .collect { case n if n.matches("v\\d{8}\\.zones\\.json") =>
-            n.stripPrefix("v").stripSuffix(".zones.json").toLong }
-          .filter(_ <= baseV)
-          .sorted.lastOption
-      }
-    if (anchor.isEmpty) return
-    val json = readFully(spark, dir,
-      new Path(logPath(dir), f"v${anchor.get}%08d.zones.json"))
+    val jsonOpt = zonedAnchorJson(spark, dir, baseV)
+    if (jsonOpt.isEmpty) return
+    val json = jsonOpt.get
     val cols = ZoneMaps.blockCols(json)
     if (cols.isEmpty) return
     val carried = cols.map(c =>

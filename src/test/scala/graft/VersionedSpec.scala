@@ -1266,6 +1266,21 @@ class VersionedSpec extends SparkSpec {
     assert(rows(dir, 2L) == (1L to 100L).map(i => (i, s"r$i")).toSet)
   }
 
+  test("optimize keeps previously-zoned columns' data skipping (sidecar union)") {
+    val dir = tmpDir("vt_opt_union")
+    Versioned.append((1L to 100L).map(i => (i, i * 10L)).toDF("id", "ts")
+      .repartition(2), dir)
+    Versioned.writeZoneMap(spark, dir, 1L, "ts")
+    val v = Versioned.optimizeClusterBy(spark, dir, Seq("id"), targetFiles = 4)
+    // ts stats survived the rewrite: an out-of-domain ts range prunes to
+    // ZERO files (a missing ts block would fall back to the full list)
+    assert(Versioned.prunedFiles(spark, dir, v, "ts", 1000000L, 2000000L).isEmpty,
+      "previously-zoned column lost its stats through optimize")
+    // and the cluster column is zoned too
+    assert(Versioned.prunedFiles(spark, dir, v, "id", 10L, 15L).size <
+      Versioned.filesAt(spark, dir, v).size)
+  }
+
   test("changes() opens only files the window added, removed, or DV-touched") {
     val dir = tmpDir("vt_cdf_prune")
     Versioned.append(Seq((1L, "a")).toDF("id", "s").repartition(1), dir) // v1
