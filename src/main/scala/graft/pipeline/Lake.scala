@@ -223,7 +223,13 @@ object Lake {
               Versioned.overwriteIdempotent(
                 e.cleanse(Versioned.read(spark, bronzeDir)), silverDir, appId, bv)
             else applied match {
-              case Some(a) if Versioned.versions(spark, bronzeDir).contains(a) =>
+              // the add-action fast path needs the window to hold only
+              // appends: a maintenance op on bronze (optimize/compact)
+              // re-publishes old rows into fresh files, so those windows
+              // take the full recleanse-merge below instead of
+              // misreporting carried rows as inserts (or failing)
+              case Some(a) if Versioned.versions(spark, bronzeDir).contains(a) &&
+                  Versioned.isAppendOnlyWindow(spark, bronzeDir, a, bv) =>
                 Versioned.mergeIdempotent(spark, silverDir,
                   e.cleanse(Versioned.addedSince(spark, bronzeDir, a, bv)),
                   e.silverKeys, appId, bv, updateWhen = lww)

@@ -1928,11 +1928,26 @@ object Versioned {
     * would misreport as inserts, so those fail loudly toward
     * [[changes]] instead.
     */
-  def addedSince(spark: SparkSession, dir: String, from: Long, to: Long): DataFrame = {
-    require(from <= to, s"addedSince window is inverted: $from > $to")
-    val nonAppend = (from + 1 to to).map(v => v -> opAt(spark, dir, v))
+  /** Whether every commit in `(from, to]` is an append (or
+    * constraint-only) — the window shape [[addedSince]] requires.
+    * Callers that maintain a downstream tier can probe this BEFORE
+    * choosing the add-action path and fall back to a full merge when a
+    * maintenance op (optimize/compact/merge/restore) landed in the
+    * window, instead of failing the refresh.
+    */
+  def isAppendOnlyWindow(
+      spark: SparkSession, dir: String, from: Long, to: Long): Boolean =
+    nonAppendOps(spark, dir, from, to).isEmpty
+
+  private def nonAppendOps(
+      spark: SparkSession, dir: String, from: Long, to: Long): Seq[(Long, String)] =
+    (from + 1 to to).map(v => v -> opAt(spark, dir, v))
       .filterNot { case (_, op) =>
         op == "append" || op == "set-constraint" || op == "drop-constraint" }
+
+  def addedSince(spark: SparkSession, dir: String, from: Long, to: Long): DataFrame = {
+    require(from <= to, s"addedSince window is inverted: $from > $to")
+    val nonAppend = nonAppendOps(spark, dir, from, to)
     require(nonAppend.isEmpty,
       s"addedSince($from, $to) at $dir requires an append-only window, but it " +
         s"contains ${nonAppend.map { case (v, op) => s"v$v=$op" }.mkString(", ")} — " +

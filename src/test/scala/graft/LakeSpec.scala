@@ -262,6 +262,36 @@ class LakeSpec extends SparkSpec {
       "replayed bronze batches must not duplicate rows")
   }
 
+  test("a maintenance op on bronze routes the next refresh through the full merge") {
+    import graft.table.Versioned
+    val root = tmpDir("lakeopt")
+    OlistFixtures.write(root)
+    val roots = LakeRoots(
+      s"$root/bronze", s"$root/silver", s"$root/gold", s"$root/checkpoints")
+    Lake.buildAllVersioned(spark, s"$root/ingest", roots)
+    val bronzeDir = roots.versionedBronzeDir("orders")
+    val silverBefore = Versioned.read(
+      spark, roots.versionedSilverDir("orders")).count()
+    // OPTIMIZE-class commit on bronze: the next refresh window is no
+    // longer append-only, so the add-action fast path must yield to the
+    // full recleanse-merge — not fail, not misreport carried rows
+    Versioned.compact(spark, bronzeDir)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/ingest/orders/c_third.csv"),
+      "order_id,customer_id,order_status,order_purchase_timestamp,order_approved_at," +
+        "order_delivered_carrier_date,order_delivered_customer_date,order_estimated_delivery_date\n" +
+        "o5,c2,delivered,2017-01-05 08:00:00,2017-01-05 09:00:00," +
+        "2017-01-06 08:00:00,2017-01-08 08:00:00,2017-01-12 00:00:00")
+    val entities = Lake.refreshBronzeVersioned(spark, s"$root/ingest", roots)
+    val advanced = Lake.refreshSilverFromVersionedBronze(spark, roots, entities)
+    assert(advanced.contains("orders"))
+    val silver = Versioned.read(spark, roots.versionedSilverDir("orders"))
+    assert(silver.filter(col("order_id") === "o5").count() == 1,
+      "the post-maintenance drop must reach silver")
+    assert(silver.count() == silverBefore + 1,
+      "the full-merge fallback must not duplicate carried rows")
+  }
+
   test("reconcileManifest repairs a lost manifest without duplicating bronze") {
     val root = tmpDir("lakerepair")
     val src = s"$root/src"
