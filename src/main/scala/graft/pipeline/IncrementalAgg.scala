@@ -63,11 +63,23 @@ object IncrementalAgg {
       // incremental path: the applied version must still be readable
       // (not vacuumed away) to diff against
       case Some(a) if Versioned.versions(spark, silverDir).contains(a) =>
-        val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
-        val deltaAgg = grouped(
-          Versioned.changes(spark, silverDir, a, silverV),
-          keys,
-          sum(sign).as("n") +: sumCols.map(c => sum(sign * col(c)).as(s"sum_$c")))
+        val deltaAgg =
+          if (Versioned.isAppendOnlyWindow(spark, silverDir, a, silverV))
+            // append-only window (the common case for fact tables): the
+            // log's add-actions ARE the inserts — no snapshot diff at
+            // all, the refresh opens only the files the window added
+            grouped(
+              Versioned.addedSince(spark, silverDir, a, silverV),
+              keys,
+              count(lit(1)).as("n") +: sumCols.map(c => sum(col(c)).as(s"sum_$c")))
+          else {
+            val sign =
+              when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+            grouped(
+              Versioned.changes(spark, silverDir, a, silverV),
+              keys,
+              sum(sign).as("n") +: sumCols.map(c => sum(sign * col(c)).as(s"sum_$c")))
+          }
         grouped(
           Versioned.read(spark, goldDir).unionByName(deltaAgg),
           keys,
