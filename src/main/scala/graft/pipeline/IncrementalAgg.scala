@@ -68,8 +68,10 @@ object IncrementalAgg {
             // append-only window (the common case for fact tables): the
             // log's add-actions ARE the inserts — no snapshot diff at
             // all, the refresh opens only the files the window added
+            // (the probe above already validated the window — the
+            // validated twin skips the second op scan)
             grouped(
-              Versioned.addedSince(spark, silverDir, a, silverV),
+              Versioned.addedSinceValidated(spark, silverDir, a, silverV),
               keys,
               count(lit(1)).as("n") +: sumCols.map(c => sum(col(c)).as(s"sum_$c")))
           else {

@@ -199,10 +199,16 @@ object Lake {
     *
     * Aggregated-grain entities recleanse from full bronze (same
     * correctness rule as [[refreshSilver]]) as idempotent overwrite
-    * commits. A silver vacuumed past its bronze watermark falls back
-    * to one full recleanse-merge — loud in the log (`merge` op over
-    * all keys), never silently incomplete. Returns the entities whose
-    * silver actually advanced.
+    * commits. Non-append bronze windows are classified by
+    * [[graft.table.Versioned.windowShape]]: a row-PRESERVING window
+    * (optimize/compact landed) takes a full recleanse lww-merge — no
+    * row changed, so insert/update reconciles exactly; a row-MUTATING
+    * window (delete/update/merge/restore on bronze) or a watermark
+    * vacuumed past inspectability REPLACES silver with
+    * cleanse(bronze@head) in one overwrite commit, because a merge can
+    * never propagate removals — a bronze GDPR delete reaches silver,
+    * loud in the log (`overwrite` op), never silently divergent.
+    * Returns the entities whose silver actually advanced.
     */
   def refreshSilverFromVersionedBronze(
       spark: SparkSession, roots: LakeRoots, names: Seq[String]): Seq[String] =
@@ -222,24 +228,41 @@ object Lake {
             if (e.aggregatedGrain)
               Versioned.overwriteIdempotent(
                 e.cleanse(Versioned.read(spark, bronzeDir)), silverDir, appId, bv)
-            else applied match {
-              // the add-action fast path needs the window to hold only
-              // appends: a maintenance op on bronze (optimize/compact)
-              // re-publishes old rows into fresh files, so those windows
-              // take the full recleanse-merge below instead of
-              // misreporting carried rows as inserts (or failing)
-              case Some(a) if Versioned.versions(spark, bronzeDir).contains(a) &&
-                  Versioned.isAppendOnlyWindow(spark, bronzeDir, a, bv) =>
-                Versioned.mergeIdempotent(spark, silverDir,
-                  e.cleanse(Versioned.addedSince(spark, bronzeDir, a, bv)),
-                  e.silverKeys, appId, bv, updateWhen = lww)
-              case _ =>
-                val cleansed = e.cleanse(Versioned.readAt(spark, bronzeDir, bv))
-                if (Versioned.currentVersion(spark, silverDir).isEmpty)
-                  Versioned.appendIdempotent(cleansed, silverDir, appId, bv)
-                else
-                  Versioned.mergeIdempotent(spark, silverDir, cleansed,
+            else {
+              // one op scan classifies the bronze window; None when the
+              // watermark predates retention (vacuumed) or was never set
+              val shape = applied
+                .filter(Versioned.versions(spark, bronzeDir).contains)
+                .map(a => a -> Versioned.windowShape(spark, bronzeDir, a, bv))
+              shape match {
+                case Some((a, Versioned.WindowShape.AppendOnly)) =>
+                  // fast path: the window's add-actions ARE the new rows
+                  // (already validated by the shape probe — no re-scan)
+                  Versioned.mergeIdempotent(spark, silverDir,
+                    e.cleanse(Versioned.addedSinceValidated(spark, bronzeDir, a, bv)),
                     e.silverKeys, appId, bv, updateWhen = lww)
+                case Some((_, Versioned.WindowShape.RowPreserving)) =>
+                  // optimize/compact landed: add-actions would misreport
+                  // carried rows as inserts, but no row changed — the
+                  // full recleanse lww-merge reconciles content exactly
+                  Versioned.mergeIdempotent(spark, silverDir,
+                    e.cleanse(Versioned.readAt(spark, bronzeDir, bv)),
+                    e.silverKeys, appId, bv, updateWhen = lww)
+                case _ =>
+                  // row-MUTATING window (delete/update/merge/restore on
+                  // bronze), a watermark vacuumed past inspectability, or
+                  // the very first refresh: an insert/update merge can
+                  // never propagate removals, so silver is REPLACED with
+                  // cleanse(bronze@bv) — the definition of silver content
+                  // — in one commit. A bronze GDPR delete reaches silver
+                  // here, and the silver log records a visible
+                  // `overwrite` op instead of silently diverging.
+                  val cleansed = e.cleanse(Versioned.readAt(spark, bronzeDir, bv))
+                  if (Versioned.currentVersion(spark, silverDir).isEmpty)
+                    Versioned.appendIdempotent(cleansed, silverDir, appId, bv)
+                  else
+                    Versioned.overwriteIdempotent(cleansed, silverDir, appId, bv)
+              }
             }
             true
           }

@@ -515,6 +515,12 @@ object Extensions {
     Curation.curate(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** The one Scala-side constant the LSH-curation oracle must agree
+    * with — threaded through Thresholds, the pairGen closure, and
+    * `curateSqlAt` so the three sites cannot drift.
+    */
+  private val CurateLshJaccard = 0.8
+
   /** The same pipeline with the near-dup stage routed through
     * MinHash+LSH candidate generation — the swap a 100 TB user makes
     * when the profiled dominant stage (pair generation; BASELINE.md)
@@ -524,12 +530,6 @@ object Extensions {
     * computes (the same recall contract x_dedup_minhash is gated on —
     * at 0.6 the miss rate would be ~1% and the oracle would diverge).
     */
-  /** The one Scala-side constant the LSH-curation oracle must agree
-    * with — threaded through Thresholds, the pairGen closure, and
-    * `curateSqlAt` so the three sites cannot drift.
-    */
-  private val CurateLshJaccard = 0.8
-
   def curateLsh(s: SparkSession, dir: String): DataFrame = {
     val th = Curation.Thresholds(jaccard = CurateLshJaccard)
     Curation.curateWith(t(s, dir, "documents"), "doc_id", "text", th,

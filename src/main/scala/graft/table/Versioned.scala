@@ -308,7 +308,9 @@ object Versioned {
 
   /** The operation that produced snapshot `v` (append, overwrite,
     * merge, delete, delete-mor, update, update-mor, restore,
-    * set-constraint, drop-constraint).
+    * set-constraint, drop-constraint, optimize, compact-small —
+    * the last two are the row-preserving maintenance class that
+    * [[windowShape]] distinguishes from content changes).
     */
   def opAt(spark: SparkSession, dir: String, v: Long): String =
     opOf(snapshotJson(spark, dir, v))
@@ -421,8 +423,13 @@ object Versioned {
     if (cons.isEmpty) return
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
     val ordered = cons.toSeq.sortBy(_._1)
+    // outer coalesce: sum over an EMPTY batch is NULL, and an empty
+    // batch (e.g. a DELETE that empties every touched file) violates
+    // nothing
     val aggs = ordered.zipWithIndex.map { case ((_, sql), i) =>
-      sum(when(coalesce(not(expr(sql)), lit(false)), 1L).otherwise(0L)).as(s"__c$i")
+      coalesce(
+        sum(when(coalesce(not(expr(sql)), lit(false)), 1L).otherwise(0L)),
+        lit(0L)).as(s"__c$i")
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     ordered.zipWithIndex.foreach { case ((name, sql), i) =>
@@ -1145,7 +1152,10 @@ object Versioned {
       throw new IllegalArgumentException(s"no committed versions at $dir"))
     val df = readAt(spark, dir, v)
     val fresh = writeDataFiles(df, dir)
-    val nv = commitPinned(spark, dir, v, "overwrite", df.schema.json, fresh).get
+    // 'optimize', not 'overwrite': compaction is a ROW-PRESERVING
+    // rewrite, and downstream maintenance (isRowPreservingWindow)
+    // distinguishes it from commits that change table content
+    val nv = commitPinned(spark, dir, v, "optimize", df.schema.json, fresh).get
     // re-stat the rewritten files under the base sidecar's columns (a
     // stat pass over files the compaction just rewrote anyway) so a
     // zoned table keeps data skipping through OPTIMIZE
@@ -1162,17 +1172,34 @@ object Versioned {
     * already zoned on — a clustering rewrite must never cost a
     * previously-zoned column its data skipping.
     */
+  /** Column types whose zone stats live exactly in the long domain
+    * (DATE is excluded — Spark 4 refuses date→long casts; strings sort
+    * a clustered layout but are not zoned).
+    */
+  private def zoneableType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | TimestampType => true
+      case _ => false
+    }
+  }
+
   private def clusteredRewrite(
-      spark: SparkSession, dir: String,
+      spark: SparkSession, dir: String, v: Long,
       cluster: DataFrame => DataFrame, zoneCols: Seq[String]): Long = {
-    val v = currentVersion(spark, dir).getOrElse(
-      throw new IllegalArgumentException(s"no committed versions at $dir"))
     val df = readAt(spark, dir, v)
     val fresh = writeDataFiles(cluster(df), dir)
     val nv = commitPinned(spark, dir, v, "optimize", df.schema.json, fresh).get
-    val cols = (zoneCols ++
-      zonedAnchorJson(spark, dir, v).map(ZoneMaps.blockCols).getOrElse(Seq.empty))
-      .distinct
+    // union with the columns the table was already zoned on, but only
+    // those still present AND long-castable under the snapshot being
+    // rewritten — a column whose type evolved since it was zoned would
+    // stat as all-NULL sentinels (prune-everything) or throw after the
+    // commit already published
+    val carried = zonedAnchorJson(spark, dir, v)
+      .map(ZoneMaps.blockCols).getOrElse(Seq.empty)
+      .filter(c =>
+        df.schema.fieldNames.contains(c) && zoneableType(df.schema(c).dataType))
+    val cols = (zoneCols ++ carried).distinct
     if (cols.nonEmpty) writeZoneMaps(spark, dir, nv, cols)
     nv
   }
@@ -1203,23 +1230,21 @@ object Versioned {
       targetFiles: Int = 0): Long = {
     import org.apache.spark.sql.functions.col
     require(clusterCols.nonEmpty, "at least one cluster column")
+    // v resolved ONCE: the schema checks, file count, and the rewrite
+    // all see the same pinned snapshot (a concurrent commit fails the
+    // rewrite's CAS instead of invalidating earlier checks)
     val v = currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $dir"))
-    val schema = readAt(spark, dir, v).schema
+    val schema = schemaAt(spark, dir, v).getOrElse(
+      readAt(spark, dir, v).schema)
     val absent = clusterCols.filterNot(schema.fieldNames.contains)
     require(absent.isEmpty,
       s"cluster columns absent from the snapshot schema: ${absent.mkString(", ")}")
     val n = if (targetFiles > 0) targetFiles
       else math.max(1, filesAt(spark, dir, v).size)
-    val zoneable = clusterCols.filter { c =>
-      import org.apache.spark.sql.types._
-      schema(c).dataType match {
-        case ByteType | ShortType | IntegerType | LongType | TimestampType => true
-        case _ => false // DATE does not cast to long; strings sort but don't zone
-      }
-    }
+    val zoneable = clusterCols.filter(c => zoneableType(schema(c).dataType))
     val cols = clusterCols.map(col)
-    clusteredRewrite(spark, dir,
+    clusteredRewrite(spark, dir, v,
       df => df.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*),
       zoneable)
   }
@@ -1274,8 +1299,10 @@ object Versioned {
       spark: SparkSession, dir: String,
       xCol: String, yCol: String, targetFiles: Int = 8): Long = {
     import org.apache.spark.sql.functions.col
+    val base = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
     val z = graft.functions.ZOrder.zValue(col(xCol), col(yCol))
-    clusteredRewrite(spark, dir,
+    clusteredRewrite(spark, dir, base,
       df => df.withColumn("__z", z)
         .repartitionByRange(targetFiles, col("__z"))
         .sortWithinPartitions("__z")
@@ -1915,6 +1942,75 @@ object Versioned {
         b.exceptAll(a).withColumn("_change_type", lit("delete")))
   }
 
+  /** How the commits in a log window `(from, to]` relate to table
+    * content — the decision an incremental downstream consumer makes
+    * once per refresh (see [[windowShape]]).
+    */
+  sealed trait WindowShape
+  object WindowShape {
+    /** Only appends (or constraint-only commits): the window's new rows
+      * are EXACTLY the rows of its added files — [[addedSince]]'s
+      * contract, O(new data) propagation.
+      */
+    case object AppendOnly extends WindowShape
+    /** At least one optimize/compact-class rewrite, nothing worse: the
+      * add-action read would misreport carried rows as inserts, but
+      * every row of `to`'s content is still derivable by insert/update
+      * against `from`'s — a full content-level reconciliation
+      * (e.g. recleanse + keyed merge) is sound.
+      */
+    case object RowPreserving extends WindowShape
+    /** A delete/update/merge/overwrite/restore landed: rows may have
+      * vanished or changed in place, which no insert/update merge can
+      * repair — consumers must replace downstream content (or diff with
+      * [[changes]], whose signed rows carry removals). The offending
+      * `(version, op)` pairs are carried for error messages.
+      */
+    final case class RowMutating(ops: Seq[(Long, String)]) extends WindowShape
+  }
+
+  /** Classifies `(from, to]` in ONE op scan (one log-entry read per
+    * commit in the window) — callers branching on more than
+    * [[isAppendOnlyWindow]] should use this instead of probing twice.
+    */
+  def windowShape(
+      spark: SparkSession, dir: String, from: Long, to: Long): WindowShape = {
+    val nonAppend = nonAppendOps(spark, dir, from, to)
+    if (nonAppend.isEmpty) WindowShape.AppendOnly
+    else {
+      val mutating = nonAppend.filterNot { case (_, op) =>
+        op == "optimize" || op == "compact-small" }
+      if (mutating.isEmpty) WindowShape.RowPreserving
+      else WindowShape.RowMutating(mutating)
+    }
+  }
+
+  /** Whether every commit in `(from, to]` is an append (or
+    * constraint-only) — the window shape [[addedSince]] requires.
+    * Callers that also need the maintenance/mutation distinction on
+    * failure should call [[windowShape]] once instead.
+    */
+  def isAppendOnlyWindow(
+      spark: SparkSession, dir: String, from: Long, to: Long): Boolean =
+    windowShape(spark, dir, from, to) == WindowShape.AppendOnly
+
+  /** Whether every commit in `(from, to]` PRESERVES row content:
+    * appends, constraint changes, and optimize/compact-class rewrites —
+    * see [[WindowShape.RowPreserving]].
+    */
+  def isRowPreservingWindow(
+      spark: SparkSession, dir: String, from: Long, to: Long): Boolean =
+    windowShape(spark, dir, from, to) match {
+      case WindowShape.RowMutating(_) => false
+      case _ => true
+    }
+
+  private def nonAppendOps(
+      spark: SparkSession, dir: String, from: Long, to: Long): Seq[(Long, String)] =
+    (from + 1 to to).map(v => v -> opAt(spark, dir, v))
+      .filterNot { case (_, op) =>
+        op == "append" || op == "set-constraint" || op == "drop-constraint" }
+
   /** Insert-only change feed: the rows of files ADDED between
     * snapshots `from` (exclusive) and `to` (inclusive) — the log's
     * add-actions read as data, which is exactly how Delta's streaming
@@ -1928,23 +2024,6 @@ object Versioned {
     * would misreport as inserts, so those fail loudly toward
     * [[changes]] instead.
     */
-  /** Whether every commit in `(from, to]` is an append (or
-    * constraint-only) — the window shape [[addedSince]] requires.
-    * Callers that maintain a downstream tier can probe this BEFORE
-    * choosing the add-action path and fall back to a full merge when a
-    * maintenance op (optimize/compact/merge/restore) landed in the
-    * window, instead of failing the refresh.
-    */
-  def isAppendOnlyWindow(
-      spark: SparkSession, dir: String, from: Long, to: Long): Boolean =
-    nonAppendOps(spark, dir, from, to).isEmpty
-
-  private def nonAppendOps(
-      spark: SparkSession, dir: String, from: Long, to: Long): Seq[(Long, String)] =
-    (from + 1 to to).map(v => v -> opAt(spark, dir, v))
-      .filterNot { case (_, op) =>
-        op == "append" || op == "set-constraint" || op == "drop-constraint" }
-
   def addedSince(spark: SparkSession, dir: String, from: Long, to: Long): DataFrame = {
     require(from <= to, s"addedSince window is inverted: $from > $to")
     val nonAppend = nonAppendOps(spark, dir, from, to)
@@ -1953,6 +2032,16 @@ object Versioned {
         s"contains ${nonAppend.map { case (v, op) => s"v$v=$op" }.mkString(", ")} — " +
         "rewritten files would surface carried rows as inserts; diff with " +
         "changes() instead")
+    addedSinceValidated(spark, dir, from, to)
+  }
+
+  /** [[addedSince]] minus the window re-validation — for callers that
+    * already probed [[isAppendOnlyWindow]] over the same window (the
+    * op scan is one log read per commit; doing it twice per refresh
+    * doubles the log I/O the incremental design exists to avoid).
+    */
+  private[graft] def addedSinceValidated(
+      spark: SparkSession, dir: String, from: Long, to: Long): DataFrame = {
     val before = filesAt(spark, dir, from).toSet
     val added = filesAt(spark, dir, to).filterNot(before)
     val schema = schemaAt(spark, dir, to)

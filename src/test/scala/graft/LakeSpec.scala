@@ -292,6 +292,49 @@ class LakeSpec extends SparkSpec {
       "the full-merge fallback must not duplicate carried rows")
   }
 
+  test("a row-mutating op on bronze replaces silver content: deletes propagate") {
+    import graft.table.Versioned
+    val root = tmpDir("lakegdpr")
+    OlistFixtures.write(root)
+    val roots = LakeRoots(
+      s"$root/bronze", s"$root/silver", s"$root/gold", s"$root/checkpoints")
+    Lake.buildAllVersioned(spark, s"$root/ingest", roots)
+    val bronzeDir = roots.versionedBronzeDir("orders")
+    val silverDir = roots.versionedSilverDir("orders")
+    val victim = Versioned.read(spark, silverDir)
+      .select("order_id").orderBy("order_id").collect()(0).getString(0)
+    // GDPR-style row removal on bronze: the refresh window is now
+    // row-MUTATING — an insert/update merge could never propagate the
+    // removal, so the refresh must REPLACE silver (overwrite commit),
+    // not silently keep the deleted row behind an advanced watermark
+    Versioned.deleteWhere(spark, bronzeDir, col("order_id") === victim)
+    val advanced = Lake.refreshSilverFromVersionedBronze(
+      spark, roots, Seq("orders"))
+    assert(advanced.contains("orders"))
+    val silver = Versioned.read(spark, silverDir)
+    assert(silver.filter(col("order_id") === victim).count() == 0,
+      "a bronze delete must reach silver")
+    assert(Versioned.opAt(spark, silverDir,
+      Versioned.currentVersion(spark, silverDir).get) == "overwrite",
+      "the replacement must be a visible overwrite commit")
+    // and the next ordinary append resumes the O(new) fast path
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/ingest/orders/c_after_del.csv"),
+      "order_id,customer_id,order_status,order_purchase_timestamp,order_approved_at," +
+        "order_delivered_carrier_date,order_delivered_customer_date,order_estimated_delivery_date\n" +
+        "o9,c2,delivered,2017-02-05 08:00:00,2017-02-05 09:00:00," +
+        "2017-02-06 08:00:00,2017-02-08 08:00:00,2017-02-12 00:00:00")
+    val entities = Lake.refreshBronzeVersioned(spark, s"$root/ingest", roots)
+    Lake.refreshSilverFromVersionedBronze(spark, roots, entities)
+    val after = Versioned.read(spark, silverDir)
+    assert(after.filter(col("order_id") === "o9").count() == 1)
+    assert(after.filter(col("order_id") === victim).count() == 0,
+      "the deleted row must not resurrect through the fast path")
+    assert(Versioned.opAt(spark, silverDir,
+      Versioned.currentVersion(spark, silverDir).get) == "merge",
+      "an append-only window after the replacement takes the merge fast path")
+  }
+
   test("reconcileManifest repairs a lost manifest without duplicating bronze") {
     val root = tmpDir("lakerepair")
     val src = s"$root/src"

@@ -1173,6 +1173,30 @@ class VersionedSpec extends SparkSpec {
     assert(e.getMessage.contains("append-only"), e.getMessage)
   }
 
+  test("windowShape classifies append-only, maintenance, and mutating windows in one scan") {
+    import Versioned.WindowShape
+    val dir = tmpDir("vt_shape")
+    Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir) // v1
+    Versioned.append(Seq((3L, "c")).toDF("id", "s"), dir)            // v2
+    Versioned.addConstraint(spark, dir, "posid", "id > 0")           // v3
+    assert(Versioned.windowShape(spark, dir, 1L, 3L) == WindowShape.AppendOnly)
+    Versioned.compact(spark, dir)                                    // v4: optimize
+    assert(Versioned.windowShape(spark, dir, 1L, 4L) == WindowShape.RowPreserving)
+    assert(Versioned.isRowPreservingWindow(spark, dir, 1L, 4L))
+    assert(!Versioned.isAppendOnlyWindow(spark, dir, 1L, 4L))
+    Versioned.deleteWhere(spark, dir, col("id") === 2L)              // v5: delete
+    Versioned.windowShape(spark, dir, 1L, 5L) match {
+      case WindowShape.RowMutating(ops) =>
+        // only the MUTATING commits are reported — the optimize is not
+        assert(ops == Seq(5L -> "delete"), s"got: $ops")
+      case other => fail(s"expected RowMutating, got $other")
+    }
+    assert(!Versioned.isRowPreservingWindow(spark, dir, 1L, 5L))
+    // a window past the mutation is clean again
+    Versioned.append(Seq((4L, "d")).toDF("id", "s"), dir)            // v6
+    assert(Versioned.windowShape(spark, dir, 5L, 6L) == WindowShape.AppendOnly)
+  }
+
   test("mergeIdempotent: watermark and merged rows land in one commit; replay is a no-op") {
     val dir = tmpDir("vt_midem")
     Versioned.append(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "s", "ts"), dir)
