@@ -234,6 +234,10 @@ object Lake {
               val shape = applied
                 .filter(Versioned.versions(spark, bronzeDir).contains)
                 .map(a => a -> Versioned.windowShape(spark, bronzeDir, a, bv))
+              // both fallback arms reconcile from the same full
+              // recleanse of bronze@bv — one derivation so the paths
+              // can't drift (lazy: the fast path never resolves it)
+              lazy val cleansed = e.cleanse(Versioned.readAt(spark, bronzeDir, bv))
               shape match {
                 case Some((a, Versioned.WindowShape.AppendOnly)) =>
                   // fast path: the window's add-actions ARE the new rows
@@ -245,8 +249,7 @@ object Lake {
                   // optimize/compact landed: add-actions would misreport
                   // carried rows as inserts, but no row changed — the
                   // full recleanse lww-merge reconciles content exactly
-                  Versioned.mergeIdempotent(spark, silverDir,
-                    e.cleanse(Versioned.readAt(spark, bronzeDir, bv)),
+                  Versioned.mergeIdempotent(spark, silverDir, cleansed,
                     e.silverKeys, appId, bv, updateWhen = lww)
                 case _ =>
                   // row-MUTATING window (delete/update/merge/restore on
@@ -257,7 +260,6 @@ object Lake {
                   // — in one commit. A bronze GDPR delete reaches silver
                   // here, and the silver log records a visible
                   // `overwrite` op instead of silently diverging.
-                  val cleansed = e.cleanse(Versioned.readAt(spark, bronzeDir, bv))
                   if (Versioned.currentVersion(spark, silverDir).isEmpty)
                     Versioned.appendIdempotent(cleansed, silverDir, appId, bv)
                   else

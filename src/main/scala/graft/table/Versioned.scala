@@ -1163,15 +1163,6 @@ object Versioned {
     nv
   }
 
-  /** Shared core of the clustered-rewrite OPTIMIZEs ([[optimizeClusterBy]],
-    * [[compactClustered]]): rewrites the whole current snapshot through
-    * `cluster` (live rows only — DVs materialize into the rewrite and
-    * retire with the files that carried them), commits pinned under the
-    * one `optimize` op label, and publishes ONE fresh sidecar covering
-    * both the requested zone columns and every column the table was
-    * already zoned on — a clustering rewrite must never cost a
-    * previously-zoned column its data skipping.
-    */
   /** Column types whose zone stats live exactly in the long domain
     * (DATE is excluded — Spark 4 refuses date→long casts; strings sort
     * a clustered layout but are not zoned).
@@ -1184,6 +1175,15 @@ object Versioned {
     }
   }
 
+  /** Shared core of the clustered-rewrite OPTIMIZEs ([[optimizeClusterBy]],
+    * [[compactClustered]]): rewrites the whole current snapshot through
+    * `cluster` (live rows only — DVs materialize into the rewrite and
+    * retire with the files that carried them), commits pinned under the
+    * one `optimize` op label, and publishes ONE fresh sidecar covering
+    * both the requested zone columns and every column the table was
+    * already zoned on — a clustering rewrite must never cost a
+    * previously-zoned column its data skipping.
+    */
   private def clusteredRewrite(
       spark: SparkSession, dir: String, v: Long,
       cluster: DataFrame => DataFrame, zoneCols: Seq[String]): Long = {
@@ -1862,7 +1862,15 @@ object Versioned {
     val jsonOpt = zonedAnchorJson(spark, dir, baseV)
     if (jsonOpt.isEmpty) return
     val json = jsonOpt.get
-    val cols = ZoneMaps.blockCols(json)
+    // same guard as clusteredRewrite: carry only columns still present
+    // AND long-castable under the COMMITTED schema — a column retyped
+    // since it was zoned would re-stat as all-NULL sentinels (zoned
+    // reads would prune every file and silently return nothing) or, for
+    // DATE, throw after the commit already published
+    val schema = schemaAt(spark, dir, newV)
+    val cols = ZoneMaps.blockCols(json).filter(c =>
+      schema.forall(s =>
+        s.fieldNames.contains(c) && zoneableType(s(c).dataType)))
     if (cols.isEmpty) return
     val carried = cols.map(c =>
       c -> ZoneMaps.parseBlock(json, c).getOrElse(Seq.empty)
@@ -1875,7 +1883,7 @@ object Versioned {
     // re-statted) instead of failing resolution
     val freshStats =
       if (toStat.isEmpty) Map.empty[String, ZoneMaps.Zones]
-      else ZoneMaps.compute(spark, dir, toStat, cols, schemaAt(spark, dir, newV))
+      else ZoneMaps.compute(spark, dir, toStat, cols, schema)
     val merged = cols.map { c =>
       c -> (carried(c) ++ freshStats.getOrElse(c, Seq.empty)).sortBy(_._1)
     }.toMap
@@ -1972,6 +1980,14 @@ object Versioned {
   /** Classifies `(from, to]` in ONE op scan (one log-entry read per
     * commit in the window) — callers branching on more than
     * [[isAppendOnlyWindow]] should use this instead of probing twice.
+    *
+    * Only the `optimize`/`compact-small` labels count as
+    * row-preserving; compaction commits written before those labels
+    * existed carry `overwrite` and classify as [[WindowShape.RowMutating]]
+    * — deliberately conservative (a real overwrite DOES mutate rows,
+    * and the label alone can't tell them apart), costing such legacy
+    * windows a full downstream replacement instead of a merge, never
+    * correctness.
     */
   def windowShape(
       spark: SparkSession, dir: String, from: Long, to: Long): WindowShape = {

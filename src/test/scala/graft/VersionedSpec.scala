@@ -1173,6 +1173,25 @@ class VersionedSpec extends SparkSpec {
     assert(e.getMessage.contains("append-only"), e.getMessage)
   }
 
+  test("maintenance drops a column retyped since it was zoned instead of pruning everything") {
+    val dir = tmpDir("vt_zone_retype")
+    Versioned.append((1L to 50L).map(i => (i, i * 2L)).toDF("id", "n")
+      .repartition(2), dir)                                          // v1
+    Versioned.writeZoneMap(spark, dir, 1L, "n")
+    // overwrite retypes n to STRING (appends refuse retypes; overwrite
+    // replaces the table): the int zone stats are now meaningless
+    Versioned.overwrite((1L to 50L).map(i => (i, s"x$i")).toDF("id", "n"), dir) // v2
+    val v = Versioned.compact(spark, dir)                            // v3
+    // every row still visible — the carry must NOT have re-statted the
+    // string column into all-NULL empty-range sentinels
+    assert(Versioned.readAt(spark, dir, v).count() == 50)
+    // and pruning on the retyped column falls back to the full file
+    // list (no stats), never to "prune everything"
+    assert(Versioned.prunedFiles(spark, dir, v, "n", 0L, 1L).size ==
+      Versioned.filesAt(spark, dir, v).size,
+      "a retyped column must lose its zone stats, not keep bogus ones")
+  }
+
   test("windowShape classifies append-only, maintenance, and mutating windows in one scan") {
     import Versioned.WindowShape
     val dir = tmpDir("vt_shape")
