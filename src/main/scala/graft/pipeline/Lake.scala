@@ -225,9 +225,19 @@ object Lake {
           val applied = Versioned.lastTxnVersion(spark, silverDir, appId)
           if (applied.exists(_ >= bv)) false
           else {
+            // each branch yields the idempotent commit's Option: None
+            // means a concurrent refresher already advanced this
+            // watermark, and the entity must NOT be reported as
+            // advanced by THIS call
+            val committed: Option[Long] =
             if (e.aggregatedGrain)
+              // pinned to bv, not head: the recorded watermark must
+              // name the bronze version the content came from, or a
+              // crash-replay at the same watermark reproduces
+              // DIFFERENT content (a concurrent ingest could land
+              // between the watermark read and this scan)
               Versioned.overwriteIdempotent(
-                e.cleanse(Versioned.read(spark, bronzeDir)), silverDir, appId, bv)
+                e.cleanse(Versioned.readAt(spark, bronzeDir, bv)), silverDir, appId, bv)
             else {
               // one op scan classifies the bronze window; None when the
               // watermark predates retention (vacuumed) or was never set
@@ -266,7 +276,7 @@ object Lake {
                     Versioned.overwriteIdempotent(cleansed, silverDir, appId, bv)
               }
             }
-            true
+            committed.nonEmpty
           }
       }
     }

@@ -172,7 +172,13 @@ object Versioned {
           val ck = ckptFile(dir, cur)
           if (f.exists(ck))
             return replayDeltas(
-              filesOfOpt(readFully(spark, dir, ck)).getOrElse(Seq.empty), deltas)
+              filesOfOpt(readFully(spark, dir, ck)).getOrElse(
+                // published sidecars are complete by construction
+                // (unique temps + atomic rename), so malformed means
+                // corruption — loud, never a silently partial list
+                throw new IllegalStateException(
+                  s"checkpoint sidecar for v$cur at $dir is malformed — " +
+                    "refusing to serve a partial file list")), deltas)
           deltas = (listOf(json, "add"), listOf(json, "remove")) :: deltas
           cur -= 1
           require(cur >= 1 && f.exists(versionFile(dir, cur)),
@@ -224,15 +230,29 @@ object Versioned {
     * An empty snapshot still binds its schema for the same reason:
     * zero part files must not mean zero columns.
     */
-  def readAt(spark: SparkSession, dir: String, v: Long): DataFrame = {
-    val files = filesAt(spark, dir, v)
-    val schema = schemaAt(spark, dir, v)
+  def readAt(spark: SparkSession, dir: String, v: Long): DataFrame =
+    readFileSubset(spark, dir, schemaAt(spark, dir, v),
+      filesAt(spark, dir, v), dvsAt(spark, dir, v))
+
+  /** Reads a SUBSET of a snapshot's files under its committed schema,
+    * with the snapshot's DVs restricted to that subset — the one
+    * derivation behind [[readAt]], [[changes]]' per-side scan, and
+    * [[addedSinceValidated]]. An empty subset yields an empty frame
+    * that still carries the committed schema.
+    */
+  private def readFileSubset(
+      spark: SparkSession, dir: String,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      files: Seq[String], dvs: Map[String, Seq[Long]]): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema.getOrElse(new org.apache.spark.sql.types.StructType()))
-    else applyDvs(spark, readRaw(spark, dir, schema, files), dvsAt(spark, dir, v))
-  }
+    else {
+      val set = files.toSet
+      applyDvs(spark, readRaw(spark, dir, schema, files),
+        dvs.filter { case (f, _) => set.contains(f) })
+    }
 
   private def readRaw(
       spark: SparkSession, dir: String,
@@ -1378,6 +1398,10 @@ object Versioned {
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
     if (!f.rename(tmp, new Path(logPath(dir), f"v$v%08d.zones.json")))
       throw new IllegalStateException(s"zone-map publish for v$v failed")
+    // zoned-ever marker: lets the per-commit sidecar carry skip its
+    // O(log) listing fallback on tables that were never zoned
+    val marker = new Path(logPath(dir), ".zoned")
+    if (!f.exists(marker)) f.create(marker, true).close()
   }
 
   /** Single-column zone map (the common case). */
@@ -1831,7 +1855,11 @@ object Versioned {
     (baseV to math.max(1L, baseV - 7) by -1L).find(w =>
       f.exists(new Path(logPath(dir), f"v$w%08d.zones.json")))
       .orElse {
-        if (!f.exists(logPath(dir))) None
+        // the `.zoned` marker (written with the first sidecar) gates
+        // the wide-gap listing: every commit's carry probes here, and
+        // a never-zoned table must not pay an O(log-entries) listing
+        // per commit just to learn there is nothing to carry
+        if (!f.exists(new Path(logPath(dir), ".zoned"))) None
         else f.listStatus(logPath(dir)).toSeq
           .map(_.getPath.getName)
           .collect { case n if n.matches("v\\d{8}\\.zones\\.json") =>
@@ -1893,6 +1921,11 @@ object Versioned {
     try o.write(out.getBytes(StandardCharsets.UTF_8)) finally o.close()
     if (!f.rename(tmp, new Path(logPath(dir), f"v$newV%08d.zones.json")))
       throw new IllegalStateException(s"zone-map publish for v$newV failed")
+    // self-heal the zoned-ever marker on tables zoned before it existed
+    // (anchor found via the probe window), so their wide-gap fallback
+    // keeps working too
+    val marker = new Path(logPath(dir), ".zoned")
+    if (!f.exists(marker)) f.create(marker, true).close()
   }
 
   /** Row-level change feed between two snapshots (Delta CDF analog,
@@ -1919,19 +1952,9 @@ object Versioned {
     val dvA = dvsAt(spark, dir, to)
     val unchanged = (bFiles.toSet & aFiles.toSet).filter(f =>
       dvB.getOrElse(f, Seq.empty).toSet == dvA.getOrElse(f, Seq.empty).toSet)
-    def side(v: Long, files: Seq[String], dvs: Map[String, Seq[Long]]) = {
-      val kept = files.filterNot(unchanged)
-      val schema = schemaAt(spark, dir, v)
-      if (kept.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          schema.getOrElse(new org.apache.spark.sql.types.StructType()))
-      else {
-        val keptSet = kept.toSet
-        applyDvs(spark, readRaw(spark, dir, schema, kept),
-          dvs.filter { case (f, _) => keptSet.contains(f) })
-      }
-    }
+    def side(v: Long, files: Seq[String], dvs: Map[String, Seq[Long]]) =
+      readFileSubset(spark, dir, schemaAt(spark, dir, v),
+        files.filterNot(unchanged), dvs)
     val before = side(from, bFiles, dvB)
     val after = side(to, aFiles, dvA)
     // align to the union of the two snapshots' columns (schema may have
@@ -2060,16 +2083,8 @@ object Versioned {
       spark: SparkSession, dir: String, from: Long, to: Long): DataFrame = {
     val before = filesAt(spark, dir, from).toSet
     val added = filesAt(spark, dir, to).filterNot(before)
-    val schema = schemaAt(spark, dir, to)
-    if (added.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        schema.getOrElse(new org.apache.spark.sql.types.StructType()))
-    else {
-      val addedSet = added.toSet
-      applyDvs(spark, readRaw(spark, dir, schema, added),
-        dvsAt(spark, dir, to).filter { case (f, _) => addedSet.contains(f) })
-    }
+    readFileSubset(spark, dir, schemaAt(spark, dir, to),
+      added, dvsAt(spark, dir, to))
   }
 
   /** The DV sidecar file a snapshot references, if its DVs spilled. */
@@ -2104,7 +2119,12 @@ object Versioned {
       val json = snapshotJson(spark, dir, oldest)
       if (filesOfOpt(json).isEmpty && !f.exists(ckptFile(dir, oldest))) {
         val full = resolveFiles(spark, dir, oldest, Some(json))
-        val tmp = new Path(logPath(dir), s".v$oldest.ckpt.tmp")
+        // per-attempt UUID temp, same rule as the commit path: racing
+        // vacuums must never share a temp file (a shared name lets one
+        // racer truncate the other's fully-written temp mid-rename and
+        // publish a partial sidecar the next vacuum would trust)
+        val tmp = new Path(logPath(dir),
+          s".v$oldest.${java.util.UUID.randomUUID().toString.take(8)}.ckpt.tmp")
         val out = f.create(tmp, true)
         try out.write(
           s"""{"files":[${full.map("\"" + _ + "\"").mkString(",")}]}"""
@@ -2112,8 +2132,11 @@ object Versioned {
         finally out.close()
         if (!f.rename(tmp, ckptFile(dir, oldest))) {
           f.delete(tmp, false)
-          throw new IllegalStateException(
-            s"checkpoint sidecar publish for v$oldest failed — log NOT truncated")
+          // the sidecar content is deterministic for a version, so
+          // losing the publish race to a concurrent vacuum is success
+          if (!f.exists(ckptFile(dir, oldest)))
+            throw new IllegalStateException(
+              s"checkpoint sidecar publish for v$oldest failed — log NOT truncated")
         }
       }
     }
@@ -2131,14 +2154,29 @@ object Versioned {
         !liveDvFiles.contains(n) && st.getModificationTime < cutoff
       if (staleTmp || orphanDv) f.delete(st.getPath, false)
     }
-    // sweep whole data dirs with no live files; else per-file
+    // a file referenced by NO log entry may belong to an IN-FLIGHT
+    // commit (data lands BEFORE the commit publishes), so unreferenced
+    // files get the same age guard as tmps/DV sidecars; files the log
+    // DOES reference but no retained snapshot keeps are dead by the
+    // log's own word and sweep regardless of age (drop entries are
+    // still readable here — they are deleted after this sweep)
+    val everReferenced = all.flatMap { v =>
+      val j = snapshotJson(spark, dir, v)
+      filesOfOpt(j).getOrElse(Seq.empty) ++ listOf(j, "add")
+    }.toSet
+    // sweep whole data dirs with no live files; else per-file (every
+    // parquet in a PUBLISHED dir is in its commit's add list, so files
+    // inside live dirs never need the in-flight guard)
     val liveDirs = live.map(_.split("/", 2)(0))
+    val refDirs = everReferenced.map(_.split("/", 2)(0))
     f.listStatus(new Path(dir)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("d-"))
       .foreach { st =>
         val d = st.getPath.getName
-        if (!liveDirs.contains(d)) f.delete(st.getPath, true)
-        else f.listStatus(st.getPath).toSeq.foreach { fileSt =>
+        if (!liveDirs.contains(d)) {
+          if (refDirs.contains(d) || st.getModificationTime < cutoff)
+            f.delete(st.getPath, true)
+        } else f.listStatus(st.getPath).toSeq.foreach { fileSt =>
           val rel = s"$d/${fileSt.getPath.getName}"
           if (fileSt.getPath.getName.endsWith(".parquet") && !live.contains(rel))
             f.delete(fileSt.getPath, false)

@@ -48,7 +48,13 @@ class VersionedSpec extends SparkSpec {
     Versioned.overwrite(Seq((2L, "b")).toDF("id", "s"), dir)
     Versioned.append(Seq((3L, "c")).toDF("id", "s"), dir)
     Seq((666L, "ghost")).toDF("id", "s").write.parquet(s"$dir/d-debris")
+    // a YOUNG log-unknown dir may be an in-flight commit's fresh output
+    // — the default retention spares it (the in-flight guard)
     Versioned.vacuum(spark, dir, keepVersions = 2)
+    assert(new java.io.File(s"$dir/d-debris").isDirectory,
+      "young log-unknown debris may be an in-flight commit — must survive")
+    // past the retention age it is failed-commit debris and sweeps
+    Versioned.vacuum(spark, dir, keepVersions = 2, tmpRetentionMs = -1000L)
 
     assert(Versioned.versions(spark, dir) == Seq(2L, 3L))
     assert(rows(dir, 3L) == Set((2L, "b"), (3L, "c")))
