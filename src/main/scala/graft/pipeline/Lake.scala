@@ -309,8 +309,15 @@ object Lake {
         s"${missing.mkString(", ")} — run refreshSilverFromVersionedBronze (or " +
         "refreshSilverVersioned) first")
     val watermark = heads.map(_._2.get).sum
+    // read each silver AT the captured head, not at whatever the head
+    // is by the time its mart builds: a concurrent silver commit
+    // mid-refresh would otherwise yield one gold generation mixing
+    // silver versions across marts, committed under a watermark older
+    // than some of its content — readAt pins the whole generation to
+    // exactly the snapshot set the watermark names
+    val headAt = heads.map { case (n, v) => n -> v.get }.toMap
     buildGoldMarts(
-      name => Versioned.read(spark, roots.versionedSilverDir(name)),
+      name => Versioned.readAt(spark, roots.versionedSilverDir(name), headAt(name)),
       name => Versioned.read(spark, roots.versionedGoldDir(name)),
       (name, df) => Versioned.overwriteIdempotent(df, roots.versionedGoldDir(name),
         "graft-gold", watermark))

@@ -69,15 +69,21 @@ object StreamingQueries {
   /** Streaming source over the events table with the same epoch-micros
     * event-time derivation as the batch queries (Temporal.tsUs). The
     * batch read first pins the schema — streaming file sources cannot
-    * infer — and sets the nanos-as-long conf the events file needs.
+    * infer — and sets the nanos-as-long conf legacy nanos files need.
+    * The schema pinned on the stream is the RAW file schema (a
+    * timestamp-typed `ts` must reach the parquet reader as such);
+    * `Tables.normalizeEventTs` then restores the engine-wide
+    * epoch-nanos-BIGINT `ts` contract on the streaming frame.
     */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    val schema = t(s, dir, "events").schema
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet").schema
     // glob, not the literal file: for a non-glob path the file source
     // force-sets basePath to the path itself, and a single-FILE
     // basePath fails planning ("must be a directory"); a glob leaves
     // partition discovery anchored at the parent directory
-    s.readStream.schema(schema).parquet(s"$dir/events.parque[t]")
+    Tables.normalizeEventTs(
+      s.readStream.schema(raw).parquet(s"$dir/events.parque[t]"))
   }
 
   // ST1 — the streaming engine's windowed aggregation end to end:

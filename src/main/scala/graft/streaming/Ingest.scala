@@ -75,6 +75,17 @@ object Ingest {
     * checkpoint alone can't give (the Delta `txnAppId`/`txnVersion`
     * sink option; reference site `01_bronze_csv_to_delta.py:49-56`
     * leans on Delta for this implicitly).
+    *
+    * Checkpoint-wipe caveat (Delta documents the same hazard for
+    * txnAppId/txnVersion sinks): the wiped-replay guarantee holds only
+    * while the source input is UNCHANGED since the wipe. If new files
+    * arrive before the re-run, the restarted stream renumbers batches
+    * from 0 and may bundle old and NEW files into one low-numbered
+    * batch — the txn watermark refuses the whole batch while the fresh
+    * checkpoint marks its files processed, silently dropping the new
+    * rows. After losing a checkpoint, drain the re-run to the wipe
+    * point BEFORE admitting new input (or use a fresh appId and dedup
+    * downstream).
     */
   def sinkVersionedExactlyOnce(
       stream: DataFrame, dir: String, appId: String, checkpoint: String): Unit =

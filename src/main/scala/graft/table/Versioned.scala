@@ -1257,13 +1257,22 @@ object Versioned {
       throw new IllegalArgumentException(s"no committed versions at $dir"))
     val schema = schemaAt(spark, dir, v).getOrElse(
       readAt(spark, dir, v).schema)
-    val absent = clusterCols.filterNot(schema.fieldNames.contains)
+    // resolve cluster columns case-insensitively to the committed-schema
+    // spelling, like append alignment and constraint resolution do — a
+    // caller passing 'ID' against column 'id' must not be refused by the
+    // one surface that happened to compare case-sensitively
+    val byLower = schema.fieldNames
+      .map(n => n.toLowerCase(java.util.Locale.ROOT) -> n).toMap
+    val resolvedOpt = clusterCols.map(c =>
+      c -> byLower.get(c.toLowerCase(java.util.Locale.ROOT)))
+    val absent = resolvedOpt.collect { case (c, None) => c }
     require(absent.isEmpty,
       s"cluster columns absent from the snapshot schema: ${absent.mkString(", ")}")
+    val resolved = resolvedOpt.flatMap(_._2)
     val n = if (targetFiles > 0) targetFiles
       else math.max(1, filesAt(spark, dir, v).size)
-    val zoneable = clusterCols.filter(c => zoneableType(schema(c).dataType))
-    val cols = clusterCols.map(col)
+    val zoneable = resolved.filter(c => zoneableType(schema(c).dataType))
+    val cols = resolved.map(col)
     clusteredRewrite(spark, dir, v,
       df => df.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*),
       zoneable)
@@ -1340,7 +1349,14 @@ object Versioned {
     *
     * Pinned to the head observed at planning: a concurrent commit
     * fails the restore loudly rather than being silently thrown away
-    * by it. Requires `v` to still be retained (not vacuumed).
+    * by it. Requires `v` to still be retained (not vacuumed) — and to
+    * STAY retained while the restore runs: a vacuum racing this call
+    * can delete `v`'s data files between the file-list resolution here
+    * and the commit publish, leaving a head that references deleted
+    * files (Delta documents the same vacuum-vs-time-travel hazard).
+    * Operationally: size vacuum's `keepVersions` so restore targets sit
+    * comfortably inside the retained window, and don't run the two
+    * concurrently against the same table.
     */
   def restore(spark: SparkSession, dir: String, v: Long): Long = {
     val head = currentVersion(spark, dir).getOrElse(
@@ -2101,6 +2117,14 @@ object Versioned {
     * `tmpRetentionMs` (a tmp younger than that may belong to an
     * in-flight committer). Time travel contracts to the retained
     * window.
+    *
+    * Concurrency caveat (Delta documents the same one): files
+    * referenced ONLY by dropped versions are dead by the log's own
+    * word and are deleted regardless of age — so an in-flight
+    * [[restore]] (or long-running time-travel read) whose target
+    * version this vacuum drops can end up referencing deleted files.
+    * Keep restore/time-travel targets inside the retained window for
+    * the duration of those operations; see [[restore]]'s scaladoc.
     */
   def vacuum(
       spark: SparkSession, dir: String, keepVersions: Int = 1,

@@ -1301,7 +1301,9 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.prunedFiles(spark, dir, 3L, "id", 10L, 15L).size ==
       Versioned.filesAt(spark, dir, 3L).size, "interleaved files should not prune")
 
-    val v = Versioned.optimizeClusterBy(spark, dir, Seq("id"), targetFiles = 4)
+    // cluster columns resolve case-insensitively to the committed
+    // spelling, consistent with append alignment and constraints
+    val v = Versioned.optimizeClusterBy(spark, dir, Seq("ID"), targetFiles = 4)
     val expected = (1L to 100L).filter(_ != 50L).map(i => (i, s"r$i")).toSet
     assert(rows(dir, v) == expected, "optimize must not change live rows")
     assert(Versioned.dvsAt(spark, dir, v).isEmpty,
