@@ -309,6 +309,52 @@ object StreamingQueries {
        |   OR (s.end_us + ${Temporal.GapUs})//1000 + 1 < m.wm_ms
        |ORDER BY s.user_id, start_us""".stripMargin
 
+  // ST8 — the LOG-DRIVEN streaming source over a versioned table
+  // (format("graft-versioned"), the reference's readStream-on-Delta
+  // shape at 02:20-24): the one streaming capability whose engine side
+  // is the transaction log itself. The query builds a versioned table
+  // from events in two append commits, DRAINS it through the source
+  // (AvailableNow, checkpointed, foreachBatch parquet sink), then lands
+  // a maintenance compaction plus a third append and drains AGAIN with
+  // the SAME checkpoint — a restart mid-log. A green row therefore
+  // proves, under the oracle gate: offsets-as-versions survive restart
+  // (the second drain emits only the new window), optimize commits
+  // emit nothing, and the accumulated stream equals the batch read —
+  // exactly-once end to end.
+  def streamVersioned(s: SparkSession, dir: String): DataFrame = {
+    import graft.table.Versioned
+    val ev = t(s, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .select("event_id", "user_id", "event_type", "ts_us")
+    val tableDir = VersionedQueries.scratch("graft_st8")
+    val ckpt = VersionedQueries.scratch("graft_st8_ckpt")
+    val sink = VersionedQueries.scratch("graft_st8_sink") + "/out"
+    def drainOnce(): Unit = {
+      val q = graft.streaming.Ingest.versionedStream(s, tableDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) batch.write.mode("append").parquet(sink)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Versioned.append(ev.filter(col("event_id") % 3 === 0), tableDir) // v1
+    Versioned.append(ev.filter(col("event_id") % 3 === 1), tableDir) // v2
+    drainOnce()
+    Versioned.compact(s, tableDir) // v3: row-preserving, must emit nothing
+    Versioned.append(ev.filter(col("event_id") % 3 === 2), tableDir) // v4
+    drainOnce() // restart: only the (v2, v4] window emits
+    s.read.parquet(sink).orderBy("event_id")
+  }
+
+  val streamVersionedSql: String =
+    """SELECT event_id, user_id, event_type,
+      |       CAST(epoch_ns(ts)//1000 AS BIGINT) AS ts_us
+      |FROM events ORDER BY event_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("st1_stream_agg", streamAgg, Some(streamAggSql)),
     QueryDef("st2_stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
@@ -316,5 +362,6 @@ object StreamingQueries {
     QueryDef("st4_stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
     QueryDef("st5_stream_watermark_agg", streamWatermarkAgg, Some(streamWatermarkAggSql)),
     QueryDef("st6_stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinSql)),
-    QueryDef("st7_stream_sessionize", streamSessionize, Some(streamSessionizeSql)))
+    QueryDef("st7_stream_sessionize", streamSessionize, Some(streamSessionizeSql)),
+    QueryDef("st8_stream_versioned", streamVersioned, Some(streamVersionedSql)))
 }

@@ -30,8 +30,11 @@ object VersionedQueries {
 
   /** Throwaway table root, swept at JVM exit — the consumer acts on
     * the returned (lazy) DataFrame after this function returns, so the
-    * files must outlive the call but not the process.
+    * files must outlive the call but not the process. Shared with the
+    * other self-contained engine queries (st8).
     */
+  private[queries] def scratch(prefix: String): String = scratchDir(prefix)
+
   private def scratchDir(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {

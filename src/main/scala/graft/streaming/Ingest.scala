@@ -93,6 +93,19 @@ object Ingest {
       graft.table.Versioned.appendIdempotent(batch, dir, appId, batchId)
     }
 
+  /** Structured Streaming source over a VERSIONED table — tails the
+    * table's own transaction log, one micro-batch per commit range
+    * (`spark.readStream.format("graft-versioned")`), the reference's
+    * `readStream.format("delta")` shape at its three silver ingest
+    * sites (`02_bronze_to_silver.py:20-24,122-126,253-257`). Offsets
+    * are log versions checkpointed by the engine; append commits emit
+    * their add-action rows, optimize/compact commits emit nothing, and
+    * row-mutating commits stop the stream loudly
+    * (graft.table.Versioned.streamBatch has the full contract).
+    */
+  def versionedStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.format("graft-versioned").option("path", dir).load()
+
   /** Seen-files manifest sidecar of a bronze table. */
   def manifestRef(bronze: TableRef): TableRef = TableRef(bronze.dir + "._manifest")
 

@@ -2103,6 +2103,66 @@ object Versioned {
       added, dvsAt(spark, dir, to))
   }
 
+  /** The table-relative files version `v`'s commit ADDED — its log
+    * entry's add actions. Delta entries carry the list verbatim;
+    * checkpoint/full-list entries (and legacy logs) reconstruct it as
+    * the set difference against the predecessor's resolved list.
+    */
+  private def addActionsAt(spark: SparkSession, dir: String, v: Long): Seq[String] = {
+    val json = snapshotJson(spark, dir, v)
+    filesOfOpt(json) match {
+      case None => listOf(json, "add")
+      case Some(full) =>
+        val prev =
+          if (v <= 1) Set.empty[String]
+          else resolveFiles(spark, dir, v - 1, None).toSet
+        full.filterNot(prev)
+    }
+  }
+
+  /** The rows a STREAMING consumer should emit for the log window
+    * `(from, to]` — the micro-batch primitive behind the versioned
+    * streaming source (Delta's `readStream.format("delta")` semantics,
+    * reference site `02_bronze_to_silver.py:20-24`):
+    *
+    *  - `append` commits contribute their add-action files' rows —
+    *    including files a LATER in-window maintenance rewrite already
+    *    retired (a row appended at v2 and compacted at v3 must still
+    *    stream exactly once), which is why this reads per-commit add
+    *    actions rather than diffing the window's endpoint snapshots
+    *    like [[addedSince]];
+    *  - row-preserving maintenance (`optimize`/`compact-small`) and
+    *    constraint commits contribute NOTHING — their added files carry
+    *    only rows some earlier commit already emitted (Delta's
+    *    `dataChange=false` rule);
+    *  - row-MUTATING commits (delete/update/merge/overwrite/restore)
+    *    fail loudly: no insert-only feed can represent a removal — the
+    *    consumer must re-sync (e.g. [[changes]] or a full re-read), the
+    *    same stop-the-stream contract Delta applies without
+    *    `skipChangeCommits`.
+    *
+    * Cost is O(appended data in the window) plus one log read per
+    * commit in it. The read binds `to`'s committed schema; DVs at `to`
+    * cannot apply to in-window appended files (that would require an
+    * in-window mutation, refused above) but are passed through anyway
+    * so the row set is exactly what [[readAt]] would serve for those
+    * files.
+    */
+  def streamBatch(spark: SparkSession, dir: String, from: Long, to: Long): DataFrame = {
+    require(from <= to, s"streamBatch window is inverted: $from > $to")
+    val skippable = Set("optimize", "compact-small", "set-constraint", "drop-constraint")
+    val ops = (from + 1 to to).map(v => v -> opAt(spark, dir, v))
+    val mutating = ops.filterNot { case (_, op) => op == "append" || skippable(op) }
+    require(mutating.isEmpty,
+      s"streaming read of $dir hit non-append commit(s) " +
+        s"${mutating.map { case (v, op) => s"v$v=$op" }.mkString(", ")} in window " +
+        s"($from, $to] — an insert-only stream cannot represent removals; " +
+        "re-sync the consumer (changes() or a full re-read) and restart the " +
+        "stream past the mutation")
+    val files = ops.collect { case (v, "append") => addActionsAt(spark, dir, v) }.flatten
+    readFileSubset(spark, dir, schemaAt(spark, dir, to), files, dvsAt(spark, dir, to))
+  }
+
   /** The DV sidecar file a snapshot references, if its DVs spilled. */
   private def dvFileAt(spark: SparkSession, dir: String, v: Long): Option[String] =
     snapshotJson(spark, dir, v).split("\"dvfile\":\"", 2) match {

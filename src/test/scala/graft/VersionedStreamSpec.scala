@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.streaming.Ingest
+import graft.table.Versioned
+
+/** The log-driven streaming source over versioned tables
+  * (`format("graft-versioned")`): exactly-once across restarts, one
+  * commit range per micro-batch, maintenance commits silent, mutations
+  * loud — the engine-native counterpart of the reference's
+  * `readStream.format("delta")` (`02_bronze_to_silver.py:20-24`).
+  */
+class VersionedStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Drains the versioned stream through AvailableNow into an
+    * accumulating parquet sink via foreachBatch, returning the batch
+    * sizes this drain processed.
+    */
+  private def drain(dir: String, checkpoint: String, sink: String): Seq[Long] = {
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Ingest.versionedStream(spark, dir).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val n = batch.count()
+        sizes += n
+        if (n > 0) batch.write.mode("append").parquet(sink)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    sizes.toSeq
+  }
+
+  private def sinkRows(sink: String): Set[(Long, String)] =
+    if (!new java.io.File(sink).exists()) Set.empty
+    else spark.read.parquet(sink).as[(Long, String)].collect().toSet
+
+  test("tailing a versioned table is exactly-once across a mid-log restart") {
+    val dir = tmpDir("vs_table")
+    val ckpt = tmpDir("vs_ckpt")
+    val sink = tmpDir("vs_sink") + "/out"
+    Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir) // v1
+    Versioned.append(Seq((3L, "c")).toDF("id", "s"), dir) // v2
+
+    // first drain: the whole backlog (commits 1-2) in one batch
+    assert(drain(dir, ckpt, sink).sum == 3)
+    assert(sinkRows(sink) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // restart with NO new commits: nothing re-emits (offset log holds)
+    assert(drain(dir, ckpt, sink).sum == 0)
+    assert(sinkRows(sink).size == 3)
+
+    // two more commits, then restart: ONLY the new window emits —
+    // the checkpointed version watermark survives the restart
+    Versioned.append(Seq((4L, "d")).toDF("id", "s"), dir) // v3
+    Versioned.append(Seq((5L, "e")).toDF("id", "s"), dir) // v4
+    assert(drain(dir, ckpt, sink).sum == 2)
+    assert(sinkRows(sink) ==
+      Versioned.read(spark, dir).as[(Long, String)].collect().toSet,
+      "stream total must equal the batch read of the head snapshot")
+  }
+
+  test("maintenance commits emit nothing; in-window append+compact still emits once") {
+    val dir = tmpDir("vs_opt")
+    val ckpt = tmpDir("vs_opt_ckpt")
+    val sink = tmpDir("vs_opt_sink") + "/out"
+    Versioned.append((1L to 10L).map(i => (i, s"r$i")).toDF("id", "s"), dir) // v1
+    assert(drain(dir, ckpt, sink).sum == 10)
+
+    // a pure-maintenance window: optimize rewrites every file but the
+    // stream must emit ZERO rows for it (Delta's dataChange=false rule)
+    Versioned.compact(spark, dir) // v2 (op=optimize)
+    assert(drain(dir, ckpt, sink).sum == 0,
+      "optimize added files must not re-emit carried rows")
+
+    // append THEN compact inside one unprocessed window: the appended
+    // rows stream exactly once even though the compaction already
+    // retired the files the append created
+    Versioned.append(Seq((11L, "r11")).toDF("id", "s"), dir) // v3
+    Versioned.compact(spark, dir) // v4
+    assert(drain(dir, ckpt, sink).sum == 1)
+    assert(sinkRows(sink) == (1L to 11L).map(i => (i, s"r$i")).toSet)
+  }
+
+  test("a row-mutating commit stops the stream loudly; restarting past it recovers") {
+    val dir = tmpDir("vs_mut")
+    val ckpt = tmpDir("vs_mut_ckpt")
+    val sink = tmpDir("vs_mut_sink") + "/out"
+    Versioned.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), dir)
+    assert(drain(dir, ckpt, sink).sum == 3)
+
+    Versioned.deleteWhere(spark, dir, col("id") === 2L) // v2: row-mutating
+    Versioned.append(Seq((4L, "d")).toDF("id", "s"), dir) // v3
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(dir, ckpt, sink)
+    }
+    assert(e.getMessage.contains("non-append commit") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-append commit")),
+      s"expected the loud non-append refusal, got: ${e.getMessage}")
+
+    // recovery: a FRESH stream starting past the mutation tails on
+    val ckpt2 = tmpDir("vs_mut_ckpt2")
+    val sizes = {
+      val q = spark.readStream.format("graft-versioned")
+        .option("path", dir).option("startingVersion", "2").load()
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(sink); ()
+        }
+        .option("checkpointLocation", ckpt2)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val _ = sizes
+    assert(sinkRows(sink) == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
+  test("streaming transforms compose: filter + projection over the source") {
+    val dir = tmpDir("vs_proj")
+    val ckpt = tmpDir("vs_proj_ckpt")
+    Versioned.append((1L to 100L).map(i => (i, i * 2L, s"r$i"))
+      .toDF("id", "v", "s"), dir)
+    spark.catalog.dropTempView("vs_proj_sink")
+    val q = Ingest.versionedStream(spark, dir)
+      .filter(col("id") % 10L === 0L)
+      .select(col("id"), (col("v") * 10L).as("v10"))
+      .writeStream
+      .outputMode("append")
+      .format("memory").queryName("vs_proj_sink")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table("vs_proj_sink").as[(Long, Long)].collect().toSet ==
+      (1L to 10L).map(i => (i * 10L, i * 10L * 2L * 10L)).toSet)
+  }
+}
