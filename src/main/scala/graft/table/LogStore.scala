@@ -87,3 +87,49 @@ object HadoopFsLogStore extends LogStore {
     }
   }
 }
+
+/** Object-store-shaped [[LogStore]]: mutual exclusion comes ONLY from a
+  * conditional-PUT primitive — no hard links, no no-overwrite rename.
+  * This is the S3 `If-None-Match` / GCS generation-precondition shape
+  * the trait scaladoc describes, with the conditional write emulated by
+  * an in-process CAS cell per destination (standing in for the store's
+  * server-side precondition; a real S3 implementation would replace
+  * `claim` with the conditional PUT itself and nothing else).
+  *
+  * What running the commit machinery against this store PROVES: commit
+  * logic never leans on filesystem-specific namespace atomicity — every
+  * mutual-exclusion guarantee flows through [[publishOnce]]'s contract
+  * alone. (The winner's content write uses a temp+rename purely to
+  * emulate the object store's atomic-VISIBILITY guarantee — readers of
+  * a PUT see all-or-nothing — not to decide the race, which the claim
+  * already decided.)
+  *
+  * Scope: one JVM. The cell map lives in this instance, so all writers
+  * of a table must share the instance — exactly the single-coordination-
+  * point requirement a real conditional-write store satisfies globally.
+  */
+final class ConditionalPutLogStore extends LogStore {
+
+  private val cells = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  override def publishOnce(fs: FileSystem, tmp: Path, dest: Path): Unit = {
+    val key = fs.makeQualified(dest).toUri.toString
+    def race() = new Versioned.CommitRace(
+      s"conditional PUT of $dest refused — the object (or a concurrent " +
+        "writer's claim) already exists; retry from the new log head")
+    // the conditional PUT: of N concurrent claims exactly one succeeds;
+    // a destination that already exists on disk (written outside this
+    // store instance) also refuses, like If-None-Match's server-side
+    // existence check
+    if (!cells.add(key) || fs.exists(dest)) {
+      fs.delete(tmp, false)
+      throw race()
+    }
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"winner's PUT of $dest failed after claiming the cell — log corrupt-free " +
+          "but this version's commit must be retried by a new writer")
+    }
+  }
+}

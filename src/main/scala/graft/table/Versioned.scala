@@ -829,11 +829,21 @@ object Versioned {
   /** The atomicity point of every commit, delegated through the
     * [[LogStore]] seam (Delta's LogStore analog): hard-link CAS on
     * `file://`, atomic no-overwrite rename on HDFS-likes. The seam's
-    * scaladoc states the full contract — in particular that S3-class
-    * object stores need a conditional-write implementation that does
-    * NOT ship here.
+    * scaladoc states the full contract; [[ConditionalPutLogStore]] is
+    * the object-store-shaped implementation the concurrency specs run
+    * the same multi-writer matrix against, proving commit logic never
+    * depends on filesystem-specific namespace atomicity.
     */
-  private[graft] val logStore: LogStore = HadoopFsLogStore
+  @volatile private[graft] var logStore: LogStore = HadoopFsLogStore
+
+  /** Runs `body` with commits publishing through `store` (test seam for
+    * the LogStore contract matrix; global — callers serialize).
+    */
+  private[graft] def withLogStore[T](store: LogStore)(body: => T): T = {
+    val prev = logStore
+    logStore = store
+    try body finally logStore = prev
+  }
 
   private[graft] def publishOnce(
       f: org.apache.hadoop.fs.FileSystem, tmp: Path, dest: Path): Unit =
