@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Core, Extensions, QueryDef, StreamingQueries, Temporal, VersionedQueries}
+import graft.queries.{Core, Extensions, LakeQueries, QueryDef, StreamingQueries, Temporal, VersionedQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,7 @@ object SparkEntry {
 
   private def defs: Seq[QueryDef] =
     Core.all ++ Temporal.all ++ StreamingQueries.all ++ VersionedQueries.all ++
-      Extensions.all
+      LakeQueries.all ++ Extensions.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
