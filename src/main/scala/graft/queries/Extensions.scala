@@ -906,9 +906,13 @@ object Extensions {
     // queries x_ann_{topk,ivf,ivf_trained,quantized} / x_embed_lsh run;
     // a parameter change there flows into this audit automatically.
     val bf = annTopK(s, dir).select(col("q_id"), col("vec_id"))
-      .localCheckpoint() // exact baseline reused by three tiers
+      .localCheckpoint() // exact baseline ranked ONCE, reused by three tiers
     def recallOf(name: String, approx: DataFrame, base: DataFrame, keys: Seq[String]) =
-      base.join(approx.withColumn("__hit", lit(1L)), keys, "left")
+      // the approx side is k rows per query (50 here; k×|queries| at any
+      // scale) — broadcast it explicitly so the tier comparison is a
+      // map-side join against the baseline, never a shuffle, without
+      // waiting on AQE to notice
+      base.join(broadcast(approx.withColumn("__hit", lit(1L))), keys, "left")
         .agg(
           sum(coalesce(col("__hit"), lit(0L))).as("hits"),
           count(lit(1)).as("total"))

@@ -164,7 +164,7 @@ object Versioned {
     var cur = v
     var json = headJson.getOrElse(snapshotJson(spark, dir, cur))
     while (true) {
-      filesOfOpt(json) match {
+      fullListOf(spark, dir, json) match {
         case Some(full) => return replayDeltas(full, deltas)
         case None =>
           // a vacuum-written sidecar holds cur's POST-commit state, so
@@ -172,7 +172,7 @@ object Versioned {
           val ck = ckptFile(dir, cur)
           if (f.exists(ck))
             return replayDeltas(
-              filesOfOpt(readFully(spark, dir, ck)).getOrElse(
+              fullListOf(spark, dir, readFully(spark, dir, ck)).getOrElse(
                 // published sidecars are complete by construction
                 // (unique temps + atomic rename), so malformed means
                 // corruption — loud, never a silently partial list
@@ -313,6 +313,70 @@ object Versioned {
       case _ => None
     }
 
+  /** The parquet checkpoint sidecar a full-list entry references, if
+    * its list spilled columnar (`"ckptfile":"ckpt-<uuid>.parquet"`).
+    */
+  private def ckptRefOf(json: String): Option[String] =
+    json.split("\"ckptfile\":\"", 2) match {
+      case Array(_, rest) => Some(rest.split("\"", 2)(0))
+      case _ => None
+    }
+
+  /** Max file-list entries inlined as JSON in a checkpoint entry (or
+    * vacuum anchor sidecar); larger lists spill to a COLUMNAR parquet
+    * sidecar the entry references. At 10⁶ files an inline checkpoint
+    * is tens of MB of single-line JSON parsed by string splits per
+    * snapshot resolution; the parquet form reads back with one
+    * vectorized scan. Var (not val) only as a test seam — specs lower
+    * it to force the columnar path at fixture scale.
+    */
+  @volatile private[graft] var CkptInlineMax: Int = 4096
+
+  /** Writes `files` (order-preserving) as a columnar checkpoint sidecar
+    * under the log dir and returns its name. Written BEFORE the
+    * referencing entry publishes, like DV sidecars — a referenced
+    * checkpoint always exists; orphans from failed commits are swept by
+    * vacuum age-guarded.
+    */
+  private def writeCkptSidecar(
+      spark: SparkSession, dir: String, files: Seq[String]): String = {
+    import spark.implicits._
+    val name = s"ckpt-${UUID.randomUUID().toString}.parquet"
+    val tmpSub = s".$name.tmpdir"
+    val f = fs(spark, dir)
+    files.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("pos", "path")
+      .coalesce(1).write.parquet(new Path(logPath(dir), tmpSub).toString)
+    val part = f.listStatus(new Path(logPath(dir), tmpSub)).toSeq
+      .map(_.getPath).find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"checkpoint sidecar write produced no parquet part under $tmpSub"))
+    if (!f.rename(part, new Path(logPath(dir), name)))
+      throw new IllegalStateException(s"checkpoint sidecar publish failed for $name")
+    f.delete(new Path(logPath(dir), tmpSub), true)
+    name
+  }
+
+  /** One vectorized scan of a columnar checkpoint sidecar, restoring
+    * the committed file order via the explicit position column.
+    */
+  private def readCkptSidecar(
+      spark: SparkSession, dir: String, name: String): Seq[String] =
+    spark.read.parquet(new Path(logPath(dir), name).toString)
+      .orderBy("pos").select("path")
+      .collect().toSeq.map(_.getString(0))
+
+  /** The full file list an entry (or anchor sidecar) carries — inline
+    * JSON or via its columnar checkpoint reference; None for a delta
+    * entry. The one resolution point every full-list reader goes
+    * through, so mixed-format logs (inline legacy + columnar new) read
+    * uniformly.
+    */
+  private def fullListOf(
+      spark: SparkSession, dir: String, json: String): Option[Seq[String]] =
+    filesOfOpt(json).orElse(
+      ckptRefOf(json).map(readCkptSidecar(spark, dir, _)))
+
   /** A top-level string-array value (`"key":["a","b"]`); empty when the
     * key is absent.
     */
@@ -358,7 +422,7 @@ object Versioned {
       val json = snapshotJson(spark, dir, v)
       running =
         if (i == 0) resolveFiles(spark, dir, v, Some(json))
-        else filesOfOpt(json).getOrElse(
+        else fullListOf(spark, dir, json).getOrElse(
           replayDeltas(running, List((listOf(json, "add"), listOf(json, "remove")))))
       (v, opOf(json),
         tsOf(json).getOrElse(
@@ -504,7 +568,7 @@ object Versioned {
     */
   private val ReservedLogKeys = Set(
     "version", "op", "ts", "schema", "txns", "constraints", "dvs", "dvfile",
-    "files", "add", "remove")
+    "files", "add", "remove", "ckptfile")
 
   /** Writer appIds share the commit JSON with the reserved keys (as
     * txn-map keys), so they get the same reservation check as
@@ -750,7 +814,11 @@ object Versioned {
     // against the predecessor — O(files touched) commit metadata — and
     // only checkpoints (first version, every CheckpointInterval-th, or
     // a file order the delta replay cannot reproduce, e.g. a restore
-    // re-interleaving historical files) inline the full list
+    // re-interleaving historical files) carry the full list: inline
+    // JSON while small, a referenced COLUMNAR parquet sidecar past
+    // CkptInlineMax (at 10⁶ files the inline form is tens of MB parsed
+    // by string splits; the sidecar reads back with one vectorized
+    // scan). The sidecar is written before publish like DV spills.
     val prevSet = prevFiles.toSet
     val newSet = files.toSet
     val added = files.filterNot(prevSet)
@@ -758,9 +826,10 @@ object Versioned {
     val replayable = (prevFiles.filter(newSet) ++ added) == files
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString(",")
     val actionsJson =
-      if (prev.isEmpty || v % CheckpointInterval == 0 || !replayable)
-        s""""files":[${arr(files)}]"""
-      else s""""add":[${arr(added)}],"remove":[${arr(removed)}]"""
+      if (prev.isEmpty || v % CheckpointInterval == 0 || !replayable) {
+        if (files.size <= CkptInlineMax) s""""files":[${arr(files)}]"""
+        else s""""ckptfile":"${writeCkptSidecar(spark, dir, files)}""""
+      } else s""""add":[${arr(added)}],"remove":[${arr(removed)}]"""
     val json =
       s"""{"version":$v,"op":"$op","ts":$ts,"schema":"$b64"$txnsJson$consJson$dvsJson,$actionsJson}"""
     // per-attempt unique temp name: racing committers must never share
@@ -2120,7 +2189,7 @@ object Versioned {
     */
   private def addActionsAt(spark: SparkSession, dir: String, v: Long): Seq[String] = {
     val json = snapshotJson(spark, dir, v)
-    filesOfOpt(json) match {
+    fullListOf(spark, dir, json) match {
       case None => listOf(json, "add")
       case Some(full) =>
         val prev =
@@ -2211,8 +2280,15 @@ object Versioned {
     if (drop.nonEmpty && keep.nonEmpty) {
       val oldest = keep.head
       val json = snapshotJson(spark, dir, oldest)
-      if (filesOfOpt(json).isEmpty && !f.exists(ckptFile(dir, oldest))) {
+      if (filesOfOpt(json).isEmpty && ckptRefOf(json).isEmpty &&
+          !f.exists(ckptFile(dir, oldest))) {
         val full = resolveFiles(spark, dir, oldest, Some(json))
+        // large lists anchor through the same columnar sidecar path as
+        // checkpoint commits; the .ckpt.json then just references it
+        val body =
+          if (full.size <= CkptInlineMax)
+            s"""{"files":[${full.map("\"" + _ + "\"").mkString(",")}]}"""
+          else s"""{"ckptfile":"${writeCkptSidecar(spark, dir, full)}"}"""
         // per-attempt UUID temp, same rule as the commit path: racing
         // vacuums must never share a temp file (a shared name lets one
         // racer truncate the other's fully-written temp mid-rename and
@@ -2220,9 +2296,7 @@ object Versioned {
         val tmp = new Path(logPath(dir),
           s".v$oldest.${java.util.UUID.randomUUID().toString.take(8)}.ckpt.tmp")
         val out = f.create(tmp, true)
-        try out.write(
-          s"""{"files":[${full.map("\"" + _ + "\"").mkString(",")}]}"""
-            .getBytes(StandardCharsets.UTF_8))
+        try out.write(body.getBytes(StandardCharsets.UTF_8))
         finally out.close()
         if (!f.rename(tmp, ckptFile(dir, oldest))) {
           f.delete(tmp, false)
@@ -2236,28 +2310,42 @@ object Versioned {
     }
     val live = keep.flatMap(filesAt(spark, dir, _)).toSet
     val liveDvFiles = keep.flatMap(dvFileAt(spark, dir, _)).toSet
+    // columnar checkpoint sidecars stay live while a retained entry OR
+    // a retained version's .ckpt.json anchor references them
+    val liveCkptFiles = keep.flatMap { v =>
+      val entryRef = ckptRefOf(snapshotJson(spark, dir, v))
+      val anchorRef =
+        if (f.exists(ckptFile(dir, v)))
+          ckptRefOf(readFully(spark, dir, ckptFile(dir, v)))
+        else None
+      entryRef ++ anchorRef
+    }.toSet
     val cutoff = System.currentTimeMillis() - tmpRetentionMs
+    // a file referenced by NO log entry may belong to an IN-FLIGHT
+    // commit (data lands BEFORE the commit publishes), so unreferenced
+    // files get the same age guard as tmps/DV sidecars; files the log
+    // DOES reference but no retained snapshot keeps are dead by the
+    // log's own word and sweep regardless of age. Resolved BEFORE any
+    // sidecar deletion below: a dropped entry's columnar checkpoint
+    // must still be readable for this referenced-set computation.
+    val everReferenced = all.flatMap { v =>
+      val j = snapshotJson(spark, dir, v)
+      fullListOf(spark, dir, j).getOrElse(Seq.empty) ++ listOf(j, "add")
+    }.toSet
     f.listStatus(logPath(dir)).toSeq.foreach { st =>
       val n = st.getPath.getName
       val staleTmp = n.startsWith(".") && n.endsWith(".tmp") &&
         st.getModificationTime < cutoff
       // age-guarded like tmps: a committer publishes its DV sidecar
       // BEFORE its commit, so a young unreferenced sidecar may belong
-      // to an in-flight commit, not a failed one
+      // to an in-flight commit, not a failed one — the same rule covers
+      // columnar checkpoint sidecars (published before their entry)
       val orphanDv = n.startsWith("dv-") && n.endsWith(".json") &&
         !liveDvFiles.contains(n) && st.getModificationTime < cutoff
-      if (staleTmp || orphanDv) f.delete(st.getPath, false)
+      val orphanCkpt = n.startsWith("ckpt-") && n.endsWith(".parquet") &&
+        !liveCkptFiles.contains(n) && st.getModificationTime < cutoff
+      if (staleTmp || orphanDv || orphanCkpt) f.delete(st.getPath, false)
     }
-    // a file referenced by NO log entry may belong to an IN-FLIGHT
-    // commit (data lands BEFORE the commit publishes), so unreferenced
-    // files get the same age guard as tmps/DV sidecars; files the log
-    // DOES reference but no retained snapshot keeps are dead by the
-    // log's own word and sweep regardless of age (drop entries are
-    // still readable here — they are deleted after this sweep)
-    val everReferenced = all.flatMap { v =>
-      val j = snapshotJson(spark, dir, v)
-      filesOfOpt(j).getOrElse(Seq.empty) ++ listOf(j, "add")
-    }.toSet
     // sweep whole data dirs with no live files; else per-file (every
     // parquet in a PUBLISHED dir is in its commit's add list, so files
     // inside live dirs never need the in-flight guard)

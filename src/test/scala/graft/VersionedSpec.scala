@@ -1114,6 +1114,60 @@ class VersionedSpec extends SparkSpec {
     assert(rows(dir, 21L) == (1 to 21).map(i => (i.toLong, s"r$i")).toSet)
   }
 
+  test("large checkpoints spill to columnar parquet sidecars; mixed-format log reads") {
+    val dir = tmpDir("vt_ckpt_cols")
+    val prevMax = Versioned.CkptInlineMax
+    Versioned.CkptInlineMax = 4 // force the columnar path at fixture scale
+    try {
+      // 17 single-file appends: v1 checkpoints inline-eligible? no —
+      // v1 has 1 file (≤ 4, inline); v16's checkpoint holds 16 files
+      // (> 4) and must spill to a referenced parquet sidecar
+      (1 to 17).foreach(i =>
+        Versioned.append(Seq((i.toLong, s"r$i")).toDF("id", "s").repartition(1), dir))
+      def entry(v: Long) = new String(
+        java.nio.file.Files.readAllBytes(logEntry(dir, v).toPath), "UTF-8")
+      assert(entry(1L).contains("\"files\":["), "small checkpoint stays inline")
+      assert(entry(16L).contains("\"ckptfile\":\"ckpt-"),
+        "a checkpoint past CkptInlineMax must reference a columnar sidecar")
+      assert(!entry(16L).contains("\"files\":["))
+      // the entry itself stays O(1) however many files the table holds
+      assert(logEntry(dir, 16L).length() < 1024,
+        s"ckptfile entry should be tiny, got ${logEntry(dir, 16L).length()} bytes")
+      // resolution across the columnar checkpoint + delta suffix is exact
+      assert(rows(dir, 17L) == (1 to 17).map(i => (i.toLong, s"r$i")).toSet)
+      assert(rows(dir, 16L) == (1 to 16).map(i => (i.toLong, s"r$i")).toSet)
+      assert(Versioned.filesAt(spark, dir, 17L).size == 17)
+      // history's forward replay and the streaming add-action read both
+      // resolve through the sidecar
+      val hist = Versioned.history(spark, dir)
+        .select("version", "n_files").as[(Long, Long)].collect().toMap
+      assert(hist(16L) == 16L && hist(17L) == 17L)
+      assert(Versioned.streamBatch(spark, dir, 15L, 17L)
+        .as[(Long, String)].collect().toSet == Set((16L, "r16"), (17L, "r17")))
+      // vacuum anchors the oldest kept delta through the SAME columnar
+      // path (full list > cap), retains the referenced sidecars, and
+      // resolution survives the truncation
+      Versioned.vacuum(spark, dir, keepVersions = 3, tmpRetentionMs = 0L)
+      assert(Versioned.versions(spark, dir) == Seq(15L, 16L, 17L))
+      val anchor = new java.io.File(s"$dir/_graft_log/" + f"v${15L}%08d.ckpt.json")
+      assert(anchor.exists())
+      assert(new String(java.nio.file.Files.readAllBytes(anchor.toPath), "UTF-8")
+        .contains("\"ckptfile\":\"ckpt-"),
+        "a large vacuum anchor must spill columnar too")
+      assert(rows(dir, 15L) == (1 to 15).map(i => (i.toLong, s"r$i")).toSet)
+      assert(rows(dir, 17L) == (1 to 17).map(i => (i.toLong, s"r$i")).toSet)
+      // a fresh commit + aggressive vacuum sweeps sidecars of dropped
+      // entries once unreferenced, while the live ones survive
+      Versioned.append(Seq((18L, "r18")).toDF("id", "s").repartition(1), dir)
+      Versioned.vacuum(spark, dir, keepVersions = 1, tmpRetentionMs = 0L)
+      assert(rows(dir, 18L) == (1 to 18).map(i => (i.toLong, s"r$i")).toSet)
+      val sidecars = new java.io.File(s"$dir/_graft_log").listFiles()
+        .map(_.getName).filter(n => n.startsWith("ckpt-") && n.endsWith(".parquet"))
+      assert(sidecars.length == 1,
+        s"exactly the live anchor's sidecar should remain, got ${sidecars.toSeq}")
+    } finally Versioned.CkptInlineMax = prevMax
+  }
+
   test("a legacy full-list entry mid-log reads natively and anchors later deltas") {
     val dir = tmpDir("vt_legacy")
     Versioned.append(Seq((1L, "a")).toDF("id", "s").repartition(1), dir)
