@@ -60,6 +60,41 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `deltaTable.vacuum()` that the reference's storage format provides
   * implicitly (`01_bronze_csv_to_delta.py:49-56` writes, `02:394-398`
   * reads).
+  *
+  * == Why no hive-style `partitionBy` (a deliberate position) ==
+  *
+  * This engine's data-skipping story is CLUSTERING + ZONE MAPS
+  * ([[optimizeClusterBy]] lays files out range-clustered;
+  * [[writeZoneMaps]] publishes per-file [lo, hi] stats; [[readWhere]]
+  * prunes from the log alone), not write-time partition directories.
+  * That is a considered trade, the same one Databricks made when it
+  * shipped liquid clustering as the successor to hive partitioning:
+  *
+  *  - Partition columns are a WRITE-TIME, hard-to-change contract: a
+  *    wrong cardinality choice either explodes the file count (high-
+  *    cardinality keys → millions of tiny files, the #1 operational
+  *    failure of partitioned lakes at 100 TB) or prunes nothing
+  *    (low-cardinality keys). Clustering is re-runnable maintenance —
+  *    [[optimizeClusterBy]] can change the layout without rewriting
+  *    the table contract or breaking readers.
+  *  - Zone maps subsume partition pruning's read-side benefit: a
+  *    range predicate consults O(log-sized) per-file stats instead of
+  *    directory names, and works for EVERY long-castable column at
+  *    once (multi-dimensional via [[compactClustered]]'s Z-order
+  *    layout), not just the declared partition columns.
+  *  - Partitioning's one residual advantage — dropping a whole
+  *    partition as a metadata-only operation — is served here by
+  *    [[deleteWhere]] with a `zoneHint`: clustered layouts make the
+  *    matched-file set exactly the "partition", and the copy-on-write
+  *    commit touches only those files.
+  *
+  * Streams and buckets cover the remaining classical uses: ingestion
+  * time-bucketing falls out of append-per-batch file sets (the log IS
+  * the time index — [[readAsOf]], [[changes]]), and join co-location
+  * is `graft.table.Bucketed`'s hash layout. A hive-layout reader/
+  * writer could be added behind [[LogStore]]-style seams without
+  * touching commit logic, but at the 100 TB design point clustering
+  * dominates; this scaladoc is the explicit record of that decision.
   */
 object Versioned {
 
@@ -2215,29 +2250,36 @@ object Versioned {
     *    only rows some earlier commit already emitted (Delta's
     *    `dataChange=false` rule);
     *  - row-MUTATING commits (delete/update/merge/overwrite/restore)
-    *    fail loudly: no insert-only feed can represent a removal — the
-    *    consumer must re-sync (e.g. [[changes]] or a full re-read), the
-    *    same stop-the-stream contract Delta applies without
-    *    `skipChangeCommits`.
+    *    fail loudly by default: no insert-only feed can represent a
+    *    removal — the consumer must re-sync (e.g. [[changes]] or a
+    *    full re-read), the same stop-the-stream contract Delta applies
+    *    without `skipChangeCommits`. With `skipMutating = true`
+    *    (Delta's `skipChangeCommits`) such commits are SKIPPED
+    *    entirely instead — none of their files emit, the consumer
+    *    explicitly accepting that downstream no longer reflects
+    *    deletes/updates.
     *
     * Cost is O(appended data in the window) plus one log read per
     * commit in it. The read binds `to`'s committed schema; DVs at `to`
-    * cannot apply to in-window appended files (that would require an
-    * in-window mutation, refused above) but are passed through anyway
-    * so the row set is exactly what [[readAt]] would serve for those
-    * files.
+    * restrict to the emitted files (relevant only under `skipMutating`,
+    * where an in-window MoR delete may have soft-deleted rows of an
+    * in-window append — those rows are NOT emitted, matching what
+    * [[readAt]] serves for the same files).
     */
-  def streamBatch(spark: SparkSession, dir: String, from: Long, to: Long): DataFrame = {
+  def streamBatch(
+      spark: SparkSession, dir: String, from: Long, to: Long,
+      skipMutating: Boolean = false): DataFrame = {
     require(from <= to, s"streamBatch window is inverted: $from > $to")
     val skippable = Set("optimize", "compact-small", "set-constraint", "drop-constraint")
     val ops = (from + 1 to to).map(v => v -> opAt(spark, dir, v))
     val mutating = ops.filterNot { case (_, op) => op == "append" || skippable(op) }
-    require(mutating.isEmpty,
+    require(skipMutating || mutating.isEmpty,
       s"streaming read of $dir hit non-append commit(s) " +
         s"${mutating.map { case (v, op) => s"v$v=$op" }.mkString(", ")} in window " +
         s"($from, $to] — an insert-only stream cannot represent removals; " +
         "re-sync the consumer (changes() or a full re-read) and restart the " +
-        "stream past the mutation")
+        "stream past the mutation, or opt into skipChangeCommits to ignore " +
+        "mutating commits outright")
     val files = ops.collect { case (v, "append") => addActionsAt(spark, dir, v) }.flatten
     readFileSubset(spark, dir, schemaAt(spark, dir, to), files, dvsAt(spark, dir, to))
   }

@@ -31,7 +31,9 @@ import graft.table.Versioned
   * fully-qualified class name). Required option: `path` — the versioned
   * table directory. Optional: `startingVersion` (default 0) — the log
   * version the stream starts AFTER, so 0 streams the table from its
-  * first commit, Delta's `startingVersion` shape.
+  * first commit, Delta's `startingVersion` shape; `skipChangeCommits`
+  * (default false) — skip row-mutating commits entirely instead of
+  * stopping the stream, Delta's option of the same name.
   */
 final class VersionedTableSourceProvider
     extends StreamSourceProvider with DataSourceRegister {
@@ -64,8 +66,9 @@ final class VersionedTableSourceProvider
     val spark = sqlContext.sparkSession.asInstanceOf[SparkSession]
     val dir = pathOf(parameters)
     val starting = parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
+    val skipChanges = parameters.get("skipChangeCommits").exists(_.toBoolean)
     val pinned = sourceSchema(sqlContext, schema, providerName, parameters)._2
-    new VersionedTableSource(spark, dir, pinned, starting)
+    new VersionedTableSource(spark, dir, pinned, starting, skipChanges)
   }
 }
 
@@ -85,7 +88,8 @@ final class VersionedTableSourceProvider
   * deliberately omitted until a consumer needs it.
   */
 final class VersionedTableSource(
-    spark: SparkSession, dir: String, pinned: StructType, startingVersion: Long)
+    spark: SparkSession, dir: String, pinned: StructType, startingVersion: Long,
+    skipChangeCommits: Boolean = false)
     extends Source {
 
   override def schema: StructType = pinned
@@ -102,7 +106,7 @@ final class VersionedTableSource(
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(startingVersion)
     val to = versionOf(end)
-    val batch = Versioned.streamBatch(spark, dir, from, to)
+    val batch = Versioned.streamBatch(spark, dir, from, to, skipChangeCommits)
     // bind the SOURCE's pinned schema: a mergeSchema append inside the
     // window widens streamBatch's frame, but a running stream's output
     // signature is fixed at start — new columns are dropped until the

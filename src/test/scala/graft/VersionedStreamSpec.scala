@@ -121,6 +121,30 @@ class VersionedStreamSpec extends SparkSpec {
     assert(sinkRows(sink) == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
   }
 
+  test("skipChangeCommits tails past mutations, emitting only append rows") {
+    val dir = tmpDir("vs_skip")
+    val ckpt = tmpDir("vs_skip_ckpt")
+    val sink = tmpDir("vs_skip_sink") + "/out"
+    Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir) // v1
+    Versioned.deleteWhere(spark, dir, col("id") === 1L) // v2: mutating
+    Versioned.append(Seq((3L, "c")).toDF("id", "s"), dir) // v3
+    val q = spark.readStream.format("graft-versioned")
+      .option("path", dir).option("skipChangeCommits", "true").load()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) batch.write.mode("append").parquet(sink); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the delete's rewrite files are skipped (id=2's copy does NOT
+    // re-emit); the appends stream once each — including the deleted
+    // id=1, which streamed from its append commit before the delete:
+    // the documented accept-staleness contract of skipChangeCommits
+    assert(sinkRows(sink) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("streaming transforms compose: filter + projection over the source") {
     val dir = tmpDir("vs_proj")
     val ckpt = tmpDir("vs_proj_ckpt")
