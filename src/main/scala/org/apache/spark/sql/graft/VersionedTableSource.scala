@@ -17,7 +17,6 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.classic.{Dataset, SparkSession}
-import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
@@ -29,11 +28,26 @@ import graft.table.Versioned
 
 /** `format("graft-versioned")` registration (also reachable by the
   * fully-qualified class name). Required option: `path` — the versioned
-  * table directory. Optional: `startingVersion` (default 0) — the log
-  * version the stream starts AFTER, so 0 streams the table from its
-  * first commit, Delta's `startingVersion` shape; `skipChangeCommits`
-  * (default false) — skip row-mutating commits entirely instead of
-  * stopping the stream, Delta's option of the same name.
+  * table directory. Optional:
+  *
+  *  - `startingVersion` — tail the LOG from after this version (0 =
+  *    from the table's first commit), requiring the tailed window to be
+  *    append-only; Delta's option of the same name. When ABSENT the
+  *    source takes Delta's default instead: the first batch is the
+  *    table's full CURRENT SNAPSHOT (so a table whose history holds
+  *    rewrites/deletes can still start streaming), and the log is
+  *    tailed from there.
+  *  - `skipChangeCommits` (default false) — skip row-mutating commits
+  *    entirely instead of stopping the stream, Delta's option of the
+  *    same name.
+  *  - `maxVersionsPerTrigger` — admission control for continuous
+  *    triggers: at most this many log versions per micro-batch once the
+  *    stream is flowing (the maxFilesPerTrigger analog at this
+  *    source's commit-range granularity). The first batch after a
+  *    (re)start is uncapped — a V1 source cannot see the engine's
+  *    committed offset before its first `getBatch`, and capping blind
+  *    could regress below it; under `Trigger.AvailableNow` the wrapper
+  *    snapshots one end offset, so the cap never engages there.
   */
 final class VersionedTableSourceProvider
     extends StreamSourceProvider with DataSourceRegister {
@@ -65,34 +79,48 @@ final class VersionedTableSourceProvider
       providerName: String, parameters: Map[String, String]): Source = {
     val spark = sqlContext.sparkSession.asInstanceOf[SparkSession]
     val dir = pathOf(parameters)
-    val starting = parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
+    val starting = parameters.get("startingVersion").map(_.toLong)
     val skipChanges = parameters.get("skipChangeCommits").exists(_.toBoolean)
+    val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.toLong)
+    maxVersions.foreach(m => require(m > 0, s"maxVersionsPerTrigger must be > 0: $m"))
     val pinned = sourceSchema(sqlContext, schema, providerName, parameters)._2
-    new VersionedTableSource(spark, dir, pinned, starting, skipChanges)
+    new VersionedTableSource(spark, dir, pinned, starting, skipChanges, maxVersions)
   }
 }
 
 /** One micro-batch = one commit range of the table's log: offsets ARE
-  * log versions, `getBatch(from, to)` is
+  * log versions. The FIRST batch is either the full current snapshot
+  * (`startingVersion` absent — Delta's default, so pre-existing
+  * rewrites in history don't block stream start) or the tail window
+  * from the requested version; every later batch is
   * [[graft.table.Versioned.streamBatch]] — append commits' add-action
   * files read as data, row-preserving maintenance (optimize/compact)
   * contributing nothing, row-mutating commits failing the stream loudly
-  * (Delta's no-`skipChangeCommits` contract). Restart semantics come
+  * unless `skipChangeCommits` opted out. Restart semantics come
   * entirely from the checkpoint's offset log: a replayed range
-  * re-reads the SAME immutable files (log entries never change), so
-  * recovery is exactly-once into any idempotent sink.
-  *
-  * Admission control: none — each trigger drains to the current head
-  * (under `Trigger.AvailableNow` the whole backlog is one batch). A
-  * maxVersionsPerTrigger throttle would slot into [[getOffset]];
-  * deliberately omitted until a consumer needs it.
+  * re-reads the SAME immutable snapshot/files (log entries never
+  * change), so recovery is exactly-once into any idempotent sink.
   */
 final class VersionedTableSource(
-    spark: SparkSession, dir: String, pinned: StructType, startingVersion: Long,
-    skipChangeCommits: Boolean = false)
+    spark: SparkSession, dir: String, pinned: StructType,
+    startingVersion: Option[Long], skipChangeCommits: Boolean = false,
+    maxVersionsPerTrigger: Option[Long] = None)
     extends Source {
 
   override def schema: StructType = pinned
+
+  /** Tail floor for the very first batch; snapshot mode resolves the
+    * whole first window as one `readAt`.
+    */
+  private val tailFrom: Long = startingVersion.getOrElse(0L)
+  private val initialSnapshot: Boolean = startingVersion.isEmpty
+
+  /** Highest end offset this source has HANDED OUT via getBatch —
+    * the rate-limit base. Never consulted before the first getBatch
+    * (the engine's committed offset is unknowable then, and a blind
+    * cap could regress below it — see the provider scaladoc).
+    */
+  @volatile private var lastSeenEnd: Option[Long] = None
 
   private def versionOf(o: V1Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -101,14 +129,30 @@ final class VersionedTableSource(
   }
 
   override def getOffset: Option[V1Offset] =
-    Versioned.currentVersion(spark, dir).filter(_ > startingVersion).map(LongOffset(_))
+    Versioned.currentVersion(spark, dir).filter(_ > tailFrom).map { head =>
+      val capped = (maxVersionsPerTrigger, lastSeenEnd) match {
+        case (Some(m), Some(seen)) => math.min(head, seen + m)
+        case _ => head
+      }
+      LongOffset(capped)
+    }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val from = start.map(versionOf).getOrElse(startingVersion)
     val to = versionOf(end)
-    val batch = Versioned.streamBatch(spark, dir, from, to, skipChangeCommits)
+    val batch = start match {
+      case None if initialSnapshot =>
+        // Delta-default initial batch: the full snapshot at `to` —
+        // history before it (including rewrites) is irrelevant, and
+        // the snapshot is immutable so a checkpoint replay of this
+        // batch reproduces it bit-for-bit
+        Versioned.readAt(spark, dir, to)
+      case _ =>
+        val from = start.map(versionOf).getOrElse(tailFrom)
+        Versioned.streamBatch(spark, dir, from, to, skipChangeCommits)
+    }
+    lastSeenEnd = Some(lastSeenEnd.fold(to)(math.max(_, to)))
     // bind the SOURCE's pinned schema: a mergeSchema append inside the
-    // window widens streamBatch's frame, but a running stream's output
+    // window widens the batch frame, but a running stream's output
     // signature is fixed at start — new columns are dropped until the
     // stream restarts (Delta's schema-evolution-on-restart rule)
     import org.apache.spark.sql.functions.col
@@ -119,15 +163,20 @@ final class VersionedTableSource(
     * `getBatch` contract. The plan stays a real file relation, so
     * downstream column pruning and filter pushdown still reach the
     * parquet scan per micro-batch. Plans without a re-flaggable
-    * relation leaf (the empty-window frame is a LogicalRDD) fall back
-    * to wrapping the executed RDD, which is how Spark's own Kafka
-    * source builds its batch frames.
+    * relation leaf (the empty-window frame is a LogicalRDD, DV-bearing
+    * snapshots add a join) fall back to wrapping the executed RDD,
+    * which is how Spark's own Kafka source builds its batch frames.
     */
   private def toStreaming(df: DataFrame): DataFrame = {
-    val plan = df.queryExecution.analyzed.transform {
+    val analyzed = df.queryExecution.analyzed
+    val relationLeaves = analyzed.collectLeaves().count(_.isInstanceOf[LogicalRelation])
+    val plan = analyzed.transform {
       case lr: LogicalRelation => lr.copy(isStreaming = true)
     }
-    if (plan.isStreaming) Dataset.ofRows(spark, plan)
+    // plan surgery is only sound when the file relation is the ONE leaf
+    // (the plain scan shape); anything else — joins (DV subtraction),
+    // empty-window LogicalRDDs — wraps the executed RDD instead
+    if (relationLeaves == 1 && plan.isStreaming) Dataset.ofRows(spark, plan)
     else spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }

@@ -128,8 +128,12 @@ class VersionedStreamSpec extends SparkSpec {
     Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir) // v1
     Versioned.deleteWhere(spark, dir, col("id") === 1L) // v2: mutating
     Versioned.append(Seq((3L, "c")).toDF("id", "s"), dir) // v3
+    // explicit startingVersion selects log-tail mode (the skip option
+    // governs the tailed window; absent it, the initial snapshot would
+    // already exclude the deleted row)
     val q = spark.readStream.format("graft-versioned")
-      .option("path", dir).option("skipChangeCommits", "true").load()
+      .option("path", dir).option("startingVersion", "0")
+      .option("skipChangeCommits", "true").load()
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) batch.write.mode("append").parquet(sink); ()
@@ -143,6 +147,54 @@ class VersionedStreamSpec extends SparkSpec {
     // id=1, which streamed from its append commit before the delete:
     // the documented accept-staleness contract of skipChangeCommits
     assert(sinkRows(sink) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("default start = initial snapshot: rewrites in history don't block the stream") {
+    val dir = tmpDir("vs_snap")
+    val ckpt = tmpDir("vs_snap_ckpt")
+    val sink = tmpDir("vs_snap_sink") + "/out"
+    // history holds a DELETE and a MoR delete BEFORE the stream starts —
+    // log-tailing from v0 would refuse; Delta's default (and ours with
+    // no startingVersion) streams the current snapshot first instead
+    Versioned.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), dir) // v1
+    Versioned.deleteWhere(spark, dir, col("id") === 1L) // v2
+    Versioned.deleteWhereMoR(spark, dir, col("id") === 2L) // v3: live DV
+    assert(drain(dir, ckpt, sink).sum == 1,
+      "initial snapshot = current live rows (post-delete, DV-subtracted)")
+    assert(sinkRows(sink) == Set((3L, "c")))
+    // then the log tails: an append lands as an ordinary window
+    Versioned.append(Seq((4L, "d")).toDF("id", "s"), dir) // v4
+    assert(drain(dir, ckpt, sink).sum == 1)
+    assert(sinkRows(sink) ==
+      Versioned.read(spark, dir).as[(Long, String)].collect().toSet)
+    // but a mutation AFTER stream start still stops the stream loudly
+    Versioned.deleteWhere(spark, dir, col("id") === 3L) // v5
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(dir, ckpt, sink)
+    }
+  }
+
+  test("maxVersionsPerTrigger caps steady-state batches, never the blind first one") {
+    val dir = tmpDir("vs_cap")
+    (1 to 5).foreach(i =>
+      Versioned.append(Seq((i.toLong, s"r$i")).toDF("id", "s"), dir)) // v1..v5
+    val src = new org.apache.spark.sql.graft.VersionedTableSource(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], dir,
+      Versioned.read(spark, dir).schema, startingVersion = Some(0L),
+      skipChangeCommits = false, maxVersionsPerTrigger = Some(2L))
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    // first offer is UNCAPPED (no getBatch yet — the engine's committed
+    // offset is unknowable, a blind cap could regress below it)
+    assert(src.getOffset.contains(LongOffset(5L)))
+    // after the first batch hands out an end, subsequent offers cap at
+    // +maxVersionsPerTrigger over it (getBatch frames are streaming-
+    // flagged by contract, so sizes are asserted via the batch twin)
+    assert(src.getBatch(None, LongOffset(1L)).isStreaming)
+    assert(Versioned.streamBatch(spark, dir, 0L, 1L).count() == 1)
+    assert(src.getOffset.contains(LongOffset(3L)))
+    assert(src.getBatch(Some(LongOffset(1L)), LongOffset(3L)).isStreaming)
+    assert(Versioned.streamBatch(spark, dir, 1L, 3L).count() == 2)
+    assert(src.getOffset.contains(LongOffset(5L)))
   }
 
   test("streaming transforms compose: filter + projection over the source") {
