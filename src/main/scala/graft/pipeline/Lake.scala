@@ -281,6 +281,62 @@ object Lake {
       }
     }
 
+  /** Bronze→silver through the STREAMING ENGINE itself: tails each
+    * entity's versioned bronze with the log-driven source
+    * (`format("graft-versioned")`, offsets = log versions) and applies
+    * cleanse + LWW MERGE per micro-batch under `foreachBatch` — the
+    * reference's silver sites verbatim (`02_bronze_to_silver.py:20-24`
+    * is `readStream.format("delta")` → foreachBatch MERGE). Exactly
+    * -once twice over: the stream checkpoint makes each commit range
+    * enter one micro-batch, and the (appId, batchId) txn watermark in
+    * the SILVER log refuses replayed batches after a driver crash
+    * between sink write and checkpoint advance.
+    *
+    * Contract vs [[refreshSilverFromVersionedBronze]] (the batch-wise
+    * CDF propagation): this path is the streaming-engine shape for
+    * APPEND-ONLY bronze — a row-mutating bronze commit stops the
+    * stream loudly (the source's contract) and the batch-wise refresh
+    * is the recovery tool that classifies the window and replaces
+    * silver. Aggregated-grain entities recleanse from full bronze as
+    * idempotent overwrites (same correctness rule as every silver
+    * path). Returns the entities whose stream drained.
+    */
+  def refreshSilverStreamingVersioned(
+      spark: SparkSession, roots: LakeRoots, names: Seq[String]): Seq[String] =
+    names.filter { name =>
+      val e = Entities.byName(name).getOrElse(
+        throw new IllegalArgumentException(s"unknown entity: $name"))
+      val bronzeDir = roots.versionedBronzeDir(name)
+      val silverDir = roots.versionedSilverDir(name)
+      Versioned.currentVersion(spark, bronzeDir) match {
+        case None => false
+        case Some(bv) if e.aggregatedGrain =>
+          // aggregated grain cannot cleanse per-batch (see Entity
+          // .aggregatedGrain) — full recleanse pinned to the head read
+          val appId = s"graft-silver-stream-$name"
+          Versioned.overwriteIdempotent(
+            e.cleanse(Versioned.readAt(spark, bronzeDir, bv)), silverDir, appId, bv)
+          true
+        case Some(_) =>
+          val appId = s"graft-silver-stream-$name"
+          val lww = Upsert.scol("ingestion_ts") > Upsert.tcol("ingestion_ts")
+          Ingest.runAvailableNow(
+            Ingest.versionedStream(spark, bronzeDir),
+            s"${roots.checkpoints}/${name}_vsilver_stream") { (batch, batchId) =>
+            if (!batch.isEmpty) {
+              val cleansed = e.cleanse(batch)
+              if (Versioned.currentVersion(spark, silverDir).isEmpty)
+                Versioned.appendIdempotent(cleansed, silverDir, appId, batchId)
+              else
+                Versioned.mergeIdempotent(spark, silverDir, cleansed,
+                  e.silverKeys, appId, batchId, updateWhen = lww)
+              ()
+            }
+          }
+          true
+      }
+    }
+
   /** Versioned gold: every mart rebuilt from the VERSIONED silver tier
     * and committed as an idempotent overwrite into a log-backed table —
     * gold time-travels, serves `history()`/`detail()`, and skips

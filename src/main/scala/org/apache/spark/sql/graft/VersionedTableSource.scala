@@ -187,3 +187,21 @@ final class VersionedTableSource(
 
   override def toString: String = s"VersionedTableSource[$dir]"
 }
+
+/** Test/ops introspection needing `private[sql]` access: the physical
+  * plan a streaming query last executed — how the plan audits prove
+  * that filters and column pruning pushed through the versioned
+  * source's spliced relation into the per-micro-batch parquet scan.
+  */
+object StreamingIntrospection {
+
+  def lastExecutedPlan(q: org.apache.spark.sql.streaming.StreamingQuery): String =
+    q match {
+      case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+        Option(w.streamingQuery.lastExecution)
+          .map(_.executedPlan.toString).getOrElse("")
+      case other =>
+        throw new IllegalArgumentException(
+          s"not a wrapped streaming query: ${other.getClass.getName}")
+    }
+}

@@ -262,6 +262,50 @@ class LakeSpec extends SparkSpec {
       "replayed bronze batches must not duplicate rows")
   }
 
+  test("streaming silver: the log-driven source drives cleanse+merge per commit range") {
+    import graft.table.Versioned
+    val root = tmpDir("lakestream")
+    OlistFixtures.write(root)
+    val roots = LakeRoots(
+      s"$root/bronze", s"$root/silver", s"$root/gold", s"$root/checkpoints")
+    val entities = Lake.refreshBronzeVersioned(spark, s"$root/ingest", roots)
+    val advanced = Lake.refreshSilverStreamingVersioned(spark, roots, entities)
+    assert(advanced.toSet == entities.toSet)
+
+    val custDir = roots.versionedSilverDir("customers")
+    val cust = Versioned.read(spark, custDir)
+    assert(cust.count() == 2)
+    assert(cust.filter(col("customer_id") === "c1").head
+      .getAs[String]("customer_city") == "SAO PAULO CENTRO",
+      "the W1 tiebreak (source_file desc) must hold through the streamed batch")
+
+    // a new drop advances bronze by one commit; the second drain tails
+    // ONLY that window and lands as one merge commit on silver
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/ingest/customers/c_third.csv"),
+      "customer_id,customer_unique_id,customer_zip_code_prefix,customer_city,customer_state\n" +
+        "c9,u9,50000,curitiba,pr")
+    Lake.refreshBronzeVersioned(spark, s"$root/ingest", roots)
+    Lake.refreshSilverStreamingVersioned(spark, roots, Seq("customers"))
+    val after = Versioned.read(spark, custDir)
+    assert(after.count() == 3)
+    assert(after.filter(col("customer_id") === "c9").head
+      .getAs[String]("customer_city") == "CURITIBA")
+    val head = Versioned.currentVersion(spark, custDir).get
+    assert(Versioned.opAt(spark, custDir, head) == "merge",
+      "an incremental window must land as a merge commit")
+
+    // wiped checkpoint + unchanged input: the restarted stream's
+    // batchIds restart at 0, the silver log's txn watermark refuses
+    // them — no tier moves, no duplicate rows
+    val _ = new scala.reflect.io.Directory(
+      new java.io.File(roots.checkpoints)).deleteRecursively()
+    Lake.refreshSilverStreamingVersioned(spark, roots, Seq("customers"))
+    assert(Versioned.currentVersion(spark, custDir).contains(head),
+      "a checkpoint-wiped replay must be refused at the silver log")
+    assert(Versioned.read(spark, custDir).count() == 3)
+  }
+
   test("a maintenance op on bronze routes the next refresh through the full merge") {
     import graft.table.Versioned
     val root = tmpDir("lakeopt")

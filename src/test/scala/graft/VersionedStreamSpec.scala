@@ -204,7 +204,7 @@ class VersionedStreamSpec extends SparkSpec {
       .toDF("id", "v", "s"), dir)
     spark.catalog.dropTempView("vs_proj_sink")
     val q = Ingest.versionedStream(spark, dir)
-      .filter(col("id") % 10L === 0L)
+      .filter(col("id") > 90L)
       .select(col("id"), (col("v") * 10L).as("v10"))
       .writeStream
       .outputMode("append")
@@ -214,6 +214,16 @@ class VersionedStreamSpec extends SparkSpec {
       .start()
     q.awaitTermination()
     assert(spark.table("vs_proj_sink").as[(Long, Long)].collect().toSet ==
-      (1L to 10L).map(i => (i * 10L, i * 10L * 2L * 10L)).toSet)
+      (91L to 100L).map(i => (i, i * 2L * 10L)).toSet)
+    // the plan audit: the spliced relation stays a REAL file scan, so
+    // the downstream filter pushes into the per-micro-batch parquet
+    // read and the projection prunes the unused string column — the
+    // whole point of re-flagging the LogicalRelation instead of
+    // wrapping an executed RDD
+    val plan = org.apache.spark.sql.graft.StreamingIntrospection.lastExecutedPlan(q)
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,90)]"),
+      s"filter must reach the parquet scan, got:\n$plan")
+    assert(plan.contains("ReadSchema: struct<id:bigint,v:bigint>"),
+      s"column pruning must drop the unused string column, got:\n$plan")
   }
 }
