@@ -21,6 +21,27 @@ object Lake {
     "fact_orders", "fact_payments", "fact_reviews",
     "metrics_revenue", "metrics_orders", "metrics_customers")
 
+  /** Runs independent per-entity flows concurrently (order-preserving
+    * results). Spark sessions are thread-safe and schedule concurrent
+    * jobs across the executor pool, so N entity streams/commits that
+    * each leave most cores idle overlap instead of serializing — the
+    * orchestrator-level parallelism a real deployment runs the
+    * reference's per-entity notebooks with. Each flow touches only its
+    * own table dirs/checkpoints, so there is no shared mutable state
+    * beyond the session.
+    */
+  private def parEach[A, B](items: Seq[A], parallelism: Int = 8)(f: A => B): Seq[B] =
+    if (items.size <= 1) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, items.size))
+      try {
+        val futures = items.map(a =>
+          pool.submit(new java.util.concurrent.Callable[B] { def call(): B = f(a) }))
+        futures.map(_.get())
+      } finally pool.shutdown()
+    }
+
   /** Bronze + silver for every discovered table (01 + 02 semantics).
     * Returns the entity names processed.
     *
@@ -132,26 +153,36 @@ object Lake {
       (name, df) => Table.overwriteAtomic(df, roots.goldRef(name)))
   }
 
-  /** The 10-mart star-schema build in dependency order (03-09
+  /** The 10-mart star-schema build in dependency STAGES (03-09
     * semantics), shared by the plain and versioned gold tiers: `s`
-    * reads a silver entity, `g` reads an already-written gold mart
-    * (metric marts consume the dims/facts written earlier in the same
-    * pass — deps precede dependents), `write` persists one mart.
+    * reads a silver entity, `g` reads an already-written gold mart,
+    * `write` persists one mart. Dims and facts depend only on silver,
+    * so the seven build concurrently; the metric marts consume them
+    * and build concurrently after the stage barrier — each mart is a
+    * pure function of its inputs, so staging changes wall-clock, never
+    * content.
     */
   private def buildGoldMarts(
       s: String => DataFrame, g: String => DataFrame,
       write: (String, DataFrame) => Unit): Unit = {
-    write("dim_customers", Gold.dimCustomers(s("customers")))
-    write("dim_products", Gold.dimProducts(s("products")))
-    write("dim_sellers", Gold.dimSellers(s("sellers")))
-    write("dim_geolocation", Gold.dimGeolocation(s("geolocation")))
-    write("fact_orders", Gold.factOrders(s("orders"), s("customers"), s("order_items")))
-    write("fact_payments", Gold.factPayments(s("order_payments"), s("orders")))
-    write("fact_reviews", Gold.factReviews(s("order_reviews"), s("orders")))
-    write("metrics_revenue",
-      Gold.metricsRevenue(g("fact_orders"), g("fact_payments"), g("dim_customers")))
-    write("metrics_orders", Gold.metricsOrders(g("fact_orders"), g("dim_customers")))
-    write("metrics_customers", Gold.metricsCustomers(g("dim_customers"), g("fact_orders")))
+    parEach[() => Unit, Unit](Seq(
+      () => write("dim_customers", Gold.dimCustomers(s("customers"))),
+      () => write("dim_products", Gold.dimProducts(s("products"))),
+      () => write("dim_sellers", Gold.dimSellers(s("sellers"))),
+      () => write("dim_geolocation", Gold.dimGeolocation(s("geolocation"))),
+      () => write("fact_orders",
+        Gold.factOrders(s("orders"), s("customers"), s("order_items"))),
+      () => write("fact_payments", Gold.factPayments(s("order_payments"), s("orders"))),
+      () => write("fact_reviews", Gold.factReviews(s("order_reviews"), s("orders")))
+    ))(_.apply())
+    parEach[() => Unit, Unit](Seq(
+      () => write("metrics_revenue",
+        Gold.metricsRevenue(g("fact_orders"), g("fact_payments"), g("dim_customers"))),
+      () => write("metrics_orders",
+        Gold.metricsOrders(g("fact_orders"), g("dim_customers"))),
+      () => write("metrics_customers",
+        Gold.metricsCustomers(g("dim_customers"), g("fact_orders")))
+    ))(_.apply())
   }
 
   /** The whole pipeline: ingest → silver → gold. */
@@ -173,16 +204,17 @@ object Lake {
     * needed the seen-files manifest to approximate it.
     */
   def refreshBronzeVersioned(
-      spark: SparkSession, ingestRoot: String, roots: LakeRoots): Seq[String] =
-    Ingest.discoverTables(spark, ingestRoot).flatMap { name =>
-      Entities.byName(name).map { e =>
-        Ingest.sinkVersionedExactlyOnce(
-          Ingest.csvStream(spark, s"$ingestRoot/$name", e.bronzeSchema),
-          roots.versionedBronzeDir(name), s"graft-bronze-$name",
-          s"${roots.checkpoints}/${name}_vbronze")
-        name
-      }
+      spark: SparkSession, ingestRoot: String, roots: LakeRoots): Seq[String] = {
+    val known = Ingest.discoverTables(spark, ingestRoot)
+      .flatMap(n => Entities.byName(n).map(n -> _))
+    parEach(known) { case (name, e) =>
+      Ingest.sinkVersionedExactlyOnce(
+        Ingest.csvStream(spark, s"$ingestRoot/$name", e.bronzeSchema),
+        roots.versionedBronzeDir(name), s"graft-bronze-$name",
+        s"${roots.checkpoints}/${name}_vbronze")
+      name
     }
+  }
 
   /** CDF-driven bronze→silver propagation over versioned tiers: the
     * SILVER table's log carries, per entity, the highest bronze version
@@ -212,7 +244,11 @@ object Lake {
     */
   def refreshSilverFromVersionedBronze(
       spark: SparkSession, roots: LakeRoots, names: Seq[String]): Seq[String] =
-    names.filter { name =>
+    parEach(names)(name => name -> refreshOneSilverFromBronze(spark, roots, name))
+      .collect { case (name, true) => name }
+
+  private def refreshOneSilverFromBronze(
+      spark: SparkSession, roots: LakeRoots, name: String): Boolean = {
       val e = Entities.byName(name).getOrElse(
         throw new IllegalArgumentException(s"unknown entity: $name"))
       val bronzeDir = roots.versionedBronzeDir(name)
@@ -303,7 +339,11 @@ object Lake {
     */
   def refreshSilverStreamingVersioned(
       spark: SparkSession, roots: LakeRoots, names: Seq[String]): Seq[String] =
-    names.filter { name =>
+    parEach(names)(name => name -> refreshOneSilverStreaming(spark, roots, name))
+      .collect { case (name, true) => name }
+
+  private def refreshOneSilverStreaming(
+      spark: SparkSession, roots: LakeRoots, name: String): Boolean = {
       val e = Entities.byName(name).getOrElse(
         throw new IllegalArgumentException(s"unknown entity: $name"))
       val bronzeDir = roots.versionedBronzeDir(name)
