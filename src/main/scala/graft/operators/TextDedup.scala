@@ -31,6 +31,40 @@ import graft.functions.Text
   */
 object TextDedup {
 
+  /** Repeated-SUBSTRING detection (the exact-substring dedup of Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better" — arXiv:2107.06499 — at character-window granularity):
+    * slides a `window`-char window with `stride` over every document
+    * and reports each window content that occurs in ≥ 2 DISTINCT
+    * documents, with its document and occurrence counts. Whole-doc
+    * dedup misses these — boilerplate headers, license blocks, quoted
+    * passages repeat across otherwise-distinct documents — and they
+    * are exactly what substring dedup removes from training corpora.
+    *
+    * Shape at scale: `sequence` + `explode` + `substring` are all
+    * codegen'd built-ins; the one shuffle hash-partitions on the
+    * window content, so cost follows corpus_chars / stride — linear,
+    * never all-pairs. Removal composes downstream: join a document's
+    * positions against the repeated-window set and cut the covered
+    * spans (the reporting form is the oracle-checked operator).
+    */
+  def repeatedSubstrings(
+      docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 64, stride: Int = 8): DataFrame =
+    docs
+      .filter(length(col(textCol)) >= window)
+      .select(
+        col(idCol).as("id"),
+        explode(sequence(
+          lit(1), length(col(textCol)) - (window - 1), lit(stride))).as("pos"),
+        col(textCol))
+      .select(col("id"), col(textCol).substr(col("pos"), lit(window)).as("win"))
+      .groupBy("win")
+      .agg(
+        count_distinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+
   /** Exact dedup: one row per distinct text with the minimal id as the
     * canonical keeper and the duplicate count.
     */

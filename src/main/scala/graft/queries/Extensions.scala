@@ -236,6 +236,30 @@ object Extensions {
     """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
       |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
 
+  // Exact-substring dedup (Lee et al. 2022): 64-char windows at stride
+  // 8 occurring in ≥ 2 distinct documents — the cross-document
+  // boilerplate whole-doc dedup can't see. Top-50 by occurrence with a
+  // total-order tiebreak; the oracle replays the identical windowing.
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame =
+    TextDedup.repeatedSubstrings(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("n_occ").desc, col("n_docs").desc, col("win"))
+      .limit(50)
+
+  // DuckDB's generate_series takes constant bounds only, so the index
+  // list is a generous constant range bounded per-doc by the join
+  // condition — position set identical to Spark's sequence(1, len-63, 8)
+  val dedupSubstringSql: String =
+    """WITH idx AS (
+      |  SELECT i FROM generate_series(1, 100000, 8) g(i)),
+      |w AS (
+      |  SELECT d.doc_id, substr(d.text, CAST(idx.i AS INTEGER), 64) AS win
+      |  FROM documents d JOIN idx ON idx.i <= length(d.text) - 63
+      |  WHERE length(d.text) >= 64)
+      |SELECT win, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |       CAST(count(*) AS BIGINT) AS n_occ
+      |FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2
+      |ORDER BY n_occ DESC, n_docs DESC, win LIMIT 50""".stripMargin
+
   def dedupNgram(s: SparkSession, dir: String): DataFrame =
     TextDedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", ShingleK, 0.6)
       .orderBy("id_a", "id_b")
@@ -1319,6 +1343,7 @@ object Extensions {
     QueryDef("x_rare_tokens", rareTokens, Some(rareTokensSql)),
     QueryDef("x_repetition", repetition, Some(repetitionSql)),
     QueryDef("x_dedup_exact", dedupExact, Some(dedupExactSql)),
+    QueryDef("x_dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
     QueryDef("x_dedup_ngram", dedupNgram, Some(dedupNgramSql)),
     QueryDef("x_dedup_ngram_capped", dedupNgramCapped, Some(jaccardPairsSql(0.6))),
     QueryDef("x_dedup_components", dedupComponents, Some(dedupComponentsSql)),

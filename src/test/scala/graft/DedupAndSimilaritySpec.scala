@@ -22,6 +22,31 @@ class DedupAndSimilaritySpec extends SparkSpec {
     assert(out.count() === 4)
   }
 
+  test("repeatedSubstrings reports cross-document windows, skipping short docs") {
+    val boiler = "LICENSE HEADER: this text is identical boilerplate across documents!"
+    val subs = Seq(
+      (0L, boiler + " unique tail zero zero zero zero zero zero zero zero"),
+      (1L, boiler + " different tail one one one one one one one one one"),
+      (2L, "no shared content here at all, just some filler words to pass sixty-four"),
+      (3L, "tiny")) // under the window size — contributes nothing
+      .toDF("doc_id", "text")
+    val out = TextDedup.repeatedSubstrings(subs, "doc_id", "text",
+      window = 64, stride = 4)
+    val rows = out.as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty, "the shared boilerplate must surface")
+    assert(rows.forall { case (win, nDocs, nOcc) =>
+      win.length == 64 && nDocs == 2 && nOcc >= nDocs })
+    // every reported window is genuinely shared: it appears in both
+    // boilerplate docs' texts at some aligned stride position
+    assert(rows.forall { case (win, _, _) =>
+      (boiler + " unique").contains(win.take(20)) ||
+        Seq(0L, 1L).forall(i => subs.filter(col("doc_id") === i)
+          .head.getString(1).contains(win)) })
+    // a single-doc repeated window does NOT qualify (cross-doc only)
+    val selfRep = Seq((9L, ("abcd" * 40))).toDF("doc_id", "text")
+    assert(TextDedup.repeatedSubstrings(selfRep, "doc_id", "text", 64, 4).count() == 0)
+  }
+
   test("ngramJaccardPairs finds exact and near duplicates, nothing else") {
     val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
