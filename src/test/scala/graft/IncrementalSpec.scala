@@ -107,6 +107,40 @@ class IncrementalSpec extends SparkSpec {
     assert(Versioned.currentVersion(spark, gold) == vBefore)
   }
 
+  test("min/max maintain under append-only windows, recompute under retractions") {
+    val silver = tmpDir("cdf_mm_s")
+    val gold = tmpDir("cdf_mm_g")
+    def rows(): Set[(String, Long, Long, Long, Long)] =
+      Versioned.read(spark, gold).select("k", "n", "sum_v", "min_v", "max_v")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+    def want(): Set[(String, Long, Long, Long, Long)] =
+      IncrementalAgg.recompute(spark, silver, Seq("k"), Seq("v"), Seq("v"))
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+    def refresh() = IncrementalAgg.refresh(
+      spark, silver, gold, Seq("k"), Seq("v"), Seq("v"))
+
+    // bootstrap
+    Versioned.append(Seq(("a", 10L), ("a", 5L), ("b", 7L)).toDF("k", "v"), silver)
+    assert(refresh().contains(1L))
+    assert(rows() == want())
+    assert(rows().find(_._1 == "a").get == (("a", 2L, 15L, 5L, 10L)))
+
+    // append-only window: maintained monotonically from added files
+    // (a new extreme AND a non-extreme both land correctly)
+    Versioned.append(Seq(("a", 20L), ("a", 7L), ("c", 3L)).toDF("k", "v"), silver)
+    assert(refresh().isDefined)
+    assert(rows() == want())
+    assert(rows().find(_._1 == "a").get == (("a", 4L, 42L, 5L, 20L)))
+
+    // retraction window: the departed row WAS a's max — maintained
+    // min/max cannot know the runner-up, so the refresh recomputes
+    Versioned.deleteWhere(spark, silver, col("v") === 20L)
+    assert(refresh().isDefined)
+    assert(rows() == want())
+    assert(rows().find(_._1 == "a").get == (("a", 3L, 22L, 5L, 10L)),
+      "the new max must be the runner-up, not the deleted extreme")
+  }
+
   test("a crashed refresh leaves the watermark untouched; rerun converges") {
     val silver = tmpDir("cdf_crash_s")
     val gold = tmpDir("cdf_crash_g")
