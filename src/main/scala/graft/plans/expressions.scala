@@ -125,10 +125,10 @@ case class DotProduct(left: Expression, right: Expression)
   protected override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    if (x.numElements != y.numElements) null
+    if (x.numElements() != y.numElements()) null
     else {
       var i = 0
-      val n = x.numElements
+      val n = x.numElements()
       while (i < n) {
         if (x.isNullAt(i) || y.isNullAt(i)) return null
         i += 1
@@ -165,7 +165,7 @@ object DotProduct {
   def dot(x: ArrayData, y: ArrayData): Double = {
     var acc = 0.0
     var i = 0
-    val n = x.numElements
+    val n = x.numElements()
     while (i < n) {
       acc += x.getDouble(i) * y.getDouble(i)
       i += 1
@@ -279,11 +279,11 @@ case class IntersectSize(left: Expression, right: Expression)
 object IntersectSize {
   /** Static entry for both interpreted and generated code paths. */
   def count(x: ArrayData, y: ArrayData): Int = {
-    val (small, big) = if (x.numElements <= y.numElements) (x, y) else (y, x)
-    val set = new java.util.HashSet[UTF8String](small.numElements * 2)
+    val (small, big) = if (x.numElements() <= y.numElements()) (x, y) else (y, x)
+    val set = new java.util.HashSet[UTF8String](small.numElements() * 2)
     var smallHasNull = false
     var i = 0
-    while (i < small.numElements) {
+    while (i < small.numElements()) {
       if (small.isNullAt(i)) smallHasNull = true
       else set.add(small.getUTF8String(i))
       i += 1
@@ -291,7 +291,7 @@ object IntersectSize {
     var c = 0
     var nullCounted = false
     var j = 0
-    while (j < big.numElements) {
+    while (j < big.numElements()) {
       if (big.isNullAt(j)) {
         if (smallHasNull && !nullCounted) { c += 1; nullCounted = true }
       } else if (set.remove(big.getUTF8String(j))) c += 1
@@ -338,7 +338,7 @@ case class MinHashSig(child: Expression, n: Int)
 object MinHashSig {
   /** Static entry for both interpreted and generated code paths. */
   def compute(hs: ArrayData, n: Int): ArrayData = {
-    val m = hs.numElements
+    val m = hs.numElements()
     if (m == 0) {
       new GenericArrayData(Array.fill[Any](n)(null))
     } else {

@@ -167,12 +167,12 @@ object Bucketed {
         val staged = spark.read.parquet(staging.toString)
         touched.foreach { b =>
           val slice = staged.filter(col("bucket") === b)
-            .select(source.columns.map(col): _*)
+            .select(source.columns.toSeq.map(col): _*)
           val tgtRef = ref.bucketDir(b)
           if (!f.exists(tgtRef.path) || f.listStatus(tgtRef.path).isEmpty) {
             Table.overwriteAtomic(clustered(slice), tgtRef)
           } else {
-            val target = spark.read.parquet(tgtRef.dir).select(source.columns.map(col): _*)
+            val target = spark.read.parquet(tgtRef.dir).select(source.columns.toSeq.map(col): _*)
             Table.overwriteAtomic(
               clustered(Upsert.lastWriterWins(target, slice, ref.keys, versionCol)), tgtRef)
           }
