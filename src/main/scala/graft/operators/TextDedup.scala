@@ -65,6 +65,70 @@ object TextDedup {
         count(lit(1)).as("n_occ"))
       .filter(col("n_docs") >= 2)
 
+  /** The ACTIONABLE half of exact-substring dedup: removes from every
+    * document the character spans covered by cross-document repeated
+    * windows ([[repeatedSubstrings]]' qualifying set), returning
+    * `(id, text_clean, n_cut)` — Lee et al. cut repeated spans from
+    * training text rather than dropping whole documents, and this is
+    * that cut at the same window/stride lattice.
+    *
+    * Plan shape: windows → qualifying-window semi-join → per-doc
+    * INTERVAL MERGE (the gaps-and-islands window trick — one sort per
+    * doc partition) → gap reassembly with `transform`/`substr` over the
+    * merged-interval array. No per-character explosion: cost rides the
+    * window lattice (corpus_chars / stride) plus one window function
+    * over covered positions, and reassembly is array arithmetic per
+    * doc. Documents with nothing covered pass through verbatim.
+    */
+  def cutRepeatedSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 64, stride: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = repeatedSubstrings(docs, idCol, textCol, window, stride)
+      .select(col("win"))
+    val positions = docs
+      .filter(length(col(textCol)) >= window)
+      .select(
+        col(idCol).as("id"),
+        explode(sequence(
+          lit(1), length(col(textCol)) - (window - 1), lit(stride))).as("pos"),
+        col(textCol).as("__text"))
+      .withColumn("win", col("__text").substr(col("pos"), lit(window)))
+      .join(wins, Seq("win"))
+      .select(col("id"), col("pos").as("s"), (col("pos") + (window - 1)).as("e"))
+    val byStart = Window.partitionBy("id").orderBy("s", "e")
+    val islands = positions
+      .withColumn("maxe", max(col("e")).over(
+        byStart.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("maxe").isNull || col("s") > col("maxe"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(
+        byStart.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("id", "island")
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("iv"))
+    val t = col(textCol)
+    // kept text = the gaps before each island + the tail after the last
+    val gaps = concat_ws("",
+      transform(col("iv"), (ivK, i) => {
+        val prevE = when(i === 0, lit(0L))
+          .otherwise(element_at(col("iv"), i).getField("e"))
+        t.substr((prevE + 1).cast("int"),
+          greatest(ivK.getField("s") - prevE - 1, lit(0L)).cast("int"))
+      }))
+    val tail = t.substr(
+      (element_at(col("iv"), size(col("iv"))).getField("e") + 1).cast("int"),
+      length(t))
+    docs.join(islands, docs(idCol) === islands("id"), "left")
+      .select(
+        col(idCol),
+        when(col("iv").isNull, t).otherwise(concat(gaps, tail)).as("text_clean"),
+        when(col("iv").isNull, lit(0L))
+          .otherwise(length(t) - length(concat(gaps, tail)))
+          .cast("long").as("n_cut"))
+  }
+
   /** Exact dedup: one row per distinct text with the minimal id as the
     * canonical keeper and the duplicate count.
     */

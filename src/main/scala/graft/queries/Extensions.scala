@@ -260,6 +260,57 @@ object Extensions {
       |FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2
       |ORDER BY n_occ DESC, n_docs DESC, win LIMIT 50""".stripMargin
 
+  // The actionable cut: every doc with its cross-document repeated
+  // 64-char spans REMOVED (interval-merged at the same stride lattice)
+  // — output is the full cleaned text per doc plus the removed-char
+  // count, so the hash gate certifies the reassembled strings byte for
+  // byte against the relational replay.
+  def dedupSubstringCut(s: SparkSession, dir: String): DataFrame =
+    TextDedup.cutRepeatedSpans(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val dedupSubstringCutSql: String =
+    """WITH idx AS (
+      |  SELECT i FROM generate_series(1, 100000, 8) g(i)),
+      |pos AS (
+      |  SELECT d.doc_id, CAST(idx.i AS INTEGER) AS pos,
+      |         substr(d.text, CAST(idx.i AS INTEGER), 64) AS win
+      |  FROM documents d JOIN idx ON idx.i <= length(d.text) - 63
+      |  WHERE length(d.text) >= 64),
+      |wins AS (SELECT win FROM pos GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+      |cov AS (SELECT p.doc_id, p.pos AS s, p.pos + 63 AS e
+      |        FROM pos p JOIN wins USING (win)),
+      |m AS (SELECT doc_id, s, e,
+      |        max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+      |      FROM cov),
+      |fl AS (SELECT *, CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END AS ni
+      |       FROM m),
+      |isl0 AS (SELECT *, sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+      |           ROWS UNBOUNDED PRECEDING) AS island FROM fl),
+      |isl AS (SELECT doc_id, island, min(s) AS s, max(e) AS e
+      |        FROM isl0 GROUP BY 1, 2),
+      |j AS (SELECT i.doc_id, i.island, i.s, i.e, d.text,
+      |        coalesce(CAST(lag(i.e) OVER (PARTITION BY i.doc_id
+      |          ORDER BY i.island) AS INTEGER), 0) AS preve
+      |      FROM isl i JOIN documents d USING (doc_id)),
+      |heads AS (SELECT doc_id, island,
+      |            substr(text, preve + 1,
+      |              greatest(CAST(s AS INTEGER) - preve - 1, 0)) AS piece
+      |          FROM j),
+      |tails AS (SELECT doc_id,
+      |            substr(any_value(text), CAST(max(e) + 1 AS INTEGER)) AS tail
+      |          FROM j GROUP BY doc_id),
+      |cut AS (SELECT h.doc_id,
+      |          string_agg(h.piece, '' ORDER BY h.island) || any_value(t.tail)
+      |            AS text_clean
+      |        FROM heads h JOIN tails t USING (doc_id) GROUP BY h.doc_id)
+      |SELECT d.doc_id, coalesce(c.text_clean, d.text) AS text_clean,
+      |       CAST(length(d.text) - length(coalesce(c.text_clean, d.text)) AS BIGINT)
+      |         AS n_cut
+      |FROM documents d LEFT JOIN cut c USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   def dedupNgram(s: SparkSession, dir: String): DataFrame =
     TextDedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", ShingleK, 0.6)
       .orderBy("id_a", "id_b")
@@ -1344,6 +1395,7 @@ object Extensions {
     QueryDef("x_repetition", repetition, Some(repetitionSql)),
     QueryDef("x_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("x_dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
+    QueryDef("x_dedup_substring_cut", dedupSubstringCut, Some(dedupSubstringCutSql)),
     QueryDef("x_dedup_ngram", dedupNgram, Some(dedupNgramSql)),
     QueryDef("x_dedup_ngram_capped", dedupNgramCapped, Some(jaccardPairsSql(0.6))),
     QueryDef("x_dedup_components", dedupComponents, Some(dedupComponentsSql)),

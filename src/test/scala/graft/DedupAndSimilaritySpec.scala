@@ -47,6 +47,28 @@ class DedupAndSimilaritySpec extends SparkSpec {
     assert(TextDedup.repeatedSubstrings(selfRep, "doc_id", "text", 64, 4).count() == 0)
   }
 
+  test("cutRepeatedSpans removes exactly the covered spans, byte for byte") {
+    // 64 chars of shared boilerplate at the START of both docs, aligned
+    // to the stride lattice (pos 1), so the covered interval is [1, 64]
+    // extended by every later stride window still inside the repeat
+    val boiler = "B" * 80
+    val d = Seq(
+      (0L, boiler + "zero-tail that is unique to document number zero indeed"),
+      (1L, boiler + "one-tail entirely different from the other document one!"),
+      (2L, "short and unshared")).toDF("doc_id", "text")
+    val out = TextDedup.cutRepeatedSpans(d, "doc_id", "text", window = 64, stride = 8)
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect()
+    // windows at pos 1,9,17 of an 80-char repeat are all 'B'*64 and
+    // shared; the merged covered interval per doc is [1, 80] exactly
+    // (pos 17 + 63 = 80), so the cut text is the tail alone
+    assert(out(0)._2 == "zero-tail that is unique to document number zero indeed")
+    assert(out(1)._2 == "one-tail entirely different from the other document one!")
+    assert(out(0)._3 == 80L && out(1)._3 == 80L)
+    // untouched doc passes through verbatim with a zero cut count
+    assert(out(2)._2 == "short and unshared" && out(2)._3 == 0L)
+  }
+
   test("ngramJaccardPairs finds exact and near duplicates, nothing else") {
     val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
