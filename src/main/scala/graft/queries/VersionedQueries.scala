@@ -219,8 +219,23 @@ object VersionedQueries {
       |FROM documents WHERE doc_id % 7 <> 0
       |GROUP BY text ORDER BY keep_id""".stripMargin
 
+  // M9 — the SAME engine composition as m5 (two appends → MoR delete →
+  // LWW MERGE → snapshot read), but every commit publishes through the
+  // object-store-shaped ConditionalPutLogStore: mutual exclusion by
+  // conditional PUT alone, no hard links, no no-overwrite rename. A
+  // green row is the oracle-gate statement of the LogStore claim — the
+  // transactional result is bit-identical whichever publish primitive
+  // the store provides, so the S3-class seam is real end to end, not
+  // just spec-deep. (Queries run sequentially in Verify/Bench, so the
+  // scoped store override cannot leak into a concurrent query.)
+  def versionedMergeCondPut(s: SparkSession, dir: String): DataFrame =
+    Versioned.withLogStore(new graft.table.ConditionalPutLogStore) {
+      versionedMerge(s, dir)
+    }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("m5_versioned_merge", versionedMerge, Some(versionedMergeSql)),
+    QueryDef("m9_condput_merge", versionedMergeCondPut, Some(versionedMergeSql)),
     QueryDef("m6_incremental_gold", incrementalGold, Some(incrementalGoldSql)),
     QueryDef("m7_optimize_cluster", optimizeCluster, Some(optimizeClusterSql)),
     QueryDef("x_dedup_versioned", dedupVersioned, Some(dedupVersionedSql)))
