@@ -667,8 +667,12 @@ object Versioned {
         val body = rest.split("}", 2)(0).trim
         if (body.isEmpty) Map.empty
         else body.split(",").map { kv =>
-          val Array(k, n) = kv.split(":", 2)
-          k.trim.stripPrefix("\"").stripSuffix("\"") -> n.trim.toLong
+          // split at the LAST colon: the log-safe appId charset admits
+          // ':' (e.g. the streaming sink's checkpoint-derived ids), so
+          // the key may contain colons while the value never does
+          val i = kv.lastIndexOf(':')
+          kv.take(i).trim.stripPrefix("\"").stripSuffix("\"") ->
+            kv.drop(i + 1).trim.toLong
         }.toMap
       case _ => Map.empty // pre-txn log entry
     }

@@ -18,9 +18,10 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.classic.{Dataset, SparkSession}
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{DataFrame, SQLContext}
 
@@ -50,7 +51,7 @@ import graft.table.Versioned
   *    snapshots one end offset, so the cap never engages there.
   */
 final class VersionedTableSourceProvider
-    extends StreamSourceProvider with DataSourceRegister {
+    extends StreamSourceProvider with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-versioned"
 
@@ -86,6 +87,59 @@ final class VersionedTableSourceProvider
     val pinned = sourceSchema(sqlContext, schema, providerName, parameters)._2
     new VersionedTableSource(spark, dir, pinned, starting, skipChanges, maxVersions)
   }
+
+  /** The WRITE half (`df.writeStream.format("graft-versioned")`) — the
+    * reference's `writeStream.format("delta")` shape: each micro-batch
+    * lands as ONE idempotent append commit watermarked by
+    * (`txnAppId`, batchId) in the target table's own log, so retried
+    * epochs and checkpoint-wiped re-runs over unchanged input never
+    * duplicate rows (the `Ingest.sinkVersionedExactlyOnce` contract,
+    * now reachable without foreachBatch). Append output mode only:
+    * complete/update would need MERGE semantics — route those through
+    * `foreachBatch` + `Versioned.mergeIdempotent` explicitly.
+    * `txnAppId` defaults to a checkpoint-location-derived id (each
+    * checkpointed query IS one logical writer); pass it explicitly
+    * when two checkpoints must share a watermark lineage.
+    */
+  override def createSink(
+      sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft-versioned sink supports Append output mode only, got $outputMode — " +
+        "complete/update need MERGE semantics; use foreachBatch with " +
+        "Versioned.mergeIdempotent")
+    require(partitionColumns.isEmpty,
+      "graft-versioned tables do not take partition columns (clustering + " +
+        "zone maps are the layout story — see Versioned's scaladoc)")
+    val dir = pathOf(parameters)
+    val appId = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation").map(c => s"graft-sink:$c"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-versioned sink needs option(\"txnAppId\", ...) (or a " +
+          "checkpointLocation to derive one from)"))
+    new VersionedTableSink(
+      sqlContext.sparkSession.asInstanceOf[SparkSession], dir, appId)
+  }
+}
+
+/** One micro-batch = one idempotent append commit; see
+  * [[VersionedTableSourceProvider.createSink]].
+  */
+final class VersionedTableSink(spark: SparkSession, dir: String, appId: String)
+    extends Sink {
+
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): Unit = {
+    // the engine hands a streaming-planned frame; re-wrap its executed
+    // RDD as a batch frame (the standard V1-sink move) so the table
+    // layer's ordinary write path applies
+    val classic = data.asInstanceOf[Dataset[org.apache.spark.sql.Row]]
+    val batch = spark.internalCreateDataFrame(
+      classic.queryExecution.toRdd, classic.schema, isStreaming = false)
+    Versioned.appendIdempotent(batch, dir, appId, batchId)
+    ()
+  }
+
+  override def toString: String = s"VersionedTableSink[$dir, $appId]"
 }
 
 /** One micro-batch = one commit range of the table's log: offsets ARE

@@ -197,6 +197,71 @@ class VersionedStreamSpec extends SparkSpec {
     assert(src.getOffset.contains(LongOffset(5L)))
   }
 
+  test("the versioned SINK lands micro-batches as idempotent append commits") {
+    val src = tmpDir("vsk_src")
+    val tgt = tmpDir("vsk_tgt") + "/table"
+    val ckpt = tmpDir("vsk_ckpt")
+    (1L to 3L).map(i => (i, s"r$i")).toDF("id", "s")
+      .write.parquet(s"$src/part1")
+    val schema = spark.read.parquet(s"$src/part1").schema
+    def drainToSink(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(s"$src/*")
+        .writeStream.format("graft-versioned")
+        .option("path", tgt)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainToSink()
+    assert(Versioned.read(spark, tgt).as[(Long, String)].collect().toSet ==
+      Set((1L, "a1"), (2L, "a2"), (3L, "a3")).map { case (i, _) => (i, s"r$i") })
+    val v1 = Versioned.currentVersion(spark, tgt).get
+    assert(Versioned.lastTxnVersion(spark, tgt, s"graft-sink:$ckpt").isDefined,
+      "the sink must watermark under the checkpoint-derived appId")
+
+    // wiped checkpoint, unchanged input: batchIds restart at 0 and the
+    // txn watermark refuses them — no duplicate rows, no new version
+    val _ = new scala.reflect.io.Directory(new java.io.File(ckpt)).deleteRecursively()
+    drainToSink()
+    assert(Versioned.currentVersion(spark, tgt).contains(v1))
+    assert(Versioned.read(spark, tgt).count() == 3)
+
+    // new input file: exactly the fresh rows land, as one more commit
+    Seq((4L, "r4")).toDF("id", "s").write.parquet(s"$src/part2")
+    drainToSink()
+    assert(Versioned.read(spark, tgt).as[(Long, String)].collect().toSet ==
+      (1L to 4L).map(i => (i, s"r$i")).toSet)
+  }
+
+  test("versioned-to-versioned: source through transforms into the sink, end to end") {
+    val up = tmpDir("v2v_up")
+    val down = tmpDir("v2v_down") + "/table"
+    val ckpt = tmpDir("v2v_ckpt")
+    Versioned.append((1L to 10L).map(i => (i, i * 2L)).toDF("id", "v"), up)
+    def pump(): Unit = {
+      val q = Ingest.versionedStream(spark, up)
+        .filter(col("id") % 2L === 0L)
+        .select(col("id"), (col("v") * 100L).as("v100"))
+        .writeStream.format("graft-versioned")
+        .option("path", down)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    pump()
+    assert(Versioned.read(spark, down).as[(Long, Long)].collect().toSet ==
+      (1L to 5L).map(i => (i * 2L, i * 2L * 2L * 100L)).toSet)
+    // upstream advances; the pump moves ONLY the new window downstream
+    Versioned.append(Seq((11L, 22L), (12L, 24L)).toDF("id", "v"), up)
+    pump()
+    assert(Versioned.read(spark, down).as[(Long, Long)].collect().toSet ==
+      (1L to 6L).map(i => (i * 2L, i * 2L * 2L * 100L)).toSet)
+    assert(Versioned.history(spark, down).count() == 2,
+      "each pump with new data must land exactly one downstream commit")
+  }
+
   test("streaming transforms compose: filter + projection over the source") {
     val dir = tmpDir("vs_proj")
     val ckpt = tmpDir("vs_proj_ckpt")
