@@ -2310,12 +2310,22 @@ object Versioned {
     * version this vacuum drops can end up referencing deleted files.
     * Keep restore/time-travel targets inside the retained window for
     * the duration of those operations; see [[restore]]'s scaladoc.
+    *
+    * Returns the paths it deleted. `dryRun = true` (Delta's
+    * `VACUUM ... DRY RUN`) computes and returns the SAME deletion set
+    * without touching anything — no deletes, no log truncation, and no
+    * anchor-sidecar publish.
     */
   def vacuum(
       spark: SparkSession, dir: String, keepVersions: Int = 1,
-      tmpRetentionMs: Long = 3600000L): Unit = {
+      tmpRetentionMs: Long = 3600000L, dryRun: Boolean = false): Seq[String] = {
     require(keepVersions >= 1, "must retain at least the current version")
     val f = fs(spark, dir)
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    def rm(p: Path, recursive: Boolean): Unit = {
+      deleted += p.toString
+      if (!dryRun) { f.delete(p, recursive); () }
+    }
     val all = versions(spark, dir)
     val (drop, keep) = all.splitAt(math.max(0, all.size - keepVersions))
     // anchor the retained window BEFORE truncating: if the oldest kept
@@ -2323,7 +2333,7 @@ object Versioned {
     // ancestors about to be deleted — publish a checkpoint sidecar
     // holding its full list first (atomic tmp+rename; crash before the
     // deletes just leaves a harmless extra sidecar)
-    if (drop.nonEmpty && keep.nonEmpty) {
+    if (!dryRun && drop.nonEmpty && keep.nonEmpty) {
       val oldest = keep.head
       val json = snapshotJson(spark, dir, oldest)
       if (filesOfOpt(json).isEmpty && ckptRefOf(json).isEmpty &&
@@ -2390,7 +2400,7 @@ object Versioned {
         !liveDvFiles.contains(n) && st.getModificationTime < cutoff
       val orphanCkpt = n.startsWith("ckpt-") && n.endsWith(".parquet") &&
         !liveCkptFiles.contains(n) && st.getModificationTime < cutoff
-      if (staleTmp || orphanDv || orphanCkpt) f.delete(st.getPath, false)
+      if (staleTmp || orphanDv || orphanCkpt) rm(st.getPath, false)
     }
     // sweep whole data dirs with no live files; else per-file (every
     // parquet in a PUBLISHED dir is in its commit's add list, so files
@@ -2403,17 +2413,20 @@ object Versioned {
         val d = st.getPath.getName
         if (!liveDirs.contains(d)) {
           if (refDirs.contains(d) || st.getModificationTime < cutoff)
-            f.delete(st.getPath, true)
+            rm(st.getPath, true)
         } else f.listStatus(st.getPath).toSeq.foreach { fileSt =>
           val rel = s"$d/${fileSt.getPath.getName}"
           if (fileSt.getPath.getName.endsWith(".parquet") && !live.contains(rel))
-            f.delete(fileSt.getPath, false)
+            rm(fileSt.getPath, false)
         }
       }
     drop.foreach { v =>
-      f.delete(versionFile(dir, v), false)
-      f.delete(new Path(logPath(dir), f"v$v%08d.zones.json"), false)
-      f.delete(ckptFile(dir, v), false)
+      rm(versionFile(dir, v), false)
+      // sidecars may not exist for a version; record only real paths so
+      // a dry run reports exactly what a live run would remove
+      Seq(new Path(logPath(dir), f"v$v%08d.zones.json"), ckptFile(dir, v))
+        .foreach(p => if (f.exists(p)) rm(p, false))
     }
+    deleted.toSeq
   }
 }

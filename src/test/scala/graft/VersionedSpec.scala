@@ -1114,6 +1114,28 @@ class VersionedSpec extends SparkSpec {
     assert(rows(dir, 21L) == (1 to 21).map(i => (i.toLong, s"r$i")).toSet)
   }
 
+  test("vacuum dry run reports exactly the live run's deletion set, touching nothing") {
+    val dir = tmpDir("vt_vac_dry")
+    (1 to 5).foreach(i =>
+      Versioned.append(Seq((i.toLong, s"r$i")).toDF("id", "s").repartition(1), dir))
+    def treeState(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) :+ f else Seq(f)
+      walk(new java.io.File(dir)).map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = treeState()
+    val planned = Versioned.vacuum(spark, dir, keepVersions = 2,
+      tmpRetentionMs = 0L, dryRun = true)
+    assert(planned.nonEmpty, "dropping 3 versions must plan deletions")
+    assert(treeState() == before, "a dry run must not touch the table")
+    assert(Versioned.versions(spark, dir) == (1L to 5L), "no log truncation")
+    val real = Versioned.vacuum(spark, dir, keepVersions = 2, tmpRetentionMs = 0L)
+    assert(real.toSet == planned.toSet,
+      s"dry-run plan must equal the live deletion set:\n  planned ${planned.toSet}\n  real ${real.toSet}")
+    assert(Versioned.versions(spark, dir) == Seq(4L, 5L))
+    assert(rows(dir, 5L) == (1 to 5).map(i => (i.toLong, s"r$i")).toSet)
+  }
+
   test("large checkpoints spill to columnar parquet sidecars; mixed-format log reads") {
     val dir = tmpDir("vt_ckpt_cols")
     val prevMax = Versioned.CkptInlineMax
