@@ -90,6 +90,33 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("cutRepeatedSpans invariants on random low-alphabet corpora") {
+    // tiny alphabet + modest lengths force cross-document repeats, so
+    // the cutter actually fires; window/stride scaled down to match
+    val docGen = Gen.listOfN(3, Gen.chooseNum(60, 140).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString)))
+    samples(docGen, n = 6).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = graft.operators.TextDedup
+        .cutRepeatedSpans(docs, "doc_id", "text", window = 16, stride = 4)
+        .orderBy("doc_id")
+        .as[(Long, String, Long)].collect()
+      out.zip(texts).foreach { case ((_, clean, nCut), orig) =>
+        // the cleaned text is what remains after removing whole spans:
+        // its length accounts exactly for the reported cut
+        assert(clean.length + nCut == orig.length,
+          s"length bookkeeping broke: |clean|=${clean.length} cut=$nCut |orig|=${orig.length}")
+        // and it is a SUBSEQUENCE of the original (spans are removed,
+        // never reordered or rewritten)
+        var i = 0
+        orig.foreach { ch => if (i < clean.length && clean(i) == ch) i += 1 }
+        assert(i == clean.length,
+          s"cleaned text is not a subsequence of the original:\n  orig=$orig\n  clean=$clean")
+      }
+    }
+  }
+
   test("insert-only merge never changes existing target rows") {
     samples(Gen.zip(tableGen, tableGen)).foreach { case (t, s) =>
       val target = uniq(t)
