@@ -234,6 +234,33 @@ class VersionedStreamSpec extends SparkSpec {
       (1L to 4L).map(i => (i, s"r$i")).toSet)
   }
 
+  test("two concurrent streaming sinks with distinct appIds both land, no rows lost") {
+    val srcA = tmpDir("cs_srcA")
+    val srcB = tmpDir("cs_srcB")
+    val tgt = tmpDir("cs_tgt") + "/table"
+    (1L to 50L).map(i => (i, "a")).toDF("id", "w").write.parquet(s"$srcA/p")
+    (51L to 100L).map(i => (i, "b")).toDF("id", "w").write.parquet(s"$srcB/p")
+    val schema = spark.read.parquet(s"$srcA/p").schema
+    def start(src: String, app: String, ckpt: String) =
+      spark.readStream.schema(schema).parquet(s"$src/*")
+        .writeStream.format("graft-versioned")
+        .option("path", tgt).option("txnAppId", app)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    // both queries race their append commits into ONE table's log; the
+    // optimistic retry serializes them — neither writer's batch is lost
+    val qa = start(srcA, "writer-a", tmpDir("cs_ckptA"))
+    val qb = start(srcB, "writer-b", tmpDir("cs_ckptB"))
+    qa.awaitTermination()
+    qb.awaitTermination()
+    assert(Versioned.read(spark, tgt).count() == 100)
+    assert(Versioned.lastTxnVersion(spark, tgt, "writer-a").isDefined)
+    assert(Versioned.lastTxnVersion(spark, tgt, "writer-b").isDefined)
+    assert(Versioned.versions(spark, tgt).size == 2,
+      "each writer's drain should land exactly one commit")
+  }
+
   test("versioned-to-versioned: source through transforms into the sink, end to end") {
     val up = tmpDir("v2v_up")
     val down = tmpDir("v2v_down") + "/table"
