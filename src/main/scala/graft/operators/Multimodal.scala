@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 
 /** Multimodal columns: image/audio/video payloads travel as opaque
   * `binary` columns next to typed metadata, and per-record feature

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ops.Upsert
 import graft.streaming.Ingest
-import graft.table.{Bucketed, Table, TableRef, Versioned}
+import graft.table.{Bucketed, Table, Versioned}
 
 /** End-to-end lakehouse orchestration — the reference's nine notebooks
   * (`01_bronze_csv_to_delta.py` … `09_gold_metrics_customers.py`) as one
