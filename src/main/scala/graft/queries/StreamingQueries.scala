@@ -309,45 +309,46 @@ object StreamingQueries {
        |   OR (s.end_us + ${Temporal.GapUs})//1000 + 1 < m.wm_ms
        |ORDER BY s.user_id, start_us""".stripMargin
 
-  // ST8 — the LOG-DRIVEN streaming source over a versioned table
-  // (format("graft-versioned"), the reference's readStream-on-Delta
-  // shape at 02:20-24): the one streaming capability whose engine side
-  // is the transaction log itself. The query builds a versioned table
-  // from events in two append commits, DRAINS it through the source
-  // (AvailableNow, checkpointed, foreachBatch parquet sink), then lands
-  // a maintenance compaction plus a third append and drains AGAIN with
-  // the SAME checkpoint — a restart mid-log. A green row therefore
-  // proves, under the oracle gate: offsets-as-versions survive restart
-  // (the second drain emits only the new window), optimize commits
-  // emit nothing, and the accumulated stream equals the batch read —
-  // exactly-once end to end.
+  // ST8 — the LOG-DRIVEN streaming source AND sink over versioned
+  // tables (format("graft-versioned") on both ends, the reference's
+  // readStream-on-Delta → writeStream-to-Delta shape at 02:20-101):
+  // the streaming capabilities whose engine side is the transaction
+  // log itself. The query builds an upstream versioned table from
+  // events in two append commits, PUMPS it through the source into a
+  // DOWNSTREAM versioned table via the sink (AvailableNow,
+  // checkpointed — each micro-batch one idempotent append commit in
+  // the downstream log), then lands a maintenance compaction plus a
+  // third append upstream and pumps AGAIN with the SAME checkpoint — a
+  // restart mid-log. A green row therefore proves, under the oracle
+  // gate: offsets-as-versions survive restart (the second pump moves
+  // only the new window), optimize commits emit nothing, the sink's
+  // (appId, batchId) watermarks never double-apply, and the
+  // accumulated downstream table equals the batch read — the whole
+  // versioned-to-versioned streaming pipeline exactly-once end to end.
   def streamVersioned(s: SparkSession, dir: String): DataFrame = {
     import graft.table.Versioned
     val ev = t(s, dir, "events")
       .withColumn("ts_us", expr("ts div 1000"))
       .select("event_id", "user_id", "event_type", "ts_us")
-    val tableDir = VersionedQueries.scratch("graft_st8")
+    val upDir = VersionedQueries.scratch("graft_st8_up")
     val ckpt = VersionedQueries.scratch("graft_st8_ckpt")
-    val sink = VersionedQueries.scratch("graft_st8_sink") + "/out"
-    def drainOnce(): Unit = {
-      val q = graft.streaming.Ingest.versionedStream(s, tableDir)
-        .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty) batch.write.mode("append").parquet(sink)
-          ()
-        }
+    val downDir = VersionedQueries.scratch("graft_st8_down") + "/table"
+    def pumpOnce(): Unit = {
+      val q = graft.streaming.Ingest.versionedStream(s, upDir)
+        .writeStream.format("graft-versioned")
+        .option("path", downDir)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     }
-    Versioned.append(ev.filter(col("event_id") % 3 === 0), tableDir) // v1
-    Versioned.append(ev.filter(col("event_id") % 3 === 1), tableDir) // v2
-    drainOnce()
-    Versioned.compact(s, tableDir) // v3: row-preserving, must emit nothing
-    Versioned.append(ev.filter(col("event_id") % 3 === 2), tableDir) // v4
-    drainOnce() // restart: only the (v2, v4] window emits
-    s.read.parquet(sink).orderBy("event_id")
+    Versioned.append(ev.filter(col("event_id") % 3 === 0), upDir) // v1
+    Versioned.append(ev.filter(col("event_id") % 3 === 1), upDir) // v2
+    pumpOnce()
+    Versioned.compact(s, upDir) // v3: row-preserving, must emit nothing
+    Versioned.append(ev.filter(col("event_id") % 3 === 2), upDir) // v4
+    pumpOnce() // restart: only the (v2, v4] window moves downstream
+    Versioned.read(s, downDir).orderBy("event_id")
   }
 
   val streamVersionedSql: String =
