@@ -86,17 +86,20 @@ object TextDedup {
     import org.apache.spark.sql.expressions.Window
     val wins = repeatedSubstrings(docs, idCol, textCol, window, stride)
       .select(col("win"))
+    // the island key rides under a reserved internal name so the final
+    // join stays unambiguous even when the caller's idCol is "id"
     val positions = docs
       .filter(length(col(textCol)) >= window)
       .select(
-        col(idCol).as("id"),
+        col(idCol).as("__island_id"),
         explode(sequence(
           lit(1), length(col(textCol)) - (window - 1), lit(stride))).as("pos"),
         col(textCol).as("__text"))
       .withColumn("win", col("__text").substr(col("pos"), lit(window)))
       .join(wins, Seq("win"))
-      .select(col("id"), col("pos").as("s"), (col("pos") + (window - 1)).as("e"))
-    val byStart = Window.partitionBy("id").orderBy("s", "e")
+      .select(col("__island_id"),
+        col("pos").as("s"), (col("pos") + (window - 1)).as("e"))
+    val byStart = Window.partitionBy("__island_id").orderBy("s", "e")
     val islands = positions
       .withColumn("maxe", max(col("e")).over(
         byStart.rowsBetween(Window.unboundedPreceding, -1)))
@@ -104,9 +107,9 @@ object TextDedup {
         when(col("maxe").isNull || col("s") > col("maxe"), 1L).otherwise(0L))
       .withColumn("island", sum(col("ni")).over(
         byStart.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy("id", "island")
+      .groupBy("__island_id", "island")
       .agg(min(col("s")).as("s"), max(col("e")).as("e"))
-      .groupBy("id")
+      .groupBy("__island_id")
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("iv"))
     val t = col(textCol)
     // kept text = the gaps before each island + the tail after the last
@@ -120,9 +123,9 @@ object TextDedup {
     val tail = t.substr(
       (element_at(col("iv"), size(col("iv"))).getField("e") + 1).cast("int"),
       length(t))
-    docs.join(islands, docs(idCol) === islands("id"), "left")
+    docs.join(islands, docs(idCol) === islands("__island_id"), "left")
       .select(
-        col(idCol),
+        docs(idCol),
         when(col("iv").isNull, t).otherwise(concat(gaps, tail)).as("text_clean"),
         when(col("iv").isNull, lit(0L))
           .otherwise(length(t) - length(concat(gaps, tail)))

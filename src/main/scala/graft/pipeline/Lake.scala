@@ -38,7 +38,20 @@ object Lake {
       try {
         val futures = items.map(a =>
           pool.submit(new java.util.concurrent.Callable[B] { def call(): B = f(a) }))
-        futures.map(_.get())
+        try futures.map(_.get())
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            // a failing flow must not unwind while sibling commits are
+            // still in flight: cancel what hasn't started, then WAIT for
+            // the already-running flows to finish before propagating —
+            // and surface the flow's real exception (e.g. the
+            // IllegalArgumentException contract of refreshSilver*), not
+            // the ExecutionException wrapper
+            futures.foreach(_.cancel(false))
+            pool.shutdown()
+            pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+            throw Option(e.getCause).getOrElse(e)
+        }
       } finally pool.shutdown()
     }
 

@@ -245,12 +245,21 @@ object Extensions {
       .orderBy(col("n_occ").desc, col("n_docs").desc, col("win"))
       .limit(50)
 
-  // DuckDB's generate_series takes constant bounds only, so the index
-  // list is a generous constant range bounded per-doc by the join
-  // condition — position set identical to Spark's sequence(1, len-63, 8)
+  // DuckDB's generate_series takes constant bounds only (subquery
+  // parameters are rejected by the binder), so the index list is a
+  // generous constant range bounded per-doc by the join condition —
+  // position set identical to Spark's sequence(1, len-63, 8). The guard
+  // CTE (cross-joined so it always evaluates) makes the oracle FAIL
+  // LOUDLY if a future testdata generation ever ships a document whose
+  // position set would exceed the constant, instead of silently
+  // hash-mismatching against the Spark side.
   val dedupSubstringSql: String =
-    """WITH idx AS (
-      |  SELECT i FROM generate_series(1, 100000, 8) g(i)),
+    """WITH guard AS (
+      |  SELECT CASE WHEN max(length(text)) > 100063
+      |    THEN error('documents exceed the 100000-position substring-oracle cap')
+      |    ELSE 1 END AS ok FROM documents),
+      |idx AS (
+      |  SELECT i FROM generate_series(1, 100000, 8) g(i) CROSS JOIN guard),
       |w AS (
       |  SELECT d.doc_id, substr(d.text, CAST(idx.i AS INTEGER), 64) AS win
       |  FROM documents d JOIN idx ON idx.i <= length(d.text) - 63
@@ -270,8 +279,12 @@ object Extensions {
       .orderBy("doc_id")
 
   val dedupSubstringCutSql: String =
-    """WITH idx AS (
-      |  SELECT i FROM generate_series(1, 100000, 8) g(i)),
+    """WITH guard AS (
+      |  SELECT CASE WHEN max(length(text)) > 100063
+      |    THEN error('documents exceed the 100000-position substring-oracle cap')
+      |    ELSE 1 END AS ok FROM documents),
+      |idx AS (
+      |  SELECT i FROM generate_series(1, 100000, 8) g(i) CROSS JOIN guard),
       |pos AS (
       |  SELECT d.doc_id, CAST(idx.i AS INTEGER) AS pos,
       |         substr(d.text, CAST(idx.i AS INTEGER), 64) AS win

@@ -121,11 +121,31 @@ final class ConditionalPutLogStore extends LogStore {
     // a destination that already exists on disk (written outside this
     // store instance) also refuses, like If-None-Match's server-side
     // existence check
-    if (!cells.add(key) || fs.exists(dest)) {
+    if (!cells.add(key)) {
       fs.delete(tmp, false)
       throw race()
     }
-    if (!fs.rename(tmp, dest)) {
+    // claimed, but the destination pre-exists on disk (written outside
+    // this store instance): refuse like If-None-Match's server-side
+    // existence check — and RELEASE the claim, since the on-disk object
+    // itself now guards the cell and a later legitimate writer (e.g.
+    // after a manual log repair removes the object) must be able to
+    // claim it again
+    if (fs.exists(dest)) {
+      cells.remove(key)
+      fs.delete(tmp, false)
+      throw race()
+    }
+    // a failed PUT may surface as `false` OR as an IOException
+    // (RawLocalFileSystem throws FileNotFoundException for a missing
+    // source) — both mean nothing was published
+    val put = try fs.rename(tmp, dest)
+      catch { case _: java.io.IOException => false }
+    if (!put) {
+      // nothing was published: release the cell so a retry — including
+      // commitRetry's own attempts in this JVM — can claim it, as the
+      // error message promises
+      cells.remove(key)
       fs.delete(tmp, false)
       throw new IllegalStateException(
         s"winner's PUT of $dest failed after claiming the cell — log corrupt-free " +

@@ -2388,6 +2388,21 @@ object Versioned {
       val j = snapshotJson(spark, dir, v)
       fullListOf(spark, dir, j).getOrElse(Seq.empty) ++ listOf(j, "add")
     }.toSet
+    // dropped log entries go FIRST, before any sidecar they reference is
+    // swept: a crash after a sidecar sweep but before the entry deletes
+    // would leave listed entries pointing at missing sidecars, making
+    // every later everReferenced/history resolution throw. The reverse
+    // crash (entries gone, sidecars still present) is harmless — the
+    // now-unreferenced sidecars age-sweep below or on the next run. All
+    // referenced-set computations above already captured what the drop
+    // entries knew, so deleting them here changes no decision below.
+    drop.foreach { v =>
+      rm(versionFile(dir, v), false)
+      // sidecars may not exist for a version; record only real paths so
+      // a dry run reports exactly what a live run would remove
+      Seq(new Path(logPath(dir), f"v$v%08d.zones.json"), ckptFile(dir, v))
+        .foreach(p => if (f.exists(p)) rm(p, false))
+    }
     f.listStatus(logPath(dir)).toSeq.foreach { st =>
       val n = st.getPath.getName
       val staleTmp = n.startsWith(".") && n.endsWith(".tmp") &&
@@ -2420,13 +2435,6 @@ object Versioned {
             rm(fileSt.getPath, false)
         }
       }
-    drop.foreach { v =>
-      rm(versionFile(dir, v), false)
-      // sidecars may not exist for a version; record only real paths so
-      // a dry run reports exactly what a live run would remove
-      Seq(new Path(logPath(dir), f"v$v%08d.zones.json"), ckptFile(dir, v))
-        .foreach(p => if (f.exists(p)) rm(p, false))
-    }
     deleted.toSeq
   }
 }

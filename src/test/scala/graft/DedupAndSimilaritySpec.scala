@@ -69,6 +69,21 @@ class DedupAndSimilaritySpec extends SparkSpec {
     assert(out(2)._2 == "short and unshared" && out(2)._3 == 0L)
   }
 
+  test("cutRepeatedSpans works when the caller's id column is literally \"id\"") {
+    // regression: the internal island key used to be hardcoded to "id",
+    // making the final join ambiguous for this (perfectly reasonable)
+    // caller schema
+    val boiler = "B" * 80
+    val d = Seq(
+      (0L, boiler + "zero-tail that is unique to document number zero indeed"),
+      (1L, boiler + "one-tail entirely different from the other document one!"))
+      .toDF("id", "text")
+    val out = TextDedup.cutRepeatedSpans(d, "id", "text", window = 64, stride = 8)
+      .orderBy("id").as[(Long, String, Long)].collect()
+    assert(out(0)._2 == "zero-tail that is unique to document number zero indeed")
+    assert(out(1)._3 == 80L)
+  }
+
   test("ngramJaccardPairs finds exact and near duplicates, nothing else") {
     val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -155,4 +155,39 @@ class LogStoreSpec extends SparkSpec {
       }
     }
   }
+
+  test("conditional-put releases its claim on rename failure and on exists-loss") {
+    // regression: a claimed cell whose publish never landed used to stay
+    // claimed forever, poisoning the version for every retry in this
+    // JVM — contradicting the CommitRace message's retry guidance
+    val store = new ConditionalPutLogStore
+    val dir = tmpDir("ls_release")
+    val fs = fsFor(dir)
+    val log = new org.apache.hadoop.fs.Path(dir, "_graft_log")
+    fs.mkdirs(log)
+    val dest = new org.apache.hadoop.fs.Path(log, "v00000001.json")
+    def tmpWith(body: String) = {
+      val t = new org.apache.hadoop.fs.Path(
+        log, s".v1-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val o = fs.create(t, true)
+      try o.write(body.getBytes("UTF-8")) finally o.close()
+      t
+    }
+    // rename failure: the tmp vanishes before publish (simulating the
+    // store's PUT failing after the claim) — the claim must come back
+    val ghost = tmpWith("{}")
+    fs.delete(ghost, false)
+    intercept[IllegalStateException](store.publishOnce(fs, ghost, dest))
+    store.publishOnce(fs, tmpWith("""{"writer":1}"""), dest)
+    assert(fs.exists(dest), "retry after rename failure must be able to publish")
+    // exists-loss: dest pre-exists on disk (outside this instance) → the
+    // claim must release so a writer after a manual repair can claim it
+    val dest2 = new org.apache.hadoop.fs.Path(log, "v00000002.json")
+    val o2 = fs.create(dest2, true); o2.write("{}".getBytes("UTF-8")); o2.close()
+    intercept[Versioned.CommitRace](
+      store.publishOnce(fs, tmpWith("{}"), dest2))
+    fs.delete(dest2, false) // the manual repair
+    store.publishOnce(fs, tmpWith("""{"writer":2}"""), dest2)
+    assert(fs.exists(dest2), "claim must release after losing to fs.exists")
+  }
 }
