@@ -2,9 +2,12 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{IntegerType, LongType, TimestampType}
 
 import graft.plans.{DotProduct, IntersectSize, KMinValues, MinHashSig, PolyHash, WordShingles}
 
@@ -27,8 +30,70 @@ import graft.plans.{DotProduct, IntersectSize, KMinValues, MinHashSig, PolyHash,
   * structure, not data).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // hint-resolution batch, NOT the resolution batch: the built-in
+    // ResolveSQLOnFile fails fast on `format`.`path` relations whose
+    // format is a non-file DSv2 provider, and it runs before extended
+    // resolution rules would — so this rule must fire in the earlier
+    // Hints batch to claim `graft-versioned`.`...` relations first
+    ext.injectHintResolutionRule(session =>
+      new ResolveGraftVersionedRelation(session.asInstanceOf[SparkSession]))
+  }
+}
+
+/** Pure-SQL entry to versioned tables — resolves
+  *
+  *   SELECT ... FROM `graft-versioned`.`/table/dir`
+  *   SELECT ... FROM `graft-versioned`.`/table/dir` VERSION AS OF 3
+  *   SELECT ... FROM `graft-versioned`.`/table/dir` TIMESTAMP AS OF '...'
+  *
+  * (Delta's `delta.`/path`` SQL shape, `02_bronze_to_silver.py:394-398`)
+  * by substituting [[graft.table.Versioned]]'s snapshot scan — the
+  * native parquet plan plus any DV anti-join — directly into the query
+  * plan. No relation boundary, no row conversion: the inlined subplan
+  * optimizes with the whole query (pushdown, pruning, codegen), which
+  * is exactly why this is an analyzer rule and not another DataSource.
+  */
+final class ResolveGraftVersionedRelation(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  private def graftPath(u: UnresolvedRelation): Option[String] =
+    u.multipartIdentifier match {
+      case Seq(fmt, path) if fmt.equalsIgnoreCase("graft-versioned") && !u.isStreaming =>
+        Some(path)
+      case _ => None
+    }
+
+  private def snapshot(path: String, v: Long): LogicalPlan =
+    graft.table.Versioned.readAt(spark, path, v).queryExecution.analyzed
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, version) =>
+      graftPath(u) match {
+        case None => tt
+        case Some(path) => (version, ts) match {
+          case (Some(v), _) => snapshot(path, v.toLong)
+          case (None, Some(e)) =>
+            val micros = Cast(e, TimestampType, Some(conf.sessionLocalTimeZone))
+              .eval(null)
+            require(micros != null,
+              s"TIMESTAMP AS OF expression does not evaluate to a timestamp: $e")
+            graft.table.Versioned
+              .readAsOf(spark, path, micros.asInstanceOf[Long] / 1000L)
+              .queryExecution.analyzed
+          case (None, None) => tt
+        }
+      }
+    case u: UnresolvedRelation =>
+      graftPath(u) match {
+        case Some(path) =>
+          snapshot(path, graft.table.Versioned.currentVersion(spark, path)
+            .getOrElse(throw new IllegalArgumentException(
+              s"no committed versions at $path")))
+        case None => u
+      }
+  }
 }
 
 object GraftExtensions {

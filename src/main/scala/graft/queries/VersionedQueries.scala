@@ -233,7 +233,55 @@ object VersionedQueries {
       versionedMerge(s, dir)
     }
 
+  // X — pure-SQL time travel: the events halves land as two APPEND
+  // commits (v1 ⊂ v2), then BOTH snapshots are read back through
+  // `spark.sql` alone — the `graft-versioned`.`/dir` relation with
+  // `VERSION AS OF`, no graft imports on the read side (Delta's
+  // `delta.`/path`` + time-travel SQL shape, `02:394-398`). The join of
+  // the two per-type aggregates certifies that v1 still reads the OLD
+  // file set after v2 committed — the core time-travel contract.
+  def sqlTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("value_c", floor(col("value") * 100))
+      .select("event_id", "event_type", "value_c")
+    val evB = ev.crossJoin(broadcast(ev.agg(expr("count(1) div 2").as("__split"))))
+    val tableDir = scratchDir("graft_sqltt")
+    Versioned.append(evB.filter(col("event_id") < col("__split")).drop("__split"),
+      tableDir) // v1: older half
+    Versioned.append(evB.filter(col("event_id") >= col("__split")).drop("__split"),
+      tableDir) // v2: + newer half (append-only, so v2 ⊃ v1)
+    s.sql(
+      s"""SELECT v1.event_type AS event_type,
+         |       v1.n AS n_v1, v2.n AS n_v2,
+         |       v1.sum_c AS sum_v1_c, v2.sum_c AS sum_v2_c
+         |FROM (SELECT event_type, count(*) AS n,
+         |             CAST(sum(value_c) AS BIGINT) AS sum_c
+         |      FROM `graft-versioned`.`$tableDir` VERSION AS OF 1
+         |      GROUP BY event_type) v1
+         |JOIN (SELECT event_type, count(*) AS n,
+         |             CAST(sum(value_c) AS BIGINT) AS sum_c
+         |      FROM `graft-versioned`.`$tableDir` VERSION AS OF 2
+         |      GROUP BY event_type) v2
+         |  USING (event_type)
+         |ORDER BY event_type""".stripMargin)
+  }
+
+  val sqlTimeTravelSql: String =
+    """WITH n AS (SELECT count(*) AS c FROM events),
+      |ev AS (SELECT event_id, event_type,
+      |              CAST(floor(value * 100) AS BIGINT) AS value_c FROM events),
+      |v1 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |              CAST(sum(value_c) AS BIGINT) AS sum_c
+      |       FROM ev WHERE event_id < (SELECT c//2 FROM n) GROUP BY event_type),
+      |v2 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |              CAST(sum(value_c) AS BIGINT) AS sum_c
+      |       FROM ev GROUP BY event_type)
+      |SELECT v1.event_type AS event_type, v1.n AS n_v1, v2.n AS n_v2,
+      |       v1.sum_c AS sum_v1_c, v2.sum_c AS sum_v2_c
+      |FROM v1 JOIN v2 USING (event_type) ORDER BY event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("x_sql_timetravel", sqlTimeTravel, Some(sqlTimeTravelSql)),
     QueryDef("m5_versioned_merge", versionedMerge, Some(versionedMergeSql)),
     QueryDef("m9_condput_merge", versionedMergeCondPut, Some(versionedMergeSql)),
     QueryDef("m6_incremental_gold", incrementalGold, Some(incrementalGoldSql)),

@@ -1,0 +1,200 @@
+/** Batch DSv2 surface of graft versioned tables — the
+  * `spark.read.format("graft-versioned")` analog of Delta's batch read
+  * (reference reads `spark.read.format("delta").load(path)` at
+  * `02_bronze_to_silver.py:394-398` and every gold notebook), so any
+  * Spark client reads a versioned table — current snapshot or time
+  * travel — with zero graft imports:
+  *
+  *   spark.read.format("graft-versioned").load(dir)                  // head
+  *   spark.read.format("graft-versioned")
+  *     .option("versionAsOf", 3).load(dir)                           // Delta option
+  *   spark.read.format("graft-versioned")
+  *     .option("timestampAsOf", "2026-01-01 00:00:00").load(dir)
+  *
+  * SCAN ARCHITECTURE (the 100 TB story): a snapshot with no live
+  * deletion vectors is EXACTLY a set of immutable parquet files, so the
+  * table delegates its scan to Spark's own [[ParquetScanBuilder]] over
+  * an exact-file [[InMemoryFileIndex]] — the scan that plans is the
+  * native vectorized parquet batch scan with filter pushdown, column
+  * pruning, and aggregate pushdown, byte-identical in cost to reading
+  * the files directly; this connector adds only the log-resolved file
+  * list (driver-side, metadata-scale, same as Delta). Snapshots that DO
+  * carry deletion vectors need the DV anti-join, which no file scan can
+  * express — those route through a [[V1Scan]] bridge over
+  * [[Versioned.readAt]] (column-pruned; the row-conversion boundary is
+  * paid only on MoR-mutated snapshots, whose reads pay the DV subtract
+  * anyway, and OPTIMIZE/copy-on-write restores the fast path).
+  *
+  * WHY THIS PACKAGE: same reason as [[VersionedTableSource]] — the
+  * exact-file index and parquet scan builder are `org.apache.spark.sql`
+  * internals, and Spark's own connectors access them from subpackages.
+  * All table/log semantics stay in [[graft.table.Versioned]].
+  */
+package org.apache.spark.sql.graft
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext}
+import org.apache.spark.sql.classic.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex, PartitionSpec}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.table.Versioned
+
+private[graft] object VersionedBatchTable {
+
+  def pathOf(options: JMap[String, String]): String = {
+    val ci = new CaseInsensitiveStringMap(options)
+    Option(ci.get("path")).getOrElse(throw new IllegalArgumentException(
+      "graft-versioned requires a path: .load(<versioned table dir>) or " +
+        "option(\"path\", ...)"))
+  }
+
+  /** Resolves the snapshot the options name: `versionAsOf` wins, then
+    * `timestampAsOf` (any string `to_timestamp` accepts, or epoch
+    * millis), else the current head. None = table has no commits yet.
+    */
+  def resolveVersion(
+      spark: SparkSession, dir: String, options: JMap[String, String]): Option[Long] = {
+    val ci = new CaseInsensitiveStringMap(options)
+    (Option(ci.get("versionAsOf")), Option(ci.get("timestampAsOf"))) match {
+      case (Some(v), _) =>
+        val ver = v.toLong
+        require(Versioned.versions(spark, dir).contains(ver),
+          s"versionAsOf $ver does not exist (vacuumed or never committed) at $dir")
+        Some(ver)
+      case (None, Some(ts)) =>
+        val millis = ts.toLongOption.getOrElse {
+          val t = java.sql.Timestamp.valueOf(ts)
+          t.getTime
+        }
+        val vs = Versioned.versions(spark, dir)
+        require(vs.nonEmpty, s"no committed versions at $dir")
+        Some(vs.filter(Versioned.commitTimestampAt(spark, dir, _) <= millis).lastOption
+          .getOrElse(throw new IllegalArgumentException(
+            s"no version committed at or before $ts at $dir")))
+      case (None, None) => Versioned.currentVersion(spark, dir)
+    }
+  }
+
+  def schemaFor(spark: SparkSession, dir: String, v: Long): StructType =
+    Versioned.schemaAt(spark, dir, v)
+      .getOrElse(Versioned.readAt(spark, dir, v).schema)
+}
+
+/** One resolved (dir, version) snapshot as a DSv2 batch table. A table
+  * with NO commits yet surfaces an empty schema and no capabilities —
+  * that keeps `writeStream.format("graft-versioned")` on its V1 sink
+  * (the engine checks capabilities before falling back) instead of
+  * failing at metadata inference on a first-ever write.
+  */
+final class VersionedBatchTable(
+    spark: SparkSession, dir: String, version: Option[Long],
+    declared: Option[StructType]) extends Table with SupportsRead {
+
+  override def name(): String =
+    s"graft-versioned $dir" + version.map(v => s"@v$v").getOrElse("")
+
+  override def schema(): StructType =
+    declared.orElse(version.map(VersionedBatchTable.schemaFor(spark, dir, _)))
+      .getOrElse(new StructType())
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    if (version.isEmpty) java.util.Collections.emptySet()
+    else java.util.Collections.singleton(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val v = version.getOrElse(throw new IllegalArgumentException(
+      s"no committed versions at $dir — nothing to read"))
+    val dvs = Versioned.dvsAt(spark, dir, v)
+    if (dvs.isEmpty) {
+      // fast path: the snapshot IS its parquet files — hand Spark's own
+      // parquet scan builder the exact live-file index and get the
+      // native vectorized scan + pushdown machinery unchanged
+      val files = Versioned.filesAt(spark, dir, v).map(f => new Path(s"$dir/$f"))
+      val index = new InMemoryFileIndex(
+        spark, files, Map.empty[String, String], Some(schema()),
+        userSpecifiedPartitionSpec = Some(PartitionSpec.emptySpec))
+      ParquetScanBuilder(spark, index, schema(), schema(), options)
+    } else new DvBridgeScanBuilder(spark, dir, v, schema())
+  }
+}
+
+/** DV-bearing snapshots: the deletion-vector anti-join is a JOIN, not a
+  * file scan, so this builder bridges to the V1 relation API over
+  * [[Versioned.readAt]] — the inner plan is still the native parquet
+  * scan plus the broadcast DV subtract; only the relation boundary
+  * (InternalRow↔Row) is V1-shaped. Column pruning is pushed into the
+  * inner plan so the parquet scan reads only what the query needs.
+  */
+private final class DvBridgeScanBuilder(
+    spark: SparkSession, dir: String, v: Long, full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = full
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve the table's own column order: parquet pruning doesn't
+    // care, and stable order keeps `select *` output deterministic
+    required = StructType(full.filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan = new V1Scan {
+    override def readSchema(): StructType = required
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T = {
+      val pruned = required
+      new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = context
+        override def schema: StructType = pruned
+        override def buildScan(): RDD[Row] = {
+          val df = Versioned.readAt(spark, dir, v)
+          import org.apache.spark.sql.functions.col
+          (if (pruned.isEmpty) df else df.select(pruned.fieldNames.map(col).toSeq: _*)).rdd
+        }
+      }.asInstanceOf[T]
+    }
+  }
+}
+
+/** The TableProvider half, mixed into [[VersionedTableSourceProvider]]
+  * so ONE registered short name serves batch V2 reads while streaming
+  * reads/writes keep falling back to the proven V1 source/sink (the
+  * table advertises neither MICRO_BATCH_READ nor STREAMING_WRITE, which
+  * is exactly the condition Spark's stream reader/writer use to fall
+  * back when the provider also implements the V1 interfaces).
+  */
+trait VersionedBatchTableProvider extends TableProvider {
+
+  // user-declared schemas must pass through (streaming reads of
+  // not-yet-existing tables pin a schema explicitly)
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val dir = VersionedBatchTable.pathOf(options)
+    VersionedBatchTable.resolveVersion(spark, dir, options)
+      .map(VersionedBatchTable.schemaFor(spark, dir, _))
+      .getOrElse(new StructType())
+  }
+
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val spark = SparkSession.active
+    val dir = VersionedBatchTable.pathOf(properties)
+    val version = VersionedBatchTable.resolveVersion(spark, dir, properties)
+    val declared = Option(schema).filter(_.nonEmpty)
+    val _ = partitioning
+    new VersionedBatchTable(spark, dir, version, declared)
+  }
+}

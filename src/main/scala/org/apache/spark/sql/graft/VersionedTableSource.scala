@@ -51,7 +51,8 @@ import graft.table.Versioned
   *    snapshots one end offset, so the cap never engages there.
   */
 final class VersionedTableSourceProvider
-    extends StreamSourceProvider with StreamSinkProvider with DataSourceRegister {
+    extends StreamSourceProvider with StreamSinkProvider with DataSourceRegister
+    with VersionedBatchTableProvider {
 
   override def shortName(): String = "graft-versioned"
 
