@@ -68,7 +68,28 @@ final class ResolveGraftVersionedRelation(spark: SparkSession)
   private def snapshot(path: String, v: Long): LogicalPlan =
     graft.table.Versioned.readAt(spark, path, v).queryExecution.analyzed
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+  /** A MERGE target keeps its IDENTITY (the statement mutates the
+    * table), so it must be claimed at the root BEFORE the bottom-up
+    * relation pass below would inline it away as a snapshot scan.
+    */
+  private def graftMergeTarget(p: LogicalPlan): Option[(String, Option[String])] =
+    p match {
+      case org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(id, u: UnresolvedRelation) =>
+        graftPath(u).map(_ -> Some(id.name))
+      case u: UnresolvedRelation => graftPath(u).map(_ -> None)
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
+      graftMergeTarget(m.targetTable) match {
+        case Some((path, alias)) => graft.plans.SqlMerge.translate(spark, m, path, alias)
+        case None => resolveRelations(plan)
+      }
+    case _ => resolveRelations(plan)
+  }
+
+  private def resolveRelations(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, version) =>
       graftPath(u) match {
         case None => tt

@@ -356,6 +356,65 @@ object StreamingQueries {
       |       CAST(epoch_ns(ts)//1000 AS BIGINT) AS ts_us
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ST9 — the streaming CHANGE FEED source (readChangeFeed=true, the
+  // Delta CDF-streaming analog): where st8's insert-only tail STOPS on
+  // a row-mutating commit, the change feed REPRESENTS it. The upstream
+  // versioned table takes two parity appends, is pumped once (initial
+  // snapshot → all rows as `insert`), then a row-level UPDATE commits
+  // (copy-on-write rewrite — exactly what an insert-only stream cannot
+  // carry) plus a third append, and the SAME checkpoint pumps again:
+  // the second window's diff must emit the update as a delete+insert
+  // PAIR plus the appended rows, and nothing else — carried rows in the
+  // rewritten files cancel in the O(changed files) snapshot diff. Both
+  // pumps land in a downstream versioned table through the idempotent
+  // sink, so the green row also proves CDF rows compose with the
+  // exactly-once sink under restart.
+  def streamChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    import graft.table.Versioned
+    val ev = t(s, dir, "events")
+      .withColumn("value_c", floor(col("value") * 100))
+      .select("event_id", "user_id", "event_type", "value_c")
+    val upDir = VersionedQueries.scratch("graft_st9_up")
+    val ckpt = VersionedQueries.scratch("graft_st9_ckpt")
+    val downDir = VersionedQueries.scratch("graft_st9_down") + "/table"
+    def pumpOnce(): Unit = {
+      val q = graft.streaming.Ingest.versionedChangeFeed(s, upDir)
+        .writeStream.format("graft-versioned")
+        .option("path", downDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Versioned.append(ev.filter(col("event_id") % 2 === 0), upDir) // v1
+    Versioned.append(ev.filter(col("event_id") % 2 === 1), upDir) // v2
+    pumpOnce() // initial snapshot: every row as `insert`
+    Versioned.updateWhere(s, upDir, col("event_id") % 5 === 0,
+      Map("value_c" -> (col("value_c") + 1000))) // v3: row-mutating rewrite
+    Versioned.append(
+      ev.withColumn("event_id", col("event_id") + 10000000L), upDir) // v4
+    pumpOnce() // restart: (v2, v4] diff = update pairs + new appends
+    Versioned.read(s, downDir)
+      .orderBy("event_id", "_change_type", "value_c")
+  }
+
+  val streamChangeFeedSql: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type,
+      |                   CAST(floor(value * 100) AS BIGINT) AS value_c
+      |            FROM events),
+      |upd AS (SELECT * FROM ev WHERE event_id % 5 = 0)
+      |SELECT event_id, user_id, event_type, value_c, _change_type FROM (
+      |  SELECT event_id, user_id, event_type, value_c,
+      |         'insert' AS _change_type FROM ev
+      |  UNION ALL
+      |  SELECT event_id, user_id, event_type, value_c, 'delete' FROM upd
+      |  UNION ALL
+      |  SELECT event_id, user_id, event_type, value_c + 1000, 'insert' FROM upd
+      |  UNION ALL
+      |  SELECT event_id + 10000000, user_id, event_type, value_c,
+      |         'insert' FROM ev)
+      |ORDER BY event_id, _change_type, value_c""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("st1_stream_agg", streamAgg, Some(streamAggSql)),
     QueryDef("st2_stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
@@ -364,5 +423,6 @@ object StreamingQueries {
     QueryDef("st5_stream_watermark_agg", streamWatermarkAgg, Some(streamWatermarkAggSql)),
     QueryDef("st6_stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinSql)),
     QueryDef("st7_stream_sessionize", streamSessionize, Some(streamSessionizeSql)),
-    QueryDef("st8_stream_versioned", streamVersioned, Some(streamVersionedSql)))
+    QueryDef("st8_stream_versioned", streamVersioned, Some(streamVersionedSql)),
+    QueryDef("st9_stream_cdf", streamChangeFeed, Some(streamChangeFeedSql)))
 }

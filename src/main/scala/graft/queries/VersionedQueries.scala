@@ -233,6 +233,36 @@ object VersionedQueries {
       versionedMerge(s, dir)
     }
 
+  // M10 — the SAME engine composition as m5 (two parity appends → MoR
+  // delete → LWW MERGE → snapshot read), but the MERGE arrives as SQL
+  // TEXT through `spark.sql` — the statement form of EP3
+  // (`02_bronze_to_silver.py:67-87`) that Delta users type as
+  // `MERGE INTO delta./path`. Spark's own parser produces the
+  // MergeIntoTable plan; the extension's analyzer rule translates it
+  // onto Versioned.merge, so a green row proves the SQL surface drives
+  // the identical transactional machinery (matched-file pruning, DV
+  // awareness, LWW condition) — bit-for-bit against m5's oracle.
+  def versionedMergeSqlText(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("ts_us", tsUs)
+      .select("user_id", "event_id", "event_type", "value", "ts_us")
+    val (target, source) = splitLatestHalves(ev)
+    val tableDir = scratchDir("graft_m10")
+    Versioned.append(target.filter(col("user_id") % 2 === 0), tableDir)
+    Versioned.append(target.filter(col("user_id") % 2 === 1), tableDir)
+    Versioned.deleteWhereMoR(s, tableDir, col("user_id") % 10 === 0)
+    source.createOrReplaceTempView("graft_m10_source")
+    s.sql(
+      s"""MERGE INTO `graft-versioned`.`$tableDir` t
+         |USING graft_m10_source s
+         |ON t.user_id = s.user_id
+         |WHEN MATCHED AND s.ts_us > t.ts_us THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    Versioned.read(s, tableDir)
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id")
+  }
+
   // X — pure-SQL time travel: the events halves land as two APPEND
   // commits (v1 ⊂ v2), then BOTH snapshots are read back through
   // `spark.sql` alone — the `graft-versioned`.`/dir` relation with
@@ -284,6 +314,7 @@ object VersionedQueries {
     QueryDef("x_sql_timetravel", sqlTimeTravel, Some(sqlTimeTravelSql)),
     QueryDef("m5_versioned_merge", versionedMerge, Some(versionedMergeSql)),
     QueryDef("m9_condput_merge", versionedMergeCondPut, Some(versionedMergeSql)),
+    QueryDef("m10_sql_merge", versionedMergeSqlText, Some(versionedMergeSql)),
     QueryDef("m6_incremental_gold", incrementalGold, Some(incrementalGoldSql)),
     QueryDef("m7_optimize_cluster", optimizeCluster, Some(optimizeClusterSql)),
     QueryDef("x_dedup_versioned", dedupVersioned, Some(dedupVersionedSql)))

@@ -106,6 +106,17 @@ object Ingest {
   def versionedStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.format("graft-versioned").option("path", dir).load()
 
+  /** Streaming CHANGE FEED of a versioned table (Delta's
+    * `option("readChangeFeed", "true")` analog): rows plus
+    * `_change_type` (insert/delete; an update = delete+insert pair),
+    * row-mutating commits streamed instead of stopping the stream —
+    * the modern form of the reference's silver→gold propagation
+    * (`02_bronze_to_silver.py:20-24`).
+    */
+  def versionedChangeFeed(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.format("graft-versioned")
+      .option("path", dir).option("readChangeFeed", "true").load()
+
   /** Seen-files manifest sidecar of a bronze table. */
   def manifestRef(bronze: TableRef): TableRef = TableRef(bronze.dir + "._manifest")
 

@@ -16,6 +16,17 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** `Dataset.ofRows` re-export (`private[sql]`): builds an analyzed
+    * DataFrame from a logical plan — how the SQL MERGE command turns
+    * its captured source plan back into the `Versioned.merge` input.
+    */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+      org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Registers a SQL function on a LIVE session (the
     * `spark.sql.extensions` class only applies while a session is being
     * built); `sessionState` is `private[sql]`, hence this shim.

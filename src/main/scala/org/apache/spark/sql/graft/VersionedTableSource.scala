@@ -49,6 +49,16 @@ import graft.table.Versioned
   *    committed offset before its first `getBatch`, and capping blind
   *    could regress below it; under `Trigger.AvailableNow` the wrapper
   *    snapshots one end offset, so the cap never engages there.
+  *  - `readChangeFeed` (default false) — Delta's option of the same
+  *    name: each micro-batch emits the ROW-LEVEL CHANGE FEED of its
+  *    commit window (`Versioned.changes` — inserts/deletes with a
+  *    `_change_type` column, an update as a delete+insert pair)
+  *    instead of the insert-only add-action rows, so row-MUTATING
+  *    commits stream instead of stopping the stream. The first batch
+  *    (or an explicit `startingVersion 0`) is the full snapshot as
+  *    `insert` rows — Delta's initial-snapshot rule. Mutually
+  *    exclusive with `skipChangeCommits` (skipping mutations and
+  *    representing them are opposite answers to the same commits).
   */
 final class VersionedTableSourceProvider
     extends StreamSourceProvider with StreamSinkProvider with DataSourceRegister
@@ -70,8 +80,12 @@ final class VersionedTableSourceProvider
         throw new IllegalArgumentException(
           s"no committed versions at $dir — the versioned streaming source " +
             "needs an existing table (or pass an explicit schema)"))
-      Versioned.schemaAt(spark, dir, head).getOrElse(
+      val base = Versioned.schemaAt(spark, dir, head).getOrElse(
         Versioned.readAt(spark, dir, head).schema)
+      if (parameters.get("readChangeFeed").exists(_.toBoolean))
+        base.add("_change_type", org.apache.spark.sql.types.StringType,
+          nullable = false)
+      else base
     }
     (shortName(), resolved)
   }
@@ -83,10 +97,16 @@ final class VersionedTableSourceProvider
     val dir = pathOf(parameters)
     val starting = parameters.get("startingVersion").map(_.toLong)
     val skipChanges = parameters.get("skipChangeCommits").exists(_.toBoolean)
+    val changeFeed = parameters.get("readChangeFeed").exists(_.toBoolean)
+    require(!(changeFeed && skipChanges),
+      "readChangeFeed and skipChangeCommits are mutually exclusive — the " +
+        "change feed REPRESENTS row-mutating commits (delete+insert pairs); " +
+        "skipChangeCommits ignores them")
     val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.toLong)
     maxVersions.foreach(m => require(m > 0, s"maxVersionsPerTrigger must be > 0: $m"))
     val pinned = sourceSchema(sqlContext, schema, providerName, parameters)._2
-    new VersionedTableSource(spark, dir, pinned, starting, skipChanges, maxVersions)
+    new VersionedTableSource(
+      spark, dir, pinned, starting, skipChanges, maxVersions, changeFeed)
   }
 
   /** The WRITE half (`df.writeStream.format("graft-versioned")`) — the
@@ -159,7 +179,8 @@ final class VersionedTableSink(spark: SparkSession, dir: String, appId: String)
 final class VersionedTableSource(
     spark: SparkSession, dir: String, pinned: StructType,
     startingVersion: Option[Long], skipChangeCommits: Boolean = false,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    changeFeed: Boolean = false)
     extends Source {
 
   override def schema: StructType = pinned
@@ -192,17 +213,37 @@ final class VersionedTableSource(
       LongOffset(capped)
     }
 
+  /** CDF micro-batch for the window `(from, to]`: the snapshot diff
+    * (`Versioned.changes` — O(changed files)), except from the table's
+    * birth (`from == 0`), where "diff against nothing" is the full
+    * snapshot as `insert` rows — which also serves as Delta's
+    * initial-snapshot batch when `startingVersion` is absent. With
+    * `maxVersionsPerTrigger` the window arrives in sub-windows, each
+    * diffed independently — per-commit-range changes, Delta's own
+    * streaming-CDF granularity (a row inserted then deleted across two
+    * sub-windows emits both rows; the one-window diff would cancel
+    * them — both are faithful feeds, the chunked one strictly finer).
+    */
+  private def cdfBatch(from: Long, to: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    if (from == 0L)
+      Versioned.readAt(spark, dir, to).withColumn("_change_type", lit("insert"))
+    else Versioned.changes(spark, dir, from, to)
+  }
+
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val to = versionOf(end)
-    val batch = start match {
-      case None if initialSnapshot =>
+    val batch = (start, changeFeed) match {
+      case (s, true) =>
+        cdfBatch(s.map(versionOf).getOrElse(if (initialSnapshot) 0L else tailFrom), to)
+      case (None, false) if initialSnapshot =>
         // Delta-default initial batch: the full snapshot at `to` —
         // history before it (including rewrites) is irrelevant, and
         // the snapshot is immutable so a checkpoint replay of this
         // batch reproduces it bit-for-bit
         Versioned.readAt(spark, dir, to)
-      case _ =>
-        val from = start.map(versionOf).getOrElse(tailFrom)
+      case (s, false) =>
+        val from = s.map(versionOf).getOrElse(tailFrom)
         Versioned.streamBatch(spark, dir, from, to, skipChangeCommits)
     }
     lastSeenEnd = Some(lastSeenEnd.fold(to)(math.max(_, to)))

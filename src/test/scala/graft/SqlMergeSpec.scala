@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.table.Versioned
+
+/** SQL `MERGE INTO` statement → Versioned.merge translation
+  * (plans/SqlMerge.scala): the statement form must drive the identical
+  * transactional machinery as the Scala API, and every unsupported
+  * clause must fail at PLAN time with the Scala alternative named.
+  */
+class SqlMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String = {
+    val dir = tmpDir("sqlmerge")
+    Versioned.append(
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+        .toDF("k", "name", "ver"), dir)
+    dir
+  }
+
+  private def mergeSql(dir: String, clauses: String): String =
+    s"""MERGE INTO `graft-versioned`.`$dir` t
+       |USING src s
+       |ON t.k = s.k
+       |$clauses""".stripMargin
+
+  test("UPDATE SET * + INSERT * runs the LWW merge and returns the version") {
+    val dir = freshTable()
+    Seq((2L, "B", 99L), (3L, "stale", 1L), (4L, "d", 40L))
+      .toDF("k", "name", "ver").createOrReplaceTempView("src")
+    val out = spark.sql(mergeSql(dir,
+      "WHEN MATCHED AND s.ver > t.ver THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *"))
+    assert(out.columns.toSeq == Seq("version"))
+    assert(out.head().getLong(0) == 2L) // append was v1, merge commits v2
+    val rows = Versioned.read(spark, dir).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq(
+      (1L, "a", 10L),   // unmatched target: carried
+      (2L, "B", 99L),   // matched, newer: source wins
+      (3L, "c", 30L),   // matched, stale: target kept
+      (4L, "d", 40L)))  // unmatched source: inserted
+  }
+
+  test("explicit SET column list limits the written columns") {
+    val dir = freshTable()
+    Seq((2L, "B", 99L)).toDF("k", "name", "ver").createOrReplaceTempView("src")
+    spark.sql(mergeSql(dir,
+      "WHEN MATCHED THEN UPDATE SET ver = s.ver " +
+        "WHEN NOT MATCHED THEN INSERT *")).collect()
+    val row2 = Versioned.read(spark, dir).filter(col("k") === 2L).head()
+    assert(row2.getString(1) == "b" && row2.getLong(2) == 99L) // name kept, ver took source
+  }
+
+  test("no matched clause = insert-only merge (M1)") {
+    val dir = freshTable()
+    Seq((2L, "CHANGED", 99L), (5L, "e", 50L))
+      .toDF("k", "name", "ver").createOrReplaceTempView("src")
+    spark.sql(mergeSql(dir, "WHEN NOT MATCHED THEN INSERT *")).collect()
+    val rows = Versioned.read(spark, dir).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, "e"))) // 2 untouched
+  }
+
+  test("unsupported clauses fail loudly at plan time") {
+    val dir = freshTable()
+    Seq((2L, "B", 99L)).toDF("k", "name", "ver").createOrReplaceTempView("src")
+    def bad(clauses: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(mergeSql(dir, clauses)))
+      assert(e.getMessage.contains(needle), s"got: ${e.getMessage}")
+    }
+    bad("WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *",
+      "deleteWhere")
+    bad("WHEN MATCHED THEN UPDATE SET *", "INSERT action is required")
+    bad("WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
+      "WHEN NOT MATCHED BY SOURCE THEN DELETE", "NOT MATCHED BY SOURCE")
+    bad("WHEN MATCHED THEN UPDATE SET name = concat(s.name, 'x') " +
+      "WHEN NOT MATCHED THEN INSERT *", "SOURCE row's value")
+    // unqualified condition ref: ambiguous between identical schemas
+    bad("WHEN MATCHED AND ver > 0 THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *", "qualified")
+  }
+
+  test("a non-graft MERGE target is left to Spark's own path") {
+    Seq((1L, 1L)).toDF("k", "v").createOrReplaceTempView("plain_target")
+    Seq((1L, 2L)).toDF("k", "v").createOrReplaceTempView("src")
+    // a temp view is not a row-level-operation table: Spark must reject
+    // it ITSELF (proving the rule didn't claim a non-graft statement)
+    intercept[Exception](spark.sql(
+      "MERGE INTO plain_target t USING src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"))
+  }
+}

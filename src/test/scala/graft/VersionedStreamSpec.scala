@@ -318,4 +318,102 @@ class VersionedStreamSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<id:bigint,v:bigint>"),
       s"column pruning must drop the unused string column, got:\n$plan")
   }
+
+  /** Drains the CHANGE FEED stream (readChangeFeed=true) into an
+    * accumulating parquet sink, returning batch sizes.
+    */
+  private def drainCdf(dir: String, checkpoint: String, sink: String): Seq[Long] = {
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Ingest.versionedChangeFeed(spark, dir).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val n = batch.count()
+        sizes += n
+        if (n > 0) batch.write.mode("append").parquet(sink)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    sizes.toSeq
+  }
+
+  private def cdfRows(sink: String): Set[(Long, String, String)] =
+    if (!new java.io.File(sink).exists()) Set.empty
+    else spark.read.parquet(sink).as[(Long, String, String)].collect().toSet
+
+  test("change feed streams mutations as delete+insert pairs across a restart") {
+    val dir = tmpDir("cdf_table")
+    val ckpt = tmpDir("cdf_ckpt")
+    val sink = tmpDir("cdf_sink") + "/out"
+    Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir) // v1
+    Versioned.append(Seq((3L, "c")).toDF("id", "s"), dir) // v2
+
+    // initial snapshot: every live row as one `insert`
+    assert(drainCdf(dir, ckpt, sink).sum == 3)
+    assert(cdfRows(sink) == Set(
+      (1L, "a", "insert"), (2L, "b", "insert"), (3L, "c", "insert")))
+
+    // restart with no new commits: nothing re-emits
+    assert(drainCdf(dir, ckpt, sink).sum == 0)
+
+    // a row-mutating window: where the insert-only tail STOPS, the
+    // change feed represents it — update = delete+insert pair, the
+    // delete = one signed row; carried rows in rewritten files cancel
+    Versioned.updateWhere(spark, dir, col("id") === 2L,
+      Map("s" -> lit("B"))) // v3
+    Versioned.deleteWhere(spark, dir, col("id") === 1L) // v4
+    Versioned.append(Seq((4L, "d")).toDF("id", "s"), dir) // v5
+    assert(drainCdf(dir, ckpt, sink).sum == 4)
+    assert(cdfRows(sink) == Set(
+      (1L, "a", "insert"), (2L, "b", "insert"), (3L, "c", "insert"),
+      (2L, "b", "delete"), (2L, "B", "insert"),
+      (1L, "a", "delete"),
+      (4L, "d", "insert")))
+
+    // applying the signed feed reconstructs the head snapshot: the
+    // CDF-consumer contract (inserts minus deletes = live rows)
+    val feed = spark.read.parquet(sink)
+    val applied = feed.filter(col("_change_type") === "insert").drop("_change_type")
+      .exceptAll(feed.filter(col("_change_type") === "delete").drop("_change_type"))
+    assert(applied.as[(Long, String)].collect().toSet ==
+      Versioned.read(spark, dir).as[(Long, String)].collect().toSet)
+  }
+
+  test("change feed with startingVersion tails the window, not the snapshot") {
+    val dir = tmpDir("cdf_sv")
+    val ckpt = tmpDir("cdf_sv_ckpt")
+    val sink = tmpDir("cdf_sv_sink") + "/out"
+    Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir) // v1
+    Versioned.deleteWhere(spark, dir, col("id") === 1L) // v2
+    val q = spark.readStream.format("graft-versioned")
+      .option("path", dir).option("readChangeFeed", "true")
+      .option("startingVersion", "1").load()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) batch.write.mode("append").parquet(sink); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // window (1, 2]: only the delete — v1's inserts predate the start
+    assert(cdfRows(sink) == Set((1L, "a", "delete")))
+  }
+
+  test("readChangeFeed and skipChangeCommits are mutually exclusive") {
+    val dir = tmpDir("cdf_excl")
+    Versioned.append(Seq((1L, "a")).toDF("id", "s"), dir)
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-versioned")
+        .option("path", dir)
+        .option("readChangeFeed", "true")
+        .option("skipChangeCommits", "true").load()
+        .writeStream.format("noop")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("mutually exclusive")), s"got: $e")
+  }
 }
