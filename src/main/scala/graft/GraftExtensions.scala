@@ -71,12 +71,20 @@ final class ResolveGraftVersionedRelation(spark: SparkSession)
   /** A MERGE target keeps its IDENTITY (the statement mutates the
     * table), so it must be claimed at the root BEFORE the bottom-up
     * relation pass below would inline it away as a snapshot scan.
+    * Two target spellings resolve to a table dir: the path form
+    * `graft-versioned`.`/dir` and a [[GraftCatalog]] name
+    * (`cat.ns.t`, explicit catalog prefix).
     */
+  private def graftTargetDir(u: UnresolvedRelation): Option[String] =
+    if (u.isStreaming) None
+    else graftPath(u).orElse(
+      Bridge.graftCatalogTableDir(spark, u.multipartIdentifier))
+
   private def graftMergeTarget(p: LogicalPlan): Option[(String, Option[String])] =
     p match {
       case org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(id, u: UnresolvedRelation) =>
-        graftPath(u).map(_ -> Some(id.name))
-      case u: UnresolvedRelation => graftPath(u).map(_ -> None)
+        graftTargetDir(u).map(_ -> Some(id.name))
+      case u: UnresolvedRelation => graftTargetDir(u).map(_ -> None)
       case _ => None
     }
 
@@ -84,6 +92,16 @@ final class ResolveGraftVersionedRelation(spark: SparkSession)
     case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
       graftMergeTarget(m.targetTable) match {
         case Some((path, alias)) => graft.plans.SqlMerge.translate(spark, m, path, alias)
+        case None => resolveRelations(plan)
+      }
+    case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable =>
+      graftMergeTarget(d.table) match {
+        case Some((path, _)) => graft.plans.SqlDml.translateDelete(spark, d, path)
+        case None => resolveRelations(plan)
+      }
+    case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable =>
+      graftMergeTarget(u.table) match {
+        case Some((path, _)) => graft.plans.SqlDml.translateUpdate(spark, u, path)
         case None => resolveRelations(plan)
       }
     case _ => resolveRelations(plan)

@@ -1,0 +1,109 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, LogicalPlan, UpdateTable}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{Column, Row, SparkSession}
+
+import graft.table.Versioned
+
+/** SQL `DELETE FROM` / `UPDATE` over versioned tables — the statement
+  * forms of [[Versioned.deleteWhere]] / [[Versioned.updateWhere]]
+  * (Delta's `DELETE FROM delta./path` / `UPDATE` SQL), claimed by the
+  * same analyzer rule that routes MERGE:
+  *
+  *   DELETE FROM `graft-versioned`.`/dir` WHERE user_id % 7 = 0;
+  *   UPDATE `graft-versioned`.`/dir` SET value_c = value_c + 5
+  *   WHERE event_type = 'view';
+  *   DELETE FROM cat.ns.t WHERE ...          -- GraftCatalog names too
+  *
+  * Translation hands the statement's predicate/assignments to the
+  * engine's copy-on-write rewrite — matched-file pruning, zone-map
+  * carry, DV retirement, pinned-version conflict rule — so SQL DML is
+  * the same transactional machinery as the Scala API, not a second
+  * implementation.
+  *
+  * A DELETE/UPDATE statement names ONE table, so every column reference
+  * in the WHERE clause and SET expressions addresses that table;
+  * translation strips any alias/table qualifier down to the column name
+  * (Spark itself resolves the refs against the snapshot when the
+  * rewrite's filter/select analyzes). Subqueries in WHERE are not
+  * supported — pre-compute the key set and MERGE, or use the Scala API.
+  */
+object SqlDml {
+
+  private def err(stmt: String, msg: String): Nothing =
+    throw new IllegalArgumentException(s"$stmt graft-versioned: $msg")
+
+  /** Statement-side expression → Column over the bare snapshot frame:
+    * qualifiers drop (single-table statement), everything else passes
+    * through for Spark's own resolution inside the rewrite.
+    */
+  private def unqualified(stmt: String, e: Expression): Column =
+    Bridge.column(e.transformUp {
+      case ua: UnresolvedAttribute =>
+        if (ua.nameParts.size > 2) err(stmt,
+          s"column ref ${ua.nameParts.mkString(".")} is over-qualified for a " +
+            "single-table statement")
+        Bridge.expression(col(ua.nameParts.last))
+    })
+
+  def translateDelete(
+      spark: SparkSession, d: DeleteFromTable, dir: String): LogicalPlan =
+    GraftDeleteCommand(dir, unqualified("DELETE FROM", d.condition))
+
+  def translateUpdate(
+      spark: SparkSession, u: UpdateTable, dir: String): LogicalPlan = {
+    val set = u.assignments.map { case Assignment(k, v) =>
+      val name = k match {
+        case ua: UnresolvedAttribute => ua.nameParts.last
+        case other => err("UPDATE", s"expected a SET column name, got $other")
+      }
+      name -> unqualified("UPDATE", v)
+    }
+    val dup = set.groupBy(_._1.toLowerCase).collect { case (c, vs) if vs.size > 1 => c }
+    if (dup.nonEmpty) err("UPDATE", s"duplicate SET columns: ${dup.mkString(", ")}")
+    GraftUpdateCommand(dir,
+      u.condition.map(unqualified("UPDATE", _))
+        .getOrElse(org.apache.spark.sql.functions.lit(true)),
+      set)
+  }
+}
+
+/** Executable DELETE: runs the copy-on-write [[Versioned.deleteWhere]];
+  * returns the committed version, or NULL when no row matched (the
+  * rewrite commits nothing — same contract as the Scala API).
+  */
+final case class GraftDeleteCommand(dir: String, cond: Column)
+    extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = true)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Versioned.deleteWhere(spark, dir, cond).map(Long.box).orNull))
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftDeleteCommand $dir"
+}
+
+/** Executable UPDATE: [[Versioned.updateWhere]] under the same
+  * version-or-NULL result contract as [[GraftDeleteCommand]].
+  */
+final case class GraftUpdateCommand(
+    dir: String, cond: Column, set: Seq[(String, Column)])
+    extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = true)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Versioned.updateWhere(spark, dir, cond, set.toMap).map(Long.box).orNull))
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftUpdateCommand $dir set=[${set.map(_._1).mkString(", ")}]"
+}

@@ -310,8 +310,124 @@ object VersionedQueries {
       |       v1.sum_c AS sum_v1_c, v2.sum_c AS sum_v2_c
       |FROM v1 JOIN v2 USING (event_type) ORDER BY event_type""".stripMargin
 
+  // X — the NAMED-table SQL surface end to end: a GraftCatalog is
+  // registered on the live session (spark.sql.catalog.<name> confs are
+  // read lazily, so no session rebuild), then the entire lifecycle runs
+  // as SQL text with zero graft imports and zero paths —
+  //
+  //   CREATE NAMESPACE → CREATE TABLE (v0 schema-only commit) →
+  //   INSERT INTO ×2 (append commits v1, v2) →
+  //   MERGE INTO cat.ns.t (the extension rule resolves the catalog
+  //     name to its table dir; same Versioned.merge) →
+  //   INSERT OVERWRITE ... SELECT FROM the table's own VERSION AS OF 3
+  //     (time travel by NAME through the catalog's loadTable overload,
+  //     feeding the TRUNCATE-capability write path) →
+  //   final read joining VERSION AS OF 2 against the head.
+  //
+  // This is the reference's `spark.read.table`/saveAsTable shape with
+  // the transaction log underneath; a green row proves catalog
+  // resolution, the V1Write bridge, SQL MERGE on named targets, and
+  // named time travel all drive the same log the Scala API writes.
+  private val catalogSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def sqlCatalog(s: SparkSession, dir: String): DataFrame = {
+    val cat = s"graft_cat_${catalogSeq.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "org.apache.spark.sql.graft.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", scratchDir("graft_wh"))
+    t(s, dir, "orders")
+      .withColumn("total_c", floor(col("o_totalprice") * 100).cast("long"))
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "total_c")
+      .createOrReplaceTempView("graft_xcat_src")
+    val tbl = s"$cat.sales.orders"
+    s.sql(s"CREATE NAMESPACE $cat.sales")
+    s.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_custkey BIGINT, " +
+      "o_orderstatus STRING, total_c BIGINT)")
+    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_xcat_src WHERE o_orderkey % 2 = 0")
+    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_xcat_src WHERE o_orderkey % 2 = 1")
+    s.sql(
+      s"""MERGE INTO $tbl t
+         |USING (SELECT o_orderkey, o_custkey, o_orderstatus,
+         |              total_c + 1 AS total_c
+         |       FROM graft_xcat_src WHERE o_custkey % 3 = 0) s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    // versions are 1-based: v1 CREATE (schema-only), v2+v3 the two
+    // INSERTs, v4 the MERGE, v5 this INSERT OVERWRITE
+    s.sql(s"INSERT OVERWRITE $tbl " +
+      s"SELECT * FROM $tbl VERSION AS OF 4 WHERE o_custkey % 5 <> 0")
+    s.sql(
+      s"""SELECT o_orderstatus, v2.n AS n_v2, v2.sum_c AS sum_v2_c,
+         |       h.n AS n_head, h.sum_c AS sum_head_c
+         |FROM (SELECT o_orderstatus, count(*) AS n,
+         |             CAST(sum(total_c) AS BIGINT) AS sum_c
+         |      FROM $tbl VERSION AS OF 3 GROUP BY o_orderstatus) v2
+         |JOIN (SELECT o_orderstatus, count(*) AS n,
+         |             CAST(sum(total_c) AS BIGINT) AS sum_c
+         |      FROM $tbl GROUP BY o_orderstatus) h
+         |  USING (o_orderstatus)
+         |ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  val sqlCatalogSql: String =
+    """WITH src AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+      |                    CAST(floor(o_totalprice * 100) AS BIGINT) AS total_c
+      |             FROM orders),
+      |v3 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+      |              CASE WHEN o_custkey % 3 = 0 THEN total_c + 1
+      |                   ELSE total_c END AS total_c FROM src),
+      |hd AS (SELECT * FROM v3 WHERE o_custkey % 5 <> 0),
+      |a2 AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_v2,
+      |              CAST(sum(total_c) AS BIGINT) AS sum_v2_c
+      |       FROM src GROUP BY o_orderstatus),
+      |ah AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_head,
+      |              CAST(sum(total_c) AS BIGINT) AS sum_head_c
+      |       FROM hd GROUP BY o_orderstatus)
+      |SELECT o_orderstatus, n_v2, sum_v2_c, n_head, sum_head_c
+      |FROM a2 JOIN ah USING (o_orderstatus)
+      |ORDER BY o_orderstatus""".stripMargin
+
+  // X — SQL DML statements over the log: UPDATE then DELETE arrive as
+  // SQL text against the path-form relation (the statement forms of
+  // Delta's `UPDATE/DELETE FROM delta./path`), each translated by the
+  // extension rule onto the engine's copy-on-write rewrite
+  // (matched-file pruning, zone carry, pinned-version conflict rule).
+  // The head snapshot is then aggregated and hash-checked against a
+  // relational replay — proving the SQL statements mutate exactly what
+  // the Scala deleteWhere/updateWhere would.
+  def sqlDml(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("value_c", floor(col("value") * 100).cast("long"))
+      .select("event_id", "user_id", "event_type", "value_c")
+    val tableDir = scratchDir("graft_xdml")
+    Versioned.append(ev, tableDir)
+    s.sql(s"UPDATE `graft-versioned`.`$tableDir` " +
+      "SET value_c = value_c + 5 WHERE event_type = 'view'").collect()
+    s.sql(s"DELETE FROM `graft-versioned`.`$tableDir` " +
+      "WHERE user_id % 7 = 0").collect()
+    Versioned.read(s, tableDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+      .orderBy("event_type")
+  }
+
+  val sqlDmlSql: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type,
+      |                   CAST(floor(value * 100) AS BIGINT) AS value_c
+      |            FROM events),
+      |u AS (SELECT event_id, user_id, event_type,
+      |             CASE WHEN event_type = 'view' THEN value_c + 5
+      |                  ELSE value_c END AS value_c FROM ev),
+      |d AS (SELECT * FROM u WHERE user_id % 7 <> 0)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(value_c) AS BIGINT) AS sum_c
+      |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("x_sql_timetravel", sqlTimeTravel, Some(sqlTimeTravelSql)),
+    QueryDef("x_sql_catalog", sqlCatalog, Some(sqlCatalogSql)),
+    QueryDef("x_sql_dml", sqlDml, Some(sqlDmlSql)),
     QueryDef("m5_versioned_merge", versionedMerge, Some(versionedMergeSql)),
     QueryDef("m9_condput_merge", versionedMergeCondPut, Some(versionedMergeSql)),
     QueryDef("m10_sql_merge", versionedMergeSqlText, Some(versionedMergeSql)),

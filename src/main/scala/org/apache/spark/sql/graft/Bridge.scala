@@ -38,4 +38,28 @@ object Bridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(id, info, builder)
+
+  /** Resolves a multipart identifier whose head names a registered
+    * [[GraftCatalog]] to that catalog's table directory — how the SQL
+    * MERGE extension rule claims `MERGE INTO cat.ns.t` targets.
+    * `CatalogManager` is `private[sql]`, hence this shim. Returns None
+    * for identifiers not rooted in a GraftCatalog (including the
+    * not-registered and too-short cases), leaving them to normal
+    * resolution.
+    */
+  def graftCatalogTableDir(
+      spark: SparkSession, parts: Seq[String]): Option[String] = {
+    if (parts.length < 2) None
+    else {
+      val cm = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.catalogManager
+      if (!cm.isCatalogRegistered(parts.head)) None
+      else cm.catalog(parts.head) match {
+        case g: GraftCatalog =>
+          Some(g.tableDir(org.apache.spark.sql.connector.catalog.Identifier.of(
+            parts.tail.init.toArray, parts.last)))
+        case _ => None
+      }
+    }
+  }
 }

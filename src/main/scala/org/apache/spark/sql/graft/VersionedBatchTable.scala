@@ -40,9 +40,11 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Row, SQLContext}
 import org.apache.spark.sql.classic.SparkSession
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex, PartitionSpec}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.sources.{BaseRelation, TableScan}
@@ -100,7 +102,7 @@ private[graft] object VersionedBatchTable {
   */
 final class VersionedBatchTable(
     spark: SparkSession, dir: String, version: Option[Long],
-    declared: Option[StructType]) extends Table with SupportsRead {
+    declared: Option[StructType]) extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String =
     s"graft-versioned $dir" + version.map(v => s"@v$v").getOrElse("")
@@ -111,7 +113,40 @@ final class VersionedBatchTable(
 
   override def capabilities(): java.util.Set[TableCapability] =
     if (version.isEmpty) java.util.Collections.emptySet()
-    else java.util.Collections.singleton(TableCapability.BATCH_READ)
+    else java.util.Set.of(
+      TableCapability.BATCH_READ,
+      // INSERT INTO / INSERT OVERWRITE / saveAsTable land on the V1
+      // write bridge below (one log commit per statement); TRUNCATE is
+      // what routes INSERT OVERWRITE's static overwrite here. No
+      // STREAMING_WRITE on purpose — stream writes must keep falling
+      // back to the exactly-once V1 sink (VersionedTableSink).
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  /** SQL/df writes onto the SAME commit paths the Scala API uses:
+    * append → [[Versioned.append]], truncate-overwrite →
+    * [[Versioned.overwrite]] — full OCC retry, constraint validation,
+    * schema binding and zone-map carry, because the bridge IS those
+    * functions, not a reimplementation. V1Write hands us a classic
+    * DataFrame at execution; the row-conversion boundary is the
+    * insert's input, already materialized by the writing query.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                overwrite: Boolean): Unit = {
+              if (replace || overwrite) Versioned.overwrite(data, dir)
+              else Versioned.append(data, dir)
+              ()
+            }
+          }
+      }
+    }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val v = version.getOrElse(throw new IllegalArgumentException(

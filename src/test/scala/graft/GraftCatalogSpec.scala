@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.AnalysisException
+
+import graft.table.Versioned
+
+/** The named-table SQL surface: a [[org.apache.spark.sql.graft.GraftCatalog]]
+  * registered as `spark.sql.catalog.<name>` must carry the full
+  * lifecycle — CREATE NAMESPACE / CREATE TABLE / INSERT INTO / INSERT
+  * OVERWRITE / SELECT with VERSION AS OF and TIMESTAMP AS OF / MERGE
+  * INTO / ALTER TABLE RENAME / DROP — through the same transaction log
+  * the Scala API writes (the identifier IS the warehouse path; no
+  * metastore).
+  */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var n = 0
+  /** Fresh catalog per test: confs are read lazily, so registering on
+    * the live shared session is enough.
+    */
+  private def freshCatalog(): (String, String) = {
+    n += 1
+    val cat = s"tcat$n"
+    val wh = tmpDir(s"graftcat$n")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "org.apache.spark.sql.graft.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    (cat, wh)
+  }
+
+  test("create namespace + table, insert, select by name") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, s STRING)")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (3, 'c')")
+    assert(spark.sql(s"SELECT id, s FROM $cat.db.t").as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // the catalog wrote through the ordinary log: Scala API sees it
+    assert(Versioned.versions(spark, s"$wh/db/t") == Seq(1L, 2L, 3L))
+    assert(spark.sql(s"SHOW TABLES IN $cat.db").collect().map(_.getString(1)).toSeq
+      == Seq("t"))
+  }
+
+  test("named time travel: VERSION AS OF and TIMESTAMP AS OF") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (2)")
+    // v1 is the CREATE's schema-only snapshot (versions are 1-based)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 1")
+      .as[Long].head == 0L)
+    assert(spark.sql(s"SELECT sum(id) FROM $cat.t VERSION AS OF 2")
+      .as[Long].head == 1L)
+    assert(spark.sql(s"SELECT sum(id) FROM $cat.t VERSION AS OF 3")
+      .as[Long].head == 3L)
+    intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 9").collect())
+  }
+
+  test("INSERT OVERWRITE truncates through the V1 write bridge") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, s STRING)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"INSERT OVERWRITE $cat.t SELECT id + 10, s FROM $cat.t VERSION AS OF 2")
+    assert(spark.sql(s"SELECT id FROM $cat.t").as[Long].collect().toSet
+      == Set(11L, 12L))
+    // overwrite is a new snapshot, not history loss
+    assert(spark.sql(s"SELECT id FROM $cat.t VERSION AS OF 2").as[Long]
+      .collect().toSet == Set(1L, 2L))
+  }
+
+  test("MERGE INTO a catalog-named target") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 10), (2, 20)")
+    Seq((2L, 99L), (3L, 30L)).toDF("id", "v").createOrReplaceTempView("cat_src")
+    spark.sql(
+      s"""MERGE INTO $cat.t t USING cat_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(spark.sql(s"SELECT id, v FROM $cat.t").as[(Long, Long)]
+      .collect().toSet == Set((1L, 10L), (2L, 99L), (3L, 30L)))
+  }
+
+  test("CTAS, rename, drop") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.src AS SELECT * FROM VALUES (1L), (2L) AS v(id)")
+    assert(spark.sql(s"SELECT sum(id) FROM $cat.src").as[Long].head == 3L)
+    spark.sql(s"ALTER TABLE $cat.src RENAME TO dst")
+    assert(spark.sql(s"SELECT sum(id) FROM $cat.dst").as[Long].head == 3L)
+    intercept[AnalysisException](spark.sql(s"SELECT * FROM $cat.src").collect())
+    spark.sql(s"DROP TABLE $cat.dst")
+    assert(Versioned.versions(spark, s"$wh/dst").isEmpty)
+    intercept[AnalysisException](spark.sql(s"SELECT * FROM $cat.dst").collect())
+  }
+
+  test("partition transforms are rejected with the design pointer") {
+    val (cat, _) = freshCatalog()
+    val e = intercept[Exception](
+      spark.sql(s"CREATE TABLE $cat.p (id BIGINT, d STRING) PARTITIONED BY (d)"))
+    assert(e.getMessage.contains("clustering + zone maps"))
+  }
+
+  test("namespace listing and drop semantics") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.a")
+    spark.sql(s"CREATE NAMESPACE $cat.b")
+    spark.sql(s"CREATE TABLE $cat.a.t (id BIGINT)")
+    val nss = spark.sql(s"SHOW NAMESPACES IN $cat").collect().map(_.getString(0)).toSet
+    assert(nss == Set("a", "b"))
+    // a table dir is not a namespace
+    assert(!nss.contains("t"))
+    intercept[Exception](spark.sql(s"DROP NAMESPACE $cat.a").collect()) // non-empty
+    spark.sql(s"DROP NAMESPACE $cat.a CASCADE")
+    assert(spark.sql(s"SHOW NAMESPACES IN $cat").collect().map(_.getString(0)).toSet
+      == Set("b"))
+  }
+}

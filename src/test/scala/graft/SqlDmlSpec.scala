@@ -1,0 +1,57 @@
+package graft
+
+import graft.table.Versioned
+
+/** SQL DELETE/UPDATE statements must drive the same copy-on-write
+  * rewrites as the Scala deleteWhere/updateWhere, on both the
+  * path-form relation and catalog-named targets.
+  */
+class SqlDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("UPDATE then DELETE by path match the Scala API") {
+    val dir = tmpDir("sqldml")
+    Versioned.append(
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L), (14L, "b", 40L))
+        .toDF("id", "k", "v"), dir)
+    val vUp = spark.sql(s"UPDATE `graft-versioned`.`$dir` SET v = v * 2 WHERE k = 'a'")
+      .as[java.lang.Long].head
+    assert(vUp == 2L)
+    val vDel = spark.sql(s"DELETE FROM `graft-versioned`.`$dir` WHERE id % 7 = 0")
+      .as[java.lang.Long].head
+    assert(vDel == 3L)
+    assert(Versioned.read(spark, dir).select("id", "v").as[(Long, Long)]
+      .collect().toSet == Set((1L, 20L), (2L, 20L), (3L, 60L)))
+    // old snapshot intact (copy-on-write, not in-place)
+    assert(Versioned.readAt(spark, dir, 1L).count() == 4L)
+  }
+
+  test("no-match DELETE commits nothing and returns NULL") {
+    val dir = tmpDir("sqldml_nm")
+    Versioned.append(Seq((1L, 5L)).toDF("id", "v"), dir)
+    val r = spark.sql(s"DELETE FROM `graft-versioned`.`$dir` WHERE id > 100").collect()
+    assert(r.head.isNullAt(0))
+    assert(Versioned.currentVersion(spark, dir).contains(1L))
+  }
+
+  test("DML on a catalog-named table") {
+    val wh = tmpDir("sqldml_cat")
+    spark.conf.set("spark.sql.catalog.dmlcat",
+      "org.apache.spark.sql.graft.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.dmlcat.warehouse", wh)
+    spark.sql("CREATE TABLE dmlcat.t (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO dmlcat.t VALUES (1, 1), (2, 2), (3, 3)")
+    spark.sql("UPDATE dmlcat.t SET v = v + 10 WHERE id >= 2")
+    spark.sql("DELETE FROM dmlcat.t WHERE id = 3")
+    assert(spark.sql("SELECT id, v FROM dmlcat.t").as[(Long, Long)]
+      .collect().toSet == Set((1L, 1L), (2L, 12L)))
+  }
+
+  test("qualified refs strip to the table's columns") {
+    val dir = tmpDir("sqldml_q")
+    Versioned.append(Seq((1L, 2L), (5L, 6L)).toDF("id", "v"), dir)
+    spark.sql(s"UPDATE `graft-versioned`.`$dir` AS t SET v = t.v + t.id WHERE t.id > 2")
+    assert(Versioned.read(spark, dir).as[(Long, Long)].collect().toSet
+      == Set((1L, 2L), (5L, 11L)))
+  }
+}
