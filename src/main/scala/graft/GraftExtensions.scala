@@ -104,6 +104,20 @@ final class ResolveGraftVersionedRelation(spark: SparkSession)
         case Some((path, _)) => graft.plans.SqlDml.translateUpdate(spark, u, path)
         case None => resolveRelations(plan)
       }
+    case t: org.apache.spark.sql.catalyst.plans.logical.TruncateTable =>
+      // TRUNCATE wraps its target in UnresolvedTable (not
+      // UnresolvedRelation); only the PATH form needs claiming here —
+      // catalog-named tables resolve natively onto the DSv2
+      // TruncatableTable the batch table implements
+      t.table match {
+        case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+          ut.multipartIdentifier match {
+            case Seq(fmt, path) if fmt.equalsIgnoreCase("graft-versioned") =>
+              graft.plans.GraftTruncateCommand(path)
+            case _ => resolveRelations(plan)
+          }
+        case _ => resolveRelations(plan)
+      }
     case _ => resolveRelations(plan)
   }
 

@@ -74,6 +74,30 @@ object SqlDml {
   }
 }
 
+/** Executable TRUNCATE: one overwrite commit of an empty frame under
+  * the head snapshot's schema — rows vanish from the NEW snapshot while
+  * every prior version stays time-travel-readable until vacuum (the
+  * lakehouse TRUNCATE contract, same as Delta's).
+  */
+final case class GraftTruncateCommand(dir: String) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val head = Versioned.currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
+    val schema = Versioned.schemaAt(spark, dir, head).getOrElse(
+      Versioned.readAt(spark, dir, head).schema)
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), schema)
+    Seq(Row(Versioned.overwrite(empty, dir)))
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftTruncateCommand $dir"
+}
+
 /** Executable DELETE: runs the copy-on-write [[Versioned.deleteWhere]];
   * returns the committed version, or NULL when no row matched (the
   * rewrite commits nothing — same contract as the Scala API).

@@ -147,10 +147,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not mapped; schema evolves on write (append(mergeSchema=true)) " +
-        "and table invariants are Versioned.addConstraint / dropConstraint")
+  /** `ALTER TABLE ... ADD COLUMNS` maps onto the engine's ONE schema-
+    * evolution primitive — a mergeSchema append (here of an empty
+    * frame, so the commit is schema-only): existing rows surface NULL
+    * in the new columns, exactly the widening contract every
+    * mergeSchema write already has, and the change is a versioned log
+    * commit like any other (time travel to the narrow schema still
+    * works). Everything else ALTER TABLE can say is rejected with the
+    * engine's alternative named.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn => a
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE ${other.getClass.getSimpleName} is not mapped — " +
+          "only ADD COLUMNS (mergeSchema widening); table invariants are " +
+          "Versioned.addConstraint / dropConstraint, layout is " +
+          "Versioned.optimizeClusterBy")
+    }
+    adds.foreach { a =>
+      require(a.fieldNames.length == 1,
+        s"nested ADD COLUMNS is not supported: ${a.fieldNames.mkString(".")}")
+      require(a.isNullable,
+        s"added column ${a.fieldNames.head} must be nullable — existing rows " +
+          "surface NULL in it")
+      require(a.position() == null,
+        "column position (FIRST/AFTER) is not supported — mergeSchema " +
+          "appends new columns at the end")
+    }
+    val head = Versioned.currentVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed versions at $dir"))
+    val base = Versioned.schemaAt(spark, dir, head).getOrElse(
+      Versioned.readAt(spark, dir, head).schema)
+    val widened = adds.foldLeft(base) { (s, a) =>
+      require(!s.fieldNames.exists(_.equalsIgnoreCase(a.fieldNames.head)),
+        s"column ${a.fieldNames.head} already exists")
+      s.add(a.fieldNames.head, a.dataType, nullable = true)
+    }
+    Versioned.append(
+      spark.createDataFrame(Collections.emptyList[org.apache.spark.sql.Row](), widened),
+      dir, mergeSchema = true)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

@@ -102,7 +102,23 @@ private[graft] object VersionedBatchTable {
   */
 final class VersionedBatchTable(
     spark: SparkSession, dir: String, version: Option[Long],
-    declared: Option[StructType]) extends Table with SupportsRead with SupportsWrite {
+    declared: Option[StructType]) extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  /** SQL `TRUNCATE TABLE` on catalog-named tables: one overwrite
+    * commit of an empty frame under the head schema — rows vanish from
+    * the new snapshot, every prior version stays time-travel-readable
+    * until vacuum (same contract as the path-form GraftTruncateCommand).
+    */
+  override def truncateTable(): Boolean = {
+    val head = Versioned.currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
+    val s = Versioned.schemaAt(spark, dir, head)
+      .getOrElse(Versioned.readAt(spark, dir, head).schema)
+    Versioned.overwrite(
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), s), dir)
+    true
+  }
 
   override def name(): String =
     s"graft-versioned $dir" + version.map(v => s"@v$v").getOrElse("")

@@ -96,6 +96,25 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[AnalysisException](spark.sql(s"SELECT * FROM $cat.dst").collect())
   }
 
+  test("ALTER TABLE ADD COLUMNS widens via mergeSchema; other changes refuse") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1)")
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMNS (s STRING, w BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (2, 'b', 9)")
+    // pre-widening rows surface NULL in the new columns
+    assert(spark.sql(s"SELECT id, s, w FROM $cat.t")
+      .as[(Long, Option[String], Option[Long])].collect().toSet ==
+      Set((1L, None, None), (2L, Some("b"), Some(9L))))
+    // the widening is itself a versioned commit — the narrow schema is
+    // still time-travel-readable
+    assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 2").columns.toSeq
+      == Seq("id"))
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN s TO t2"))
+    assert(e.getMessage.contains("not mapped"))
+  }
+
   test("partition transforms are rejected with the design pointer") {
     val (cat, _) = freshCatalog()
     val e = intercept[Exception](

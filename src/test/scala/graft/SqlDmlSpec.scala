@@ -47,6 +47,30 @@ class SqlDmlSpec extends SparkSpec {
       .collect().toSet == Set((1L, 1L), (2L, 12L)))
   }
 
+  test("TRUNCATE TABLE empties the head snapshot, keeps history") {
+    val dir = tmpDir("sqldml_tr")
+    Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir)
+    val v = spark.sql(s"TRUNCATE TABLE `graft-versioned`.`$dir`")
+      .as[Long].head
+    assert(v == 2L)
+    assert(Versioned.read(spark, dir).isEmpty)
+    // schema survives the truncate; prior version still readable
+    assert(Versioned.read(spark, dir).schema.fieldNames.toSeq == Seq("id", "s"))
+    assert(Versioned.readAt(spark, dir, 1L).count() == 2L)
+  }
+
+  test("TRUNCATE TABLE on a catalog name") {
+    val wh = tmpDir("sqldml_trcat")
+    spark.conf.set("spark.sql.catalog.trcat",
+      "org.apache.spark.sql.graft.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.trcat.warehouse", wh)
+    spark.sql("CREATE TABLE trcat.t (id BIGINT)")
+    spark.sql("INSERT INTO trcat.t VALUES (1), (2)")
+    spark.sql("TRUNCATE TABLE trcat.t")
+    assert(spark.sql("SELECT count(*) FROM trcat.t").as[Long].head == 0L)
+    assert(spark.sql("SELECT count(*) FROM trcat.t VERSION AS OF 2").as[Long].head == 2L)
+  }
+
   test("qualified refs strip to the table's columns") {
     val dir = tmpDir("sqldml_q")
     Versioned.append(Seq((1L, 2L), (5L, 6L)).toDF("id", "v"), dir)
