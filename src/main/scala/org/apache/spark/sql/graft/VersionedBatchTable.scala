@@ -168,16 +168,144 @@ final class VersionedBatchTable(
     val v = version.getOrElse(throw new IllegalArgumentException(
       s"no committed versions at $dir — nothing to read"))
     val dvs = Versioned.dvsAt(spark, dir, v)
-    if (dvs.isEmpty) {
+    if (dvs.isEmpty)
       // fast path: the snapshot IS its parquet files — hand Spark's own
       // parquet scan builder the exact live-file index and get the
-      // native vectorized scan + pushdown machinery unchanged
-      val files = Versioned.filesAt(spark, dir, v).map(f => new Path(s"$dir/$f"))
-      val index = new InMemoryFileIndex(
-        spark, files, Map.empty[String, String], Some(schema()),
-        userSpecifiedPartitionSpec = Some(PartitionSpec.emptySpec))
-      ParquetScanBuilder(spark, index, schema(), schema(), options)
-    } else new DvBridgeScanBuilder(spark, dir, v, schema())
+      // native vectorized scan + pushdown machinery unchanged; the
+      // wrapper adds LOG-SIDE data skipping (zone-map file pruning from
+      // the pushed predicates) before the index is built
+      new ZonePrunedParquetScanBuilder(spark, dir, v, schema(), options)
+    else new DvBridgeScanBuilder(spark, dir, v, schema())
+  }
+}
+
+/** DV-free snapshots: Spark's own [[ParquetScanBuilder]] (native
+  * vectorized scan, filter/column/aggregate pushdown) over an exact
+  * file index that is ZONE-PRUNED from the pushed predicates — the
+  * data-skipping story SQL/DSv2 clients would otherwise lose (the
+  * Scala path has `Versioned.readWhere`; this makes
+  * `SELECT ... FROM cat.t WHERE k BETWEEN a AND b` skip the same
+  * files). At 100 TB this is the difference between planning over a
+  * million files and opening the handful whose [lo, hi] ranges
+  * intersect the predicate.
+  *
+  * Mechanics: the builder records what Spark pushes (catalyst filters,
+  * aggregation, required columns) against a full-index inner builder —
+  * which also answers the pushdown protocol, so parquet-level pushdown
+  * is exactly Spark's own. At `build()` the top-level conjuncts are
+  * mined for per-column [lo, hi] bounds (eq/gt/ge/lt/le against
+  * integral literals, both orientations); each bound consults the
+  * snapshot's zone sidecar ([[Versioned.prunedFiles]] — returns the
+  * full list when the sidecar or column block is absent) and the
+  * surviving intersection becomes a REBUILT inner with the same
+  * pushdown replayed. Pruning is sound by the zone-map contract: a
+  * file whose range cannot intersect a must-hold conjunct holds no
+  * matching row; NULL semantics are safe because zone ranges only
+  * drop files where the predicate can never be TRUE (a NULL-valued
+  * row makes the comparison NULL → filtered anyway).
+  */
+private final class ZonePrunedParquetScanBuilder(
+    spark: SparkSession, dir: String, v: Long, full: StructType,
+    options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+
+  import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Attribute => CAttr, EqualTo => CEq, Expression => CExpr, GreaterThan => CGt, GreaterThanOrEqual => CGe, LessThan => CLt, LessThanOrEqual => CLe, Literal => CLit}
+
+  private def mkInner(files: Seq[String]): ParquetScanBuilder = {
+    val index = new InMemoryFileIndex(
+      spark, files.map(f => new Path(s"$dir/$f")), Map.empty[String, String],
+      Some(full), userSpecifiedPartitionSpec = Some(PartitionSpec.emptySpec))
+    ParquetScanBuilder(spark, index, full, full, options)
+  }
+
+  private val allFiles = Versioned.filesAt(spark, dir, v)
+  private var inner = mkInner(allFiles)
+  // recorded pushdown state, replayed onto the pruned rebuild
+  private var filters: Seq[CExpr] = Nil
+  private var aggregation: Option[org.apache.spark.sql.connector.expressions.aggregate.Aggregation] = None
+  private var required: Option[StructType] = None
+
+  override def pushFilters(f: Seq[CExpr]): Seq[CExpr] = {
+    filters = f
+    inner.pushFilters(f)
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    inner.pushedFilters
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = inner.pushAggregation(agg)
+    if (ok) aggregation = Some(agg)
+    ok
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    inner.supportCompletePushDown(agg)
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = Some(requiredSchema)
+    inner.pruneColumns(requiredSchema)
+  }
+
+  /** Per-column must-hold [lo, hi] bounds from the pushed conjuncts. */
+  private def bounds: Map[String, (Long, Long)] = {
+    def conjuncts(e: CExpr): Seq[CExpr] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def longOf(l: CLit): Option[Long] = l.value match {
+      case null => None
+      case b: java.lang.Byte => Some(b.longValue)
+      case s: java.lang.Short => Some(s.longValue)
+      case i: java.lang.Integer => Some(i.longValue)
+      case j: java.lang.Long => Some(j.longValue)
+      case _ => None
+    }
+    val perCol = filters.flatMap(conjuncts).flatMap {
+      case CEq(a: CAttr, l: CLit) => longOf(l).map(x => a.name -> (x, x))
+      case CEq(l: CLit, a: CAttr) => longOf(l).map(x => a.name -> (x, x))
+      case CGt(a: CAttr, l: CLit) =>
+        longOf(l).filter(_ < Long.MaxValue).map(x => a.name -> (x + 1, Long.MaxValue))
+      case CGe(a: CAttr, l: CLit) => longOf(l).map(x => a.name -> (x, Long.MaxValue))
+      case CLt(a: CAttr, l: CLit) =>
+        longOf(l).filter(_ > Long.MinValue).map(x => a.name -> (Long.MinValue, x - 1))
+      case CLe(a: CAttr, l: CLit) => longOf(l).map(x => a.name -> (Long.MinValue, x))
+      case CGt(l: CLit, a: CAttr) =>
+        longOf(l).filter(_ > Long.MinValue).map(x => a.name -> (Long.MinValue, x - 1))
+      case CGe(l: CLit, a: CAttr) => longOf(l).map(x => a.name -> (Long.MinValue, x))
+      case CLt(l: CLit, a: CAttr) =>
+        longOf(l).filter(_ < Long.MaxValue).map(x => a.name -> (x + 1, Long.MaxValue))
+      case CLe(l: CLit, a: CAttr) => longOf(l).map(x => a.name -> (x, Long.MaxValue))
+      case _ => Nil
+    }
+    perCol.groupBy(_._1).view.mapValues { bs =>
+      (bs.map(_._2._1).max, bs.map(_._2._2).min)
+    }.toMap
+  }
+
+  override def build(): Scan = {
+    val pruned = bounds.foldLeft(allFiles) { case (live, (c, (lo, hi))) =>
+      if (lo > hi) Nil
+      else {
+        val keep = Versioned.prunedFiles(spark, dir, v, c, lo, hi).toSet
+        live.filter(keep.contains)
+      }
+    }
+    val builder =
+      if (pruned.length == allFiles.length) inner
+      else {
+        val rebuilt = mkInner(pruned)
+        if (filters.nonEmpty) rebuilt.pushFilters(filters)
+        aggregation.foreach(rebuilt.pushAggregation)
+        required.foreach(rebuilt.pruneColumns)
+        rebuilt
+      }
+    builder.build()
   }
 }
 

@@ -122,6 +122,42 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("clustering + zone maps"))
   }
 
+  test("DSv2 reads zone-prune files from pushed predicates") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.z (id BIGINT, s STRING)")
+    // three appends = three disjoint-id file sets, then a zone sidecar
+    Seq(0L -> 100L, 1000L -> 1100L, 2000L -> 2100L).foreach { case (lo, hi) =>
+      spark.sql(s"INSERT INTO $cat.z " +
+        s"SELECT id, concat('s', id) FROM range($lo, $hi)")
+    }
+    val dir = s"$wh/z"
+    val head = Versioned.currentVersion(spark, dir).get
+    Versioned.writeZoneMap(spark, dir, head, "id")
+    val all = Versioned.filesAt(spark, dir, head).size
+
+    def filesOf(sql: String): Int =
+      spark.sql(sql).queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputRDD.partitions.length
+        }).sum
+
+    // correctness first: pruned reads return exactly the right rows
+    assert(spark.sql(s"SELECT count(*) FROM $cat.z WHERE id BETWEEN 1000 AND 1049")
+      .as[Long].head == 50L)
+    assert(spark.sql(s"SELECT sum(id) FROM $cat.z WHERE id >= 2000")
+      .as[Long].head == (2000L until 2100L).sum)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.z WHERE id = 5000")
+      .as[Long].head == 0L)
+    // and the scan planned FEWER input partitions than the full file set
+    // (each insert wrote >=1 file; the range predicate covers one insert)
+    val prunedParts = filesOf(
+      s"SELECT s FROM $cat.z WHERE id BETWEEN 1000 AND 1049")
+    val fullParts = filesOf(s"SELECT s FROM $cat.z")
+    assert(prunedParts < fullParts,
+      s"zone pruning did not reduce the scan: $prunedParts vs $fullParts (files=$all)")
+  }
+
   test("namespace listing and drop semantics") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.a")
