@@ -43,14 +43,15 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.classic.SparkSession
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.table.Versioned
 
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -210,6 +211,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!fs.rename(src, dst)) throw new IllegalStateException(
       s"rename $src -> $dst failed")
   }
+
+  // ---- procedures -------------------------------------------------------
+
+  /** Maintenance ops as `CALL <cat>.system.<proc>(...)` — see
+    * [[GraftProcedures]]. The `system` namespace is the Iceberg
+    * convention; any namespace resolves (the procedure set is global
+    * to the catalog).
+    */
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    GraftProcedures.all(this).find(_.name() == ident.name()).getOrElse(
+      throw new RuntimeException(
+        s"unknown procedure ${ident.name()} — available: " +
+          GraftProcedures.all(this).map(_.name()).mkString(", ")))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.all(this)
+      .map(p => Identifier.of(Array("system"), p.name())).toArray
 
   // ---- namespaces -------------------------------------------------------
 

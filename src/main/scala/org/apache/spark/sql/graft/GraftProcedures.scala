@@ -1,0 +1,163 @@
+/** SQL stored procedures for versioned-table maintenance — the
+  * `CALL cat.system.<proc>(...)` surface (Spark 4 DSv2 procedures, the
+  * Iceberg-procedures shape; Delta spells these OPTIMIZE/VACUUM parser
+  * extensions, this engine exposes them through the standard catalog
+  * API instead):
+  *
+  *   CALL lake.system.vacuum(table => 'sales.orders', keep_versions => 5)
+  *   CALL lake.system.compact(table => 'sales.orders')
+  *   CALL lake.system.optimize(table => 'sales.orders',
+  *                             cluster_by => 'o_orderkey')
+  *   CALL lake.system.zone(table => 'sales.orders', columns => 'o_custkey')
+  *   CALL lake.system.restore(table => 'sales.orders', version => 3)
+  *   CALL lake.system.history(table => 'sales.orders')
+  *   CALL lake.system.add_constraint(table => 't', name => 'positive',
+  *                                   expr => 'amount > 0')
+  *   CALL lake.system.drop_constraint(table => 't', name => 'positive')
+  *
+  * Each procedure is a thin binding onto the engine's Scala op (the
+  * SAME committed, OCC-checked code path — procedures add no second
+  * implementation), and results come back as rows (committed version,
+  * deleted paths, history) so operational SQL can assert on them.
+  */
+package org.apache.spark.sql.graft
+
+import java.util.{Iterator => JIterator}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.classic.SparkSession
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.table.Versioned
+
+private[graft] object GraftProcedures {
+
+  /** One self-binding procedure: fixed parameter list, fixed output
+    * schema, a driver-side body returning result rows. Maintenance ops
+    * are driver-coordinated log commits, so a single LocalScan of the
+    * outcome is the faithful result shape.
+    */
+  final case class Proc(
+      pname: String,
+      desc: String,
+      params: Seq[ProcedureParameter],
+      out: StructType,
+      body: (SparkSession, InternalRow) => Seq[InternalRow])
+      extends UnboundProcedure with BoundProcedure {
+
+    override def name(): String = pname
+    override def description(): String = desc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val resultRows = body(SparkSession.active, input).toArray
+      val schema = out
+      java.util.List.of[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = resultRows
+        override def readSchema(): StructType = schema
+      }).iterator()
+    }
+  }
+
+  private def in(name: String, dt: org.apache.spark.sql.types.DataType) =
+    ProcedureParameter.in(name, dt).build()
+
+  private def inDefault(
+      name: String, dt: org.apache.spark.sql.types.DataType, default: String) =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  private def row(values: Any*): InternalRow =
+    new GenericInternalRow(values.toArray)
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  private val VersionOut = new StructType().add("version", LongType, nullable = false)
+
+  def all(catalog: GraftCatalog): Seq[Proc] = {
+
+    def dirOf(input: InternalRow, i: Int = 0): String = {
+      val table = input.getUTF8String(i).toString
+      val parts = table.split('.')
+      val ident = Identifier.of(parts.init, parts.last)
+      val dir = catalog.tableDir(ident)
+      require(catalog.tableExists(ident), s"no versioned table at $dir")
+      dir
+    }
+
+    def splitCols(input: InternalRow, i: Int): Seq[String] =
+      input.getUTF8String(i).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
+    Seq(
+      Proc("vacuum",
+        "delete data/log artifacts outside the retained version window",
+        Seq(in("table", StringType),
+          inDefault("keep_versions", IntegerType, "1"),
+          inDefault("dry_run", BooleanType, "false")),
+        new StructType().add("removed_path", StringType, nullable = false),
+        (s, in) => Versioned.vacuum(s, dirOf(in), in.getInt(1), dryRun = in.getBoolean(2))
+          .map(p => row(utf8(p)))),
+
+      Proc("compact",
+        "rewrite the current snapshot as one compacted file set",
+        Seq(in("table", StringType)),
+        VersionOut,
+        (s, in) => Seq(row(Versioned.compact(s, dirOf(in))))),
+
+      Proc("optimize",
+        "range-cluster the table on the given columns and republish zone maps",
+        Seq(in("table", StringType), in("cluster_by", StringType),
+          inDefault("target_files", IntegerType, "0")),
+        VersionOut,
+        (s, in) => Seq(row(Versioned.optimizeClusterBy(
+          s, dirOf(in), splitCols(in, 1), in.getInt(2))))),
+
+      Proc("zone",
+        "publish zone-map (data skipping) stats for the head snapshot",
+        Seq(in("table", StringType), in("columns", StringType)),
+        VersionOut,
+        (s, in) => {
+          val dir = dirOf(in)
+          val head = Versioned.currentVersion(s, dir).getOrElse(
+            throw new IllegalArgumentException(s"no committed versions at $dir"))
+          Versioned.writeZoneMaps(s, dir, head, splitCols(in, 1))
+          Seq(row(head))
+        }),
+
+      Proc("restore",
+        "commit a snapshot restoring the table to an earlier version",
+        Seq(in("table", StringType), in("version", LongType)),
+        VersionOut,
+        (s, in) => Seq(row(Versioned.restore(s, dirOf(in), in.getLong(1))))),
+
+      Proc("history",
+        "commit history: version, operation, commit timestamp, live file count",
+        Seq(in("table", StringType)),
+        new StructType().add("version", LongType, nullable = false)
+          .add("op", StringType, nullable = false)
+          .add("commit_ts", LongType, nullable = false)
+          .add("n_files", LongType, nullable = false),
+        (s, in) => Versioned.history(s, dirOf(in)).collect().toSeq.map(r =>
+          row(r.getLong(0), utf8(r.getString(1)), r.getLong(2), r.getLong(3)))),
+
+      Proc("add_constraint",
+        "register a CHECK constraint enforced by every subsequent write",
+        Seq(in("table", StringType), in("name", StringType), in("expr", StringType)),
+        VersionOut,
+        (s, in) => Seq(row(Versioned.addConstraint(
+          s, dirOf(in), in.getUTF8String(1).toString, in.getUTF8String(2).toString)))),
+
+      Proc("drop_constraint",
+        "drop a registered CHECK constraint",
+        Seq(in("table", StringType), in("name", StringType)),
+        VersionOut,
+        (s, in) => Seq(row(Versioned.dropConstraint(
+          s, dirOf(in), in.getUTF8String(1).toString)))))
+  }
+}

@@ -158,6 +158,59 @@ class GraftCatalogSpec extends SparkSpec {
       s"zone pruning did not reduce the scan: $prunedParts vs $fullParts (files=$all)")
   }
 
+  test("CALL procedures: compact, optimize, zone, history, restore") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, s STRING)")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, concat('a', id) FROM range(0, 50)")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, concat('b', id) FROM range(50, 100)")
+    val dir = s"$wh/db/t"
+
+    val vCompact = spark.sql(s"CALL $cat.system.compact(table => 'db.t')")
+      .as[Long].head
+    assert(vCompact == 4L && Versioned.read(spark, dir).count() == 100L)
+
+    val vOpt = spark.sql(
+      s"CALL $cat.system.optimize(table => 'db.t', cluster_by => 'id')")
+      .as[Long].head
+    assert(vOpt == 5L)
+    // the optimize republished zone stats: a bounded SQL read prunes
+    assert(Versioned.prunedFiles(spark, dir, vOpt, "id", 0L, 5L).size
+      < Versioned.filesAt(spark, dir, vOpt).size)
+
+    val hist = spark.sql(s"CALL $cat.system.history(table => 'db.t')")
+    assert(hist.columns.toSeq == Seq("version", "op", "commit_ts", "n_files"))
+    assert(hist.count() == 5L)
+
+    val vRestore = spark.sql(
+      s"CALL $cat.system.restore(table => 'db.t', version => 2)").as[Long].head
+    assert(vRestore == 6L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").as[Long].head == 50L)
+  }
+
+  test("CALL procedures: constraints and vacuum with defaults") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1), (2)")
+    spark.sql(s"CALL $cat.system.add_constraint(table => 't', " +
+      "name => 'positive', expr => 'id > 0')")
+    val e = intercept[Exception](
+      spark.sql(s"INSERT INTO $cat.t VALUES (-5)").collect())
+    assert(e.getMessage.contains("positive") || e.getMessage.contains("constraint"))
+    spark.sql(s"CALL $cat.system.drop_constraint(table => 't', name => 'positive')")
+    spark.sql(s"INSERT INTO $cat.t VALUES (-5)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").as[Long].head == 3L)
+
+    spark.sql(s"INSERT OVERWRITE $cat.t VALUES (9)")
+    // dry_run and keep_versions default (false, 1): old versions sweep
+    val removed = spark.sql(s"CALL $cat.system.vacuum(table => 't')").count()
+    assert(removed > 0)
+    val eTT = intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 1").collect())
+    assert(eTT.getMessage.contains("vacuumed") ||
+      eTT.getMessage.contains("does not exist"))
+    assert(spark.sql(s"SELECT id FROM $cat.t").as[Long].collect().toSeq == Seq(9L))
+  }
+
   test("namespace listing and drop semantics") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.a")
