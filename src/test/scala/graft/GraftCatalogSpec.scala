@@ -211,6 +211,28 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT id FROM $cat.t").as[Long].collect().toSeq == Seq(9L))
   }
 
+  test("racing INSERT INTO statements all land through the OCC retry") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.r (id BIGINT)")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val inserts = (0 until 4).map { i =>
+      scala.concurrent.Future {
+        spark.sql(s"INSERT INTO $cat.r SELECT id + ${i * 100} FROM range(0, 50)")
+      }
+    }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(inserts),
+      scala.concurrent.duration.Duration(180, "s"))
+    pool.shutdown()
+    // every statement's commit survived the version CAS races: 4 appends
+    // after the CREATE, all 200 distinct rows present
+    assert(spark.sql(s"SELECT count(*), count(DISTINCT id) FROM $cat.r")
+      .as[(Long, Long)].head == ((200L, 200L)))
+    assert(Versioned.versions(spark, s"$wh/r") == (1L to 5L))
+  }
+
   test("namespace listing and drop semantics") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.a")
