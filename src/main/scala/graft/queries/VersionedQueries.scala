@@ -424,10 +424,57 @@ object VersionedQueries {
       |       CAST(sum(value_c) AS BIGINT) AS sum_c
       |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // X — BATCH change-feed through the DSv2 format (Delta's batch CDF
+  // API shape): two appends build the table, a row-level UPDATE and a
+  // copy-on-write DELETE mutate it, then the WHOLE change set of the
+  // mutation window arrives via
+  //   spark.read.format("graft-versioned")
+  //     .option("readChangeFeed", true).option("startingVersion", 2)
+  // — the O(changed files) snapshot diff as a first-class read, no
+  // graft imports on the read side. The oracle replays the mutations
+  // relationally and diffs with EXCEPT ALL (an update = delete+insert
+  // pair), aggregated per (event_type, _change_type).
+  def batchCdf(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("value_c", floor(col("value") * 100).cast("long"))
+      .select("event_id", "user_id", "event_type", "value_c")
+    val tableDir = scratchDir("graft_xbcdf")
+    Versioned.append(ev.filter(col("event_id") % 2 === 0), tableDir) // v1
+    Versioned.append(ev.filter(col("event_id") % 2 === 1), tableDir) // v2
+    Versioned.updateWhere(s, tableDir, col("event_type") === "view",
+      Map("value_c" -> (col("value_c") + 7)))                        // v3
+    Versioned.deleteWhere(s, tableDir, col("user_id") % 9 === 0)     // v4
+    s.read.format("graft-versioned")
+      .option("readChangeFeed", "true").option("startingVersion", 2)
+      .load(tableDir)
+      .groupBy("event_type", "_change_type")
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+      .orderBy("event_type", "_change_type")
+  }
+
+  val batchCdfSql: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type,
+      |                   CAST(floor(value * 100) AS BIGINT) AS value_c
+      |            FROM events),
+      |v4 AS (SELECT event_id, user_id, event_type,
+      |              CASE WHEN event_type = 'view' THEN value_c + 7
+      |                   ELSE value_c END AS value_c
+      |       FROM ev WHERE user_id % 9 <> 0),
+      |ins AS (SELECT *, 'insert' AS _change_type
+      |        FROM (SELECT * FROM v4 EXCEPT ALL SELECT * FROM ev)),
+      |del AS (SELECT *, 'delete' AS _change_type
+      |        FROM (SELECT * FROM ev EXCEPT ALL SELECT * FROM v4))
+      |SELECT event_type, _change_type, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(value_c) AS BIGINT) AS sum_c
+      |FROM (SELECT * FROM ins UNION ALL SELECT * FROM del)
+      |GROUP BY event_type, _change_type
+      |ORDER BY event_type, _change_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("x_sql_timetravel", sqlTimeTravel, Some(sqlTimeTravelSql)),
     QueryDef("x_sql_catalog", sqlCatalog, Some(sqlCatalogSql)),
     QueryDef("x_sql_dml", sqlDml, Some(sqlDmlSql)),
+    QueryDef("x_batch_cdf", batchCdf, Some(batchCdfSql)),
     QueryDef("m5_versioned_merge", versionedMerge, Some(versionedMergeSql)),
     QueryDef("m9_condput_merge", versionedMergeCondPut, Some(versionedMergeSql)),
     QueryDef("m10_sql_merge", versionedMergeSqlText, Some(versionedMergeSql)),

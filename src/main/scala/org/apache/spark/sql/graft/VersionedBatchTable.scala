@@ -175,7 +175,7 @@ final class VersionedBatchTable(
       // wrapper adds LOG-SIDE data skipping (zone-map file pruning from
       // the pushed predicates) before the index is built
       new ZonePrunedParquetScanBuilder(spark, dir, v, schema(), options)
-    else new DvBridgeScanBuilder(spark, dir, v, schema())
+    else new V1FrameScanBuilder(schema(), () => Versioned.readAt(spark, dir, v))
   }
 }
 
@@ -309,15 +309,15 @@ private final class ZonePrunedParquetScanBuilder(
   }
 }
 
-/** DV-bearing snapshots: the deletion-vector anti-join is a JOIN, not a
-  * file scan, so this builder bridges to the V1 relation API over
-  * [[Versioned.readAt]] — the inner plan is still the native parquet
-  * scan plus the broadcast DV subtract; only the relation boundary
+/** Bridges a DataFrame-producing plan that no file scan can express —
+  * the DV anti-join of a MoR-mutated snapshot, the snapshot diff of a
+  * change-feed read — to the V1 relation API: the inner plan is still
+  * built from native parquet scans; only the relation boundary
   * (InternalRow↔Row) is V1-shaped. Column pruning is pushed into the
-  * inner plan so the parquet scan reads only what the query needs.
+  * inner plan so those scans read only what the query needs.
   */
-private final class DvBridgeScanBuilder(
-    spark: SparkSession, dir: String, v: Long, full: StructType)
+private final class V1FrameScanBuilder(
+    full: StructType, frame: () => org.apache.spark.sql.DataFrame)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = full
@@ -336,12 +336,86 @@ private final class DvBridgeScanBuilder(
         override def sqlContext: SQLContext = context
         override def schema: StructType = pruned
         override def buildScan(): RDD[Row] = {
-          val df = Versioned.readAt(spark, dir, v)
+          val df = frame()
           import org.apache.spark.sql.functions.col
           (if (pruned.isEmpty) df else df.select(pruned.fieldNames.map(col).toSeq: _*)).rdd
         }
       }.asInstanceOf[T]
     }
+  }
+}
+
+/** Batch change-feed table — Delta's batch CDF API shape:
+  *
+  *   spark.read.format("graft-versioned")
+  *     .option("readChangeFeed", "true")
+  *     .option("startingVersion", 2)       // exclusive diff base
+  *     .option("endingVersion", 5)         // default: current head
+  *     .load(dir)
+  *
+  * Rows are `Versioned.changes(from, to)` — the O(changed files)
+  * snapshot diff with `_change_type` insert/delete (an update = a
+  * delete+insert pair); `startingVersion 0` means "from the table's
+  * birth": the full `to` snapshot as inserts (the same rule the
+  * streaming CDF source applies). The diff is a join/except plan, not
+  * a file scan, so it rides the [[V1FrameScanBuilder]] bridge.
+  */
+private[graft] final class VersionedChangesTable(
+    spark: SparkSession, dir: String, from: Long, to: Long,
+    cdfSchema: StructType) extends Table with SupportsRead {
+
+  override def name(): String = s"graft-versioned $dir changes ($from, $to]"
+  override def schema(): StructType = cdfSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.Collections.singleton(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new V1FrameScanBuilder(cdfSchema, () => {
+      import org.apache.spark.sql.functions.lit
+      if (from == 0L)
+        Versioned.readAt(spark, dir, to)
+          .withColumn("_change_type", lit("insert"))
+      else Versioned.changes(spark, dir, from, to)
+    })
+}
+
+private[graft] object VersionedChangesTable {
+
+  def cdfRequested(options: JMap[String, String]): Boolean =
+    Option(new CaseInsensitiveStringMap(options).get("readChangeFeed"))
+      .exists(_.toBoolean)
+
+  /** (from, to, schema) for a batch CDF read. `startingVersion` is the
+    * exclusive diff base, defaulting to 0 — "since the table's birth",
+    * i.e. the full `endingVersion` snapshot as inserts (kept permissive
+    * because the STREAMING reader shares this provider's inferSchema and
+    * legitimately omits startingVersion for its initial-snapshot mode);
+    * `endingVersion` defaults to the head.
+    */
+  def resolve(spark: SparkSession, dir: String,
+      options: JMap[String, String]): (Long, Long, StructType) = {
+    val ci = new CaseInsensitiveStringMap(options)
+    val from = Option(ci.get("startingVersion")).map(_.toLong).getOrElse(0L)
+    val head = Versioned.currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
+    val to = Option(ci.get("endingVersion")).map(_.toLong).getOrElse(head)
+    require(from >= 0 && from <= to,
+      s"startingVersion $from must be in [0, endingVersion $to]")
+    val vs = Versioned.versions(spark, dir).toSet
+    require(from == 0L || vs.contains(from),
+      s"startingVersion $from does not exist (vacuumed or never committed) at $dir")
+    require(vs.contains(to),
+      s"endingVersion $to does not exist (vacuumed or never committed) at $dir")
+    // union of the two snapshots' schemas (may have evolved between
+    // them) + the change column — matching changes()'s output alignment
+    val base = VersionedBatchTable.schemaFor(spark, dir, to)
+    val older =
+      if (from == 0L) new StructType()
+      else VersionedBatchTable.schemaFor(spark, dir, from)
+    val union = older.fields ++
+      base.fields.filterNot(f => older.fieldNames.contains(f.name))
+    (from, to, StructType(union)
+      .add("_change_type", org.apache.spark.sql.types.StringType, nullable = false))
   }
 }
 
@@ -361,7 +435,9 @@ trait VersionedBatchTableProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val dir = VersionedBatchTable.pathOf(options)
-    VersionedBatchTable.resolveVersion(spark, dir, options)
+    if (VersionedChangesTable.cdfRequested(options))
+      VersionedChangesTable.resolve(spark, dir, options)._3
+    else VersionedBatchTable.resolveVersion(spark, dir, options)
       .map(VersionedBatchTable.schemaFor(spark, dir, _))
       .getOrElse(new StructType())
   }
@@ -371,9 +447,14 @@ trait VersionedBatchTableProvider extends TableProvider {
       properties: JMap[String, String]): Table = {
     val spark = SparkSession.active
     val dir = VersionedBatchTable.pathOf(properties)
-    val version = VersionedBatchTable.resolveVersion(spark, dir, properties)
-    val declared = Option(schema).filter(_.nonEmpty)
     val _ = partitioning
-    new VersionedBatchTable(spark, dir, version, declared)
+    if (VersionedChangesTable.cdfRequested(properties)) {
+      val (from, to, cdfSchema) = VersionedChangesTable.resolve(spark, dir, properties)
+      new VersionedChangesTable(spark, dir, from, to, cdfSchema)
+    } else {
+      val version = VersionedBatchTable.resolveVersion(spark, dir, properties)
+      val declared = Option(schema).filter(_.nonEmpty)
+      new VersionedBatchTable(spark, dir, version, declared)
+    }
   }
 }

@@ -112,4 +112,28 @@ class SqlTimeTravelSpec extends SparkSpec {
     assert(Versioned.read(spark, dst).as[(Long, String)].collect().toSet
       == Set((1L, "a"), (2L, "b")))
   }
+
+  test("batch readChangeFeed: window diff, birth default, bad versions refuse") {
+    val dir = tmpDir("sqltt_cdf")
+    Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir)   // v1
+    Versioned.append(Seq((3L, "c")).toDF("id", "s"), dir)              // v2
+    Versioned.updateWhere(spark, dir, col("id") === 2L,
+      Map("s" -> org.apache.spark.sql.functions.lit("B")))             // v3
+    Versioned.deleteWhere(spark, dir, col("id") === 1L)                // v4
+    def cdf = spark.read.format("graft-versioned")
+      .option("readChangeFeed", "true")
+    // window (2, 4]: the update is a delete+insert pair, plus the delete
+    assert(cdf.option("startingVersion", 2).load(dir)
+      .select("id", "s", "_change_type").as[(Long, String, String)]
+      .collect().toSet ==
+      Set((2L, "B", "insert"), (2L, "b", "delete"), (1L, "a", "delete")))
+    // explicit endingVersion bounds the diff
+    assert(cdf.option("startingVersion", 1).option("endingVersion", 2).load(dir)
+      .select("id", "_change_type").as[(Long, String)].collect().toSet ==
+      Set((3L, "insert")))
+    // default startingVersion = table birth: head snapshot as inserts
+    assert(cdf.load(dir).select("_change_type").distinct()
+      .as[String].collect().toSeq == Seq("insert"))
+    intercept[Exception](cdf.option("startingVersion", 9).load(dir).collect())
+  }
 }
