@@ -84,7 +84,11 @@ final class ResolveGraftVersionedRelation(spark: SparkSession)
     p match {
       case org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(id, u: UnresolvedRelation) =>
         graftTargetDir(u).map(_ -> Some(id.name))
-      case u: UnresolvedRelation => graftTargetDir(u).map(_ -> None)
+      case u: UnresolvedRelation =>
+        // no explicit alias: standard SQL qualifies by the table name —
+        // accept the identifier's last part (`MERGE INTO cat.ns.orders
+        // ... ON orders.k = s.k`)
+        graftTargetDir(u).map(_ -> Some(u.multipartIdentifier.last))
       case _ => None
     }
 
@@ -102,6 +106,30 @@ final class ResolveGraftVersionedRelation(spark: SparkSession)
     case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable =>
       graftMergeTarget(u.table) match {
         case Some((path, _)) => graft.plans.SqlDml.translateUpdate(spark, u, path)
+        case None => resolveRelations(plan)
+      }
+    case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement =>
+      // claim PATH-form INSERT targets: without this the relation pass
+      // below would inline the target as a bare file scan and Spark's
+      // file-write command would write around the log (an INSERT
+      // OVERWRITE would even clobber a live data file). Catalog-named
+      // inserts resolve natively onto the DSv2 write bridge — only the
+      // `graft-versioned`.`path` spelling needs claiming.
+      val pathTarget = i.table match {
+        case u: UnresolvedRelation => graftPath(u)
+        case _ => None
+      }
+      pathTarget match {
+        case Some(path) =>
+          require(i.partitionSpec.isEmpty,
+            "graft-versioned tables take no PARTITION spec (clustering + " +
+              "zone maps are the layout story)")
+          require(i.userSpecifiedCols.isEmpty,
+            "INSERT column lists are not supported on the path form — " +
+              "project the query to the table's full schema instead")
+          require(!i.ifPartitionNotExists,
+            "IF NOT EXISTS partitions do not apply to graft-versioned tables")
+          graft.plans.GraftInsertCommand(path, i.query, i.overwrite, i.byName)
         case None => resolveRelations(plan)
       }
     case t: org.apache.spark.sql.catalyst.plans.logical.TruncateTable =>

@@ -144,13 +144,21 @@ object Similarity {
     */
   private val codebookCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (Int, Int, Int, Int),
+      (Int, Int, Int, Int, Int),
       (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]()
 
   private[operators] def kmeansCodebook(
       p: DataFrame, nlist: Int, iters: Int): DataFrame = {
     val spark = p.sparkSession
-    val key = (System.identityHashCode(spark), p.semanticHash(), nlist, iters)
+    // the key carries a CONTENT fingerprint alongside the plan hash:
+    // semanticHash canonicalizes on the scan's location, not its data,
+    // so a dataset REWRITTEN at the same path would otherwise serve a
+    // stale codebook. Spark part-file names are write-unique, so the
+    // input-file list hash changes with any rewrite; a driver-side
+    // metadata call, no data read.
+    val key = (System.identityHashCode(spark), p.semanticHash(),
+      p.inputFiles.toSeq.hashCode, nlist, iters)
+    if (codebookCache.size > 64) codebookCache.clear() // bounded memo
     val (schema, rows) = codebookCache.computeIfAbsent(key, { _ =>
       val trained = trainCodebook(p, nlist, iters)
       (trained.schema, trained.collect())

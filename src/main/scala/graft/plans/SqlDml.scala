@@ -74,6 +74,62 @@ object SqlDml {
   }
 }
 
+/** SQL `INSERT INTO` / `INSERT OVERWRITE` on the PATH-form relation —
+  * routed through the transaction log ([[Versioned.append]] /
+  * `overwrite`) by the extension rule. Without this claim, the
+  * relation-inlining pass would hand the INSERT a bare file relation
+  * over the snapshot's parquet files and Spark's file-writing command
+  * would write AROUND the log — an INSERT OVERWRITE would even delete
+  * a live data file in place. Catalog-named INSERTs don't come here:
+  * they resolve natively onto the table's DSv2 write bridge.
+  *
+  * Input columns align BY POSITION (standard INSERT semantics; `INSERT
+  * ... BY NAME` aligns by name) and cast to the table's committed
+  * column types — the same store-assignment shape the catalog write
+  * path gets from Spark's own resolution.
+  */
+final case class GraftInsertCommand(
+    dir: String, query: LogicalPlan, overwrite: Boolean, byName: Boolean)
+    extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = Bridge.ofRows(spark, query)
+    val head = Versioned.currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed versions at $dir — INSERT needs an existing table " +
+          "(create it with Versioned.append/overwrite or a catalog CREATE TABLE)"))
+    val schema = Versioned.schemaAt(spark, dir, head).getOrElse(
+      Versioned.readAt(spark, dir, head).schema)
+    val aligned =
+      if (byName) {
+        val missing = schema.fieldNames.filterNot(f =>
+          df.columns.exists(_.equalsIgnoreCase(f)))
+        require(missing.isEmpty,
+          s"INSERT BY NAME input lacks table columns: ${missing.mkString(", ")}")
+        df.select(schema.fields.toSeq.map(f =>
+          col(df.columns.find(_.equalsIgnoreCase(f.name)).get)
+            .cast(f.dataType).as(f.name)): _*)
+      } else {
+        require(df.columns.length == schema.size,
+          s"INSERT input has ${df.columns.length} columns; table $dir has " +
+            s"${schema.size} (${schema.fieldNames.mkString(", ")})")
+        df.select(df.columns.toSeq.zip(schema.fields.toSeq).map { case (c, f) =>
+          col(c).cast(f.dataType).as(f.name)
+        }: _*)
+      }
+    val v =
+      if (overwrite) Versioned.overwrite(aligned, dir)
+      else Versioned.append(aligned, dir)
+    Seq(Row(v))
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftInsertCommand $dir overwrite=$overwrite"
+}
+
 /** Executable TRUNCATE: one overwrite commit of an empty frame under
   * the head snapshot's schema — rows vanish from the NEW snapshot while
   * every prior version stays time-travel-readable until vacuum (the

@@ -167,11 +167,27 @@ object SqlMerge {
         s"at most one WHEN NOT MATCHED action is supported, got ${many.size}")
     }
 
+    // SET column names must resolve against the TABLE schema, and in
+    // the table's own spelling: SQL identifiers are case-insensitive by
+    // default while Versioned.merge's setCols matching is exact-case —
+    // an unvalidated case-variant (SET Value_C = s.Value_C) would
+    // silently update NO columns while still committing a version
+    val committedSchema = Versioned.currentVersion(spark, dir)
+      .flatMap(v => Versioned.schemaAt(spark, dir, v))
+    val canonSetCols = committedSchema match {
+      case Some(sch) => setCols.map { c =>
+        sch.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(err(
+          s"SET column $c is not a table column " +
+            s"(${sch.fieldNames.mkString(", ")})"))
+      }
+      case None => setCols
+    }
+
     // resolve the source NOW (nested analysis, like the snapshot-inline
     // rule does for reads) so a missing view/column surfaces at plan
     // time with Spark's own error, not at execution
     val analyzedSource = Bridge.ofRows(spark, m.sourceTable).queryExecution.analyzed
-    GraftMergeCommand(dir, analyzedSource, keys, updateWhen, setCols)
+    GraftMergeCommand(dir, analyzedSource, keys, updateWhen, canonSetCols)
   }
 }
 

@@ -236,7 +236,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     val root = new Path(nsDir(namespace))
     val fs = hadoopFs(root)
-    if (!fs.exists(root)) throw new NoSuchNamespaceException(namespace)
+    // the ROOT namespace always exists (namespaceExists contract) even
+    // before the warehouse dir's first mkdir — an empty listing, not an
+    // error; named namespaces must exist to be listed
+    if (!fs.exists(root)) {
+      if (namespace.isEmpty) return Array.empty
+      throw new NoSuchNamespaceException(namespace)
+    }
     fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && !isTableDir(s.getPath.toString))
       .map(s => namespace :+ s.getPath.getName)

@@ -76,9 +76,19 @@ private[graft] object VersionedBatchTable {
           s"versionAsOf $ver does not exist (vacuumed or never committed) at $dir")
         Some(ver)
       case (None, Some(ts)) =>
+        // parse in the SESSION timezone (a Catalyst cast), exactly like
+        // SQL `TIMESTAMP AS OF` and the catalog path — java.sql
+        // .Timestamp.valueOf would bind the JVM-default zone and make
+        // two surfaces of the same engine read different snapshots for
+        // the same string
         val millis = ts.toLongOption.getOrElse {
-          val t = java.sql.Timestamp.valueOf(ts)
-          t.getTime
+          val micros = org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.catalyst.expressions.Literal(ts),
+            org.apache.spark.sql.types.TimestampType,
+            Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+          require(micros != null,
+            s"cannot parse timestampAsOf '$ts' as a timestamp")
+          Math.floorDiv(micros.asInstanceOf[Long], 1000L)
         }
         val vs = Versioned.versions(spark, dir)
         require(vs.nonEmpty, s"no committed versions at $dir")
@@ -222,34 +232,39 @@ private final class ZonePrunedParquetScanBuilder(
   }
 
   private val allFiles = Versioned.filesAt(spark, dir, v)
-  private var inner = mkInner(allFiles)
-  // recorded pushdown state, replayed onto the pruned rebuild
+  // protocol-only inner over an EMPTY index: the pushdown answers
+  // (which filters/aggregates parquet accepts) depend on schema and
+  // options, not on the file list — so the expensive per-file status
+  // listing is paid exactly once, at build(), for the final (possibly
+  // zone-pruned) set instead of twice
+  private val protoInner = mkInner(Nil)
+  // recorded pushdown state, replayed onto the real build
   private var filters: Seq[CExpr] = Nil
   private var aggregation: Option[org.apache.spark.sql.connector.expressions.aggregate.Aggregation] = None
   private var required: Option[StructType] = None
 
   override def pushFilters(f: Seq[CExpr]): Seq[CExpr] = {
     filters = f
-    inner.pushFilters(f)
+    protoInner.pushFilters(f)
   }
 
   override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
-    inner.pushedFilters
+    protoInner.pushedFilters
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    val ok = inner.pushAggregation(agg)
+    val ok = protoInner.pushAggregation(agg)
     if (ok) aggregation = Some(agg)
     ok
   }
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    inner.supportCompletePushDown(agg)
+    protoInner.supportCompletePushDown(agg)
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     required = Some(requiredSchema)
-    inner.pruneColumns(requiredSchema)
+    protoInner.pruneColumns(requiredSchema)
   }
 
   /** Per-column must-hold [lo, hi] bounds from the pushed conjuncts. */
@@ -296,16 +311,11 @@ private final class ZonePrunedParquetScanBuilder(
         live.filter(keep.contains)
       }
     }
-    val builder =
-      if (pruned.length == allFiles.length) inner
-      else {
-        val rebuilt = mkInner(pruned)
-        if (filters.nonEmpty) rebuilt.pushFilters(filters)
-        aggregation.foreach(rebuilt.pushAggregation)
-        required.foreach(rebuilt.pruneColumns)
-        rebuilt
-      }
-    builder.build()
+    val real = mkInner(pruned)
+    if (filters.nonEmpty) real.pushFilters(filters)
+    aggregation.foreach(real.pushAggregation)
+    required.foreach(real.pruneColumns)
+    real.build()
   }
 }
 

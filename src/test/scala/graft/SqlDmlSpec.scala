@@ -71,6 +71,26 @@ class SqlDmlSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM trcat.t VERSION AS OF 2").as[Long].head == 2L)
   }
 
+  test("path-form INSERT INTO / OVERWRITE commit through the log") {
+    val dir = tmpDir("sqldml_ins")
+    Versioned.append(Seq((1L, "a")).toDF("id", "s"), dir)
+    val rel = s"`graft-versioned`.`$dir`"
+    // by-position append with an implicit cast (INT literal -> BIGINT col)
+    val v2 = spark.sql(s"INSERT INTO $rel VALUES (2, 'b'), (3, 'c')").as[Long].head
+    assert(v2 == 2L)
+    assert(Versioned.read(spark, dir).as[(Long, String)].collect().toSet
+      == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // INSERT OVERWRITE is a LOG commit: new snapshot, old files intact
+    spark.sql(s"INSERT OVERWRITE $rel SELECT id + 10, s FROM $rel VERSION AS OF 1")
+    assert(Versioned.read(spark, dir).as[(Long, String)].collect().toSet
+      == Set((11L, "a")))
+    assert(Versioned.readAt(spark, dir, 2L).count() == 3L)
+    // column lists are refused loudly, never silently misaligned
+    val e = intercept[Exception](
+      spark.sql(s"INSERT INTO $rel (id) VALUES (9)"))
+    assert(e.getMessage.contains("column lists"))
+  }
+
   test("qualified refs strip to the table's columns") {
     val dir = tmpDir("sqldml_q")
     Versioned.append(Seq((1L, 2L), (5L, 6L)).toDF("id", "v"), dir)

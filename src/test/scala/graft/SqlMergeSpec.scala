@@ -83,6 +83,36 @@ class SqlMergeSpec extends SparkSpec {
       "WHEN NOT MATCHED THEN INSERT *", "qualified")
   }
 
+  test("case-variant SET columns canonicalize; unknown SET columns refuse") {
+    val dir = freshTable()
+    Seq((2L, "B", 99L)).toDF("k", "name", "ver").createOrReplaceTempView("src")
+    // SQL identifiers are case-insensitive: SET VER must hit column ver
+    spark.sql(mergeSql(dir,
+      "WHEN MATCHED THEN UPDATE SET VER = s.VER " +
+        "WHEN NOT MATCHED THEN INSERT *")).collect()
+    assert(Versioned.read(spark, dir).filter(col("k") === 2L).head().getLong(2) == 99L)
+    val e = intercept[Exception](spark.sql(mergeSql(dir,
+      "WHEN MATCHED THEN UPDATE SET vre = s.vre " +
+        "WHEN NOT MATCHED THEN INSERT *")))
+    assert(e.getMessage.contains("not a table column"))
+  }
+
+  test("an alias-free MERGE qualifies by the table name") {
+    val wh = tmpDir("sqlmerge_cat")
+    spark.conf.set("spark.sql.catalog.mcat",
+      "org.apache.spark.sql.graft.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.mcat.warehouse", wh)
+    spark.sql("CREATE TABLE mcat.orders (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO mcat.orders VALUES (1, 10)")
+    Seq((1L, 99L), (2L, 20L)).toDF("k", "v").createOrReplaceTempView("m_src")
+    spark.sql(
+      """MERGE INTO mcat.orders USING m_src s ON orders.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(spark.sql("SELECT k, v FROM mcat.orders").as[(Long, Long)]
+      .collect().toSet == Set((1L, 99L), (2L, 20L)))
+  }
+
   test("a non-graft MERGE target is left to Spark's own path") {
     Seq((1L, 1L)).toDF("k", "v").createOrReplaceTempView("plain_target")
     Seq((1L, 2L)).toDF("k", "v").createOrReplaceTempView("src")
