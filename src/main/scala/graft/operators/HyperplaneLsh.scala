@@ -71,10 +71,13 @@ object HyperplaneLsh {
   }
 
   /** r-bit band slice `b` of a packed signature (unsigned shift — bit
-    * 63 must not sign-extend into higher bands' keys).
+    * 63 must not sign-extend into higher bands' keys). The mask is
+    * `-1L >>> (64 - r)`, NOT `(1L << r) - 1`: Scala shifts are mod 64,
+    * so the latter is 0 at the legal single-band r = 64 configuration
+    * and would map every signature to key 0 (one all-pairs bucket).
     */
   private def bandSlice(sig: org.apache.spark.sql.Column, b: Int, r: Int) =
-    shiftrightunsigned(sig, b * r).bitwiseAND(lit((1L << r) - 1))
+    shiftrightunsigned(sig, b * r).bitwiseAND(lit(-1L >>> (64 - r)))
 
   /** Near-dup pairs (id_a < id_b, cos ≥ threshold restricted to LSH
     * candidates): banding on `nbits` hyperplane bits, `r` per band,

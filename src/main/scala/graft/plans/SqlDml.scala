@@ -67,10 +67,26 @@ object SqlDml {
     }
     val dup = set.groupBy(_._1.toLowerCase).collect { case (c, vs) if vs.size > 1 => c }
     if (dup.nonEmpty) err("UPDATE", s"duplicate SET columns: ${dup.mkString(", ")}")
+    // canonicalize SET names against the committed schema (same rule as
+    // SqlMerge.translate): SQL identifiers are case-insensitive by
+    // default while Versioned.updateWhere matches exact-case — a legal
+    // case-variant (SET Value_C on column value_c) must resolve to the
+    // table's own spelling, and an unknown column must error HERE with
+    // the schema named rather than inside the rewrite
+    val committed = Versioned.currentVersion(spark, dir)
+      .flatMap(v => Versioned.schemaAt(spark, dir, v))
+    val canonSet = committed match {
+      case Some(sch) => set.map { case (c, v) =>
+        sch.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(err("UPDATE",
+          s"SET column $c is not a table column " +
+            s"(${sch.fieldNames.mkString(", ")})")) -> v
+      }
+      case None => set
+    }
     GraftUpdateCommand(dir,
       u.condition.map(unqualified("UPDATE", _))
         .getOrElse(org.apache.spark.sql.functions.lit(true)),
-      set)
+      canonSet)
   }
 }
 
@@ -85,8 +101,12 @@ object SqlDml {
   *
   * Input columns align BY POSITION (standard INSERT semantics; `INSERT
   * ... BY NAME` aligns by name) and cast to the table's committed
-  * column types — the same store-assignment shape the catalog write
-  * path gets from Spark's own resolution.
+  * column types under STORE-ASSIGNMENT semantics — the cast's eval
+  * mode follows `spark.sql.storeAssignmentPolicy` (default ANSI:
+  * overflow and malformed strings ERROR), not the plain-cast
+  * `spark.sql.ansi.enabled` (default false: silent NULL/truncation),
+  * so the same INSERT behaves identically whether the table is named
+  * by path or by catalog identifier.
   */
 final case class GraftInsertCommand(
     dir: String, query: LogicalPlan, overwrite: Boolean, byName: Boolean)
@@ -94,6 +114,24 @@ final case class GraftInsertCommand(
 
   override def output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
+
+  /** `c` cast to `dt` with store-assignment semantics (the policy
+    * TableOutputResolver applies on catalog-table INSERTs): LEGACY
+    * policy keeps the permissive legacy cast; ANSI/STRICT get the
+    * ANSI cast that errors on overflow/bad input.
+    */
+  private def storeCast(
+      c: Column, dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode}
+    import org.apache.spark.sql.internal.SQLConf
+    val conf = SQLConf.get
+    val mode =
+      if (conf.storeAssignmentPolicy == SQLConf.StoreAssignmentPolicy.LEGACY)
+        EvalMode.LEGACY
+      else EvalMode.ANSI
+    Bridge.column(
+      Cast(Bridge.expression(c), dt, Some(conf.sessionLocalTimeZone), mode))
+  }
 
   override def run(spark: SparkSession): Seq[Row] = {
     val df = Bridge.ofRows(spark, query)
@@ -110,14 +148,14 @@ final case class GraftInsertCommand(
         require(missing.isEmpty,
           s"INSERT BY NAME input lacks table columns: ${missing.mkString(", ")}")
         df.select(schema.fields.toSeq.map(f =>
-          col(df.columns.find(_.equalsIgnoreCase(f.name)).get)
-            .cast(f.dataType).as(f.name)): _*)
+          storeCast(col(df.columns.find(_.equalsIgnoreCase(f.name)).get), f.dataType)
+            .as(f.name)): _*)
       } else {
         require(df.columns.length == schema.size,
           s"INSERT input has ${df.columns.length} columns; table $dir has " +
             s"${schema.size} (${schema.fieldNames.mkString(", ")})")
         df.select(df.columns.toSeq.zip(schema.fields.toSeq).map { case (c, f) =>
-          col(c).cast(f.dataType).as(f.name)
+          storeCast(col(c), f.dataType).as(f.name)
         }: _*)
       }
     val v =

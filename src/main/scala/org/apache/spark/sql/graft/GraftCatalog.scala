@@ -70,12 +70,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   private def hadoopFs(p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Each identifier part becomes ONE path segment under the warehouse
+    * root — so a part must be a plain directory name. Backtick-quoted
+    * SQL identifiers can smuggle '/', '..', '\' or be empty, which
+    * would let CREATE/RENAME/DROP TABLE (dropTable is a recursive
+    * delete) resolve OUTSIDE the warehouse; reject those before any
+    * path is built.
+    */
+  private def validPart(part: String): String = {
+    require(part.nonEmpty, "empty identifier part")
+    require(part != "." && part != "..",
+      s"identifier part '$part' is not a legal table/namespace name")
+    require(!part.exists(c => c == '/' || c == '\\'),
+      s"identifier part '$part' must not contain path separators")
+    part
+  }
+
   /** `<warehouse>/<ns...>/<table>` — the identifier IS the path. */
   private[graft] def tableDir(ident: Identifier): String =
-    (warehouse +: (ident.namespace() :+ ident.name()).toSeq).mkString("/")
+    (warehouse +: (ident.namespace() :+ ident.name()).toSeq.map(validPart)).mkString("/")
 
   private def nsDir(namespace: Array[String]): String =
-    (warehouse +: namespace.toSeq).mkString("/")
+    (warehouse +: namespace.toSeq.map(validPart)).mkString("/")
 
   /** A directory is a table iff it carries the transaction log. */
   private def isTableDir(dir: String): Boolean =
@@ -139,9 +155,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         "see the design record in Versioned.scala")
     val dir = tableDir(ident)
     if (isTableDir(dir)) throw new TableAlreadyExistsException(ident)
-    // v0 = schema-only overwrite commit: zero data files, schema bound
-    // in the log entry (readAt's empty-snapshot contract), so the table
-    // is immediately SELECT-able and INSERT-able
+    // v1 (versions are 1-based) = schema-only overwrite commit: zero
+    // data files, schema bound in the log entry (readAt's
+    // empty-snapshot contract), so the table is immediately
+    // SELECT-able and INSERT-able
     Versioned.overwrite(
       spark.createDataFrame(Collections.emptyList[org.apache.spark.sql.Row](), schema),
       dir)

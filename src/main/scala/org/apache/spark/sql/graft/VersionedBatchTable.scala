@@ -267,8 +267,20 @@ private final class ZonePrunedParquetScanBuilder(
     protoInner.pruneColumns(requiredSchema)
   }
 
-  /** Per-column must-hold [lo, hi] bounds from the pushed conjuncts. */
+  /** Per-column must-hold [lo, hi] bounds from the pushed conjuncts,
+    * expressed in the ZONE-STAT domain. Sidecar stats are
+    * `cast('long')` of the column ([[graft.table.ZoneMaps]]): identity
+    * for integral columns, but epoch SECONDS for timestamps — whose
+    * catalyst literals hold epoch MICROS — so timestamp bounds must be
+    * floor-divided into the seconds domain (floor on BOTH ends is
+    * sound: the stat cast truncates, and floor is monotone, so every
+    * row in [lo, hi] micros has its seconds-stat in
+    * [⌊lo/1e6⌋, ⌊hi/1e6⌋]). Date literals are epoch DAYS, matching the
+    * epoch-day stat domain identity. Columns of any other type derive
+    * no bounds and are never pruned on.
+    */
   private def bounds: Map[String, (Long, Long)] = {
+    import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, TimestampType}
     def conjuncts(e: CExpr): Seq[CExpr] = e match {
       case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
@@ -281,24 +293,37 @@ private final class ZonePrunedParquetScanBuilder(
       case j: java.lang.Long => Some(j.longValue)
       case _ => None
     }
+    // closed [lo, hi] in the LITERAL's own domain (micros for
+    // timestamps) — strict bounds tighten by 1 here, where the domain
+    // is still exact, BEFORE any lossy stat-domain conversion
     val perCol = filters.flatMap(conjuncts).flatMap {
-      case CEq(a: CAttr, l: CLit) => longOf(l).map(x => a.name -> (x, x))
-      case CEq(l: CLit, a: CAttr) => longOf(l).map(x => a.name -> (x, x))
+      case CEq(a: CAttr, l: CLit) => longOf(l).map(x => a -> (x, x))
+      case CEq(l: CLit, a: CAttr) => longOf(l).map(x => a -> (x, x))
       case CGt(a: CAttr, l: CLit) =>
-        longOf(l).filter(_ < Long.MaxValue).map(x => a.name -> (x + 1, Long.MaxValue))
-      case CGe(a: CAttr, l: CLit) => longOf(l).map(x => a.name -> (x, Long.MaxValue))
+        longOf(l).filter(_ < Long.MaxValue).map(x => a -> (x + 1, Long.MaxValue))
+      case CGe(a: CAttr, l: CLit) => longOf(l).map(x => a -> (x, Long.MaxValue))
       case CLt(a: CAttr, l: CLit) =>
-        longOf(l).filter(_ > Long.MinValue).map(x => a.name -> (Long.MinValue, x - 1))
-      case CLe(a: CAttr, l: CLit) => longOf(l).map(x => a.name -> (Long.MinValue, x))
+        longOf(l).filter(_ > Long.MinValue).map(x => a -> (Long.MinValue, x - 1))
+      case CLe(a: CAttr, l: CLit) => longOf(l).map(x => a -> (Long.MinValue, x))
       case CGt(l: CLit, a: CAttr) =>
-        longOf(l).filter(_ > Long.MinValue).map(x => a.name -> (Long.MinValue, x - 1))
-      case CGe(l: CLit, a: CAttr) => longOf(l).map(x => a.name -> (Long.MinValue, x))
+        longOf(l).filter(_ > Long.MinValue).map(x => a -> (Long.MinValue, x - 1))
+      case CGe(l: CLit, a: CAttr) => longOf(l).map(x => a -> (Long.MinValue, x))
       case CLt(l: CLit, a: CAttr) =>
-        longOf(l).filter(_ < Long.MaxValue).map(x => a.name -> (x + 1, Long.MaxValue))
-      case CLe(l: CLit, a: CAttr) => longOf(l).map(x => a.name -> (x, Long.MaxValue))
+        longOf(l).filter(_ < Long.MaxValue).map(x => a -> (x + 1, Long.MaxValue))
+      case CLe(l: CLit, a: CAttr) => longOf(l).map(x => a -> (x, Long.MaxValue))
       case _ => Nil
     }
-    perCol.groupBy(_._1).view.mapValues { bs =>
+    // literal domain → stat domain, keyed by the attribute's type
+    val statDomain = perCol.flatMap { case (a, (lo, hi)) =>
+      a.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | DateType =>
+          Some(a.name -> (lo, hi))
+        case TimestampType =>
+          Some(a.name -> (Math.floorDiv(lo, 1000000L), Math.floorDiv(hi, 1000000L)))
+        case _ => None
+      }
+    }
+    statDomain.groupBy(_._1).view.mapValues { bs =>
       (bs.map(_._2._1).max, bs.map(_._2._2).min)
     }.toMap
   }

@@ -247,4 +247,62 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SHOW NAMESPACES IN $cat").collect().map(_.getString(0)).toSet
       == Set("b"))
   }
+
+  test("zone pruning on a TIMESTAMP column converts micros bounds to seconds") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.tz (id BIGINT, ts TIMESTAMP)")
+    // two appends with disjoint time ranges -> two zoned file sets
+    Seq(0L -> 100L, 100000L -> 100100L).foreach { case (lo, hi) =>
+      spark.sql(s"INSERT INTO $cat.tz " +
+        s"SELECT id, timestamp_seconds(id) FROM range($lo, $hi)")
+    }
+    val dir = s"$wh/tz"
+    val head = Versioned.currentVersion(spark, dir).get
+    Versioned.writeZoneMap(spark, dir, head, "ts")
+    // regression: timestamp literals are epoch MICROS while zone stats
+    // are epoch SECONDS — un-converted bounds pruned EVERY file and the
+    // reads below silently returned 0 rows
+    assert(spark.sql(s"SELECT count(*) FROM $cat.tz " +
+      "WHERE ts >= timestamp_seconds(100000)").as[Long].head == 100L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.tz WHERE ts BETWEEN " +
+      "timestamp_seconds(50) AND timestamp_seconds(60)").as[Long].head == 11L)
+    // and the conversion still PRUNES: the bounded read's file index
+    // holds fewer files than the snapshot (count FILES, not RDD
+    // partitions — tiny files pack many-per-partition and would mask
+    // the pruning)
+    def filesOf(sql: String): Int =
+      spark.sql(sql).queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan match {
+              case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+                p.fileIndex.inputFiles.length
+            }
+        }).sum
+    val pruned = filesOf(
+      s"SELECT id FROM $cat.tz WHERE ts <= timestamp_seconds(99)")
+    val full = filesOf(s"SELECT id FROM $cat.tz")
+    assert(pruned < full, s"timestamp zone pruning inert: $pruned vs $full")
+  }
+
+  test("identifier parts cannot escape the warehouse root") {
+    val (cat, wh) = freshCatalog()
+    // backtick-quoted identifiers may carry path separators or dot-dots;
+    // every catalog path builder must reject them before touching the fs
+    // (dropTable is a recursive delete — traversal would be destructive)
+    val bad = Seq(s"CREATE TABLE $cat.`..` (id BIGINT)",
+      s"CREATE TABLE $cat.`a/b` (id BIGINT)",
+      s"CREATE TABLE $cat.`x\\y` (id BIGINT)",
+      s"DROP TABLE $cat.`..`.`..`.t")
+    bad.foreach { stmt =>
+      val e = intercept[Exception](spark.sql(stmt).collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(m => m.contains("not a legal") ||
+        m.contains("path separators")), s"$stmt -> $e")
+    }
+    // plain names still work, and the warehouse root is intact
+    spark.sql(s"CREATE TABLE $cat.ok (id BIGINT)")
+    assert(Versioned.currentVersion(spark, s"$wh/ok").contains(1L))
+  }
 }

@@ -218,4 +218,37 @@ class PlansSpec extends SparkSpec {
         .map(i => viaInterp.getUTF8String(i).toString))
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
+
+  test("r=64 single-band LSH keys on the full signature, not bucket 0") {
+    // mask regression: (1L << 64) - 1 is 0 under Scala's mod-64 shift,
+    // which collapsed every signature into one all-pairs bucket. With
+    // the -1L >>> (64 - r) mask, a single 64-bit band collides ONLY
+    // equal signatures — so a high-cosine pair engineered to differ in
+    // exactly one signature bit must NOT be emitted, while an identical
+    // pair must.
+    val dim = 6
+    val signs = HyperplaneLsh.signMatrix(64, dim)
+    val vA = Array(0.83, 0.21, -0.44, 0.57, 0.12, -0.35)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    // reflect vA across the hyperplane whose |dot| is smallest: bit k*
+    // provably flips, cosine stays near 1 because the component removed
+    // is tiny
+    val kStar = signs.indices.minBy(k => math.abs(dot(vA, signs(k))))
+    val d = dot(vA, signs(kStar))
+    val vB = vA.zip(signs(kStar)).map { case (x, h) => x - 2.0 * d / dim * h }
+    def sig(v: Array[Double]) = signs.map(h => if (dot(v, h) > 0) 1 else 0).toSeq
+    require(sig(vA) != sig(vB), "engineered pair must differ in signature")
+    val cosAB = dot(vA, vB) / math.sqrt(dot(vA, vA) * dot(vB, vB))
+    require(cosAB >= 0.9, s"engineered pair must clear the threshold: $cosAB")
+    val vC = Array(0.5, -0.5, 0.25, 0.1, -0.9, 0.3)
+    val emb = Seq((1L, vA), (2L, vB), (3L, vC), (4L, vC))
+      .toDF("doc_id", "emb")
+    val pairs = HyperplaneLsh.cosinePairs(
+      emb, "doc_id", "emb", dim, threshold = 0.9, nbits = 64, r = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // identical vectors share a signature -> emitted; the one-bit-off
+    // pair does not -> excluded (the buggy mask emitted (1, 2) too)
+    assert(pairs == Set((3L, 4L)))
+  }
 }

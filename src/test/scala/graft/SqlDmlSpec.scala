@@ -98,4 +98,47 @@ class SqlDmlSpec extends SparkSpec {
     assert(Versioned.read(spark, dir).as[(Long, Long)].collect().toSet
       == Set((1L, 2L), (5L, 11L)))
   }
+
+  test("UPDATE SET accepts case-variant column names, rejects unknown ones") {
+    val dir = tmpDir("sqldml_case")
+    Versioned.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "value_c"), dir)
+    val rel = s"`graft-versioned`.`$dir`"
+    // SQL identifiers are case-insensitive by default: Value_C must
+    // resolve to the committed value_c (regression: exact-case matching
+    // failed this statement)
+    spark.sql(s"UPDATE $rel SET Value_C = Value_C + 5 WHERE id = 1")
+    assert(Versioned.read(spark, dir).as[(Long, Long)].collect().toSet
+      == Set((1L, 15L), (2L, 20L)))
+    val e = intercept[IllegalArgumentException](
+      spark.sql(s"UPDATE $rel SET nope = 1"))
+    assert(e.getMessage.contains("not a table column"))
+    assert(e.getMessage.contains("value_c")) // schema named in the error
+  }
+
+  test("path-form INSERT casts with store-assignment semantics") {
+    val dir = tmpDir("sqldml_sa")
+    // id is INT (Scala Int -> IntegerType)
+    Versioned.append(Seq((1, "a")).toDF("id", "s"), dir)
+    val rel = s"`graft-versioned`.`$dir`"
+    // default storeAssignmentPolicy=ANSI: a BIGINT literal overflowing
+    // the INT column must ERROR like a catalog-table INSERT would —
+    // regression: the plain lax cast silently wrote NULL
+    val e = intercept[Exception](
+      spark.sql(s"INSERT INTO $rel VALUES (${Long.MaxValue}L, 'x')").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m =>
+      m.toLowerCase.contains("overflow") || m.contains("CAST_OVERFLOW")), s"$e")
+    // the failed INSERT committed nothing
+    assert(Versioned.currentVersion(spark, dir).contains(1L))
+    // LEGACY policy restores the permissive pre-ANSI cast
+    spark.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
+    try {
+      spark.sql(s"INSERT INTO $rel VALUES (${Long.MaxValue}L, 'y')").collect()
+      assert(Versioned.currentVersion(spark, dir).contains(2L))
+    } finally spark.conf.set("spark.sql.storeAssignmentPolicy", "ANSI")
+    // in-range values keep inserting under ANSI
+    spark.sql(s"INSERT INTO $rel VALUES (7, 'z')")
+    assert(Versioned.read(spark, dir).filter("id = 7").count() == 1L)
+  }
 }
