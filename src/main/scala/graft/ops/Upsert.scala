@@ -90,6 +90,158 @@ object Upsert {
   def tcol(name: String): Column = col(T + name)
   def scol(name: String): Column = col(S + name)
 
+  /** One WHEN clause of the full Delta-style MERGE grammar. Conditions
+    * are predicates over [[tcol]]/[[scol]] refs (like `updateWhen`);
+    * a NULL condition value means "does not apply" (SQL semantics).
+    * Clauses in one slot are first-match-wins, in declaration order —
+    * so every clause except the last must carry a condition.
+    *
+    *   - matched slot: [[MergeClause.Update]] (empty `set` = `SET *`,
+    *     every non-key column from the source) or [[MergeClause.Delete]]
+    *   - not-matched slot: [[MergeClause.Insert]] (whole source row;
+    *     condition over [[scol]] refs only)
+    *   - not-matched-by-source slot: [[MergeClause.Delete]] or
+    *     [[MergeClause.Update]] with a non-empty `set` over [[tcol]]
+    *     refs only (there is no source row to take values from)
+    */
+  sealed trait MergeClause { def cond: Option[Column] }
+  object MergeClause {
+    final case class Update(
+        cond: Option[Column] = None,
+        set: Map[String, Column] = Map.empty) extends MergeClause
+    final case class Delete(cond: Option[Column] = None) extends MergeClause
+    final case class Insert(cond: Option[Column] = None) extends MergeClause
+  }
+
+  /** The joined-frame name a [[tcol]] ref resolves to — lets a caller
+    * evaluate a clause condition against a plain (un-joined) target
+    * scan by aliasing each column under its target-prefixed name (the
+    * touched-file discovery of NOT MATCHED BY SOURCE clauses). A
+    * [[scol]] ref in such a condition fails resolution there — correct,
+    * since a by-source clause addresses rows with NO source match.
+    */
+  private[graft] def tname(c: String): String = T + c
+
+  /** The full MERGE action grammar as one relational plan — Delta's
+    * `whenMatched[Update|Delete] / whenNotMatchedInsert /
+    * whenNotMatchedBySource[Update|Delete]` semantics over a full-outer
+    * equi-join (single shuffle or broadcast, no driver iteration):
+    *
+    *   - matched rows: the first `matched` clause whose condition holds
+    *     applies (update or delete); none → the row keeps its target
+    *     version;
+    *   - source-only rows: the first `notMatched` (insert) clause whose
+    *     condition holds inserts the whole source row; none → dropped;
+    *   - target-only rows: the first `notMatchedBySource` clause whose
+    *     condition holds applies; none → the row carries unchanged.
+    *
+    * [[merge]] (the reference's M2–M4 shapes) is exactly
+    * `matched = Seq(Update(cond, set←source))`,
+    * `notMatched = Seq(Insert())` under this engine.
+    */
+  def mergeFull(
+      target: DataFrame,
+      source: DataFrame,
+      keys: Seq[String],
+      matched: Seq[MergeClause] = Nil,
+      notMatched: Seq[MergeClause] = Seq(MergeClause.Insert()),
+      notMatchedBySource: Seq[MergeClause] = Nil): DataFrame = {
+    import MergeClause._
+    require(target.columns.sameElements(source.columns) ||
+      target.columns.toSet == source.columns.toSet,
+      s"merge requires same columns; got ${target.columns.toSeq} vs ${source.columns.toSeq}")
+    def slotCheck(cs: Seq[MergeClause], slot: String, ok: MergeClause => Boolean): Unit = {
+      cs.foreach(c => require(ok(c),
+        s"$slot does not accept ${c.getClass.getSimpleName} clauses"))
+      // first-match-wins: a non-last clause without a condition makes
+      // every later clause dead code — reject loudly (Delta's rule)
+      cs.dropRight(1).zipWithIndex.foreach { case (c, i) =>
+        require(c.cond.nonEmpty,
+          s"$slot clause ${i + 1} of ${cs.size} has no condition; only the " +
+            "last clause in a slot may be unconditional")
+      }
+    }
+    slotCheck(matched, "WHEN MATCHED", c => !c.isInstanceOf[Insert])
+    slotCheck(notMatched, "WHEN NOT MATCHED", _.isInstanceOf[Insert])
+    slotCheck(notMatchedBySource, "WHEN NOT MATCHED BY SOURCE",
+      c => !c.isInstanceOf[Insert])
+    (matched ++ notMatchedBySource).foreach {
+      case Update(_, set) =>
+        val badKeys = set.keySet.intersect(keys.toSet)
+        require(badKeys.isEmpty,
+          s"UPDATE SET must not assign merge key columns: ${badKeys.mkString(", ")}")
+        val unknown = set.keySet -- target.columns
+        require(unknown.isEmpty,
+          s"UPDATE SET references unknown columns: ${unknown.mkString(", ")}")
+      case _ => ()
+    }
+    notMatchedBySource.foreach {
+      case Update(_, set) => require(set.nonEmpty,
+        "NOT MATCHED BY SOURCE UPDATE needs an explicit SET — there is " +
+          "no source row to take values from")
+      case _ => ()
+    }
+
+    val cols = target.columns.toSeq
+    val t = cols.foldLeft(target)((d, c) => d.withColumnRenamed(c, T + c))
+      .withColumn(T + "present", lit(true))
+    val s = cols.foldLeft(source)((d, c) => d.withColumnRenamed(c, S + c))
+      .withColumn(S + "present", lit(true))
+    val on = keys.map(k => t.col(T + k) === s.col(S + k)).reduce(_ && _)
+    val j = t.join(s, on, "full_outer")
+
+    val tPresent = col(T + "present").isNotNull
+    val sPresent = col(S + "present").isNotNull
+    val isMatched = tPresent && sPresent
+    val tOnly = tPresent && !sPresent
+
+    // NULL conditions do not apply (SQL); clause choice is materialized
+    // ONCE per slot so per-column projections share it
+    def holds(c: Option[Column]): Column =
+      c.map(x => coalesce(x, lit(false))).getOrElse(lit(true))
+    def firstApplicable(cs: Seq[MergeClause]): Column =
+      cs.zipWithIndex.foldRight(lit(-1): Column) { case ((cl, i), acc) =>
+        when(holds(cl.cond), lit(i)).otherwise(acc)
+      }
+    val withActs = j
+      .withColumn("__m_act", firstApplicable(matched))
+      .withColumn("__b_act", firstApplicable(notMatchedBySource))
+      .withColumn("__i_act", firstApplicable(notMatched))
+
+    def deleteIdxs(cs: Seq[MergeClause]): Seq[Int] =
+      cs.zipWithIndex.collect { case (_: Delete, i) => i }
+    def survives(cs: Seq[MergeClause], act: Column): Column =
+      deleteIdxs(cs).map(act =!= _).foldLeft(lit(true))(_ && _)
+    val keep =
+      when(isMatched, survives(matched, col("__m_act")))
+        .when(tOnly, survives(notMatchedBySource, col("__b_act")))
+        .otherwise(col("__i_act") =!= -1)
+
+    // per-column value: chained over the slot's UPDATE clauses; set
+    // expressions cast back to the column's type so the schema never
+    // drifts. Matched SET * (empty map) = the source's value.
+    def updVal(cs: Seq[MergeClause], act: Column, c: String,
+        starSource: Boolean): Column = {
+      val dt = target.schema(c).dataType
+      val dflt = col(T + c)
+      cs.zipWithIndex.collect { case (u: Update, i) => (u, i) }
+        .foldRight(dflt) { case ((u, i), acc) =>
+          val v = u.set.get(c).map(_.cast(dt)).getOrElse(
+            if (u.set.isEmpty && starSource) col(S + c) else col(T + c))
+          when(act === i, v).otherwise(acc)
+        }
+    }
+    val out = cols.map { c =>
+      val v =
+        if (keys.contains(c)) coalesce(col(T + c), col(S + c))
+        else when(isMatched, updVal(matched, col("__m_act"), c, starSource = true))
+          .when(tOnly, updVal(notMatchedBySource, col("__b_act"), c, starSource = false))
+          .otherwise(col(S + c))
+      v.as(c)
+    }
+    withActs.filter(keep).select(out: _*)
+  }
+
   /** Last-writer-wins merge (the reference's M2 shape): matched rows are
     * replaced only when the source's `versionCol` is strictly newer
     * (`02:74`, `02:208`, `02:345`, `02:656`, `02:749`, `02:844`, `04:117`).

@@ -263,6 +263,82 @@ object VersionedQueries {
       .orderBy("user_id")
   }
 
+  // M11 — the FULL Delta MERGE action grammar as one SQL statement:
+  // multiple conditional MATCHED clauses (first-match-wins UPDATE then
+  // DELETE), a conditional INSERT, and both NOT MATCHED BY SOURCE
+  // actions (conditional DELETE, then an unconditional UPDATE over
+  // target-only refs) — the grammar Delta users actually type
+  // (beyond the reference's LWW+insert shape, `02:67-87`). Data is
+  // m5's derivation (older-half/newer-half latest-per-user) so every
+  // clause fires on a real slice: newer sources update, stale
+  // 'purchase' targets matched-delete, non-view unmatched sources
+  // insert, user_id%3=0 unmatched targets by-source-delete, and every
+  // other unmatched target takes the by-source UPDATE. The oracle
+  // replays the whole clause lattice as one FULL OUTER JOIN + CASE in
+  // DuckDB — a green row proves clause priority, side-scoped
+  // conditions, and the widened touched-file discovery end to end.
+  def versionedMergeFullGrammar(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("ts_us", tsUs)
+      .withColumn("value_c", floor(col("value") * 100).cast("long"))
+      .select("user_id", "event_id", "event_type", "value_c", "ts_us")
+    val (target, source) = splitLatestHalves(ev)
+    val tableDir = scratchDir("graft_m11")
+    Versioned.append(target.filter(col("user_id") % 2 === 0), tableDir)
+    Versioned.append(target.filter(col("user_id") % 2 === 1), tableDir)
+    source.createOrReplaceTempView("graft_m11_source")
+    s.sql(
+      s"""MERGE INTO `graft-versioned`.`$tableDir` t
+         |USING graft_m11_source s
+         |ON t.user_id = s.user_id
+         |WHEN MATCHED AND s.ts_us > t.ts_us THEN UPDATE SET *
+         |WHEN MATCHED AND t.event_type = 'purchase' THEN DELETE
+         |WHEN NOT MATCHED AND s.event_type <> 'view' THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND t.user_id % 3 = 0 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET value_c = t.value_c + 1000
+         |""".stripMargin).collect()
+    Versioned.read(s, tableDir)
+      .select("user_id", "event_id", "event_type", "value_c")
+      .orderBy("user_id")
+  }
+
+  // The relational replay: tgt/src as in m5's oracle, then the clause
+  // lattice as a FULL OUTER JOIN — the WHERE keeps exactly the
+  // survivors (matched rows unless clause 2 deletes a stale purchase;
+  // unmatched targets unless user_id%3=0; unmatched sources only when
+  // non-view) and the CASEs pick each clause's column values.
+  val versionedMergeFullGrammarSql: String =
+    s"""WITH n AS (SELECT count(*) AS c FROM events),
+       |ev AS (SELECT user_id, event_id, event_type,
+       |              CAST(floor(value * 100) AS BIGINT) AS value_c,
+       |              $OracleTsUs AS ts_us FROM events),
+       |tgt AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+       |          ORDER BY ts_us DESC, event_id DESC) rn
+       |        FROM ev WHERE event_id < (SELECT c//2 FROM n)) WHERE rn = 1),
+       |src AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+       |          ORDER BY ts_us DESC, event_id DESC) rn
+       |        FROM ev WHERE event_id >= (SELECT c//2 FROM n)) WHERE rn = 1),
+       |j AS (SELECT coalesce(t.user_id, s.user_id) AS user_id,
+       |             t.user_id IS NOT NULL AS tp, s.user_id IS NOT NULL AS sp,
+       |             t.event_id AS t_eid, t.event_type AS t_et,
+       |             t.value_c AS t_vc, t.ts_us AS t_ts,
+       |             s.event_id AS s_eid, s.event_type AS s_et,
+       |             s.value_c AS s_vc, s.ts_us AS s_ts
+       |      FROM tgt t FULL OUTER JOIN src s ON t.user_id = s.user_id)
+       |SELECT user_id,
+       |  CASE WHEN tp AND sp AND s_ts > t_ts THEN s_eid
+       |       WHEN tp THEN t_eid ELSE s_eid END AS event_id,
+       |  CASE WHEN tp AND sp AND s_ts > t_ts THEN s_et
+       |       WHEN tp THEN t_et ELSE s_et END AS event_type,
+       |  CASE WHEN tp AND sp AND s_ts > t_ts THEN s_vc
+       |       WHEN tp AND sp THEN t_vc
+       |       WHEN tp THEN t_vc + 1000 ELSE s_vc END AS value_c
+       |FROM j
+       |WHERE (tp AND sp AND (s_ts > t_ts OR t_et <> 'purchase'))
+       |   OR (tp AND NOT sp AND user_id % 3 <> 0)
+       |   OR (NOT tp AND sp AND s_et <> 'view')
+       |ORDER BY user_id""".stripMargin
+
   // X — pure-SQL time travel: the events halves land as two APPEND
   // commits (v1 ⊂ v2), then BOTH snapshots are read back through
   // `spark.sql` alone — the `graft-versioned`.`/dir` relation with
@@ -478,6 +554,8 @@ object VersionedQueries {
     QueryDef("m5_versioned_merge", versionedMerge, Some(versionedMergeSql)),
     QueryDef("m9_condput_merge", versionedMergeCondPut, Some(versionedMergeSql)),
     QueryDef("m10_sql_merge", versionedMergeSqlText, Some(versionedMergeSql)),
+    QueryDef("m11_merge_full", versionedMergeFullGrammar,
+      Some(versionedMergeFullGrammarSql)),
     QueryDef("m6_incremental_gold", incrementalGold, Some(incrementalGoldSql)),
     QueryDef("m7_optimize_cluster", optimizeCluster, Some(optimizeClusterSql)),
     QueryDef("x_dedup_versioned", dedupVersioned, Some(dedupVersionedSql)))

@@ -1658,7 +1658,57 @@ object Versioned {
       updateWhen: org.apache.spark.sql.Column =
         org.apache.spark.sql.functions.lit(true),
       setCols: Seq[String] = Nil): Long =
-    mergeReplanning(spark, dir, source, keys, updateWhen, setCols, None).get
+    mergeReplanning(
+      spark, dir, source, keys, legacyClauses(updateWhen, setCols),
+      Seq(graft.ops.Upsert.MergeClause.Insert()), Nil, None).get
+
+  /** The classic merge shape as full-grammar clauses: one conditional
+    * matched UPDATE taking the source's values for `setCols` (all
+    * non-key columns when empty), plus the unconditional INSERT the
+    * caller supplies separately.
+    */
+  private def legacyClauses(
+      updateWhen: org.apache.spark.sql.Column,
+      setCols: Seq[String]): Seq[graft.ops.Upsert.MergeClause] =
+    Seq(graft.ops.Upsert.MergeClause.Update(
+      Some(updateWhen),
+      setCols.map(c => c -> graft.ops.Upsert.scol(c)).toMap))
+
+  /** MERGE with the FULL Delta action grammar —
+    * `WHEN MATCHED [AND c] THEN UPDATE|DELETE` (multiple, first-match-
+    * wins), `WHEN NOT MATCHED [AND c] THEN INSERT`, and
+    * `WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE|DELETE` — under
+    * the same log machinery as [[merge]] (which is the special case
+    * `matched = [conditional update], notMatched = [insert]`).
+    * Clause semantics: [[graft.ops.Upsert.mergeFull]]; conditions are
+    * predicates over [[graft.ops.Upsert.tcol]]/`scol` refs.
+    *
+    * Touched-file discovery widens per slot: matched clauses touch
+    * files holding a live source-keyed row (as before); BY SOURCE
+    * clauses additionally touch files holding a live row with NO
+    * source key whose clause conditions can hold — so an unconditional
+    * by-source DELETE rewrites every file with an unmatched row (the
+    * semantics demand it), while a selective condition keeps the
+    * commit at the affected-file footprint.
+    *
+    * CONFLICT MATRIX: by-source clauses read "row has no source match
+    * AND satisfies cond" over the WHOLE table, so a concurrent append
+    * can invalidate the merge without touching any file it read. The
+    * commute check therefore requires concurrently-added files to hold
+    * (a) no live source-keyed row — the rule [[merge]] already has —
+    * and (b) when by-source clauses exist, no live unmatched row their
+    * conditions accept. Either violation raises CommitRace and the
+    * whole merge re-plans from the new head (the appended rows then
+    * flow through the clauses like any other).
+    */
+  def mergeFull(
+      spark: SparkSession, dir: String, source: DataFrame, keys: Seq[String],
+      matched: Seq[graft.ops.Upsert.MergeClause] = Nil,
+      notMatched: Seq[graft.ops.Upsert.MergeClause] =
+        Seq(graft.ops.Upsert.MergeClause.Insert()),
+      notMatchedBySource: Seq[graft.ops.Upsert.MergeClause] = Nil): Long =
+    mergeReplanning(
+      spark, dir, source, keys, matched, notMatched, notMatchedBySource, None).get
 
   /** [[merge]] guarded by the same writer-transaction watermark as
     * [[appendIdempotent]]: if the table has already committed
@@ -1679,12 +1729,15 @@ object Versioned {
     requireLogSafeAppId(appId)
     if (lastTxnVersion(spark, dir, appId).exists(_ >= txnVersion)) None
     else mergeReplanning(
-      spark, dir, source, keys, updateWhen, setCols, Some(appId -> txnVersion))
+      spark, dir, source, keys, legacyClauses(updateWhen, setCols),
+      Seq(graft.ops.Upsert.MergeClause.Insert()), Nil, Some(appId -> txnVersion))
   }
 
   private def mergeReplanning(
       spark: SparkSession, dir: String, source: DataFrame, keys: Seq[String],
-      updateWhen: org.apache.spark.sql.Column, setCols: Seq[String],
+      matched: Seq[graft.ops.Upsert.MergeClause],
+      notMatched: Seq[graft.ops.Upsert.MergeClause],
+      notMatchedBySource: Seq[graft.ops.Upsert.MergeClause],
       txn: Option[(String, Long)]): Option[Long] = {
     // MERGE is a pure function of (head snapshot, source), so a genuine
     // read-set conflict re-PLANS the whole merge from the new head
@@ -1692,7 +1745,8 @@ object Versioned {
     // becomes a matched update on the re-plan, never a duplicate
     var attempt = 1
     while (true) {
-      try return mergeOnce(spark, dir, source, keys, updateWhen, setCols, txn)
+      try return mergeOnce(
+        spark, dir, source, keys, matched, notMatched, notMatchedBySource, txn)
       catch {
         case e: CommitRace =>
           if (attempt >= 4) throw e
@@ -1704,8 +1758,10 @@ object Versioned {
 
   private def mergeOnce(
       spark: SparkSession, dir: String, source: DataFrame, keys: Seq[String],
-      updateWhen: org.apache.spark.sql.Column,
-      setCols: Seq[String], txn: Option[(String, Long)]): Option[Long] = {
+      matched: Seq[graft.ops.Upsert.MergeClause],
+      notMatched: Seq[graft.ops.Upsert.MergeClause],
+      notMatchedBySource: Seq[graft.ops.Upsert.MergeClause],
+      txn: Option[(String, Long)]): Option[Long] = {
     import org.apache.spark.sql.functions.{broadcast, col}
     require(keys.nonEmpty, "MERGE needs at least one key column")
     val base = currentVersion(spark, dir).getOrElse(
@@ -1736,35 +1792,67 @@ object Versioned {
     // file source (the key set also scans parquet). The broadcast
     // joins never shuffle the probe side, so the collected set is
     // exact and log-sized.
-    def filesWithMatches(files: Seq[String], dvs: Map[String, Seq[Long]]): Set[String] = {
+    def liveRows(files: Seq[String], dvs: Map[String, Seq[Long]]) = {
       import org.apache.spark.sql.functions.substring_index
       val scan = readRaw(spark, dir, Some(logSchema), files)
         .withColumn("__dv_rel",
           substring_index(col("_metadata.file_path"), "/", -2))
         .withColumn("__dv_idx", col("_metadata.row_index"))
-      val live =
-        if (dvs.isEmpty) scan
-        else {
-          import spark.implicits._
-          scan.join(
-            broadcast(dvs.toSeq
-              .flatMap { case (f, is) => is.map(i => (f, i)) }
-              .toDF("__dv_rel", "__dv_idx")),
-            Seq("__dv_rel", "__dv_idx"), "left_anti")
-        }
-      live.join(broadcast(srcKeys), keys, "left_semi")
+      if (dvs.isEmpty) scan
+      else {
+        import spark.implicits._
+        scan.join(
+          broadcast(dvs.toSeq
+            .flatMap { case (f, is) => is.map(i => (f, i)) }
+            .toDF("__dv_rel", "__dv_idx")),
+          Seq("__dv_rel", "__dv_idx"), "left_anti")
+      }
+    }
+    def filesWithMatches(files: Seq[String], dvs: Map[String, Seq[Long]]): Set[String] =
+      liveRows(files, dvs).join(broadcast(srcKeys), keys, "left_semi")
         .select("__dv_rel").distinct()
         .collect().map(_.getString(0)).toSet
-    }
+    // BY SOURCE clauses affect live rows with NO source key whose
+    // clause conditions can hold — files provably free of such rows
+    // carry verbatim, keeping the commit at the affected-file footprint
+    // when the conditions are selective. NULL conditions never hold.
+    // Conditions are written over Upsert.tcol refs, so the un-joined
+    // probe aliases every column under its target-prefixed name rather
+    // than rewriting the condition (a stray scol ref then fails
+    // resolution here — by-source clauses have no source row).
+    val bySourceAffected: Option[org.apache.spark.sql.Column] =
+      if (notMatchedBySource.isEmpty) None
+      else Some(notMatchedBySource
+        .map(_.cond.map(c => org.apache.spark.sql.functions.coalesce(
+          c, org.apache.spark.sql.functions.lit(false)))
+          .getOrElse(org.apache.spark.sql.functions.lit(true)))
+        .reduce(_ || _))
+    def filesWithAffectedUnmatched(
+        files: Seq[String], dvs: Map[String, Seq[Long]]): Set[String] =
+      bySourceAffected match {
+        case None => Set.empty
+        case Some(cond) =>
+          liveRows(files, dvs).join(broadcast(srcKeys), keys, "left_anti")
+            .select(col("__dv_rel") +: logSchema.fieldNames.toSeq
+              .map(c => col(c).as(graft.ops.Upsert.tname(c))): _*)
+            .filter(cond)
+            .select("__dv_rel").distinct()
+            .collect().map(_.getString(0)).toSet
+      }
     val touched: Seq[String] =
       if (all.isEmpty) Seq.empty
-      else all.filter(filesWithMatches(all, headDvs))
+      else {
+        val want = filesWithMatches(all, headDvs) ++
+          filesWithAffectedUnmatched(all, headDvs)
+        all.filter(want)
+      }
     val target =
       if (touched.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logSchema)
       else readFiles(touched)
-    val merged = graft.ops.Upsert.merge(target, src, keys, updateWhen, setCols)
+    val merged = graft.ops.Upsert.mergeFull(
+      target, src, keys, matched, notMatched, notMatchedBySource)
       .select(logSchema.fieldNames.toSeq.map(col): _*)
     // CHECK constraints: the merge output (updated + inserted rows plus
     // carried target rows of touched files) must satisfy the contract;
@@ -1781,7 +1869,16 @@ object Versioned {
     // no-overlap case.
     val addedDisjoint = (head: Long) => {
       val added = filesAt(spark, dir, head).filterNot(all.toSet)
-      added.isEmpty || filesWithMatches(added, dvsAt(spark, dir, head)).isEmpty
+      added.isEmpty || {
+        val dvs = dvsAt(spark, dir, head)
+        // (a) no live source-keyed row (the insert/matched clauses read
+        // "key absent/present over the whole table"); (b) with BY
+        // SOURCE clauses, additionally no live unmatched row their
+        // conditions accept — a source-absence delete/update would have
+        // applied to it, so the merge cannot commute past that append
+        filesWithMatches(added, dvs).isEmpty &&
+          filesWithAffectedUnmatched(added, dvs).isEmpty
+      }
     }
     val committed = commitRewriteCommuting(
       spark, dir, base, "merge", logSchema.json, touched, fresh,

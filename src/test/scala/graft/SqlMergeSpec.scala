@@ -64,23 +64,74 @@ class SqlMergeSpec extends SparkSpec {
     assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, "e"))) // 2 untouched
   }
 
-  test("unsupported clauses fail loudly at plan time") {
+  test("full action grammar: matched DELETE, conditional clauses, BY SOURCE") {
+    val dir = freshTable()
+    Seq((1L, "A", 99L), (2L, "stale", 1L), (4L, "d", 40L), (5L, "e", 50L))
+      .toDF("k", "name", "ver").createOrReplaceTempView("src")
+    spark.sql(mergeSql(dir,
+      """WHEN MATCHED AND s.ver > t.ver THEN UPDATE SET *
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED AND s.ver >= 50 THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE AND t.ver >= 30 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET name = upper(name)
+        |""".stripMargin)).collect()
+    val rows = Versioned.read(spark, dir).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq(
+      (1L, "A", 99L),   // matched, newer: clause 1 updates
+      // 2: matched, stale -> clause 2 DELETE
+      // 3: target-only, ver 30 -> by-source DELETE
+      (5L, "e", 50L)),  // source-only, ver >= 50: conditional insert
+      s"got $rows")
+    // 4: source-only but ver 40 < 50 -> conditional insert skipped;
+    // 1: target row before merge had ver 10 < 30 -> by-source UPDATE
+    //    would have uppercased, but the row MATCHED (k=1 in source), so
+    //    by-source clauses never see it — covered by k=1 keeping 'A'
+  }
+
+  test("matched SET accepts arbitrary sided expressions") {
+    val dir = freshTable()
+    Seq((2L, "B", 99L)).toDF("k", "name", "ver").createOrReplaceTempView("src")
+    spark.sql(mergeSql(dir,
+      "WHEN MATCHED THEN UPDATE SET name = concat(s.name, t.name), " +
+        "ver = s.ver + t.ver WHEN NOT MATCHED THEN INSERT *")).collect()
+    val row2 = Versioned.read(spark, dir).filter(col("k") === 2L).head()
+    assert(row2.getString(1) == "Bb" && row2.getLong(2) == 119L)
+  }
+
+  test("delete-only merge needs no INSERT clause") {
+    val dir = freshTable()
+    Seq((2L, "B", 99L)).toDF("k", "name", "ver").createOrReplaceTempView("src")
+    spark.sql(mergeSql(dir, "WHEN MATCHED THEN DELETE")).collect()
+    assert(Versioned.read(spark, dir).select("k").as[Long].collect().toSet
+      == Set(1L, 3L))
+  }
+
+  test("ill-formed clauses fail loudly at plan time") {
     val dir = freshTable()
     Seq((2L, "B", 99L)).toDF("k", "name", "ver").createOrReplaceTempView("src")
     def bad(clauses: String, needle: String): Unit = {
-      val e = intercept[Exception](spark.sql(mergeSql(dir, clauses)))
+      val e = intercept[Exception](spark.sql(mergeSql(dir, clauses)).collect())
       assert(e.getMessage.contains(needle), s"got: ${e.getMessage}")
     }
-    bad("WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *",
-      "deleteWhere")
-    bad("WHEN MATCHED THEN UPDATE SET *", "INSERT action is required")
-    bad("WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
-      "WHEN NOT MATCHED BY SOURCE THEN DELETE", "NOT MATCHED BY SOURCE")
-    bad("WHEN MATCHED THEN UPDATE SET name = concat(s.name, 'x') " +
-      "WHEN NOT MATCHED THEN INSERT *", "SOURCE row's value")
-    // unqualified condition ref: ambiguous between identical schemas
+    // unqualified condition ref in a matched clause: ambiguous between
+    // identical schemas
     bad("WHEN MATCHED AND ver > 0 THEN UPDATE SET * " +
       "WHEN NOT MATCHED THEN INSERT *", "qualified")
+    // an unconditional non-last clause makes later clauses dead code
+    // (Spark's own parser enforces this for SQL; Upsert.mergeFull
+    // enforces it again for the Scala API)
+    bad("WHEN MATCHED THEN UPDATE SET * WHEN MATCHED AND s.ver > 0 THEN " +
+      "DELETE WHEN NOT MATCHED THEN INSERT *", "omit the condition")
+    // side-scoped clauses reject the absent side
+    bad("WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED AND t.ver > 0 " +
+      "THEN INSERT *", "cannot reference target")
+    bad("WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
+      "WHEN NOT MATCHED BY SOURCE AND s.ver > 0 THEN DELETE",
+      "cannot reference source")
+    // derived insert values: whole-source-row contract
+    bad("WHEN NOT MATCHED THEN INSERT (k, name, ver) " +
+      "VALUES (s.k, concat(s.name, 'x'), s.ver)", "whole SOURCE rows")
   }
 
   test("case-variant SET columns canonicalize; unknown SET columns refuse") {
