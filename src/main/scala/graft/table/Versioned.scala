@@ -1749,8 +1749,14 @@ object Versioned {
         spark, dir, source, keys, matched, notMatched, notMatchedBySource, txn)
       catch {
         case e: CommitRace =>
-          if (attempt >= 4) throw e
+          // 10 attempts with jittered backoff (same shape as
+          // commitRetry): a re-plan is slower than a blind append, so
+          // under sustained cross-process contention a merge can lose
+          // several consecutive CAS races before one sticks
+          if (attempt >= 10) throw e
           attempt += 1
+          Thread.sleep(
+            10L * attempt + java.util.concurrent.ThreadLocalRandom.current().nextInt(40))
       }
     }
     throw new IllegalStateException("unreachable")
