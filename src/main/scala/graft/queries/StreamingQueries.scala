@@ -398,6 +398,8 @@ object StreamingQueries {
       .orderBy("event_id", "_change_type", "value_c")
   }
 
+  // the v3 UPDATE's rows arrive as the PAIRED change types (the commit
+  // recorded its non-SET columns as pairing keys), not delete+insert
   val streamChangeFeedSql: String =
     """WITH ev AS (SELECT event_id, user_id, event_type,
       |                   CAST(floor(value * 100) AS BIGINT) AS value_c
@@ -407,9 +409,11 @@ object StreamingQueries {
       |  SELECT event_id, user_id, event_type, value_c,
       |         'insert' AS _change_type FROM ev
       |  UNION ALL
-      |  SELECT event_id, user_id, event_type, value_c, 'delete' FROM upd
+      |  SELECT event_id, user_id, event_type, value_c,
+      |         'update_preimage' FROM upd
       |  UNION ALL
-      |  SELECT event_id, user_id, event_type, value_c + 1000, 'insert' FROM upd
+      |  SELECT event_id, user_id, event_type, value_c + 1000,
+      |         'update_postimage' FROM upd
       |  UNION ALL
       |  SELECT event_id + 10000000, user_id, event_type, value_c,
       |         'insert' FROM ev)

@@ -502,14 +502,16 @@ object VersionedQueries {
 
   // X — BATCH change-feed through the DSv2 format (Delta's batch CDF
   // API shape): two appends build the table, a row-level UPDATE and a
-  // copy-on-write DELETE mutate it, then the WHOLE change set of the
-  // mutation window arrives via
+  // copy-on-write DELETE mutate it, then the mutation window arrives
+  // PER COMMIT via
   //   spark.read.format("graft-versioned")
   //     .option("readChangeFeed", true).option("startingVersion", 2)
-  // — the O(changed files) snapshot diff as a first-class read, no
-  // graft imports on the read side. The oracle replays the mutations
-  // relationally and diffs with EXCEPT ALL (an update = delete+insert
-  // pair), aggregated per (event_type, _change_type).
+  // with Delta's FOUR change types — the UPDATE commit recorded its
+  // pairing keys (the non-SET columns), so its removed/added rows
+  // surface as update_preimage/update_postimage, while the DELETE
+  // commit's rows stay `delete` — plus `_commit_version`. Aggregated
+  // per (event_type, _change_type, _commit_version); the oracle
+  // replays each commit's change set relationally.
   def batchCdf(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
       .withColumn("value_c", floor(col("value") * 100).cast("long"))
@@ -523,28 +525,31 @@ object VersionedQueries {
     s.read.format("graft-versioned")
       .option("readChangeFeed", "true").option("startingVersion", 2)
       .load(tableDir)
-      .groupBy("event_type", "_change_type")
+      .groupBy("event_type", "_change_type", "_commit_version")
       .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
-      .orderBy("event_type", "_change_type")
+      .orderBy("event_type", "_change_type", "_commit_version")
   }
 
   val batchCdfSql: String =
     """WITH ev AS (SELECT event_id, user_id, event_type,
       |                   CAST(floor(value * 100) AS BIGINT) AS value_c
       |            FROM events),
-      |v4 AS (SELECT event_id, user_id, event_type,
+      |upd AS (SELECT * FROM ev WHERE event_type = 'view'),
+      |v3 AS (SELECT event_id, user_id, event_type,
       |              CASE WHEN event_type = 'view' THEN value_c + 7
-      |                   ELSE value_c END AS value_c
-      |       FROM ev WHERE user_id % 9 <> 0),
-      |ins AS (SELECT *, 'insert' AS _change_type
-      |        FROM (SELECT * FROM v4 EXCEPT ALL SELECT * FROM ev)),
-      |del AS (SELECT *, 'delete' AS _change_type
-      |        FROM (SELECT * FROM ev EXCEPT ALL SELECT * FROM v4))
-      |SELECT event_type, _change_type, CAST(count(*) AS BIGINT) AS n,
+      |                   ELSE value_c END AS value_c FROM ev),
+      |chg AS (
+      |  SELECT event_type, value_c, 'update_preimage' AS _change_type,
+      |         CAST(3 AS BIGINT) AS _commit_version FROM upd
+      |  UNION ALL
+      |  SELECT event_type, value_c + 7, 'update_postimage', 3 FROM upd
+      |  UNION ALL
+      |  SELECT event_type, value_c, 'delete', 4 FROM v3 WHERE user_id % 9 = 0)
+      |SELECT event_type, _change_type, _commit_version,
+      |       CAST(count(*) AS BIGINT) AS n,
       |       CAST(sum(value_c) AS BIGINT) AS sum_c
-      |FROM (SELECT * FROM ins UNION ALL SELECT * FROM del)
-      |GROUP BY event_type, _change_type
-      |ORDER BY event_type, _change_type""".stripMargin
+      |FROM chg GROUP BY event_type, _change_type, _commit_version
+      |ORDER BY event_type, _change_type, _commit_version""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("x_sql_timetravel", sqlTimeTravel, Some(sqlTimeTravelSql)),

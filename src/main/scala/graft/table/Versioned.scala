@@ -603,7 +603,7 @@ object Versioned {
     */
   private val ReservedLogKeys = Set(
     "version", "op", "ts", "schema", "txns", "constraints", "dvs", "dvfile",
-    "files", "add", "remove", "ckptfile")
+    "files", "add", "remove", "ckptfile", "pairkeys")
 
   /** Writer appIds share the commit JSON with the reserved keys (as
     * txn-map keys), so they get the same reservation check as
@@ -747,7 +747,8 @@ object Versioned {
       basedOn: Option[Long] = None,
       dvsFor: Map[String, Seq[Long]] => Map[String, Seq[Long]] = identity,
       constraint: Option[(String, Option[String])] = None,
-      preCommit: (Option[Long], Map[String, String]) => Unit = (_, _) => ()): Option[Long] = {
+      preCommit: (Option[Long], Map[String, String]) => Unit = (_, _) => (),
+      pairKeys: Seq[String] = Nil): Option[Long] = {
     val f = fs(spark, dir)
     f.mkdirs(logPath(dir))
     val prev = currentVersion(spark, dir)
@@ -869,8 +870,16 @@ object Versioned {
         if (files.size <= CkptInlineMax) s""""files":[${arr(files)}]"""
         else s""""ckptfile":"${writeCkptSidecar(spark, dir, files)}""""
       } else s""""add":[${arr(added)}],"remove":[${arr(removed)}]"""
+    // row-pairing keys for the change feed: a key-bearing rewrite
+    // (merge: its ON keys; update: the non-SET columns) records how its
+    // removed/added rows pair into update_preimage/update_postimage.
+    // Only log-safe names are recorded — an exotic column name degrades
+    // that commit's CDF to delete+insert instead of corrupting the log.
+    val pairJson =
+      if (pairKeys.isEmpty || !pairKeys.forall(_.matches("[A-Za-z0-9_.-]+"))) ""
+      else s""","pairkeys":[${pairKeys.map("\"" + _ + "\"").mkString(",")}]"""
     val json =
-      s"""{"version":$v,"op":"$op","ts":$ts,"schema":"$b64"$txnsJson$consJson$dvsJson,$actionsJson}"""
+      s"""{"version":$v,"op":"$op","ts":$ts,"schema":"$b64"$txnsJson$consJson$dvsJson$pairJson,$actionsJson}"""
     // per-attempt unique temp name: racing committers must never share
     // a temp file, or a loser's cleanup could delete the winner's
     // in-flight content
@@ -1199,14 +1208,16 @@ object Versioned {
       spark: SparkSession, dir: String, basedOn: Long, op: String,
       schemaJson: String, files: Seq[String],
       dvsFor: Map[String, Seq[Long]] => Map[String, Seq[Long]] = identity,
-      txn: Option[(String, Long)] = None): Option[Long] =
+      txn: Option[(String, Long)] = None,
+      pairKeys: Seq[String] = Nil): Option[Long] =
     // schema precomputed by the caller against `basedOn`, which the
     // attempt verifies is still the head — no staleness window. None
     // only under `txn`: the watermark already covers this version
     // (idempotent replay), evaluated inside the attempt like
     // appendIdempotent's guard.
     commitAttempt(
-      spark, dir, op, _ => schemaJson, txn, _ => files, Some(basedOn), dvsFor)
+      spark, dir, op, _ => schemaJson, txn, _ => files, Some(basedOn), dvsFor,
+      pairKeys = pairKeys)
 
   /** Publishes a row-level rewrite — `touched` files replaced by
     * `fresh`, everything else carried — with Delta's WriteSerializable
@@ -1241,7 +1252,8 @@ object Versioned {
       dvsFor: Map[String, Seq[Long]] => Map[String, Seq[Long]] = identity,
       maxAttempts: Int = 16,
       commuteCheck: Long => Boolean = _ => true,
-      txn: Option[(String, Long)] = None): Option[Long] = {
+      txn: Option[(String, Long)] = None,
+      pairKeys: Seq[String] = Nil): Option[Long] = {
     val touchedSet = touched.toSet
     val baseDvs = dvsAt(spark, dir, basedOn)
     var base = basedOn
@@ -1249,7 +1261,7 @@ object Versioned {
     while (true) {
       val kept = filesAt(spark, dir, base).filterNot(touchedSet)
       try return commitPinned(
-        spark, dir, base, op, schemaJson, kept ++ fresh, dvsFor, txn)
+        spark, dir, base, op, schemaJson, kept ++ fresh, dvsFor, txn, pairKeys)
       catch {
         case e: CommitRace =>
           if (attempt >= maxAttempts) throw e
@@ -1614,7 +1626,8 @@ object Versioned {
       zoneHint: Option[(String, Long, Long)] = None): Option[Long] = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     require(set.nonEmpty, "UPDATE needs at least one SET column")
-    rewriteMatching(spark, dir, "update", cond, zoneHint) { (touched, c) =>
+    rewriteMatching(spark, dir, "update", cond, zoneHint,
+      pairKeys = sch => sch.fieldNames.toSeq.filterNot(set.keySet)) { (touched, c) =>
       val unknown = set.keySet -- touched.schema.fieldNames
       require(unknown.isEmpty, s"SET references unknown columns: ${unknown.mkString(", ")}")
       touched.select(touched.schema.fields.map { f =>
@@ -1888,7 +1901,7 @@ object Versioned {
     }
     val committed = commitRewriteCommuting(
       spark, dir, base, "merge", logSchema.json, touched, fresh,
-      commuteCheck = addedDisjoint, txn = txn)
+      commuteCheck = addedDisjoint, txn = txn, pairKeys = keys)
     committed.foreach(v => carryZones(spark, dir, base, v,
       filesAt(spark, dir, v).toSet -- fresh.toSet, fresh))
     committed
@@ -2031,7 +2044,8 @@ object Versioned {
   private def rewriteMatching(
       spark: SparkSession, dir: String, op: String,
       cond: org.apache.spark.sql.Column,
-      zoneHint: Option[(String, Long, Long)])(
+      zoneHint: Option[(String, Long, Long)],
+      pairKeys: org.apache.spark.sql.types.StructType => Seq[String] = _ => Nil)(
       rewrite: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Option[Long] = {
     import org.apache.spark.sql.functions.input_file_name
     val base = currentVersion(spark, dir).getOrElse(
@@ -2070,7 +2084,8 @@ object Versioned {
     val fresh = writeDataFiles(out, dir)
     val schemaJson = logSchema.map(_.json).getOrElse(touchedDf.schema.json)
     val v = commitRewriteCommuting(
-      spark, dir, base, op, schemaJson, touched, fresh).get
+      spark, dir, base, op, schemaJson, touched, fresh,
+      pairKeys = pairKeys(logSchema.getOrElse(touchedDf.schema))).get
     // kept set read back from the PUBLISHED snapshot: a commute-retry
     // may have re-based onto concurrently appended files
     carryZones(spark, dir, base, v,
@@ -2208,6 +2223,92 @@ object Versioned {
     a.exceptAll(b).withColumn("_change_type", lit("insert"))
       .unionByName(
         b.exceptAll(a).withColumn("_change_type", lit("delete")))
+  }
+
+  /** Row-pairing keys commit `v` recorded (merge: its ON keys; update:
+    * the non-SET columns) — empty for commits that pair nothing
+    * (append, delete, overwrite, optimize) and for pre-pairkeys log
+    * entries.
+    */
+  private[graft] def pairKeysAt(spark: SparkSession, dir: String, v: Long): Seq[String] =
+    snapshotJson(spark, dir, v).split("\"pairkeys\":\\[", 2) match {
+      case Array(_, rest) =>
+        val body = rest.split("]", 2)(0).trim
+        if (body.isEmpty) Nil
+        else body.split(",").toSeq
+          .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      case _ => Nil
+    }
+
+  /** The change feed with Delta's FOUR change types — the per-commit
+    * form of [[changes]]: each version in `(from, to]` contributes its
+    * own snapshot diff tagged `_commit_version`, and commits that
+    * recorded pairing keys ([[pairKeysAt]]) pair their removed/added
+    * rows into `update_preimage`/`update_postimage` (unpaired rows stay
+    * `delete`/`insert`). Pairing is exact per key group: with `d`
+    * deletes and `i` inserts sharing a key, `min(d, i)` of each become
+    * the update pair multiset — the same multiset Delta's positional
+    * CDF writes, since a key-bearing rewrite replaces rows key-for-key.
+    *
+    * Cost: O(changed files) per commit like [[changes]], plus one
+    * key-partitioned window over each paired commit's (small) diff.
+    * Note the semantic difference from [[changes]]: a row inserted at
+    * v3 and deleted at v5 appears TWICE here (insert@3, delete@5) and
+    * not at all in the whole-window diff — per-commit is what CDC
+    * consumers replay; the net diff is what incremental maintenance
+    * folds.
+    */
+  def changesWithType(
+      spark: SparkSession, dir: String, from: Long, to: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(from >= 0 && from < to, s"need 0 <= from < to, got ($from, $to]")
+    val perCommit = versions(spark, dir).filter(v => v > from && v <= to).map { v =>
+      // max(from, v-1): the window's first version may follow a
+      // vacuumed gap — diff against the window base then; base 0 =
+      // the table's birth, whose "diff" is the commit's full content
+      val base = math.max(from, v - 1)
+      val diff =
+        if (base == 0L)
+          readAt(spark, dir, v).withColumn("_change_type", lit("insert"))
+        else changes(spark, dir, base, v)
+      pairUpdates(diff, pairKeysAt(spark, dir, v))
+        .withColumn("_commit_version", lit(v))
+    }
+    require(perCommit.nonEmpty, s"no committed versions in ($from, $to] at $dir")
+    perCommit.reduceLeft(_ unionByName (_, allowMissingColumns = true))
+  }
+
+  /** Reclassifies a single commit's insert/delete diff into the
+    * four-type form using the commit's pairing keys: per key group,
+    * rank each side deterministically and convert the overlapping
+    * prefix — rank ≤ |opposite side| — into the update pair.
+    */
+  private def pairUpdates(diff: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, row_number, when}
+    if (keys.isEmpty || !keys.forall(diff.columns.contains)) return diff
+    val dataCols = diff.columns.toSeq.filterNot(c => c == "_change_type")
+    val orderCols = dataCols.filterNot(keys.contains).map(col) match {
+      case Seq() => Seq(lit(1))
+      case cs => cs
+    }
+    val w = Window.partitionBy((keys :+ "_change_type").map(col): _*)
+      .orderBy(orderCols: _*)
+    val delN = diff.filter(col("_change_type") === "delete")
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n_del"))
+    val insN = diff.filter(col("_change_type") === "insert")
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n_ins"))
+    diff.withColumn("__rn", row_number().over(w))
+      .join(delN, keys, "left")
+      .join(insN, keys, "left")
+      .withColumn("_change_type",
+        when(col("_change_type") === "delete" &&
+          col("__rn") <= coalesce(col("__n_ins"), lit(0L)), lit("update_preimage"))
+          .when(col("_change_type") === "insert" &&
+            col("__rn") <= coalesce(col("__n_del"), lit(0L)), lit("update_postimage"))
+          .otherwise(col("_change_type")))
+      .drop("__rn", "__n_del", "__n_ins")
+      .select(dataCols.map(col) :+ col("_change_type"): _*)
   }
 
   /** How the commits in a log window `(from, to]` relate to table

@@ -388,12 +388,14 @@ private final class V1FrameScanBuilder(
   *     .option("endingVersion", 5)         // default: current head
   *     .load(dir)
   *
-  * Rows are `Versioned.changes(from, to)` — the O(changed files)
-  * snapshot diff with `_change_type` insert/delete (an update = a
-  * delete+insert pair); `startingVersion 0` means "from the table's
-  * birth": the full `to` snapshot as inserts (the same rule the
-  * streaming CDF source applies). The diff is a join/except plan, not
-  * a file scan, so it rides the [[V1FrameScanBuilder]] bridge.
+  * Rows are `Versioned.changesWithType(from, to)` — the O(changed
+  * files) PER-COMMIT diff with Delta's four `_change_type` values
+  * (insert / delete / update_preimage / update_postimage — key-bearing
+  * rewrites pair their removed/added rows) plus `_commit_version`;
+  * `startingVersion 0` means "from the table's birth": the full `to`
+  * snapshot as inserts tagged with `to` (the same rule the streaming
+  * CDF source applies). The diff is a join/except plan, not a file
+  * scan, so it rides the [[V1FrameScanBuilder]] bridge.
   */
 private[graft] final class VersionedChangesTable(
     spark: SparkSession, dir: String, from: Long, to: Long,
@@ -410,7 +412,8 @@ private[graft] final class VersionedChangesTable(
       if (from == 0L)
         Versioned.readAt(spark, dir, to)
           .withColumn("_change_type", lit("insert"))
-      else Versioned.changes(spark, dir, from, to)
+          .withColumn("_commit_version", lit(to))
+      else Versioned.changesWithType(spark, dir, from, to)
     })
 }
 
@@ -450,7 +453,8 @@ private[graft] object VersionedChangesTable {
     val union = older.fields ++
       base.fields.filterNot(f => older.fieldNames.contains(f.name))
     (from, to, StructType(union)
-      .add("_change_type", org.apache.spark.sql.types.StringType, nullable = false))
+      .add("_change_type", org.apache.spark.sql.types.StringType, nullable = false)
+      .add("_commit_version", org.apache.spark.sql.types.LongType, nullable = false))
   }
 }
 

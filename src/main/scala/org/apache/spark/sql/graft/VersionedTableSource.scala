@@ -228,7 +228,13 @@ final class VersionedTableSource(
     import org.apache.spark.sql.functions.lit
     if (from == 0L)
       Versioned.readAt(spark, dir, to).withColumn("_change_type", lit("insert"))
-    else Versioned.changes(spark, dir, from, to)
+    else
+      // the four-type feed: key-bearing rewrites (merge, UPDATE) pair
+      // their removed/added rows as update_preimage/update_postimage.
+      // The per-commit version tag is dropped to keep the streaming
+      // schema stable across restarts (the offset already scopes the
+      // window); the BATCH CDF surface carries it.
+      Versioned.changesWithType(spark, dir, from, to).drop("_commit_version")
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {

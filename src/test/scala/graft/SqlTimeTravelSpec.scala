@@ -122,11 +122,14 @@ class SqlTimeTravelSpec extends SparkSpec {
     Versioned.deleteWhere(spark, dir, col("id") === 1L)                // v4
     def cdf = spark.read.format("graft-versioned")
       .option("readChangeFeed", "true")
-    // window (2, 4]: the update is a delete+insert pair, plus the delete
+    // window (2, 4]: the UPDATE commit recorded pairing keys, so its
+    // rows arrive as the update pair, each tagged with its commit
     assert(cdf.option("startingVersion", 2).load(dir)
-      .select("id", "s", "_change_type").as[(Long, String, String)]
+      .select("id", "s", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)]
       .collect().toSet ==
-      Set((2L, "B", "insert"), (2L, "b", "delete"), (1L, "a", "delete")))
+      Set((2L, "b", "update_preimage", 3L), (2L, "B", "update_postimage", 3L),
+        (1L, "a", "delete", 4L)))
     // explicit endingVersion bounds the diff
     assert(cdf.option("startingVersion", 1).option("endingVersion", 2).load(dir)
       .select("id", "_change_type").as[(Long, String)].collect().toSet ==
@@ -135,5 +138,24 @@ class SqlTimeTravelSpec extends SparkSpec {
     assert(cdf.load(dir).select("_change_type").distinct()
       .as[String].collect().toSeq == Seq("insert"))
     intercept[Exception](cdf.option("startingVersion", 9).load(dir).collect())
+  }
+
+  test("batch CDF pairs a MERGE commit's rows on its recorded keys") {
+    val dir = tmpDir("sqltt_cdf_merge")
+    Versioned.append(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"), dir)  // v1
+    // merge: k=1 updated (pairs), k=2 matched-stale (no rows), k=9
+    // inserted (genuine insert, NOT an update pair despite same commit)
+    Versioned.merge(spark, dir,
+      Seq((1L, 11L), (9L, 90L)).toDF("k", "v"), Seq("k"))         // v2
+    assert(Versioned.pairKeysAt(spark, dir, 2L) == Seq("k"))
+    val out = spark.read.format("graft-versioned")
+      .option("readChangeFeed", "true").option("startingVersion", 1)
+      .load(dir)
+      .select("k", "v", "_change_type").as[(Long, Long, String)]
+      .collect().toSet
+    assert(out == Set(
+      (1L, 10L, "update_preimage"), (1L, 11L, "update_postimage"),
+      (9L, 90L, "insert")), s"got $out")
   }
 }

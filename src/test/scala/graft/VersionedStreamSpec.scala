@@ -358,8 +358,10 @@ class VersionedStreamSpec extends SparkSpec {
     assert(drainCdf(dir, ckpt, sink).sum == 0)
 
     // a row-mutating window: where the insert-only tail STOPS, the
-    // change feed represents it — update = delete+insert pair, the
-    // delete = one signed row; carried rows in rewritten files cancel
+    // change feed represents it — the UPDATE commit's rows arrive as
+    // the paired update_preimage/update_postimage (its pairing keys
+    // are in the commit JSON), the delete as one signed row; carried
+    // rows in rewritten files cancel
     Versioned.updateWhere(spark, dir, col("id") === 2L,
       Map("s" -> lit("B"))) // v3
     Versioned.deleteWhere(spark, dir, col("id") === 1L) // v4
@@ -367,15 +369,20 @@ class VersionedStreamSpec extends SparkSpec {
     assert(drainCdf(dir, ckpt, sink).sum == 4)
     assert(cdfRows(sink) == Set(
       (1L, "a", "insert"), (2L, "b", "insert"), (3L, "c", "insert"),
-      (2L, "b", "delete"), (2L, "B", "insert"),
+      (2L, "b", "update_preimage"), (2L, "B", "update_postimage"),
       (1L, "a", "delete"),
       (4L, "d", "insert")))
 
     // applying the signed feed reconstructs the head snapshot: the
-    // CDF-consumer contract (inserts minus deletes = live rows)
+    // CDF-consumer contract (inserts+postimages minus deletes+preimages
+    // = live rows)
     val feed = spark.read.parquet(sink)
-    val applied = feed.filter(col("_change_type") === "insert").drop("_change_type")
-      .exceptAll(feed.filter(col("_change_type") === "delete").drop("_change_type"))
+    val applied = feed
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .drop("_change_type")
+      .exceptAll(feed
+        .filter(col("_change_type").isin("delete", "update_preimage"))
+        .drop("_change_type"))
     assert(applied.as[(Long, String)].collect().toSet ==
       Versioned.read(spark, dir).as[(Long, String)].collect().toSet)
   }
