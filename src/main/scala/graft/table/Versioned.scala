@@ -1313,14 +1313,19 @@ object Versioned {
     nv
   }
 
-  /** Column types whose zone stats live exactly in the long domain
-    * (DATE is excluded — Spark 4 refuses date→long casts; strings sort
-    * a clustered layout but are not zoned).
+  /** Column types whose zone stats live exactly in the long domain:
+    * integrals as themselves, timestamps as epoch seconds, dates as
+    * epoch days, short decimals (precision ≤ 18) as their unscaled
+    * value — [[ZoneMaps.compute]] holds the per-type stat expressions
+    * and the DSv2 bounds miner the matching predicate conversions.
+    * Strings sort a clustered layout but are not zoned.
     */
   private def zoneableType(dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
     dt match {
-      case ByteType | ShortType | IntegerType | LongType | TimestampType => true
+      case ByteType | ShortType | IntegerType | LongType | TimestampType |
+           DateType => true
+      case d: DecimalType => d.precision <= 18
       case _ => false
     }
   }

@@ -37,7 +37,7 @@ private[graft] object ZoneMaps {
       spark: SparkSession, base: String, relFiles: Seq[String],
       colsRequested: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType] = None): Map[String, Zones] = {
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min, unix_date}
     require(colsRequested.nonEmpty, "at least one zone column")
     val cols = schema match {
       case Some(s) => colsRequested.filter(s.fieldNames.contains)
@@ -45,10 +45,24 @@ private[graft] object ZoneMaps {
     }
     if (relFiles.isEmpty || cols.isEmpty)
       return colsRequested.map(_ -> Seq.empty[(String, Long, Long)]).toMap
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c).cast("long")).as(s"lo_$c"), max(col(c).cast("long")).as(s"hi_$c")))
     val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
-    val stats = reader.parquet(relFiles.map(f => s"$base/$f"): _*)
+    val scan = reader.parquet(relFiles.map(f => s"$base/$f"): _*)
+    // per-type long-domain stat expression: integral/timestamp via the
+    // long cast (timestamps truncate to epoch SECONDS), dates as epoch
+    // DAYS (Spark 4 refuses date→long casts), short decimals as their
+    // UNSCALED value (×10^scale is exact decimal arithmetic within
+    // precision ≤ 18, and the unscaled magnitude < 10^18 fits a long)
+    def statCol(c: String): org.apache.spark.sql.Column =
+      scan.schema.find(_.name == c).map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.DateType) =>
+          unix_date(col(c)).cast("long")
+        case Some(d: org.apache.spark.sql.types.DecimalType) =>
+          (col(c) * scala.math.BigDecimal(10).pow(d.scale)).cast("long")
+        case _ => col(c).cast("long")
+      }
+    val aggs = cols.flatMap(c =>
+      Seq(min(statCol(c)).as(s"lo_$c"), max(statCol(c)).as(s"hi_$c")))
+    val stats = scan
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect() // one row per file of one write — log-sized, not data-sized

@@ -268,22 +268,39 @@ private final class ZonePrunedParquetScanBuilder(
   }
 
   /** Per-column must-hold [lo, hi] bounds from the pushed conjuncts,
-    * expressed in the ZONE-STAT domain. Sidecar stats are
-    * `cast('long')` of the column ([[graft.table.ZoneMaps]]): identity
-    * for integral columns, but epoch SECONDS for timestamps — whose
-    * catalyst literals hold epoch MICROS — so timestamp bounds must be
-    * floor-divided into the seconds domain (floor on BOTH ends is
-    * sound: the stat cast truncates, and floor is monotone, so every
-    * row in [lo, hi] micros has its seconds-stat in
-    * [⌊lo/1e6⌋, ⌊hi/1e6⌋]). Date literals are epoch DAYS, matching the
-    * epoch-day stat domain identity. Columns of any other type derive
+    * expressed in the ZONE-STAT domain ([[graft.table.ZoneMaps]]):
+    * integral columns as themselves, timestamps as epoch SECONDS
+    * (literals hold MICROS — floor-divide both ends; the stat cast
+    * truncates and floor is monotone, so every row in a micros range
+    * has its seconds-stat in the floored range), dates as epoch DAYS
+    * (literal identity), short decimals as their UNSCALED value
+    * (literal value × 10^scale with DIRECTIONAL rounding — ceil on
+    * lower bounds, floor on upper — so a fractional bound like
+    * `dec > 12.301` prunes exactly). Columns of any other type derive
     * no bounds and are never pruned on.
     */
   private def bounds: Map[String, (Long, Long)] = {
-    import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, TimestampType}
+    import org.apache.spark.sql.types.{ByteType, DateType, DecimalType, IntegerType, LongType, ShortType, TimestampType}
     def conjuncts(e: CExpr): Seq[CExpr] = e match {
       case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
+    }
+    // (attr, cmp, literal) normalized so the attribute is on the LEFT
+    sealed trait Cmp
+    object EQ extends Cmp; object GT extends Cmp; object GE extends Cmp
+    object LT extends Cmp; object LE extends Cmp
+    val cmps: Seq[(CAttr, Cmp, CLit)] = filters.flatMap(conjuncts).flatMap {
+      case CEq(a: CAttr, l: CLit) => Seq((a, EQ, l))
+      case CEq(l: CLit, a: CAttr) => Seq((a, EQ, l))
+      case CGt(a: CAttr, l: CLit) => Seq((a, GT, l))
+      case CGt(l: CLit, a: CAttr) => Seq((a, LT, l))
+      case CGe(a: CAttr, l: CLit) => Seq((a, GE, l))
+      case CGe(l: CLit, a: CAttr) => Seq((a, LE, l))
+      case CLt(a: CAttr, l: CLit) => Seq((a, LT, l))
+      case CLt(l: CLit, a: CAttr) => Seq((a, GT, l))
+      case CLe(a: CAttr, l: CLit) => Seq((a, LE, l))
+      case CLe(l: CLit, a: CAttr) => Seq((a, GE, l))
+      case _ => Nil
     }
     def longOf(l: CLit): Option[Long] = l.value match {
       case null => None
@@ -293,35 +310,55 @@ private final class ZonePrunedParquetScanBuilder(
       case j: java.lang.Long => Some(j.longValue)
       case _ => None
     }
-    // closed [lo, hi] in the LITERAL's own domain (micros for
-    // timestamps) — strict bounds tighten by 1 here, where the domain
-    // is still exact, BEFORE any lossy stat-domain conversion
-    val perCol = filters.flatMap(conjuncts).flatMap {
-      case CEq(a: CAttr, l: CLit) => longOf(l).map(x => a -> (x, x))
-      case CEq(l: CLit, a: CAttr) => longOf(l).map(x => a -> (x, x))
-      case CGt(a: CAttr, l: CLit) =>
-        longOf(l).filter(_ < Long.MaxValue).map(x => a -> (x + 1, Long.MaxValue))
-      case CGe(a: CAttr, l: CLit) => longOf(l).map(x => a -> (x, Long.MaxValue))
-      case CLt(a: CAttr, l: CLit) =>
-        longOf(l).filter(_ > Long.MinValue).map(x => a -> (Long.MinValue, x - 1))
-      case CLe(a: CAttr, l: CLit) => longOf(l).map(x => a -> (Long.MinValue, x))
-      case CGt(l: CLit, a: CAttr) =>
-        longOf(l).filter(_ > Long.MinValue).map(x => a -> (Long.MinValue, x - 1))
-      case CGe(l: CLit, a: CAttr) => longOf(l).map(x => a -> (Long.MinValue, x))
-      case CLt(l: CLit, a: CAttr) =>
-        longOf(l).filter(_ < Long.MaxValue).map(x => a -> (x + 1, Long.MaxValue))
-      case CLe(l: CLit, a: CAttr) => longOf(l).map(x => a -> (x, Long.MaxValue))
-      case _ => Nil
+    // closed stat-domain range from an exact long in the SAME domain
+    def fromLong(x: Long, cmp: Cmp): Option[(Long, Long)] = cmp match {
+      case EQ => Some((x, x))
+      case GE => Some((x, Long.MaxValue))
+      case GT => if (x == Long.MaxValue) None else Some((x + 1, Long.MaxValue))
+      case LE => Some((Long.MinValue, x))
+      case LT => if (x == Long.MinValue) None else Some((Long.MinValue, x - 1))
     }
-    // literal domain → stat domain, keyed by the attribute's type
-    val statDomain = perCol.flatMap { case (a, (lo, hi)) =>
-      a.dataType match {
+    def fd(m: Long): Long = Math.floorDiv(m, 1000000L)
+    val statDomain = cmps.flatMap { case (a, cmp, l) =>
+      val range: Option[(Long, Long)] = a.dataType match {
         case ByteType | ShortType | IntegerType | LongType | DateType =>
-          Some(a.name -> (lo, hi))
+          longOf(l).flatMap(fromLong(_, cmp))
         case TimestampType =>
-          Some(a.name -> (Math.floorDiv(lo, 1000000L), Math.floorDiv(hi, 1000000L)))
+          // tighten strict bounds by 1 in the exact micros domain,
+          // THEN floor the finite end into seconds
+          longOf(l).flatMap(fromLong(_, cmp)).map { case (lo, hi) =>
+            (if (lo == Long.MinValue) lo else fd(lo),
+             if (hi == Long.MaxValue) hi else fd(hi))
+          }
+        case d: DecimalType if d.precision <= 18 =>
+          val v = l.value match {
+            case dec: org.apache.spark.sql.types.Decimal => Some(dec.toBigDecimal)
+            case _ => longOf(l).map(BigDecimal(_))
+          }
+          v.map { bd =>
+            import scala.math.BigDecimal.RoundingMode.{CEILING, FLOOR}
+            val scaled = bd * BigDecimal(10).pow(d.scale)
+            // unscaled column values are bounded by 10^precision, so an
+            // out-of-long-range literal clamps to the long endpoints —
+            // which then provably miss every real stat (prune all) or
+            // cover everything (prune none), both sound
+            def clamp(x: BigDecimal): Long =
+              if (x > BigDecimal(Long.MaxValue)) Long.MaxValue
+              else if (x < BigDecimal(Long.MinValue)) Long.MinValue
+              else x.toLong
+            val fl = clamp(scaled.setScale(0, FLOOR))
+            val ce = clamp(scaled.setScale(0, CEILING))
+            cmp match {
+              case EQ => (ce, fl) // empty when fractional: nothing matches
+              case GE => (ce, Long.MaxValue)
+              case GT => (if (fl == Long.MaxValue) fl else fl + 1, Long.MaxValue)
+              case LE => (Long.MinValue, fl)
+              case LT => (Long.MinValue, if (ce == Long.MinValue) ce else ce - 1)
+            }
+          }
         case _ => None
       }
+      range.map(a.name -> _)
     }
     statDomain.groupBy(_._1).view.mapValues { bs =>
       (bs.map(_._2._1).max, bs.map(_._2._2).min)

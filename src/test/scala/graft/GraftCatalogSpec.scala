@@ -305,4 +305,42 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"CREATE TABLE $cat.ok (id BIGINT)")
     assert(Versioned.currentVersion(spark, s"$wh/ok").contains(1L))
   }
+
+  test("zone pruning on DATE and DECIMAL columns") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.dz (id BIGINT, d DATE, m DECIMAL(12,2))")
+    // two appends with disjoint date/amount ranges -> two zoned file sets
+    spark.sql(s"INSERT INTO $cat.dz SELECT id, date_add(DATE'2020-01-01', " +
+      "CAST(id AS INT)), CAST(id AS DECIMAL(12,2)) / 100 FROM range(0, 100)")
+    spark.sql(s"INSERT INTO $cat.dz SELECT id, date_add(DATE'2021-01-01', " +
+      "CAST(id - 1000 AS INT)), CAST(id AS DECIMAL(12,2)) / 100 " +
+      "FROM range(1000, 1100)")
+    val dir = s"$wh/dz"
+    val head = Versioned.currentVersion(spark, dir).get
+    Versioned.writeZoneMaps(spark, dir, head, Seq("d", "m"))
+    def filesOf(sql: String): Int =
+      spark.sql(sql).queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan match {
+              case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+                p.fileIndex.inputFiles.length
+            }
+        }).sum
+    val full = filesOf(s"SELECT id FROM $cat.dz")
+    // DATE bound: epoch-day literal vs epoch-day stats
+    assert(spark.sql(s"SELECT count(*) FROM $cat.dz WHERE d >= DATE'2021-01-01'")
+      .as[Long].head == 100L)
+    assert(filesOf(s"SELECT id FROM $cat.dz WHERE d >= DATE'2021-01-01'") < full)
+    // DECIMAL bound with a fractional literal: file1 holds 0.00..0.99,
+    // file2 10.00..10.99 — `> 0.995` keeps exactly file2's 100 rows
+    assert(spark.sql(s"SELECT count(*) FROM $cat.dz WHERE m > 0.995")
+      .as[Long].head == 100L)
+    assert(filesOf(s"SELECT id FROM $cat.dz WHERE m >= 10.00") < full)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.dz WHERE m >= 10.00")
+      .as[Long].head == 100L)
+    // equality on a value no row has (fractional beyond scale) is empty
+    assert(spark.sql(s"SELECT count(*) FROM $cat.dz WHERE m = 0.005")
+      .as[Long].head == 0L)
+  }
 }
