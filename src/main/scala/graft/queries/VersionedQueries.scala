@@ -464,6 +464,64 @@ object VersionedQueries {
       |FROM a2 JOIN ah USING (o_orderstatus)
       |ORDER BY o_orderstatus""".stripMargin
 
+  // X — COLUMN MAPPING through pure SQL: a catalog table takes two
+  // inserts, then `ALTER TABLE ... RENAME COLUMN` and `DROP COLUMN` —
+  // both METADATA-ONLY log commits (zero data files move; the physical
+  // name inside existing files never changes) — then another INSERT
+  // under the post-rename shape, and the head is read back through the
+  // renamed column while a `VERSION AS OF` read proves the pre-rename
+  // snapshot still time-travels under ITS OWN column names. This is
+  // Delta's columnMapping=name capability as one gated row.
+  def sqlColumnMapping(s: SparkSession, dir: String): DataFrame = {
+    val cat = s"graft_cm_${catalogSeq.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "org.apache.spark.sql.graft.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", scratchDir("graft_cmwh"))
+    t(s, dir, "orders")
+      .withColumn("total_c", floor(col("o_totalprice") * 100).cast("long"))
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "total_c")
+      .createOrReplaceTempView("graft_xcm_src")
+    val tbl = s"$cat.cm.orders"
+    s.sql(s"CREATE NAMESPACE $cat.cm")
+    s.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_custkey BIGINT, " +
+      "o_orderstatus STRING, total_c BIGINT)")                          // v1
+    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_xcm_src WHERE o_orderkey % 2 = 0")
+    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_xcm_src WHERE o_orderkey % 2 = 1")
+    s.sql(s"ALTER TABLE $tbl RENAME COLUMN total_c TO amount_c")        // v4
+    s.sql(s"ALTER TABLE $tbl DROP COLUMN o_custkey")                    // v5
+    s.sql(s"INSERT INTO $tbl SELECT o_orderkey + 1000000000, " +
+      "o_orderstatus, total_c + 11 FROM graft_xcm_src WHERE o_orderkey % 10 = 0")
+    s.sql(
+      s"""SELECT o_orderstatus, h.n AS n_head, h.sum_c AS sum_amount_c,
+         |       o.sum_c AS sum_total_v3_c
+         |FROM (SELECT o_orderstatus, count(*) AS n,
+         |             CAST(sum(amount_c) AS BIGINT) AS sum_c
+         |      FROM $tbl GROUP BY o_orderstatus) h
+         |JOIN (SELECT o_orderstatus,
+         |             CAST(sum(total_c) AS BIGINT) AS sum_c
+         |      FROM $tbl VERSION AS OF 3 GROUP BY o_orderstatus) o
+         |  USING (o_orderstatus)
+         |ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  val sqlColumnMappingSql: String =
+    """WITH src AS (SELECT o_orderkey, o_orderstatus,
+      |                    CAST(floor(o_totalprice * 100) AS BIGINT) AS total_c
+      |             FROM orders),
+      |head AS (SELECT o_orderstatus, total_c AS amount_c FROM src
+      |         UNION ALL
+      |         SELECT o_orderstatus, total_c + 11 FROM src
+      |         WHERE o_orderkey % 10 = 0),
+      |h AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_head,
+      |             CAST(sum(amount_c) AS BIGINT) AS sum_amount_c
+      |      FROM head GROUP BY o_orderstatus),
+      |o AS (SELECT o_orderstatus,
+      |             CAST(sum(total_c) AS BIGINT) AS sum_total_v3_c
+      |      FROM src GROUP BY o_orderstatus)
+      |SELECT o_orderstatus, n_head, sum_amount_c, sum_total_v3_c
+      |FROM h JOIN o USING (o_orderstatus)
+      |ORDER BY o_orderstatus""".stripMargin
+
   // X — SQL DML statements over the log: UPDATE then DELETE arrive as
   // SQL text against the path-form relation (the statement forms of
   // Delta's `UPDATE/DELETE FROM delta./path`), each translated by the
@@ -555,6 +613,7 @@ object VersionedQueries {
     QueryDef("x_sql_timetravel", sqlTimeTravel, Some(sqlTimeTravelSql)),
     QueryDef("x_sql_catalog", sqlCatalog, Some(sqlCatalogSql)),
     QueryDef("x_sql_dml", sqlDml, Some(sqlDmlSql)),
+    QueryDef("x_sql_colmap", sqlColumnMapping, Some(sqlColumnMappingSql)),
     QueryDef("x_batch_cdf", batchCdf, Some(batchCdfSql)),
     QueryDef("m5_versioned_merge", versionedMerge, Some(versionedMergeSql)),
     QueryDef("m9_condput_merge", versionedMergeCondPut, Some(versionedMergeSql)),

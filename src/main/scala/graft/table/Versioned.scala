@@ -289,10 +289,69 @@ object Versioned {
         dvs.filter { case (f, _) => set.contains(f) })
     }
 
+  // ---- column mapping (Delta's columnMapping analog) -------------------
+  //
+  // A committed schema field may carry metadata key `graft.physical`:
+  // the name the column is stored under inside data files. RENAME
+  // COLUMN is then a log-sized commit (the logical name changes, the
+  // physical stays the original forever), DROP COLUMN just removes the
+  // field (readers never select the physical column again), and
+  // re-adding a previously-dropped name assigns a fresh unique physical
+  // (tracked via the commit-carried `droppedphys` set) so old files'
+  // stale values can never resurface as the new column. Tables that
+  // were never renamed have physical == logical everywhere and pay
+  // nothing on any path. OPTIMIZE/compact rewrite the whole snapshot
+  // under logical names, materializing renames away.
+
+  private[graft] val PhysicalKey = "graft.physical"
+
+  private[graft] def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey) else f.name
+
+  /** True iff any field of `s` maps to a different physical name. */
+  def hasColumnMapping(s: org.apache.spark.sql.types.StructType): Boolean =
+    s.fields.exists(f => physicalName(f) != f.name)
+
+  /** The file-side schema: fields under their physical names,
+    * metadata stripped (so downstream aliases stay metadata-free).
+    */
+  private[graft] def physicalSchema(
+      s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(s.fields.map(f =>
+      org.apache.spark.sql.types.StructField(physicalName(f), f.dataType, f.nullable)))
+
+  /** logical → physical for one column; identity when unmapped. */
+  private def physicalOf(
+      schema: Option[org.apache.spark.sql.types.StructType], c: String): String =
+    schema.flatMap(_.fields.find(_.name == c)).map(physicalName).getOrElse(c)
+
+  /** A logical-named frame projected under `schema`'s physical names —
+    * what every data-file WRITE against a mapped snapshot must pass
+    * through (files always store physical names).
+    */
+  private def toPhysicalFrame(
+      df: DataFrame,
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    schema.filter(hasColumnMapping) match {
+      case Some(s) =>
+        import org.apache.spark.sql.functions.col
+        val m = s.fields.map(f => f.name -> physicalName(f)).toMap
+        df.select(df.columns.toSeq.map(c => col(c).as(m.getOrElse(c, c))): _*)
+      case None => df
+    }
+
   private def readRaw(
       spark: SparkSession, dir: String,
       schema: Option[org.apache.spark.sql.types.StructType],
       files: Seq[String]): DataFrame = schema match {
+    case Some(s) if hasColumnMapping(s) =>
+      // read under the PHYSICAL names the files store, then project
+      // back to the logical names everything downstream uses. The
+      // projection is name-only, so `_metadata` (row positions, file
+      // paths) still resolves through it for the DV and discovery scans
+      import org.apache.spark.sql.functions.col
+      spark.read.schema(physicalSchema(s)).parquet(files.map(f => s"$dir/$f"): _*)
+        .select(s.fields.toSeq.map(f => col(physicalName(f)).as(f.name)): _*)
     case Some(s) => spark.read.schema(s).parquet(files.map(f => s"$dir/$f"): _*)
     case None => spark.read.parquet(files.map(f => s"$dir/$f"): _*)
   }
@@ -603,7 +662,7 @@ object Versioned {
     */
   private val ReservedLogKeys = Set(
     "version", "op", "ts", "schema", "txns", "constraints", "dvs", "dvfile",
-    "files", "add", "remove", "ckptfile", "pairkeys")
+    "files", "add", "remove", "ckptfile", "pairkeys", "droppedphys")
 
   /** Writer appIds share the commit JSON with the reserved keys (as
     * txn-map keys), so they get the same reservation check as
@@ -650,6 +709,80 @@ object Versioned {
         .map(_.json).getOrElse(new org.apache.spark.sql.types.StructType().json),
       None, identity, Some(base),
       constraint = Some(name -> None)).get
+  }
+
+  /** Metadata-only RENAME COLUMN (Delta's `ALTER TABLE ... RENAME
+    * COLUMN` under column mapping): one log-sized commit republishing
+    * the schema with the field renamed and its PHYSICAL name pinned to
+    * whatever the data files already store — zero data files move, at
+    * 100 TB exactly like at 100 MB. Every prior version time-travels
+    * under ITS OWN name; zone sidecars are keyed by physical name, so
+    * data skipping survives the rename untouched. Refused while a
+    * CHECK constraint references the old name (its SQL text would
+    * silently stop resolving). Pinned: a concurrent commit fails the
+    * rename loudly (re-run it).
+    */
+  def renameColumn(
+      spark: SparkSession, dir: String, oldName: String, newName: String): Long = {
+    val head = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
+    val schema = schemaAt(spark, dir, head).getOrElse(
+      throw new IllegalArgumentException(
+        s"RENAME COLUMN requires a schema-bearing snapshot at $dir"))
+    val field = schema.fields.find(_.name.equalsIgnoreCase(oldName)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column $oldName at $dir (${schema.fieldNames.mkString(", ")})"))
+    require(!schema.fields.exists(_.name.equalsIgnoreCase(newName)),
+      s"column $newName already exists at $dir")
+    val renamed = org.apache.spark.sql.types.StructType(schema.fields.map { f =>
+      if (f eq field)
+        f.copy(name = newName,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(PhysicalKey, physicalName(f)).build())
+      else f
+    })
+    requireConstrainedColsPresent(spark, constraintsAt(spark, dir, head),
+      renamed, s"RENAME COLUMN $oldName at $dir")
+    val files = filesAt(spark, dir, head)
+    val v = commitPinned(spark, dir, head, "rename-column", renamed.json, files).get
+    // sidecars are physical-keyed, so the carry is a pure copy — data
+    // skipping survives the rename with zero re-statting
+    carryZones(spark, dir, head, v, kept = files.toSet, fresh = Nil)
+    v
+  }
+
+  /** Metadata-only DROP COLUMN: the field leaves the committed schema
+    * in one log-sized commit; data files are untouched (readers simply
+    * never select the physical column again) and prior versions still
+    * time-travel with the column. The dropped PHYSICAL name is
+    * recorded in the log's carried `droppedphys` set, so a later
+    * re-add of the same name gets a fresh physical identity instead of
+    * resurrecting the dead column's values. Refused while a CHECK
+    * constraint references the column.
+    */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Long = {
+    val head = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
+    val schema = schemaAt(spark, dir, head).getOrElse(
+      throw new IllegalArgumentException(
+        s"DROP COLUMN requires a schema-bearing snapshot at $dir"))
+    val field = schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column $name at $dir (${schema.fieldNames.mkString(", ")})"))
+    require(schema.fields.length > 1,
+      s"cannot drop the only column of $dir")
+    val dropped = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_ eq field))
+    requireConstrainedColsPresent(spark, constraintsAt(spark, dir, head),
+      dropped, s"DROP COLUMN $name at $dir")
+    val files = filesAt(spark, dir, head)
+    val v = commitPinned(spark, dir, head, "drop-column", dropped.json,
+      files, dropPhys = Seq(physicalName(field))).get
+    // the dropped column's block falls out of the carry (no schema
+    // field stores its physical name anymore); others copy through
+    carryZones(spark, dir, head, v, kept = files.toSet, fresh = Nil)
+    v
   }
 
   /** Writer-transaction watermarks carried by snapshot `v`: the highest
@@ -748,7 +881,8 @@ object Versioned {
       dvsFor: Map[String, Seq[Long]] => Map[String, Seq[Long]] = identity,
       constraint: Option[(String, Option[String])] = None,
       preCommit: (Option[Long], Map[String, String]) => Unit = (_, _) => (),
-      pairKeys: Seq[String] = Nil): Option[Long] = {
+      pairKeys: Seq[String] = Nil,
+      dropPhys: Seq[String] = Nil): Option[Long] = {
     val f = fs(spark, dir)
     f.mkdirs(logPath(dir))
     val prev = currentVersion(spark, dir)
@@ -870,6 +1004,14 @@ object Versioned {
         if (files.size <= CkptInlineMax) s""""files":[${arr(files)}]"""
         else s""""ckptfile":"${writeCkptSidecar(spark, dir, files)}""""
       } else s""""add":[${arr(added)}],"remove":[${arr(removed)}]"""
+    // dropped-physical-name set: carried forward like constraints so a
+    // later re-add of a dropped column name gets a FRESH physical name
+    // (old files' values for the dead physical column stay invisible)
+    val dropped = (prevJson.map(droppedPhysOf).getOrElse(Seq.empty) ++ dropPhys)
+      .distinct.filter(_.matches("[A-Za-z0-9_.-]+"))
+    val droppedJson =
+      if (dropped.isEmpty) ""
+      else s""","droppedphys":[${dropped.map("\"" + _ + "\"").mkString(",")}]"""
     // row-pairing keys for the change feed: a key-bearing rewrite
     // (merge: its ON keys; update: the non-SET columns) records how its
     // removed/added rows pair into update_preimage/update_postimage.
@@ -879,7 +1021,7 @@ object Versioned {
       if (pairKeys.isEmpty || !pairKeys.forall(_.matches("[A-Za-z0-9_.-]+"))) ""
       else s""","pairkeys":[${pairKeys.map("\"" + _ + "\"").mkString(",")}]"""
     val json =
-      s"""{"version":$v,"op":"$op","ts":$ts,"schema":"$b64"$txnsJson$consJson$dvsJson$pairJson,$actionsJson}"""
+      s"""{"version":$v,"op":"$op","ts":$ts,"schema":"$b64"$txnsJson$consJson$dvsJson$pairJson$droppedJson,$actionsJson}"""
     // per-attempt unique temp name: racing committers must never share
     // a temp file, or a loser's cleanup could delete the winner's
     // in-flight content
@@ -1004,7 +1146,8 @@ object Versioned {
     */
   private def evolvedSchemaJson(
       spark: SparkSession, dir: String, head: Option[Long],
-      df: DataFrame, mergeSchema: Boolean): String = {
+      df: DataFrame, mergeSchema: Boolean,
+      physFor: Map[String, String] = Map.empty): String = {
     import org.apache.spark.sql.types.StructType
     // `head` is the exact version the enclosing commit attempt is
     // publishing over (passed in, never re-read): schema evolution and
@@ -1014,6 +1157,19 @@ object Versioned {
     headOpt match {
       case None => df.schema.json // first commit (or pre-schema log) defines
       case Some(head) =>
+        // mapping-stability guard: the data files were already written
+        // under the physical names planned from the PRE-WRITE head
+        // (`physFor`); if a concurrent rename/add changed any of them,
+        // this attempt cannot publish those files under the new head's
+        // mapping — fail loudly (re-running the append re-plans)
+        val drift = df.schema.fieldNames.filter { n =>
+          head.fields.find(_.name == n).exists(f =>
+            physicalName(f) != physFor.getOrElse(n, n))
+        }
+        if (drift.nonEmpty) throw new IllegalStateException(
+          s"concurrent column-mapping change during append to $dir " +
+            s"(${drift.mkString(", ")}) — the batch's data files were " +
+            "written under a stale physical mapping; retry the append")
         val headTypes = head.fields.map(f => f.name -> f.dataType.catalogString).toMap
         val newTypes = df.schema.fields.map(f => f.name -> f.dataType.catalogString).toMap
         val retyped = newTypes.collect {
@@ -1029,10 +1185,39 @@ object Versioned {
               s"[${newTypes.keys.toSeq.sorted.mkString(", ")}] — pass " +
               "mergeSchema = true to evolve the table schema")
         else {
+          // brand-new columns carry their planned physical name when it
+          // differs from the logical (re-add of a dropped name)
           val added = df.schema.fields.filter(f => !headTypes.contains(f.name))
+            .map { f =>
+              val phys = physFor.getOrElse(f.name, f.name)
+              if (phys == f.name) f
+              else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata).putString(PhysicalKey, phys).build())
+            }
           StructType((head.fields ++ added).map(_.copy(nullable = true))).json
         }
     }
+  }
+
+  /** The physical name each of `df`'s columns must be WRITTEN under
+    * against head snapshot `head0`: existing columns take the head's
+    * mapping; brand-new columns keep their own name unless it was
+    * previously dropped (then a fresh unique physical, so the dead
+    * column's values in old files stay dead).
+    */
+  private def physPlanFor(
+      spark: SparkSession, dir: String, head0: Option[Long],
+      df: DataFrame): Map[String, String] = {
+    val headSchema = head0.flatMap(schemaAt(spark, dir, _)).filter(_.nonEmpty)
+    val dropped = head0.map(droppedPhysAt(spark, dir, _)).getOrElse(Set.empty)
+    df.schema.fieldNames.map { n =>
+      headSchema.flatMap(_.fields.find(_.name == n)) match {
+        case Some(f) => n -> physicalName(f)
+        case None =>
+          n -> (if (dropped.contains(n))
+            s"${n}_${UUID.randomUUID().toString.take(8)}" else n)
+      }
+    }.toMap
   }
 
   /** Append commit: next snapshot = previous files + the new set. Safe
@@ -1099,9 +1284,13 @@ object Versioned {
     // constraint set from ONE head read (the attempt re-pairs anyway)
     val head0 = currentVersion(spark, dir)
     validate(head0, head0.map(constraintsAt(spark, dir, _)).getOrElse(Map.empty))
-    val fresh = writeDataFiles(df, dir)
+    val physFor = physPlanFor(spark, dir, head0, df)
+    val fresh = writeDataFiles(
+      if (physFor.forall(kv => kv._1 == kv._2)) df
+      else df.select(df.columns.toSeq.map(c =>
+        org.apache.spark.sql.functions.col(c).as(physFor(c))): _*), dir)
     val v = commitRetry(spark, dir, "append",
-      head => evolvedSchemaJson(spark, dir, head, df, mergeSchema),
+      head => evolvedSchemaJson(spark, dir, head, df, mergeSchema, physFor),
       None, prev => prev ++ fresh, preCommit = validate).get
     // a zoned table must not lose data skipping at every append: carry
     // the previous sidecar (kept files' stats verbatim) and stat only
@@ -1142,9 +1331,13 @@ object Versioned {
       val validate = validatorFor(spark, dir, df)
       val head0 = currentVersion(spark, dir)
       validate(head0, head0.map(constraintsAt(spark, dir, _)).getOrElse(Map.empty))
-      val fresh = writeDataFiles(df, dir)
+      val physFor = physPlanFor(spark, dir, head0, df)
+      val fresh = writeDataFiles(
+        if (physFor.forall(kv => kv._1 == kv._2)) df
+        else df.select(df.columns.toSeq.map(c =>
+          org.apache.spark.sql.functions.col(c).as(physFor(c))): _*), dir)
       val committed = commitRetry(spark, dir, "append",
-        head => evolvedSchemaJson(spark, dir, head, df, mergeSchema = false),
+        head => evolvedSchemaJson(spark, dir, head, df, mergeSchema = false, physFor),
         Some(appId -> txnVersion), prev => prev ++ fresh, preCommit = validate)
       committed.foreach(v => carryZones(spark, dir, v - 1, v,
         filesAt(spark, dir, v).toSet -- fresh.toSet, fresh))
@@ -1169,7 +1362,7 @@ object Versioned {
     }
     val head0 = currentVersion(spark, dir)
     guarded(head0, head0.map(constraintsAt(spark, dir, _)).getOrElse(Map.empty))
-    val files = writeDataFiles(df, dir)
+    val files = writeDataFiles(toPhysicalFrame(df, Some(df.schema)), dir)
     commitRetry(spark, dir, "overwrite",
       _ => df.schema.json, None, _ => files, preCommit = guarded).get
   }
@@ -1190,7 +1383,7 @@ object Versioned {
       }
       val head0 = currentVersion(spark, dir)
       guarded(head0, head0.map(constraintsAt(spark, dir, _)).getOrElse(Map.empty))
-      val files = writeDataFiles(df, dir)
+      val files = writeDataFiles(toPhysicalFrame(df, Some(df.schema)), dir)
       commitRetry(spark, dir, "overwrite", _ => df.schema.json,
         Some(appId -> txnVersion), _ => files, preCommit = guarded)
     }
@@ -1209,7 +1402,8 @@ object Versioned {
       schemaJson: String, files: Seq[String],
       dvsFor: Map[String, Seq[Long]] => Map[String, Seq[Long]] = identity,
       txn: Option[(String, Long)] = None,
-      pairKeys: Seq[String] = Nil): Option[Long] =
+      pairKeys: Seq[String] = Nil,
+      dropPhys: Seq[String] = Nil): Option[Long] =
     // schema precomputed by the caller against `basedOn`, which the
     // attempt verifies is still the head — no staleness window. None
     // only under `txn`: the watermark already covers this version
@@ -1217,7 +1411,7 @@ object Versioned {
     // appendIdempotent's guard.
     commitAttempt(
       spark, dir, op, _ => schemaJson, txn, _ => files, Some(basedOn), dvsFor,
-      pairKeys = pairKeys)
+      pairKeys = pairKeys, dropPhys = dropPhys)
 
   /** Publishes a row-level rewrite — `touched` files replaced by
     * `fresh`, everything else carried — with Delta's WriteSerializable
@@ -1253,7 +1447,8 @@ object Versioned {
       maxAttempts: Int = 16,
       commuteCheck: Long => Boolean = _ => true,
       txn: Option[(String, Long)] = None,
-      pairKeys: Seq[String] = Nil): Option[Long] = {
+      pairKeys: Seq[String] = Nil,
+      dropPhys: Seq[String] = Nil): Option[Long] = {
     val touchedSet = touched.toSet
     val baseDvs = dvsAt(spark, dir, basedOn)
     var base = basedOn
@@ -1350,8 +1545,14 @@ object Versioned {
     // rewritten — a column whose type evolved since it was zoned would
     // stat as all-NULL sentinels (prune-everything) or throw after the
     // commit already published
+    // block names are the base snapshot's PHYSICAL names; the rewrite
+    // materialized logical names, so translate through the base mapping
+    val baseSch = schemaAt(spark, dir, v)
     val carried = zonedAnchorJson(spark, dir, v)
       .map(ZoneMaps.blockCols).getOrElse(Seq.empty)
+      .map(phys => baseSch
+        .flatMap(_.fields.find(f => physicalName(f) == phys).map(_.name))
+        .getOrElse(phys))
       .filter(c =>
         df.schema.fieldNames.contains(c) && zoneableType(df.schema(c).dataType))
     val cols = (zoneCols ++ carried).distinct
@@ -1441,7 +1642,9 @@ object Versioned {
     val binned = applyDvs(
       spark, readRaw(spark, dir, logSchema, small), dvsAt(spark, dir, base))
       .coalesce(targetFiles)
-    val fresh = writeDataFiles(binned, dir)
+    // partial rewrite: the snapshot keeps its other files, so the
+    // binned replacements must store the SAME physical column names
+    val fresh = writeDataFiles(toPhysicalFrame(binned, logSchema), dir)
     val v = commitRewriteCommuting(spark, dir, base, "compact-small",
       logSchema.map(_.json).getOrElse(binned.schema.json), small, fresh).get
     carryZones(spark, dir, base, v,
@@ -1541,8 +1744,13 @@ object Versioned {
     // passes the residual predicate) and marked statted; files absent
     // from the sidecar entirely stay unskippable. The scan is bound to
     // the snapshot's schema so pre-evolution files stat clean.
-    val json = ZoneMaps.blocksJson(zoneCols,
-      ZoneMaps.compute(spark, dir, files, zoneCols, schemaAt(spark, dir, v)))
+    // sidecar blocks are keyed by PHYSICAL column names (stable across
+    // renames): translate the requested logical names and bind the
+    // physical schema over the files; prunedFiles translates back
+    val sch = schemaAt(spark, dir, v)
+    val physCols = zoneCols.map(physicalOf(sch, _))
+    val json = ZoneMaps.blocksJson(physCols,
+      ZoneMaps.compute(spark, dir, files, physCols, sch.map(physicalSchema)))
     val f = fs(spark, dir)
     val tmp = new Path(logPath(dir), s".v$v.zones.tmp")
     val out = f.create(tmp, true)
@@ -1589,7 +1797,10 @@ object Versioned {
     val all = filesAt(spark, dir, v)
     if (!f.exists(zp)) return all
     val json = readFully(spark, dir, zp)
-    ZoneMaps.parseBlock(json, zoneCol) match {
+    // sidecar blocks are keyed by physical names; callers name columns
+    // logically (identity on never-renamed tables)
+    val physCol = physicalOf(schemaAt(spark, dir, v), zoneCol)
+    ZoneMaps.parseBlock(json, physCol) match {
       case Some(zones) => ZoneMaps.prune(all, zones, lo, hi)
       case None => all // zoned on other columns only
     }
@@ -1882,7 +2093,7 @@ object Versioned {
     // carried target rows of touched files) must satisfy the contract;
     // constraint stability across a commute re-base is enforced below
     requireSatisfied(merged, constraintsAt(spark, dir, base))
-    val fresh = writeDataFiles(merged, dir)
+    val fresh = writeDataFiles(toPhysicalFrame(merged, Some(logSchema)), dir)
     // MERGE's insert clause read "key ABSENT from the table" — a
     // concurrently-appended file can invalidate that without touching
     // any file this merge read, so the commute additionally requires
@@ -2086,7 +2297,7 @@ object Versioned {
     // row subset cannot, but the shared check keeps the contract in
     // one place at matched-file cost)
     requireSatisfied(out, constraintsAt(spark, dir, base))
-    val fresh = writeDataFiles(out, dir)
+    val fresh = writeDataFiles(toPhysicalFrame(out, logSchema), dir)
     val schemaJson = logSchema.map(_.json).getOrElse(touchedDf.schema.json)
     val v = commitRewriteCommuting(
       spark, dir, base, op, schemaJson, touched, fresh,
@@ -2152,27 +2363,49 @@ object Versioned {
     // since it was zoned would re-stat as all-NULL sentinels (zoned
     // reads would prune every file and silently return nothing) or, for
     // DATE, throw after the commit already published
+    val baseSchema = schemaAt(spark, dir, baseV)
     val schema = schemaAt(spark, dir, newV)
-    val cols = ZoneMaps.blockCols(json).filter(c =>
-      schema.forall(s =>
-        s.fieldNames.contains(c) && zoneableType(s(c).dataType)))
+    // block names are the BASE snapshot's physical names, and a
+    // column's IDENTITY is its physical name: first match the new
+    // schema's field that still stores basePhys (append/merge/rename —
+    // physical stable), else the field whose name equals the base
+    // LOGICAL column (a compact/optimize materialized logical names);
+    // columns absent or no longer zoneable drop out
+    val cols: Seq[(String, String)] = ZoneMaps.blockCols(json).flatMap { basePhys =>
+      schema match {
+        case Some(sc) =>
+          sc.fields.find(f => physicalName(f) == basePhys)
+            .filter(f => zoneableType(f.dataType))
+            .map(f => basePhys -> physicalName(f))
+            .orElse {
+              baseSchema.flatMap(_.fields.find(f => physicalName(f) == basePhys))
+                .map(_.name)
+                .flatMap(logical => sc.fields.find(_.name == logical))
+                .filter(f => physicalName(f) == f.name && zoneableType(f.dataType))
+                .map(f => basePhys -> f.name)
+            }
+        case None => Some(basePhys -> basePhys)
+      }
+    }
     if (cols.isEmpty) return
-    val carried = cols.map(c =>
-      c -> ZoneMaps.parseBlock(json, c).getOrElse(Seq.empty)
-        .filter(z => kept.contains(z._1))).toMap
+    val carried = cols.map { case (basePhys, newPhys) =>
+      newPhys -> ZoneMaps.parseBlock(json, basePhys).getOrElse(Seq.empty)
+        .filter(z => kept.contains(z._1))
+    }.toMap
     val covered = carried.values.flatten.map(_._1).toSet
     val toStat = (kept -- covered).toSeq.sorted ++ fresh
-    // stats read under the snapshot's COMMITTED schema: a fresh file
-    // from a narrow mergeSchema batch surfaces the zoned column as
-    // NULL (→ empty-range sentinel, skipped exactly and never
+    // stats read under the snapshot's COMMITTED physical schema: a
+    // fresh file from a narrow mergeSchema batch surfaces the zoned
+    // column as NULL (→ empty-range sentinel, skipped exactly and never
     // re-statted) instead of failing resolution
+    val newCols = cols.map(_._2)
     val freshStats =
       if (toStat.isEmpty) Map.empty[String, ZoneMaps.Zones]
-      else ZoneMaps.compute(spark, dir, toStat, cols, schema)
-    val merged = cols.map { c =>
+      else ZoneMaps.compute(spark, dir, toStat, newCols, schema.map(physicalSchema))
+    val merged = newCols.map { c =>
       c -> (carried(c) ++ freshStats.getOrElse(c, Seq.empty)).sortBy(_._1)
     }.toMap
-    val out = ZoneMaps.blocksJson(cols, merged)
+    val out = ZoneMaps.blocksJson(newCols, merged)
     val tmp = new Path(logPath(dir), s".v$newV.zones.tmp")
     val o = f.create(tmp, true)
     try o.write(out.getBytes(StandardCharsets.UTF_8)) finally o.close()
@@ -2229,6 +2462,21 @@ object Versioned {
       .unionByName(
         b.exceptAll(a).withColumn("_change_type", lit("delete")))
   }
+
+  private def droppedPhysOf(json: String): Seq[String] =
+    json.split("\"droppedphys\":\\[", 2) match {
+      case Array(_, rest) =>
+        val body = rest.split("]", 2)(0).trim
+        if (body.isEmpty) Nil
+        else body.split(",").toSeq
+          .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      case _ => Nil
+    }
+
+  /** Physical column names retired by DROP COLUMN up to snapshot `v`. */
+  private[graft] def droppedPhysAt(
+      spark: SparkSession, dir: String, v: Long): Set[String] =
+    droppedPhysOf(snapshotJson(spark, dir, v)).toSet
 
   /** Row-pairing keys commit `v` recorded (merge: its ON keys; update:
     * the non-SET columns) — empty for commits that pair nothing

@@ -171,42 +171,51 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * in the new columns, exactly the widening contract every
     * mergeSchema write already has, and the change is a versioned log
     * commit like any other (time travel to the narrow schema still
-    * works). Everything else ALTER TABLE can say is rejected with the
-    * engine's alternative named.
+    * works). `RENAME COLUMN` and `DROP COLUMN` are metadata-only
+    * log commits through the engine's column mapping
+    * ([[graft.table.Versioned.renameColumn]]/`dropColumn`): zero data
+    * files move, every prior version time-travels under its own names.
+    * Everything else ALTER TABLE can say is rejected with the engine's
+    * alternative named.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
-    val adds = changes.map {
-      case a: TableChange.AddColumn => a
+    def onePart(names: Array[String], what: String): String = {
+      require(names.length == 1,
+        s"nested $what is not supported: ${names.mkString(".")}")
+      names.head
+    }
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        val name = onePart(a.fieldNames, "ADD COLUMNS")
+        require(a.isNullable,
+          s"added column $name must be nullable — existing rows surface " +
+            "NULL in it")
+        require(a.position() == null,
+          "column position (FIRST/AFTER) is not supported — mergeSchema " +
+            "appends new columns at the end")
+        val head = Versioned.currentVersion(spark, dir).getOrElse(
+          throw new IllegalStateException(s"no committed versions at $dir"))
+        val base = Versioned.schemaAt(spark, dir, head).getOrElse(
+          Versioned.readAt(spark, dir, head).schema)
+        require(!base.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"column $name already exists")
+        Versioned.append(
+          spark.createDataFrame(Collections.emptyList[org.apache.spark.sql.Row](),
+            base.add(name, a.dataType, nullable = true)),
+          dir, mergeSchema = true)
+      case r: TableChange.RenameColumn =>
+        Versioned.renameColumn(
+          spark, dir, onePart(r.fieldNames, "RENAME COLUMN"), r.newName)
+      case d: TableChange.DeleteColumn =>
+        Versioned.dropColumn(spark, dir, onePart(d.fieldNames, "DROP COLUMN"))
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE ${other.getClass.getSimpleName} is not mapped — " +
-          "only ADD COLUMNS (mergeSchema widening); table invariants are " +
-          "Versioned.addConstraint / dropConstraint, layout is " +
-          "Versioned.optimizeClusterBy")
+          "supported: ADD COLUMNS (mergeSchema widening), RENAME COLUMN, " +
+          "DROP COLUMN; table invariants are Versioned.addConstraint / " +
+          "dropConstraint, layout is Versioned.optimizeClusterBy")
     }
-    adds.foreach { a =>
-      require(a.fieldNames.length == 1,
-        s"nested ADD COLUMNS is not supported: ${a.fieldNames.mkString(".")}")
-      require(a.isNullable,
-        s"added column ${a.fieldNames.head} must be nullable — existing rows " +
-          "surface NULL in it")
-      require(a.position() == null,
-        "column position (FIRST/AFTER) is not supported — mergeSchema " +
-          "appends new columns at the end")
-    }
-    val head = Versioned.currentVersion(spark, dir).getOrElse(
-      throw new IllegalStateException(s"no committed versions at $dir"))
-    val base = Versioned.schemaAt(spark, dir, head).getOrElse(
-      Versioned.readAt(spark, dir, head).schema)
-    val widened = adds.foldLeft(base) { (s, a) =>
-      require(!s.fieldNames.exists(_.equalsIgnoreCase(a.fieldNames.head)),
-        s"column ${a.fieldNames.head} already exists")
-      s.add(a.fieldNames.head, a.dataType, nullable = true)
-    }
-    Versioned.append(
-      spark.createDataFrame(Collections.emptyList[org.apache.spark.sql.Row](), widened),
-      dir, mergeSchema = true)
     loadTable(ident)
   }
 

@@ -178,14 +178,19 @@ final class VersionedBatchTable(
     val v = version.getOrElse(throw new IllegalArgumentException(
       s"no committed versions at $dir — nothing to read"))
     val dvs = Versioned.dvsAt(spark, dir, v)
-    if (dvs.isEmpty)
+    if (dvs.isEmpty && !Versioned.hasColumnMapping(schema()))
       // fast path: the snapshot IS its parquet files — hand Spark's own
       // parquet scan builder the exact live-file index and get the
       // native vectorized scan + pushdown machinery unchanged; the
       // wrapper adds LOG-SIDE data skipping (zone-map file pruning from
       // the pushed predicates) before the index is built
       new ZonePrunedParquetScanBuilder(spark, dir, v, schema(), options)
-    else new V1FrameScanBuilder(schema(), () => Versioned.readAt(spark, dir, v))
+    else
+      // DV'd or column-mapped snapshots need the logical-name /
+      // DV-subtract projection no bare file scan can express: the
+      // V1Scan bridge over readAt (column-pruned; OPTIMIZE materializes
+      // renames and restores the fast path)
+      new V1FrameScanBuilder(schema(), () => Versioned.readAt(spark, dir, v))
   }
 }
 

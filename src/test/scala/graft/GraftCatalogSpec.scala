@@ -110,8 +110,13 @@ class GraftCatalogSpec extends SparkSpec {
     // still time-travel-readable
     assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 2").columns.toSeq
       == Seq("id"))
+    // RENAME COLUMN is now a metadata-only log commit (column mapping)
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN s TO s2")
+    assert(spark.sql(s"SELECT * FROM $cat.t").columns.toSeq
+      == Seq("id", "s2", "w"))
+    // still-unmapped changes refuse with the alternatives named
     val e = intercept[Exception](
-      spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN s TO t2"))
+      spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES ('x' = 'y')"))
     assert(e.getMessage.contains("not mapped"))
   }
 
