@@ -609,12 +609,89 @@ object VersionedQueries {
       |FROM chg GROUP BY event_type, _change_type, _commit_version
       |ORDER BY event_type, _change_type, _commit_version""".stripMargin
 
+  // X — WIDE-window batch CDF: the same DSv2 change-feed read as
+  // x_batch_cdf, but over a 66-commit window DOMINATED by micro-batch
+  // appends — the shape a streamed bronze tier accumulates by the
+  // thousands. 64 one-commit slice appends build the table (slice i =
+  // events with event_id ≡ 0 (mod 7), bucketed by (event_id/7) mod 64,
+  // landing as version i+1), then a keyed UPDATE (v65) and a
+  // copy-on-write DELETE (v66) close the window. Read from
+  // startingVersion 1, the feed must carry slices 1..63 as inserts
+  // tagged with their own commit versions — served from the log's
+  // add-actions as ONE file scan regardless of the append count (the
+  // r10 per-commit planner built a union branch and O(checkpoint
+  // interval) driver log reads PER COMMIT here) — plus the paired
+  // update_preimage/update_postimage rows and the deletes. The oracle
+  // replays the slice arithmetic relationally.
+  def batchCdfWide(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "events")
+      .filter(col("event_id") % 7 === 0)
+      .withColumn("value_c", floor(col("value") * 100).cast("long"))
+      .withColumn("slice", ((col("event_id") % 448) / 7).cast("int"))
+      .select("event_id", "user_id", "event_type", "value_c", "slice")
+    val tableDir = scratchDir("graft_xbcdfw")
+    val stage = scratchDir("graft_xbcdfw_stage")
+    // ONE partitioned write stages all 64 micro-batches, then each
+    // lands as a LOG-ONLY commit via Versioned.addFiles (the Iceberg
+    // add_files-shaped bulk-ingest path) — 64 real commits for the
+    // price of one Spark write job, which is also how a real backfill
+    // would produce this many commits without 64 separate jobs
+    base.repartition(col("slice"))
+      .write.partitionBy("slice").parquet(s"$stage/p")
+    val fsys = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    (0 until 64).foreach { i =>
+      val src = new org.apache.hadoop.fs.Path(s"$stage/p/slice=$i")
+      val dst = new org.apache.hadoop.fs.Path(s"$tableDir/d-cdc-$i")
+      require(fsys.rename(src, dst), s"staging move failed for slice $i")
+      val files = fsys.listStatus(dst).toSeq.map(_.getPath.getName)
+        .filter(_.endsWith(".parquet")).sorted.map(n => s"d-cdc-$i/$n")
+      Versioned.addFiles(s, tableDir, files,
+        knownSchema = Some(org.apache.spark.sql.types.StructType(
+          base.schema.fields.filterNot(_.name == "slice"))))
+    }
+    Versioned.updateWhere(s, tableDir, col("event_type") === "click",
+      Map("value_c" -> (col("value_c") + 7)))                        // v65
+    Versioned.deleteWhere(s, tableDir, col("user_id") % 9 === 0)     // v66
+    s.read.format("graft-versioned")
+      .option("readChangeFeed", "true").option("startingVersion", 1)
+      .load(tableDir)
+      .groupBy("_change_type", "_commit_version")
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+      .orderBy("_change_type", "_commit_version")
+  }
+
+  val batchCdfWideSql: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type,
+      |                   CAST(floor(value * 100) AS BIGINT) AS value_c,
+      |                   CAST((event_id % 448) / 7 AS BIGINT) AS slice
+      |            FROM events WHERE event_id % 7 = 0),
+      |upd AS (SELECT * FROM ev WHERE event_type = 'click'),
+      |v65 AS (SELECT event_id, user_id, event_type,
+      |              CASE WHEN event_type = 'click' THEN value_c + 7
+      |                   ELSE value_c END AS value_c FROM ev),
+      |chg AS (
+      |  SELECT value_c, 'insert' AS _change_type, slice + 1 AS _commit_version
+      |  FROM ev WHERE slice >= 1
+      |  UNION ALL
+      |  SELECT value_c, 'update_preimage', 65 FROM upd
+      |  UNION ALL
+      |  SELECT value_c + 7, 'update_postimage', 65 FROM upd
+      |  UNION ALL
+      |  SELECT value_c, 'delete', 66 FROM v65 WHERE user_id % 9 = 0)
+      |SELECT _change_type, CAST(_commit_version AS BIGINT) AS _commit_version,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(value_c) AS BIGINT) AS sum_c
+      |FROM chg GROUP BY _change_type, _commit_version
+      |ORDER BY _change_type, _commit_version""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("x_sql_timetravel", sqlTimeTravel, Some(sqlTimeTravelSql)),
     QueryDef("x_sql_catalog", sqlCatalog, Some(sqlCatalogSql)),
     QueryDef("x_sql_dml", sqlDml, Some(sqlDmlSql)),
     QueryDef("x_sql_colmap", sqlColumnMapping, Some(sqlColumnMappingSql)),
     QueryDef("x_batch_cdf", batchCdf, Some(batchCdfSql)),
+    QueryDef("x_batch_cdf_wide", batchCdfWide, Some(batchCdfWideSql)),
     QueryDef("m5_versioned_merge", versionedMerge, Some(versionedMergeSql)),
     QueryDef("m9_condput_merge", versionedMergeCondPut, Some(versionedMergeSql)),
     QueryDef("m10_sql_merge", versionedMergeSqlText, Some(versionedMergeSql)),

@@ -135,8 +135,17 @@ object Versioned {
   def currentVersion(spark: SparkSession, dir: String): Option[Long] =
     versions(spark, dir).lastOption
 
+  /** Driver-side log/sidecar READ counter (monotone, process-wide) —
+    * a test seam: specs snapshot it around a call to pin how many log
+    * entries an operation opens (e.g. the wide-window CDF contract:
+    * O(1) reads per in-window commit, not O(checkpoint-interval)).
+    * Not part of any correctness path.
+    */
+  private[graft] val logReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Reads a small log/sidecar file fully as UTF-8. */
   private def readFully(spark: SparkSession, dir: String, p: Path): String = {
+    logReads.incrementAndGet()
     val in = fs(spark, dir).open(p)
     try {
       val buf = new java.io.ByteArrayOutputStream()
@@ -247,7 +256,14 @@ object Versioned {
     */
   def schemaAt(spark: SparkSession, dir: String, v: Long):
       Option[org.apache.spark.sql.types.StructType] =
-    snapshotJson(spark, dir, v).split("\"schema\":\"", 2) match {
+    schemaOf(snapshotJson(spark, dir, v))
+
+  /** [[schemaAt]] over an already-read log entry — for callers that
+    * batch several facts out of ONE entry read (the CDF planner).
+    */
+  private def schemaOf(json: String):
+      Option[org.apache.spark.sql.types.StructType] =
+    json.split("\"schema\":\"", 2) match {
       case Array(_, rest) =>
         val b64 = rest.split("\"", 2)(0)
         Some(org.apache.spark.sql.types.DataType
@@ -1298,6 +1314,75 @@ object Versioned {
     // the committed version's predecessor is the snapshot it extended.
     carryZones(spark, dir, v - 1, v,
       filesAt(spark, dir, v).toSet -- fresh.toSet, fresh)
+    v
+  }
+
+  /** Registers ALREADY-WRITTEN parquet files as ONE append commit —
+    * the bulk-ingest primitive (Iceberg `add_files` / Delta's
+    * commit-existing-files analog): no data rewrite, no shuffle, one
+    * log write. The staging pattern: write data once (any layout,
+    * any job), move/land the files under the table root, then commit
+    * each batch's file set with this — e.g. a backfill that writes a
+    * year of partitions with one big job and registers them as
+    * per-day commits, or a CDC fixture that lands N micro-batch
+    * commits from one partitioned write.
+    *
+    * `relFiles` are table-relative `"<subdir>/<file>.parquet"` paths —
+    * exactly TWO segments, the invariant every file-identity
+    * derivation in the engine relies on (DV anti-joins and the CDF
+    * version tagger key files by the last two path segments of
+    * `input_file_name()`). Schema is read from the files' footers and
+    * enforced/evolved against the head exactly like [[append]];
+    * constraints validate against the files' rows (one scan) before
+    * the commit publishes. Refused on column-mapped tables: the files
+    * would have to be pre-written under physical names planned against
+    * a head that can drift before the commit lands.
+    */
+  def addFiles(
+      spark: SparkSession, dir: String, relFiles: Seq[String],
+      mergeSchema: Boolean = false,
+      knownSchema: Option[org.apache.spark.sql.types.StructType] = None): Long = {
+    require(relFiles.nonEmpty, "addFiles needs at least one file")
+    val bad = relFiles.filterNot(f =>
+      f.split("/").length == 2 && !f.startsWith("/") && !f.contains(".."))
+    require(bad.isEmpty,
+      s"addFiles paths must be table-relative '<subdir>/<file>' (two " +
+        s"segments, no '..'): ${bad.take(3).mkString(", ")}")
+    val f = fs(spark, dir)
+    val missing = relFiles.filterNot(rel => f.exists(new Path(dir, rel)))
+    require(missing.isEmpty,
+      s"addFiles: no such file under the table root: " +
+        s"${missing.take(3).mkString(", ")}")
+    // footer schema inference is a (small) Spark job per call — a bulk
+    // loader registering many batches passes the schema it wrote with
+    // (`knownSchema`) and pays zero jobs; parquet read-time projection
+    // still fails loudly on a lying schema when the rows are read
+    val df = knownSchema match {
+      case Some(sch) =>
+        spark.read.schema(sch).parquet(relFiles.map(rel => s"$dir/$rel"): _*)
+      case None => spark.read.parquet(relFiles.map(rel => s"$dir/$rel"): _*)
+    }
+    val validate = validatorFor(spark, dir, df)
+    val head0 = currentVersion(spark, dir)
+    validate(head0, head0.map(constraintsAt(spark, dir, _)).getOrElse(Map.empty))
+    val physFor = physPlanFor(spark, dir, head0, df)
+    require(physFor.forall(kv => kv._1 == kv._2),
+      s"addFiles on a column-mapped table is not supported — rewrite " +
+        s"through append() so files land under the mapped physical names")
+    val v = commitRetry(spark, dir, "append",
+      head => evolvedSchemaJson(spark, dir, head, df, mergeSchema, physFor),
+      None, prev => {
+        // double-registration would double-count the file's rows in
+        // every snapshot from here on — refuse loudly (checked against
+        // the very head the CAS publishes over, so a racer can't slip
+        // the same file in between check and commit)
+        val dup = relFiles.filter(prev.toSet)
+        require(dup.isEmpty,
+          s"addFiles: already in the snapshot: ${dup.take(3).mkString(", ")}")
+        prev ++ relFiles
+      }, preCommit = validate).get
+    carryZones(spark, dir, v - 1, v,
+      filesAt(spark, dir, v).toSet -- relFiles.toSet, relFiles)
     v
   }
 
@@ -2484,7 +2569,10 @@ object Versioned {
     * entries.
     */
   private[graft] def pairKeysAt(spark: SparkSession, dir: String, v: Long): Seq[String] =
-    snapshotJson(spark, dir, v).split("\"pairkeys\":\\[", 2) match {
+    pairKeysOf(snapshotJson(spark, dir, v))
+
+  private def pairKeysOf(json: String): Seq[String] =
+    json.split("\"pairkeys\":\\[", 2) match {
       case Array(_, rest) =>
         val body = rest.split("]", 2)(0).trim
         if (body.isEmpty) Nil
@@ -2503,8 +2591,27 @@ object Versioned {
     * the update pair multiset — the same multiset Delta's positional
     * CDF writes, since a key-bearing rewrite replaces rows key-for-key.
     *
-    * Cost: O(changed files) per commit like [[changes]], plus one
-    * key-partitioned window over each paired commit's (small) diff.
+    * Cost — and the reason this is NOT a per-commit loop of
+    * [[changes]]: a real table's window is dominated by micro-batch
+    * APPEND commits (thousands on a streamed bronze tier), and an
+    * append's (v-1, v] diff is by definition exactly its add-actions'
+    * rows. So the planner classifies each in-window commit with ONE
+    * log-entry read and serves:
+    *
+    *  - all append commits as ONE file scan per distinct committed
+    *    schema (add-actions read as data, Delta-CDC style), each
+    *    row's `_commit_version` recovered from its file via a
+    *    broadcast file→version map — plan size and driver log reads
+    *    stay O(1) per append commit regardless of window width;
+    *  - maintenance/metadata commits (optimize, compact-small,
+    *    constraint and column-mapping changes) as NOTHING — their
+    *    snapshot diff is empty by construction (row content is
+    *    preserved; [[changes]]' unchanged-file pruning would cancel
+    *    both sides), so they cost neither a scan nor a plan branch;
+    *  - only genuine REWRITE commits (merge/update/delete/overwrite/
+    *    restore — rare, explicit operations) through the full
+    *    O(changed files) snapshot diff + pairing of [[changes]].
+    *
     * Note the semantic difference from [[changes]]: a row inserted at
     * v3 and deleted at v5 appears TWICE here (insert@3, delete@5) and
     * not at all in the whole-window diff — per-commit is what CDC
@@ -2513,22 +2620,76 @@ object Versioned {
     */
   def changesWithType(
       spark: SparkSession, dir: String, from: Long, to: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{broadcast, col, input_file_name, lit, substring_index}
     require(from >= 0 && from < to, s"need 0 <= from < to, got ($from, $to]")
-    val perCommit = versions(spark, dir).filter(v => v > from && v <= to).map { v =>
-      // max(from, v-1): the window's first version may follow a
-      // vacuumed gap — diff against the window base then; base 0 =
-      // the table's birth, whose "diff" is the commit's full content
-      val base = math.max(from, v - 1)
-      val diff =
-        if (base == 0L)
-          readAt(spark, dir, v).withColumn("_change_type", lit("insert"))
-        else changes(spark, dir, base, v)
-      pairUpdates(diff, pairKeysAt(spark, dir, v))
-        .withColumn("_commit_version", lit(v))
+    val vs = versions(spark, dir).filter(v => v > from && v <= to)
+    require(vs.nonEmpty, s"no committed versions in ($from, $to] at $dir")
+    // ONE log-entry read per in-window commit; every per-commit fact
+    // below (op, schema, pairkeys, add-actions) parses out of it
+    val entries = vs.map(v => (v, snapshotJson(spark, dir, v)))
+    // row-preserving maintenance and metadata-only commits: their
+    // snapshot diff is empty (same row multisets, possibly re-filed or
+    // re-named) — contribute nothing
+    val silent = Set("optimize", "compact-small", "set-constraint",
+      "drop-constraint", "rename-column", "drop-column")
+    // the table's birth commit, if the window reaches back to it: its
+    // "diff" is the full v1 content (there is no v0 snapshot to scan)
+    val birth = entries.collectFirst { case (1L, json) =>
+      pairUpdates(
+        readAt(spark, dir, 1L).withColumn("_change_type", lit("insert")),
+        pairKeysOf(json)).withColumn("_commit_version", lit(1L))
     }
-    require(perCommit.nonEmpty, s"no committed versions in ($from, $to] at $dir")
-    perCommit.reduceLeft(_ unionByName (_, allowMissingColumns = true))
+    // append commits: add-actions as data, one scan per committed
+    // schema (schema evolution inside a window is rare, so this is
+    // almost always exactly one scan). Fresh files of an append carry
+    // no DVs by construction (DVs come only from later MoR rewrites,
+    // which per-commit semantics surface at THEIR versions), so the
+    // scan reads the files whole; appends record no pairkeys, so no
+    // pairing pass either.
+    val appends = entries.filter { case (v, json) => v > 1L && opOf(json) == "append" }
+    val appendScans = appends
+      .groupBy { case (_, json) => schemaOf(json).map(_.json) }
+      .toSeq.sortBy { case (_, group) => group.head._1 }
+      .flatMap { case (_, group) =>
+        val fileToV = group.flatMap { case (v, json) =>
+          addActionsOf(spark, dir, v, json).map(f => (f, v)) }
+        if (fileToV.isEmpty) None
+        else {
+          import spark.implicits._
+          val vMap = fileToV.toDF("__cdf_rel", "_commit_version")
+          val scan = readFileSubset(spark, dir, schemaOf(group.head._2),
+            fileToV.map(_._1), Map.empty)
+          Some(scan
+            .withColumn("__cdf_rel", substring_index(input_file_name(), "/", -2))
+            .join(broadcast(vMap), Seq("__cdf_rel"))
+            .drop("__cdf_rel")
+            .withColumn("_change_type", lit("insert")))
+        }
+      }
+    // rewrite commits: the full snapshot diff + pairing, per commit —
+    // the only class whose plan branches scale with its count, and the
+    // rare one (explicit merge/update/delete/overwrite/restore)
+    val rewrites = entries.collect {
+      case (v, json) if v > 1L && opOf(json) != "append" && !silent(opOf(json)) =>
+        pairUpdates(changes(spark, dir, v - 1, v), pairKeysOf(json))
+          .withColumn("_commit_version", lit(v))
+    }
+    val branches = birth.toSeq ++ appendScans ++ rewrites
+    val unioned =
+      if (branches.nonEmpty)
+        branches.reduceLeft(_ unionByName (_, allowMissingColumns = true))
+      else
+        // an all-silent window (e.g. a lone OPTIMIZE): empty feed, but
+        // still carrying the endpoint schema + the two CDF columns
+        readFileSubset(spark, dir, schemaAt(spark, dir, to), Nil, Map.empty)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(to))
+          .limit(0)
+    // pin the CDF columns to the tail regardless of branch order
+    val dataCols = unioned.columns.toSeq
+      .filterNot(c => c == "_change_type" || c == "_commit_version")
+    unioned.select(
+      (dataCols.map(col) :+ col("_change_type") :+ col("_commit_version")): _*)
   }
 
   /** Reclassifies a single commit's insert/delete diff into the
@@ -2683,8 +2844,14 @@ object Versioned {
     * checkpoint/full-list entries (and legacy logs) reconstruct it as
     * the set difference against the predecessor's resolved list.
     */
-  private def addActionsAt(spark: SparkSession, dir: String, v: Long): Seq[String] = {
-    val json = snapshotJson(spark, dir, v)
+  private def addActionsAt(spark: SparkSession, dir: String, v: Long): Seq[String] =
+    addActionsOf(spark, dir, v, snapshotJson(spark, dir, v))
+
+  /** [[addActionsAt]] over an already-read entry (one read, many
+    * facts — see [[changesWithType]]'s per-commit classification).
+    */
+  private def addActionsOf(
+      spark: SparkSession, dir: String, v: Long, json: String): Seq[String] = {
     fullListOf(spark, dir, json) match {
       case None => listOf(json, "add")
       case Some(full) =>

@@ -30,7 +30,14 @@ object RunQuery {
           val diff = dx.exceptAll(dy).count() + dy.exceptAll(dx).count()
           println(f"RESULT $a diff=$diff time=${(System.nanoTime() - t0) / 1e9}%.2fs")
         case Array(x) =>
-          val n = qs(x)(spark, sfDir).count()
+          val df = qs(x)(spark, sfDir)
+          val n = df.count()
+          // SPARK_GRAFT_DUMP=<dir>: also write the result parquet +
+          // oracle SQL there, so tools/check.py --skip-verify can
+          // oracle-compare ONE query without a full Verify run
+          sys.env.get("SPARK_GRAFT_DUMP").foreach { out =>
+            df.coalesce(1).write.mode("overwrite").parquet(s"$out/$x")
+          }
           println(f"RESULT $x rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
       }
     }
