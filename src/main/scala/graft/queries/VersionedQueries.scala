@@ -685,6 +685,64 @@ object VersionedQueries {
       |FROM chg GROUP BY _change_type, _commit_version
       |ORDER BY _change_type, _commit_version""".stripMargin
 
+  // X — SHALLOW CLONE under the oracle gate: fork a versioned table
+  // with zero data copy, mutate the FORK (keyed update + delete),
+  // mutate the SOURCE (keyed update) and then VACUUM the source down
+  // to one retained version — without the clone's pin sidecar that
+  // vacuum would delete the forked snapshot's files. The output reads
+  // BOTH tables after all of it: the clone must still serve its
+  // mutated fork of the ORIGINAL snapshot (through the pinned files),
+  // the source its own mutated content. The oracle replays both sides
+  // relationally.
+  def cloneFork(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_id") % 5 === 0)
+      .withColumn("value_c", floor(col("value") * 100).cast("long"))
+      .select("event_id", "user_id", "event_type", "value_c")
+    val srcDir = scratchDir("graft_xclone_src")
+    val dstDir = scratchDir("graft_xclone_dst")
+    Versioned.append(ev, srcDir)                                   // src v1
+    Versioned.cloneTable(s, srcDir, dstDir)                        // dst v1
+    Versioned.updateWhere(s, dstDir, col("event_type") === "view",
+      Map("value_c" -> (col("value_c") + 11)))                     // dst v2
+    Versioned.deleteWhere(s, dstDir, col("user_id") % 4 === 0)     // dst v3
+    Versioned.updateWhere(s, srcDir, col("event_type") === "click",
+      Map("value_c" -> (col("value_c") + 3)))                      // src v2
+    Versioned.vacuum(s, srcDir, keepVersions = 1)                  // drops src v1
+    def side(d: String, tag: String) =
+      Versioned.read(s, d).groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+        .withColumn("side", lit(tag))
+        .select("side", "event_type", "n", "sum_c")
+    side(srcDir, "source").unionByName(side(dstDir, "clone"))
+      .orderBy("side", "event_type")
+  }
+
+  val cloneForkSql: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type,
+      |                   CAST(floor(value * 100) AS BIGINT) AS value_c
+      |            FROM events WHERE event_id % 5 = 0),
+      |clone_rows AS (
+      |  SELECT event_type,
+      |         CASE WHEN event_type = 'view' THEN value_c + 11
+      |              ELSE value_c END AS value_c
+      |  FROM ev WHERE user_id % 4 <> 0),
+      |source_rows AS (
+      |  SELECT event_type,
+      |         CASE WHEN event_type = 'click' THEN value_c + 3
+      |              ELSE value_c END AS value_c FROM ev),
+      |u AS (
+      |  SELECT 'source' AS side, event_type,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(value_c) AS BIGINT) AS sum_c
+      |  FROM source_rows GROUP BY event_type
+      |  UNION ALL
+      |  SELECT 'clone', event_type, CAST(count(*) AS BIGINT),
+      |         CAST(sum(value_c) AS BIGINT)
+      |  FROM clone_rows GROUP BY event_type)
+      |SELECT side, event_type, n, sum_c FROM u
+      |ORDER BY side, event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("x_sql_timetravel", sqlTimeTravel, Some(sqlTimeTravelSql)),
     QueryDef("x_sql_catalog", sqlCatalog, Some(sqlCatalogSql)),
@@ -692,6 +750,7 @@ object VersionedQueries {
     QueryDef("x_sql_colmap", sqlColumnMapping, Some(sqlColumnMappingSql)),
     QueryDef("x_batch_cdf", batchCdf, Some(batchCdfSql)),
     QueryDef("x_batch_cdf_wide", batchCdfWide, Some(batchCdfWideSql)),
+    QueryDef("x_clone", cloneFork, Some(cloneForkSql)),
     QueryDef("m5_versioned_merge", versionedMerge, Some(versionedMergeSql)),
     QueryDef("m9_condput_merge", versionedMergeCondPut, Some(versionedMergeSql)),
     QueryDef("m10_sql_merge", versionedMergeSqlText, Some(versionedMergeSql)),

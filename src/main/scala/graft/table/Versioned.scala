@@ -105,6 +105,30 @@ object Versioned {
 
   private def logPath(dir: String) = new Path(dir, LogDir)
 
+  /** Canonical file identity: the last two path segments. Unique by
+    * construction — both our `d-<uuid>/` dirs and Spark part-file
+    * names embed UUIDs — and STABLE across the three spellings a file
+    * has: the log's table-relative name, an absolute path (how a
+    * shallow [[cloneTable]] references its source's files), and the
+    * URI a scan reports via `input_file_name()`/`_metadata.file_path`.
+    * Every DV-map lookup and file/version attribution keys on this,
+    * never on the raw spelling.
+    */
+  def fileKey(path: String): String =
+    path.split("/").takeRight(2).mkString("/")
+
+  /** A log-recorded data-file name resolved to a readable path:
+    * table-relative names live under the table root; absolute names
+    * (shallow-cloned source files) pass through untouched. Public for
+    * the DSv2 bridge, which builds its own file index from the log's
+    * names.
+    */
+  def dataPathStr(dir: String, f: String): String =
+    if (f.startsWith("/") || f.contains("://")) f else s"$dir/$f"
+
+  private def dataPath(dir: String, f: String): Path =
+    new Path(dataPathStr(dir, f))
+
   private def versionFile(dir: String, v: Long) =
     new Path(logPath(dir), f"v$v%08d.json")
 
@@ -156,11 +180,32 @@ object Versioned {
     } finally in.close()
   }
 
+  /** Reader features THIS build understands. A log entry stamped with
+    * a feature outside this set was written by a newer (or different)
+    * writer whose format this build cannot interpret safely — every
+    * read path refuses it by name ([[snapshotJson]]) rather than
+    * silently misreading (Delta's protocol-action contract).
+    */
+  private[graft] val SupportedReaderFeatures: Set[String] =
+    Set("deletion-vectors", "columnar-checkpoint", "column-mapping")
+
   private def snapshotJson(spark: SparkSession, dir: String, v: Long): String = {
     val p = versionFile(dir, v)
     require(fs(spark, dir).exists(p),
       s"version $v does not exist (vacuumed or never committed) at $dir")
-    readFully(spark, dir, p)
+    val json = readFully(spark, dir, p)
+    // the one choke point every log-entry read passes through — scans,
+    // time travel, CDF, commits (which read the head), vacuum: all of
+    // them must refuse a feature they cannot interpret, because all of
+    // them would corrupt or misread the table by guessing
+    val unknown = listOf(json, "readerfeatures").filterNot(SupportedReaderFeatures)
+    if (unknown.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"table at $dir (log entry v$v) requires reader feature(s) " +
+          s"${unknown.mkString("[", ", ", "]")} that this build does not " +
+          s"support (supported: ${SupportedReaderFeatures.toSeq.sorted.mkString(", ")}); " +
+          "upgrade the reader instead of bypassing this check")
+    json
   }
 
   /** Data files (table-relative paths) of snapshot `v`, resolved from
@@ -300,9 +345,9 @@ object Versioned {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema.getOrElse(new org.apache.spark.sql.types.StructType()))
     else {
-      val set = files.toSet
+      val keys = files.map(fileKey).toSet
       applyDvs(spark, readRaw(spark, dir, schema, files),
-        dvs.filter { case (f, _) => set.contains(f) })
+        dvs.filter { case (f, _) => keys.contains(fileKey(f)) })
     }
 
   // ---- column mapping (Delta's columnMapping analog) -------------------
@@ -366,10 +411,12 @@ object Versioned {
       // projection is name-only, so `_metadata` (row positions, file
       // paths) still resolves through it for the DV and discovery scans
       import org.apache.spark.sql.functions.col
-      spark.read.schema(physicalSchema(s)).parquet(files.map(f => s"$dir/$f"): _*)
+      spark.read.schema(physicalSchema(s))
+        .parquet(files.map(dataPathStr(dir, _)): _*)
         .select(s.fields.toSeq.map(f => col(physicalName(f)).as(f.name)): _*)
-    case Some(s) => spark.read.schema(s).parquet(files.map(f => s"$dir/$f"): _*)
-    case None => spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+    case Some(s) =>
+      spark.read.schema(s).parquet(files.map(dataPathStr(dir, _)): _*)
+    case None => spark.read.parquet(files.map(dataPathStr(dir, _)): _*)
   }
 
   /** Subtracts a snapshot's deletion vectors from a raw file scan: an
@@ -385,7 +432,7 @@ object Versioned {
     import org.apache.spark.sql.functions.{broadcast, col, input_file_name, substring_index}
     import spark.implicits._
     val dvDf = dvs.toSeq
-      .flatMap { case (f, idxs) => idxs.map(i => (f, i)) }
+      .flatMap { case (f, idxs) => idxs.map(i => (fileKey(f), i)) }
       .toDF("__dv_rel", "__dv_idx")
     val cols = df.columns.toSeq
     df
@@ -554,7 +601,7 @@ object Versioned {
     val json = snapshotJson(spark, dir, v)
     val files = resolveFiles(spark, dir, v, Some(json))
     val f = fs(spark, dir)
-    val bytes = files.map(rel => f.getFileStatus(new Path(dir, rel)).getLen).sum
+    val bytes = files.map(rel => f.getFileStatus(dataPath(dir, rel)).getLen).sum
     Seq((
       v,
       tsOf(json).getOrElse(
@@ -857,7 +904,9 @@ object Versioned {
         else body.split("]\\s*,\\s*\"").map { entry =>
           val Array(k, arr) = entry.split(":\\[", 2)
           val idxs = arr.stripSuffix("]").trim
-          k.trim.stripPrefix("\"").stripSuffix("\"") ->
+          // keys canonicalize to fileKey so lookups never depend on
+          // the spelling (relative vs cloned-absolute) a writer used
+          fileKey(k.trim.stripPrefix("\"").stripSuffix("\"")) ->
             (if (idxs.isEmpty) Seq.empty[Long]
              else idxs.split(",").toSeq.map(_.trim.toLong))
         }.toMap
@@ -956,9 +1005,9 @@ object Versioned {
     // references are filtered unconditionally — a DV without its file
     // is meaningless and a file re-referenced later (restore) must not
     // inherit a stale one by accident
-    val fileSet = files.toSet
+    val fileKeys = files.map(fileKey).toSet
     val dvs = dvsFor(prevJson.map(dvsOf(spark, dir, _)).getOrElse(Map.empty))
-      .filter { case (df, idxs) => fileSet.contains(df) && idxs.nonEmpty }
+      .filter { case (df, idxs) => fileKeys.contains(fileKey(df)) && idxs.nonEmpty }
     val dvsBody = dvs.toSeq.sortBy(_._1)
       .map { case (df, idxs) =>
         s""""$df":[${idxs.distinct.sorted.mkString(",")}]""" }
@@ -1036,8 +1085,25 @@ object Versioned {
     val pairJson =
       if (pairKeys.isEmpty || !pairKeys.forall(_.matches("[A-Za-z0-9_.-]+"))) ""
       else s""","pairkeys":[${pairKeys.map("\"" + _ + "\"").mkString(",")}]"""
+    // protocol stamp (Delta's protocol-action analog, per entry): the
+    // reader features this entry's snapshot NEEDS — a build that does
+    // not know a listed feature must refuse the table loudly instead
+    // of misreading it (e.g. resolving logical names against physical
+    // files on a column-mapped table, or serving soft-deleted rows by
+    // ignoring DVs). Entries using only the base format carry no stamp,
+    // so pre-protocol tables and plain tables read unchanged everywhere.
+    val features = Seq(
+      if (dvsJson.nonEmpty) Some("deletion-vectors") else None,
+      if (actionsJson.contains("\"ckptfile\":")) Some("columnar-checkpoint")
+      else None,
+      if (schemaJson.contains(PhysicalKey) || droppedJson.nonEmpty)
+        Some("column-mapping")
+      else None).flatten
+    val featJson =
+      if (features.isEmpty) ""
+      else s""","readerfeatures":[${features.map("\"" + _ + "\"").mkString(",")}]"""
     val json =
-      s"""{"version":$v,"op":"$op","ts":$ts,"schema":"$b64"$txnsJson$consJson$dvsJson$pairJson$droppedJson,$actionsJson}"""
+      s"""{"version":$v,"op":"$op","ts":$ts,"schema":"$b64"$txnsJson$consJson$dvsJson$pairJson$droppedJson$featJson,$actionsJson}"""
     // per-attempt unique temp name: racing committers must never share
     // a temp file, or a loser's cleanup could delete the winner's
     // in-flight content
@@ -1386,6 +1452,83 @@ object Versioned {
     v
   }
 
+  /** SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE` analog):
+    * publishes `dst` as a NEW table whose v1 references the source's
+    * current snapshot files BY ABSOLUTE PATH — zero data copied, one
+    * log-sized commit however big the source is. The standard
+    * dev/test-on-production workflow at 100 TB: fork the table in
+    * milliseconds, mutate the fork freely. The clone then lives its
+    * own life — appends land under its own root; rewrites
+    * (update/delete/merge) replace cloned references with local files
+    * for the touched subset; OPTIMIZE/compact localizes everything.
+    * Schema (including column mapping), deletion vectors, CHECK
+    * constraints, and the dropped-physical-name set all carry, so the
+    * clone reads exactly what the source read at clone time.
+    *
+    * Vacuum safety, BOTH directions (Delta only guarantees one):
+    *  - `vacuum(clone)` sweeps only `d-*` dirs under the clone's own
+    *    root — foreign absolute references are structurally out of its
+    *    reach;
+    *  - cloneTable first writes a permanent PIN sidecar
+    *    (`pin-<uuid>.json`, the cloned file list) into the SOURCE's
+    *    log; `vacuum(src)` treats pinned files as live even after
+    *    their versions leave the retained window. Pins persist until
+    *    the pin file is deleted by hand — dropping a clone is rare and
+    *    explicit, and a stale pin costs disk, never correctness.
+    *
+    * A vacuum racing the clone is closed out by re-verification: the
+    * pin publishes, then the pinned data dirs are re-checked — if the
+    * racer swept one between snapshot resolution and pin publish, the
+    * clone fails loudly (re-run it) instead of publishing dangling
+    * references.
+    */
+  def cloneTable(spark: SparkSession, src: String, dst: String): Long = {
+    val f = fs(spark, src)
+    require(currentVersion(spark, dst).isEmpty,
+      s"clone destination $dst is already a table")
+    val head = currentVersion(spark, src).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $src"))
+    val srcFiles = filesAt(spark, src, head)
+    def isAbs(p: String) = p.startsWith("/") || p.contains("://")
+    val localRel = srcFiles.filterNot(isAbs)
+    if (localRel.nonEmpty) {
+      val pin = new Path(logPath(src), s"pin-${UUID.randomUUID().toString}.json")
+      val tmp = new Path(logPath(src), s".${pin.getName}.tmp")
+      val o = f.create(tmp, true)
+      try o.write(
+        s"""{"pinversion":$head,"pinnedfiles":[${
+          localRel.map("\"" + _ + "\"").mkString(",")}]}"""
+          .getBytes(StandardCharsets.UTF_8))
+      finally o.close()
+      require(f.rename(tmp, pin), s"pin publish failed cloning $src")
+      // the pin protects files from NOW ON; re-verify the pinned dirs
+      // survived any vacuum that raced the publish (dir-level check —
+      // log-sized, not file-sized)
+      val gone = localRel.map(_.split("/", 2)(0)).distinct
+        .filterNot(d => f.exists(new Path(src, d)))
+      require(gone.isEmpty,
+        s"clone of $src lost a race with vacuum: data dirs " +
+          s"${gone.mkString(", ")} vanished before the pin landed — re-run")
+    }
+    val srcRoot = f.makeQualified(new Path(src)).toUri.getPath
+    val files = srcFiles.map(p => if (isAbs(p)) p else s"$srcRoot/$p")
+    val schemaJson = schemaAt(spark, src, head)
+      .map(_.json)
+      .getOrElse(new org.apache.spark.sql.types.StructType().json)
+    val dvs = dvsAt(spark, src, head)
+    val dropped = droppedPhysAt(spark, src, head)
+    val v1 = commitAttempt(spark, dst, "clone",
+      _ => schemaJson, None, _ => files,
+      dvsFor = _ => dvs, dropPhys = dropped.toSeq).get
+    // CHECK constraints carry as follow-up metadata commits (the rows
+    // already satisfied them at the source — no re-validation scan)
+    constraintsAt(spark, src, head).toSeq.sortBy(_._1).foreach { case (n, sql) =>
+      commitAttempt(spark, dst, "set-constraint",
+        _ => schemaJson, None, identity, constraint = Some(n -> Some(sql)))
+    }
+    v1
+  }
+
   /** Idempotent append (exactly-once sink contract): commits `df` tagged
     * with writer transaction (`appId`, `txnVersion`); if the table has
     * already committed `txnVersion` or later for `appId`, the call is a
@@ -1551,7 +1694,8 @@ object Versioned {
           val readSetHolds =
             touched.forall(headFiles.contains) &&
               touched.forall(f =>
-                headDvs.getOrElse(f, Seq.empty) == baseDvs.getOrElse(f, Seq.empty)) &&
+                headDvs.getOrElse(fileKey(f), Seq.empty) ==
+                  baseDvs.getOrElse(fileKey(f), Seq.empty)) &&
               schemaAt(spark, dir, head).map(_.json) ==
                 schemaAt(spark, dir, basedOn).map(_.json) &&
               // the rewrite output was validated under the base's CHECK
@@ -1721,7 +1865,7 @@ object Versioned {
     val all = filesAt(spark, dir, base)
     val f = fs(spark, dir)
     val small = all.filter(rel =>
-      f.getFileStatus(new Path(dir, rel)).getLen < smallBytes)
+      f.getFileStatus(dataPath(dir, rel)).getLen < smallBytes)
     if (small.size <= 1) return None
     val logSchema = schemaAt(spark, dir, base)
     val binned = applyDvs(
@@ -2164,7 +2308,9 @@ object Versioned {
       else {
         val want = filesWithMatches(all, headDvs) ++
           filesWithAffectedUnmatched(all, headDvs)
-        all.filter(want)
+        // `want` holds fileKeys (last-2 segments from the scan); match
+        // the log's names — possibly absolute for cloned files — by key
+        all.filter(f => want.contains(fileKey(f)))
       }
     val target =
       if (touched.isEmpty)
@@ -2525,8 +2671,13 @@ object Versioned {
     val aFiles = filesAt(spark, dir, to)
     val dvB = dvsAt(spark, dir, from)
     val dvA = dvsAt(spark, dir, to)
-    val unchanged = (bFiles.toSet & aFiles.toSet).filter(f =>
-      dvB.getOrElse(f, Seq.empty).toSet == dvA.getOrElse(f, Seq.empty).toSet)
+    def norm(m: Map[String, Seq[Long]]): Map[String, Set[Long]] =
+      m.map { case (f, idxs) => fileKey(f) -> idxs.toSet }
+    val (nB, nA) = (norm(dvB), norm(dvA))
+    val unchanged = (bFiles.toSet & aFiles.toSet).filter { f =>
+      val k = fileKey(f)
+      nB.getOrElse(k, Set.empty) == nA.getOrElse(k, Set.empty)
+    }
     def side(v: Long, files: Seq[String], dvs: Map[String, Seq[Long]]) =
       readFileSubset(spark, dir, schemaAt(spark, dir, v),
         files.filterNot(unchanged), dvs)
@@ -2656,7 +2807,8 @@ object Versioned {
         if (fileToV.isEmpty) None
         else {
           import spark.implicits._
-          val vMap = fileToV.toDF("__cdf_rel", "_commit_version")
+          val vMap = fileToV.map { case (f, v) => (fileKey(f), v) }
+            .toDF("__cdf_rel", "_commit_version")
           val scan = readFileSubset(spark, dir, schemaOf(group.head._2),
             fileToV.map(_._1), Map.empty)
           Some(scan
@@ -2988,7 +3140,15 @@ object Versioned {
         }
       }
     }
-    val live = keep.flatMap(filesAt(spark, dir, _)).toSet
+    // files pinned by shallow clones ([[cloneTable]]'s pin sidecars)
+    // stay live FOREVER, whatever versions reference them — a clone's
+    // snapshot outlives the source's retention window by design
+    val pinnedLive = f.listStatus(logPath(dir)).toSeq
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("pin-") && p.getName.endsWith(".json"))
+      .flatMap(p => listOf(readFully(spark, dir, p), "pinnedfiles"))
+      .toSet
+    val live = keep.flatMap(filesAt(spark, dir, _)).toSet ++ pinnedLive
     val liveDvFiles = keep.flatMap(dvFileAt(spark, dir, _)).toSet
     // columnar checkpoint sidecars stay live while a retained entry OR
     // a retained version's .ckpt.json anchor references them

@@ -46,7 +46,7 @@ private[graft] object ZoneMaps {
     if (relFiles.isEmpty || cols.isEmpty)
       return colsRequested.map(_ -> Seq.empty[(String, Long, Long)]).toMap
     val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
-    val scan = reader.parquet(relFiles.map(f => s"$base/$f"): _*)
+    val scan = reader.parquet(relFiles.map(Versioned.dataPathStr(base, _)): _*)
     // per-type long-domain stat expression: integral/timestamp via the
     // long cast (timestamps truncate to epoch SECONDS), dates as epoch
     // DAYS (Spark 4 refuses date→long casts), short decimals as their

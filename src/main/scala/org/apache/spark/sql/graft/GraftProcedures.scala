@@ -130,6 +130,18 @@ private[graft] object GraftProcedures {
           Seq(row(head))
         }),
 
+      Proc("clone",
+        "shallow-clone the source snapshot into a new table (zero data copy)",
+        Seq(in("source", StringType), in("target", StringType)),
+        VersionOut,
+        (s, in) => {
+          // target is a catalog identifier that must NOT exist yet —
+          // cloneTable itself refuses an existing destination
+          val parts = in.getUTF8String(1).toString.split('.')
+          val dstDir = catalog.tableDir(Identifier.of(parts.init, parts.last))
+          Seq(row(Versioned.cloneTable(s, dirOf(in), dstDir)))
+        }),
+
       Proc("restore",
         "commit a snapshot restoring the table to an earlier version",
         Seq(in("table", StringType), in("version", LongType)),

@@ -231,7 +231,8 @@ private final class ZonePrunedParquetScanBuilder(
 
   private def mkInner(files: Seq[String]): ParquetScanBuilder = {
     val index = new InMemoryFileIndex(
-      spark, files.map(f => new Path(s"$dir/$f")), Map.empty[String, String],
+      spark, files.map(f => new Path(Versioned.dataPathStr(dir, f))),
+      Map.empty[String, String],
       Some(full), userSpecifiedPartitionSpec = Some(PartitionSpec.emptySpec))
     ParquetScanBuilder(spark, index, full, full, options)
   }

@@ -1,0 +1,148 @@
+package graft
+
+import graft.table.Versioned
+import org.apache.spark.sql.functions._
+
+/** Shallow CLONE ([[Versioned.cloneTable]]): a zero-copy table fork —
+  * the clone's v1 references the source snapshot's files by absolute
+  * path; mutations on either side never leak to the other; vacuum on
+  * either side cannot delete files the other references.
+  */
+class CloneSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def dataDirs(dir: String): Seq[String] =
+    new java.io.File(dir).listFiles.toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("d-"))
+      .map(_.getName)
+
+  test("clone reads the source snapshot without copying any data") {
+    val src = tmpDir("cl_src")
+    val dst = tmpDir("cl_dst")
+    Versioned.append((1 to 10).map(i => (i, s"r$i")).toDF("id", "s"), src)
+    Versioned.append((11 to 20).map(i => (i, s"r$i")).toDF("id", "s"), src)
+    Versioned.cloneTable(spark, src, dst)
+    assert(dataDirs(dst).isEmpty, "clone must copy no data files")
+    assert(Versioned.read(spark, dst).as[(Int, String)].collect().toSet ==
+      (1 to 20).map(i => (i, s"r$i")).toSet)
+    assert(Versioned.opAt(spark, dst, 1L) == "clone")
+  }
+
+  test("mutating the clone never touches the source, and vice versa") {
+    val src = tmpDir("cl_mut_src")
+    val dst = tmpDir("cl_mut_dst")
+    Versioned.append((1 to 6).map(i => (i, i * 10)).toDF("id", "x"), src)
+    Versioned.cloneTable(spark, src, dst)
+    // clone mutations: append + row-level update + delete
+    Versioned.append(Seq((7, 70)).toDF("id", "x"), dst)
+    Versioned.updateWhere(spark, dst, col("id") === 2, Map("x" -> lit(999)))
+    Versioned.deleteWhere(spark, dst, col("id") === 5)
+    assert(Versioned.read(spark, dst).as[(Int, Int)].collect().toSet ==
+      Set((1, 10), (2, 999), (3, 30), (4, 40), (6, 60), (7, 70)))
+    // source untouched
+    assert(Versioned.read(spark, src).as[(Int, Int)].collect().toSet ==
+      (1 to 6).map(i => (i, i * 10)).toSet)
+    // source mutations stay out of the clone (snapshot isolation)
+    Versioned.append(Seq((100, 1000)).toDF("id", "x"), src)
+    assert(!Versioned.read(spark, dst).as[(Int, Int)].collect().contains((100, 1000)))
+  }
+
+  test("vacuum on the source cannot delete files the clone references") {
+    val src = tmpDir("cl_vac_src")
+    val dst = tmpDir("cl_vac_dst")
+    Versioned.append((1 to 8).map(i => (i, s"v$i")).toDF("id", "s"), src)
+    Versioned.cloneTable(spark, src, dst)
+    // rewrite the source completely, then vacuum to ONE version: the
+    // cloned files fall out of every retained source snapshot
+    Versioned.overwrite((100 to 102).map(i => (i, s"n$i")).toDF("id", "s"), src)
+    Versioned.vacuum(spark, src, keepVersions = 1)
+    // without the pin the cloned files would now be gone; with it the
+    // clone still reads its full snapshot
+    assert(Versioned.read(spark, dst).as[(Int, String)].collect().toSet ==
+      (1 to 8).map(i => (i, s"v$i")).toSet)
+  }
+
+  test("vacuum on the clone cannot delete source files") {
+    val src = tmpDir("cl_vc_src")
+    val dst = tmpDir("cl_vc_dst")
+    Versioned.append((1 to 5).map(i => (i, i)).toDF("id", "x"), src)
+    Versioned.cloneTable(spark, src, dst)
+    Versioned.append(Seq((6, 6)).toDF("id", "x"), dst)
+    Versioned.append(Seq((7, 7)).toDF("id", "x"), dst)
+    Versioned.vacuum(spark, dst, keepVersions = 1)
+    assert(Versioned.read(spark, src).count() == 5L)
+    assert(Versioned.read(spark, dst).count() == 7L)
+  }
+
+  test("deletion vectors carry: soft-deleted source rows stay invisible in the clone") {
+    val src = tmpDir("cl_dv_src")
+    val dst = tmpDir("cl_dv_dst")
+    Versioned.append((1 to 10).map(i => (i, i)).toDF("id", "x"), src)
+    Versioned.deleteWhereMoR(spark, src, col("id") === 4)
+    Versioned.cloneTable(spark, src, dst)
+    assert(Versioned.read(spark, dst).select("id").as[Int].collect().toSet ==
+      (1 to 10).toSet - 4)
+  }
+
+  test("CHECK constraints carry: the clone enforces them on its own writes") {
+    val src = tmpDir("cl_cons_src")
+    val dst = tmpDir("cl_cons_dst")
+    Versioned.append(Seq((1, 5)).toDF("id", "x"), src)
+    Versioned.addConstraint(spark, src, "pos_x", "x > 0")
+    Versioned.cloneTable(spark, src, dst)
+    intercept[Exception] {
+      Versioned.append(Seq((2, -1)).toDF("id", "x"), dst)
+    }
+    Versioned.append(Seq((2, 1)).toDF("id", "x"), dst)
+    assert(Versioned.read(spark, dst).count() == 2L)
+  }
+
+  test("column mapping carries: a renamed source column reads logically in the clone") {
+    val src = tmpDir("cl_map_src")
+    val dst = tmpDir("cl_map_dst")
+    Versioned.append(Seq((1, "a")).toDF("id", "s"), src)
+    Versioned.renameColumn(spark, src, "s", "label")
+    Versioned.cloneTable(spark, src, dst)
+    assert(Versioned.read(spark, dst).columns.toSeq == Seq("id", "label"))
+    assert(Versioned.read(spark, dst).select("label").as[String].collect().toSeq ==
+      Seq("a"))
+  }
+
+  test("compaction localizes the clone: no foreign references remain after") {
+    val src = tmpDir("cl_loc_src")
+    val dst = tmpDir("cl_loc_dst")
+    Versioned.append((1 to 4).map(i => (i, i)).toDF("id", "x"), src)
+    Versioned.append((5 to 8).map(i => (i, i)).toDF("id", "x"), src)
+    Versioned.cloneTable(spark, src, dst)
+    Versioned.compactSmall(spark, dst, smallBytes = 1L << 30)
+    val head = Versioned.currentVersion(spark, dst).get
+    val files = Versioned.filesAt(spark, dst, head)
+    assert(files.forall(f => !f.startsWith("/")), s"still foreign: $files")
+    // and the source can now vacuum freely even without the pin rule
+    assert(Versioned.read(spark, dst).count() == 8L)
+  }
+
+  test("the change feed over a clone starts at its birth snapshot") {
+    val src = tmpDir("cl_cdf_src")
+    val dst = tmpDir("cl_cdf_dst")
+    Versioned.append((1 to 3).map(i => (i, i)).toDF("id", "x"), src)
+    Versioned.cloneTable(spark, src, dst)
+    Versioned.append(Seq((4, 4)).toDF("id", "x"), dst)
+    val feed = Versioned.changesWithType(spark, dst, 0L, 2L)
+      .select("id", "_change_type", "_commit_version")
+      .as[(Int, String, Long)].collect().toSet
+    assert(feed == Set((1, "insert", 1L), (2, "insert", 1L), (3, "insert", 1L),
+      (4, "insert", 2L)))
+  }
+
+  test("cloning onto an existing table is refused") {
+    val src = tmpDir("cl_ref_src")
+    val dst = tmpDir("cl_ref_dst")
+    Versioned.append(Seq((1, 1)).toDF("id", "x"), src)
+    Versioned.append(Seq((2, 2)).toDF("id", "x"), dst)
+    intercept[IllegalArgumentException] {
+      Versioned.cloneTable(spark, src, dst)
+    }
+  }
+}

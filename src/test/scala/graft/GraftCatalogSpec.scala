@@ -192,6 +192,29 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").as[Long].head == 50L)
   }
 
+  test("CALL procedures: shallow clone forks a table with zero data copy") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.src (id BIGINT, s STRING)")
+    spark.sql(s"INSERT INTO $cat.db.src SELECT id, concat('a', id) FROM range(0, 20)")
+    val v = spark.sql(
+      s"CALL $cat.system.clone(source => 'db.src', target => 'db.fork')")
+      .as[Long].head
+    assert(v == 1L)
+    // the fork reads the source snapshot and is a first-class catalog table
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.fork").as[Long].head == 20L)
+    // zero data copied: no d-* dirs under the fork's root
+    assert(!new java.io.File(s"$wh/db/fork").listFiles.toSeq
+      .exists(f => f.isDirectory && f.getName.startsWith("d-")))
+    // mutations stay on the fork
+    spark.sql(s"INSERT INTO $cat.db.fork VALUES (100, 'x')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.fork").as[Long].head == 21L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.src").as[Long].head == 20L)
+    // cloning onto an existing table is refused
+    intercept[Exception] {
+      spark.sql(s"CALL $cat.system.clone(source => 'db.src', target => 'db.fork')")
+    }
+  }
+
   test("CALL procedures: constraints and vacuum with defaults") {
     val (cat, wh) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.t (id BIGINT)")
