@@ -180,6 +180,13 @@ object Versioned {
     } finally in.close()
   }
 
+  /** Max rewrite-commit diff branches a change-feed plan carries before
+    * chunk-folding through a localCheckpoint barrier (see
+    * [[changesWithType]]). Var only as a test seam — specs lower it to
+    * drive the chunked path at fixture scale.
+    */
+  @volatile private[graft] var CdfRewriteChunk: Int = 32
+
   /** Reader features THIS build understands. A log entry stamped with
     * a feature outside this set was written by a newer (or different)
     * writer whose format this build cannot interpret safely — every
@@ -1529,6 +1536,45 @@ object Versioned {
     v1
   }
 
+  /** The clone pins registered in `dir`'s log: (pin sidecar name,
+    * pinned source version, pinned file count). Pins are written by
+    * [[cloneTable]] and protect the listed files from [[vacuum]]
+    * forever — inspect with this, release with [[removePin]] once the
+    * clone is gone.
+    */
+  def listPins(spark: SparkSession, dir: String): Seq[(String, Long, Int)] = {
+    val f = fs(spark, dir)
+    if (!f.exists(logPath(dir))) return Seq.empty
+    f.listStatus(logPath(dir)).toSeq
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("pin-") && p.getName.endsWith(".json"))
+      .sortBy(_.getName)
+      .map { p =>
+        val json = readFully(spark, dir, p)
+        val v = json.split("\"pinversion\":", 2) match {
+          case Array(_, rest) => rest.takeWhile(c => c.isDigit).toLong
+          case _ => -1L
+        }
+        (p.getName, v, listOf(json, "pinnedfiles").size)
+      }
+  }
+
+  /** Releases a clone pin by sidecar name (from [[listPins]]): the
+    * pinned files become ordinary vacuum candidates again. Only do
+    * this after the clone that wrote the pin is deleted — the files go
+    * away on the NEXT vacuum, not here, so a mistaken release is
+    * recoverable until then.
+    */
+  def removePin(spark: SparkSession, dir: String, pinName: String): Unit = {
+    require(pinName.startsWith("pin-") && pinName.endsWith(".json") &&
+      !pinName.contains("/"),
+      s"not a pin sidecar name: $pinName (use listPins)")
+    val f = fs(spark, dir)
+    val p = new Path(logPath(dir), pinName)
+    require(f.exists(p), s"no pin $pinName at $dir")
+    require(f.delete(p, false), s"failed to delete pin $pinName at $dir")
+  }
+
   /** Idempotent append (exactly-once sink contract): commits `df` tagged
     * with writer transaction (`appId`, `txnVersion`); if the table has
     * already committed `txnVersion` or later for `appId`, the call is a
@@ -2826,7 +2872,22 @@ object Versioned {
         pairUpdates(changes(spark, dir, v - 1, v), pairKeysOf(json))
           .withColumn("_commit_version", lit(v))
     }
-    val branches = birth.toSeq ++ appendScans ++ rewrites
+    // rewrite commits are rare by nature (explicit merges/updates/
+    // deletes), so their per-commit diff branches normally number a
+    // handful. A pathological window (hundreds of rewrites) would hand
+    // the analyzer hundreds of diff subtrees — beyond the threshold,
+    // fold them in chunks through an EAGER localCheckpoint barrier:
+    // each chunk's (small — O(changed files)) diff materializes once
+    // and its plan collapses to a leaf, bounding analyzer work at
+    // O(chunk) whatever the window holds. Below the threshold nothing
+    // materializes and the feed stays fully lazy.
+    val boundedRewrites =
+      if (rewrites.size <= CdfRewriteChunk) rewrites
+      else rewrites.grouped(CdfRewriteChunk).map { chunk =>
+        chunk.reduceLeft(_ unionByName (_, allowMissingColumns = true))
+          .localCheckpoint()
+      }.toSeq
+    val branches = birth.toSeq ++ appendScans ++ boundedRewrites
     val unioned =
       if (branches.nonEmpty)
         branches.reduceLeft(_ unionByName (_, allowMissingColumns = true))

@@ -108,6 +108,32 @@ class CdfWideWindowSpec extends SparkSpec {
     assert(unionBranches <= 4, s"union has $unionBranches branches")
   }
 
+  test("a rewrite-heavy window chunk-folds: same feed, bounded plan") {
+    val dir = tmpDir("cdf_chunk")
+    Versioned.append((1 to 12).map(i => (i, i)).toDF("id", "x"), dir) // v1
+    // 6 successive single-row updates: each is a rewrite commit
+    (1 to 6).foreach { i =>
+      Versioned.updateWhere(spark, dir, col("id") === i,
+        Map("x" -> (col("x") + 100)))
+    }
+    def feedCounts() = Versioned.changesWithType(spark, dir, 1L, 7L)
+      .groupBy("_change_type", "_commit_version").count()
+      .as[(String, Long, Long)].collect().toSet
+    val plain = feedCounts()
+    val prev = Versioned.CdfRewriteChunk
+    try {
+      Versioned.CdfRewriteChunk = 2 // force 3 chunks of 2
+      val chunked = feedCounts()
+      assert(chunked == plain)
+      val branches = Versioned.changesWithType(spark, dir, 1L, 7L)
+        .queryExecution.optimizedPlan
+        .collect { case u: Union => u.children.length }.sum
+      // each chunk collapsed to a materialized leaf: far below the
+      // unchunked plan's per-rewrite diff expansion
+      assert(branches <= 8, s"union has $branches branches")
+    } finally Versioned.CdfRewriteChunk = prev
+  }
+
   test("an all-maintenance window yields an empty feed with the CDF schema") {
     val dir = tmpDir("cdf_silent")
     (0 until 3).foreach { i => Versioned.append(Seq((i, i * 10)).toDF("id", "x"), dir) }

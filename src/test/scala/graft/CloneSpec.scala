@@ -136,6 +136,30 @@ class CloneSpec extends SparkSpec {
       (4, "insert", 2L)))
   }
 
+  test("pins are listable and releasable; release re-arms vacuum") {
+    val src = tmpDir("cl_pin_src")
+    val dst = tmpDir("cl_pin_dst")
+    Versioned.append((1 to 6).map(i => (i, i)).toDF("id", "x"), src)
+    Versioned.cloneTable(spark, src, dst)
+    val pins = Versioned.listPins(spark, src)
+    assert(pins.size == 1)
+    val (name, pinnedV, nFiles) = pins.head
+    assert(pinnedV == 1L && nFiles > 0)
+    // rewrite + vacuum: pinned files survive
+    Versioned.overwrite(Seq((9, 9)).toDF("id", "x"), src)
+    Versioned.vacuum(spark, src, keepVersions = 1)
+    assert(Versioned.read(spark, dst).count() == 6L)
+    // release the pin (clone decommissioned) → next vacuum sweeps
+    Versioned.removePin(spark, src, name)
+    assert(Versioned.listPins(spark, src).isEmpty)
+    // tmpRetention 0: the now-unreferenced dirs are swept immediately
+    // (the default 1h age guard would otherwise defer them)
+    Versioned.vacuum(spark, src, keepVersions = 1, tmpRetentionMs = 0L)
+    intercept[Exception] { Versioned.read(spark, dst).count() }
+    // the source itself is unaffected throughout
+    assert(Versioned.read(spark, src).as[(Int, Int)].collect().toSeq == Seq((9, 9)))
+  }
+
   test("cloning onto an existing table is refused") {
     val src = tmpDir("cl_ref_src")
     val dst = tmpDir("cl_ref_dst")
