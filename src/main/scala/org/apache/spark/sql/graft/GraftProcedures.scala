@@ -142,6 +142,25 @@ private[graft] object GraftProcedures {
           Seq(row(Versioned.cloneTable(s, dirOf(in), dstDir)))
         }),
 
+      Proc("pins",
+        "list clone pins protecting this table's files from vacuum",
+        Seq(in("table", StringType)),
+        new StructType().add("pin", StringType, nullable = false)
+          .add("pinned_version", LongType, nullable = false)
+          .add("n_files", IntegerType, nullable = false),
+        (s, in) => Versioned.listPins(s, dirOf(in)).map { case (n, v, c) =>
+          row(utf8(n), v, c) }),
+
+      Proc("remove_pin",
+        "release a clone pin (its files become vacuum candidates again)",
+        Seq(in("table", StringType), in("pin", StringType)),
+        new StructType().add("removed", StringType, nullable = false),
+        (s, in) => {
+          val name = in.getUTF8String(1).toString
+          Versioned.removePin(s, dirOf(in), name)
+          Seq(row(utf8(name)))
+        }),
+
       Proc("restore",
         "commit a snapshot restoring the table to an earlier version",
         Seq(in("table", StringType), in("version", LongType)),

@@ -213,6 +213,14 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql(s"CALL $cat.system.clone(source => 'db.src', target => 'db.fork')")
     }
+    // the pin lifecycle is SQL-reachable: list, then release
+    val pins = spark.sql(s"CALL $cat.system.pins(table => 'db.src')")
+    assert(pins.columns.toSeq == Seq("pin", "pinned_version", "n_files"))
+    val pinName = pins.select("pin").as[String].head
+    assert(pins.count() == 1L)
+    spark.sql(
+      s"CALL $cat.system.remove_pin(table => 'db.src', pin => '$pinName')")
+    assert(spark.sql(s"CALL $cat.system.pins(table => 'db.src')").count() == 0L)
   }
 
   test("CALL procedures: constraints and vacuum with defaults") {
