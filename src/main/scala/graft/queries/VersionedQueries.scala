@@ -198,6 +198,30 @@ object VersionedQueries {
     """SELECT user_id, event_id, event_type, value FROM events
       |WHERE user_id BETWEEN 3 AND 9 ORDER BY user_id, event_id""".stripMargin
 
+  // M12 — Z-ORDER OPTIMIZE under the oracle gate: interleaved-bit
+  // clustering on (user_id, event_id), then a bounded zoned read on the
+  // TRAILING column — the file pruning a lexicographic cluster (m7)
+  // structurally cannot give (under (user_id, event_id) lexicographic
+  // order every file spans event_id's whole domain). Content must equal
+  // the plain relational filter; ZOrderSpec pins the pruning itself.
+  def optimizeZOrder(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("ts_us", tsUs)
+      .select("user_id", "event_id", "event_type", "value", "ts_us")
+    val tableDir = scratchDir("graft_m12")
+    Versioned.append(ev.filter(col("event_id") % 2 === 0), tableDir)
+    Versioned.append(ev.filter(col("event_id") % 2 === 1), tableDir)
+    val v = Versioned.optimizeZOrderBy(
+      s, tableDir, Seq("user_id", "event_id"), targetFiles = 8)
+    Versioned.readWhere(s, tableDir, v, "event_id", 100L, 399L)
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
+  val optimizeZOrderSql: String =
+    """SELECT user_id, event_id, event_type, value FROM events
+      |WHERE event_id BETWEEN 100 AND 399 ORDER BY event_id""".stripMargin
+
   // X — a curation operator composed over the versioned read path:
   // exact dedup runs against a log-resolved, DV-subtracted snapshot
   // (two parity appends + a sparse MoR delete), proving the extension
@@ -758,5 +782,6 @@ object VersionedQueries {
       Some(versionedMergeFullGrammarSql)),
     QueryDef("m6_incremental_gold", incrementalGold, Some(incrementalGoldSql)),
     QueryDef("m7_optimize_cluster", optimizeCluster, Some(optimizeClusterSql)),
+    QueryDef("m12_zorder", optimizeZOrder, Some(optimizeZOrderSql)),
     QueryDef("x_dedup_versioned", dedupVersioned, Some(dedupVersionedSql)))
 }

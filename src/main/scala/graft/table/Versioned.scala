@@ -626,14 +626,57 @@ object Versioned {
     * when every retained version is newer (the requested instant
     * precedes the table, or vacuum dropped it).
     */
-  def readAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame = {
+  def readAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =
+    readAt(spark, dir, versionAsOf(spark, dir, tsMillis))
+
+  /** The newest version committed at or before `tsMillis` — the
+    * `TIMESTAMP AS OF` / `endingTimestamp` resolution rule. Fails
+    * loudly when every retained version is newer.
+    */
+  def versionAsOf(spark: SparkSession, dir: String, tsMillis: Long): Long = {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no committed versions at $dir")
-    val v = vs.filter(commitTimestampAt(spark, dir, _) <= tsMillis).lastOption
+    vs.filter(commitTimestampAt(spark, dir, _) <= tsMillis).lastOption
       .getOrElse(throw new IllegalArgumentException(
         s"no version committed at or before $tsMillis at $dir — the oldest " +
           s"retained commit is ${commitTimestampAt(spark, dir, vs.head)}"))
-    readAt(spark, dir, v)
+  }
+
+  /** The OLDEST version committed at or after `tsMillis` — Delta's
+    * `startingTimestamp` rule for change feeds (start at the first
+    * commit inside the requested window). Fails loudly when every
+    * retained version is older (nothing has happened since the
+    * instant — Delta errors here too rather than silently serving an
+    * empty feed forever).
+    */
+  def versionSince(spark: SparkSession, dir: String, tsMillis: Long): Long = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed versions at $dir")
+    vs.find(commitTimestampAt(spark, dir, _) >= tsMillis)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no version committed at or after $tsMillis at $dir — the newest " +
+          s"commit is ${commitTimestampAt(spark, dir, vs.last)}"))
+  }
+
+  /** Option-surface timestamp parsing: epoch millis, ISO instant
+    * (`2026-08-14T12:00:00Z`), `yyyy-MM-dd[ HH:mm:ss[.S]]` (UTC — the
+    * engine's session convention), matching the forms Delta's
+    * timestamp options accept.
+    */
+  def parseTimestampMillis(s: String): Long = {
+    val t = s.trim
+    if (t.matches("-?\\d+")) t.toLong
+    else try java.time.Instant.parse(t).toEpochMilli
+    catch {
+      case _: Exception =>
+        try java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+          .atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+        catch {
+          case _: Exception =>
+            java.time.LocalDate.parse(t).atStartOfDay(java.time.ZoneOffset.UTC)
+              .toInstant.toEpochMilli
+        }
+    }
   }
 
   /** Named CHECK constraints in force at snapshot `v` (constraint name
@@ -1887,6 +1930,98 @@ object Versioned {
     clusteredRewrite(spark, dir, v,
       df => df.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*),
       zoneable)
+  }
+
+  /** Z-ORDER clustering OPTIMIZE (Delta's `OPTIMIZE … ZORDER BY` with
+    * bit interleaving, vs [[optimizeClusterBy]]'s lexicographic range
+    * sort): rewrites the snapshot ordered by the INTERLEAVED bits of
+    * each column's quantile-bucket id, so EVERY listed column gets
+    * file-level locality — a range predicate on the second or third
+    * column prunes files too, which lexicographic clustering only
+    * gives the leading column.
+    *
+    * Mechanics (all catalyst expressions, no UDFs, one extra pass):
+    *  1. each column maps to the zone-stat long domain (ints as
+    *     themselves, timestamps under the long cast, dates as epoch
+    *     days, short decimals unscaled);
+    *  2. `approxQuantile` (one pass, all columns together) yields
+    *     `buckets-1` boundaries per column — quantile bucketing is
+    *     what keeps skewed columns balanced where min/max scaling
+    *     would collapse;
+    *  3. per row, each column's bucket id = #boundaries ≤ value (a
+    *     codegen'd `aggregate` fold over the boundary array literal;
+    *     NULLs land in bucket 0);
+    *  4. the z-value interleaves the bucket ids bit by bit
+    *     (`bits × ncols` shift/and/or terms — straight-line codegen),
+    *     and the rewrite range-partitions + sorts on it.
+    *
+    * Zone sidecars publish for ALL listed columns afterwards, which is
+    * the point: each column's per-file [lo, hi] ranges become narrow
+    * enough to prune on. Rows are unchanged; the commit is a pinned
+    * `optimize` like every clustered rewrite.
+    */
+  def optimizeZOrderBy(
+      spark: SparkSession, dir: String, zCols: Seq[String],
+      targetFiles: Int = 0, buckets: Int = 256): Long = {
+    import org.apache.spark.sql.functions.{aggregate, array, col, lit, shiftleft, shiftright, unix_date, when}
+    import org.apache.spark.sql.types.{DateType, DecimalType}
+    require(zCols.nonEmpty && zCols.size <= 4,
+      s"Z-ORDER takes 1–4 columns, got ${zCols.size} (more would leave " +
+        "too few interleaved bits per column to cluster on)")
+    require(buckets >= 2 && buckets <= 65536, s"buckets out of range: $buckets")
+    val v = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
+    val schema = schemaAt(spark, dir, v).getOrElse(readAt(spark, dir, v).schema)
+    val byLower = schema.fieldNames
+      .map(n => n.toLowerCase(java.util.Locale.ROOT) -> n).toMap
+    val resolvedOpt = zCols.map(c =>
+      c -> byLower.get(c.toLowerCase(java.util.Locale.ROOT)))
+    val absent = resolvedOpt.collect { case (c, None) => c }
+    require(absent.isEmpty,
+      s"Z-ORDER columns absent from the snapshot schema: ${absent.mkString(", ")}")
+    val resolved = resolvedOpt.flatMap(_._2)
+    val notZoneable = resolved.filterNot(c => zoneableType(schema(c).dataType))
+    require(notZoneable.isEmpty,
+      s"Z-ORDER columns must be zone-stat typed (integral/timestamp/date/" +
+        s"short-decimal): ${notZoneable.mkString(", ")} are not")
+    def statCol(c: String): org.apache.spark.sql.Column =
+      schema(c).dataType match {
+        case DateType => unix_date(col(c)).cast("long")
+        case d: DecimalType =>
+          (col(c) * scala.math.BigDecimal(10).pow(d.scale)).cast("long")
+        case _ => col(c).cast("long")
+      }
+    val bits = 32 - Integer.numberOfLeadingZeros(buckets - 1)
+    // ONE sampling pass computes every column's boundaries together
+    val statNames = resolved.indices.map(i => s"__zs_$i").toArray
+    val boundsPerCol = readAt(spark, dir, v)
+      .select(resolved.zipWithIndex.map { case (c, i) =>
+        statCol(c).cast("double").as(s"__zs_$i") }: _*)
+      .stat.approxQuantile(
+        statNames, (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+    val zExpr = resolved.zipWithIndex.map { case (c, i) =>
+      // stat longs round-trip exactly through double up to 2^53 —
+      // beyond that a boundary may shift by an ulp, which moves rows
+      // between adjacent buckets (layout nuance), never correctness
+      val bs = boundsPerCol(i).toSeq.map(_.toLong).distinct.sorted
+      val bucket =
+        if (bs.isEmpty) lit(0L) // all-NULL column: one bucket
+        else aggregate(
+          array(bs.map(b => lit(b)): _*), lit(0L),
+          (acc, b) => acc + when(b <= statCol(c), 1L).otherwise(0L))
+      (0 until bits).map(b =>
+        shiftleft(shiftright(bucket, b).bitwiseAND(lit(1L)),
+          b * resolved.size + i))
+        .reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+    val n = if (targetFiles > 0) targetFiles
+      else math.max(1, filesAt(spark, dir, v).size)
+    clusteredRewrite(spark, dir, v,
+      df => df.withColumn("__z", zExpr)
+        .repartitionByRange(n, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z"),
+      resolved)
   }
 
   /** Incremental compaction (the shape of Delta's actual `OPTIMIZE`):

@@ -118,6 +118,14 @@ private[graft] object GraftProcedures {
         (s, in) => Seq(row(Versioned.optimizeClusterBy(
           s, dirOf(in), splitCols(in, 1), in.getInt(2))))),
 
+      Proc("zorder",
+        "rewrite the table clustered on the interleaved bits of the given columns",
+        Seq(in("table", StringType), in("zorder_by", StringType),
+          inDefault("target_files", IntegerType, "0")),
+        VersionOut,
+        (s, in) => Seq(row(Versioned.optimizeZOrderBy(
+          s, dirOf(in), splitCols(in, 1), in.getInt(2))))),
+
       Proc("zone",
         "publish zone-map (data skipping) stats for the head snapshot",
         Seq(in("table", StringType), in("columns", StringType)),

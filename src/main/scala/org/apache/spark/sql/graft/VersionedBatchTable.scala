@@ -476,10 +476,26 @@ private[graft] object VersionedChangesTable {
   def resolve(spark: SparkSession, dir: String,
       options: JMap[String, String]): (Long, Long, StructType) = {
     val ci = new CaseInsensitiveStringMap(options)
-    val from = Option(ci.get("startingVersion")).map(_.toLong).getOrElse(0L)
+    // timestamp forms resolve through the commit-timestamp index
+    // (Delta's startingTimestamp/endingTimestamp): the start is the
+    // FIRST commit at or after the instant (minus one — our
+    // startingVersion is the exclusive diff base), the end the LAST at
+    // or before it. Version and timestamp forms are mutually exclusive
+    // per endpoint.
+    require(!(ci.containsKey("startingVersion") && ci.containsKey("startingTimestamp")),
+      "startingVersion and startingTimestamp are mutually exclusive")
+    require(!(ci.containsKey("endingVersion") && ci.containsKey("endingTimestamp")),
+      "endingVersion and endingTimestamp are mutually exclusive")
+    val from = Option(ci.get("startingVersion")).map(_.toLong)
+      .orElse(Option(ci.get("startingTimestamp")).map(t =>
+        Versioned.versionSince(spark, dir, Versioned.parseTimestampMillis(t)) - 1L))
+      .getOrElse(0L)
     val head = Versioned.currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $dir"))
-    val to = Option(ci.get("endingVersion")).map(_.toLong).getOrElse(head)
+    val to = Option(ci.get("endingVersion")).map(_.toLong)
+      .orElse(Option(ci.get("endingTimestamp")).map(t =>
+        Versioned.versionAsOf(spark, dir, Versioned.parseTimestampMillis(t))))
+      .getOrElse(head)
     require(from >= 0 && from <= to,
       s"startingVersion $from must be in [0, endingVersion $to]")
     val vs = Versioned.versions(spark, dir).toSet

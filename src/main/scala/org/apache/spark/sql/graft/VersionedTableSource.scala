@@ -95,7 +95,19 @@ final class VersionedTableSourceProvider
       providerName: String, parameters: Map[String, String]): Source = {
     val spark = sqlContext.sparkSession.asInstanceOf[SparkSession]
     val dir = pathOf(parameters)
+    require(!(parameters.contains("startingVersion") &&
+      parameters.contains("startingTimestamp")),
+      "startingVersion and startingTimestamp are mutually exclusive")
+    // startingTimestamp (Delta's option): begin at the FIRST commit at
+    // or after the instant — resolved once at source creation (offsets
+    // then carry versions, so checkpoint restarts never re-resolve a
+    // wall clock). Like startingVersion, it suppresses the
+    // initial-snapshot batch: the consumer asked for changes SINCE an
+    // instant, not the table's full content.
     val starting = parameters.get("startingVersion").map(_.toLong)
+      .orElse(parameters.get("startingTimestamp").map(t =>
+        Versioned.versionSince(
+          spark, dir, Versioned.parseTimestampMillis(t)) - 1L))
     val skipChanges = parameters.get("skipChangeCommits").exists(_.toBoolean)
     val changeFeed = parameters.get("readChangeFeed").exists(_.toBoolean)
     require(!(changeFeed && skipChanges),
