@@ -1963,8 +1963,7 @@ object Versioned {
   def optimizeZOrderBy(
       spark: SparkSession, dir: String, zCols: Seq[String],
       targetFiles: Int = 0, buckets: Int = 256): Long = {
-    import org.apache.spark.sql.functions.{aggregate, array, col, lit, shiftleft, shiftright, unix_date, when}
-    import org.apache.spark.sql.types.{DateType, DecimalType}
+    import org.apache.spark.sql.functions.col
     require(zCols.nonEmpty && zCols.size <= 4,
       s"Z-ORDER takes 1–4 columns, got ${zCols.size} (more would leave " +
         "too few interleaved bits per column to cluster on)")
@@ -1984,6 +1983,101 @@ object Versioned {
     require(notZoneable.isEmpty,
       s"Z-ORDER columns must be zone-stat typed (integral/timestamp/date/" +
         s"short-decimal): ${notZoneable.mkString(", ")} are not")
+    val zExpr = zOrderExpr(readAt(spark, dir, v), schema, resolved, buckets)
+    val n = if (targetFiles > 0) targetFiles
+      else math.max(1, filesAt(spark, dir, v).size)
+    clusteredRewrite(spark, dir, v,
+      df => df.withColumn("__z", zExpr)
+        .repartitionByRange(n, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z"),
+      resolved)
+  }
+
+  /** INCREMENTAL Z-ORDER (the liquid-clustering maintenance shape):
+    * rewrites ONLY the files no prior OPTIMIZE produced — the
+    * unclustered tail of appends and MoR rewrite copies — z-ordered
+    * among themselves, and leaves every already-clustered file
+    * untouched. At 100 TB this is the difference between a nightly
+    * maintenance job that costs O(day's ingest) and one that rewrites
+    * the table ([[optimizeZOrderBy]]); the trade is bounded pruning
+    * degradation (each incremental generation's z-ranges overlap the
+    * base's — files prune within their generation), repaired whenever
+    * a full rewrite next runs. Returns None when every live file is
+    * already optimize-produced (nothing to do).
+    *
+    * Clustered-file identity comes from the retained log: the add
+    * actions of every retained `optimize` commit. Vacuuming history
+    * can forget that a file came from an optimize, making a later
+    * incremental run re-cluster it once — wasted work, never wrong
+    * rows. Commits under the commuting rule with the tail as its
+    * touched set, so concurrent appends land (and get picked up by the
+    * NEXT run); zone stats for the fresh files merge into the carried
+    * sidecar like every rewrite.
+    */
+  def zorderIncremental(
+      spark: SparkSession, dir: String, zCols: Seq[String],
+      targetFiles: Int = 0, buckets: Int = 256): Option[Long] = {
+    import org.apache.spark.sql.functions.col
+    require(zCols.nonEmpty && zCols.size <= 4,
+      s"Z-ORDER takes 1–4 columns, got ${zCols.size}")
+    val base = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
+    val schema = schemaAt(spark, dir, base).getOrElse(readAt(spark, dir, base).schema)
+    val byLower = schema.fieldNames
+      .map(n => n.toLowerCase(java.util.Locale.ROOT) -> n).toMap
+    val resolved = zCols.map(c =>
+      byLower.getOrElse(c.toLowerCase(java.util.Locale.ROOT),
+        throw new IllegalArgumentException(
+          s"Z-ORDER column absent from the snapshot schema: $c")))
+    val notZoneable = resolved.filterNot(c => zoneableType(schema(c).dataType))
+    require(notZoneable.isEmpty,
+      s"Z-ORDER columns must be zone-stat typed: ${notZoneable.mkString(", ")} are not")
+    val all = filesAt(spark, dir, base)
+    val clustered = versions(spark, dir)
+      .filter(v => opAt(spark, dir, v) == "optimize")
+      .flatMap(v => addActionsAt(spark, dir, v))
+      .map(fileKey).toSet
+    val tail = all.filterNot(f => clustered.contains(fileKey(f)))
+    if (tail.isEmpty) return None
+    val dvs = dvsAt(spark, dir, base)
+    val rows = readFileSubset(spark, dir, Some(schema), tail, dvs)
+    val zExpr = zOrderExpr(rows, schema, resolved, buckets)
+    val n = if (targetFiles > 0) targetFiles else math.max(1, tail.size)
+    val out = rows.withColumn("__z", zExpr)
+      .repartitionByRange(n, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    val fresh = writeDataFiles(toPhysicalFrame(out, Some(schema)), dir)
+    val v = commitRewriteCommuting(
+      spark, dir, base, "optimize", schema.json, tail, fresh)
+    v.foreach(nv => carryZones(spark, dir, base, nv,
+      filesAt(spark, dir, nv).toSet -- fresh.toSet, fresh))
+    // a table that was never zoned on these columns gains nothing from
+    // the carry — publish stats for the whole snapshot ONCE if no zone
+    // sidecar covers the z columns yet (one-time O(table) stat pass,
+    // after which every incremental run carries + stats O(tail))
+    v.foreach { nv =>
+      val have = zonedAnchorJson(spark, dir, nv)
+        .map(ZoneMaps.blockCols).getOrElse(Seq.empty)
+        .map(phys => schema.fields.find(f => physicalName(f) == phys)
+          .map(_.name).getOrElse(phys)).toSet
+      val missing = resolved.filterNot(have)
+      if (missing.nonEmpty) writeZoneMaps(spark, dir, nv, resolved)
+    }
+    v
+  }
+
+  /** The interleaved-bit z-value column for `resolved` over the
+    * distribution of `sample` (one `approxQuantile` pass for every
+    * column's bucket boundaries together) — shared by the full and
+    * incremental Z-ORDER rewrites.
+    */
+  private def zOrderExpr(
+      sample: DataFrame, schema: org.apache.spark.sql.types.StructType,
+      resolved: Seq[String], buckets: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{aggregate, array, col, lit, shiftleft, shiftright, unix_date, when}
+    import org.apache.spark.sql.types.{DateType, DecimalType}
     def statCol(c: String): org.apache.spark.sql.Column =
       schema(c).dataType match {
         case DateType => unix_date(col(c)).cast("long")
@@ -1992,14 +2086,13 @@ object Versioned {
         case _ => col(c).cast("long")
       }
     val bits = 32 - Integer.numberOfLeadingZeros(buckets - 1)
-    // ONE sampling pass computes every column's boundaries together
     val statNames = resolved.indices.map(i => s"__zs_$i").toArray
-    val boundsPerCol = readAt(spark, dir, v)
+    val boundsPerCol = sample
       .select(resolved.zipWithIndex.map { case (c, i) =>
         statCol(c).cast("double").as(s"__zs_$i") }: _*)
       .stat.approxQuantile(
         statNames, (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
-    val zExpr = resolved.zipWithIndex.map { case (c, i) =>
+    resolved.zipWithIndex.map { case (c, i) =>
       // stat longs round-trip exactly through double up to 2^53 —
       // beyond that a boundary may shift by an ulp, which moves rows
       // between adjacent buckets (layout nuance), never correctness
@@ -2014,14 +2107,6 @@ object Versioned {
           b * resolved.size + i))
         .reduce(_ bitwiseOR _)
     }.reduce(_ bitwiseOR _)
-    val n = if (targetFiles > 0) targetFiles
-      else math.max(1, filesAt(spark, dir, v).size)
-    clusteredRewrite(spark, dir, v,
-      df => df.withColumn("__z", zExpr)
-        .repartitionByRange(n, col("__z"))
-        .sortWithinPartitions(col("__z"))
-        .drop("__z"),
-      resolved)
   }
 
   /** Incremental compaction (the shape of Delta's actual `OPTIMIZE`):

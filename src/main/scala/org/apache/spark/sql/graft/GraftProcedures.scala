@@ -126,6 +126,14 @@ private[graft] object GraftProcedures {
         (s, in) => Seq(row(Versioned.optimizeZOrderBy(
           s, dirOf(in), splitCols(in, 1), in.getInt(2))))),
 
+      Proc("zorder_incremental",
+        "z-order only the files no prior optimize produced (O(new data) maintenance)",
+        Seq(in("table", StringType), in("zorder_by", StringType),
+          inDefault("target_files", IntegerType, "0")),
+        new StructType().add("version", LongType, nullable = true),
+        (s, in) => Seq(row(Versioned.zorderIncremental(
+          s, dirOf(in), splitCols(in, 1), in.getInt(2)).map(Long.box).orNull))),
+
       Proc("zone",
         "publish zone-map (data skipping) stats for the head snapshot",
         Seq(in("table", StringType), in("columns", StringType)),

@@ -182,13 +182,24 @@ class GraftCatalogSpec extends SparkSpec {
     assert(Versioned.prunedFiles(spark, dir, vOpt, "id", 0L, 5L).size
       < Versioned.filesAt(spark, dir, vOpt).size)
 
+    // z-order CALLs: the full rewrite commits; the incremental run right
+    // after is a no-op (NULL version — nothing unclustered remains)
+    val vZ = spark.sql(
+      s"CALL $cat.system.zorder(table => 'db.t', zorder_by => 'id')")
+      .as[Long].head
+    assert(vZ == 6L)
+    val inc = spark.sql(
+      s"CALL $cat.system.zorder_incremental(table => 'db.t', zorder_by => 'id')")
+      .collect().head
+    assert(inc.isNullAt(0))
+
     val hist = spark.sql(s"CALL $cat.system.history(table => 'db.t')")
     assert(hist.columns.toSeq == Seq("version", "op", "commit_ts", "n_files"))
-    assert(hist.count() == 5L)
+    assert(hist.count() == 6L)
 
     val vRestore = spark.sql(
       s"CALL $cat.system.restore(table => 'db.t', version => 2)").as[Long].head
-    assert(vRestore == 6L)
+    assert(vRestore == 7L)
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").as[Long].head == 50L)
   }
 

@@ -90,6 +90,34 @@ class ZOrderSpec extends SparkSpec {
       Versioned.filesAt(spark, dir, v).size)
   }
 
+  test("incremental z-order rewrites only the unclustered tail") {
+    val dir = tmpDir("zo_incr")
+    grid(dir)
+    // full clustering pass first
+    val v1 = Versioned.optimizeZOrderBy(spark, dir, Seq("a", "b"), targetFiles = 16)
+    val clusteredFiles = Versioned.filesAt(spark, dir, v1).toSet
+    // nothing new → no-op
+    assert(Versioned.zorderIncremental(spark, dir, Seq("a", "b")).isEmpty)
+    // new unclustered appends land
+    (0 until 4).foreach { i =>
+      Versioned.append((0 until 256).map(j =>
+        (100L + j % 64, (j / 4).toLong, 10000L + i * 256 + j))
+        .toDF("a", "b", "payload").coalesce(1), dir)
+    }
+    val before = Versioned.read(spark, dir).as[(Long, Long, Long)].collect().toSet
+    val v2 = Versioned.zorderIncremental(spark, dir, Seq("a", "b"), targetFiles = 4).get
+    // every file of the FULL pass survives untouched; only the tail moved
+    val after = Versioned.filesAt(spark, dir, v2).toSet
+    assert(clusteredFiles.subsetOf(after),
+      "incremental run rewrote already-clustered files")
+    assert((after -- clusteredFiles).size == 4) // the fresh tail files
+    assert(Versioned.read(spark, dir).as[(Long, Long, Long)].collect().toSet == before)
+    // a second run has nothing left to do
+    assert(Versioned.zorderIncremental(spark, dir, Seq("a", "b")).isEmpty)
+    // and the tail files are pruned on b like the base
+    assert(Versioned.prunedFiles(spark, dir, v2, "b", 0L, 7L).size < after.size)
+  }
+
   test("non-zoneable and absent columns are refused") {
     val dir = tmpDir("zo_bad")
     Versioned.append(Seq((1L, "s")).toDF("a", "s"), dir)
