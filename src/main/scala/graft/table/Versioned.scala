@@ -3373,6 +3373,25 @@ object Versioned {
     * without touching anything — no deletes, no log truncation, and no
     * anchor-sidecar publish.
     */
+  /** Age-based vacuum (Delta's `VACUUM ... RETAIN n HOURS` shape): keeps
+    * every version committed within `retainMs` of now — PLUS the head,
+    * always — and sweeps like [[vacuum]]. The version count a retention
+    * window maps to depends on commit rate, which is exactly why
+    * operators state retention in time: "7 days of time travel"
+    * holds whether the table commits hourly or every second.
+    */
+  def vacuumRetain(
+      spark: SparkSession, dir: String, retainMs: Long,
+      tmpRetentionMs: Long = 3600000L, dryRun: Boolean = false): Seq[String] = {
+    require(retainMs >= 0, s"negative retention: $retainMs")
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed versions at $dir")
+    val cutoff = System.currentTimeMillis() - retainMs
+    val keep = math.max(1,
+      vs.count(v => commitTimestampAt(spark, dir, v) >= cutoff))
+    vacuum(spark, dir, keep, tmpRetentionMs, dryRun)
+  }
+
   def vacuum(
       spark: SparkSession, dir: String, keepVersions: Int = 1,
       tmpRetentionMs: Long = 3600000L, dryRun: Boolean = false): Seq[String] = {

@@ -104,6 +104,16 @@ private[graft] object GraftProcedures {
         (s, in) => Versioned.vacuum(s, dirOf(in), in.getInt(1), dryRun = in.getBoolean(2))
           .map(p => row(utf8(p)))),
 
+      Proc("vacuum_retain",
+        "age-based vacuum: keep every version committed within the window (plus the head)",
+        Seq(in("table", StringType),
+          in("retain_hours", org.apache.spark.sql.types.DoubleType),
+          inDefault("dry_run", BooleanType, "false")),
+        new StructType().add("removed_path", StringType, nullable = false),
+        (s, in) => Versioned.vacuumRetain(s, dirOf(in),
+          (in.getDouble(1) * 3600000L).toLong, dryRun = in.getBoolean(2))
+          .map(p => row(utf8(p)))),
+
       Proc("compact",
         "rewrite the current snapshot as one compacted file set",
         Seq(in("table", StringType)),

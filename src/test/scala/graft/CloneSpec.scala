@@ -160,6 +160,22 @@ class CloneSpec extends SparkSpec {
     assert(Versioned.read(spark, src).as[(Int, Int)].collect().toSeq == Seq((9, 9)))
   }
 
+  test("age-based vacuum keeps the in-window suffix plus the head") {
+    val dir = tmpDir("vr_age")
+    (1 to 5).foreach { i =>
+      Versioned.append(Seq((i, i)).toDF("id", "x"), dir)
+      Thread.sleep(3)
+    }
+    // a huge window keeps everything (dry run proves zero deletions)
+    assert(Versioned.vacuumRetain(spark, dir, retainMs = 86400000L,
+      dryRun = true).isEmpty)
+    // a zero window keeps only the head version's files; older log
+    // entries truncate (appends share files, so only entries go)
+    Versioned.vacuumRetain(spark, dir, retainMs = 0L, tmpRetentionMs = 0L)
+    assert(Versioned.versions(spark, dir) == Seq(5L))
+    assert(Versioned.read(spark, dir).count() == 5L)
+  }
+
   test("cloning onto an existing table is refused") {
     val src = tmpDir("cl_ref_src")
     val dst = tmpDir("cl_ref_dst")
