@@ -38,13 +38,16 @@ import graft.table.Versioned
   * so the SQL form inherits its transactional contract (commuting
   * conflict rule incl. the by-source extension, DV awareness, schema
   * enforcement) rather than reimplementing MERGE a second time.
+  * `MERGE WITH SCHEMA EVOLUTION` maps onto the engine's evolveSchema
+  * flag: source-only columns append to the committed schema (nullable;
+  * kept files surface NULL there), target-only columns pad the source
+  * with NULLs — Delta's withSchemaEvolution contract.
   *
   * Remaining limits, each failing loudly with the alternative named:
   * the ON clause must be an equi-key conjunction (the key set the merge
   * shuffles/broadcasts on); INSERT takes whole source rows (a column
   * list must cover the schema with same-name source refs — precompute
-  * derived values into the source); schema evolution is explicit
-  * (`append(mergeSchema = true)` first).
+  * derived values into the source).
   */
 object SqlMerge {
 
@@ -71,10 +74,6 @@ object SqlMerge {
   def translate(
       spark: SparkSession, m: MergeIntoTable,
       dir: String, targetAlias: Option[String]): LogicalPlan = {
-    require(!m.withSchemaEvolution,
-      "MERGE WITH SCHEMA EVOLUTION is not supported — widen the table first " +
-        "with Versioned.append(mergeSchema = true)")
-
     val (sourceAlias, _) = m.sourceTable match {
       case SubqueryAlias(id, _) => (Some(id.name), ())
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
@@ -208,7 +207,8 @@ object SqlMerge {
     // time with Spark's own error, not at execution
     val analyzedSource = Bridge.ofRows(spark, m.sourceTable).queryExecution.analyzed
     GraftMergeCommand(
-      dir, analyzedSource, keys, matchedClauses, insertClauses, bySourceClauses)
+      dir, analyzedSource, keys, matchedClauses, insertClauses, bySourceClauses,
+      evolveSchema = m.withSchemaEvolution)
   }
 }
 
@@ -224,7 +224,8 @@ final case class GraftMergeCommand(
     keys: Seq[String],
     matched: Seq[MergeClause],
     notMatched: Seq[MergeClause],
-    notMatchedBySource: Seq[MergeClause]) extends LeafRunnableCommand {
+    notMatchedBySource: Seq[MergeClause],
+    evolveSchema: Boolean = false) extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
@@ -232,7 +233,7 @@ final case class GraftMergeCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     val v = Versioned.mergeFull(
       spark, dir, Bridge.ofRows(spark, source), keys,
-      matched, notMatched, notMatchedBySource)
+      matched, notMatched, notMatchedBySource, evolveSchema)
     Seq(Row(v))
   }
 

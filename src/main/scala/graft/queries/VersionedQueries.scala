@@ -222,6 +222,55 @@ object VersionedQueries {
     """SELECT user_id, event_id, event_type, value FROM events
       |WHERE event_id BETWEEN 100 AND 399 ORDER BY event_id""".stripMargin
 
+  // M13 — MERGE WITH SCHEMA EVOLUTION under the oracle gate: the SQL
+  // statement form merges a source carrying a column the table never
+  // had — matched rows update (gaining the column), unmatched insert,
+  // and every carried/untouched row surfaces NULL there — all in ONE
+  // log commit that also publishes the widened schema. The oracle
+  // replays the evolution relationally (padding the unmatched target
+  // side with NULL).
+  def mergeEvolve(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("value_c", floor(col("value") * 100).cast("long"))
+      .select("event_id", "user_id", "event_type", "value_c")
+    val tableDir = scratchDir("graft_m13")
+    Versioned.append(ev.filter(col("event_id") % 2 === 0), tableDir) // v1
+    ev.filter(col("event_id") % 3 === 0)
+      .withColumn("extra", (col("event_id") % 97).cast("long"))
+      .createOrReplaceTempView("m13_src")
+    s.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO `graft-versioned`.`$tableDir` t
+         |USING m13_src s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    Versioned.read(s, tableDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"),
+        sum(coalesce(col("extra"), lit(0L))).as("sum_extra"),
+        sum(when(col("extra").isNull, 1L).otherwise(0L)).as("n_null_extra"))
+      .orderBy("event_type")
+  }
+
+  val mergeEvolveSql: String =
+    """WITH ev AS (SELECT event_id, event_type,
+      |                   CAST(floor(value * 100) AS BIGINT) AS value_c
+      |            FROM events),
+      |src AS (SELECT event_type, value_c,
+      |               CAST(event_id % 97 AS BIGINT) AS extra
+      |        FROM ev WHERE event_id % 3 = 0),
+      |final AS (
+      |  SELECT event_type, value_c, CAST(NULL AS BIGINT) AS extra
+      |  FROM ev WHERE event_id % 2 = 0 AND event_id % 3 <> 0
+      |  UNION ALL
+      |  SELECT event_type, value_c, extra FROM src)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(value_c) AS BIGINT) AS sum_c,
+      |       CAST(sum(coalesce(extra, 0)) AS BIGINT) AS sum_extra,
+      |       CAST(sum(CASE WHEN extra IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_null_extra
+      |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // X — a curation operator composed over the versioned read path:
   // exact dedup runs against a log-resolved, DV-subtracted snapshot
   // (two parity appends + a sparse MoR delete), proving the extension
@@ -783,5 +832,6 @@ object VersionedQueries {
     QueryDef("m6_incremental_gold", incrementalGold, Some(incrementalGoldSql)),
     QueryDef("m7_optimize_cluster", optimizeCluster, Some(optimizeClusterSql)),
     QueryDef("m12_zorder", optimizeZOrder, Some(optimizeZOrderSql)),
+    QueryDef("m13_merge_evolve", mergeEvolve, Some(mergeEvolveSql)),
     QueryDef("x_dedup_versioned", dedupVersioned, Some(dedupVersionedSql)))
 }

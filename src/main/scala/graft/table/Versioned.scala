@@ -2430,9 +2430,11 @@ object Versioned {
       matched: Seq[graft.ops.Upsert.MergeClause] = Nil,
       notMatched: Seq[graft.ops.Upsert.MergeClause] =
         Seq(graft.ops.Upsert.MergeClause.Insert()),
-      notMatchedBySource: Seq[graft.ops.Upsert.MergeClause] = Nil): Long =
+      notMatchedBySource: Seq[graft.ops.Upsert.MergeClause] = Nil,
+      evolveSchema: Boolean = false): Long =
     mergeReplanning(
-      spark, dir, source, keys, matched, notMatched, notMatchedBySource, None).get
+      spark, dir, source, keys, matched, notMatched, notMatchedBySource, None,
+      evolveSchema).get
 
   /** [[merge]] guarded by the same writer-transaction watermark as
     * [[appendIdempotent]]: if the table has already committed
@@ -2462,7 +2464,8 @@ object Versioned {
       matched: Seq[graft.ops.Upsert.MergeClause],
       notMatched: Seq[graft.ops.Upsert.MergeClause],
       notMatchedBySource: Seq[graft.ops.Upsert.MergeClause],
-      txn: Option[(String, Long)]): Option[Long] = {
+      txn: Option[(String, Long)],
+      evolveSchema: Boolean = false): Option[Long] = {
     // MERGE is a pure function of (head snapshot, source), so a genuine
     // read-set conflict re-PLANS the whole merge from the new head
     // instead of surfacing CommitRace — a key concurrently inserted
@@ -2470,7 +2473,8 @@ object Versioned {
     var attempt = 1
     while (true) {
       try return mergeOnce(
-        spark, dir, source, keys, matched, notMatched, notMatchedBySource, txn)
+        spark, dir, source, keys, matched, notMatched, notMatchedBySource, txn,
+        evolveSchema)
       catch {
         case e: CommitRace =>
           // 10 attempts with jittered backoff (same shape as
@@ -2491,7 +2495,8 @@ object Versioned {
       matched: Seq[graft.ops.Upsert.MergeClause],
       notMatched: Seq[graft.ops.Upsert.MergeClause],
       notMatchedBySource: Seq[graft.ops.Upsert.MergeClause],
-      txn: Option[(String, Long)]): Option[Long] = {
+      txn: Option[(String, Long)],
+      evolveSchema: Boolean = false): Option[Long] = {
     import org.apache.spark.sql.functions.{broadcast, col}
     require(keys.nonEmpty, "MERGE needs at least one key column")
     val base = currentVersion(spark, dir).getOrElse(
@@ -2501,14 +2506,50 @@ object Versioned {
         s"MERGE requires a schema-bearing snapshot at $dir"))
     val tTypes = logSchema.fields.map(f => f.name -> f.dataType.catalogString).toMap
     val sTypes = source.schema.fields.map(f => f.name -> f.dataType.catalogString).toMap
-    require(tTypes == sTypes,
+    // a column present on BOTH sides must keep its type, evolution or
+    // not — MERGE never retypes (the same rule mergeSchema appends apply)
+    val retyped = sTypes.keySet.intersect(tTypes.keySet)
+      .filter(c => tTypes(c) != sTypes(c))
+    require(retyped.isEmpty,
+      s"MERGE cannot retype columns: ${retyped.toSeq.sorted.mkString(", ")} — " +
+        s"table [${tTypes.toSeq.sortBy(_._1).mkString(", ")}] vs source " +
+        s"[${sTypes.toSeq.sortBy(_._1).mkString(", ")}]")
+    require(evolveSchema || tTypes == sTypes,
       "MERGE source schema must match the table exactly — table " +
         s"[${tTypes.toSeq.sortBy(_._1).mkString(", ")}] vs source " +
         s"[${sTypes.toSeq.sortBy(_._1).mkString(", ")}]; widen the table " +
-        "first with append(mergeSchema = true) if evolution is intended")
+        "first with append(mergeSchema = true), or pass " +
+        "evolveSchema = true (MERGE WITH SCHEMA EVOLUTION)")
     require(keys.forall(tTypes.contains),
       s"unknown key columns: ${keys.filterNot(tTypes.contains).mkString(", ")}")
-    val src = source.select(logSchema.fieldNames.toSeq.map(col): _*)
+    // WITH SCHEMA EVOLUTION (Delta's withSchemaEvolution): source-only
+    // columns append to the committed schema (all-nullable — kept files
+    // lack them and surface NULL, the mergeSchema read contract);
+    // target-only columns stay and the source pads them with NULLs.
+    val newCols = source.schema.fields.filterNot(f =>
+      logSchema.fieldNames.contains(f.name)).toSeq
+    val outSchema: org.apache.spark.sql.types.StructType =
+      if (!evolveSchema || newCols.isEmpty) logSchema
+      else {
+        require(!hasColumnMapping(logSchema),
+          s"MERGE schema evolution on a column-mapped table is not " +
+            "supported — widen explicitly with append(mergeSchema = true)")
+        val dropped = droppedPhysAt(spark, dir, base)
+        val resurrected = newCols.map(_.name).filter(dropped.contains)
+        require(resurrected.isEmpty,
+          s"MERGE evolution cannot re-add dropped column(s) " +
+            s"${resurrected.mkString(", ")} — append(mergeSchema = true) " +
+            "assigns fresh physical identities")
+        org.apache.spark.sql.types.StructType(
+          (logSchema.fields.map(_.copy(nullable = true)) ++
+            newCols.map(_.copy(nullable = true))).toSeq)
+      }
+    def alignTo(df: DataFrame): DataFrame =
+      df.select(outSchema.fields.toSeq.map { f =>
+        if (df.schema.fieldNames.contains(f.name)) col(f.name)
+        else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    val src = alignTo(source)
     val all = filesAt(spark, dir, base)
     val headDvs = dvsAt(spark, dir, base)
     val srcKeys = src.select(keys.map(col): _*).distinct()
@@ -2581,16 +2622,16 @@ object Versioned {
     val target =
       if (touched.isEmpty)
         spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logSchema)
-      else readFiles(touched)
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+      else alignTo(readFiles(touched))
     val merged = graft.ops.Upsert.mergeFull(
       target, src, keys, matched, notMatched, notMatchedBySource)
-      .select(logSchema.fieldNames.toSeq.map(col): _*)
+      .select(outSchema.fieldNames.toSeq.map(col): _*)
     // CHECK constraints: the merge output (updated + inserted rows plus
     // carried target rows of touched files) must satisfy the contract;
     // constraint stability across a commute re-base is enforced below
     requireSatisfied(merged, constraintsAt(spark, dir, base))
-    val fresh = writeDataFiles(toPhysicalFrame(merged, Some(logSchema)), dir)
+    val fresh = writeDataFiles(toPhysicalFrame(merged, Some(outSchema)), dir)
     // MERGE's insert clause read "key ABSENT from the table" — a
     // concurrently-appended file can invalidate that without touching
     // any file this merge read, so the commute additionally requires
@@ -2613,7 +2654,7 @@ object Versioned {
       }
     }
     val committed = commitRewriteCommuting(
-      spark, dir, base, "merge", logSchema.json, touched, fresh,
+      spark, dir, base, "merge", outSchema.json, touched, fresh,
       commuteCheck = addedDisjoint, txn = txn, pairKeys = keys)
     committed.foreach(v => carryZones(spark, dir, base, v,
       filesAt(spark, dir, v).toSet -- fresh.toSet, fresh))
