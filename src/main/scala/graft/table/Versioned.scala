@@ -187,6 +187,24 @@ object Versioned {
     */
   @volatile private[graft] var CdfRewriteChunk: Int = 32
 
+  /** Ceiling (optimizer size estimate, bytes) under which MERGE's
+    * touched-file discovery broadcasts the source's distinct key set.
+    * Micro-batch upserts — the common merge shape — sit far below it
+    * and keep the zero-shuffle probe; a backfill/initial-load MERGE
+    * whose key set exceeds it must NOT be forced into a driver
+    * broadcast (Spark's 8 GB broadcast-relation ceiling, driver OOM at
+    * 100 TB) and instead runs the discovery joins as ordinary shuffle
+    * semi/anti-joins — Delta's `findTouchedFiles` shape. Var only as a
+    * test seam.
+    */
+  @volatile private[graft] var MergeKeyBroadcastMaxBytes: Long = 256L << 20
+
+  /** Test seams: how many merges hinted the key-set broadcast vs fell
+    * back to a shuffle join (the size gate's observable decision).
+    */
+  private[graft] val mergeKeyBroadcasts = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val mergeKeyShuffles = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Reader features THIS build understands. A log entry stamped with
     * a feature outside this set was written by a newer (or different)
     * writer whose format this build cannot interpret safely — every
@@ -1055,9 +1073,26 @@ object Versioned {
     // references are filtered unconditionally — a DV without its file
     // is meaningless and a file re-referenced later (restore) must not
     // inherit a stale one by accident
+    // fileKey (last two path segments) is the engine-wide file
+    // identity — DV lookups and CDF version attribution key on it.
+    // UUID-named writes cannot collide, but addFiles takes
+    // caller-chosen names and cloneTable imports foreign absolute
+    // paths, so the invariant is ENFORCED at the one place every
+    // commit passes: a colliding pair would cross-apply deletion
+    // vectors and mis-attribute change-feed versions with no error.
+    val keyClash = files.groupBy(fileKey).filter(_._2.size > 1)
+    require(keyClash.isEmpty,
+      s"commit $op at $dir would publish files with colliding identities " +
+        s"(same last two path segments): ${keyClash.head._2.mkString(" vs ")}" +
+        " — rename the offending file(s); fileKey uniqueness is what DV " +
+        "and change-feed attribution rely on")
     val fileKeys = files.map(fileKey).toSet
     val dvs = dvsFor(prevJson.map(dvsOf(spark, dir, _)).getOrElse(Map.empty))
       .filter { case (df, idxs) => fileKeys.contains(fileKey(df)) && idxs.nonEmpty }
+    val dvClash = dvs.keys.toSeq.groupBy(fileKey).filter(_._2.size > 1)
+    require(dvClash.isEmpty,
+      s"commit $op at $dir carries deletion vectors under colliding file " +
+        s"identities: ${dvClash.head._2.mkString(" vs ")}")
     val dvsBody = dvs.toSeq.sortBy(_._1)
       .map { case (df, idxs) =>
         s""""$df":[${idxs.distinct.sorted.mkString(",")}]""" }
@@ -1464,6 +1499,12 @@ object Versioned {
     require(bad.isEmpty,
       s"addFiles paths must be table-relative '<subdir>/<file>' (two " +
         s"segments, no '..'): ${bad.take(3).mkString(", ")}")
+    // a duplicate WITHIN one batch would double-count the file's rows
+    // in every snapshot from here on — the same failure the
+    // against-the-head guard below refuses, checked batch-internally
+    val batchDup = relFiles.diff(relFiles.distinct).distinct
+    require(batchDup.isEmpty,
+      s"addFiles: duplicated within the batch: ${batchDup.take(3).mkString(", ")}")
     val f = fs(spark, dir)
     val missing = relFiles.filterNot(rel => f.exists(new Path(dir, rel)))
     require(missing.isEmpty,
@@ -1551,16 +1592,30 @@ object Versioned {
           .getBytes(StandardCharsets.UTF_8))
       finally o.close()
       require(f.rename(tmp, pin), s"pin publish failed cloning $src")
-      // the pin protects files from NOW ON; re-verify the pinned dirs
-      // survived any vacuum that raced the publish (dir-level check —
-      // log-sized, not file-sized)
-      val gone = localRel.map(_.split("/", 2)(0)).distinct
-        .filterNot(d => f.exists(new Path(src, d)))
+      // the pin protects files from NOW ON; re-verify every pinned
+      // FILE survived any vacuum that raced the publish. Per-file, not
+      // per-dir: vacuum's sweep deletes individual dead parquet files
+      // inside dirs that still hold live ones, so a dir-level check
+      // would pass while a rewritten file this snapshot references is
+      // already gone — publishing dangling references. One metadata op
+      // per pinned file, paid once per clone (the same order as the
+      // snapshot resolution that produced the list).
+      val gone = localRel.filterNot(rel => f.exists(new Path(src, rel)))
       require(gone.isEmpty,
-        s"clone of $src lost a race with vacuum: data dirs " +
-          s"${gone.mkString(", ")} vanished before the pin landed — re-run")
+        s"clone of $src lost a race with vacuum: pinned data files " +
+          s"${gone.take(3).mkString(", ")} vanished before the pin " +
+          "landed — re-run")
     }
-    val srcRoot = f.makeQualified(new Path(src)).toUri.getPath
+    // absolute references must keep the SOURCE's filesystem: qualify
+    // the root and keep scheme+authority for non-local stores
+    // (s3a://bucket/…, hdfs://nn/…) — toUri.getPath alone would strand
+    // the clone's references on the default filesystem. Local paths
+    // stay bare ("/tmp/…"): a "file:/…" spelling would fail the
+    // engine-wide isAbs test (startsWith("/") || contains("://")).
+    val qualified = f.makeQualified(new Path(src))
+    val scheme = Option(qualified.toUri.getScheme).getOrElse("file")
+    val srcRoot =
+      if (scheme == "file") qualified.toUri.getPath else qualified.toString
     val files = srcFiles.map(p => if (isAbs(p)) p else s"$srcRoot/$p")
     val schemaJson = schemaAt(spark, src, head)
       .map(_.json)
@@ -2363,8 +2418,10 @@ object Versioned {
     *
     * Copy-on-write on MATCHED FILES ONLY: touched-file discovery is
     * one semi-join of the snapshot against the source's distinct key
-    * set (broadcast — a merge source is the small side by
-    * construction); files with no matching live row carry into the new
+    * set (broadcast only under [[MergeKeyBroadcastMaxBytes]] — a
+    * micro-batch source keeps the zero-shuffle probe, a backfill-sized
+    * one plans a shuffle semi-join instead of an unbounded driver
+    * broadcast); files with no matching live row carry into the new
     * snapshot verbatim, so at 100 TB the commit cost follows the
     * matched-file footprint plus the insert set, not the table.
     * DV-aware on both ends: soft-deleted rows neither match (their key
@@ -2506,15 +2563,24 @@ object Versioned {
         s"MERGE requires a schema-bearing snapshot at $dir"))
     val tTypes = logSchema.fields.map(f => f.name -> f.dataType.catalogString).toMap
     val sTypes = source.schema.fields.map(f => f.name -> f.dataType.catalogString).toMap
+    // name resolution is CASE-INSENSITIVE, matching Spark analysis (and
+    // Delta's evolution): a source column differing only in case is the
+    // SAME column — treating it as new would publish a schema with
+    // case-duplicate names (analysis ambiguity on every later read)
+    def lower(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+    val tByLower = logSchema.fieldNames.map(n => lower(n) -> n).toMap
     // a column present on BOTH sides must keep its type, evolution or
     // not — MERGE never retypes (the same rule mergeSchema appends apply)
-    val retyped = sTypes.keySet.intersect(tTypes.keySet)
-      .filter(c => tTypes(c) != sTypes(c))
+    val retyped = source.schema.fields.toSeq
+      .flatMap(sf => tByLower.get(lower(sf.name)).map(tn => (sf.name, tn)))
+      .collect { case (sn, tn) if tTypes(tn) != sTypes(sn) => sn }
     require(retyped.isEmpty,
-      s"MERGE cannot retype columns: ${retyped.toSeq.sorted.mkString(", ")} — " +
+      s"MERGE cannot retype columns: ${retyped.sorted.mkString(", ")} — " +
         s"table [${tTypes.toSeq.sortBy(_._1).mkString(", ")}] vs source " +
         s"[${sTypes.toSeq.sortBy(_._1).mkString(", ")}]")
-    require(evolveSchema || tTypes == sTypes,
+    require(evolveSchema ||
+      (tTypes.map { case (n, t) => lower(n) -> t } ==
+        sTypes.map { case (n, t) => lower(n) -> t }),
       "MERGE source schema must match the table exactly — table " +
         s"[${tTypes.toSeq.sortBy(_._1).mkString(", ")}] vs source " +
         s"[${sTypes.toSeq.sortBy(_._1).mkString(", ")}]; widen the table " +
@@ -2527,7 +2593,7 @@ object Versioned {
     // lack them and surface NULL, the mergeSchema read contract);
     // target-only columns stay and the source pads them with NULLs.
     val newCols = source.schema.fields.filterNot(f =>
-      logSchema.fieldNames.contains(f.name)).toSeq
+      tByLower.contains(lower(f.name))).toSeq
     val outSchema: org.apache.spark.sql.types.StructType =
       if (!evolveSchema || newCols.isEmpty) logSchema
       else {
@@ -2544,15 +2610,33 @@ object Versioned {
           (logSchema.fields.map(_.copy(nullable = true)) ++
             newCols.map(_.copy(nullable = true))).toSeq)
       }
-    def alignTo(df: DataFrame): DataFrame =
+    def alignTo(df: DataFrame): DataFrame = {
+      // case-insensitive like the classification above; output names
+      // normalize to the table's casing
+      val have = df.schema.fieldNames.map(lower).toSet
       df.select(outSchema.fields.toSeq.map { f =>
-        if (df.schema.fieldNames.contains(f.name)) col(f.name)
+        if (have.contains(lower(f.name))) col(f.name).as(f.name)
         else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
       }: _*)
+    }
     val src = alignTo(source)
     val all = filesAt(spark, dir, base)
     val headDvs = dvsAt(spark, dir, base)
-    val srcKeys = src.select(keys.map(col): _*).distinct()
+    // The key-set broadcast is GATED on the optimizer's size estimate:
+    // forced-broadcast discovery is right for micro-batch upserts but
+    // would materialize a backfill-sized key set in the driver (8 GB
+    // relation ceiling / OOM) — above the gate the joins below plan as
+    // shuffle semi/anti-joins and stay exact, because file identity
+    // (__dv_rel) is a materialized column by join time and survives
+    // the shuffle; the collected set is still distinct fileKeys,
+    // log-sized either way.
+    val srcKeys = {
+      val k = src.select(keys.map(col): _*).distinct()
+      val est = k.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (est <= BigInt(MergeKeyBroadcastMaxBytes)) {
+        mergeKeyBroadcasts.incrementAndGet(); broadcast(k)
+      } else { mergeKeyShuffles.incrementAndGet(); k }
+    }
     def readFiles(files: Seq[String]) =
       applyDvs(spark, readRaw(spark, dir, Some(logSchema), files), headDvs)
     // Files of `files` holding at least one LIVE row whose key appears
@@ -2560,9 +2644,7 @@ object Versioned {
     // check on concurrently-added files. File identity comes from
     // `_metadata.file_path` — bound to THIS scan's relation — not
     // input_file_name(), which Spark refuses in a plan with a second
-    // file source (the key set also scans parquet). The broadcast
-    // joins never shuffle the probe side, so the collected set is
-    // exact and log-sized.
+    // file source (the key set also scans parquet).
     def liveRows(files: Seq[String], dvs: Map[String, Seq[Long]]) = {
       import org.apache.spark.sql.functions.substring_index
       val scan = readRaw(spark, dir, Some(logSchema), files)
@@ -2580,7 +2662,7 @@ object Versioned {
       }
     }
     def filesWithMatches(files: Seq[String], dvs: Map[String, Seq[Long]]): Set[String] =
-      liveRows(files, dvs).join(broadcast(srcKeys), keys, "left_semi")
+      liveRows(files, dvs).join(srcKeys, keys, "left_semi")
         .select("__dv_rel").distinct()
         .collect().map(_.getString(0)).toSet
     // BY SOURCE clauses affect live rows with NO source key whose
@@ -2603,7 +2685,7 @@ object Versioned {
       bySourceAffected match {
         case None => Set.empty
         case Some(cond) =>
-          liveRows(files, dvs).join(broadcast(srcKeys), keys, "left_anti")
+          liveRows(files, dvs).join(srcKeys, keys, "left_anti")
             .select(col("__dv_rel") +: logSchema.fieldNames.toSeq
               .map(c => col(c).as(graft.ops.Upsert.tname(c))): _*)
             .filter(cond)

@@ -69,6 +69,37 @@ class AddFilesSpec extends SparkSpec {
     }
   }
 
+  test("a duplicate WITHIN one batch is refused") {
+    val dir = tmpDir("af_batchdup")
+    val files = stageOne(dir, "d-bulk-6", Seq((1, "a")))
+    // would list the file twice in the committed snapshot — double rows
+    intercept[IllegalArgumentException] {
+      Versioned.addFiles(spark, dir, files ++ files)
+    }
+    assert(Versioned.currentVersion(spark, dir).isEmpty)
+  }
+
+  test("commit refuses colliding file identities (clone reference vs local file)") {
+    val src = tmpDir("af_key_src")
+    val dst = tmpDir("af_key_dst")
+    Versioned.append(Seq((1, "a")).toDF("id", "s"), src)
+    Versioned.cloneTable(spark, src, dst) // dst references src's file absolutely
+    // land a LOCAL file under the clone's root with the same
+    // <subdir>/<file> name as the cloned reference: its fileKey (last
+    // two segments) collides — DV lookups and CDF attribution would
+    // cross-apply between the two with no error, so the commit refuses
+    val rel = Versioned.filesAt(spark, src, 1L).head
+    val from = java.nio.file.Paths.get(src, rel)
+    val to = java.nio.file.Paths.get(dst, rel)
+    java.nio.file.Files.createDirectories(to.getParent)
+    java.nio.file.Files.copy(from, to)
+    intercept[IllegalArgumentException] {
+      Versioned.addFiles(spark, dst, Seq(rel))
+    }
+    // the clone is undamaged
+    assert(Versioned.read(spark, dst).count() == 1L)
+  }
+
   test("schema is enforced like append: mismatch refused, mergeSchema widens") {
     val dir = tmpDir("af_schema")
     Versioned.append(Seq((1, "a")).toDF("id", "s"), dir)

@@ -185,4 +185,21 @@ class CloneSpec extends SparkSpec {
       Versioned.cloneTable(spark, src, dst)
     }
   }
+
+  test("clone fails loudly when a pinned FILE is gone, even if its dir survives") {
+    val src = tmpDir("cl_gone_src")
+    // two part files in ONE data dir — vacuum's per-file sweep deletes
+    // dead files inside dirs that still hold live ones, so a dir-level
+    // re-verification would pass while a referenced file is gone
+    Versioned.append(
+      (1 to 8).map(i => (i, s"g$i")).toDF("id", "s").repartition(2), src)
+    val rels = Versioned.filesAt(spark, src, 1L)
+    assert(rels.size >= 2 && rels.map(_.split("/")(0)).distinct.size == 1)
+    val victim = java.nio.file.Paths.get(src, rels.head)
+    java.nio.file.Files.delete(victim)
+    val ex = intercept[IllegalArgumentException] {
+      Versioned.cloneTable(spark, src, tmpDir("cl_gone_dst"))
+    }
+    assert(ex.getMessage.contains("vanished"))
+  }
 }

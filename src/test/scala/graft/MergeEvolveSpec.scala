@@ -130,4 +130,24 @@ class MergeEvolveSpec extends SparkSpec {
     assert(feed == Set(
       (2L, "b", "update_preimage"), (2L, "B", "update_postimage")))
   }
+
+  test("evolution resolves names case-insensitively — no case-duplicate schema") {
+    val dir = tmpDir("mev_case")
+    base(dir)
+    // "NAME" differs from the table's "name" only in case: Spark
+    // analysis is case-insensitive, so it is the SAME column — treating
+    // it as new would publish a schema with both spellings (ambiguous
+    // on every later read). Only "score" is genuinely new.
+    val src = Seq((2L, "B", 7L)).toDF("k", "NAME", "score")
+    Versioned.mergeFull(spark, dir, src, Seq("k"),
+      matched = Seq(MergeClause.Update(None, Map.empty)), // SET *
+      notMatched = Nil,
+      evolveSchema = true)
+    val out = Versioned.read(spark, dir)
+    assert(out.columns.toSeq == Seq("k", "name", "score"),
+      "case-differing source column must resolve to the table's, not duplicate it")
+    val got = out.as[(Long, String, Option[Long])].collect().toSet
+    // the case-differing column's VALUE lands (not nulled by misalignment)
+    assert(got == Set((1L, "a", None), (2L, "B", Some(7L)), (3L, "c", None)))
+  }
 }
