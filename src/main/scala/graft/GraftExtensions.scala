@@ -32,6 +32,7 @@ import graft.plans.{DotProduct, IntersectSize, KMinValues, MinHashSig, PolyHash,
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
     // hint-resolution batch, NOT the resolution batch: the built-in
     // ResolveSQLOnFile fails fast on `format`.`path` relations whose
     // format is a non-file DSv2 provider, and it runs before extended
@@ -222,8 +223,85 @@ object GraftExtensions {
     }))
 
   /** Registers every function on an already-built session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (id, info, builder) =>
       Bridge.registerFunction(spark, id, info, builder)
     }
+    tableFunctions.foreach { case (id, info, builder) =>
+      Bridge.registerTableFunction(spark, id, info, builder)
+    }
+  }
+
+  private def litString(e: Expression, what: String): String = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String,
+        org.apache.spark.sql.types.StringType) => s.toString
+    case other =>
+      throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+  }
+
+  /** `table_changes('cat.ns.t' | '/table/dir', from[, to])` — the
+    * statement-level change-feed entry (Delta's `table_changes` TVF),
+    * so a pure-SQL client reads CDF without `format("graft-versioned")`
+    * options:
+    *
+    *   SELECT * FROM table_changes('lake.sales.orders', 2)
+    *   SELECT * FROM table_changes('lake.sales.orders', 2, 5)
+    *   SELECT * FROM table_changes('/tables/orders', '2026-08-01', '2026-08-02')
+    *
+    * Bounds are version numbers (integer literals, Delta's INCLUSIVE
+    * convention: changes committed in versions `from..to`) or commit
+    * timestamps (string literals: the first commit at/after `from`, the
+    * last at/before `to`); `to` defaults to the head. Resolution and the
+    * O(changed files) per-commit plan are the SAME code the DSv2 option
+    * path runs ([[org.apache.spark.sql.graft.VersionedBatchTable]]) —
+    * the TVF only translates the inclusive `from` to the engine's
+    * exclusive `startingVersion` diff base.
+    */
+  private def tableChanges(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 2 || args.size == 3,
+      "usage: table_changes(table, from[, to]) — from/to are version " +
+        "numbers (integer literals, inclusive) or commit timestamps " +
+        "(string literals)")
+    val spark = SparkSession.active
+    val ident = litString(args.head, "table_changes: table")
+    val dir =
+      if (ident.contains("/")) ident
+      else Bridge.graftCatalogTableDir(spark, ident.split('.').toSeq).getOrElse(
+        throw new IllegalArgumentException(
+          s"table_changes: '$ident' does not name a GraftCatalog table — " +
+            "register the catalog (spark.sql.catalog.<name>) or pass the " +
+            "table directory path"))
+    def versionOf(e: Expression, what: String): Option[Long] = e match {
+      case Literal(v: Int, IntegerType) => Some(v.toLong)
+      case Literal(v: Long, LongType) => Some(v)
+      case Literal(_: org.apache.spark.unsafe.types.UTF8String,
+          org.apache.spark.sql.types.StringType) => None
+      case other => throw new IllegalArgumentException(
+        s"table_changes: $what must be an integer version or a timestamp " +
+          s"string literal, got $other")
+    }
+    val reader = spark.read.format("graft-versioned")
+      .option("readChangeFeed", "true")
+    val withStart = versionOf(args(1), "from") match {
+      case Some(v) =>
+        require(v >= 1, s"table_changes: from version must be >= 1, got $v")
+        reader.option("startingVersion", (v - 1).toString)
+      case None =>
+        reader.option("startingTimestamp", litString(args(1), "from"))
+    }
+    val bounded = args.drop(2).headOption match {
+      case Some(toE) => versionOf(toE, "to") match {
+        case Some(v) => withStart.option("endingVersion", v.toString)
+        case None => withStart.option("endingTimestamp", litString(toE, "to"))
+      }
+      case None => withStart
+    }
+    bounded.load(dir).queryExecution.analyzed
+  }
+
+  /** (identifier, info, builder) for every exposed TABLE function. */
+  val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =
+    Seq((FunctionIdentifier("table_changes"),
+      new ExpressionInfo("graft", "table_changes"),
+      (args: Seq[Expression]) => tableChanges(args)))
 }

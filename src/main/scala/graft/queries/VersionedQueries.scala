@@ -682,6 +682,64 @@ object VersionedQueries {
       |FROM chg GROUP BY event_type, _change_type, _commit_version
       |ORDER BY event_type, _change_type, _commit_version""".stripMargin
 
+  // X — STATEMENT-LEVEL change feed: the same mutation window as
+  // x_batch_cdf, but driven end-to-end as SQL text against a CATALOG
+  // name — CREATE/INSERT/UPDATE/DELETE statements build and mutate the
+  // table, then `table_changes('cat.cdc.events', 4, 5)` (Delta's TVF,
+  // INCLUSIVE version bounds) reads the per-commit feed with zero
+  // graft imports and zero paths. A green row proves the pure-SQL
+  // persona x_sql_catalog courts can consume CDF at the statement
+  // level: the TVF resolves the catalog name, translates the inclusive
+  // bounds onto the engine's exclusive diff base, and serves the SAME
+  // O(changed files) plan the DSv2 option path runs.
+  def sqlCdf(s: SparkSession, dir: String): DataFrame = {
+    val cat = s"graft_cdf_${catalogSeq.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "org.apache.spark.sql.graft.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", scratchDir("graft_cdfwh"))
+    t(s, dir, "events")
+      .withColumn("value_c", floor(col("value") * 100).cast("long"))
+      .select("event_id", "user_id", "event_type", "value_c")
+      .createOrReplaceTempView("graft_xcdf_src")
+    val tbl = s"$cat.cdc.events"
+    s.sql(s"CREATE NAMESPACE $cat.cdc")
+    s.sql(s"CREATE TABLE $tbl (event_id BIGINT, user_id BIGINT, " +
+      "event_type STRING, value_c BIGINT)")                               // v1
+    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_xcdf_src WHERE event_id % 2 = 0") // v2
+    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_xcdf_src WHERE event_id % 2 = 1") // v3
+    s.sql(s"UPDATE $tbl SET value_c = value_c + 7 WHERE event_type = 'view'")
+      .collect()                                                          // v4
+    s.sql(s"DELETE FROM $tbl WHERE user_id % 9 = 0").collect()            // v5
+    s.sql(
+      s"""SELECT event_type, _change_type, _commit_version,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(value_c) AS BIGINT) AS sum_c
+         |FROM table_changes('$tbl', 4, 5)
+         |GROUP BY event_type, _change_type, _commit_version
+         |ORDER BY event_type, _change_type, _commit_version""".stripMargin)
+  }
+
+  val sqlCdfSql: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type,
+      |                   CAST(floor(value * 100) AS BIGINT) AS value_c
+      |            FROM events),
+      |upd AS (SELECT * FROM ev WHERE event_type = 'view'),
+      |v4 AS (SELECT event_id, user_id, event_type,
+      |              CASE WHEN event_type = 'view' THEN value_c + 7
+      |                   ELSE value_c END AS value_c FROM ev),
+      |chg AS (
+      |  SELECT event_type, value_c, 'update_preimage' AS _change_type,
+      |         CAST(4 AS BIGINT) AS _commit_version FROM upd
+      |  UNION ALL
+      |  SELECT event_type, value_c + 7, 'update_postimage', 4 FROM upd
+      |  UNION ALL
+      |  SELECT event_type, value_c, 'delete', 5 FROM v4 WHERE user_id % 9 = 0)
+      |SELECT event_type, _change_type, _commit_version,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(value_c) AS BIGINT) AS sum_c
+      |FROM chg GROUP BY event_type, _change_type, _commit_version
+      |ORDER BY event_type, _change_type, _commit_version""".stripMargin
+
   // X — WIDE-window batch CDF: the same DSv2 change-feed read as
   // x_batch_cdf, but over a 66-commit window DOMINATED by micro-batch
   // appends — the shape a streamed bronze tier accumulates by the
@@ -822,6 +880,7 @@ object VersionedQueries {
     QueryDef("x_sql_dml", sqlDml, Some(sqlDmlSql)),
     QueryDef("x_sql_colmap", sqlColumnMapping, Some(sqlColumnMappingSql)),
     QueryDef("x_batch_cdf", batchCdf, Some(batchCdfSql)),
+    QueryDef("x_sql_cdf", sqlCdf, Some(sqlCdfSql)),
     QueryDef("x_batch_cdf_wide", batchCdfWide, Some(batchCdfWideSql)),
     QueryDef("x_clone", cloneFork, Some(cloneForkSql)),
     QueryDef("m5_versioned_merge", versionedMerge, Some(versionedMergeSql)),

@@ -39,6 +39,19 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(id, info, builder)
 
+  /** Registers a TABLE-VALUED function on a LIVE session (same
+    * rationale as [[registerFunction]]; the builder returns a resolved
+    * LogicalPlan instead of an Expression).
+    */
+  def registerTableFunction(
+      spark: SparkSession,
+      id: FunctionIdentifier,
+      info: ExpressionInfo,
+      builder: Seq[Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry.registerFunction(id, info, builder)
+
   /** Resolves a multipart identifier whose head names a registered
     * [[GraftCatalog]] to that catalog's table directory — how the SQL
     * MERGE extension rule claims `MERGE INTO cat.ns.t` targets.
