@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
+    // the one statement Spark's grammar lacks: CREATE TABLE ... SHALLOW
+    // CLONE (sugar over Versioned.cloneTable; everything else delegates)
+    ext.injectParser((session, delegate) =>
+      new graft.plans.GraftSqlParser(session, delegate))
     // hint-resolution batch, NOT the resolution batch: the built-in
     // ResolveSQLOnFile fails fast on `format`.`path` relations whose
     // format is a non-file DSv2 provider, and it runs before extended

@@ -793,7 +793,8 @@ object Versioned {
     */
   private val ReservedLogKeys = Set(
     "version", "op", "ts", "schema", "txns", "constraints", "dvs", "dvfile",
-    "files", "add", "remove", "ckptfile", "pairkeys", "droppedphys")
+    "files", "add", "remove", "ckptfile", "pairkeys", "droppedphys",
+    "clusteredidx")
 
   /** Writer appIds share the commit JSON with the reserved keys (as
     * txn-map keys), so they get the same reservation check as
@@ -1149,8 +1150,30 @@ object Versioned {
     val removed = prevFiles.filterNot(newSet)
     val replayable = (prevFiles.filter(newSet) ++ added) == files
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString(",")
+    val isFullList = prev.isEmpty || v % CheckpointInterval == 0 || !replayable
+    // full-list entries also record OPTIMIZE provenance — which of
+    // `files` a clustering rewrite produced — as index ranges into the
+    // list, so [[clusteredKeysAt]] resolves in O(CheckpointInterval)
+    // log reads instead of re-deriving it from every retained entry.
+    // Ranges, not raw indexes: post-OPTIMIZE the clustered set IS the
+    // bulk of the table, and "0-999999" costs bytes where a million
+    // indexes would re-create the inline-list problem the columnar
+    // sidecar exists to avoid.
+    val clusteredJson =
+      if (!isFullList) ""
+      else {
+        val known = prev.map(clusteredKeysAt(spark, dir, _)).getOrElse(Set.empty) ++
+          (if (op == "optimize") added.map(fileKey) else Seq.empty)
+        if (known.isEmpty) ""
+        else {
+          val idxs = files.iterator.zipWithIndex
+            .collect { case (fl, i) if known.contains(fileKey(fl)) => i }.toSeq
+          if (idxs.isEmpty) ""
+          else s""","clusteredidx":"${encodeRanges(idxs)}""""
+        }
+      }
     val actionsJson =
-      if (prev.isEmpty || v % CheckpointInterval == 0 || !replayable) {
+      if (isFullList) {
         if (files.size <= CkptInlineMax) s""""files":[${arr(files)}]"""
         else s""""ckptfile":"${writeCkptSidecar(spark, dir, files)}""""
       } else s""""add":[${arr(added)}],"remove":[${arr(removed)}]"""
@@ -1188,7 +1211,7 @@ object Versioned {
       if (features.isEmpty) ""
       else s""","readerfeatures":[${features.map("\"" + _ + "\"").mkString(",")}]"""
     val json =
-      s"""{"version":$v,"op":"$op","ts":$ts,"schema":"$b64"$txnsJson$consJson$dvsJson$pairJson$droppedJson$featJson,$actionsJson}"""
+      s"""{"version":$v,"op":"$op","ts":$ts,"schema":"$b64"$txnsJson$consJson$dvsJson$pairJson$droppedJson$featJson$clusteredJson,$actionsJson}"""
     // per-attempt unique temp name: racing committers must never share
     // a temp file, or a loser's cleanup could delete the winner's
     // in-flight content
@@ -2089,10 +2112,10 @@ object Versioned {
     require(notZoneable.isEmpty,
       s"Z-ORDER columns must be zone-stat typed: ${notZoneable.mkString(", ")} are not")
     val all = filesAt(spark, dir, base)
-    val clustered = versions(spark, dir)
-      .filter(v => opAt(spark, dir, v) == "optimize")
-      .flatMap(v => addActionsAt(spark, dir, v))
-      .map(fileKey).toSet
+    // O(CheckpointInterval) log reads: checkpoint entries carry the
+    // clustered-file provenance, so a nightly incremental run on a
+    // high-commit-rate table no longer opens every retained entry
+    val clustered = clusteredKeysAt(spark, dir, base)
     val tail = all.filterNot(f => clustered.contains(fileKey(f)))
     if (tail.isEmpty) return None
     val dvs = dvsAt(spark, dir, base)
@@ -3402,6 +3425,74 @@ object Versioned {
     */
   private def addActionsAt(spark: SparkSession, dir: String, v: Long): Seq[String] =
     addActionsOf(spark, dir, v, snapshotJson(spark, dir, v))
+
+  /** Sorted index list → compact run-length text ("0-523,600,612-640"). */
+  private def encodeRanges(idxs: Seq[Int]): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < idxs.size) {
+      var j = i
+      while (j + 1 < idxs.size && idxs(j + 1) == idxs(j) + 1) j += 1
+      if (out.nonEmpty) out.append(',')
+      if (j == i) out.append(idxs(i))
+      else { out.append(idxs(i)).append('-').append(idxs(j)) }
+      i = j + 1
+    }
+    out.toString
+  }
+
+  private def decodeRanges(s: String): Seq[Int] =
+    if (s.isEmpty) Seq.empty
+    else s.split(",").toSeq.flatMap { part =>
+      part.split("-", 2) match {
+        case Array(a, b) => a.trim.toInt to b.trim.toInt
+        case Array(a) => Seq(a.trim.toInt)
+      }
+    }
+
+  /** The OPTIMIZE-provenance ranges a full-list entry recorded, if any. */
+  private def clusteredIdxOf(json: String): Option[Seq[Int]] =
+    json.split("\"clusteredidx\":\"", 2) match {
+      case Array(_, rest) => Some(decodeRanges(rest.split("\"", 2)(0)))
+      case _ => None
+    }
+
+  /** fileKeys of snapshot `v`'s files that a clustering OPTIMIZE
+    * produced — resolved from the nearest full-list entry's recorded
+    * provenance (`clusteredidx`, written since the field existed) plus
+    * the optimize add-actions of the delta suffix: O(CheckpointInterval)
+    * log reads per call, the same bound as [[filesAt]]. Legacy tables
+    * whose checkpoints predate the field walk further (the old
+    * O(retained versions) derivation, still correct); a chain truncated
+    * below the provenance floor just FORGETS — files re-cluster once on
+    * the next incremental run, wasted work, never wrong rows.
+    */
+  private[graft] def clusteredKeysAt(
+      spark: SparkSession, dir: String, v: Long): Set[String] = {
+    var cur = v
+    var acc = Set.empty[String]
+    while (cur >= 1) {
+      val json =
+        try snapshotJson(spark, dir, cur)
+        catch { case _: IllegalArgumentException if cur < v => return acc }
+      clusteredIdxOf(json) match {
+        case Some(idxs) =>
+          val full = fullListOf(spark, dir, json).getOrElse(Seq.empty)
+          return acc ++ idxs.iterator
+            .filter(i => i >= 0 && i < full.size).map(i => fileKey(full(i)))
+        case None =>
+          // provenance-less entries (delta entries always; full-list
+          // entries from before the field, or whose live clustered set
+          // was empty) are walked PAST: stale keys this collects for
+          // files no longer in the snapshot are harmless — callers
+          // intersect with the live file list
+          if (opOf(json) == "optimize")
+            acc ++= addActionsOf(spark, dir, cur, json).map(fileKey)
+          cur -= 1
+      }
+    }
+    acc
+  }
 
   /** [[addActionsAt]] over an already-read entry (one read, many
     * facts — see [[changesWithType]]'s per-commit classification).

@@ -390,4 +390,42 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $cat.dz WHERE m = 0.005")
       .as[Long].head == 0L)
   }
+
+  test("CREATE TABLE ... SHALLOW CLONE: the DDL spelling of cloneTable") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.src (id BIGINT, s STRING)")
+    spark.sql(s"INSERT INTO $cat.src VALUES (1, 'a'), (2, 'b')")
+    val v = spark.sql(s"CREATE TABLE $cat.dst SHALLOW CLONE $cat.src")
+      .as[Long].head()
+    assert(v == 1L)
+    assert(spark.sql(s"SELECT id, s FROM $cat.dst").as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
+    // zero data copied: the clone's root holds no d-* dirs
+    assert(!new java.io.File(s"$wh/dst").exists() ||
+      new java.io.File(s"$wh/dst").listFiles.forall(!_.getName.startsWith("d-")))
+    // mutating the clone leaves the source untouched
+    spark.sql(s"INSERT INTO $cat.dst VALUES (3, 'c')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.src").as[Long].head == 2L)
+    // path-form identifiers work on either side
+    val pdst = tmpDir("cat_clone_path")
+    spark.sql(
+      s"CREATE TABLE `graft-versioned`.`$pdst` SHALLOW CLONE $cat.src")
+    assert(Versioned.read(spark, pdst).count() == 2L)
+    // IF NOT EXISTS: an existing target is a no-op returning its head
+    val again = spark.sql(
+      s"CREATE TABLE IF NOT EXISTS $cat.dst SHALLOW CLONE $cat.src")
+      .as[Long].head()
+    assert(again == 2L) // dst's head after its own insert, not a re-clone
+    // without IF NOT EXISTS an existing target is refused
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.dst SHALLOW CLONE $cat.src")
+    }
+    // ordinary statements still parse through the delegate, including
+    // ones that merely contain the keyword in a literal
+    assert(spark.sql("SELECT 'SHALLOW CLONE' AS s").as[String].head()
+      == "SHALLOW CLONE")
+    spark.sql(s"CREATE TABLE $cat.ctas (s STRING)")
+    spark.sql(s"INSERT INTO $cat.ctas VALUES ('create table x shallow clone y')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ctas").as[Long].head == 1L)
+  }
 }

@@ -118,6 +118,40 @@ class ZOrderSpec extends SparkSpec {
     assert(Versioned.prunedFiles(spark, dir, v2, "b", 0L, 7L).size < after.size)
   }
 
+  test("incremental z-order provenance resolves in O(checkpoint) log reads") {
+    val dir = tmpDir("zo_prov")
+    grid(dir)
+    Versioned.optimizeZOrderBy(spark, dir, Seq("a", "b"), targetFiles = 8)
+    val clusteredAfterFull = Versioned.filesAt(
+      spark, dir, Versioned.currentVersion(spark, dir).get).toSet
+    // push the optimize commit far behind the head — PAST several
+    // checkpoint boundaries — with a long run of small appends (the
+    // streamed-bronze shape); the old derivation re-read EVERY one of
+    // these entries per incremental run
+    val nAppends = (Versioned.CheckpointInterval * 3 + 5).toInt
+    (0 until nAppends).foreach { i =>
+      Versioned.append(Seq((200L + i, 1L, 90000L + i)).toDF("a", "b", "payload")
+        .coalesce(1), dir)
+    }
+    val r0 = Versioned.logReads.get()
+    val v = Versioned.zorderIncremental(spark, dir, Seq("a", "b"), targetFiles = 2).get
+    val reads = Versioned.logReads.get() - r0
+    // budget: provenance walk-back (≤ interval) + filesAt resolutions
+    // for the rewrite/commit/zone-carry machinery (each ≤ interval) —
+    // far below the ~70 entries the head now has. The old code alone
+    // burned nAppends+ reads before any rewrite work.
+    assert(reads <= Versioned.CheckpointInterval * 6,
+      s"incremental z-order opened $reads log entries — provenance is " +
+        "not resolving from checkpoint entries")
+    // correctness unchanged: the full pass's files survive, appends moved
+    val after = Versioned.filesAt(spark, dir, v).toSet
+    assert(clusteredAfterFull.subsetOf(after))
+    assert((after -- clusteredAfterFull).size == 2)
+    // the NEXT incremental run sees the fresh files as clustered via the
+    // recorded provenance too: nothing left to do
+    assert(Versioned.zorderIncremental(spark, dir, Seq("a", "b")).isEmpty)
+  }
+
   test("non-zoneable and absent columns are refused") {
     val dir = tmpDir("zo_bad")
     Versioned.append(Seq((1L, "s")).toDF("a", "s"), dir)
