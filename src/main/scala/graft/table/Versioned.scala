@@ -652,12 +652,23 @@ object Versioned {
     * loudly when every retained version is newer.
     */
   def versionAsOf(spark: SparkSession, dir: String, tsMillis: Long): Long = {
-    val vs = versions(spark, dir)
+    val vs = versions(spark, dir).toIndexedSeq
     require(vs.nonEmpty, s"no committed versions at $dir")
-    vs.filter(commitTimestampAt(spark, dir, _) <= tsMillis).lastOption
-      .getOrElse(throw new IllegalArgumentException(
-        s"no version committed at or before $tsMillis at $dir — the oldest " +
-          s"retained commit is ${commitTimestampAt(spark, dir, vs.head)}"))
+    // commit timestamps are NONDECREASING in version order (the commit
+    // path clamps each to its predecessor — the very invariant this
+    // resolution depends on), so BINARY search: O(log N) log reads
+    // where a linear filter paid one read per retained version — the
+    // difference between 14 and 10,000 reads on a streamed bronze tier
+    var lo = 0; var hi = vs.size - 1; var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (commitTimestampAt(spark, dir, vs(mid)) <= tsMillis) { ans = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    if (ans >= 0) vs(ans)
+    else throw new IllegalArgumentException(
+      s"no version committed at or before $tsMillis at $dir — the oldest " +
+        s"retained commit is ${commitTimestampAt(spark, dir, vs.head)}")
   }
 
   /** The OLDEST version committed at or after `tsMillis` — Delta's
@@ -668,12 +679,20 @@ object Versioned {
     * empty feed forever).
     */
   def versionSince(spark: SparkSession, dir: String, tsMillis: Long): Long = {
-    val vs = versions(spark, dir)
+    val vs = versions(spark, dir).toIndexedSeq
     require(vs.nonEmpty, s"no committed versions at $dir")
-    vs.find(commitTimestampAt(spark, dir, _) >= tsMillis)
-      .getOrElse(throw new IllegalArgumentException(
-        s"no version committed at or after $tsMillis at $dir — the newest " +
-          s"commit is ${commitTimestampAt(spark, dir, vs.last)}"))
+    // binary search over the nondecreasing commit timestamps, mirror of
+    // [[versionAsOf]]: first version at or after the instant
+    var lo = 0; var hi = vs.size - 1; var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (commitTimestampAt(spark, dir, vs(mid)) >= tsMillis) { ans = mid; hi = mid - 1 }
+      else lo = mid + 1
+    }
+    if (ans >= 0) vs(ans)
+    else throw new IllegalArgumentException(
+      s"no version committed at or after $tsMillis at $dir — the newest " +
+        s"commit is ${commitTimestampAt(spark, dir, vs.last)}")
   }
 
   /** Option-surface timestamp parsing: epoch millis, ISO instant
