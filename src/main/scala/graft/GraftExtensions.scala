@@ -259,7 +259,11 @@ object GraftExtensions {
     * O(changed files) per-commit plan are the SAME code the DSv2 option
     * path runs ([[org.apache.spark.sql.graft.VersionedBatchTable]]) —
     * the TVF only translates the inclusive `from` to the engine's
-    * exclusive `startingVersion` diff base.
+    * exclusive `startingVersion` diff base. `from = 1` included: the
+    * explicit `startingVersion 0` it maps to serves the REAL per-commit
+    * feed from the table's birth (v1's rows as inserts tagged 1, then
+    * each commit's changes) — not the head-snapshot initial-snapshot
+    * mode, which only an absent start bound selects.
     */
   private def tableChanges(args: Seq[Expression]): LogicalPlan = {
     require(args.size == 2 || args.size == 3,

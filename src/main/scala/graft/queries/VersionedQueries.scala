@@ -874,6 +874,58 @@ object VersionedQueries {
       |SELECT side, event_type, n, sum_c FROM u
       |ORDER BY side, event_type""".stripMargin
 
+  // X — VERSIONED SHALLOW CLONE through the DDL: fork YESTERDAY'S
+  // snapshot (`SHALLOW CLONE ... VERSION AS OF 2`) after the source
+  // has mutated past it, then VACUUM the source to one retained
+  // version — v2's rewritten files leave every retained source
+  // snapshot, so only the clone's pin (recorded at the pinned VERSION,
+  // not the head) keeps the fork readable. The output reads both
+  // sides: the clone serves exactly the v2 snapshot (update applied,
+  // delete not yet), the source its head. Delta's `CREATE TABLE t
+  // SHALLOW CLONE s VERSION AS OF n`; the oracle replays both sides
+  // relationally.
+  def cloneAsOf(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_id") % 6 === 0)
+      .withColumn("value_c", floor(col("value") * 100).cast("long"))
+      .select("event_id", "user_id", "event_type", "value_c")
+    val srcDir = scratchDir("graft_xcloneasof_src")
+    val dstDir = scratchDir("graft_xcloneasof_dst")
+    Versioned.append(ev, srcDir)                                   // src v1
+    Versioned.updateWhere(s, srcDir, col("event_type") === "view",
+      Map("value_c" -> (col("value_c") + 5)))                      // src v2
+    Versioned.deleteWhere(s, srcDir, col("user_id") % 7 === 0)     // src v3
+    s.sql(s"CREATE TABLE `graft-versioned`.`$dstDir` SHALLOW CLONE " +
+      s"`graft-versioned`.`$srcDir` VERSION AS OF 2")              // dst v1 = src@v2
+    Versioned.vacuum(s, srcDir, keepVersions = 1)                  // drops v2 from retention
+    def side(d: String, tag: String) =
+      Versioned.read(s, d).groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+        .withColumn("side", lit(tag))
+        .select("side", "event_type", "n", "sum_c")
+    side(srcDir, "source").unionByName(side(dstDir, "clone_v2"))
+      .orderBy("side", "event_type")
+  }
+
+  val cloneAsOfSql: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type,
+      |                   CAST(floor(value * 100) AS BIGINT) AS value_c
+      |            FROM events WHERE event_id % 6 = 0),
+      |v2 AS (SELECT event_id, user_id, event_type,
+      |              CASE WHEN event_type = 'view' THEN value_c + 5
+      |                   ELSE value_c END AS value_c FROM ev),
+      |u AS (
+      |  SELECT 'source' AS side, event_type,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(value_c) AS BIGINT) AS sum_c
+      |  FROM v2 WHERE user_id % 7 <> 0 GROUP BY event_type
+      |  UNION ALL
+      |  SELECT 'clone_v2', event_type, CAST(count(*) AS BIGINT),
+      |         CAST(sum(value_c) AS BIGINT)
+      |  FROM v2 GROUP BY event_type)
+      |SELECT side, event_type, n, sum_c FROM u
+      |ORDER BY side, event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("x_sql_timetravel", sqlTimeTravel, Some(sqlTimeTravelSql)),
     QueryDef("x_sql_catalog", sqlCatalog, Some(sqlCatalogSql)),
@@ -883,6 +935,7 @@ object VersionedQueries {
     QueryDef("x_sql_cdf", sqlCdf, Some(sqlCdfSql)),
     QueryDef("x_batch_cdf_wide", batchCdfWide, Some(batchCdfWideSql)),
     QueryDef("x_clone", cloneFork, Some(cloneForkSql)),
+    QueryDef("x_clone_asof", cloneAsOf, Some(cloneAsOfSql)),
     QueryDef("m5_versioned_merge", versionedMerge, Some(versionedMergeSql)),
     QueryDef("m9_condput_merge", versionedMergeCondPut, Some(versionedMergeSql)),
     QueryDef("m10_sql_merge", versionedMergeSqlText, Some(versionedMergeSql)),

@@ -658,7 +658,18 @@ object Versioned {
     // path clamps each to its predecessor — the very invariant this
     // resolution depends on), so BINARY search: O(log N) log reads
     // where a linear filter paid one read per retained version — the
-    // difference between 14 and 10,000 reads on a streamed bronze tier
+    // difference between 14 and 10,000 reads on a streamed bronze tier.
+    // LEGACY GUARD: entries predating the 'ts' field resolve via file
+    // mtime, which copies/restores can clobber non-monotonically. The
+    // field has been written on every commit since it existed, so if
+    // the OLDEST retained entry carries it the whole probed chain does;
+    // otherwise fall back to the linear scan the bisection replaced
+    // (same answer on any ordering: max version at-or-before).
+    if (tsOf(snapshotJson(spark, dir, vs.head)).isEmpty)
+      return vs.filter(v => commitTimestampAt(spark, dir, v) <= tsMillis)
+        .maxOption.getOrElse(throw new IllegalArgumentException(
+          s"no version committed at or before $tsMillis at $dir — the oldest " +
+            s"retained commit is ${commitTimestampAt(spark, dir, vs.head)}"))
     var lo = 0; var hi = vs.size - 1; var ans = -1
     while (lo <= hi) {
       val mid = (lo + hi) >>> 1
@@ -682,7 +693,13 @@ object Versioned {
     val vs = versions(spark, dir).toIndexedSeq
     require(vs.nonEmpty, s"no committed versions at $dir")
     // binary search over the nondecreasing commit timestamps, mirror of
-    // [[versionAsOf]]: first version at or after the instant
+    // [[versionAsOf]] — including its legacy-table linear fallback
+    // (pre-'ts' entries resolve via clobber-able file mtimes)
+    if (tsOf(snapshotJson(spark, dir, vs.head)).isEmpty)
+      return vs.filter(v => commitTimestampAt(spark, dir, v) >= tsMillis)
+        .minOption.getOrElse(throw new IllegalArgumentException(
+          s"no version committed at or after $tsMillis at $dir — the newest " +
+            s"commit is ${commitTimestampAt(spark, dir, vs.last)}"))
     var lo = 0; var hi = vs.size - 1; var ans = -1
     while (lo <= hi) {
       val mid = (lo + hi) >>> 1
@@ -1178,18 +1195,22 @@ object Versioned {
     // bulk of the table, and "0-999999" costs bytes where a million
     // indexes would re-create the inline-list problem the columnar
     // sidecar exists to avoid.
+    // ALWAYS present on full-list entries — an empty clustered set is
+    // recorded as "clusteredidx":"" so [[clusteredKeysAt]] terminates
+    // at the nearest checkpoint instead of walking every retained
+    // entry to conclude "empty" (a never-OPTIMIZEd streamed bronze
+    // tier would otherwise pay O(retained) reads per checkpoint
+    // commit, O(N²/interval) cumulative)
     val clusteredJson =
       if (!isFullList) ""
       else {
         val known = prev.map(clusteredKeysAt(spark, dir, _)).getOrElse(Set.empty) ++
           (if (op == "optimize") added.map(fileKey) else Seq.empty)
-        if (known.isEmpty) ""
-        else {
-          val idxs = files.iterator.zipWithIndex
+        val idxs =
+          if (known.isEmpty) Seq.empty[Int]
+          else files.iterator.zipWithIndex
             .collect { case (fl, i) if known.contains(fileKey(fl)) => i }.toSeq
-          if (idxs.isEmpty) ""
-          else s""","clusteredidx":"${encodeRanges(idxs)}""""
-        }
+        s""","clusteredidx":"${encodeRanges(idxs)}""""
       }
     val actionsJson =
       if (isFullList) {
@@ -1614,13 +1635,26 @@ object Versioned {
     * racer swept one between snapshot resolution and pin publish, the
     * clone fails loudly (re-run it) instead of publishing dangling
     * references.
+    *
+    * `versionAsOf` clones a TIME-TRAVEL snapshot instead of the head
+    * (Delta's `SHALLOW CLONE s VERSION AS OF n`): the pin records and
+    * protects that version's files, so the fork of "yesterday's table"
+    * stays valid even after the source's later rewrites and vacuums.
+    * The version must still be retained (not vacuumed) at clone time.
+    * For `TIMESTAMP AS OF`, resolve with [[versionAsOf(spark,dir,ts)]]
+    * first — the DDL and `CALL system.clone` do exactly that.
     */
-  def cloneTable(spark: SparkSession, src: String, dst: String): Long = {
+  def cloneTable(spark: SparkSession, src: String, dst: String,
+      versionAsOf: Option[Long] = None): Long = {
     val f = fs(spark, src)
     require(currentVersion(spark, dst).isEmpty,
       s"clone destination $dst is already a table")
-    val head = currentVersion(spark, src).getOrElse(
+    val headV = currentVersion(spark, src).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $src"))
+    val head = versionAsOf.getOrElse(headV)
+    require(versionAsOf.isEmpty || versions(spark, src).contains(head),
+      s"clone source version $head is not retained at $src (vacuumed or " +
+        s"never committed; head is $headV)")
     val srcFiles = filesAt(spark, src, head)
     def isAbs(p: String) = p.startsWith("/") || p.contains("://")
     val localRel = srcFiles.filterNot(isAbs)
@@ -2315,6 +2349,14 @@ object Versioned {
     }
     nv
   }
+
+  /** Delta's `RESTORE TABLE t TO TIMESTAMP AS OF` analog: resolves the
+    * instant through the commit-timestamp index ([[versionAsOf]] —
+    * newest version at or before it) and commits the same restore
+    * snapshot [[restore]] would.
+    */
+  def restoreAsOf(spark: SparkSession, dir: String, tsMillis: Long): Long =
+    restore(spark, dir, versionAsOf(spark, dir, tsMillis))
 
   /** Zone-map sidecar: per-file [min, max] of designated long-typed
     * columns, written next to a snapshot as `v<N>.zones.json`. The
@@ -3501,10 +3543,11 @@ object Versioned {
             .filter(i => i >= 0 && i < full.size).map(i => fileKey(full(i)))
         case None =>
           // provenance-less entries (delta entries always; full-list
-          // entries from before the field, or whose live clustered set
-          // was empty) are walked PAST: stale keys this collects for
-          // files no longer in the snapshot are harmless — callers
-          // intersect with the live file list
+          // entries from before the field existed — since then every
+          // checkpoint writes it, empty included) are walked PAST:
+          // stale keys this collects for files no longer in the
+          // snapshot are harmless — callers intersect with the live
+          // file list
           if (opOf(json) == "optimize")
             acc ++= addActionsOf(spark, dir, cur, json).map(fileKey)
           cur -= 1

@@ -157,15 +157,19 @@ private[graft] object GraftProcedures {
         }),
 
       Proc("clone",
-        "shallow-clone the source snapshot into a new table (zero data copy)",
-        Seq(in("source", StringType), in("target", StringType)),
+        "shallow-clone the source snapshot into a new table (zero data copy); " +
+          "version => n forks that retained snapshot instead of the head",
+        Seq(in("source", StringType), in("target", StringType),
+          inDefault("version", LongType, "0")),
         VersionOut,
         (s, in) => {
           // target is a catalog identifier that must NOT exist yet —
           // cloneTable itself refuses an existing destination
           val parts = in.getUTF8String(1).toString.split('.')
           val dstDir = catalog.tableDir(Identifier.of(parts.init, parts.last))
-          Seq(row(Versioned.cloneTable(s, dirOf(in), dstDir)))
+          // version 0 (the default) = head; versions are 1-based
+          val asOf = Some(in.getLong(2)).filter(_ > 0L)
+          Seq(row(Versioned.cloneTable(s, dirOf(in), dstDir, asOf)))
         }),
 
       Proc("pins",
@@ -192,6 +196,13 @@ private[graft] object GraftProcedures {
         Seq(in("table", StringType), in("version", LongType)),
         VersionOut,
         (s, in) => Seq(row(Versioned.restore(s, dirOf(in), in.getLong(1))))),
+
+      Proc("restore_asof",
+        "restore the table to the newest version committed at or before the instant",
+        Seq(in("table", StringType), in("timestamp", StringType)),
+        VersionOut,
+        (s, in) => Seq(row(Versioned.restoreAsOf(s, dirOf(in),
+          Versioned.parseTimestampMillis(in.getUTF8String(1).toString))))),
 
       Proc("history",
         "commit history: version, operation, commit timestamp, live file count",

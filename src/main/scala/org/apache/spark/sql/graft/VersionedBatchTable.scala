@@ -434,11 +434,15 @@ private final class V1FrameScanBuilder(
   * Rows are `Versioned.changesWithType(from, to)` — the O(changed
   * files) PER-COMMIT diff with Delta's four `_change_type` values
   * (insert / delete / update_preimage / update_postimage — key-bearing
-  * rewrites pair their removed/added rows) plus `_commit_version`;
-  * `startingVersion 0` means "from the table's birth": the full `to`
-  * snapshot as inserts tagged with `to` (the same rule the streaming
-  * CDF source applies). The diff is a join/except plan, not a file
-  * scan, so it rides the [[V1FrameScanBuilder]] bridge.
+  * rewrites pair their removed/added rows) plus `_commit_version`.
+  * An EXPLICIT `startingVersion 0` serves the real per-commit feed
+  * from the table's birth (v1's content as inserts tagged 1, then each
+  * commit's changes — Delta's batch convention); only an ABSENT start
+  * bound (`from < 0` sentinel) means snapshot mode: the full `to`
+  * snapshot as inserts tagged with `to` (the rule the streaming CDF
+  * source applies to its initial snapshot). The diff is a join/except
+  * plan, not a file scan, so it rides the [[V1FrameScanBuilder]]
+  * bridge.
   */
 private[graft] final class VersionedChangesTable(
     spark: SparkSession, dir: String, from: Long, to: Long,
@@ -452,7 +456,7 @@ private[graft] final class VersionedChangesTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new V1FrameScanBuilder(cdfSchema, () => {
       import org.apache.spark.sql.functions.lit
-      if (from == 0L)
+      if (from < 0L)
         Versioned.readAt(spark, dir, to)
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(to))
@@ -467,11 +471,14 @@ private[graft] object VersionedChangesTable {
       .exists(_.toBoolean)
 
   /** (from, to, schema) for a batch CDF read. `startingVersion` is the
-    * exclusive diff base, defaulting to 0 — "since the table's birth",
-    * i.e. the full `endingVersion` snapshot as inserts (kept permissive
-    * because the STREAMING reader shares this provider's inferSchema and
-    * legitimately omits startingVersion for its initial-snapshot mode);
-    * `endingVersion` defaults to the head.
+    * exclusive diff base; an EXPLICIT 0 (or a startingTimestamp that
+    * resolves below v1) is the per-commit feed from the table's birth
+    * and requires v1 still retained. When BOTH start options are
+    * absent, `from` is the -1 snapshot-mode sentinel: the full
+    * `endingVersion` snapshot as inserts (kept permissive because the
+    * STREAMING reader shares this provider's inferSchema and
+    * legitimately omits startingVersion for its initial-snapshot
+    * mode); `endingVersion` defaults to the head.
     */
   def resolve(spark: SparkSession, dir: String,
       options: JMap[String, String]): (Long, Long, StructType) = {
@@ -486,10 +493,10 @@ private[graft] object VersionedChangesTable {
       "startingVersion and startingTimestamp are mutually exclusive")
     require(!(ci.containsKey("endingVersion") && ci.containsKey("endingTimestamp")),
       "endingVersion and endingTimestamp are mutually exclusive")
-    val from = Option(ci.get("startingVersion")).map(_.toLong)
+    val explicitStart = Option(ci.get("startingVersion")).map(_.toLong)
       .orElse(Option(ci.get("startingTimestamp")).map(t =>
         Versioned.versionSince(spark, dir, Versioned.parseTimestampMillis(t)) - 1L))
-      .getOrElse(0L)
+    val from = explicitStart.getOrElse(0L)
     val head = Versioned.currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $dir"))
     val to = Option(ci.get("endingVersion")).map(_.toLong)
@@ -501,6 +508,12 @@ private[graft] object VersionedChangesTable {
     val vs = Versioned.versions(spark, dir).toSet
     require(from == 0L || vs.contains(from),
       s"startingVersion $from does not exist (vacuumed or never committed) at $dir")
+    // an explicit from-birth feed needs the birth commit: a chain
+    // vacuum-truncated below v1 cannot serve the per-commit window the
+    // caller asked for (Delta refuses beyond-retention starts too)
+    require(explicitStart.forall(_ > 0L) || vs.contains(1L),
+      s"startingVersion 0 asks for the feed from the table's birth, but " +
+        s"commit history below version ${vs.min} is vacuumed at $dir")
     require(vs.contains(to),
       s"endingVersion $to does not exist (vacuumed or never committed) at $dir")
     // union of the two snapshots' schemas (may have evolved between
@@ -511,7 +524,7 @@ private[graft] object VersionedChangesTable {
       else VersionedBatchTable.schemaFor(spark, dir, from)
     val union = older.fields ++
       base.fields.filterNot(f => older.fieldNames.contains(f.name))
-    (from, to, StructType(union)
+    (explicitStart.getOrElse(-1L), to, StructType(union)
       .add("_change_type", org.apache.spark.sql.types.StringType, nullable = false)
       .add("_commit_version", org.apache.spark.sql.types.LongType, nullable = false))
   }

@@ -63,6 +63,30 @@ class CloneSpec extends SparkSpec {
       (1 to 8).map(i => (i, s"v$i")).toSet)
   }
 
+  test("versionAsOf clones a time-travel snapshot; its pin survives source vacuum") {
+    val src = tmpDir("cl_asof_src")
+    val dst = tmpDir("cl_asof_dst")
+    Versioned.append((1 to 8).map(i => (i, s"v$i")).toDF("id", "s"), src) // v1
+    Versioned.updateWhere(spark, src, col("id") === 2, Map("s" -> lit("X"))) // v2
+    Versioned.overwrite((100 to 102).map(i => (i, s"n$i")).toDF("id", "s"), src) // v3
+    // fork YESTERDAY'S table: the clone reads v1, not the head
+    Versioned.cloneTable(spark, src, dst, versionAsOf = Some(1L))
+    assert(Versioned.read(spark, dst).as[(Int, String)].collect().toSet ==
+      (1 to 8).map(i => (i, s"v$i")).toSet)
+    // the pin records v1 and protects ITS files: after the source is
+    // vacuumed to one retained version, the clone still reads v1 whole
+    Versioned.vacuum(spark, src, keepVersions = 1)
+    assert(Versioned.read(spark, dst).as[(Int, String)].collect().toSet ==
+      (1 to 8).map(i => (i, s"v$i")).toSet)
+    assert(Versioned.listPins(spark, src).exists(_._2 == 1L))
+    // a version outside the retained window refuses loudly
+    val dst2 = tmpDir("cl_asof_dst2")
+    val e = intercept[IllegalArgumentException] {
+      Versioned.cloneTable(spark, src, dst2, versionAsOf = Some(1L))
+    }
+    assert(e.getMessage.contains("not retained"))
+  }
+
   test("vacuum on the clone cannot delete source files") {
     val src = tmpDir("cl_vc_src")
     val dst = tmpDir("cl_vc_dst")

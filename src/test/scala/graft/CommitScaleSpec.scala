@@ -79,4 +79,69 @@ class CommitScaleSpec extends SparkSpec {
       s"post-vacuum filesAt opened $rFiles2 log entries")
     assert(Versioned.read(spark, dir).count() == (n + 1).toLong)
   }
+
+  test("checkpoints record z-order provenance even when EMPTY, bounding the walk") {
+    val dir = tmpDir("cs_cl")
+    // a never-OPTIMIZEd history spanning several checkpoints — the
+    // shape a streamed bronze tier has. Every full-list entry must
+    // still carry "clusteredidx":"" so clusteredKeysAt (called by
+    // EVERY checkpoint commit) terminates at the nearest checkpoint
+    // instead of walking all retained entries to conclude "empty"
+    Versioned.append(Seq((0L, "seed")).toDF("id", "s"), dir) // v1
+    val seedRel = Versioned.filesAt(spark, dir, 1L).head
+    val seedBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, seedRel))
+    val schema = Seq((0L, "")).toDF("id", "s").schema
+    (0 until 40).foreach { i =>
+      val rel = s"d-cscl-$i/part-0.parquet"
+      val p = java.nio.file.Paths.get(dir, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, seedBytes)
+      Versioned.addFiles(spark, dir, Seq(rel), knownSchema = Some(schema))
+    }
+    val head = Versioned.currentVersion(spark, dir).get // 41
+    // the checkpoint entries themselves carry the empty field
+    val ckptJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_graft_log", f"v${32}%08d.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(ckptJson.contains("\"clusteredidx\":\"\""))
+    // the walk stops at the nearest checkpoint: O(CheckpointInterval)
+    // reads on a 41-commit never-clustered history, not O(41)
+    val (keys, r) = reads(Versioned.clusteredKeysAt(spark, dir, head))
+    assert(keys.isEmpty)
+    assert(r <= Versioned.CheckpointInterval + 2,
+      s"clusteredKeysAt opened $r log entries on a never-clustered history")
+  }
+
+  test("legacy entries without ts fall back to the linear timestamp scan") {
+    val dir = tmpDir("cs_legacy")
+    (1 to 3).foreach(i =>
+      Versioned.append(Seq((i.toLong, s"r$i")).toDF("id", "s"), dir))
+    // forge a LEGACY table: strip the ts field from every entry (the
+    // pre-field log format) and give the files NON-monotonic mtimes —
+    // what a file-by-file copy/restore can produce
+    val mtimes = Map(1L -> 1_000_000L, 2L -> 2_000_000L, 3L -> 500_000L)
+    (1L to 3L).foreach { v =>
+      val p = java.nio.file.Paths.get(dir, "_graft_log", f"v$v%08d.json")
+      val txt = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val stripped = txt.replaceFirst("\"ts\":\\d+,", "")
+      assert(stripped != txt, s"v$v carried no ts field to strip")
+      java.nio.file.Files.write(p, stripped.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(mtimes(v)))
+    }
+    // latest at-or-before 1.2M: v1 (1.0M) and v3 (0.5M) qualify → the
+    // MAX version, v3. A bisection trusting monotonicity probes v2
+    // (2.0M > 1.2M), narrows left, and would wrongly answer v1.
+    assert(Versioned.versionAsOf(spark, dir, 1_200_000L) == 3L)
+    // first at-or-after 1.5M: only v2 (2.0M) qualifies
+    assert(Versioned.versionSince(spark, dir, 1_500_000L) == 2L)
+    // out-of-range instants still fail loudly on the legacy path
+    intercept[IllegalArgumentException](
+      Versioned.versionAsOf(spark, dir, 400_000L))
+    intercept[IllegalArgumentException](
+      Versioned.versionSince(spark, dir, 2_500_000L))
+  }
 }

@@ -201,6 +201,15 @@ class GraftCatalogSpec extends SparkSpec {
       s"CALL $cat.system.restore(table => 'db.t', version => 2)").as[Long].head
     assert(vRestore == 7L)
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").as[Long].head == 50L)
+
+    // restore by wall clock (Delta's RESTORE ... TIMESTAMP AS OF):
+    // v2's commit instant resolves back to v2's content
+    val ts2 = hist.filter($"version" === 2L).select("commit_ts").as[Long].head()
+    val vRestoreTs = spark.sql(
+      s"CALL $cat.system.restore_asof(table => 'db.t', timestamp => '$ts2')")
+      .as[Long].head
+    assert(vRestoreTs == 8L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").as[Long].head == 50L)
   }
 
   test("CALL procedures: shallow clone forks a table with zero data copy") {
@@ -427,5 +436,63 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"CREATE TABLE $cat.ctas (s STRING)")
     spark.sql(s"INSERT INTO $cat.ctas VALUES ('create table x shallow clone y')")
     assert(spark.sql(s"SELECT count(*) FROM $cat.ctas").as[Long].head == 1L)
+  }
+
+  test("SHALLOW CLONE VERSION/TIMESTAMP AS OF forks a historical snapshot") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.src (id BIGINT, s STRING)")          // v1
+    spark.sql(s"INSERT INTO $cat.src VALUES (1, 'a'), (2, 'b')")       // v2
+    val tsV2 = spark.sql(s"CALL $cat.system.history(table => 'src')")
+      .filter($"version" === 2L).select("commit_ts").as[Long].head()
+    Thread.sleep(3)
+    spark.sql(s"UPDATE $cat.src SET s = 'B' WHERE id = 2").collect()   // v3
+    spark.sql(s"INSERT INTO $cat.src VALUES (3, 'c')")                 // v4
+    // VERSION AS OF: the clone reads v2's rows, not the head's
+    spark.sql(s"CREATE TABLE $cat.dst2 SHALLOW CLONE $cat.src VERSION AS OF 2")
+    assert(spark.sql(s"SELECT id, s FROM $cat.dst2").as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
+    // TIMESTAMP AS OF resolves through the commit-timestamp index
+    spark.sql(s"CREATE TABLE $cat.dst3 SHALLOW CLONE $cat.src " +
+      s"TIMESTAMP AS OF '$tsV2'")
+    assert(spark.sql(s"SELECT id, s FROM $cat.dst3").as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
+    // CALL system.clone(version => n) is the procedure spelling
+    spark.sql(s"CALL $cat.system.clone(source => 'src', target => 'dst4', " +
+      "version => 2)")
+    assert(spark.sql(s"SELECT id, s FROM $cat.dst4").as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
+    // the head clone still sees every mutation
+    spark.sql(s"CREATE TABLE $cat.dst5 SHALLOW CLONE $cat.src")
+    assert(spark.sql(s"SELECT id, s FROM $cat.dst5").as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "B"), (3L, "c")))
+    // a never-committed version refuses loudly
+    val bad = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.dst9 SHALLOW CLONE $cat.src VERSION AS OF 99")
+    }
+    assert(bad.getMessage.contains("not retained"))
+  }
+
+  test("unsupported SHALLOW CLONE clauses refuse loudly; lookalikes delegate") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.src (id BIGINT)")
+    // clauses the grammar does not support name the supported form
+    // instead of falling through to Spark's clone-less error
+    Seq(
+      s"CREATE OR REPLACE TABLE $cat.d SHALLOW CLONE $cat.src",
+      s"CREATE TABLE $cat.d SHALLOW CLONE $cat.src LOCATION '/tmp/x'",
+      s"CREATE TABLE $cat.d SHALLOW CLONE (SELECT * FROM $cat.src)",
+      s"CREATE TABLE $cat.a b SHALLOW CLONE $cat.src"
+    ).foreach { stmt =>
+      val e = intercept[IllegalArgumentException](spark.sql(stmt))
+      assert(e.getMessage.contains("SHALLOW CLONE"), stmt)
+      assert(e.getMessage.contains("supported grammar"), stmt)
+    }
+    // the keyword inside a line comment is NOT a clone: the statement
+    // must delegate to Spark's parser and run normally
+    spark.sql(s"CREATE TABLE $cat.c1 -- shallow clone\nAS SELECT 1 AS id")
+    assert(spark.sql(s"SELECT id FROM $cat.c1").as[Int].head() == 1)
+    // ... and inside a bracketed comment
+    spark.sql(s"CREATE TABLE $cat.c2 /* shallow clone of nothing */ (id INT)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.c2").as[Long].head() == 0L)
   }
 }

@@ -134,10 +134,36 @@ class SqlTimeTravelSpec extends SparkSpec {
     assert(cdf.option("startingVersion", 1).option("endingVersion", 2).load(dir)
       .select("id", "_change_type").as[(Long, String)].collect().toSet ==
       Set((3L, "insert")))
-    // default startingVersion = table birth: head snapshot as inserts
-    assert(cdf.load(dir).select("_change_type").distinct()
-      .as[String].collect().toSeq == Seq("insert"))
+    // ABSENT startingVersion = initial-snapshot mode: head snapshot as
+    // inserts tagged with the head version
+    assert(cdf.load(dir).select("_change_type", "_commit_version").distinct()
+      .as[(String, Long)].collect().toSeq == Seq(("insert", 4L)))
+    // EXPLICIT startingVersion 0 = the real per-commit feed from the
+    // table's birth (Delta's batch convention): v1's rows as inserts
+    // tagged 1, then each commit's changes at its own version
+    assert(cdf.option("startingVersion", 0).load(dir)
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "insert", 1L), (2L, "insert", 1L), (3L, "insert", 2L),
+        (2L, "update_preimage", 3L), (2L, "update_postimage", 3L),
+        (1L, "delete", 4L)))
     intercept[Exception](cdf.option("startingVersion", 9).load(dir).collect())
+  }
+
+  test("explicit startingVersion 0 refuses once the birth commit is vacuumed") {
+    val dir = tmpDir("sqltt_cdf0_vac")
+    (1 to 6).foreach(i =>
+      Versioned.append(Seq((i.toLong, s"r$i")).toDF("id", "s"), dir))
+    Versioned.vacuum(spark, dir, keepVersions = 2)
+    // DataFrameReader is mutable — fresh reader per case
+    def cdf = spark.read.format("graft-versioned")
+      .option("readChangeFeed", "true")
+    val e = intercept[IllegalArgumentException] {
+      cdf.option("startingVersion", 0).load(dir)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+    // snapshot mode (absent start) still serves the head as inserts
+    assert(cdf.load(dir).count() == 6L)
   }
 
   test("batch CDF pairs a MERGE commit's rows on its recorded keys") {

@@ -47,13 +47,17 @@ class TableChangesTvfSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(feed == Map("update_preimage" -> 1L, "update_postimage" -> 1L,
       "delete" -> 1L))
-    // from=1 is the engine's "since the table's birth" mode: the full
-    // `to` snapshot as inserts (the same rule the streaming CDF source
-    // applies to its initial snapshot), tagged with the head version
+    // from=1 serves the REAL per-commit feed from the table's birth
+    // (Delta's batch convention) — v1's rows as inserts tagged 1, then
+    // each commit's changes at its own version — NOT the head-snapshot
+    // initial-snapshot mode (which only an absent start bound selects)
     val all = spark.sql(
-      s"SELECT _change_type, _commit_version FROM table_changes('$dir', 1)")
-      .as[(String, Long)].collect().toSeq
-    assert(all.size == 2 && all.forall(_ == ("insert", 4L)))
+      s"SELECT id, _change_type, _commit_version FROM table_changes('$dir', 1)")
+      .as[(Int, String, Long)].collect().toSet
+    assert(all == Set(
+      (1, "insert", 1L), (2, "insert", 1L), (3, "insert", 2L),
+      (2, "update_preimage", 3L), (2, "update_postimage", 3L),
+      (1, "delete", 4L)))
   }
 
   test("catalog-name form resolves through a registered GraftCatalog") {
@@ -77,16 +81,18 @@ class TableChangesTvfSpec extends SparkSpec {
     val dir = tmpDir("tvf_ts")
     build(dir)
     // every commit is at/after the epoch → the FIRST commit is the
-    // start, which is the initial-snapshot mode: head rows as inserts
+    // start: the per-commit feed from the table's birth (v1 inserts
+    // tagged 1, then each commit's changes — same rows as from=1)
     val rows = spark.sql(
-      s"SELECT _change_type FROM table_changes('$dir', '1970-01-01 00:00:00')")
-      .as[String].collect().toSeq
-    assert(rows.size == 2 && rows.forall(_ == "insert"))
-    // a start AFTER the last commit has nothing to report
-    val none = spark.sql(
+      s"SELECT _change_type, _commit_version " +
+        s"FROM table_changes('$dir', '1970-01-01 00:00:00')")
+      .as[(String, Long)].collect().toSeq
+    assert(rows.size == 6)
+    assert(rows.count(_ == ("insert", 1L)) == 2)
+    val full = spark.sql(
       s"SELECT count(*) FROM table_changes('$dir', '1970-01-01', '2999-01-01')")
       .as[Long].head()
-    assert(none == 2L) // full-history window: still the snapshot mode
+    assert(full == 6L) // full-history window == the from=1 feed
   }
 
   test("ill-formed calls fail loudly") {
