@@ -8,16 +8,20 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{DataType, LongType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
 import org.apache.spark.sql.{Row, SparkSession}
 
 import graft.table.Versioned
 
-/** Delegating SQL parser adding the one DDL statement Spark's grammar
-  * lacks for this engine — Delta's shallow-clone spelling:
+/** Delegating SQL parser adding the DDL statements Spark's grammar
+  * lacks for this engine — Delta's spellings:
   *
   *   CREATE TABLE [IF NOT EXISTS] <target> SHALLOW CLONE <source>
   *     [VERSION AS OF <n> | TIMESTAMP AS OF '<ts>']
+  *   RESTORE TABLE <t> TO {VERSION AS OF <n> | TIMESTAMP AS OF '<ts>'}
+  *   OPTIMIZE <t> [ZORDER BY (<c1>, <c2>, ...)]
+  *   VACUUM <t> [RETAIN <n> HOURS] [DRY RUN]
+  *   DESC[RIBE] HISTORY <t>
   *
   * where either side is a GraftCatalog name (`cat.ns.t`) or the path
   * form (`graft-versioned`.`/table/dir`), and the optional time-travel
@@ -42,10 +46,12 @@ final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlParser.parseClone(sqlText, delegate).getOrElse {
-      GraftSqlParser.refuseUnsupportedClone(sqlText)
-      delegate.parsePlan(sqlText)
-    }
+    GraftSqlParser.parseClone(sqlText, delegate)
+      .orElse(GraftSqlParser.parseMaintenance(sqlText, delegate))
+      .getOrElse {
+        GraftSqlParser.refuseUnsupportedClone(sqlText)
+        delegate.parsePlan(sqlText)
+      }
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -93,6 +99,73 @@ object GraftSqlParser {
       case _ => None
     }
 
+  // ---- Delta's maintenance DDL (statements Spark's grammar lacks) ----
+  //
+  // RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'
+  // OPTIMIZE t [ZORDER BY (c1, c2, ...)]
+  // VACUUM t [RETAIN n HOURS] [DRY RUN]
+  // DESC|DESCRIBE HISTORY t
+  //
+  // None of these keywords begin a valid Spark statement (they are
+  // Delta parser extensions), so intercepting by leading keyword has
+  // no false-positive surface; a statement that LEADS with one of them
+  // but fails the grammar is refused loudly below rather than handed
+  // to Spark, whose error would not name the statement at all.
+
+  private val RestoreStmt =
+    ("""(?is)^\s*RESTORE\s+TABLE\s+(.+?)\s+TO\s+""" +
+      """(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']*)')\s*;?\s*$""").r
+  private val OptimizeStmt =
+    """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+ZORDER\s+BY\s+\(([^)'"]*)\))?\s*;?\s*$""".r
+  private val VacuumStmt =
+    ("""(?is)^\s*VACUUM\s+(.+?)""" +
+      """(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*$""").r
+  private val HistoryStmt =
+    """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*$""".r
+
+  private def cleanIdent(s: String): Boolean =
+    !s.exists(c => c == '\'' || c == '"' || c == '(')
+
+  private[graft] def parseMaintenance(
+      sqlText: String, delegate: ParserInterface): Option[LogicalPlan] = {
+    def ident(s: String): Option[Seq[String]] =
+      if (!cleanIdent(s)) None
+      else Try(delegate.parseMultipartIdentifier(s)).toOption
+    val parsed: Option[LogicalPlan] = sqlText match {
+      case RestoreStmt(tbl, ver, ts) =>
+        ident(tbl).map(GraftRestoreCommand(_,
+          Option(ver).map(_.toLong), Option(ts)))
+      case OptimizeStmt(tbl, zcols) =>
+        ident(tbl).map(GraftOptimizeCommand(_,
+          Option(zcols).toSeq.flatMap(_.split(',').toSeq)
+            .map(_.trim).filter(_.nonEmpty)))
+      case VacuumStmt(tbl, hours, dry) =>
+        ident(tbl).map(GraftVacuumCommand(_,
+          Option(hours).map(_.toDouble), dryRun = dry != null))
+      case HistoryStmt(tbl) =>
+        ident(tbl).map(GraftDescribeHistoryCommand(_))
+      case _ => None
+    }
+    if (parsed.isEmpty) {
+      // a statement leading with one of OUR keywords cannot be Spark's
+      // — refuse with the grammar named (sqlText did not match, or its
+      // identifier failed to parse). DESC[RIBE] HISTORY is NOT in this
+      // list: `DESCRIBE history` can legitimately describe a table
+      // named `history`, so an unmatched DESC always delegates.
+      val lead = """(?is)^\s*(RESTORE|OPTIMIZE|VACUUM)\b""".r
+      lead.findFirstIn(sqlText).foreach { _ =>
+        throw new IllegalArgumentException(
+          "unsupported maintenance statement — supported grammar: " +
+            "RESTORE TABLE t TO {VERSION AS OF n | TIMESTAMP AS OF 'ts'}; " +
+            "OPTIMIZE t [ZORDER BY (c1, c2)]; " +
+            "VACUUM t [RETAIN n HOURS] [DRY RUN]; " +
+            "DESC[RIBE] HISTORY t — where t is a GraftCatalog name or " +
+            s"`graft-versioned`.`/table/dir`; got: ${sqlText.trim.take(200)}")
+      }
+    }
+    parsed
+  }
+
   /** Statements that ARE a shallow clone (the keyword survives literal
     * + comment stripping inside a CREATE statement) but did not parse
     * above use a clause this grammar does not support — refuse with
@@ -133,18 +206,9 @@ final case class GraftCloneCommand(
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
 
-  private def dirOf(spark: SparkSession, parts: Seq[String], role: String): String =
-    parts match {
-      case Seq(fmt, path) if fmt.equalsIgnoreCase("graft-versioned") => path
-      case _ => Bridge.graftCatalogTableDir(spark, parts).getOrElse(
-        throw new IllegalArgumentException(
-          s"SHALLOW CLONE $role ${parts.mkString(".")} is neither a " +
-            "GraftCatalog name nor a `graft-versioned`.`path` identifier"))
-    }
-
   override def run(spark: SparkSession): Seq[Row] = {
-    val dst = dirOf(spark, targetParts, "target")
-    val src = dirOf(spark, sourceParts, "source")
+    val dst = GraftDdl.dirOf(spark, targetParts, "SHALLOW CLONE target")
+    val src = GraftDdl.dirOf(spark, sourceParts, "SHALLOW CLONE source")
     val pinned = versionAsOf.orElse(timestampAsOf.map(t =>
       Versioned.versionAsOf(spark, src, Versioned.parseTimestampMillis(t))))
     Versioned.currentVersion(spark, dst) match {
@@ -157,4 +221,122 @@ final case class GraftCloneCommand(
     s"GraftCloneCommand ${targetParts.mkString(".")} <- ${sourceParts.mkString(".")}" +
       versionAsOf.map(v => s" VERSION AS OF $v").getOrElse("") +
       timestampAsOf.map(t => s" TIMESTAMP AS OF '$t'").getOrElse("")
+}
+
+/** Shared identifier resolution for the graft DDL commands: a
+  * GraftCatalog name (`cat.ns.t`) or the explicit path form
+  * (`graft-versioned`.`/table/dir`), resolved at RUN time because
+  * catalogs register lazily via session conf.
+  */
+private[plans] object GraftDdl {
+  def dirOf(spark: SparkSession, parts: Seq[String], what: String): String =
+    parts match {
+      case Seq(fmt, path) if fmt.equalsIgnoreCase("graft-versioned") => path
+      case _ => Bridge.graftCatalogTableDir(spark, parts).getOrElse(
+        throw new IllegalArgumentException(
+          s"$what ${parts.mkString(".")} is neither a " +
+            "GraftCatalog name nor a `graft-versioned`.`path` identifier"))
+    }
+}
+
+/** `RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'` —
+  * Delta's restore DDL, delegating to the same committed
+  * [[Versioned.restore]]/[[Versioned.restoreAsOf]] code path
+  * `CALL system.restore`/`system.restore_asof` run. Returns the new
+  * head version the restore commit published.
+  */
+final case class GraftRestoreCommand(
+    tableParts: Seq[String], versionAsOf: Option[Long],
+    timestampAsOf: Option[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftDdl.dirOf(spark, tableParts, "RESTORE TABLE")
+    val v = versionAsOf match {
+      case Some(n) => Versioned.restore(spark, dir, n)
+      case None => Versioned.restoreAsOf(spark, dir,
+        Versioned.parseTimestampMillis(timestampAsOf.get))
+    }
+    Seq(Row(v))
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftRestoreCommand ${tableParts.mkString(".")}"
+}
+
+/** `OPTIMIZE t [ZORDER BY (c1, c2)]` — Delta's maintenance DDL. The
+  * plain form bin-packs small files ([[Versioned.compactSmall]],
+  * Delta's default OPTIMIZE); the ZORDER form rewrites clustered on
+  * the interleaved bits ([[Versioned.optimizeZOrderBy]]). Returns the
+  * committed version — the prior head when there was nothing to
+  * compact (Delta's zero-metrics no-op).
+  */
+final case class GraftOptimizeCommand(
+    tableParts: Seq[String], zorderBy: Seq[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftDdl.dirOf(spark, tableParts, "OPTIMIZE")
+    val v =
+      if (zorderBy.nonEmpty) Versioned.optimizeZOrderBy(spark, dir, zorderBy)
+      else Versioned.compactSmall(spark, dir).getOrElse(
+        Versioned.currentVersion(spark, dir).getOrElse(
+          throw new IllegalArgumentException(s"no committed versions at $dir")))
+    Seq(Row(v))
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftOptimizeCommand ${tableParts.mkString(".")}" +
+      (if (zorderBy.nonEmpty) zorderBy.mkString(" ZORDER BY (", ", ", ")") else "")
+}
+
+/** `VACUUM t [RETAIN n HOURS] [DRY RUN]` — Delta's vacuum DDL over the
+  * engine's age-based sweep ([[Versioned.vacuumRetain]]): keeps every
+  * version committed inside the window plus the head. RETAIN defaults
+  * to Delta's 168 hours; DRY RUN lists the candidates without
+  * deleting. Returns one row per removed (or would-remove) path.
+  */
+final case class GraftVacuumCommand(
+    tableParts: Seq[String], retainHours: Option[Double], dryRun: Boolean)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("removed_path", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftDdl.dirOf(spark, tableParts, "VACUUM")
+    val ms = (retainHours.getOrElse(168.0) * 3600000L).toLong
+    Versioned.vacuumRetain(spark, dir, ms, dryRun = dryRun).map(Row(_))
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftVacuumCommand ${tableParts.mkString(".")}" + (if (dryRun) " DRY RUN" else "")
+}
+
+/** `DESC[RIBE] HISTORY t` — Delta's history DDL: one row per retained
+  * version (version, op, commit_ts, n_files), the same log-sized walk
+  * `CALL system.history` serves. Note Delta's own shadowing rule: a
+  * table literally named `history` must be backquoted to DESCRIBE it
+  * as a table.
+  */
+final case class GraftDescribeHistoryCommand(tableParts: Seq[String])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("op", StringType, nullable = false)(),
+    AttributeReference("commit_ts", LongType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftDdl.dirOf(spark, tableParts, "DESCRIBE HISTORY")
+    Versioned.history(spark, dir).collect().toSeq
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftDescribeHistoryCommand ${tableParts.mkString(".")}"
 }

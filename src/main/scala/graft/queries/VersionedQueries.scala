@@ -926,6 +926,61 @@ object VersionedQueries {
       |SELECT side, event_type, n, sum_c FROM u
       |ORDER BY side, event_type""".stripMargin
 
+  // X — MAINTENANCE DDL as pure SQL: the Delta statements an operator
+  // runs verbatim — CREATE/INSERT build the table, OPTIMIZE bin-packs
+  // it, DELETE mutates it, RESTORE ... TO VERSION AS OF rolls the
+  // delete back, DESC HISTORY reads the log walk — all by catalog
+  // NAME through the delegating parser, zero graft imports. The
+  // output is the history's (version, op) sequence (fully determined
+  // by the statement list) plus the post-restore content aggregate
+  // (the delete must be undone); the oracle replays both.
+  def sqlMaintenance(s: SparkSession, dir: String): DataFrame = {
+    val cat = s"graft_mnt_${catalogSeq.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "org.apache.spark.sql.graft.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", scratchDir("graft_mntwh"))
+    t(s, dir, "events")
+      .withColumn("value_c", floor(col("value") * 100).cast("long"))
+      .select("event_id", "user_id", "event_type", "value_c")
+      .filter(col("event_id") % 4 === 2)
+      .createOrReplaceTempView("graft_xmnt_src")
+    val tbl = s"$cat.mnt.events"
+    s.sql(s"CREATE NAMESPACE $cat.mnt")
+    s.sql(s"CREATE TABLE $tbl (event_id BIGINT, user_id BIGINT, " +
+      "event_type STRING, value_c BIGINT)")                                // v1 overwrite
+    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_xmnt_src WHERE event_id % 2 = 0") // v2
+    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_xmnt_src WHERE event_id % 2 = 1") // v3
+    s.sql(s"OPTIMIZE $tbl").collect()                                      // v4 compact-small
+    s.sql(s"DELETE FROM $tbl WHERE user_id % 5 = 0").collect()             // v5 delete
+    s.sql(s"RESTORE TABLE $tbl TO VERSION AS OF 4").collect()              // v6 restore
+    val hist = s.sql(s"DESC HISTORY $tbl")
+      .select(lit("history").as("kind"), col("op").as("k"),
+        col("version").as("n"), lit(-1L).as("sum_c"))
+    val agg = s.sql(
+      s"""SELECT 'agg' AS kind, event_type AS k,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(value_c) AS BIGINT) AS sum_c
+         |FROM $tbl GROUP BY event_type""".stripMargin)
+    hist.unionByName(agg).orderBy("kind", "n", "k")
+  }
+
+  val sqlMaintenanceSql: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type,
+      |                   CAST(floor(value * 100) AS BIGINT) AS value_c
+      |            FROM events WHERE event_id % 4 = 2),
+      |hist AS (SELECT * FROM (VALUES
+      |  (1, 'overwrite'), (2, 'append'), (3, 'append'),
+      |  (4, 'compact-small'), (5, 'delete'), (6, 'restore')) t(n, k)),
+      |u AS (
+      |  SELECT 'history' AS kind, k, CAST(n AS BIGINT) AS n,
+      |         CAST(-1 AS BIGINT) AS sum_c
+      |  FROM hist
+      |  UNION ALL
+      |  SELECT 'agg', event_type, CAST(count(*) AS BIGINT),
+      |         CAST(sum(value_c) AS BIGINT)
+      |  FROM ev GROUP BY event_type)
+      |SELECT kind, k, n, sum_c FROM u ORDER BY kind, n, k""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("x_sql_timetravel", sqlTimeTravel, Some(sqlTimeTravelSql)),
     QueryDef("x_sql_catalog", sqlCatalog, Some(sqlCatalogSql)),
@@ -936,6 +991,7 @@ object VersionedQueries {
     QueryDef("x_batch_cdf_wide", batchCdfWide, Some(batchCdfWideSql)),
     QueryDef("x_clone", cloneFork, Some(cloneForkSql)),
     QueryDef("x_clone_asof", cloneAsOf, Some(cloneAsOfSql)),
+    QueryDef("x_sql_maintenance", sqlMaintenance, Some(sqlMaintenanceSql)),
     QueryDef("m5_versioned_merge", versionedMerge, Some(versionedMergeSql)),
     QueryDef("m9_condput_merge", versionedMergeCondPut, Some(versionedMergeSql)),
     QueryDef("m10_sql_merge", versionedMergeSqlText, Some(versionedMergeSql)),

@@ -1,0 +1,99 @@
+package graft
+
+import graft.table.Versioned
+import org.apache.spark.sql.functions._
+
+/** Delta's maintenance DDL statements over the delegating parser
+  * (`GraftSqlParser`): RESTORE TABLE ... TO VERSION|TIMESTAMP AS OF,
+  * OPTIMIZE [ZORDER BY], VACUUM [RETAIN n HOURS] [DRY RUN], and
+  * DESC[RIBE] HISTORY — each a thin command onto the SAME committed
+  * engine op the `CALL system.*` procedures run, addressable by
+  * catalog name or the `graft-versioned`.`/dir` path form.
+  */
+class MaintenanceDdlSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def pathId(dir: String): String = s"`graft-versioned`.`$dir`"
+
+  test("RESTORE TABLE TO VERSION AS OF / TIMESTAMP AS OF commits the old snapshot") {
+    val dir = tmpDir("ddl_restore")
+    Versioned.append((1 to 5).map(i => (i, s"a$i")).toDF("id", "s"), dir) // v1
+    Thread.sleep(3)
+    Versioned.deleteWhere(spark, dir, col("id") <= 3)                    // v2
+    val v = spark.sql(s"RESTORE TABLE ${pathId(dir)} TO VERSION AS OF 1")
+      .as[Long].head()
+    assert(v == 3L)
+    assert(Versioned.read(spark, dir).count() == 5L)
+    // timestamp form: v2's instant resolves to v2's content (2 rows)
+    val ts2 = Versioned.commitTimestampAt(spark, dir, 2L)
+    val v2 = spark.sql(
+      s"RESTORE TABLE ${pathId(dir)} TO TIMESTAMP AS OF '$ts2'").as[Long].head()
+    assert(v2 == 4L)
+    assert(Versioned.read(spark, dir).count() == 2L)
+  }
+
+  test("OPTIMIZE bin-packs; OPTIMIZE ZORDER BY clusters; no-op returns the head") {
+    val dir = tmpDir("ddl_opt")
+    (1 to 4).foreach(i =>
+      Versioned.append(Seq((i.toLong, i * 10L)).toDF("id", "x"), dir))
+    val v = spark.sql(s"OPTIMIZE ${pathId(dir)}").as[Long].head()
+    assert(v == 5L)
+    assert(Versioned.opAt(spark, dir, 5L) == "compact-small")
+    assert(Versioned.read(spark, dir).count() == 4L)
+    // nothing left to compact: the statement is a no-op returning the head
+    assert(spark.sql(s"OPTIMIZE ${pathId(dir)}").as[Long].head() == 5L)
+    val vz = spark.sql(s"OPTIMIZE ${pathId(dir)} ZORDER BY (id, x)").as[Long].head()
+    assert(vz == 6L)
+    assert(Versioned.opAt(spark, dir, 6L) == "optimize")
+    assert(Versioned.read(spark, dir).as[(Long, Long)].collect().toSet ==
+      (1 to 4).map(i => (i.toLong, i * 10L)).toSet)
+  }
+
+  test("VACUUM RETAIN 0 HOURS sweeps old versions; DRY RUN only lists") {
+    val dir = tmpDir("ddl_vac")
+    (1 to 4).foreach(i =>
+      Versioned.append(Seq((i.toLong, s"r$i")).toDF("id", "s"), dir))
+    Thread.sleep(5) // every commit must be older than the cutoff
+    val dry = spark.sql(s"VACUUM ${pathId(dir)} RETAIN 0 HOURS DRY RUN")
+    assert(dry.columns.toSeq == Seq("removed_path"))
+    assert(dry.count() > 0)
+    assert(Versioned.versions(spark, dir).size == 4) // nothing deleted
+    val swept = spark.sql(s"VACUUM ${pathId(dir)} RETAIN 0 HOURS").count()
+    assert(swept > 0)
+    assert(Versioned.versions(spark, dir) == Seq(4L))
+    assert(Versioned.read(spark, dir).count() == 4L)
+  }
+
+  test("DESC HISTORY returns the log walk; plain DESCRIBE still delegates") {
+    val dir = tmpDir("ddl_hist")
+    Versioned.append(Seq((1L, "a")).toDF("id", "s"), dir)
+    Versioned.append(Seq((2L, "b")).toDF("id", "s"), dir)
+    val h = spark.sql(s"DESC HISTORY ${pathId(dir)}")
+    assert(h.columns.toSeq == Seq("version", "op", "commit_ts", "n_files"))
+    assert(h.select("version", "op").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "append"), (2L, "append")))
+    assert(spark.sql(s"DESCRIBE HISTORY ${pathId(dir)}").count() == 2L)
+    // a table literally named `history` still DESCRIBEs as a table
+    Seq((1, "x")).toDF("id", "s").createOrReplaceTempView("history")
+    assert(spark.sql("DESCRIBE history").count() > 0)
+  }
+
+  test("malformed maintenance statements refuse with the grammar named") {
+    val dir = tmpDir("ddl_bad")
+    Versioned.append(Seq((1L, "a")).toDF("id", "s"), dir)
+    Seq(
+      s"OPTIMIZE ${pathId(dir)} WHERE id > 0",
+      s"RESTORE TABLE ${pathId(dir)}",
+      s"VACUUM ${pathId(dir)} RETAIN 5 DAYS",
+      "VACUUM"
+    ).foreach { stmt =>
+      val e = intercept[IllegalArgumentException](spark.sql(stmt))
+      assert(e.getMessage.contains("supported grammar"), stmt)
+    }
+    // a non-graft identifier refuses at RUN time with the statement named
+    val e = intercept[Exception](
+      spark.sql("DESC HISTORY no_such_cat.ns.t").collect())
+    assert(e.getMessage.contains("DESCRIBE HISTORY"))
+  }
+}
