@@ -122,6 +122,9 @@ object GraftSqlParser {
       """(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*$""").r
   private val HistoryStmt =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*$""".r
+  // CONVERT TO GRAFT parquet.`/dir` — Delta's CONVERT TO DELTA spelling
+  private val ConvertStmt =
+    """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+(.+?)\s*;?\s*$""".r
 
   private def cleanIdent(s: String): Boolean =
     !s.exists(c => c == '\'' || c == '"' || c == '(')
@@ -144,6 +147,8 @@ object GraftSqlParser {
           Option(hours).map(_.toDouble), dryRun = dry != null))
       case HistoryStmt(tbl) =>
         ident(tbl).map(GraftDescribeHistoryCommand(_))
+      case ConvertStmt(tbl) =>
+        ident(tbl).map(GraftConvertCommand(_))
       case _ => None
     }
     if (parsed.isEmpty) {
@@ -152,15 +157,16 @@ object GraftSqlParser {
       // identifier failed to parse). DESC[RIBE] HISTORY is NOT in this
       // list: `DESCRIBE history` can legitimately describe a table
       // named `history`, so an unmatched DESC always delegates.
-      val lead = """(?is)^\s*(RESTORE|OPTIMIZE|VACUUM)\b""".r
+      val lead = """(?is)^\s*(RESTORE|OPTIMIZE|VACUUM|CONVERT)\b""".r
       lead.findFirstIn(sqlText).foreach { _ =>
         throw new IllegalArgumentException(
           "unsupported maintenance statement — supported grammar: " +
             "RESTORE TABLE t TO {VERSION AS OF n | TIMESTAMP AS OF 'ts'}; " +
             "OPTIMIZE t [ZORDER BY (c1, c2)]; " +
             "VACUUM t [RETAIN n HOURS] [DRY RUN]; " +
-            "DESC[RIBE] HISTORY t — where t is a GraftCatalog name or " +
-            s"`graft-versioned`.`/table/dir`; got: ${sqlText.trim.take(200)}")
+            "DESC[RIBE] HISTORY t; " +
+            "CONVERT TO GRAFT parquet.`/dir` — where t is a GraftCatalog " +
+            s"name or `graft-versioned`.`/table/dir`; got: ${sqlText.trim.take(200)}")
       }
     }
     parsed
@@ -315,6 +321,33 @@ final case class GraftVacuumCommand(
 
   override def simpleString(maxFields: Int): String =
     s"GraftVacuumCommand ${tableParts.mkString(".")}" + (if (dryRun) " DRY RUN" else "")
+}
+
+/** `CONVERT TO GRAFT parquet.`/dir`` — Delta's `CONVERT TO DELTA`
+  * spelling: registers an existing plain-parquet directory as a
+  * versioned table IN PLACE ([[Versioned.convert]] — zero bytes
+  * copied; flat part-files are renamed into a `d-convert-*` subdir for
+  * the engine's two-segment file identity; hive-partitioned layouts
+  * refuse loudly). Accepts `parquet.`path`` (Delta's form) or a
+  * GraftCatalog name whose warehouse directory already holds the
+  * files. Returns the published v1.
+  */
+final case class GraftConvertCommand(tableParts: Seq[String])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = tableParts match {
+      case Seq(fmt, path) if fmt.equalsIgnoreCase("parquet") => path
+      case _ => GraftDdl.dirOf(spark, tableParts, "CONVERT TO GRAFT")
+    }
+    Seq(Row(Versioned.convert(spark, dir)))
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftConvertCommand ${tableParts.mkString(".")}"
 }
 
 /** `DESC[RIBE] HISTORY t` — Delta's history DDL: one row per retained

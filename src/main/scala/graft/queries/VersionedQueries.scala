@@ -981,6 +981,38 @@ object VersionedQueries {
       |  FROM ev GROUP BY event_type)
       |SELECT kind, k, n, sum_c FROM u ORDER BY kind, n, k""".stripMargin
 
+  // X — CONVERT TO GRAFT under the oracle gate: a plain parquet
+  // directory (the pre-migration state every real dataset starts in)
+  // is registered as a versioned table IN PLACE via the DDL, then
+  // immediately mutated through the log (copy-on-write DELETE) and
+  // read back through the snapshot — proving the converted references
+  // are first-class: DML rewrites them, the read path resolves them,
+  // and zero bytes were copied at conversion (flat part-files are
+  // renamed, not rewritten). Oracle replays the slice minus the
+  // delete relationally.
+  def convertInPlace(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_id") % 9 === 3)
+      .withColumn("value_c", floor(col("value") * 100).cast("long"))
+      .select("event_id", "user_id", "event_type", "value_c")
+    val raw = scratchDir("graft_xconvert")
+    ev.repartition(3).write.mode("overwrite").parquet(raw)
+    s.sql(s"CONVERT TO GRAFT parquet.`$raw`")                      // v1
+    Versioned.deleteWhere(s, raw, col("user_id") % 3 === 0)        // v2
+    Versioned.read(s, raw).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+      .orderBy("event_type")
+  }
+
+  val convertInPlaceSql: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type,
+      |                   CAST(floor(value * 100) AS BIGINT) AS value_c
+      |            FROM events WHERE event_id % 9 = 3)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(value_c) AS BIGINT) AS sum_c
+      |FROM ev WHERE user_id % 3 <> 0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("x_sql_timetravel", sqlTimeTravel, Some(sqlTimeTravelSql)),
     QueryDef("x_sql_catalog", sqlCatalog, Some(sqlCatalogSql)),
@@ -992,6 +1024,7 @@ object VersionedQueries {
     QueryDef("x_clone", cloneFork, Some(cloneForkSql)),
     QueryDef("x_clone_asof", cloneAsOf, Some(cloneAsOfSql)),
     QueryDef("x_sql_maintenance", sqlMaintenance, Some(sqlMaintenanceSql)),
+    QueryDef("x_convert", convertInPlace, Some(convertInPlaceSql)),
     QueryDef("m5_versioned_merge", versionedMerge, Some(versionedMergeSql)),
     QueryDef("m9_condput_merge", versionedMergeCondPut, Some(versionedMergeSql)),
     QueryDef("m10_sql_merge", versionedMergeSqlText, Some(versionedMergeSql)),

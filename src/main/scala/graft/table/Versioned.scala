@@ -1606,6 +1606,83 @@ object Versioned {
     v
   }
 
+  /** CONVERT an existing plain-parquet directory into a versioned
+    * table IN PLACE (Delta's `CONVERT TO DELTA parquet.`/dir``
+    * analog): discovers every parquet file under `dir`, normalizes the
+    * layout, and publishes v1 referencing the files where they sit —
+    * zero data copied, the migration path for a pre-existing dataset.
+    *
+    *  - FLAT part-files (the common `df.write.parquet` layout, depth
+    *    1) are RENAMED into a fresh `d-convert-<uuid>/` subdir first:
+    *    every engine identity ([[fileKey]] = last two path segments,
+    *    what scans report via `input_file_name`) and vacuum's `d-*`
+    *    sweep require the two-segment shape. A rename is a metadata
+    *    op — still zero bytes copied.
+    *  - Deeper non-partitioned nesting keeps its paths as-is.
+    *  - HIVE-PARTITIONED layouts (`col=value` path segments) are
+    *    REFUSED loudly: the partition values live in the directory
+    *    names, not the files, so an in-place conversion would silently
+    *    drop those columns — rewrite through `append` (or pass the
+    *    reconstructed frame) instead. Delta's CONVERT takes a
+    *    PARTITIONED BY spec for this; this engine deliberately has no
+    *    physical-partition layout (zone maps + clustering instead).
+    *
+    * Schema comes from a footer-merged inference pass unless
+    * `knownSchema` is given. Hidden files/dirs (`_`/`.`-prefixed, e.g.
+    * `_SUCCESS`, `.crc`) are ignored; a non-parquet data file refuses
+    * the conversion rather than silently dropping rows. Duplicate
+    * [[fileKey]] identities are refused by the commit-identity guard
+    * like every commit.
+    */
+  def convert(
+      spark: SparkSession, dir: String,
+      knownSchema: Option[org.apache.spark.sql.types.StructType] = None): Long = {
+    require(currentVersion(spark, dir).isEmpty,
+      s"$dir is already a versioned table")
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    require(f.exists(root), s"no such directory: $dir")
+    val rootUri = f.makeQualified(root).toUri.getPath
+    def relOf(p: Path): String = {
+      val abs = f.makeQualified(p).toUri.getPath
+      require(abs.startsWith(rootUri), s"$abs escapes the table root")
+      abs.drop(rootUri.length).dropWhile(_ == '/')
+    }
+    val it = f.listFiles(root, true)
+    val rels = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val rel = relOf(it.next().getPath)
+      val segs = rel.split("/")
+      if (!segs.exists(s => s.startsWith("_") || s.startsWith("."))) {
+        require(rel.endsWith(".parquet"),
+          s"convert: non-parquet data file under $dir: $rel — convert " +
+            "registers parquet only; remove or rewrite the file first")
+        require(!segs.exists(_.contains("=")),
+          s"convert: hive-partitioned layout under $dir ($rel) — the " +
+            "partition values live in directory names, not the files; " +
+            "rewrite through append() instead of converting in place")
+        rels += rel
+      }
+    }
+    require(rels.nonEmpty, s"convert: no parquet files under $dir")
+    val flat = rels.filter(!_.contains("/"))
+    val moved: Seq[String] =
+      if (flat.isEmpty) rels.toSeq
+      else {
+        val sub = s"d-convert-${UUID.randomUUID().toString}"
+        require(f.mkdirs(new Path(root, sub)), s"convert: mkdir $sub failed")
+        flat.foreach { name =>
+          require(f.rename(new Path(root, name), new Path(root, s"$sub/$name")),
+            s"convert: rename of $name failed")
+        }
+        rels.toSeq.map(r => if (r.contains("/")) r else s"$sub/$r")
+      }
+    val schema = knownSchema.getOrElse(
+      spark.read.option("recursiveFileLookup", "true").parquet(dir).schema)
+    commitAttempt(spark, dir, "convert",
+      _ => schema.json, None, _ => moved.sorted).get
+  }
+
   /** SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE` analog):
     * publishes `dst` as a NEW table whose v1 references the source's
     * current snapshot files BY ABSOLUTE PATH — zero data copied, one

@@ -172,6 +172,18 @@ private[graft] object GraftProcedures {
           Seq(row(Versioned.cloneTable(s, dirOf(in), dstDir, asOf)))
         }),
 
+      Proc("convert",
+        "register an existing plain-parquet directory as a versioned table in place",
+        Seq(in("table", StringType)),
+        VersionOut,
+        (s, in) => {
+          // the name must resolve through the catalog but NOT be a
+          // table yet — convert publishes its v1
+          val parts = in.getUTF8String(0).toString.split('.')
+          val dir = catalog.tableDir(Identifier.of(parts.init, parts.last))
+          Seq(row(Versioned.convert(s, dir)))
+        }),
+
       Proc("pins",
         "list clone pins protecting this table's files from vacuum",
         Seq(in("table", StringType)),

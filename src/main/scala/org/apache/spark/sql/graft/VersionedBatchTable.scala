@@ -448,7 +448,9 @@ private[graft] final class VersionedChangesTable(
     spark: SparkSession, dir: String, from: Long, to: Long,
     cdfSchema: StructType) extends Table with SupportsRead {
 
-  override def name(): String = s"graft-versioned $dir changes ($from, $to]"
+  override def name(): String =
+    if (from < 0L) s"graft-versioned $dir changes (snapshot@$to)"
+    else s"graft-versioned $dir changes ($from, $to]"
   override def schema(): StructType = cdfSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.Collections.singleton(TableCapability.BATCH_READ)

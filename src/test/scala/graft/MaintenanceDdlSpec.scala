@@ -79,6 +79,54 @@ class MaintenanceDdlSpec extends SparkSpec {
     assert(spark.sql("DESCRIBE history").count() > 0)
   }
 
+  test("CONVERT TO GRAFT registers a flat parquet dir in place, zero copy") {
+    val dir = tmpDir("ddl_conv")
+    (1 to 20).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    val v = spark.sql(s"CONVERT TO GRAFT parquet.`$dir`").as[Long].head()
+    assert(v == 1L)
+    assert(Versioned.opAt(spark, dir, 1L) == "convert")
+    // flat part-files moved (renamed, not copied) into a d-convert dir
+    val files = Versioned.filesAt(spark, dir, 1L)
+    assert(files.nonEmpty && files.forall(_.startsWith("d-convert-")))
+    assert(Versioned.read(spark, dir).as[(Long, String)].collect().toSet ==
+      (1 to 20).map(i => (i.toLong, s"r$i")).toSet)
+    // the converted table is a first-class versioned table: DML works
+    Versioned.deleteWhere(spark, dir, col("id") <= 5)
+    assert(Versioned.read(spark, dir).count() == 15L)
+    Versioned.append(Seq((100L, "new")).toDF("id", "s"), dir)
+    assert(Versioned.read(spark, dir).count() == 16L)
+    // converting an existing table refuses
+    val e = intercept[IllegalArgumentException](Versioned.convert(spark, dir))
+    assert(e.getMessage.contains("already a versioned table"))
+  }
+
+  test("CONVERT keeps nested layouts in place; refuses hive partitions and strays") {
+    val dir = tmpDir("ddl_conv_nest")
+    (1 to 6).map(i => (i, i)).toDF("id", "x")
+      .write.parquet(s"$dir/batch-a")
+    (7 to 9).map(i => (i, i)).toDF("id", "x")
+      .write.parquet(s"$dir/batch-b")
+    Versioned.convert(spark, dir)
+    val files = Versioned.filesAt(spark, dir, 1L)
+    assert(files.forall(f => f.startsWith("batch-a/") || f.startsWith("batch-b/")),
+      s"nested files must stay where they are, got $files")
+    assert(Versioned.read(spark, dir).count() == 9L)
+
+    val hive = tmpDir("ddl_conv_hive")
+    (1 to 6).map(i => (i, i % 2)).toDF("id", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(hive)
+    val e = intercept[IllegalArgumentException](Versioned.convert(spark, hive))
+    assert(e.getMessage.contains("hive-partitioned"))
+
+    val stray = tmpDir("ddl_conv_stray")
+    Seq((1, "a")).toDF("id", "s").write.mode("overwrite").parquet(stray)
+    java.nio.file.Files.write(java.nio.file.Paths.get(stray, "notes.csv"),
+      "id,s\n".getBytes)
+    val e2 = intercept[IllegalArgumentException](Versioned.convert(spark, stray))
+    assert(e2.getMessage.contains("non-parquet"))
+  }
+
   test("malformed maintenance statements refuse with the grammar named") {
     val dir = tmpDir("ddl_bad")
     Versioned.append(Seq((1L, "a")).toDF("id", "s"), dir)
@@ -86,7 +134,9 @@ class MaintenanceDdlSpec extends SparkSpec {
       s"OPTIMIZE ${pathId(dir)} WHERE id > 0",
       s"RESTORE TABLE ${pathId(dir)}",
       s"VACUUM ${pathId(dir)} RETAIN 5 DAYS",
-      "VACUUM"
+      "VACUUM",
+      "CONVERT TO GRAFT (SELECT 1)",
+      "CONVERT TO DELTA parquet.`/tmp/x`"
     ).foreach { stmt =>
       val e = intercept[IllegalArgumentException](spark.sql(stmt))
       assert(e.getMessage.contains("supported grammar"), stmt)
