@@ -254,14 +254,74 @@ object Versioned {
     * the sidecar. Hence the guarded retry: rethrow only when `v`'s own
     * entry is gone (genuinely outside the retained window).
     */
+  /** Bounded driver-side memo of RESOLVED file lists, keyed (dir, v).
+    * Safe because a committed version's file list is IMMUTABLE — the
+    * log is append-only and vacuum only truncates whole entries (the
+    * sidecar it publishes holds the same list this memo would). The
+    * one way a key could go stale is a table DELETED and RE-CREATED at
+    * the same path, so every hit re-validates against the version
+    * file's (length, mtime) — one metadata op, no log read, no
+    * sidecar scan. Four entries cover the hot pattern (a writer's
+    * head + a reader's pinned snapshot) without holding many
+    * multi-million-file lists on the driver.
+    *
+    * Why it exists: sequential commits re-resolve the predecessor's
+    * list each time; past CkptInlineMax files that resolution reads
+    * the checkpoint's columnar sidecar — a vectorized scan per
+    * commit. Measured at 10⁴ commits × 10⁴ files (BASELINE.md
+    * "Commit-count scale"): that re-read dominated the 325 ms/commit
+    * average. The commit path PRIMES this memo with the list it just
+    * published, making a commit stream's resolution O(delta).
+    */
+  private final case class FilesMemoEntry(
+      len: Long, mtime: Long, files: Seq[String])
+  private val FilesMemoMax = 4
+  private val filesMemo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, FilesMemoEntry](8, 0.75f, true) {
+      override protected def removeEldestEntry(
+          e: java.util.Map.Entry[String, FilesMemoEntry]): Boolean =
+        size() > FilesMemoMax
+    })
+
+  private def memoKey(dir: String, v: Long): String = s"$dir@$v"
+
+  /** Test seam: drops every memoized file list so a spec can pin the
+    * COLD resolution path (e.g. the loud refusal on a truncated chain
+    * — a warm driver would serve the memoized, still-correct list).
+    */
+  private[graft] def clearFilesMemo(): Unit = filesMemo.clear()
+
+  private[graft] def primeFilesMemo(
+      spark: SparkSession, dir: String, v: Long, files: Seq[String]): Unit =
+    try {
+      val st = fs(spark, dir).getFileStatus(versionFile(dir, v))
+      filesMemo.put(memoKey(dir, v),
+        FilesMemoEntry(st.getLen, st.getModificationTime, files))
+      ()
+    } catch { case _: java.io.IOException => () }
+
   private def resolveFiles(
       spark: SparkSession, dir: String, v: Long,
       headJson: Option[String]): Seq[String] = {
+    val key = memoKey(dir, v)
+    val st =
+      try Some(fs(spark, dir).getFileStatus(versionFile(dir, v)))
+      catch { case _: java.io.IOException => None }
+    st.foreach { s =>
+      val hit = filesMemo.get(key)
+      if (hit != null && hit.len == s.getLen &&
+          hit.mtime == s.getModificationTime)
+        return hit.files
+    }
     var attempt = 0
     while (true) {
-      try return resolveFilesOnce(
-        spark, dir, v, if (attempt == 0) headJson else None)
-      catch {
+      try {
+        val out = resolveFilesOnce(
+          spark, dir, v, if (attempt == 0) headJson else None)
+        st.foreach(s => filesMemo.put(key,
+          FilesMemoEntry(s.getLen, s.getModificationTime, out)))
+        return out
+      } catch {
         case _: Exception
             if attempt < 2 && fs(spark, dir).exists(versionFile(dir, v)) =>
           attempt += 1
@@ -1259,6 +1319,10 @@ object Versioned {
     val out = f.create(tmp, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
     publishOnce(f, tmp, versionFile(dir, v))
+    // prime the resolved-files memo with the list this commit just
+    // published: the NEXT commit's predecessor resolution becomes a
+    // memo hit instead of a checkpoint-sidecar re-read
+    primeFilesMemo(spark, dir, v, files)
     Some(v)
   }
 

@@ -1351,8 +1351,11 @@ class VersionedSpec extends SparkSpec {
     (1 to 5).foreach(i =>
       Versioned.append(Seq((i.toLong, s"r$i")).toDF("id", "s").repartition(1), dir))
     val v3Files = Versioned.filesAt(spark, dir, 3L)
-    // truncate v1-v2 with NO sidecar: v5 exists but cannot resolve → loud
+    // truncate v1-v2 with NO sidecar: v5 exists but cannot resolve → loud.
+    // A WARM driver would serve v5's memoized (immutable, still-correct)
+    // list — the refusal contract is for COLD resolution, so drop the memo
     (1L to 2L).foreach(v => assert(logEntry(dir, v).delete()))
+    Versioned.clearFilesMemo()
     val e = intercept[IllegalArgumentException] { Versioned.filesAt(spark, dir, 5L) }
     assert(e.getMessage.contains("truncated"), e.getMessage)
     // vacuum's sidecar appears (post-commit state of v3) → same walk succeeds
