@@ -1013,6 +1013,68 @@ object VersionedQueries {
       |FROM ev WHERE user_id % 3 <> 0
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // X — hive-partitioned CONVERT under the oracle gate: the
+  // pre-migration state of a DATE-PARTITIONED lake (Spark partitionBy
+  // layout — partition values in directory names, NOT in the files) is
+  // registered in place, so the partition column only exists through
+  // the path-injection read. The query then exercises every composed
+  // surface on it: an append (materialized column, mixed snapshot), a
+  // partition-predicate DELETE (the injected column drives the
+  // rewrite), zone stats over path values, and a zone-bounded read.
+  // The oracle replays the whole lifecycle relationally from events.
+  def convertHive(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_id") % 11 === 5)
+      .withColumn("bucket", (col("user_id") % 4).cast("int"))
+      .withColumn("value_c", floor(col("value") * 100).cast("long"))
+      .select("bucket", "event_id", "event_type", "value_c")
+    val raw = scratchDir("graft_xconverthive")
+    ev.repartition(2).write.partitionBy("bucket")
+      .mode("overwrite").parquet(raw)
+    s.sql(s"CONVERT TO GRAFT parquet.`$raw`")                       // v1
+    Versioned.append(                                               // v2
+      ev.filter(col("bucket") === 1)
+        .withColumn("event_id", col("event_id") + 1000000000L)
+        .select("bucket", "event_id", "event_type", "value_c"), raw)
+    val v3 = Versioned.deleteWhere(s, raw,                          // v3
+      col("bucket") === 2 && col("value_c") % 2 === 0).getOrElse(2L)
+    Versioned.writeZoneMap(s, raw, v3, "bucket")
+    val zoned = Versioned.readWhere(s, raw, v3, "bucket", 1L, 1L)   // pruned read
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+      .withColumn("kind", lit("zoned_b1"))
+    val full = Versioned.read(s, raw)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+      .withColumn("kind", lit("all"))
+    full.unionByName(zoned)
+      .select("kind", "event_type", "n", "sum_c")
+      .orderBy("kind", "event_type")
+  }
+
+  val convertHiveSql: String =
+    """WITH ev AS (SELECT CAST(user_id % 4 AS INT) AS bucket, event_id,
+      |                   event_type,
+      |                   CAST(floor(value * 100) AS BIGINT) AS value_c
+      |            FROM events WHERE event_id % 11 = 5),
+      |appended AS (
+      |  SELECT bucket, event_id + 1000000000 AS event_id, event_type, value_c
+      |  FROM ev WHERE bucket = 1),
+      |snap AS (
+      |  SELECT * FROM (SELECT bucket, event_id, event_type, value_c FROM ev
+      |                 UNION ALL SELECT * FROM appended)
+      |  WHERE NOT (bucket = 2 AND value_c % 2 = 0)),
+      |u AS (
+      |  SELECT 'all' AS kind, event_type, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(value_c) AS BIGINT) AS sum_c
+      |  FROM snap GROUP BY event_type
+      |  UNION ALL
+      |  SELECT 'zoned_b1', event_type, CAST(count(*) AS BIGINT),
+      |         CAST(sum(value_c) AS BIGINT)
+      |  FROM snap WHERE bucket = 1 GROUP BY event_type)
+      |SELECT kind, event_type, n, sum_c FROM u
+      |ORDER BY kind, event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("x_sql_timetravel", sqlTimeTravel, Some(sqlTimeTravelSql)),
     QueryDef("x_sql_catalog", sqlCatalog, Some(sqlCatalogSql)),
@@ -1025,6 +1087,7 @@ object VersionedQueries {
     QueryDef("x_clone_asof", cloneAsOf, Some(cloneAsOfSql)),
     QueryDef("x_sql_maintenance", sqlMaintenance, Some(sqlMaintenanceSql)),
     QueryDef("x_convert", convertInPlace, Some(convertInPlaceSql)),
+    QueryDef("x_convert_hive", convertHive, Some(convertHiveSql)),
     QueryDef("m5_versioned_merge", versionedMerge, Some(versionedMergeSql)),
     QueryDef("m9_condput_merge", versionedMergeCondPut, Some(versionedMergeSql)),
     QueryDef("m10_sql_merge", versionedMergeSqlText, Some(versionedMergeSql)),

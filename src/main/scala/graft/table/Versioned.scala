@@ -91,10 +91,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Streams and buckets cover the remaining classical uses: ingestion
   * time-bucketing falls out of append-per-batch file sets (the log IS
   * the time index — [[readAsOf]], [[changes]]), and join co-location
-  * is `graft.table.Bucketed`'s hash layout. A hive-layout reader/
-  * writer could be added behind [[LogStore]]-style seams without
-  * touching commit logic, but at the 100 TB design point clustering
-  * dominates; this scaladoc is the explicit record of that decision.
+  * is `graft.table.Bucketed`'s hash layout.
+  *
+  * The one classical use the stance does NOT cover is MIGRATION: a
+  * pre-existing date-partitioned lake should not need a 100 TB
+  * rewrite to adopt the log. [[convert]] therefore registers a
+  * single-level hive layout (`col=val/part.parquet`) IN PLACE — the
+  * partition column is marked in the committed schema
+  * ([[HivePartKey]]) and reads inject its value from the file path
+  * (see the hive-layout section below), zone maps stat path values so
+  * the partition column prunes like any zoned column, and every NEW
+  * file the engine writes materializes the column into the data —
+  * the table migrates toward the clustered layout one rewrite at a
+  * time, with OPTIMIZE completing it in one step. The engine never
+  * WRITES hive layout; the stance above is why.
   */
 object Versioned {
 
@@ -486,22 +496,100 @@ object Versioned {
       case None => df
     }
 
+  // ---- hive-layout migration bridge (path-valued partition column) ----
+  //
+  // A table CONVERTed from a single-level hive-partitioned directory
+  // (`<col>=<val>/part-*.parquet`) keeps its files IN PLACE — zero
+  // bytes copied, the directory contract external readers rely on
+  // intact. Those files do not physically store the partition column;
+  // its value lives in the path. The committed schema marks the field
+  // with metadata key [[HivePartKey]], and [[readRaw]] injects the
+  // value as `coalesce(stored, parsed-from-file-path)` — ONE scan
+  // relation, so `_metadata` row positions (DVs), merge's touched-file
+  // discovery, and the CDF diff all work unchanged. Files the engine
+  // writes later (appends, merge/update/delete rewrites, OPTIMIZE)
+  // land in `d-*` dirs with the column MATERIALIZED in the data, so a
+  // converted table migrates toward the engine's zone-mapped layout
+  // one rewrite at a time; `coalesce` prefers the stored value and the
+  // path parse yields NULL outside `<col>=` dirs, so mixed snapshots
+  // compose exactly. Pruning on the partition column is the normal
+  // zone-map story — [[writeZoneMaps]] stats path values too (see
+  // `ZoneMaps.compute`'s `hive` parameter), so CONVERT + one stat-only
+  // sidecar gives partition pruning with zero rewrites.
+
+  private[graft] val HivePartKey = "graft.hivepart"
+
+  private[graft] def hiveFieldOf(
+      s: Option[org.apache.spark.sql.types.StructType]):
+      Option[org.apache.spark.sql.types.StructField] =
+    s.flatMap(_.fields.find(_.metadata.contains(HivePartKey)))
+
+  /** True iff the schema carries a hive-converted partition column
+    * (whose values some files resolve from their paths) — such
+    * snapshots need the injecting scan, not a bare parquet read.
+    */
+  def hasHivePartition(s: org.apache.spark.sql.types.StructType): Boolean =
+    hiveFieldOf(Some(s)).isDefined
+
+  /** The partition value a file path implies for hive column `name`:
+    * parses `/<name>=<val>/`, decodes hive's percent-escapes, maps the
+    * `__HIVE_DEFAULT_PARTITION__` sentinel (and paths with no such
+    * segment — every engine-written `d-*` file) to NULL, and casts to
+    * the column's committed type.
+    */
+  private[graft] def hivePathValue(
+      name: String, fileCol: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, regexp_extract, url_decode, when}
+    val raw = regexp_extract(
+      fileCol, "/" + java.util.regex.Pattern.quote(name) + "=([^/]+)/", 1)
+    when(raw === "" || raw === "__HIVE_DEFAULT_PARTITION__", lit(null))
+      .otherwise(url_decode(raw))
+      .cast(dt)
+  }
+
+  /** Injects the hive partition column over a scan of `files` (stored
+    * value first, path value where the file predates conversion).
+    * `fileCol` must resolve against `df` — `_metadata.file_path` on
+    * snapshot scans, `input_file_name()` on plain reads.
+    */
+  private def injectHive(
+      df: DataFrame, f: org.apache.spark.sql.types.StructField,
+      fileCol: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col}
+    val path = hivePathValue(f.name, fileCol, f.dataType)
+    if (df.columns.contains(f.name))
+      df.withColumn(f.name, coalesce(col(f.name), path))
+    else df.withColumn(f.name, path)
+  }
+
   private def readRaw(
       spark: SparkSession, dir: String,
       schema: Option[org.apache.spark.sql.types.StructType],
-      files: Seq[String]): DataFrame = schema match {
-    case Some(s) if hasColumnMapping(s) =>
-      // read under the PHYSICAL names the files store, then project
-      // back to the logical names everything downstream uses. The
-      // projection is name-only, so `_metadata` (row positions, file
-      // paths) still resolves through it for the DV and discovery scans
-      import org.apache.spark.sql.functions.col
-      spark.read.schema(physicalSchema(s))
-        .parquet(files.map(dataPathStr(dir, _)): _*)
-        .select(s.fields.toSeq.map(f => col(physicalName(f)).as(f.name)): _*)
-    case Some(s) =>
-      spark.read.schema(s).parquet(files.map(dataPathStr(dir, _)): _*)
-    case None => spark.read.parquet(files.map(dataPathStr(dir, _)): _*)
+      files: Seq[String]): DataFrame = {
+    val base = schema match {
+      case Some(s) if hasColumnMapping(s) =>
+        // read under the PHYSICAL names the files store, then project
+        // back to the logical names everything downstream uses. The
+        // projection is name-only, so `_metadata` (row positions, file
+        // paths) still resolves through it for the DV and discovery scans
+        import org.apache.spark.sql.functions.col
+        spark.read.schema(physicalSchema(s))
+          .parquet(files.map(dataPathStr(dir, _)): _*)
+          .select(s.fields.toSeq.map(f => col(physicalName(f)).as(f.name)): _*)
+      case Some(s) =>
+        spark.read.schema(s).parquet(files.map(dataPathStr(dir, _)): _*)
+      case None => spark.read.parquet(files.map(dataPathStr(dir, _)): _*)
+    }
+    hiveFieldOf(schema) match {
+      case Some(hf) =>
+        // `_metadata` stays resolvable through this projection (same
+        // propagation the mapped branch above relies on), so DV
+        // application downstream is unaffected
+        import org.apache.spark.sql.functions.col
+        injectHive(base, hf, col("_metadata.file_path"))
+      case None => base
+    }
   }
 
   /** Subtracts a snapshot's deletion vectors from a raw file scan: an
@@ -962,6 +1050,10 @@ object Versioned {
         s"no column $oldName at $dir (${schema.fieldNames.mkString(", ")})"))
     require(!schema.fields.exists(_.name.equalsIgnoreCase(newName)),
       s"column $newName already exists at $dir")
+    require(!field.metadata.contains(HivePartKey),
+      s"cannot RENAME the hive partition column ${field.name} at $dir — " +
+        "converted files resolve its values from their directory names; " +
+        "rewrite the table (OPTIMIZE) to materialize the column first")
     val renamed = org.apache.spark.sql.types.StructType(schema.fields.map { f =>
       if (f eq field)
         f.copy(name = newName,
@@ -1000,6 +1092,10 @@ object Versioned {
         s"no column $name at $dir (${schema.fieldNames.mkString(", ")})"))
     require(schema.fields.length > 1,
       s"cannot drop the only column of $dir")
+    require(!field.metadata.contains(HivePartKey),
+      s"cannot DROP the hive partition column ${field.name} at $dir — " +
+        "dropping the directory-derived column would orphan the " +
+        "converted layout; rewrite the table (OPTIMIZE) first")
     val dropped = org.apache.spark.sql.types.StructType(
       schema.fields.filterNot(_ eq field))
     requireConstrainedColsPresent(spark, constraintsAt(spark, dir, head),
@@ -1641,13 +1737,25 @@ object Versioned {
     // loader registering many batches passes the schema it wrote with
     // (`knownSchema`) and pays zero jobs; parquet read-time projection
     // still fails loudly on a lying schema when the rows are read
-    val df = knownSchema match {
+    val df0 = knownSchema match {
       case Some(sch) =>
         spark.read.schema(sch).parquet(relFiles.map(rel => s"$dir/$rel"): _*)
       case None => spark.read.parquet(relFiles.map(rel => s"$dir/$rel"): _*)
     }
+    // on a hive-converted table, files landed under `<col>=<val>/`
+    // need not store the partition column — the ongoing-migration
+    // pattern (land tomorrow's partition dir, register it): inject the
+    // path value so schema enforcement and constraint validation see
+    // the full column set, exactly as every read will
+    val head00 = currentVersion(spark, dir)
+    val df = hiveFieldOf(head00.flatMap(schemaAt(spark, dir, _))) match {
+      case Some(hf) if !df0.columns.contains(hf.name) &&
+          relFiles.forall(_.startsWith(s"${hf.name}=")) =>
+        injectHive(df0, hf, org.apache.spark.sql.functions.input_file_name())
+      case _ => df0
+    }
     val validate = validatorFor(spark, dir, df)
-    val head0 = currentVersion(spark, dir)
+    val head0 = head00
     validate(head0, head0.map(constraintsAt(spark, dir, _)).getOrElse(Map.empty))
     val physFor = physPlanFor(spark, dir, head0, df)
     require(physFor.forall(kv => kv._1 == kv._2),
@@ -1721,14 +1829,55 @@ object Versioned {
         require(rel.endsWith(".parquet"),
           s"convert: non-parquet data file under $dir: $rel — convert " +
             "registers parquet only; remove or rewrite the file first")
-        require(!segs.exists(_.contains("=")),
-          s"convert: hive-partitioned layout under $dir ($rel) — the " +
-            "partition values live in directory names, not the files; " +
-            "rewrite through append() instead of converting in place")
         rels += rel
       }
     }
     require(rels.nonEmpty, s"convert: no parquet files under $dir")
+    // single-level hive layout (`col=val/part.parquet`) converts IN
+    // PLACE: files register where they sit (exactly the two-segment
+    // identity shape), the partition column is marked [[HivePartKey]]
+    // in the committed schema, and reads inject its value from the
+    // path. Deeper or mixed partition nesting is refused — multi-level
+    // layouts break the engine-wide two-segment file identity; rewrite
+    // through append() (the engine's clustering + zone maps replace
+    // composite partitioning).
+    val hiveRe = "^([^=/]+)=([^/]*)$".r
+    val hiveCols = rels.map(_.split("/")(0)).collect {
+      case hiveRe(c, _) => c }.distinct
+    if (hiveCols.nonEmpty) {
+      require(hiveCols.size == 1,
+        s"convert: multiple hive partition columns at the top level of " +
+          s"$dir (${hiveCols.mkString(", ")}) — inconsistent layout")
+      val pcol = hiveCols.head
+      val bad = rels.filterNot { r =>
+        val segs = r.split("/")
+        segs.length == 2 && segs(0).startsWith(s"$pcol=")
+      }
+      require(bad.isEmpty,
+        s"convert: mixed or multi-level hive layout under $dir " +
+          s"(${bad.take(3).mkString(", ")}) — only a single-level " +
+          s"`$pcol=<val>/` layout converts in place; rewrite deeper " +
+          "nesting through append() and use OPTIMIZE ZORDER BY for " +
+          "composite pruning")
+      // partition discovery (NOT recursive lookup) infers the
+      // partition column's name and type exactly as Spark would serve
+      // the directory today — the conversion changes how the values
+      // are resolved, never what they are
+      val discovered = knownSchema.getOrElse(spark.read.parquet(dir).schema)
+      require(discovered.fieldNames.contains(pcol),
+        s"convert: partition column $pcol absent from the " +
+          s"${if (knownSchema.isDefined) "provided" else "discovered"} " +
+          s"schema of $dir")
+      val marked = org.apache.spark.sql.types.StructType(
+        discovered.fields.map { fl =>
+          if (fl.name == pcol)
+            fl.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(fl.metadata).putBoolean(HivePartKey, true).build())
+          else fl
+        })
+      return commitAttempt(spark, dir, "convert",
+        _ => marked.json, None, _ => rels.toSeq.sorted).get
+    }
     val flat = rels.filter(!_.contains("/"))
     val moved: Seq[String] =
       if (flat.isEmpty) rels.toSeq
@@ -2525,7 +2674,8 @@ object Versioned {
     val sch = schemaAt(spark, dir, v)
     val physCols = zoneCols.map(physicalOf(sch, _))
     val json = ZoneMaps.blocksJson(physCols,
-      ZoneMaps.compute(spark, dir, files, physCols, sch.map(physicalSchema)))
+      ZoneMaps.compute(spark, dir, files, physCols, sch.map(physicalSchema),
+        hiveFieldOf(sch)))
     val f = fs(spark, dir)
     val tmp = new Path(logPath(dir), s".v$v.zones.tmp")
     val out = f.create(tmp, true)
@@ -3246,7 +3396,8 @@ object Versioned {
     val newCols = cols.map(_._2)
     val freshStats =
       if (toStat.isEmpty) Map.empty[String, ZoneMaps.Zones]
-      else ZoneMaps.compute(spark, dir, toStat, newCols, schema.map(physicalSchema))
+      else ZoneMaps.compute(spark, dir, toStat, newCols,
+        schema.map(physicalSchema), hiveFieldOf(schema))
     val merged = newCols.map { c =>
       c -> (carried(c) ++ freshStats.getOrElse(c, Seq.empty)).sortBy(_._1)
     }.toMap
@@ -3935,6 +4086,31 @@ object Versioned {
           if (fileSt.getPath.getName.endsWith(".parquet") && !live.contains(rel))
             rm(fileSt.getPath, false)
         }
+      }
+    // hive partition dirs (a CONVERTed table's original layout) are
+    // SHARED across commits and external landings, never per-write —
+    // so ALWAYS per-file, and every unreferenced file keeps the age
+    // guard (tomorrow's partition may have landed but not yet been
+    // addFiles'd). Files a dropped version referenced sweep by the
+    // log's word like d-* contents; a dir left empty is removed (it
+    // carried values only for files that no longer exist).
+    f.listStatus(new Path(dir)).toSeq
+      .filter(st => st.isDirectory && {
+        val n = st.getPath.getName
+        n.contains("=") && !n.startsWith("_") && !n.startsWith(".")
+      })
+      .foreach { st =>
+        val d = st.getPath.getName
+        f.listStatus(st.getPath).toSeq.foreach { fileSt =>
+          val rel = s"$d/${fileSt.getPath.getName}"
+          val dead = fileSt.getPath.getName.endsWith(".parquet") &&
+            !live.contains(rel) &&
+            (everReferenced.contains(rel) ||
+              fileSt.getModificationTime < cutoff)
+          if (dead) rm(fileSt.getPath, false)
+        }
+        if (!dryRun && f.listStatus(st.getPath).isEmpty)
+          f.delete(st.getPath, false)
       }
     deleted.toSeq
   }

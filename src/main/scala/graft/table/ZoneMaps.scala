@@ -36,8 +36,9 @@ private[graft] object ZoneMaps {
   def compute(
       spark: SparkSession, base: String, relFiles: Seq[String],
       colsRequested: Seq[String],
-      schema: Option[org.apache.spark.sql.types.StructType] = None): Map[String, Zones] = {
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min, unix_date}
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      hive: Option[org.apache.spark.sql.types.StructField] = None): Map[String, Zones] = {
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, max, min, unix_date}
     require(colsRequested.nonEmpty, "at least one zone column")
     val cols = schema match {
       case Some(s) => colsRequested.filter(s.fieldNames.contains)
@@ -46,7 +47,17 @@ private[graft] object ZoneMaps {
     if (relFiles.isEmpty || cols.isEmpty)
       return colsRequested.map(_ -> Seq.empty[(String, Long, Long)]).toMap
     val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
-    val scan = reader.parquet(relFiles.map(Versioned.dataPathStr(base, _)): _*)
+    val scan0 = reader.parquet(relFiles.map(Versioned.dataPathStr(base, _)): _*)
+    // hive-converted files store the partition column in the PATH, not
+    // the footer: stat the path-derived value (else every converted
+    // file records the all-NULL sentinel and a zoned read on the
+    // partition column would WRONGLY skip it)
+    val scan = hive match {
+      case Some(hf) if scan0.columns.contains(hf.name) =>
+        scan0.withColumn(hf.name, coalesce(col(hf.name),
+          Versioned.hivePathValue(hf.name, input_file_name(), hf.dataType)))
+      case _ => scan0
+    }
     // per-type long-domain stat expression: integral/timestamp via the
     // long cast (timestamps truncate to epoch SECONDS), dates as epoch
     // DAYS (Spark 4 refuses date→long casts), short decimals as their

@@ -178,7 +178,8 @@ final class VersionedBatchTable(
     val v = version.getOrElse(throw new IllegalArgumentException(
       s"no committed versions at $dir — nothing to read"))
     val dvs = Versioned.dvsAt(spark, dir, v)
-    if (dvs.isEmpty && !Versioned.hasColumnMapping(schema()))
+    if (dvs.isEmpty && !Versioned.hasColumnMapping(schema()) &&
+        !Versioned.hasHivePartition(schema()))
       // fast path: the snapshot IS its parquet files — hand Spark's own
       // parquet scan builder the exact live-file index and get the
       // native vectorized scan + pushdown machinery unchanged; the

@@ -101,7 +101,7 @@ class MaintenanceDdlSpec extends SparkSpec {
     assert(e.getMessage.contains("already a versioned table"))
   }
 
-  test("CONVERT keeps nested layouts in place; refuses hive partitions and strays") {
+  test("CONVERT keeps nested layouts in place; converts single-level hive; refuses strays") {
     val dir = tmpDir("ddl_conv_nest")
     (1 to 6).map(i => (i, i)).toDF("id", "x")
       .write.parquet(s"$dir/batch-a")
@@ -113,11 +113,15 @@ class MaintenanceDdlSpec extends SparkSpec {
       s"nested files must stay where they are, got $files")
     assert(Versioned.read(spark, dir).count() == 9L)
 
+    // single-level hive layouts convert IN PLACE since the migration
+    // bridge landed (HivePartitionSpec covers the full surface)
     val hive = tmpDir("ddl_conv_hive")
     (1 to 6).map(i => (i, i % 2)).toDF("id", "p")
       .write.mode("overwrite").partitionBy("p").parquet(hive)
-    val e = intercept[IllegalArgumentException](Versioned.convert(spark, hive))
-    assert(e.getMessage.contains("hive-partitioned"))
+    Versioned.convert(spark, hive)
+    assert(Versioned.read(spark, hive).count() == 6L)
+    assert(Versioned.read(spark, hive)
+      .filter(col("p") === 1).count() == 3L)
 
     val stray = tmpDir("ddl_conv_stray")
     Seq((1, "a")).toDF("id", "s").write.mode("overwrite").parquet(stray)
