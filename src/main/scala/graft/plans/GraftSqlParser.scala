@@ -48,6 +48,8 @@ final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftSqlParser.parseClone(sqlText, delegate)
       .orElse(GraftSqlParser.parseMaintenance(sqlText, delegate))
+      .orElse(GraftSqlParser.parseAlterConstraint(sqlText, delegate))
+      .orElse(GraftSqlParser.parseCopyInto(sqlText, delegate))
       .getOrElse {
         GraftSqlParser.refuseUnsupportedClone(sqlText)
         delegate.parsePlan(sqlText)
@@ -193,6 +195,96 @@ object GraftSqlParser {
           "is a GraftCatalog name or `graft-versioned`.`/table/dir` " +
           "(no OR REPLACE, LOCATION, TBLPROPERTIES, or subquery sources); " +
           s"got: ${sqlText.trim.take(200)}")
+  }
+
+  // ---- Delta's constraint DDL ----
+  //
+  // ALTER TABLE t ADD CONSTRAINT name CHECK (expr)
+  // ALTER TABLE t DROP CONSTRAINT name
+  //
+  // ALTER TABLE IS a valid Spark statement lead, so (unlike the
+  // maintenance keywords) an unmatched statement always DELEGATES —
+  // Spark's own ALTER TABLE grammar (add/drop/rename column, set
+  // properties, ...) must keep working. Only the exact two-production
+  // constraint shape is intercepted; the name charset is the engine's
+  // log-safe constraint grammar, so anything Spark-side (quoted or
+  // exotic names) falls through to Spark's error rather than being
+  // half-claimed here.
+
+  private val AddConstraintStmt =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+CONSTRAINT\s+""" +
+      """([A-Za-z0-9_-]+)\s+CHECK\s*\((.+)\)\s*;?\s*$""").r
+  private val DropConstraintStmt =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+CONSTRAINT\s+([A-Za-z0-9_-]+)\s*;?\s*$""".r
+
+  private[graft] def parseAlterConstraint(
+      sqlText: String, delegate: ParserInterface): Option[LogicalPlan] = {
+    def ident(s: String): Option[Seq[String]] =
+      if (!cleanIdent(s)) None
+      else Try(delegate.parseMultipartIdentifier(s)).toOption
+    sqlText match {
+      case AddConstraintStmt(tbl, name, cond) =>
+        for {
+          parts <- ident(tbl)
+          // the expression must be Spark-parseable NOW — a shape that
+          // matched but carries a broken expression is OUR statement
+          // with a bad expression, not Spark's, so let the delegate's
+          // ParseException surface from the command at run time; here
+          // we only refuse claiming statements whose TABLE slice is
+          // not an identifier (those delegate)
+        } yield GraftAddConstraintCommand(parts, name, cond.trim)
+      case DropConstraintStmt(tbl, name) =>
+        ident(tbl).map(GraftDropConstraintCommand(_, name))
+      case _ => None
+    }
+  }
+
+  // ---- COPY INTO (Databricks' idempotent bulk-load statement) ----
+  //
+  // COPY INTO t FROM '/src/dir' FILEFORMAT = PARQUET|CSV|JSON
+  //   [FORMAT_OPTIONS ('k' = 'v', ...)] [COPY_OPTIONS ('force' = 'true')]
+  //
+  // COPY does not begin any valid Spark statement, so interception by
+  // leading keyword has no false-positive surface; a statement that
+  // LEADS with COPY but fails the grammar is refused loudly with the
+  // supported form named (same policy as the maintenance keywords).
+
+  private val CopyIntoStmt =
+    ("""(?is)^\s*COPY\s+INTO\s+(.+?)\s+FROM\s+'([^']+)'\s+""" +
+      """FILEFORMAT\s*=\s*([A-Za-z]+)""" +
+      """(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?""" +
+      """(?:\s+COPY_OPTIONS\s*\(([^)]*)\))?\s*;?\s*$""").r
+
+  private val OptionPair = """'([^']*)'\s*=\s*'([^']*)'""".r
+
+  private def parseOptionList(s: String): Map[String, String] =
+    if (s == null || s.trim.isEmpty) Map.empty
+    else OptionPair.findAllMatchIn(s).map(m => m.group(1) -> m.group(2)).toMap
+
+  private[graft] def parseCopyInto(
+      sqlText: String, delegate: ParserInterface): Option[LogicalPlan] = {
+    val parsed: Option[LogicalPlan] = sqlText match {
+      case CopyIntoStmt(tbl, src, fmt, fmtOpts, copyOpts)
+          if cleanIdent(tbl) &&
+            Seq("parquet", "csv", "json").contains(fmt.toLowerCase(java.util.Locale.ROOT)) =>
+        Try(delegate.parseMultipartIdentifier(tbl)).toOption.map { parts =>
+          GraftCopyIntoCommand(parts, src,
+            fmt.toLowerCase(java.util.Locale.ROOT),
+            parseOptionList(fmtOpts), parseOptionList(copyOpts))
+        }
+      case _ => None
+    }
+    if (parsed.isEmpty) {
+      """(?is)^\s*COPY\b""".r.findFirstIn(sqlText).foreach { _ =>
+        throw new IllegalArgumentException(
+          "unsupported COPY statement — supported grammar: " +
+            "COPY INTO t FROM '/src/path' FILEFORMAT = {PARQUET|CSV|JSON} " +
+            "[FORMAT_OPTIONS ('k' = 'v', ...)] " +
+            "[COPY_OPTIONS ('force' = 'true')] — where t is a GraftCatalog " +
+            s"name or `graft-versioned`.`/table/dir`; got: ${sqlText.trim.take(200)}")
+      }
+    }
+    parsed
   }
 }
 
@@ -372,4 +464,78 @@ final case class GraftDescribeHistoryCommand(tableParts: Seq[String])
 
   override def simpleString(maxFields: Int): String =
     s"GraftDescribeHistoryCommand ${tableParts.mkString(".")}"
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` — Delta's
+  * constraint DDL over [[Versioned.addConstraint]]: the CURRENT
+  * snapshot is validated first (a constraint the table already
+  * violates is refused), then the named CHECK commits to the log and
+  * every subsequent append/merge/update enforces it. Same path as
+  * `CALL system.add_constraint`. Returns the committed version.
+  */
+final case class GraftAddConstraintCommand(
+    tableParts: Seq[String], name: String, condSql: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftDdl.dirOf(spark, tableParts, "ALTER TABLE ADD CONSTRAINT")
+    Seq(Row(Versioned.addConstraint(spark, dir, name, condSql)))
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftAddConstraintCommand ${tableParts.mkString(".")} $name CHECK ($condSql)"
+}
+
+/** `ALTER TABLE t DROP CONSTRAINT name` — drops the named CHECK
+  * constraint ([[Versioned.dropConstraint]]). Returns the committed
+  * version.
+  */
+final case class GraftDropConstraintCommand(
+    tableParts: Seq[String], name: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftDdl.dirOf(spark, tableParts, "ALTER TABLE DROP CONSTRAINT")
+    Seq(Row(Versioned.dropConstraint(spark, dir, name)))
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftDropConstraintCommand ${tableParts.mkString(".")} $name"
+}
+
+/** `COPY INTO t FROM '/src' FILEFORMAT = fmt [FORMAT_OPTIONS (...)]
+  * [COPY_OPTIONS ('force' = 'true')]` — Databricks' idempotent
+  * bulk-load statement over [[Versioned.copyInto]]: source files
+  * already loaded into the table (identity path|length, recorded in
+  * the commit log) are skipped, so re-running the statement after a
+  * partial failure or on a growing landing directory loads exactly
+  * the new files. `force` reloads everything regardless. Returns
+  * (version, num_loaded_files) — the Databricks result-shape analog.
+  */
+final case class GraftCopyIntoCommand(
+    tableParts: Seq[String], srcPath: String, format: String,
+    formatOptions: Map[String, String], copyOptions: Map[String, String])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_loaded_files", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftDdl.dirOf(spark, tableParts, "COPY INTO")
+    val force = copyOptions.get("force").exists(_.equalsIgnoreCase("true"))
+    val unknown = copyOptions.keySet - "force"
+    require(unknown.isEmpty,
+      s"unsupported COPY_OPTIONS: ${unknown.mkString(", ")} (supported: force)")
+    val (v, n) = Versioned.copyInto(spark, dir, srcPath, format, formatOptions, force)
+    Seq(Row(v, n))
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftCopyIntoCommand ${tableParts.mkString(".")} <- $srcPath ($format)"
 }

@@ -1075,6 +1075,126 @@ object VersionedQueries {
       |SELECT kind, event_type, n, sum_c FROM u
       |ORDER BY kind, event_type""".stripMargin
 
+  // X — COPY INTO under the oracle gate: the idempotent bulk-load
+  // lifecycle every landing-zone ingestion runs — a seed append, a
+  // glob COPY of two landed batches, a literal RE-RUN of the same
+  // statement (must load zero files — if load tracking broke, the
+  // doubled rows hash-mismatch), a third batch landing, and a final
+  // COPY that picks up exactly the new files. The oracle replays the
+  // four slices relationally; the statement-level result rows
+  // (num_loaded_files per run: 2, 0, 1) are folded into the output so
+  // the tracking itself is hash-checked, not just the end content.
+  def copyIntoLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("value_c", floor(col("value") * 100).cast("long"))
+      .select("event_id", "user_id", "event_type", "value_c")
+      .filter(col("event_id") % 7 === 3)
+    val tbl = scratchDir("graft_xcopy_tbl")
+    val land = scratchDir("graft_xcopy_land")
+    def slice(m: Long) = ev.filter(col("event_id") % 4 === m)
+    Versioned.append(slice(0), tbl)                               // v1 seed
+    slice(1).coalesce(1).write.mode("overwrite").parquet(s"$land/b1")
+    slice(2).coalesce(1).write.mode("overwrite").parquet(s"$land/b2")
+    val stmt = s"COPY INTO `graft-versioned`.`$tbl` FROM '$land/b*' " +
+      "FILEFORMAT = PARQUET"
+    val loads = collection.mutable.ArrayBuffer[Long]()
+    loads += s.sql(stmt).select("num_loaded_files").first().getLong(0) // 2
+    loads += s.sql(stmt).select("num_loaded_files").first().getLong(0) // 0: no-op
+    slice(3).coalesce(1).write.mode("overwrite").parquet(s"$land/b3")
+    loads += s.sql(stmt).select("num_loaded_files").first().getLong(0) // 1: new only
+    val content = Versioned.read(s, tbl).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+      .select(lit("content").as("kind"), col("event_type").as("k"),
+        col("n"), col("sum_c"))
+    import s.implicits._
+    val tracking = loads.toSeq.zipWithIndex
+      .map { case (n, i) => ("loaded", s"run${i + 1}", n, -1L) }
+      .toDF("kind", "k", "n", "sum_c")
+    content.unionByName(tracking).orderBy("kind", "k")
+  }
+
+  val copyIntoLifecycleSql: String =
+    """WITH ev AS (SELECT event_id, event_type,
+      |                   CAST(floor(value * 100) AS BIGINT) AS value_c
+      |            FROM events WHERE event_id % 7 = 3),
+      |u AS (
+      |  SELECT 'content' AS kind, event_type AS k,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(value_c) AS BIGINT) AS sum_c
+      |  FROM ev GROUP BY event_type
+      |  UNION ALL
+      |  SELECT 'loaded', t.k, t.n, CAST(-1 AS BIGINT)
+      |  FROM (VALUES ('run1', CAST(2 AS BIGINT)), ('run2', CAST(0 AS BIGINT)),
+      |               ('run3', CAST(1 AS BIGINT))) t(k, n))
+      |SELECT kind, k, n, sum_c FROM u ORDER BY kind, k""".stripMargin
+
+  // X — constraint DDL as pure SQL: the storage-contract lifecycle —
+  // CREATE/INSERT build the table, ALTER TABLE ADD CONSTRAINT
+  // registers a CHECK the snapshot satisfies, a violating INSERT is
+  // REFUSED atomically (caught; the oracle proves zero rows of it
+  // landed), a passing INSERT commits under the constraint, DROP
+  // CONSTRAINT lifts it, and the once-refused rows then commit. The
+  // output folds the refusal observation in as a row, so the gate
+  // checks enforcement, not just the happy path.
+  def sqlConstraints(s: SparkSession, dir: String): DataFrame = {
+    val cat = s"graft_cons_${catalogSeq.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "org.apache.spark.sql.graft.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", scratchDir("graft_conswh"))
+    t(s, dir, "events")
+      .withColumn("value_c", floor(col("value") * 100).cast("long"))
+      .select("event_id", "user_id", "event_type", "value_c")
+      .filter(col("event_id") % 5 === 1)
+      .createOrReplaceTempView("graft_xcons_src")
+    val tbl = s"$cat.cons.events"
+    s.sql(s"CREATE NAMESPACE $cat.cons")
+    s.sql(s"CREATE TABLE $tbl (event_id BIGINT, user_id BIGINT, " +
+      "event_type STRING, value_c BIGINT)")                              // v1
+    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_xcons_src " +
+      "WHERE event_type <> 'view'")                                      // v2
+    s.sql(s"ALTER TABLE $tbl ADD CONSTRAINT no_views " +
+      "CHECK (event_type <> 'view')")                                    // v3
+    def mentions(e: Throwable, s0: String): Boolean =
+      e != null && (Option(e.getMessage).exists(_.contains(s0)) ||
+        mentions(e.getCause, s0))
+    val refused =
+      try { s.sql(s"INSERT INTO $tbl SELECT * FROM graft_xcons_src " +
+              "WHERE event_type = 'view'").collect(); 0L }
+      catch { case e: Exception if mentions(e, "no_views") => 1L }
+    s.sql(s"INSERT INTO $tbl SELECT event_id + 1000000000, user_id, " +
+      "event_type, value_c FROM graft_xcons_src " +
+      "WHERE event_type = 'purchase'")                                   // v4
+    s.sql(s"ALTER TABLE $tbl DROP CONSTRAINT no_views")                  // v5
+    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_xcons_src " +
+      "WHERE event_type = 'view'")                                       // v6
+    import s.implicits._
+    s.sql(s"""SELECT 'content' AS kind, event_type AS k,
+              |       CAST(count(*) AS BIGINT) AS n,
+              |       CAST(sum(value_c) AS BIGINT) AS sum_c
+              |FROM $tbl GROUP BY event_type""".stripMargin)
+      .unionByName(Seq(("refused", "insert_view", refused, -1L))
+        .toDF("kind", "k", "n", "sum_c"))
+      .orderBy("kind", "k")
+  }
+
+  val sqlConstraintsSql: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type,
+      |                   CAST(floor(value * 100) AS BIGINT) AS value_c
+      |            FROM events WHERE event_id % 5 = 1),
+      |final AS (
+      |  SELECT event_type, value_c FROM ev
+      |  UNION ALL
+      |  SELECT event_type, value_c FROM ev WHERE event_type = 'purchase'),
+      |u AS (
+      |  SELECT 'content' AS kind, event_type AS k,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(value_c) AS BIGINT) AS sum_c
+      |  FROM final GROUP BY event_type
+      |  UNION ALL
+      |  SELECT 'refused', 'insert_view', CAST(1 AS BIGINT),
+      |         CAST(-1 AS BIGINT))
+      |SELECT kind, k, n, sum_c FROM u ORDER BY kind, k""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("x_sql_timetravel", sqlTimeTravel, Some(sqlTimeTravelSql)),
     QueryDef("x_sql_catalog", sqlCatalog, Some(sqlCatalogSql)),
@@ -1088,6 +1208,8 @@ object VersionedQueries {
     QueryDef("x_sql_maintenance", sqlMaintenance, Some(sqlMaintenanceSql)),
     QueryDef("x_convert", convertInPlace, Some(convertInPlaceSql)),
     QueryDef("x_convert_hive", convertHive, Some(convertHiveSql)),
+    QueryDef("x_copy_into", copyIntoLifecycle, Some(copyIntoLifecycleSql)),
+    QueryDef("x_sql_constraints", sqlConstraints, Some(sqlConstraintsSql)),
     QueryDef("m5_versioned_merge", versionedMerge, Some(versionedMergeSql)),
     QueryDef("m9_condput_merge", versionedMergeCondPut, Some(versionedMergeSql)),
     QueryDef("m10_sql_merge", versionedMergeSqlText, Some(versionedMergeSql)),

@@ -978,7 +978,7 @@ object Versioned {
   private val ReservedLogKeys = Set(
     "version", "op", "ts", "schema", "txns", "constraints", "dvs", "dvfile",
     "files", "add", "remove", "ckptfile", "pairkeys", "droppedphys",
-    "clusteredidx")
+    "clusteredidx", "copyinto")
 
   /** Writer appIds share the commit JSON with the reserved keys (as
     * txn-map keys), so they get the same reservation check as
@@ -1208,7 +1208,8 @@ object Versioned {
       constraint: Option[(String, Option[String])] = None,
       preCommit: (Option[Long], Map[String, String]) => Unit = (_, _) => (),
       pairKeys: Seq[String] = Nil,
-      dropPhys: Seq[String] = Nil): Option[Long] = {
+      dropPhys: Seq[String] = Nil,
+      extraJson: String = ""): Option[Long] = {
     val f = fs(spark, dir)
     f.mkdirs(logPath(dir))
     val prev = currentVersion(spark, dir)
@@ -1407,7 +1408,7 @@ object Versioned {
       if (features.isEmpty) ""
       else s""","readerfeatures":[${features.map("\"" + _ + "\"").mkString(",")}]"""
     val json =
-      s"""{"version":$v,"op":"$op","ts":$ts,"schema":"$b64"$txnsJson$consJson$dvsJson$pairJson$droppedJson$featJson$clusteredJson,$actionsJson}"""
+      s"""{"version":$v,"op":"$op","ts":$ts,"schema":"$b64"$txnsJson$consJson$dvsJson$pairJson$droppedJson$featJson$clusteredJson$extraJson,$actionsJson}"""
     // per-attempt unique temp name: racing committers must never share
     // a temp file, or a loser's cleanup could delete the winner's
     // in-flight content
@@ -1451,7 +1452,8 @@ object Versioned {
       txn: Option[(String, Long)], filesFor: Seq[String] => Seq[String],
       maxAttempts: Int = 16,
       dvsFor: Map[String, Seq[Long]] => Map[String, Seq[Long]] = identity,
-      preCommit: (Option[Long], Map[String, String]) => Unit = (_, _) => ())
+      preCommit: (Option[Long], Map[String, String]) => Unit = (_, _) => (),
+      extraJson: String = "")
       : Option[Long] = {
     var attempt = 1
     while (true) {
@@ -1462,7 +1464,7 @@ object Versioned {
       // CAS and forces this recompute-retry
       try return commitAttempt(
         spark, dir, op, schemaJsonFor, txn, filesFor, dvsFor = dvsFor,
-        preCommit = preCommit)
+        preCommit = preCommit, extraJson = extraJson)
       catch {
         case e: CommitRace =>
           if (attempt >= maxAttempts) throw e
@@ -1667,7 +1669,17 @@ object Versioned {
     }
   }
 
-  def append(df: DataFrame, dir: String, mergeSchema: Boolean = false): Long = {
+  def append(df: DataFrame, dir: String, mergeSchema: Boolean = false): Long =
+    appendCommit(df, dir, mergeSchema, "", _ => ())
+
+  /** [[append]]'s body with the two seams [[copyInto]] needs: an extra
+    * commit-JSON fragment (the loaded-source registry) and an extra
+    * per-attempt guard running beside constraint validation (the
+    * concurrent-loader check). Public `append` passes no-ops.
+    */
+  private def appendCommit(
+      df: DataFrame, dir: String, mergeSchema: Boolean,
+      extraJson: String, extraGuard: Option[Long] => Unit): Long = {
     val spark = df.sparkSession
     val validate = validatorFor(spark, dir, df)
     // fast-fail BEFORE writing data files, pairing version and
@@ -1681,7 +1693,9 @@ object Versioned {
         org.apache.spark.sql.functions.col(c).as(physFor(c))): _*), dir)
     val v = commitRetry(spark, dir, "append",
       head => evolvedSchemaJson(spark, dir, head, df, mergeSchema, physFor),
-      None, prev => prev ++ fresh, preCommit = validate).get
+      None, prev => prev ++ fresh,
+      preCommit = (head, cons) => { validate(head, cons); extraGuard(head) },
+      extraJson = extraJson).get
     // a zoned table must not lose data skipping at every append: carry
     // the previous sidecar (kept files' stats verbatim) and stat only
     // the fresh files — O(batch), not O(table). Versions are dense, so
@@ -1689,6 +1703,128 @@ object Versioned {
     carryZones(spark, dir, v - 1, v,
       filesAt(spark, dir, v).toSet -- fresh.toSet, fresh)
     v
+  }
+
+  /** Source-file identities every retained commit loaded via
+    * [[copyInto]] — union of the per-commit `copyinto` registries.
+    * O(retained log entries) driver reads: COPY INTO is a rare batch
+    * command (contrast the per-commit hot paths, which stay bounded),
+    * and the registry's memory is exactly the log's — a load whose
+    * commit was vacuumed out of retention is forgotten, so re-copying
+    * its source file duplicates rows (Databricks' own retention bound
+    * on COPY INTO file-tracking metadata).
+    */
+  def copyIntoLoaded(spark: SparkSession, dir: String): Set[String] =
+    versions(spark, dir).iterator
+      .flatMap(v => copyIntoOf(snapshotJson(spark, dir, v)))
+      .toSet
+
+  private def copyIntoOf(json: String): Seq[String] =
+    json.split("\"copyinto\":\\[", 2) match {
+      case Array(_, rest) =>
+        val body = rest.split("]", 2)(0).trim
+        if (body.isEmpty) Seq.empty
+        else body.split(",").toSeq.map(e =>
+          new String(java.util.Base64.getDecoder.decode(
+            e.trim.stripPrefix("\"").stripSuffix("\"")), StandardCharsets.UTF_8))
+      case _ => Seq.empty
+    }
+
+  /** Databricks' `COPY INTO` semantics: idempotent file-level bulk
+    * load from a landing path into an EXISTING versioned table. Source
+    * files already loaded (identity = absolute path + length, recorded
+    * b64 in the loading commit's `copyinto` field) are skipped, so
+    * re-running after a partial failure, or on a landing directory
+    * that keeps growing, loads exactly the files not yet in the table;
+    * `force = true` reloads everything regardless. `srcPath` is a
+    * directory or a glob. CSV/JSON read under the TABLE's committed
+    * schema (plus `formatOptions`, e.g. `header`); parquet columns are
+    * aligned to it by name (case-insensitive) and cast — source-only
+    * columns refuse loudly, missing target columns refuse loudly (no
+    * silent NULL padding on a bulk load).
+    *
+    * The commit is an ordinary `append` (op string included — the
+    * change feed, streaming source, and append-only window
+    * classification all treat loads as the inserts they are) carrying
+    * the registry delta. Concurrency: the per-attempt guard re-reads
+    * the registry against the head the commit publishes over — two
+    * racing loaders of the same file lose deterministically (one
+    * commits, the other aborts loudly and re-runs with the file now
+    * skipped). Returns (committed version, files loaded); a no-op
+    * COPY returns the head unchanged with 0.
+    */
+  def copyInto(
+      spark: SparkSession, dir: String, srcPath: String, format: String,
+      formatOptions: Map[String, String] = Map.empty,
+      force: Boolean = false): (Long, Long) = {
+    require(Seq("parquet", "csv", "json").contains(format),
+      s"COPY INTO supports parquet|csv|json, got: $format")
+    val head = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"COPY INTO target $dir is not a versioned table — CREATE it first " +
+          "(Databricks' COPY INTO also requires an existing target)"))
+    val tblSchema = schemaAt(spark, dir, head).getOrElse(
+      throw new IllegalArgumentException(
+        s"COPY INTO target $dir has no committed schema"))
+    val srcP = new Path(srcPath)
+    val f = srcP.getFileSystem(spark.sessionState.newHadoopConf())
+    val listed = Option(f.globStatus(srcP)).map(_.toSeq).getOrElse(Seq.empty)
+      .flatMap { st =>
+        if (st.isDirectory) f.listStatus(st.getPath).toSeq else Seq(st) }
+      .filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") })
+    require(listed.nonEmpty,
+      s"COPY INTO found no data files under $srcPath")
+    def identity(st: org.apache.hadoop.fs.FileStatus): String =
+      s"${st.getPath.toUri.getPath}|${st.getLen}"
+    val todo =
+      if (force) listed
+      else {
+        val loaded = copyIntoLoaded(spark, dir)
+        listed.filterNot(st => loaded.contains(identity(st)))
+      }
+    if (todo.isEmpty) return (head, 0L)
+    val paths = todo.map(_.getPath.toString)
+    val raw = format match {
+      case "parquet" => spark.read.options(formatOptions).parquet(paths: _*)
+      case _ => // text formats take the table's schema (Databricks rule)
+        spark.read.options(formatOptions).schema(tblSchema)
+          .format(format).load(paths: _*)
+    }
+    // align by name, case-insensitively, and cast to the committed
+    // types — refusing both directions' mismatches by name
+    val srcByLower = raw.columns.map(c => c.toLowerCase(java.util.Locale.ROOT) -> c).toMap
+    val missing = tblSchema.fields.filterNot(tf =>
+      srcByLower.contains(tf.name.toLowerCase(java.util.Locale.ROOT))).map(_.name)
+    require(missing.isEmpty,
+      s"COPY INTO source lacks target column(s): ${missing.mkString(", ")}")
+    val tgtLower = tblSchema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val extra = raw.columns.filterNot(c =>
+      tgtLower.contains(c.toLowerCase(java.util.Locale.ROOT)))
+    require(extra.isEmpty,
+      s"COPY INTO source carries column(s) the target lacks: " +
+        s"${extra.mkString(", ")} — drop them at the source or evolve the " +
+        "table schema first")
+    val aligned = raw.select(tblSchema.fields.toSeq.map { tf =>
+      org.apache.spark.sql.functions
+        .col(srcByLower(tf.name.toLowerCase(java.util.Locale.ROOT)))
+        .cast(tf.dataType).as(tf.name) }: _*)
+    val ids = todo.map(identity)
+    val registry = ids.sorted.map(id => "\"" + java.util.Base64.getEncoder
+      .encodeToString(id.getBytes(StandardCharsets.UTF_8)) + "\"")
+      .mkString(""","copyinto":[""", ",", "]")
+    val guard: Option[Long] => Unit = _ =>
+      if (!force) {
+        val nowLoaded = copyIntoLoaded(spark, dir)
+        val clash = ids.filter(nowLoaded.contains)
+        require(clash.isEmpty,
+          s"COPY INTO lost a race: ${clash.take(3).mkString(", ")} " +
+            s"loaded concurrently into $dir — re-run COPY INTO (the " +
+            "re-plan will skip them)")
+      }
+    val v = appendCommit(aligned, dir, mergeSchema = false, registry, guard)
+    (v, todo.size.toLong)
   }
 
   /** Registers ALREADY-WRITTEN parquet files as ONE append commit —
