@@ -16,11 +16,12 @@ import graft.table.Versioned
 /** Delegating SQL parser adding the DDL statements Spark's grammar
   * lacks for this engine — Delta's spellings:
   *
-  *   CREATE TABLE [IF NOT EXISTS] <target> SHALLOW CLONE <source>
-  *     [VERSION AS OF <n> | TIMESTAMP AS OF '<ts>']
+  *   CREATE TABLE [IF NOT EXISTS] <target> [SHALLOW | DEEP] CLONE <source>
+  *     [VERSION AS OF <n> | TIMESTAMP AS OF '<ts>']   (bare CLONE = DEEP)
   *   RESTORE TABLE <t> TO {VERSION AS OF <n> | TIMESTAMP AS OF '<ts>'}
   *   OPTIMIZE <t> [ZORDER BY (<c1>, <c2>, ...)]
   *   VACUUM <t> [RETAIN <n> HOURS] [DRY RUN]
+  *   REORG TABLE <t> APPLY (PURGE)
   *   DESC[RIBE] HISTORY <t>
   *
   * where either side is a GraftCatalog name (`cat.ns.t`) or the path
@@ -77,15 +78,17 @@ object GraftSqlParser {
 
   // lazy identifier groups; the guards below reject anything holding a
   // quote or paren (a CTAS/string-literal false positive, not a clone).
-  // The optional trailing clause is Delta's time-travel spelling.
+  // SHALLOW keeps reference semantics; DEEP — or the bare CLONE,
+  // Delta's default — copies the bytes. The optional trailing clause
+  // is Delta's time-travel spelling.
   private val CloneStmt =
-    ("""(?is)^\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(.+?)\s+SHALLOW\s+CLONE\s+(.+?)""" +
+    ("""(?is)^\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(.+?)\s+(?:(SHALLOW|DEEP)\s+)?CLONE\s+(.+?)""" +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']*)')?\s*;?\s*$""").r
 
   private[graft] def parseClone(
       sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
     sqlText match {
-      case CloneStmt(ine, target, source, ver, ts)
+      case CloneStmt(ine, target, mode, source, ver, ts)
           if !Seq(target, source).exists(s =>
             s.exists(c => c == '\'' || c == '"' || c == '(')) =>
         // an identifier slice the delegate cannot parse means the match
@@ -97,7 +100,8 @@ object GraftSqlParser {
           src <- Try(delegate.parseMultipartIdentifier(source))
         } yield GraftCloneCommand(tgt, src, ifNotExists = ine != null,
           versionAsOf = Option(ver).map(_.toLong),
-          timestampAsOf = Option(ts))).toOption
+          timestampAsOf = Option(ts),
+          deep = mode == null || mode.equalsIgnoreCase("DEEP"))).toOption
       case _ => None
     }
 
@@ -127,6 +131,9 @@ object GraftSqlParser {
   // CONVERT TO GRAFT parquet.`/dir` — Delta's CONVERT TO DELTA spelling
   private val ConvertStmt =
     """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+(.+?)\s*;?\s*$""".r
+  // REORG TABLE t APPLY (PURGE) — Delta's physical-cleanup rewrite
+  private val ReorgStmt =
+    """(?is)^\s*REORG\s+TABLE\s+(.+?)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""".r
 
   private def cleanIdent(s: String): Boolean =
     !s.exists(c => c == '\'' || c == '"' || c == '(')
@@ -151,6 +158,8 @@ object GraftSqlParser {
         ident(tbl).map(GraftDescribeHistoryCommand(_))
       case ConvertStmt(tbl) =>
         ident(tbl).map(GraftConvertCommand(_))
+      case ReorgStmt(tbl) =>
+        ident(tbl).map(GraftReorgCommand(_))
       case _ => None
     }
     if (parsed.isEmpty) {
@@ -159,7 +168,7 @@ object GraftSqlParser {
       // identifier failed to parse). DESC[RIBE] HISTORY is NOT in this
       // list: `DESCRIBE history` can legitimately describe a table
       // named `history`, so an unmatched DESC always delegates.
-      val lead = """(?is)^\s*(RESTORE|OPTIMIZE|VACUUM|CONVERT)\b""".r
+      val lead = """(?is)^\s*(RESTORE|OPTIMIZE|VACUUM|CONVERT|REORG)\b""".r
       lead.findFirstIn(sqlText).foreach { _ =>
         throw new IllegalArgumentException(
           "unsupported maintenance statement — supported grammar: " +
@@ -167,6 +176,7 @@ object GraftSqlParser {
             "OPTIMIZE t [ZORDER BY (c1, c2)]; " +
             "VACUUM t [RETAIN n HOURS] [DRY RUN]; " +
             "DESC[RIBE] HISTORY t; " +
+            "REORG TABLE t APPLY (PURGE); " +
             "CONVERT TO GRAFT parquet.`/dir` — where t is a GraftCatalog " +
             s"name or `graft-versioned`.`/table/dir`; got: ${sqlText.trim.take(200)}")
       }
@@ -187,14 +197,15 @@ object GraftSqlParser {
       .replaceAll("'[^']*'", " ")         // string literals
       .replaceAll("\"[^\"]*\"", " ")      // double-quoted literals
       .replaceAll("`[^`]*`", " ")         // backquoted identifiers
-    if (stripped.matches("""(?is)^\s*CREATE\b.*\bSHALLOW\s+CLONE\b.*"""))
+    if (stripped.matches("""(?is)^\s*CREATE\b.*\b(SHALLOW|DEEP)\s+CLONE\b.*"""))
       throw new IllegalArgumentException(
-        "unsupported SHALLOW CLONE statement — the supported grammar is: " +
-          "CREATE TABLE [IF NOT EXISTS] <target> SHALLOW CLONE <source> " +
-          "[VERSION AS OF <n> | TIMESTAMP AS OF '<ts>'] where each side " +
-          "is a GraftCatalog name or `graft-versioned`.`/table/dir` " +
-          "(no OR REPLACE, LOCATION, TBLPROPERTIES, or subquery sources); " +
-          s"got: ${sqlText.trim.take(200)}")
+        "unsupported CLONE statement — the supported grammar is: " +
+          "CREATE TABLE [IF NOT EXISTS] <target> [SHALLOW | DEEP] CLONE " +
+          "<source> [VERSION AS OF <n> | TIMESTAMP AS OF '<ts>'] where " +
+          "each side is a GraftCatalog name or " +
+          "`graft-versioned`.`/table/dir` (bare CLONE = DEEP, Delta's " +
+          "default; no OR REPLACE, LOCATION, TBLPROPERTIES, or subquery " +
+          s"sources); got: ${sqlText.trim.take(200)}")
   }
 
   // ---- Delta's constraint DDL ----
@@ -298,25 +309,28 @@ object GraftSqlParser {
   */
 final case class GraftCloneCommand(
     targetParts: Seq[String], sourceParts: Seq[String], ifNotExists: Boolean,
-    versionAsOf: Option[Long] = None, timestampAsOf: Option[String] = None)
+    versionAsOf: Option[Long] = None, timestampAsOf: Option[String] = None,
+    deep: Boolean = false)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val dst = GraftDdl.dirOf(spark, targetParts, "SHALLOW CLONE target")
-    val src = GraftDdl.dirOf(spark, sourceParts, "SHALLOW CLONE source")
+    val what = if (deep) "CLONE" else "SHALLOW CLONE"
+    val dst = GraftDdl.dirOf(spark, targetParts, s"$what target")
+    val src = GraftDdl.dirOf(spark, sourceParts, s"$what source")
     val pinned = versionAsOf.orElse(timestampAsOf.map(t =>
       Versioned.versionAsOf(spark, src, Versioned.parseTimestampMillis(t))))
     Versioned.currentVersion(spark, dst) match {
       case Some(v) if ifNotExists => Seq(Row(v)) // already a table: no-op
-      case _ => Seq(Row(Versioned.cloneTable(spark, src, dst, pinned)))
+      case _ => Seq(Row(Versioned.cloneTable(spark, src, dst, pinned, deep = deep)))
     }
   }
 
   override def simpleString(maxFields: Int): String =
-    s"GraftCloneCommand ${targetParts.mkString(".")} <- ${sourceParts.mkString(".")}" +
+    s"GraftCloneCommand${if (deep) " DEEP" else ""} " +
+      s"${targetParts.mkString(".")} <- ${sourceParts.mkString(".")}" +
       versionAsOf.map(v => s" VERSION AS OF $v").getOrElse("") +
       timestampAsOf.map(t => s" TIMESTAMP AS OF '$t'").getOrElse("")
 }
@@ -440,6 +454,33 @@ final case class GraftConvertCommand(tableParts: Seq[String])
 
   override def simpleString(maxFields: Int): String =
     s"GraftConvertCommand ${tableParts.mkString(".")}"
+}
+
+/** `REORG TABLE t APPLY (PURGE)` — Delta's physical-cleanup DDL over
+  * [[Versioned.reorgPurge]]: rewrites exactly the files carrying
+  * deletion vectors (soft-deleted bytes materialized away) or written
+  * before the latest DROP COLUMN (retired physical columns purged),
+  * leaving clean files untouched. Row content is unchanged, so the
+  * commit is skippable maintenance like OPTIMIZE. Returns the committed
+  * version, or the current head when nothing needed purging (Delta's
+  * no-op REORG also succeeds).
+  */
+final case class GraftReorgCommand(tableParts: Seq[String])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftDdl.dirOf(spark, tableParts, "REORG TABLE")
+    val v = Versioned.reorgPurge(spark, dir).getOrElse(
+      Versioned.currentVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"no committed versions at $dir")))
+    Seq(Row(v))
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftReorgCommand ${tableParts.mkString(".")}"
 }
 
 /** `DESC[RIBE] HISTORY t` — Delta's history DDL: one row per retained

@@ -1195,6 +1195,117 @@ object VersionedQueries {
       |         CAST(-1 AS BIGINT))
       |SELECT kind, k, n, sum_c FROM u ORDER BY kind, k""".stripMargin
 
+  // X — DEEP CLONE under the oracle gate: fork a versioned table BY
+  // COPY (the clone owns its bytes; no pin sidecar at the source),
+  // with the source's deletion vectors carried through the copy, then
+  // destroy the source — overwrite it (all-new files) and vacuum to
+  // one retained version, which sweeps EVERY file the fork copied
+  // from. A shallow clone without its pin would be stranded here; the
+  // deep clone must keep serving the original DV-filtered snapshot
+  // from its own files, plus its own post-fork mutation. The oracle
+  // replays both sides relationally.
+  def cloneDeep(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_id") % 5 === 1)
+      .withColumn("value_c", floor(col("value") * 100).cast("long"))
+      .select("event_id", "user_id", "event_type", "value_c")
+    val srcDir = scratchDir("graft_xdclone_src")
+    val dstDir = scratchDir("graft_xdclone_dst")
+    Versioned.append(ev, srcDir)                                    // src v1
+    Versioned.deleteWhereMoR(s, srcDir, col("user_id") % 6 === 0)   // src v2 (DVs)
+    Versioned.cloneTable(s, srcDir, dstDir, deep = true)            // dst v1 (copied)
+    require(Versioned.listPins(s, srcDir).isEmpty,
+      "deep clone must not pin the source")
+    require(Versioned.filesAt(s, dstDir, 1L).forall(r =>
+      !r.startsWith("/") && !r.contains("://")),
+      "deep clone must reference its own local copies")
+    Versioned.updateWhere(s, dstDir, col("event_type") === "view",
+      Map("value_c" -> (col("value_c") + 11)))                      // dst v2
+    Versioned.overwrite(
+      ev.filter(col("event_type") === "click")
+        .withColumn("value_c", col("value_c") + 3), srcDir)         // src v3
+    Versioned.vacuum(s, srcDir, keepVersions = 1)  // sweeps every copied-from file
+    def side(d: String, tag: String) =
+      Versioned.read(s, d).groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+        .withColumn("side", lit(tag))
+        .select("side", "event_type", "n", "sum_c")
+    side(srcDir, "source").unionByName(side(dstDir, "clone"))
+      .orderBy("side", "event_type")
+  }
+
+  val cloneDeepSql: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type,
+      |                   CAST(floor(value * 100) AS BIGINT) AS value_c
+      |            FROM events WHERE event_id % 5 = 1),
+      |clone_rows AS (
+      |  SELECT event_type,
+      |         CASE WHEN event_type = 'view' THEN value_c + 11
+      |              ELSE value_c END AS value_c
+      |  FROM ev WHERE user_id % 6 <> 0),
+      |source_rows AS (
+      |  SELECT event_type, value_c + 3 AS value_c
+      |  FROM ev WHERE event_type = 'click'),
+      |u AS (
+      |  SELECT 'source' AS side, event_type,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(value_c) AS BIGINT) AS sum_c
+      |  FROM source_rows GROUP BY event_type
+      |  UNION ALL
+      |  SELECT 'clone', event_type,
+      |         CAST(count(*) AS BIGINT), CAST(sum(value_c) AS BIGINT)
+      |  FROM clone_rows GROUP BY event_type)
+      |SELECT side, event_type, n, sum_c FROM u
+      |ORDER BY side, event_type""".stripMargin
+
+  // X — REORG TABLE ... APPLY (PURGE) under the oracle gate: the table
+  // accumulates BOTH kinds of physical drift Delta's REORG exists to
+  // clean — deletion vectors from a MoR delete, and a metadata-only
+  // DROP COLUMN whose bytes are still on disk — then the DDL purges
+  // it. The physical contract is asserted internally (exactly the
+  // drifted files rewritten, post-drop files untouched, no DVs at the
+  // head); the hashed output is the logical content, which the purge
+  // must NOT change. The oracle replays the lifecycle relationally.
+  def reorgPurgeLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("value_c", floor(col("value") * 100).cast("long"))
+      .select("event_id", "user_id", "event_type", "value_c")
+    val tableDir = scratchDir("graft_xreorg")
+    Versioned.append(ev.filter(col("event_id") % 7 === 0), tableDir)     // v1
+    Versioned.deleteWhereMoR(s, tableDir, col("user_id") % 5 === 0)      // v2 (DVs)
+    Versioned.dropColumn(s, tableDir, "event_type")                      // v3
+    Versioned.append(
+      ev.filter(col("event_id") % 7 === 3).drop("event_type"), tableDir) // v4 (clean)
+    val drifted = Versioned.filesAt(s, tableDir, 1L).toSet
+    val clean = Versioned.filesAt(s, tableDir, 4L).toSet -- drifted
+    val v = s.sql(s"REORG TABLE `graft-versioned`.`$tableDir` APPLY (PURGE)")
+      .head().getLong(0)
+    require(v == 5L && Versioned.opAt(s, tableDir, 5L) == "reorg",
+      s"REORG did not commit a purge (v=$v)")
+    val after = Versioned.filesAt(s, tableDir, 5L).toSet
+    require(clean.subsetOf(after), "REORG rewrote clean post-drop files")
+    require((after & drifted).isEmpty, "REORG left drifted files in place")
+    require(Versioned.dvsAt(s, tableDir, 5L).isEmpty, "REORG left DVs behind")
+    Versioned.read(s, tableDir)
+      .groupBy((col("user_id") % 10).cast("long").as("user_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+      .orderBy("user_mod")
+  }
+
+  val reorgPurgeLifecycleSql: String =
+    """WITH ev AS (SELECT event_id, user_id,
+      |                   CAST(floor(value * 100) AS BIGINT) AS value_c
+      |            FROM events),
+      |rows_kept AS (
+      |  SELECT user_id, value_c FROM ev
+      |  WHERE event_id % 7 = 0 AND user_id % 5 <> 0
+      |  UNION ALL
+      |  SELECT user_id, value_c FROM ev WHERE event_id % 7 = 3)
+      |SELECT CAST(user_id % 10 AS BIGINT) AS user_mod,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(value_c) AS BIGINT) AS sum_c
+      |FROM rows_kept GROUP BY user_id % 10 ORDER BY user_mod""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("x_sql_timetravel", sqlTimeTravel, Some(sqlTimeTravelSql)),
     QueryDef("x_sql_catalog", sqlCatalog, Some(sqlCatalogSql)),
@@ -1205,6 +1316,8 @@ object VersionedQueries {
     QueryDef("x_batch_cdf_wide", batchCdfWide, Some(batchCdfWideSql)),
     QueryDef("x_clone", cloneFork, Some(cloneForkSql)),
     QueryDef("x_clone_asof", cloneAsOf, Some(cloneAsOfSql)),
+    QueryDef("x_clone_deep", cloneDeep, Some(cloneDeepSql)),
+    QueryDef("x_reorg", reorgPurgeLifecycle, Some(reorgPurgeLifecycleSql)),
     QueryDef("x_sql_maintenance", sqlMaintenance, Some(sqlMaintenanceSql)),
     QueryDef("x_convert", convertInPlace, Some(convertInPlaceSql)),
     QueryDef("x_convert_hive", convertHive, Some(convertHiveSql)),

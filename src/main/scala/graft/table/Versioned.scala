@@ -2069,9 +2069,21 @@ object Versioned {
     * The version must still be retained (not vacuumed) at clone time.
     * For `TIMESTAMP AS OF`, resolve with [[versionAsOf(spark,dir,ts)]]
     * first — the DDL and `CALL system.clone` do exactly that.
+    *
+    * `deep = true` is Delta's DEEP CLONE (the bare `CLONE` DDL): every
+    * snapshot file is COPIED under the clone's own root and v1
+    * references the local copies — the clone owns its bytes outright,
+    * so no pin is written at the source and no source-side vacuum can
+    * ever strand it. The copy is distributed (one Spark task per slice
+    * of the file list; the bytes move executor-side, never through the
+    * driver) and preserves each file's two-segment identity, so
+    * deletion vectors and change-feed attribution carry verbatim. A
+    * vacuum racing the copy fails it loudly (missing source file) —
+    * re-run; a partially-copied destination is reusable (copies
+    * overwrite) because nothing is committed until every copy landed.
     */
   def cloneTable(spark: SparkSession, src: String, dst: String,
-      versionAsOf: Option[Long] = None): Long = {
+      versionAsOf: Option[Long] = None, deep: Boolean = false): Long = {
     val f = fs(spark, src)
     require(currentVersion(spark, dst).isEmpty,
       s"clone destination $dst is already a table")
@@ -2083,6 +2095,55 @@ object Versioned {
         s"never committed; head is $headV)")
     val srcFiles = filesAt(spark, src, head)
     def isAbs(p: String) = p.startsWith("/") || p.contains("://")
+    // absolute references must keep the SOURCE's filesystem: qualify
+    // the root and keep scheme+authority for non-local stores. (Also
+    // the root the deep copy READS from.)
+    val qualifiedRoot = f.makeQualified(new Path(src))
+    val srcScheme = Option(qualifiedRoot.toUri.getScheme).getOrElse("file")
+    val srcRootStr =
+      if (srcScheme == "file") qualifiedRoot.toUri.getPath
+      else qualifiedRoot.toString
+    val schemaJsonStr = schemaAt(spark, src, head)
+      .map(_.json)
+      .getOrElse(new org.apache.spark.sql.types.StructType().json)
+    val srcDvs = dvsAt(spark, src, head)
+    val srcDropped = droppedPhysAt(spark, src, head)
+    if (deep) {
+      // DEEP CLONE: copy every snapshot file under the clone's root,
+      // distributed — one task per slice; bytes move executor-side.
+      // Two-segment identity is preserved so DVs carry verbatim.
+      val pairs = srcFiles.map(p =>
+        (if (isAbs(p)) p else s"$srcRootStr/$p", fileKey(p)))
+      val dup = pairs.groupBy(_._2).filter(_._2.size > 1)
+      require(dup.isEmpty,
+        s"deep clone of $src would copy files with colliding identities " +
+          s"(same last two path segments): ${dup.head._2.map(_._1).mkString(" vs ")}")
+      val hc = new org.apache.spark.sql.graft.SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration)
+      val dstQ = fs(spark, dst).makeQualified(new Path(dst)).toString
+      val slices = math.max(1, math.min(pairs.size,
+        spark.sparkContext.defaultParallelism * 2))
+      spark.sparkContext.parallelize(pairs, slices).foreach { case (sp, rel) =>
+        val conf = hc.value
+        val from = new Path(sp)
+        val to = new Path(s"$dstQ/$rel")
+        val sfs = from.getFileSystem(conf)
+        val tfs = to.getFileSystem(conf)
+        // overwrite = true: a re-run after a partial failure reuses the
+        // destination; nothing commits until every copy landed
+        if (!org.apache.hadoop.fs.FileUtil.copy(sfs, from, tfs, to,
+            false, true, conf))
+          throw new java.io.IOException(s"deep clone copy failed: $sp -> $to")
+      }
+      val v1 = commitAttempt(spark, dst, "clone-deep",
+        _ => schemaJsonStr, None, _ => pairs.map(_._2),
+        dvsFor = _ => srcDvs, dropPhys = srcDropped.toSeq).get
+      constraintsAt(spark, src, head).toSeq.sortBy(_._1).foreach { case (n, sql) =>
+        commitAttempt(spark, dst, "set-constraint",
+          _ => schemaJsonStr, None, identity, constraint = Some(n -> Some(sql)))
+      }
+      return v1
+    }
     val localRel = srcFiles.filterNot(isAbs)
     if (localRel.nonEmpty) {
       val pin = new Path(logPath(src), s"pin-${UUID.randomUUID().toString}.json")
@@ -2108,30 +2169,19 @@ object Versioned {
           s"${gone.take(3).mkString(", ")} vanished before the pin " +
           "landed — re-run")
     }
-    // absolute references must keep the SOURCE's filesystem: qualify
-    // the root and keep scheme+authority for non-local stores
     // (s3a://bucket/…, hdfs://nn/…) — toUri.getPath alone would strand
     // the clone's references on the default filesystem. Local paths
     // stay bare ("/tmp/…"): a "file:/…" spelling would fail the
     // engine-wide isAbs test (startsWith("/") || contains("://")).
-    val qualified = f.makeQualified(new Path(src))
-    val scheme = Option(qualified.toUri.getScheme).getOrElse("file")
-    val srcRoot =
-      if (scheme == "file") qualified.toUri.getPath else qualified.toString
-    val files = srcFiles.map(p => if (isAbs(p)) p else s"$srcRoot/$p")
-    val schemaJson = schemaAt(spark, src, head)
-      .map(_.json)
-      .getOrElse(new org.apache.spark.sql.types.StructType().json)
-    val dvs = dvsAt(spark, src, head)
-    val dropped = droppedPhysAt(spark, src, head)
+    val files = srcFiles.map(p => if (isAbs(p)) p else s"$srcRootStr/$p")
     val v1 = commitAttempt(spark, dst, "clone",
-      _ => schemaJson, None, _ => files,
-      dvsFor = _ => dvs, dropPhys = dropped.toSeq).get
+      _ => schemaJsonStr, None, _ => files,
+      dvsFor = _ => srcDvs, dropPhys = srcDropped.toSeq).get
     // CHECK constraints carry as follow-up metadata commits (the rows
     // already satisfied them at the source — no re-validation scan)
     constraintsAt(spark, src, head).toSeq.sortBy(_._1).foreach { case (n, sql) =>
       commitAttempt(spark, dst, "set-constraint",
-        _ => schemaJson, None, identity, constraint = Some(n -> Some(sql)))
+        _ => schemaJsonStr, None, identity, constraint = Some(n -> Some(sql)))
     }
     v1
   }
@@ -2699,6 +2749,76 @@ object Versioned {
     val fresh = writeDataFiles(toPhysicalFrame(binned, logSchema), dir)
     val v = commitRewriteCommuting(spark, dir, base, "compact-small",
       logSchema.map(_.json).getOrElse(binned.schema.json), small, fresh).get
+    carryZones(spark, dir, base, v,
+      filesAt(spark, dir, v).toSet -- fresh.toSet, fresh)
+    Some(v)
+  }
+
+  /** Physical-cleanup rewrite — Delta's `REORG TABLE ... APPLY (PURGE)`
+    * (delta.io docs; reference rents it from Databricks): rewrites
+    * exactly the files whose on-disk BYTES have drifted from the
+    * logical snapshot —
+    *
+    *  1. files carrying deletion vectors (MoR soft-deleted rows still
+    *     occupy storage and every scan still pays the DV anti-join for
+    *     them), rewritten with the DVs materialized; and
+    *  2. files written before the latest DROP COLUMN (the metadata-only
+    *     drop leaves the retired physical column's bytes in place),
+    *     rewritten storing only the CURRENT physical schema.
+    *
+    * Logical row content is unchanged by construction, so the commit is
+    * row-preserving maintenance like OPTIMIZE: CDF windows contribute
+    * nothing for it, append-only streams skip it, and history before it
+    * still time-travels. Clean files are NOT touched — REORG on a
+    * freshly-optimized table is a no-op returning None — and the
+    * rewrite keeps the touched files' granularity (N files in, ≤N files
+    * out; never a whole-table coalesce), so the cost follows the drift,
+    * not the table size. That is the property that matters at 100 TB:
+    * purging a table where 1% of files carry DVs rewrites 1% of the
+    * bytes.
+    *
+    * Stale-file detection is log-derived, not footer reads: files added
+    * strictly after the last `droppedphys` growth were written under
+    * the current physical schema and are clean; the backward walk stops
+    * at the growth point (one driver log read per version since the
+    * last DROP COLUMN — or the retained window when the drop predates
+    * it, the conservative bound; files older than every retained add
+    * record purge as candidates). Commits under the commuting rule:
+    * concurrent appends land, anything touching the read set re-plans.
+    */
+  def reorgPurge(spark: SparkSession, dir: String): Option[Long] = {
+    val base = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
+    val all = filesAt(spark, dir, base)
+    val dvs = dvsAt(spark, dir, base)
+    val dvKeys = dvs.keySet.map(fileKey)
+    val retired = droppedPhysAt(spark, dir, base)
+    val cleanKeys: Set[String] =
+      if (retired.isEmpty) all.map(fileKey).toSet
+      else {
+        val clean = scala.collection.mutable.Set[String]()
+        var v = base
+        var stop = false
+        while (v >= 1 && !stop) {
+          val json = snapshotJson(spark, dir, v)
+          if (droppedPhysOf(json).toSet != retired) stop = true
+          else {
+            clean ++= addActionsOf(spark, dir, v, json).map(fileKey)
+            v -= 1
+          }
+        }
+        clean.toSet
+      }
+    val touched = all.filter(rel =>
+      dvKeys.contains(fileKey(rel)) || !cleanKeys.contains(fileKey(rel)))
+    if (touched.isEmpty) return None
+    val logSchema = schemaAt(spark, dir, base)
+    val purged = applyDvs(
+      spark, readRaw(spark, dir, logSchema, touched), dvs)
+      .coalesce(touched.size)
+    val fresh = writeDataFiles(toPhysicalFrame(purged, logSchema), dir)
+    val v = commitRewriteCommuting(spark, dir, base, "reorg",
+      logSchema.map(_.json).getOrElse(purged.schema.json), touched, fresh).get
     carryZones(spark, dir, base, v,
       filesAt(spark, dir, v).toSet -- fresh.toSet, fresh)
     Some(v)
@@ -3682,7 +3802,7 @@ object Versioned {
     // row-preserving maintenance and metadata-only commits: their
     // snapshot diff is empty (same row multisets, possibly re-filed or
     // re-named) — contribute nothing
-    val silent = Set("optimize", "compact-small", "set-constraint",
+    val silent = Set("optimize", "compact-small", "reorg", "set-constraint",
       "drop-constraint", "rename-column", "drop-column")
     // the table's birth commit, if the window reaches back to it: its
     // "diff" is the full v1 content (there is no v0 snapshot to scan)
@@ -3838,7 +3958,7 @@ object Versioned {
     if (nonAppend.isEmpty) WindowShape.AppendOnly
     else {
       val mutating = nonAppend.filterNot { case (_, op) =>
-        op == "optimize" || op == "compact-small" }
+        op == "optimize" || op == "compact-small" || op == "reorg" }
       if (mutating.isEmpty) WindowShape.RowPreserving
       else WindowShape.RowMutating(mutating)
     }
@@ -4035,7 +4155,8 @@ object Versioned {
       spark: SparkSession, dir: String, from: Long, to: Long,
       skipMutating: Boolean = false): DataFrame = {
     require(from <= to, s"streamBatch window is inverted: $from > $to")
-    val skippable = Set("optimize", "compact-small", "set-constraint", "drop-constraint")
+    val skippable = Set("optimize", "compact-small", "reorg", "set-constraint",
+      "drop-constraint")
     val ops = (from + 1 to to).map(v => v -> opAt(spark, dir, v))
     val mutating = ops.filterNot { case (_, op) => op == "append" || skippable(op) }
     require(skipMutating || mutating.isEmpty,

@@ -158,9 +158,11 @@ private[graft] object GraftProcedures {
 
       Proc("clone",
         "shallow-clone the source snapshot into a new table (zero data copy); " +
-          "version => n forks that retained snapshot instead of the head",
+          "version => n forks that retained snapshot instead of the head; " +
+          "deep => true copies the bytes (the clone owns its files, no source pin)",
         Seq(in("source", StringType), in("target", StringType),
-          inDefault("version", LongType, "0")),
+          inDefault("version", LongType, "0"),
+          inDefault("deep", BooleanType, "false")),
         VersionOut,
         (s, in) => {
           // target is a catalog identifier that must NOT exist yet —
@@ -169,7 +171,8 @@ private[graft] object GraftProcedures {
           val dstDir = catalog.tableDir(Identifier.of(parts.init, parts.last))
           // version 0 (the default) = head; versions are 1-based
           val asOf = Some(in.getLong(2)).filter(_ > 0L)
-          Seq(row(Versioned.cloneTable(s, dirOf(in), dstDir, asOf)))
+          Seq(row(Versioned.cloneTable(s, dirOf(in), dstDir, asOf,
+            deep = in.getBoolean(3))))
         }),
 
       Proc("convert",

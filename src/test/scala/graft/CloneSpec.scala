@@ -226,4 +226,55 @@ class CloneSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("vanished"))
   }
+
+  test("deep clone copies the bytes: local references, no source pin") {
+    val src = tmpDir("cl_deep_src")
+    val dst = tmpDir("cl_deep_dst")
+    Versioned.append((1 to 10).map(i => (i, s"r$i")).toDF("id", "s"), src)
+    Versioned.append((11 to 20).map(i => (i, s"r$i")).toDF("id", "s"), src)
+    val v = Versioned.cloneTable(spark, src, dst, deep = true)
+    assert(v == 1L)
+    assert(Versioned.opAt(spark, dst, 1L) == "clone-deep")
+    // every reference is LOCAL (relative) and the copied bytes exist
+    val rels = Versioned.filesAt(spark, dst, 1L)
+    assert(rels.nonEmpty && rels.forall(r =>
+      !r.startsWith("/") && !r.contains("://") &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(dst, r))))
+    assert(Versioned.read(spark, dst).as[(Int, String)].collect().toSet ==
+      (1 to 20).map(i => (i, s"r$i")).toSet)
+    // deep clone writes NO pin: the source owes it nothing
+    assert(Versioned.listPins(spark, src).isEmpty)
+    // the ultimate independence test — mutate the source, vacuum it to
+    // the bone; the clone still reads its own bytes
+    Versioned.overwrite(Seq((99, "z")).toDF("id", "s"), src)
+    Thread.sleep(5)
+    Versioned.vacuumRetain(spark, src, 0L)
+    assert(Versioned.read(spark, dst).count() == 20L)
+  }
+
+  test("deep clone carries DVs and time-travel version; DDL forms work") {
+    val src = tmpDir("cl_deep2_src")
+    Versioned.append((1 to 8).map(i => (i.toLong, s"r$i")).toDF("id", "s"), src) // v1
+    Versioned.deleteWhereMoR(spark, src, col("id") <= 2L)                        // v2 (DVs)
+    Versioned.append(Seq((9L, "r9")).toDF("id", "s"), src)                       // v3
+    // deep clone of v2: DV-filtered content at that snapshot
+    val dst = tmpDir("cl_deep2_dst")
+    Versioned.cloneTable(spark, src, dst, versionAsOf = Some(2L), deep = true)
+    assert(Versioned.read(spark, dst).as[(Long, String)].collect().toSet ==
+      (3 to 8).map(i => (i.toLong, s"r$i")).toSet)
+    assert(Versioned.dvsAt(spark, dst, 1L).nonEmpty) // carried, file identity preserved
+    // bare CLONE DDL = deep (Delta's default); DEEP CLONE spelling too
+    val dst2 = tmpDir("cl_deep2_ddl")
+    val vd = spark.sql(
+      s"CREATE TABLE `graft-versioned`.`$dst2` CLONE `graft-versioned`.`$src`")
+      .as[Long].head()
+    assert(vd == 1L && Versioned.opAt(spark, dst2, 1L) == "clone-deep")
+    assert(Versioned.read(spark, dst2).count() == 7L)
+    val dst3 = tmpDir("cl_deep2_ddl2")
+    spark.sql(
+      s"CREATE TABLE `graft-versioned`.`$dst3` DEEP CLONE `graft-versioned`.`$src` " +
+        "VERSION AS OF 1")
+    assert(Versioned.read(spark, dst3).count() == 8L)
+    assert(Versioned.listPins(spark, src).isEmpty)
+  }
 }

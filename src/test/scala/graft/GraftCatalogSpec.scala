@@ -481,10 +481,12 @@ class GraftCatalogSpec extends SparkSpec {
       s"CREATE OR REPLACE TABLE $cat.d SHALLOW CLONE $cat.src",
       s"CREATE TABLE $cat.d SHALLOW CLONE $cat.src LOCATION '/tmp/x'",
       s"CREATE TABLE $cat.d SHALLOW CLONE (SELECT * FROM $cat.src)",
-      s"CREATE TABLE $cat.a b SHALLOW CLONE $cat.src"
+      s"CREATE TABLE $cat.a b SHALLOW CLONE $cat.src",
+      s"CREATE OR REPLACE TABLE $cat.d DEEP CLONE $cat.src",
+      s"CREATE TABLE $cat.d DEEP CLONE $cat.src LOCATION '/tmp/x'"
     ).foreach { stmt =>
       val e = intercept[IllegalArgumentException](spark.sql(stmt))
-      assert(e.getMessage.contains("SHALLOW CLONE"), stmt)
+      assert(e.getMessage.contains("[SHALLOW | DEEP] CLONE"), stmt)
       assert(e.getMessage.contains("supported grammar"), stmt)
     }
     // the keyword inside a line comment is NOT a clone: the statement
