@@ -50,6 +50,7 @@ final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     GraftSqlParser.parseClone(sqlText, delegate)
       .orElse(GraftSqlParser.parseMaintenance(sqlText, delegate))
       .orElse(GraftSqlParser.parseAlterConstraint(sqlText, delegate))
+      .orElse(GraftSqlParser.parseTableProps(sqlText, delegate))
       .orElse(GraftSqlParser.parseCopyInto(sqlText, delegate))
       .getOrElse {
         GraftSqlParser.refuseUnsupportedClone(sqlText)
@@ -250,6 +251,49 @@ object GraftSqlParser {
     }
   }
 
+  // ---- TBLPROPERTIES DDL on the PATH form ----
+  //
+  // Spark's own grammar handles SET/UNSET/SHOW TBLPROPERTIES for
+  // catalog-named tables (they route through GraftCatalog.alterTable /
+  // VersionedBatchTable.properties), but the `graft-versioned`.`/dir`
+  // path form resolves through no catalog — these three intercept
+  // EXACTLY that spelling (the backquoted graft-versioned prefix) and
+  // delegate everything else, so ordinary tables keep Spark's native
+  // behavior.
+
+  private val PathIdent = """`graft-versioned`\s*\.\s*`[^`]+`"""
+  private val SetPropsStmt =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + PathIdent +
+      """)\s+SET\s+TBLPROPERTIES\s*\((.*)\)\s*;?\s*$""").r
+  private val UnsetPropsStmt =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + PathIdent +
+      """)\s+UNSET\s+TBLPROPERTIES\s*(IF\s+EXISTS\s*)?\((.*)\)\s*;?\s*$""").r
+  private val ShowPropsStmt =
+    ("""(?is)^\s*SHOW\s+TBLPROPERTIES\s+(""" + PathIdent +
+      """)\s*(?:\(\s*'([^']*)'\s*\))?\s*;?\s*$""").r
+  private val PropPair = """'([^']*)'\s*=\s*'([^']*)'""".r
+  private val PropKey = """'([^']*)'""".r
+
+  private[graft] def parseTableProps(
+      sqlText: String, delegate: ParserInterface): Option[LogicalPlan] = {
+    def ident(s: String): Option[Seq[String]] =
+      Try(delegate.parseMultipartIdentifier(s)).toOption
+    sqlText match {
+      case SetPropsStmt(tbl, body) =>
+        val props = PropPair.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2)).toMap
+        if (props.isEmpty) None
+        else ident(tbl).map(GraftSetPropertiesCommand(_, props))
+      case UnsetPropsStmt(tbl, ife, body) =>
+        val keys = PropKey.findAllMatchIn(body).map(_.group(1)).toSeq
+        if (keys.isEmpty) None
+        else ident(tbl).map(GraftUnsetPropertiesCommand(_, keys, ife != null))
+      case ShowPropsStmt(tbl, key) =>
+        ident(tbl).map(GraftShowPropertiesCommand(_, Option(key)))
+      case _ => None
+    }
+  }
+
   // ---- COPY INTO (Databricks' idempotent bulk-load statement) ----
   //
   // COPY INTO t FROM '/src/dir' FILEFORMAT = PARQUET|CSV|JSON
@@ -421,7 +465,15 @@ final case class GraftVacuumCommand(
 
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftDdl.dirOf(spark, tableParts, "VACUUM")
-    val ms = (retainHours.getOrElse(168.0) * 3600000L).toLong
+    // RETAIN default: the table's graft.vacuum.retainHours property
+    // when set, else Delta's 168 hours
+    val hours = retainHours.orElse(
+      Versioned.currentVersion(spark, dir)
+        .flatMap(v => Versioned.propertiesAt(spark, dir, v)
+          .get("graft.vacuum.retainHours"))
+        .flatMap(s => Try(s.toDouble).toOption).filter(_ >= 0))
+      .getOrElse(168.0)
+    val ms = (hours * 3600000L).toLong
     Versioned.vacuumRetain(spark, dir, ms, dryRun = dryRun).map(Row(_))
   }
 
@@ -547,6 +599,79 @@ final case class GraftDropConstraintCommand(
 
   override def simpleString(maxFields: Int): String =
     s"GraftDropConstraintCommand ${tableParts.mkString(".")} $name"
+}
+
+/** `ALTER TABLE `graft-versioned`.`/dir` SET TBLPROPERTIES ('k'='v', …)`
+  * — the path-form spelling of [[Versioned.setProperties]]: one
+  * metadata-only commit carrying the updated property map. Catalog
+  * names take Spark's native grammar into `GraftCatalog.alterTable`;
+  * both roads run the same commit.
+  */
+final case class GraftSetPropertiesCommand(
+    tableParts: Seq[String], props: Map[String, String])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftDdl.dirOf(spark, tableParts, "ALTER TABLE SET TBLPROPERTIES")
+    Seq(Row(Versioned.setProperties(spark, dir, props)))
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftSetPropertiesCommand ${tableParts.mkString(".")} " +
+      props.keys.toSeq.sorted.mkString("(", ", ", ")")
+}
+
+/** `ALTER TABLE `graft-versioned`.`/dir` UNSET TBLPROPERTIES
+  * [IF EXISTS] ('k', …)` — the path-form spelling of
+  * [[Versioned.unsetProperties]]; unknown keys refuse loudly unless
+  * IF EXISTS (Delta's convention).
+  */
+final case class GraftUnsetPropertiesCommand(
+    tableParts: Seq[String], keys: Seq[String], ifExists: Boolean)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftDdl.dirOf(spark, tableParts, "ALTER TABLE UNSET TBLPROPERTIES")
+    Seq(Row(Versioned.unsetProperties(spark, dir, keys, ifExists)))
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftUnsetPropertiesCommand ${tableParts.mkString(".")} " +
+      keys.mkString("(", ", ", ")") + (if (ifExists) " IF EXISTS" else "")
+}
+
+/** `SHOW TBLPROPERTIES `graft-versioned`.`/dir` [('key')]` — the
+  * path-form property listing: one (key, value) row per property of
+  * the head snapshot, or just the asked-for key (no rows when absent).
+  */
+final case class GraftShowPropertiesCommand(
+    tableParts: Seq[String], key: Option[String])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftDdl.dirOf(spark, tableParts, "SHOW TBLPROPERTIES")
+    val head = Versioned.currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
+    val props = Versioned.propertiesAt(spark, dir, head)
+    key match {
+      case Some(k) => props.get(k).map(v => Row(k, v)).toSeq
+      case None => props.toSeq.sorted.map { case (k, v) => Row(k, v) }
+    }
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftShowPropertiesCommand ${tableParts.mkString(".")}" +
+      key.map(k => s" ('$k')").getOrElse("")
 }
 
 /** `COPY INTO t FROM '/src' FILEFORMAT = fmt [FORMAT_OPTIONS (...)]

@@ -1195,6 +1195,72 @@ object VersionedQueries {
       |         CAST(-1 AS BIGINT))
       |SELECT kind, k, n, sum_c FROM u ORDER BY kind, k""".stripMargin
 
+  // X — TBLPROPERTIES under the oracle gate, pure SQL: a catalog table
+  // is built by statements, SET TBLPROPERTIES commits the property map
+  // to the log (one metadata-only commit through
+  // GraftCatalog.alterTable), data lands AFTER it (property commits
+  // must not disturb the write path), SHOW TBLPROPERTIES reads the map
+  // back, UNSET drops one key. Both SHOW snapshots fold into the
+  // hashed output alongside the content aggregate — the oracle replays
+  // the content relationally and the property rows as literals, which
+  // is exactly what a metadata contract should hash to.
+  def sqlTblProps(s: SparkSession, dir: String): DataFrame = {
+    val cat = s"graft_props_${catalogSeq.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "org.apache.spark.sql.graft.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", scratchDir("graft_propswh"))
+    t(s, dir, "events")
+      .withColumn("value_c", floor(col("value") * 100).cast("long"))
+      .select("event_id", "user_id", "event_type", "value_c")
+      .filter(col("event_id") % 5 === 2)
+      .createOrReplaceTempView("graft_xprops_src")
+    val tbl = s"$cat.props.events"
+    s.sql(s"CREATE NAMESPACE $cat.props")
+    s.sql(s"CREATE TABLE $tbl (event_id BIGINT, user_id BIGINT, " +
+      "event_type STRING, value_c BIGINT)")                              // v1
+    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_xprops_src " +
+      "WHERE event_type <> 'view'")                                      // v2
+    s.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+      "('tier' = 'bronze', 'graft.vacuum.retainHours' = '0')")           // v3
+    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_xprops_src " +
+      "WHERE event_type = 'view'")                                       // v4
+    def props(tag: String) =
+      s.sql(s"SHOW TBLPROPERTIES $tbl")
+        .filter(col("key") === "tier" || col("key").startsWith("graft."))
+        .select(lit(tag).as("kind"), col("key").as("k"),
+          col("value").as("vstr"),
+          lit(-1L).as("n"), lit(-1L).as("sum_c"))
+    val p1 = props("props_set")
+    s.sql(s"ALTER TABLE $tbl UNSET TBLPROPERTIES ('tier')")              // v5
+    val p2 = props("props_unset")
+    s.sql(s"""SELECT 'content' AS kind, event_type AS k, '' AS vstr,
+              |       CAST(count(*) AS BIGINT) AS n,
+              |       CAST(sum(value_c) AS BIGINT) AS sum_c
+              |FROM $tbl GROUP BY event_type""".stripMargin)
+      .unionByName(p1).unionByName(p2)
+      .orderBy("kind", "k")
+  }
+
+  val sqlTblPropsSql: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type,
+      |                   CAST(floor(value * 100) AS BIGINT) AS value_c
+      |            FROM events WHERE event_id % 5 = 2),
+      |u AS (
+      |  SELECT 'content' AS kind, event_type AS k, '' AS vstr,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(value_c) AS BIGINT) AS sum_c
+      |  FROM ev GROUP BY event_type
+      |  UNION ALL
+      |  SELECT 'props_set', 'tier', 'bronze',
+      |         CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'props_set', 'graft.vacuum.retainHours', '0',
+      |         CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'props_unset', 'graft.vacuum.retainHours', '0',
+      |         CAST(-1 AS BIGINT), CAST(-1 AS BIGINT))
+      |SELECT kind, k, vstr, n, sum_c FROM u ORDER BY kind, k""".stripMargin
+
   // X — DEEP CLONE under the oracle gate: fork a versioned table BY
   // COPY (the clone owns its bytes; no pin sidecar at the source),
   // with the source's deletion vectors carried through the copy, then
@@ -1323,6 +1389,7 @@ object VersionedQueries {
     QueryDef("x_convert_hive", convertHive, Some(convertHiveSql)),
     QueryDef("x_copy_into", copyIntoLifecycle, Some(copyIntoLifecycleSql)),
     QueryDef("x_sql_constraints", sqlConstraints, Some(sqlConstraintsSql)),
+    QueryDef("x_sql_tblprops", sqlTblProps, Some(sqlTblPropsSql)),
     QueryDef("m5_versioned_merge", versionedMerge, Some(versionedMergeSql)),
     QueryDef("m9_condput_merge", versionedMergeCondPut, Some(versionedMergeSql)),
     QueryDef("m10_sql_merge", versionedMergeSqlText, Some(versionedMergeSql)),

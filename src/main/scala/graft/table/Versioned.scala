@@ -909,6 +909,95 @@ object Versioned {
   private def headConstraints(spark: SparkSession, dir: String): Map[String, String] =
     currentVersion(spark, dir).map(constraintsAt(spark, dir, _)).getOrElse(Map.empty)
 
+  /** Table properties carried by snapshot `v` — Delta's TBLPROPERTIES
+    * analog: free-form key→value metadata committed to the log
+    * ([[setProperties]]/[[unsetProperties]]) and carried through every
+    * subsequent commit like constraints and txn watermarks, so time
+    * travel shows each snapshot's own property set. Engine-recognized
+    * keys override per-table behavior (the Delta
+    * `delta.checkpointInterval`-style contract):
+    *
+    *  - `graft.checkpointInterval` — full-list (checkpoint) entry
+    *    cadence for THIS table's commits (default [[CheckpointInterval]]);
+    *  - `graft.mergeKeyBroadcastMaxBytes` — this table's MERGE
+    *    touched-file-discovery broadcast gate (default
+    *    [[MergeKeyBroadcastMaxBytes]]);
+    *  - `graft.vacuum.retainHours` — the `VACUUM t` DDL's default
+    *    retention when no RETAIN clause is given (default 168).
+    */
+  def propertiesAt(spark: SparkSession, dir: String, v: Long): Map[String, String] =
+    propsOf(snapshotJson(spark, dir, v))
+
+  private def propsOf(json: String): Map[String, String] =
+    json.split("\"props\":\\{", 2) match {
+      case Array(_, rest) =>
+        val body = rest.split("}", 2)(0).trim
+        if (body.isEmpty) Map.empty
+        else body.split(",").map { kv =>
+          val Array(k, b64) = kv.split(":", 2)
+          k.trim.stripPrefix("\"").stripSuffix("\"") ->
+            new String(java.util.Base64.getDecoder.decode(
+              b64.trim.stripPrefix("\"").stripSuffix("\"")), StandardCharsets.UTF_8)
+        }.toMap
+      case _ => Map.empty
+    }
+
+  /** This table's checkpoint cadence: the `graft.checkpointInterval`
+    * property when set (and valid), else the engine default. Read from
+    * the predecessor's already-parsed entry — no extra log read on the
+    * commit path.
+    */
+  private def ckptIntervalOf(props: Map[String, String]): Long =
+    props.get("graft.checkpointInterval")
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .filter(_ > 0)
+      .getOrElse(CheckpointInterval)
+
+  /** Sets (or updates) table properties in one commit (Delta's
+    * `ALTER TABLE ... SET TBLPROPERTIES`). Keys must be log-safe and
+    * non-reserved; values are stored base64 (arbitrary strings are
+    * fine). Metadata-only: no data files move, streams skip the
+    * commit, CDF windows contribute nothing for it.
+    */
+  def setProperties(spark: SparkSession, dir: String, props: Map[String, String]): Long = {
+    require(props.nonEmpty, "SET TBLPROPERTIES needs at least one property")
+    props.keys.foreach { k =>
+      require(k.matches("[A-Za-z0-9_.:/-]+"),
+        s"property key must be log-safe ([A-Za-z0-9_.:/-]+): $k")
+      require(!ReservedLogKeys.contains(k),
+        s"property key '$k' is a reserved log key")
+    }
+    val base = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
+    commitAttempt(spark, dir, "set-properties",
+      _ => schemaAt(spark, dir, base)
+        .map(_.json).getOrElse(new org.apache.spark.sql.types.StructType().json),
+      None, identity, Some(base),
+      propsFor = _ ++ props).get
+  }
+
+  /** Removes table properties (Delta's `ALTER TABLE ... UNSET
+    * TBLPROPERTIES`). Unknown keys are refused unless `ifExists` —
+    * Delta's convention.
+    */
+  def unsetProperties(
+      spark: SparkSession, dir: String, keys: Seq[String],
+      ifExists: Boolean = false): Long = {
+    require(keys.nonEmpty, "UNSET TBLPROPERTIES needs at least one key")
+    val base = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
+    val have = propertiesAt(spark, dir, base)
+    val missing = keys.filterNot(have.contains)
+    require(ifExists || missing.isEmpty,
+      s"no such table propert${if (missing.size == 1) "y" else "ies"} at " +
+        s"$dir: ${missing.mkString(", ")} (use IF EXISTS to ignore)")
+    commitAttempt(spark, dir, "unset-properties",
+      _ => schemaAt(spark, dir, base)
+        .map(_.json).getOrElse(new org.apache.spark.sql.types.StructType().json),
+      None, identity, Some(base),
+      propsFor = _ -- keys).get
+  }
+
   /** Fails loudly when any row of `df` violates a constraint — one
     * aggregate pass over the batch for ALL constraints at once.
     */
@@ -978,7 +1067,7 @@ object Versioned {
   private val ReservedLogKeys = Set(
     "version", "op", "ts", "schema", "txns", "constraints", "dvs", "dvfile",
     "files", "add", "remove", "ckptfile", "pairkeys", "droppedphys",
-    "clusteredidx", "copyinto")
+    "clusteredidx", "copyinto", "props")
 
   /** Writer appIds share the commit JSON with the reserved keys (as
     * txn-map keys), so they get the same reservation check as
@@ -1209,7 +1298,8 @@ object Versioned {
       preCommit: (Option[Long], Map[String, String]) => Unit = (_, _) => (),
       pairKeys: Seq[String] = Nil,
       dropPhys: Seq[String] = Nil,
-      extraJson: String = ""): Option[Long] = {
+      extraJson: String = "",
+      propsFor: Map[String, String] => Map[String, String] = identity): Option[Long] = {
     val f = fs(spark, dir)
     f.mkdirs(logPath(dir))
     val prev = currentVersion(spark, dir)
@@ -1257,6 +1347,18 @@ object Versioned {
           s""""$n":"$b64""""
         }
         .mkString(""","constraints":{""", ",", "}")
+    // table properties carry like constraints: every commit re-emits
+    // the full (small) map from the ONE predecessor read above
+    val tblProps = propsFor(prevJson.map(propsOf).getOrElse(Map.empty))
+    val propsJson =
+      if (tblProps.isEmpty) ""
+      else tblProps.toSeq.sorted
+        .map { case (k, pv) =>
+          val b64 = java.util.Base64.getEncoder
+            .encodeToString(pv.getBytes(StandardCharsets.UTF_8))
+          s""""$k":"$b64""""
+        }
+        .mkString(""","props":{""", ",", "}")
     val txnsJson =
       if (txns.isEmpty) ""
       else txns.toSeq.sorted
@@ -1343,7 +1445,8 @@ object Versioned {
     val removed = prevFiles.filterNot(newSet)
     val replayable = (prevFiles.filter(newSet) ++ added) == files
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString(",")
-    val isFullList = prev.isEmpty || v % CheckpointInterval == 0 || !replayable
+    val isFullList =
+      prev.isEmpty || v % ckptIntervalOf(tblProps) == 0 || !replayable
     // full-list entries also record OPTIMIZE provenance — which of
     // `files` a clustering rewrite produced — as index ranges into the
     // list, so [[clusteredKeysAt]] resolves in O(CheckpointInterval)
@@ -1408,7 +1511,7 @@ object Versioned {
       if (features.isEmpty) ""
       else s""","readerfeatures":[${features.map("\"" + _ + "\"").mkString(",")}]"""
     val json =
-      s"""{"version":$v,"op":"$op","ts":$ts,"schema":"$b64"$txnsJson$consJson$dvsJson$pairJson$droppedJson$featJson$clusteredJson$extraJson,$actionsJson}"""
+      s"""{"version":$v,"op":"$op","ts":$ts,"schema":"$b64"$txnsJson$consJson$propsJson$dvsJson$pairJson$droppedJson$featJson$clusteredJson$extraJson,$actionsJson}"""
     // per-attempt unique temp name: racing committers must never share
     // a temp file, or a loser's cleanup could delete the winner's
     // in-flight content
@@ -3264,7 +3367,13 @@ object Versioned {
     val srcKeys = {
       val k = src.select(keys.map(col): _*).distinct()
       val est = k.queryExecution.optimizedPlan.stats.sizeInBytes
-      if (est <= BigInt(MergeKeyBroadcastMaxBytes)) {
+      // the gate is per-table overridable: graft.mergeKeyBroadcastMaxBytes
+      val gate = propertiesAt(spark, dir, base)
+        .get("graft.mergeKeyBroadcastMaxBytes")
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .filter(_ >= 0)
+        .getOrElse(MergeKeyBroadcastMaxBytes)
+      if (est <= BigInt(gate)) {
         mergeKeyBroadcasts.incrementAndGet(); broadcast(k)
       } else { mergeKeyShuffles.incrementAndGet(); k }
     }
@@ -3803,7 +3912,8 @@ object Versioned {
     // snapshot diff is empty (same row multisets, possibly re-filed or
     // re-named) — contribute nothing
     val silent = Set("optimize", "compact-small", "reorg", "set-constraint",
-      "drop-constraint", "rename-column", "drop-column")
+      "drop-constraint", "set-properties", "unset-properties",
+      "rename-column", "drop-column")
     // the table's birth commit, if the window reaches back to it: its
     // "diff" is the full v1 content (there is no v0 snapshot to scan)
     val birth = entries.collectFirst { case (1L, json) =>
@@ -3988,7 +4098,8 @@ object Versioned {
       spark: SparkSession, dir: String, from: Long, to: Long): Seq[(Long, String)] =
     (from + 1 to to).map(v => v -> opAt(spark, dir, v))
       .filterNot { case (_, op) =>
-        op == "append" || op == "set-constraint" || op == "drop-constraint" }
+        op == "append" || op == "set-constraint" || op == "drop-constraint" ||
+          op == "set-properties" || op == "unset-properties" }
 
   /** Insert-only change feed: the rows of files ADDED between
     * snapshots `from` (exclusive) and `to` (inclusive) — the log's
@@ -4156,7 +4267,7 @@ object Versioned {
       skipMutating: Boolean = false): DataFrame = {
     require(from <= to, s"streamBatch window is inverted: $from > $to")
     val skippable = Set("optimize", "compact-small", "reorg", "set-constraint",
-      "drop-constraint")
+      "drop-constraint", "set-properties", "unset-properties")
     val ops = (from + 1 to to).map(v => v -> opAt(spark, dir, v))
     val mutating = ops.filterNot { case (_, op) => op == "append" || skippable(op) }
     require(skipMutating || mutating.isEmpty,

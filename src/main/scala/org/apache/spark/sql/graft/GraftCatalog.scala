@@ -186,7 +186,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         s"nested $what is not supported: ${names.mkString(".")}")
       names.head
     }
+    // property changes batch into ONE commit per direction (Delta's
+    // SET/UNSET TBLPROPERTIES commit shape), whatever order Spark
+    // delivered the changes in
+    val setProps = changes.collect {
+      case s: TableChange.SetProperty => s.property -> s.value
+    }.toMap
+    val unsetProps = changes.collect {
+      case r: TableChange.RemoveProperty => r.property
+    }
+    if (setProps.nonEmpty) Versioned.setProperties(spark, dir, setProps)
+    // Spark's UNSET TBLPROPERTIES resolves IF EXISTS before the catalog
+    // sees it, so unknown keys arriving here are tolerated
+    if (unsetProps.nonEmpty)
+      Versioned.unsetProperties(spark, dir, unsetProps, ifExists = true)
     changes.foreach {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
       case a: TableChange.AddColumn =>
         val name = onePart(a.fieldNames, "ADD COLUMNS")
         require(a.isNullable,

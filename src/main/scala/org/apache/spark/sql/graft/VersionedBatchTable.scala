@@ -133,6 +133,17 @@ final class VersionedBatchTable(
   override def name(): String =
     s"graft-versioned $dir" + version.map(v => s"@v$v").getOrElse("")
 
+  /** The snapshot's log-carried TBLPROPERTIES — what `SHOW
+    * TBLPROPERTIES` and `DESCRIBE EXTENDED` render for catalog-named
+    * tables.
+    */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    version.foreach(v =>
+      Versioned.propertiesAt(spark, dir, v).foreach { case (k, p) => m.put(k, p) })
+    m
+  }
+
   override def schema(): StructType =
     declared.orElse(version.map(VersionedBatchTable.schemaFor(spark, dir, _)))
       .getOrElse(new StructType())

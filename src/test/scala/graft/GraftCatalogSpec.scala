@@ -115,8 +115,9 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM $cat.t").columns.toSeq
       == Seq("id", "s2", "w"))
     // still-unmapped changes refuse with the alternatives named
+    // (SET TBLPROPERTIES is mapped now — TblPropertiesSpec covers it)
     val e = intercept[Exception](
-      spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES ('x' = 'y')"))
+      spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN w COMMENT 'nope'"))
     assert(e.getMessage.contains("not mapped"))
   }
 
