@@ -19,7 +19,7 @@ import graft.table.Versioned
   *   CREATE TABLE [IF NOT EXISTS] <target> [SHALLOW | DEEP] CLONE <source>
   *     [VERSION AS OF <n> | TIMESTAMP AS OF '<ts>']   (bare CLONE = DEEP)
   *   RESTORE TABLE <t> TO {VERSION AS OF <n> | TIMESTAMP AS OF '<ts>'}
-  *   OPTIMIZE <t> [ZORDER BY (<c1>, <c2>, ...)]
+  *   OPTIMIZE <t> [WHERE <col> = <lit>] [ZORDER BY (<c1>, <c2>, ...)]
   *   VACUUM <t> [RETAIN <n> HOURS] [DRY RUN]
   *   REORG TABLE <t> APPLY (PURGE)
   *   DESC[RIBE] HISTORY <t>
@@ -109,7 +109,7 @@ object GraftSqlParser {
   // ---- Delta's maintenance DDL (statements Spark's grammar lacks) ----
   //
   // RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'
-  // OPTIMIZE t [ZORDER BY (c1, c2, ...)]
+  // OPTIMIZE t [WHERE col = lit] [ZORDER BY (c1, c2, ...)]
   // VACUUM t [RETAIN n HOURS] [DRY RUN]
   // DESC|DESCRIBE HISTORY t
   //
@@ -123,7 +123,9 @@ object GraftSqlParser {
     ("""(?is)^\s*RESTORE\s+TABLE\s+(.+?)\s+TO\s+""" +
       """(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']*)')\s*;?\s*$""").r
   private val OptimizeStmt =
-    """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+ZORDER\s+BY\s+\(([^)'"]*)\))?\s*;?\s*$""".r
+    ("""(?is)^\s*OPTIMIZE\s+(.+?)""" +
+      """(?:\s+WHERE\s+([A-Za-z0-9_]+)\s*=\s*('[^']*'|[^\s;]+))?""" +
+      """(?:\s+ZORDER\s+BY\s+\(([^)'"]*)\))?\s*;?\s*$""").r
   private val VacuumStmt =
     ("""(?is)^\s*VACUUM\s+(.+?)""" +
       """(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*$""").r
@@ -148,10 +150,15 @@ object GraftSqlParser {
       case RestoreStmt(tbl, ver, ts) =>
         ident(tbl).map(GraftRestoreCommand(_,
           Option(ver).map(_.toLong), Option(ts)))
-      case OptimizeStmt(tbl, zcols) =>
+      case OptimizeStmt(tbl, wcol, wval, zcols) =>
         ident(tbl).map(GraftOptimizeCommand(_,
           Option(zcols).toSeq.flatMap(_.split(',').toSeq)
-            .map(_.trim).filter(_.nonEmpty)))
+            .map(_.trim).filter(_.nonEmpty),
+          Option(wcol),
+          Option(wval).map(v =>
+            if (v.startsWith("'") && v.endsWith("'") && v.length >= 2)
+              v.substring(1, v.length - 1)
+            else v)))
       case VacuumStmt(tbl, hours, dry) =>
         ident(tbl).map(GraftVacuumCommand(_,
           Option(hours).map(_.toDouble), dryRun = dry != null))
@@ -174,7 +181,7 @@ object GraftSqlParser {
         throw new IllegalArgumentException(
           "unsupported maintenance statement — supported grammar: " +
             "RESTORE TABLE t TO {VERSION AS OF n | TIMESTAMP AS OF 'ts'}; " +
-            "OPTIMIZE t [ZORDER BY (c1, c2)]; " +
+            "OPTIMIZE t [WHERE col = lit] [ZORDER BY (c1, c2)]; " +
             "VACUUM t [RETAIN n HOURS] [DRY RUN]; " +
             "DESC[RIBE] HISTORY t; " +
             "REORG TABLE t APPLY (PURGE); " +
@@ -430,23 +437,36 @@ final case class GraftRestoreCommand(
   * compact (Delta's zero-metrics no-op).
   */
 final case class GraftOptimizeCommand(
-    tableParts: Seq[String], zorderBy: Seq[String]) extends LeafRunnableCommand {
+    tableParts: Seq[String], zorderBy: Seq[String],
+    whereCol: Option[String] = None, whereVal: Option[String] = None)
+    extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftDdl.dirOf(spark, tableParts, "OPTIMIZE")
-    val v =
-      if (zorderBy.nonEmpty) Versioned.optimizeZOrderBy(spark, dir, zorderBy)
-      else Versioned.compactSmall(spark, dir).getOrElse(
-        Versioned.currentVersion(spark, dir).getOrElse(
-          throw new IllegalArgumentException(s"no committed versions at $dir")))
+    def head = Versioned.currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
+    val v = whereCol match {
+      case Some(c) =>
+        // partition/zone-scoped bin-pack (Delta's OPTIMIZE t WHERE pred);
+        // clustering maintenance has its own incremental entry
+        require(zorderBy.isEmpty,
+          "OPTIMIZE WHERE composes with bin-packing only — incremental " +
+            "clustering is CALL system.zorder_incremental")
+        Versioned.compactSmallWhere(spark, dir, c, whereVal.get)
+          .getOrElse(head)
+      case None =>
+        if (zorderBy.nonEmpty) Versioned.optimizeZOrderBy(spark, dir, zorderBy)
+        else Versioned.compactSmall(spark, dir).getOrElse(head)
+    }
     Seq(Row(v))
   }
 
   override def simpleString(maxFields: Int): String =
     s"GraftOptimizeCommand ${tableParts.mkString(".")}" +
+      whereCol.map(c => s" WHERE $c = ${whereVal.getOrElse("")}").getOrElse("") +
       (if (zorderBy.nonEmpty) zorderBy.mkString(" ZORDER BY (", ", ", ")") else "")
 }
 

@@ -1261,6 +1261,109 @@ object VersionedQueries {
       |         CAST(-1 AS BIGINT), CAST(-1 AS BIGINT))
       |SELECT kind, k, vstr, n, sum_c FROM u ORDER BY kind, k""".stripMargin
 
+  // X — GENERATED columns under the oracle gate: a versioned table
+  // declares `bucket GENERATED ALWAYS AS (user_id % 16)`
+  // (graft.generated.* property), then every write shape the engine
+  // supports runs WITHOUT supplying the column — an append (computed),
+  // a keyed MERGE whose source updates value_c and inserts new rows
+  // (regenerated over the merge output), and a predicate UPDATE on a
+  // non-dependency (regeneration is a no-op by determinism). The
+  // output groups by the GENERATED column: every bucket value the
+  // engine computed must equal the oracle's own `user_id % 16`.
+  def generatedLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("value_c", floor(col("value") * 100).cast("long"))
+      .select("event_id", "user_id", "event_type", "value_c")
+    val tableDir = scratchDir("graft_xgen")
+    val base = ev.filter(col("event_id") % 7 === 1)
+    Versioned.append(
+      base.withColumn("bucket", (col("user_id") % 16).cast("long")),
+      tableDir)                                                        // v1
+    Versioned.setProperties(s, tableDir,
+      Map("graft.generated.bucket" -> "user_id % 16"))                 // v2
+    // append WITHOUT the column: computed
+    Versioned.append(ev.filter(col("event_id") % 7 === 2), tableDir)   // v3
+    // merge WITHOUT the column: matched rows take the source's
+    // value_c + 5, unmatched insert — bucket regenerates on both
+    val src = base.filter(col("user_id") % 3 === 0)
+      .withColumn("value_c", col("value_c") + 5)
+      .unionByName(ev.filter(col("event_id") % 7 === 4))
+    Versioned.merge(s, tableDir, src, Seq("event_id"))                 // v4
+    // update a non-dependency: regeneration is a deterministic no-op
+    Versioned.updateWhere(s, tableDir, col("event_type") === "click",
+      Map("value_c" -> (col("value_c") + 7)))                          // v5
+    Versioned.read(s, tableDir)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+      .orderBy("bucket")
+  }
+
+  val generatedLifecycleSql: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type,
+      |                   CAST(floor(value * 100) AS BIGINT) AS value_c
+      |            FROM events),
+      |base AS (SELECT * FROM ev WHERE event_id % 7 = 1),
+      |merged AS (
+      |  SELECT event_id, user_id, event_type,
+      |         CASE WHEN user_id % 3 = 0 THEN value_c + 5
+      |              ELSE value_c END AS value_c
+      |  FROM base
+      |  UNION ALL
+      |  SELECT * FROM ev WHERE event_id % 7 = 2
+      |  UNION ALL
+      |  SELECT * FROM ev WHERE event_id % 7 = 4),
+      |final AS (
+      |  SELECT user_id,
+      |         CASE WHEN event_type = 'click' THEN value_c + 7
+      |              ELSE value_c END AS value_c
+      |  FROM merged)
+      |SELECT CAST(user_id % 16 AS BIGINT) AS bucket,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(value_c) AS BIGINT) AS sum_c
+      |FROM final GROUP BY user_id % 16 ORDER BY bucket""".stripMargin
+
+  // X — OPTIMIZE ... WHERE under the oracle gate: a hive-partitioned
+  // lake directory (the pre-migration layout) converts IN PLACE, then
+  // the scoped DDL bin-packs exactly ONE partition's small files —
+  // asserted at the file level (other partitions' files untouched, the
+  // slice rewritten into one engine-layout file) — and the hashed
+  // output proves the rewrite preserved every row and its path-derived
+  // partition value. This is the 100 TB maintenance shape: you compact
+  // the partition you just landed, never the table.
+  def optimizeWhereScoped(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_id") % 9 === 0)
+      .withColumn("value_c", floor(col("value") * 100).cast("long"))
+      .select("event_type", "event_id", "user_id", "value_c")
+    val tableDir = scratchDir("graft_xoptw")
+    ev.repartition(4)
+      .write.partitionBy("event_type").mode("overwrite").parquet(tableDir)
+    Versioned.convert(s, tableDir)                                       // v1
+    val before = Versioned.filesAt(s, tableDir, 1L)
+    val slice = before.filter(_.startsWith("event_type=click/")).toSet
+    val others = before.toSet -- slice
+    require(slice.size > 1, "fixture needs a multi-file partition")
+    val v = s.sql(s"OPTIMIZE `graft-versioned`.`$tableDir` " +
+      "WHERE event_type = 'click'").head().getLong(0)
+    require(v == 2L, s"scoped OPTIMIZE did not commit (v=$v)")
+    val after = Versioned.filesAt(s, tableDir, 2L).toSet
+    require(others.subsetOf(after), "OPTIMIZE WHERE touched other partitions")
+    require((after & slice).isEmpty, "the slice's small files must rewrite")
+    require((after -- others).size == 1, "the slice must bin-pack to one file")
+    Versioned.read(s, tableDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"),
+        sum(col("event_id")).as("sum_id"))
+      .orderBy("event_type")
+  }
+
+  val optimizeWhereScopedSql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+      |       CAST(sum(event_id) AS BIGINT) AS sum_id
+      |FROM events WHERE event_id % 9 = 0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // X — DEEP CLONE under the oracle gate: fork a versioned table BY
   // COPY (the clone owns its bytes; no pin sidecar at the source),
   // with the source's deletion vectors carried through the copy, then
@@ -1390,6 +1493,8 @@ object VersionedQueries {
     QueryDef("x_copy_into", copyIntoLifecycle, Some(copyIntoLifecycleSql)),
     QueryDef("x_sql_constraints", sqlConstraints, Some(sqlConstraintsSql)),
     QueryDef("x_sql_tblprops", sqlTblProps, Some(sqlTblPropsSql)),
+    QueryDef("x_generated", generatedLifecycle, Some(generatedLifecycleSql)),
+    QueryDef("x_optimize_where", optimizeWhereScoped, Some(optimizeWhereScopedSql)),
     QueryDef("m5_versioned_merge", versionedMerge, Some(versionedMergeSql)),
     QueryDef("m9_condput_merge", versionedMergeCondPut, Some(versionedMergeSql)),
     QueryDef("m10_sql_merge", versionedMergeSqlText, Some(versionedMergeSql)),

@@ -953,11 +953,106 @@ object Versioned {
       .filter(_ > 0)
       .getOrElse(CheckpointInterval)
 
+  /** Property-key prefix declaring a GENERATED column (Delta's
+    * `GENERATED ALWAYS AS (expr)` analog): `graft.generated.<col>` =
+    * the generation expression SQL over the table's OTHER columns.
+    * [[setProperties]] validates the declaration (column exists, the
+    * expression resolves without the column itself — no
+    * self-reference — and the current snapshot already satisfies it);
+    * [[append]]/COPY INTO COMPUTE the column when a batch omits it;
+    * every write path VALIDATES supplied values against the expression
+    * (null-safe equality, an implicit CHECK) — a merge or update whose
+    * output would break the generation contract refuses loudly instead
+    * of silently storing drift. `CREATE TABLE (… GENERATED ALWAYS AS
+    * (expr))` through GraftCatalog lands here; `UNSET TBLPROPERTIES`
+    * removes the contract.
+    */
+  val GeneratedPrefix = "graft.generated."
+
+  /** The generated-column declarations of snapshot `v`: column →
+    * generation expression SQL.
+    */
+  def generatedAt(spark: SparkSession, dir: String, v: Long): Map[String, String] =
+    propertiesAt(spark, dir, v).collect {
+      case (k, e) if k.startsWith(GeneratedPrefix) =>
+        k.stripPrefix(GeneratedPrefix) -> e
+    }
+
+  /** The implicit CHECKs a generated-column set imposes on every write:
+    * stored value ≡ expression, null-safely.
+    */
+  private def generatedChecks(gen: Map[String, String]): Map[String, String] =
+    gen.map { case (c, e) => s"generated_$c" -> s"`$c` <=> ($e)" }
+
+  private def generatedChecksAt(
+      spark: SparkSession, dir: String, v: Long): Map[String, String] =
+    generatedChecks(generatedAt(spark, dir, v))
+
+  /** Recomputes declared GENERATED columns over a row-rewrite output —
+    * the Delta rewrite contract: an UPDATE or MERGE changing a
+    * generation dependency regenerates the column, and a MERGE INSERT
+    * whose source omits it computes it (the aligned NULL is replaced by
+    * the expression value). Deterministic expressions make this a
+    * no-op on carried rows.
+    */
+  private def regenerated(
+      spark: SparkSession, dir: String, base: Long, df: DataFrame): DataFrame = {
+    val gen = generatedAt(spark, dir, base)
+    if (gen.isEmpty) return df
+    import org.apache.spark.sql.functions.expr
+    val types = df.schema.fields
+      .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType).toMap
+    gen.toSeq.sortBy(_._1).foldLeft(df) { case (d, (c, e)) =>
+      types.get(c.toLowerCase(java.util.Locale.ROOT)) match {
+        case Some(t) => d.withColumn(c, expr(e).cast(t))
+        case None => d
+      }
+    }
+  }
+
+  /** Refuses an explicit SET on a GENERATED column (Delta's UPDATE
+    * contract — the value is the expression's, not the writer's).
+    */
+  private def requireNoGeneratedSet(
+      spark: SparkSession, dir: String, base: Long,
+      setKeys: Iterable[String], what: String): Unit = {
+    val gen = generatedAt(spark, dir, base)
+    val hit = setKeys.filter(k => gen.keys.exists(_.equalsIgnoreCase(k)))
+    require(hit.isEmpty,
+      s"$what cannot SET GENERATED column(s) ${hit.mkString(", ")} at $dir — " +
+        "their values are computed from the generation expression; " +
+        "UNSET the graft.generated.* property to detach the contract")
+  }
+
+  /** Computes generation expressions for declared columns a batch
+    * OMITS (the Delta write contract); present columns pass through
+    * and are validated instead.
+    */
+  private def withGenerated(
+      df: DataFrame, gen: Map[String, String],
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    if (gen.isEmpty) return df
+    import org.apache.spark.sql.functions.expr
+    val have = df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    gen.toSeq.sortBy(_._1).foldLeft(df) { case (d, (c, e)) =>
+      if (have.contains(c.toLowerCase(java.util.Locale.ROOT))) d
+      else {
+        val typed = schema
+          .flatMap(_.fields.find(_.name.equalsIgnoreCase(c)))
+          .map(f => expr(e).cast(f.dataType))
+          .getOrElse(expr(e))
+        d.withColumn(c, typed)
+      }
+    }
+  }
+
   /** Sets (or updates) table properties in one commit (Delta's
     * `ALTER TABLE ... SET TBLPROPERTIES`). Keys must be log-safe and
     * non-reserved; values are stored base64 (arbitrary strings are
-    * fine). Metadata-only: no data files move, streams skip the
-    * commit, CDF windows contribute nothing for it.
+    * fine). `graft.generated.*` keys additionally validate the
+    * generated-column declaration against the CURRENT snapshot.
+    * Metadata-only: no data files move, streams skip the commit, CDF
+    * windows contribute nothing for it.
     */
   def setProperties(spark: SparkSession, dir: String, props: Map[String, String]): Long = {
     require(props.nonEmpty, "SET TBLPROPERTIES needs at least one property")
@@ -969,6 +1064,27 @@ object Versioned {
     }
     val base = currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $dir"))
+    val gen = props.collect { case (k, e) if k.startsWith(GeneratedPrefix) =>
+      k.stripPrefix(GeneratedPrefix) -> e }
+    if (gen.nonEmpty) {
+      val snapshot = readAt(spark, dir, base)
+      gen.foreach { case (c, e) =>
+        require(c.nonEmpty && snapshot.columns.exists(_.equalsIgnoreCase(c)),
+          s"GENERATED column '$c' does not exist at $dir " +
+            s"(${snapshot.columns.mkString(", ")})")
+        // resolution probe WITHOUT the column: a self-referential
+        // expression (trivially satisfiable, meaningless) fails here
+        try snapshot.drop(c).selectExpr(e)
+        catch { case ex: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"generation expression for '$c' must resolve over the " +
+              s"table's OTHER columns: $e (${ex.getMessage})")
+        }
+      }
+      // existing rows must already satisfy the contract — declaring a
+      // generation the data contradicts would poison every later write
+      requireSatisfied(snapshot, generatedChecks(gen))
+    }
     commitAttempt(spark, dir, "set-properties",
       _ => schemaAt(spark, dir, base)
         .map(_.json).getOrElse(new org.apache.spark.sql.types.StructType().json),
@@ -1151,7 +1267,8 @@ object Versioned {
             .putString(PhysicalKey, physicalName(f)).build())
       else f
     })
-    requireConstrainedColsPresent(spark, constraintsAt(spark, dir, head),
+    requireConstrainedColsPresent(spark,
+      constraintsAt(spark, dir, head) ++ generatedChecksAt(spark, dir, head),
       renamed, s"RENAME COLUMN $oldName at $dir")
     val files = filesAt(spark, dir, head)
     val v = commitPinned(spark, dir, head, "rename-column", renamed.json, files).get
@@ -1187,7 +1304,8 @@ object Versioned {
         "converted layout; rewrite the table (OPTIMIZE) first")
     val dropped = org.apache.spark.sql.types.StructType(
       schema.fields.filterNot(_ eq field))
-    requireConstrainedColsPresent(spark, constraintsAt(spark, dir, head),
+    requireConstrainedColsPresent(spark,
+      constraintsAt(spark, dir, head) ++ generatedChecksAt(spark, dir, head),
       dropped, s"DROP COLUMN $name at $dir")
     val files = filesAt(spark, dir, head)
     val v = commitPinned(spark, dir, head, "drop-column", dropped.json,
@@ -1781,14 +1899,23 @@ object Versioned {
     * concurrent-loader check). Public `append` passes no-ops.
     */
   private def appendCommit(
-      df: DataFrame, dir: String, mergeSchema: Boolean,
+      df0: DataFrame, dir: String, mergeSchema: Boolean,
       extraJson: String, extraGuard: Option[Long] => Unit): Long = {
-    val spark = df.sparkSession
+    val spark = df0.sparkSession
+    // GENERATED columns the batch omits are computed here (the Delta
+    // write contract); present ones validate below via the implicit
+    // `col <=> expr` checks merged into every attempt's constraint pass
+    val head0 = currentVersion(spark, dir)
+    val df = withGenerated(df0,
+      head0.map(generatedAt(spark, dir, _)).getOrElse(Map.empty),
+      head0.flatMap(schemaAt(spark, dir, _)))
+    def consPlusGen(head: Option[Long], cons: Map[String, String]) =
+      cons ++ head.map(generatedChecksAt(spark, dir, _)).getOrElse(Map.empty)
     val validate = validatorFor(spark, dir, df)
     // fast-fail BEFORE writing data files, pairing version and
     // constraint set from ONE head read (the attempt re-pairs anyway)
-    val head0 = currentVersion(spark, dir)
-    validate(head0, head0.map(constraintsAt(spark, dir, _)).getOrElse(Map.empty))
+    validate(head0, consPlusGen(head0,
+      head0.map(constraintsAt(spark, dir, _)).getOrElse(Map.empty)))
     val physFor = physPlanFor(spark, dir, head0, df)
     val fresh = writeDataFiles(
       if (physFor.forall(kv => kv._1 == kv._2)) df
@@ -1797,7 +1924,8 @@ object Versioned {
     val v = commitRetry(spark, dir, "append",
       head => evolvedSchemaJson(spark, dir, head, df, mergeSchema, physFor),
       None, prev => prev ++ fresh,
-      preCommit = (head, cons) => { validate(head, cons); extraGuard(head) },
+      preCommit = (head, cons) =>
+        { validate(head, consPlusGen(head, cons)); extraGuard(head) },
       extraJson = extraJson).get
     // a zoned table must not lose data skipping at every append: carry
     // the previous sidecar (kept files' stats verbatim) and stat only
@@ -2375,8 +2503,14 @@ object Versioned {
   /** Overwrite commit: next snapshot = the new set alone. Old versions
     * stay readable until `vacuum`.
     */
-  def overwrite(df: DataFrame, dir: String): Long = {
-    val spark = df.sparkSession
+  def overwrite(df0: DataFrame, dir: String): Long = {
+    val spark = df0.sparkSession
+    // GENERATED columns compute-if-absent like append (a schema
+    // overwrite cannot silently drop the generation contract — DROP
+    // COLUMN or UNSET the property to detach it)
+    val head0 = currentVersion(spark, dir)
+    val df = withGenerated(df0,
+      head0.map(generatedAt(spark, dir, _)).getOrElse(Map.empty), None)
     val validate = validatorFor(spark, dir, df)
     // the dropped-column guard runs INSIDE each attempt against the
     // constraint set it publishes under — a concurrent addConstraint
@@ -2384,10 +2518,11 @@ object Versioned {
     // not write-block the table (the attempt's own alignment would let
     // it pass as NULL)
     val guarded = (head: Option[Long], cons: Map[String, String]) => {
-      requireConstrainedColsPresent(spark, cons, df.schema, s"overwrite of $dir")
-      validate(head, cons)
+      val gen = head.map(generatedChecksAt(spark, dir, _)).getOrElse(Map.empty)
+      requireConstrainedColsPresent(spark, cons ++ gen, df.schema,
+        s"overwrite of $dir")
+      validate(head, cons ++ gen)
     }
-    val head0 = currentVersion(spark, dir)
     guarded(head0, head0.map(constraintsAt(spark, dir, _)).getOrElse(Map.empty))
     val files = writeDataFiles(toPhysicalFrame(df, Some(df.schema)), dir)
     commitRetry(spark, dir, "overwrite",
@@ -2398,17 +2533,21 @@ object Versioned {
     * transaction watermark as [[appendIdempotent]].
     */
   def overwriteIdempotent(
-      df: DataFrame, dir: String, appId: String, txnVersion: Long): Option[Long] = {
+      df0: DataFrame, dir: String, appId: String, txnVersion: Long): Option[Long] = {
     requireLogSafeAppId(appId)
-    val spark = df.sparkSession
+    val spark = df0.sparkSession
     if (lastTxnVersion(spark, dir, appId).exists(_ >= txnVersion)) None
     else {
+      val head0 = currentVersion(spark, dir)
+      val df = withGenerated(df0,
+        head0.map(generatedAt(spark, dir, _)).getOrElse(Map.empty), None)
       val validate = validatorFor(spark, dir, df)
       val guarded = (head: Option[Long], cons: Map[String, String]) => {
-        requireConstrainedColsPresent(spark, cons, df.schema, s"overwrite of $dir")
-        validate(head, cons)
+        val gen = head.map(generatedChecksAt(spark, dir, _)).getOrElse(Map.empty)
+        requireConstrainedColsPresent(spark, cons ++ gen, df.schema,
+          s"overwrite of $dir")
+        validate(head, cons ++ gen)
       }
-      val head0 = currentVersion(spark, dir)
       guarded(head0, head0.map(constraintsAt(spark, dir, _)).getOrElse(Map.empty))
       val files = writeDataFiles(toPhysicalFrame(df, Some(df.schema)), dir)
       commitRetry(spark, dir, "overwrite", _ => df.schema.json,
@@ -2835,12 +2974,61 @@ object Versioned {
   def compactSmall(
       spark: SparkSession, dir: String,
       smallBytes: Long = 32L << 20, targetFiles: Int = 1): Option[Long] = {
-    require(targetFiles >= 1, "targetFiles must be at least 1")
     val base = currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $dir"))
+    compactSmallOf(spark, dir, base, filesAt(spark, dir, base),
+      smallBytes, targetFiles)
+  }
+
+  /** Partition/zone-scoped OPTIMIZE (Delta's `OPTIMIZE t WHERE pred`):
+    * bin-packs small files only inside the slice the predicate
+    * selects, so steady-state maintenance cost follows the partition
+    * being landed into, not the table — at 100 TB a whole-table
+    * OPTIMIZE is itself the bottleneck; you compact the day you just
+    * wrote. The predicate (`whereCol = value`) is a COST scope, not a
+    * row filter: compaction is row-preserving whatever file subset it
+    * rewrites, so a file whose zone range merely spans the value
+    * compacts along — never wrong rows, at worst a wider rewrite. The
+    * slice resolves from the hive-layout directory value (converted
+    * `col=val/` tables) and/or the column's zone maps; a column with
+    * neither refuses loudly (Delta's own restriction of OPTIMIZE WHERE
+    * to partition columns).
+    */
+  def compactSmallWhere(
+      spark: SparkSession, dir: String, whereCol: String, value: String,
+      smallBytes: Long = 32L << 20, targetFiles: Int = 1): Option[Long] = {
+    val base = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
+    val schema = schemaAt(spark, dir, base)
     val all = filesAt(spark, dir, base)
+    val isHiveCol = hiveFieldOf(schema).exists(_.name.equalsIgnoreCase(whereCol))
     val f = fs(spark, dir)
-    val small = all.filter(rel =>
+    val zp = new Path(logPath(dir), f"v$base%08d.zones.json")
+    val zoneBlock =
+      if (!f.exists(zp)) None
+      else ZoneMaps.parseBlock(
+        readFully(spark, dir, zp), physicalOf(schema, whereCol))
+    require(isHiveCol || zoneBlock.isDefined,
+      s"OPTIMIZE WHERE needs '$whereCol' to be a hive-layout partition " +
+        s"column or zone-mapped (CALL system.zone) at $dir — an unscoped " +
+        "column cannot bound the slice; run plain OPTIMIZE for the whole table")
+    val pathSlice =
+      if (isHiveCol) all.filter(_.startsWith(s"$whereCol=$value/")) else Nil
+    val zoneSlice = (zoneBlock, value.toLongOption) match {
+      case (Some(z), Some(v)) => ZoneMaps.prune(all, z, v, v)
+      case _ => Nil
+    }
+    val slice = (pathSlice ++ zoneSlice).distinct
+    if (slice.isEmpty) None
+    else compactSmallOf(spark, dir, base, slice, smallBytes, targetFiles)
+  }
+
+  private def compactSmallOf(
+      spark: SparkSession, dir: String, base: Long, candidates: Seq[String],
+      smallBytes: Long, targetFiles: Int): Option[Long] = {
+    require(targetFiles >= 1, "targetFiles must be at least 1")
+    val f = fs(spark, dir)
+    val small = candidates.filter(rel =>
       f.getFileStatus(dataPath(dir, rel)).getLen < smallBytes)
     if (small.size <= 1) return None
     val logSchema = schemaAt(spark, dir, base)
@@ -2979,8 +3167,9 @@ object Versioned {
       .getOrElse(new org.apache.spark.sql.types.StructType())
     // carried constraints must stay resolvable over the restored schema
     // (restoring past a widening would otherwise write-block the table)
-    requireConstrainedColsPresent(
-      spark, constraintsAt(spark, dir, head), restoredSchema, s"restore of $dir to v$v")
+    requireConstrainedColsPresent(spark,
+      constraintsAt(spark, dir, head) ++ generatedChecksAt(spark, dir, head),
+      restoredSchema, s"restore of $dir to v$v")
     val schemaJson = restoredSchema.json
     // the restored snapshot's OWN deletion vectors come back with it —
     // carrying the head's would resurrect or over-delete rows
@@ -3126,6 +3315,8 @@ object Versioned {
       zoneHint: Option[(String, Long, Long)] = None): Option[Long] = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     require(set.nonEmpty, "UPDATE needs at least one SET column")
+    currentVersion(spark, dir).foreach(b =>
+      requireNoGeneratedSet(spark, dir, b, set.keys, "UPDATE"))
     rewriteMatching(spark, dir, "update", cond, zoneHint,
       pairKeys = sch => sch.fieldNames.toSeq.filterNot(set.keySet)) { (touched, c) =>
       val unknown = set.keySet -- touched.schema.fieldNames
@@ -3312,9 +3503,14 @@ object Versioned {
       s"MERGE cannot retype columns: ${retyped.sorted.mkString(", ")} — " +
         s"table [${tTypes.toSeq.sortBy(_._1).mkString(", ")}] vs source " +
         s"[${sTypes.toSeq.sortBy(_._1).mkString(", ")}]")
+    // GENERATED columns are legally absent from a merge source — their
+    // values are the expression's, regenerated over the merge output
+    val genCols = generatedAt(spark, dir, base).keySet.map(lower)
     require(evolveSchema ||
-      (tTypes.map { case (n, t) => lower(n) -> t } ==
-        sTypes.map { case (n, t) => lower(n) -> t }),
+      (tTypes.collect { case (n, t) if !genCols.contains(lower(n)) =>
+        lower(n) -> t }.toMap ==
+        sTypes.collect { case (n, t) if !genCols.contains(lower(n)) =>
+          lower(n) -> t }.toMap),
       "MERGE source schema must match the table exactly — table " +
         s"[${tTypes.toSeq.sortBy(_._1).mkString(", ")}] vs source " +
         s"[${sTypes.toSeq.sortBy(_._1).mkString(", ")}]; widen the table " +
@@ -3449,6 +3645,10 @@ object Versioned {
     val merged = graft.ops.Upsert.mergeFull(
       target, src, keys, matched, notMatched, notMatchedBySource)
       .select(outSchema.fieldNames.toSeq.map(col): _*)
+      // GENERATED columns regenerate over the merge output (Delta's
+      // contract): updates to a dependency recompute, inserts whose
+      // source omitted the column compute, carried rows are a no-op
+      .transform(regenerated(spark, dir, base, _))
     // CHECK constraints: the merge output (updated + inserted rows plus
     // carried target rows of touched files) must satisfy the contract;
     // constraint stability across a commute re-base is enforced below
@@ -3592,10 +3792,12 @@ object Versioned {
       val unknown = set.keySet -- dataCols
       require(unknown.isEmpty,
         s"SET references unknown columns: ${unknown.mkString(", ")}")
+      requireNoGeneratedSet(spark, dir, base, set.keys, "UPDATE")
       val fieldType = hit.schema.fields.map(f => f.name -> f.dataType).toMap
-      val updated = hit.select(dataCols.map { c =>
-        set.get(c).map(_.cast(fieldType(c)).as(c)).getOrElse(col(c))
-      }: _*)
+      val updated = regenerated(spark, dir, base,
+        hit.select(dataCols.map { c =>
+          set.get(c).map(_.cast(fieldType(c)).as(c)).getOrElse(col(c))
+        }: _*))
       requireSatisfied(updated, constraintsAt(spark, dir, base))
       val fresh = writeDataFiles(updated, dir)
       val v = commitPinned(spark, dir, base, "update-mor",
@@ -3652,7 +3854,10 @@ object Versioned {
     val touched = candidates.filter(rel => matched.exists(_.endsWith(rel)))
     if (touched.isEmpty) return None
     val touchedDf = readFiles(touched)
-    val out = rewrite(touchedDf, cond)
+    // GENERATED columns regenerate over the rewrite output (an UPDATE
+    // to a generation dependency recomputes; a DELETE's row subset
+    // recomputes to the identical values — a no-op by determinism)
+    val out = regenerated(spark, dir, base, rewrite(touchedDf, cond))
     // an UPDATE's SET can introduce constraint violations (a DELETE's
     // row subset cannot, but the shared check keeps the contract in
     // one place at matched-file cost)

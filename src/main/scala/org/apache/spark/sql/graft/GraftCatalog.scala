@@ -43,7 +43,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.classic.SparkSession
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableCatalogCapability, TableChange}
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
@@ -146,22 +146,80 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def invalidateTable(ident: Identifier): Unit = ()
 
+  /** `GENERATED ALWAYS AS (expr)` columns in CREATE TABLE are accepted
+    * (capability below); the expression moves from the field metadata
+    * into the table's `graft.generated.<col>` property, where every
+    * write path honors it (compute-if-absent on append, regenerate on
+    * rewrite).
+    */
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.Set.of(
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+
+  /** `CREATE TABLE (… GENERATED ALWAYS AS (expr))` arrives through the
+    * Column[] overload — the expression rides `Column.generationExpression`,
+    * not field metadata — and lands in the `graft.generated.<col>`
+    * property, the engine's one source of truth.
+    */
+  override def createTable(
+      ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    val gens = columns.collect {
+      case c if c.generationExpression() != null =>
+        s"${Versioned.GeneratedPrefix}${c.name}" -> c.generationExpression()
+    }.toMap
+    createTableImpl(ident,
+      org.apache.spark.sql.connector.catalog.CatalogV2Util
+        .v2ColumnsToStructType(columns),
+      partitions, properties, gens)
+  }
+
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: JMap[String, String]): Table = {
+    // the legacy StructType overload may still carry the expression as
+    // field metadata — lift it out the same way
+    val genKey = org.apache.spark.sql.catalyst.util.GeneratedColumn
+      .GENERATION_EXPRESSION_METADATA_KEY
+    val gens = schema.fields.collect {
+      case f if f.metadata.contains(genKey) =>
+        s"${Versioned.GeneratedPrefix}${f.name}" -> f.metadata.getString(genKey)
+    }.toMap
+    createTableImpl(ident, schema, partitions, properties, gens)
+  }
+
+  private def createTableImpl(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: JMap[String, String], gens: Map[String, String]): Table = {
     require(partitions.isEmpty,
       "graft tables do not take partition transforms — data skipping is " +
         "clustering + zone maps (Versioned.optimizeClusterBy / writeZoneMaps); " +
         "see the design record in Versioned.scala")
     val dir = tableDir(ident)
     if (isTableDir(dir)) throw new TableAlreadyExistsException(ident)
+    val genKey = org.apache.spark.sql.catalyst.util.GeneratedColumn
+      .GENERATION_EXPRESSION_METADATA_KEY
+    val clean = StructType(schema.fields.map { f =>
+      if (!f.metadata.contains(genKey)) f
+      else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).remove(genKey).build())
+    })
     // v1 (versions are 1-based) = schema-only overwrite commit: zero
     // data files, schema bound in the log entry (readAt's
     // empty-snapshot contract), so the table is immediately
     // SELECT-able and INSERT-able
     Versioned.overwrite(
-      spark.createDataFrame(Collections.emptyList[org.apache.spark.sql.Row](), schema),
+      spark.createDataFrame(Collections.emptyList[org.apache.spark.sql.Row](), clean),
       dir)
+    // CREATE TABLE ... TBLPROPERTIES carry into the log like SET
+    // TBLPROPERTIES would; Spark's own bookkeeping keys do not
+    val bookkeeping = Set("provider", "owner", "location", "comment",
+      "external", "is_managed_location")
+    val userProps = properties.asScala.toMap
+      .filterNot { case (k, _) => bookkeeping.contains(k) || k.startsWith("option.") }
+    val toSet = userProps ++ gens
+    if (toSet.nonEmpty) Versioned.setProperties(spark, dir, toSet)
     loadTable(ident)
   }
 
