@@ -1261,6 +1261,114 @@ object VersionedQueries {
       |         CAST(-1 AS BIGINT), CAST(-1 AS BIGINT))
       |SELECT kind, k, vstr, n, sum_c FROM u ORDER BY kind, k""".stripMargin
 
+  // X — column DEFAULT values under the oracle gate, pure SQL: the
+  // table declares a DEFAULT at CREATE, inserts omit the column (the
+  // analyzer fills it from the committed schema's metadata), ADD
+  // COLUMN ... DEFAULT stamps an EXISTS default that pre-existing
+  // rows surface straight from the parquet read schema (their files
+  // lack the column), and SET DEFAULT changes only FUTURE inserts.
+  // The hashed output groups by the defaulted columns — every value
+  // the engine filled must match the oracle's literal replay.
+  def sqlDefaults(s: SparkSession, dir: String): DataFrame = {
+    val cat = s"graft_def_${catalogSeq.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "org.apache.spark.sql.graft.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", scratchDir("graft_defwh"))
+    t(s, dir, "events")
+      .withColumn("value_c", floor(col("value") * 100).cast("long"))
+      .select("event_id", "user_id", "event_type", "value_c")
+      .filter(col("event_id") % 5 === 3)
+      .createOrReplaceTempView("graft_xdef_src")
+    val tbl = s"$cat.d.events"
+    s.sql(s"CREATE NAMESPACE $cat.d")
+    s.sql(s"CREATE TABLE $tbl (event_id BIGINT, user_id BIGINT, " +
+      "event_type STRING, value_c BIGINT, status STRING DEFAULT 'new')") // v1
+    s.sql(s"INSERT INTO $tbl (event_id, user_id, event_type, value_c) " +
+      "SELECT * FROM graft_xdef_src WHERE event_type <> 'view'")         // v2
+    s.sql(s"ALTER TABLE $tbl ADD COLUMN tier STRING DEFAULT 'bronze'")
+    s.sql(s"ALTER TABLE $tbl ALTER COLUMN status SET DEFAULT 'late'")
+    s.sql(s"INSERT INTO $tbl (event_id, user_id, event_type, value_c) " +
+      "SELECT * FROM graft_xdef_src WHERE event_type = 'view'")
+    s.sql(s"""SELECT status, tier, event_type,
+              |       CAST(count(*) AS BIGINT) AS n,
+              |       CAST(sum(value_c) AS BIGINT) AS sum_c
+              |FROM $tbl GROUP BY status, tier, event_type
+              |ORDER BY status, tier, event_type""".stripMargin)
+  }
+
+  val sqlDefaultsSql: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type,
+      |                   CAST(floor(value * 100) AS BIGINT) AS value_c
+      |            FROM events WHERE event_id % 5 = 3),
+      |rows_all AS (
+      |  SELECT event_type, value_c, 'new' AS status, 'bronze' AS tier
+      |  FROM ev WHERE event_type <> 'view'
+      |  UNION ALL
+      |  SELECT event_type, value_c, 'late', 'bronze'
+      |  FROM ev WHERE event_type = 'view')
+      |SELECT status, tier, event_type,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(value_c) AS BIGINT) AS sum_c
+      |FROM rows_all GROUP BY status, tier, event_type
+      |ORDER BY status, tier, event_type""".stripMargin
+
+  // X — IDENTITY columns under the oracle gate: the table declares
+  // `row_id GENERATED ALWAYS AS IDENTITY` (property + transactional
+  // high-water mark), then two appends land WITHOUT the column — the
+  // engine assigns contiguous values, the second append continuing
+  // exactly where the first stopped. Which row got which id depends on
+  // partition order (legitimately nondeterministic), so the hashed
+  // output checks the ID SET algebraically — count, min, max, sum must
+  // be exactly those of 1..n — alongside the content aggregates.
+  def identityLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_id") % 6 === 1)
+      .withColumn("value_c", floor(col("value") * 100).cast("long"))
+      .select("user_id", "event_type", "value_c")
+    val tableDir = scratchDir("graft_xident")
+    Versioned.overwrite(
+      s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        new org.apache.spark.sql.types.StructType()
+          .add("row_id", org.apache.spark.sql.types.LongType)
+          .add("user_id", org.apache.spark.sql.types.LongType)
+          .add("event_type", org.apache.spark.sql.types.StringType)
+          .add("value_c", org.apache.spark.sql.types.LongType)),
+      tableDir)                                                          // v1
+    Versioned.setIdentityColumn(s, tableDir, "row_id")                   // v2-v3
+    Versioned.append(ev.filter(col("event_type") =!= "view"), tableDir)  // assigned
+    Versioned.append(ev.filter(col("event_type") === "view"), tableDir)  // continues
+    val content = Versioned.read(s, tableDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("s1"),
+        lit(0L).as("s2"))
+      .withColumn("kind", lit("content"))
+      .select(col("kind"), col("event_type").as("k"), col("n"),
+        col("s1"), col("s2"))
+    val ids = Versioned.read(s, tableDir)
+      .agg(count(lit(1)).as("n"), sum(col("row_id")).as("s1"),
+        (max(col("row_id")) - min(col("row_id")) + 1L).as("s2"))
+      .withColumn("kind", lit("ids")).withColumn("k", lit("all"))
+      .select("kind", "k", "n", "s1", "s2")
+    content.unionByName(ids).orderBy("kind", "k")
+  }
+
+  val identityLifecycleSql: String =
+    """WITH ev AS (SELECT user_id, event_type,
+      |                   CAST(floor(value * 100) AS BIGINT) AS value_c
+      |            FROM events WHERE event_id % 6 = 1),
+      |u AS (
+      |  SELECT 'content' AS kind, event_type AS k,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(value_c) AS BIGINT) AS s1,
+      |         CAST(0 AS BIGINT) AS s2
+      |  FROM ev GROUP BY event_type
+      |  UNION ALL
+      |  SELECT 'ids', 'all', CAST(count(*) AS BIGINT),
+      |         CAST(count(*) * (count(*) + 1) / 2 AS BIGINT),
+      |         CAST(count(*) AS BIGINT)
+      |  FROM ev)
+      |SELECT kind, k, n, s1, s2 FROM u ORDER BY kind, k""".stripMargin
+
   // X — GENERATED columns under the oracle gate: a versioned table
   // declares `bucket GENERATED ALWAYS AS (user_id % 16)`
   // (graft.generated.* property), then every write shape the engine
@@ -1495,6 +1603,8 @@ object VersionedQueries {
     QueryDef("x_sql_tblprops", sqlTblProps, Some(sqlTblPropsSql)),
     QueryDef("x_generated", generatedLifecycle, Some(generatedLifecycleSql)),
     QueryDef("x_optimize_where", optimizeWhereScoped, Some(optimizeWhereScopedSql)),
+    QueryDef("x_sql_defaults", sqlDefaults, Some(sqlDefaultsSql)),
+    QueryDef("x_identity", identityLifecycle, Some(identityLifecycleSql)),
     QueryDef("m5_versioned_merge", versionedMerge, Some(versionedMergeSql)),
     QueryDef("m9_condput_merge", versionedMergeCondPut, Some(versionedMergeSql)),
     QueryDef("m10_sql_merge", versionedMergeSqlText, Some(versionedMergeSql)),

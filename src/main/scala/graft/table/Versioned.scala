@@ -1010,6 +1010,71 @@ object Versioned {
     }
   }
 
+  /** The implicit NOT NULL checks identity columns impose on rewrite
+    * outputs (merge/update cannot manufacture unassigned rows).
+    */
+  private def identityChecksAt(
+      spark: SparkSession, dir: String, v: Long): Map[String, String] =
+    identityAt(spark, dir, v).keys
+      .map(c => s"identity_$c" -> s"`$c` IS NOT NULL").toMap
+
+  /** Assigns identity values over a write batch (see [[IdentityPrefix]]):
+    * rows presenting NULL in a declared identity column — and batches
+    * omitting it entirely — take `hwm+step, hwm+2·step, …`
+    * contiguously; `ALWAYS` columns refuse explicit non-NULL values
+    * row-side via `raise_error` in the assignment expression. Returns
+    * (assigned frame, per-column planned hwm for the publish-time
+    * guard, hwm property updates to commit, frames to unpersist after
+    * the commit). No identity declared → free no-op.
+    */
+  private def assignIdentity(
+      spark: SparkSession, dir: String, head: Option[Long], df: DataFrame)
+      : (DataFrame, Map[String, Long], Map[String, String], Seq[DataFrame]) = {
+    val idents = head.map(identityAt(spark, dir, _)).getOrElse(Map.empty)
+    if (idents.isEmpty) return (df, Map.empty, Map.empty, Nil)
+    import org.apache.spark.sql.functions._
+    val props = head.map(propertiesAt(spark, dir, _)).getOrElse(Map.empty)
+    val hwm0 = idents.map { case (c, spec) =>
+      c -> props.get(s"$IdentityHwmPrefix$c").map(_.toLong)
+        .getOrElse(spec.start - spec.step)
+    }
+    // ONE cached pass indexes the rows — the batch lineage computes
+    // once; the parquet write below reads the cache
+    val cached = df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = cached.count()
+    val indexed = spark.createDataFrame(
+      cached.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+      cached.schema.add("__identity_idx",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val schema = head.flatMap(schemaAt(spark, dir, _))
+    val assigned = idents.toSeq.sortBy(_._1).foldLeft(indexed) {
+      case (d, (c, spec)) =>
+        val t = schema.flatMap(_.fields.find(_.name.equalsIgnoreCase(c)))
+          .map(_.dataType).getOrElse(
+            org.apache.spark.sql.types.LongType
+              : org.apache.spark.sql.types.DataType)
+        val value =
+          (lit(hwm0(c)) + (col("__identity_idx") + 1L) * spec.step).cast(t)
+        if (!d.columns.exists(_.equalsIgnoreCase(c))) d.withColumn(c, value)
+        else {
+          val kept =
+            if (spec.allowExplicit) col(c)
+            else raise_error(concat(
+              lit(s"IDENTITY column $c is GENERATED ALWAYS — explicit " +
+                "values are refused (found "),
+              col(c).cast("string"),
+              lit("); declare allowExplicit = true to opt in"))).cast(t)
+          d.withColumn(c, when(col(c).isNull, value).otherwise(kept))
+        }
+    }.drop("__identity_idx")
+    (assigned, hwm0,
+      idents.map { case (c, spec) =>
+        s"$IdentityHwmPrefix$c" -> (hwm0(c) + n * spec.step).toString },
+      Seq(cached))
+  }
+
   /** Refuses an explicit SET on a GENERATED column (Delta's UPDATE
     * contract — the value is the expression's, not the writer's).
     */
@@ -1044,6 +1109,90 @@ object Versioned {
         d.withColumn(c, typed)
       }
     }
+  }
+
+  /** Property-key prefixes declaring an IDENTITY column (Delta's
+    * `GENERATED {ALWAYS | BY DEFAULT} AS IDENTITY (START WITH s
+    * INCREMENT BY st)`): `graft.identity.<col>` holds
+    * `start=<s>;step=<st>;explicit=<bool>`, and the claimed
+    * high-water mark lives beside it under `graft.identityhwm.<col>`,
+    * moved TRANSACTIONALLY by every assigning commit — the hwm update
+    * publishes in the same log entry as the data, and the commit
+    * verifies at publish time that no concurrent writer claimed the
+    * range (loud refusal, never colliding values).
+    *
+    * Write semantics ([[setIdentityColumn]] declares; the append path
+    * assigns): a batch that omits the column — or presents NULL in it,
+    * which is what a SQL `INSERT (other cols)` or the `DEFAULT`
+    * keyword delivers — gets contiguous values `hwm+step, hwm+2·step,
+    * …` (one extra pass over the PERSISTED batch to index rows; the
+    * lineage is cached around it, so the batch computes once).
+    * `ALWAYS` refuses explicit non-NULL values row-side
+    * (`raise_error` inside the assignment expression — no extra scan);
+    * `BY DEFAULT` keeps them (uniqueness against kept values is the
+    * caller's risk, Delta's own documented trade). MERGE/UPDATE
+    * outputs enforce `col IS NOT NULL` like an implicit CHECK.
+    */
+  val IdentityPrefix = "graft.identity."
+  val IdentityHwmPrefix = "graft.identityhwm."
+
+  final case class IdentitySpec(start: Long, step: Long, allowExplicit: Boolean)
+
+  /** The identity-column declarations of snapshot `v`. */
+  def identityAt(spark: SparkSession, dir: String, v: Long): Map[String, IdentitySpec] =
+    propertiesAt(spark, dir, v).collect {
+      case (k, s) if k.startsWith(IdentityPrefix) =>
+        k.stripPrefix(IdentityPrefix) -> parseIdentitySpec(s)
+    }
+
+  private def parseIdentitySpec(s: String): IdentitySpec = {
+    val m = s.split(';').map(_.split("=", 2))
+      .collect { case Array(a, b) => a -> b }.toMap
+    IdentitySpec(m("start").toLong, m("step").toLong,
+      m.getOrElse("explicit", "false").toBoolean)
+  }
+
+  /** Declares `name` an IDENTITY column. On a populated table the
+    * high-water mark starts past the existing extremum (declaring an
+    * existing key column an identity continues from its values); on an
+    * empty one the first assigned value is exactly `start`. Also
+    * stamps a NULL column default so SQL INSERTs may simply omit the
+    * column (the analyzer fills NULL; the write path assigns).
+    */
+  def setIdentityColumn(
+      spark: SparkSession, dir: String, name: String,
+      start: Long = 1L, step: Long = 1L,
+      allowExplicit: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    require(step != 0L, "identity step must be nonzero")
+    val head = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
+    val schema = schemaAt(spark, dir, head).getOrElse(
+      throw new IllegalArgumentException(
+        s"IDENTITY requires a schema-bearing snapshot at $dir"))
+    val field = schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column $name at $dir (${schema.fieldNames.mkString(", ")})"))
+    require(field.dataType == org.apache.spark.sql.types.LongType ||
+      field.dataType == org.apache.spark.sql.types.IntegerType,
+      s"IDENTITY column $name must be integral, got ${field.dataType.sql}")
+    val extremum = Option(readAt(spark, dir, head)
+      .agg((if (step > 0) max(col(name)) else min(col(name))).cast("long").as("x"))
+      .head().get(0)).map(_.asInstanceOf[Long])
+    // hwm such that the NEXT assigned value is `start` on an
+    // empty/all-NULL table, or continues past the existing extremum
+    val hwm0 = extremum match {
+      case None => start - step
+      case Some(x) =>
+        if (step > 0) math.max(x, start - step) else math.min(x, start - step)
+    }
+    setProperties(spark, dir, Map(
+      s"$IdentityPrefix$name" -> s"start=$start;step=$step;explicit=$allowExplicit",
+      s"$IdentityHwmPrefix$name" -> hwm0.toString))
+    // SQL INSERTs may omit the column: the analyzer fills NULL from
+    // this default and the write path assigns
+    setColumnDefault(spark, dir, name,
+      Some(s"CAST(NULL AS ${field.dataType.sql})"))
   }
 
   /** Sets (or updates) table properties in one commit (Delta's
@@ -1274,6 +1423,63 @@ object Versioned {
     val v = commitPinned(spark, dir, head, "rename-column", renamed.json, files).get
     // sidecars are physical-keyed, so the carry is a pure copy — data
     // skipping survives the rename with zero re-statting
+    carryZones(spark, dir, head, v, kept = files.toSet, fresh = Nil)
+    v
+  }
+
+  /** Metadata-only column DEFAULT change (Spark/Delta's `ALTER TABLE
+    * ... ALTER COLUMN c SET DEFAULT expr` / `DROP DEFAULT`): the
+    * default SQL lands in the committed schema's field metadata under
+    * Spark's own `CURRENT_DEFAULT` key, where the analyzer's
+    * default-resolution fills it into INSERTs that omit the column
+    * (the DSv2 contract behind `SUPPORT_COLUMN_DEFAULT_VALUE`).
+    * `existsAlso = true` additionally stamps `EXISTS_DEFAULT` — the
+    * value pre-existing rows surface where their files lack the
+    * column entirely (Spark's vectorized parquet reader applies it
+    * from the read schema) — the ADD COLUMN ... DEFAULT semantic; a
+    * plain SET DEFAULT affects only future INSERTs, exactly Spark's
+    * rule. The expression must be constant-foldable (validated by
+    * evaluating it once); `None` drops the default.
+    */
+  def setColumnDefault(
+      spark: SparkSession, dir: String, name: String,
+      defaultSql: Option[String], existsAlso: Boolean = false): Long = {
+    import org.apache.spark.sql.catalyst.util.{ResolveDefaultColumns => RDC}
+    val head = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
+    val schema = schemaAt(spark, dir, head).getOrElse(
+      throw new IllegalArgumentException(
+        s"SET DEFAULT requires a schema-bearing snapshot at $dir"))
+    val field = schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column $name at $dir (${schema.fieldNames.mkString(", ")})"))
+    defaultSql.foreach { sql =>
+      // constant-foldable and castable to the column's type, verified
+      // by evaluating once — a default that cannot fold would fail
+      // every later INSERT with an unrelated error
+      val row = spark.sql(s"SELECT CAST(($sql) AS ${field.dataType.sql})")
+      require(row.schema.fields.length == 1,
+        s"DEFAULT for $name must be a single expression: $sql")
+      row.collect()
+    }
+    val updated = org.apache.spark.sql.types.StructType(schema.fields.map { f =>
+      if (f ne field) f
+      else {
+        val b = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        defaultSql match {
+          case Some(sql) =>
+            b.putString(RDC.CURRENT_DEFAULT_COLUMN_METADATA_KEY, sql)
+            if (existsAlso)
+              b.putString(RDC.EXISTS_DEFAULT_COLUMN_METADATA_KEY, sql)
+          case None =>
+            b.remove(RDC.CURRENT_DEFAULT_COLUMN_METADATA_KEY)
+        }
+        f.copy(metadata = b.build())
+      }
+    })
+    val files = filesAt(spark, dir, head)
+    val v = commitPinned(spark, dir, head, "set-default", updated.json, files).get
     carryZones(spark, dir, head, v, kept = files.toSet, fresh = Nil)
     v
   }
@@ -1674,7 +1880,8 @@ object Versioned {
       maxAttempts: Int = 16,
       dvsFor: Map[String, Seq[Long]] => Map[String, Seq[Long]] = identity,
       preCommit: (Option[Long], Map[String, String]) => Unit = (_, _) => (),
-      extraJson: String = "")
+      extraJson: String = "",
+      propsFor: Map[String, String] => Map[String, String] = identity)
       : Option[Long] = {
     var attempt = 1
     while (true) {
@@ -1685,7 +1892,7 @@ object Versioned {
       // CAS and forces this recompute-retry
       try return commitAttempt(
         spark, dir, op, schemaJsonFor, txn, filesFor, dvsFor = dvsFor,
-        preCommit = preCommit, extraJson = extraJson)
+        preCommit = preCommit, extraJson = extraJson, propsFor = propsFor)
       catch {
         case e: CommitRace =>
           if (attempt >= maxAttempts) throw e
@@ -1906,34 +2113,55 @@ object Versioned {
     // write contract); present ones validate below via the implicit
     // `col <=> expr` checks merged into every attempt's constraint pass
     val head0 = currentVersion(spark, dir)
-    val df = withGenerated(df0,
+    val dfGen = withGenerated(df0,
       head0.map(generatedAt(spark, dir, _)).getOrElse(Map.empty),
       head0.flatMap(schemaAt(spark, dir, _)))
-    def consPlusGen(head: Option[Long], cons: Map[String, String]) =
-      cons ++ head.map(generatedChecksAt(spark, dir, _)).getOrElse(Map.empty)
-    val validate = validatorFor(spark, dir, df)
-    // fast-fail BEFORE writing data files, pairing version and
-    // constraint set from ONE head read (the attempt re-pairs anyway)
-    validate(head0, consPlusGen(head0,
-      head0.map(constraintsAt(spark, dir, _)).getOrElse(Map.empty)))
-    val physFor = physPlanFor(spark, dir, head0, df)
-    val fresh = writeDataFiles(
-      if (physFor.forall(kv => kv._1 == kv._2)) df
-      else df.select(df.columns.toSeq.map(c =>
-        org.apache.spark.sql.functions.col(c).as(physFor(c))): _*), dir)
-    val v = commitRetry(spark, dir, "append",
-      head => evolvedSchemaJson(spark, dir, head, df, mergeSchema, physFor),
-      None, prev => prev ++ fresh,
-      preCommit = (head, cons) =>
-        { validate(head, consPlusGen(head, cons)); extraGuard(head) },
-      extraJson = extraJson).get
-    // a zoned table must not lose data skipping at every append: carry
-    // the previous sidecar (kept files' stats verbatim) and stat only
-    // the fresh files — O(batch), not O(table). Versions are dense, so
-    // the committed version's predecessor is the snapshot it extended.
-    carryZones(spark, dir, v - 1, v,
-      filesAt(spark, dir, v).toSet -- fresh.toSet, fresh)
-    v
+    // IDENTITY columns assign here (omitted/NULL rows take the next
+    // contiguous values); the claimed hwm publishes in THIS commit and
+    // the guard below refuses a concurrently-moved hwm
+    val (df, idHwm0, idClaims, idCached) =
+      assignIdentity(spark, dir, head0, dfGen)
+    try {
+      def consPlusGen(head: Option[Long], cons: Map[String, String]) =
+        cons ++ head.map(generatedChecksAt(spark, dir, _)).getOrElse(Map.empty)
+      val validate = validatorFor(spark, dir, df)
+      // fast-fail BEFORE writing data files, pairing version and
+      // constraint set from ONE head read (the attempt re-pairs anyway)
+      validate(head0, consPlusGen(head0,
+        head0.map(constraintsAt(spark, dir, _)).getOrElse(Map.empty)))
+      val physFor = physPlanFor(spark, dir, head0, df)
+      val fresh = writeDataFiles(
+        if (physFor.forall(kv => kv._1 == kv._2)) df
+        else df.select(df.columns.toSeq.map(c =>
+          org.apache.spark.sql.functions.col(c).as(physFor(c))): _*), dir)
+      val v = commitRetry(spark, dir, "append",
+        head => evolvedSchemaJson(spark, dir, head, df, mergeSchema, physFor),
+        None, prev => prev ++ fresh,
+        preCommit = (head, cons) => {
+          validate(head, consPlusGen(head, cons))
+          extraGuard(head)
+          // identity ranges must not double-claim: the values in the
+          // already-written files were computed from the PLANNED hwm
+          if (idHwm0.nonEmpty) {
+            val cur = head.map(propertiesAt(spark, dir, _)).getOrElse(Map.empty)
+            idHwm0.foreach { case (c, h0) =>
+              val now = cur.get(s"$IdentityHwmPrefix$c").map(_.toLong).getOrElse(h0)
+              if (now != h0) throw new IllegalStateException(
+                s"concurrent identity writer claimed $c's range at $dir " +
+                  s"(planned from hwm $h0, head now at $now) — re-run the write")
+            }
+          }
+        },
+        extraJson = extraJson,
+        propsFor = _ ++ idClaims).get
+      // a zoned table must not lose data skipping at every append: carry
+      // the previous sidecar (kept files' stats verbatim) and stat only
+      // the fresh files — O(batch), not O(table). Versions are dense, so
+      // the committed version's predecessor is the snapshot it extended.
+      carryZones(spark, dir, v - 1, v,
+        filesAt(spark, dir, v).toSet -- fresh.toSet, fresh)
+      v
+    } finally idCached.foreach(_.unpersist())
   }
 
   /** Source-file identities every retained commit loaded via
@@ -2518,7 +2746,8 @@ object Versioned {
     // not write-block the table (the attempt's own alignment would let
     // it pass as NULL)
     val guarded = (head: Option[Long], cons: Map[String, String]) => {
-      val gen = head.map(generatedChecksAt(spark, dir, _)).getOrElse(Map.empty)
+      val gen = head.map(h => generatedChecksAt(spark, dir, h) ++
+        identityChecksAt(spark, dir, h)).getOrElse(Map.empty)
       requireConstrainedColsPresent(spark, cons ++ gen, df.schema,
         s"overwrite of $dir")
       validate(head, cons ++ gen)
@@ -2543,7 +2772,8 @@ object Versioned {
         head0.map(generatedAt(spark, dir, _)).getOrElse(Map.empty), None)
       val validate = validatorFor(spark, dir, df)
       val guarded = (head: Option[Long], cons: Map[String, String]) => {
-        val gen = head.map(generatedChecksAt(spark, dir, _)).getOrElse(Map.empty)
+        val gen = head.map(h => generatedChecksAt(spark, dir, h) ++
+          identityChecksAt(spark, dir, h)).getOrElse(Map.empty)
         requireConstrainedColsPresent(spark, cons ++ gen, df.schema,
           s"overwrite of $dir")
         validate(head, cons ++ gen)
@@ -3651,8 +3881,11 @@ object Versioned {
       .transform(regenerated(spark, dir, base, _))
     // CHECK constraints: the merge output (updated + inserted rows plus
     // carried target rows of touched files) must satisfy the contract;
-    // constraint stability across a commute re-base is enforced below
-    requireSatisfied(merged, constraintsAt(spark, dir, base))
+    // constraint stability across a commute re-base is enforced below.
+    // Identity columns add an implicit NOT NULL (a source row cannot
+    // insert an unassigned identity through a merge).
+    requireSatisfied(merged, constraintsAt(spark, dir, base) ++
+      identityChecksAt(spark, dir, base))
     val fresh = writeDataFiles(toPhysicalFrame(merged, Some(outSchema)), dir)
     // MERGE's insert clause read "key ABSENT from the table" — a
     // concurrently-appended file can invalidate that without touching
@@ -3798,7 +4031,8 @@ object Versioned {
         hit.select(dataCols.map { c =>
           set.get(c).map(_.cast(fieldType(c)).as(c)).getOrElse(col(c))
         }: _*))
-      requireSatisfied(updated, constraintsAt(spark, dir, base))
+      requireSatisfied(updated, constraintsAt(spark, dir, base) ++
+        identityChecksAt(spark, dir, base))
       val fresh = writeDataFiles(updated, dir)
       val v = commitPinned(spark, dir, base, "update-mor",
         logSchema.map(_.json).getOrElse(updated.schema.json),
@@ -3861,7 +4095,8 @@ object Versioned {
     // an UPDATE's SET can introduce constraint violations (a DELETE's
     // row subset cannot, but the shared check keeps the contract in
     // one place at matched-file cost)
-    requireSatisfied(out, constraintsAt(spark, dir, base))
+    requireSatisfied(out, constraintsAt(spark, dir, base) ++
+      identityChecksAt(spark, dir, base))
     val fresh = writeDataFiles(toPhysicalFrame(out, logSchema), dir)
     val schemaJson = logSchema.map(_.json).getOrElse(touchedDf.schema.json)
     val v = commitRewriteCommuting(
@@ -4117,7 +4352,7 @@ object Versioned {
     // snapshot diff is empty (same row multisets, possibly re-filed or
     // re-named) — contribute nothing
     val silent = Set("optimize", "compact-small", "reorg", "set-constraint",
-      "drop-constraint", "set-properties", "unset-properties",
+      "drop-constraint", "set-properties", "unset-properties", "set-default",
       "rename-column", "drop-column")
     // the table's birth commit, if the window reaches back to it: its
     // "diff" is the full v1 content (there is no v0 snapshot to scan)
@@ -4304,7 +4539,8 @@ object Versioned {
     (from + 1 to to).map(v => v -> opAt(spark, dir, v))
       .filterNot { case (_, op) =>
         op == "append" || op == "set-constraint" || op == "drop-constraint" ||
-          op == "set-properties" || op == "unset-properties" }
+          op == "set-properties" || op == "unset-properties" ||
+          op == "set-default" }
 
   /** Insert-only change feed: the rows of files ADDED between
     * snapshots `from` (exclusive) and `to` (inclusive) — the log's
@@ -4472,7 +4708,7 @@ object Versioned {
       skipMutating: Boolean = false): DataFrame = {
     require(from <= to, s"streamBatch window is inverted: $from > $to")
     val skippable = Set("optimize", "compact-small", "reorg", "set-constraint",
-      "drop-constraint", "set-properties", "unset-properties")
+      "drop-constraint", "set-properties", "unset-properties", "set-default")
     val ops = (from + 1 to to).map(v => v -> opAt(spark, dir, v))
     val mutating = ops.filterNot { case (_, op) => op == "append" || skippable(op) }
     require(skipMutating || mutating.isEmpty,

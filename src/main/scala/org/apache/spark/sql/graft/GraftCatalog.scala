@@ -154,7 +154,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     */
   override def capabilities(): java.util.Set[TableCatalogCapability] =
     java.util.Set.of(
-      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   /** `CREATE TABLE (… GENERATED ALWAYS AS (expr))` arrives through the
     * Column[] overload — the expression rides `Column.generationExpression`,
@@ -169,10 +171,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case c if c.generationExpression() != null =>
         s"${Versioned.GeneratedPrefix}${c.name}" -> c.generationExpression()
     }.toMap
-    createTableImpl(ident,
+    val idents = columns.collect {
+      case c if c.identityColumnSpec() != null => c.name -> c.identityColumnSpec()
+    }.toSeq
+    val table = createTableImpl(ident,
       org.apache.spark.sql.connector.catalog.CatalogV2Util
         .v2ColumnsToStructType(columns),
       partitions, properties, gens)
+    // `GENERATED … AS IDENTITY` columns register after the v1 commit:
+    // the declaration validates against the (empty) snapshot and also
+    // stamps the NULL column default SQL INSERTs omit through
+    if (idents.isEmpty) table
+    else {
+      val dir = tableDir(ident)
+      idents.foreach { case (n, spec) =>
+        Versioned.setIdentityColumn(spark, dir, n,
+          spec.getStart, spec.getStep, spec.isAllowExplicitInsert)
+      }
+      loadTable(ident)
+    }
   }
 
   override def createTable(
@@ -278,9 +295,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           spark.createDataFrame(Collections.emptyList[org.apache.spark.sql.Row](),
             base.add(name, a.dataType, nullable = true)),
           dir, mergeSchema = true)
+        // ADD COLUMN ... DEFAULT stamps BOTH defaults: CURRENT (future
+        // INSERTs that omit it) and EXISTS (pre-existing rows, served
+        // from the read schema where files lack the column)
+        Option(a.defaultValue()).foreach(dv =>
+          Versioned.setColumnDefault(spark, dir, name,
+            Some(dv.getSql), existsAlso = true))
       case r: TableChange.RenameColumn =>
         Versioned.renameColumn(
           spark, dir, onePart(r.fieldNames, "RENAME COLUMN"), r.newName)
+      case u: TableChange.UpdateColumnDefaultValue =>
+        // SET DEFAULT carries the expression; DROP DEFAULT arrives as
+        // an empty/absent default and removes the metadata key
+        val name = onePart(u.fieldNames, "ALTER COLUMN DEFAULT")
+        val sql = Option(u.newCurrentDefault()).map(_.getSql)
+          .orElse(Option(u.newDefaultValue()))
+          .filter(s => s != null && s.trim.nonEmpty)
+        Versioned.setColumnDefault(spark, dir, name, sql)
       case d: TableChange.DeleteColumn =>
         Versioned.dropColumn(spark, dir, onePart(d.fieldNames, "DROP COLUMN"))
       case other => throw new UnsupportedOperationException(

@@ -187,6 +187,61 @@ private[graft] object GraftProcedures {
           Seq(row(Versioned.convert(s, dir)))
         }),
 
+      Proc("reorg",
+        "physically purge drifted files: DV carriers rewritten with DVs " +
+          "materialized, pre-DROP-COLUMN files re-stored under the current " +
+          "physical schema; clean files untouched",
+        Seq(in("table", StringType)),
+        VersionOut,
+        (s, in) => {
+          val dir = dirOf(in)
+          Seq(row(Versioned.reorgPurge(s, dir).getOrElse(
+            Versioned.currentVersion(s, dir).getOrElse(
+              throw new IllegalArgumentException(
+                s"no committed versions at $dir")))))
+        }),
+
+      Proc("set_property",
+        "set one table property (the SET TBLPROPERTIES commit)",
+        Seq(in("table", StringType), in("key", StringType),
+          in("value", StringType)),
+        VersionOut,
+        (s, in) => Seq(row(Versioned.setProperties(s, dirOf(in),
+          Map(in.getUTF8String(1).toString -> in.getUTF8String(2).toString))))),
+
+      Proc("unset_property",
+        "remove one table property (UNSET TBLPROPERTIES; if_exists tolerates " +
+          "unknown keys)",
+        Seq(in("table", StringType), in("key", StringType),
+          inDefault("if_exists", BooleanType, "false")),
+        VersionOut,
+        (s, in) => Seq(row(Versioned.unsetProperties(s, dirOf(in),
+          Seq(in.getUTF8String(1).toString), in.getBoolean(2))))),
+
+      Proc("properties",
+        "list the head snapshot's table properties",
+        Seq(in("table", StringType)),
+        new StructType().add("key", StringType, nullable = false)
+          .add("value", StringType, nullable = false),
+        (s, in) => {
+          val dir = dirOf(in)
+          val head = Versioned.currentVersion(s, dir).getOrElse(
+            throw new IllegalArgumentException(s"no committed versions at $dir"))
+          Versioned.propertiesAt(s, dir, head).toSeq.sorted
+            .map { case (k, v) => row(utf8(k), utf8(v)) }
+        }),
+
+      Proc("set_identity",
+        "declare an IDENTITY column (start/step; allow_explicit keeps " +
+          "caller-supplied values instead of refusing them)",
+        Seq(in("table", StringType), in("column", StringType),
+          inDefault("start", LongType, "1"), inDefault("step", LongType, "1"),
+          inDefault("allow_explicit", BooleanType, "false")),
+        VersionOut,
+        (s, in) => Seq(row(Versioned.setIdentityColumn(s, dirOf(in),
+          in.getUTF8String(1).toString, in.getLong(2), in.getLong(3),
+          in.getBoolean(4))))),
+
       Proc("pins",
         "list clone pins protecting this table's files from vacuum",
         Seq(in("table", StringType)),
