@@ -458,7 +458,19 @@ final case class GraftOptimizeCommand(
         Versioned.compactSmallWhere(spark, dir, c, whereVal.get)
           .getOrElse(head)
       case None =>
-        if (zorderBy.nonEmpty) Versioned.optimizeZOrderBy(spark, dir, zorderBy)
+        val declared = Versioned.clusterByAt(spark, dir, head)
+        if (declared.nonEmpty) {
+          // a CLUSTER BY table has ONE layout authority: bare OPTIMIZE
+          // maintains the declared keys INCREMENTALLY (only the
+          // unclustered tail rewrites — the 100 TB maintenance shape);
+          // an explicit ZORDER BY would silently fork the layout
+          require(zorderBy.isEmpty,
+            s"table declares CLUSTER BY (${declared.mkString(", ")}) — " +
+              "bare OPTIMIZE maintains it; change keys with " +
+              "ALTER TABLE ... CLUSTER BY, or CLUSTER BY NONE first")
+          Versioned.zorderIncremental(spark, dir, declared).getOrElse(head)
+        }
+        else if (zorderBy.nonEmpty) Versioned.optimizeZOrderBy(spark, dir, zorderBy)
         else Versioned.compactSmall(spark, dir).getOrElse(head)
     }
     Seq(Row(v))

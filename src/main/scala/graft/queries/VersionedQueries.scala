@@ -1352,6 +1352,97 @@ object VersionedQueries {
     content.unionByName(ids).orderBy("kind", "k")
   }
 
+  // X — replaceWhere under the oracle gate: the canonical backfill.
+  // The table is seeded through SQL INSERT, then the 'view' slice is
+  // recomputed (corrected metric) and atomically swapped in through
+  // the DSv2 overwrite-by-filter contract (`writeTo(t).overwrite`) —
+  // one commit, matched-file footprint, Delta's replaceWhere. The
+  // hashed output proves exactly the slice changed: non-view rows
+  // carry verbatim, view rows carry the corrected values.
+  def replaceWhereBackfill(s: SparkSession, dir: String): DataFrame = {
+    val cat = s"graft_rw_${catalogSeq.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "org.apache.spark.sql.graft.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", scratchDir("graft_rwwh"))
+    s.sql(s"CREATE NAMESPACE $cat.d")
+    val tbl = s"$cat.d.events"
+    val ev = t(s, dir, "events")
+      .filter(col("event_id") % 7 === 2)
+      .withColumn("value_c", floor(col("value") * 100).cast("long"))
+      .select("event_id", "user_id", "event_type", "value_c")
+    ev.createOrReplaceTempView("graft_xrw_src")
+    s.sql(s"CREATE TABLE $tbl (event_id BIGINT, user_id BIGINT, " +
+      "event_type STRING, value_c BIGINT)")
+    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_xrw_src")
+    val recomputed = ev.filter(col("event_type") === "view")
+      .withColumn("value_c", col("value_c") * 2L)
+    recomputed.writeTo(tbl).overwrite(col("event_type") === "view")
+    s.sql(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              |       CAST(sum(value_c) AS BIGINT) AS sum_c,
+              |       CAST(sum(user_id) AS BIGINT) AS sum_u
+              |FROM $tbl GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val replaceWhereBackfillSql: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type,
+      |                   CAST(floor(value * 100) AS BIGINT) AS value_c
+      |            FROM events WHERE event_id % 7 = 2),
+      |fin AS (
+      |  SELECT event_type, value_c, user_id FROM ev
+      |  WHERE event_type <> 'view'
+      |  UNION ALL
+      |  SELECT event_type, value_c * 2, user_id FROM ev
+      |  WHERE event_type = 'view')
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(value_c) AS BIGINT) AS sum_c,
+      |       CAST(sum(user_id) AS BIGINT) AS sum_u
+      |FROM fin GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // X — declared clustering under the oracle gate, pure SQL: CREATE
+  // TABLE ... CLUSTER BY records the layout contract, two unclustered
+  // insert batches land, bare OPTIMIZE clusters them (incremental:
+  // only the unclustered tail rewrites), a third batch + second
+  // OPTIMIZE exercises the tail-only maintenance pass, and the final
+  // range-predicated aggregate reads through the zone-pruned DSv2
+  // scan over the clustered layout. Row-preserving throughout — the
+  // hashed output must equal a replay that never clustered at all.
+  def sqlClusterBy(s: SparkSession, dir: String): DataFrame = {
+    val cat = s"graft_cb_${catalogSeq.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "org.apache.spark.sql.graft.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", scratchDir("graft_cbwh"))
+    s.sql(s"CREATE NAMESPACE $cat.d")
+    val tbl = s"$cat.d.events"
+    t(s, dir, "events")
+      .filter(col("event_id") % 9 === 4)
+      .withColumn("value_c", floor(col("value") * 100).cast("long"))
+      .select("event_id", "user_id", "event_type", "value_c")
+      .createOrReplaceTempView("graft_xcb_src")
+    s.sql(s"CREATE TABLE $tbl (event_id BIGINT, user_id BIGINT, " +
+      "event_type STRING, value_c BIGINT) CLUSTER BY (user_id, event_id)")
+    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_xcb_src " +
+      "WHERE event_type <> 'view'")
+    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_xcb_src " +
+      "WHERE event_type = 'view' AND user_id % 2 = 0")
+    s.sql(s"OPTIMIZE $tbl").collect()
+    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_xcb_src " +
+      "WHERE event_type = 'view' AND user_id % 2 = 1")
+    s.sql(s"OPTIMIZE $tbl").collect()
+    s.sql(s"""SELECT user_id % 8 AS g, CAST(count(*) AS BIGINT) AS n,
+              |       CAST(sum(value_c) AS BIGINT) AS sum_c
+              |FROM $tbl WHERE user_id BETWEEN 100 AND 900
+              |GROUP BY user_id % 8 ORDER BY g""".stripMargin)
+  }
+
+  val sqlClusterBySql: String =
+    """WITH ev AS (SELECT event_id, user_id,
+      |                   CAST(floor(value * 100) AS BIGINT) AS value_c
+      |            FROM events WHERE event_id % 9 = 4)
+      |SELECT user_id % 8 AS g, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(value_c) AS BIGINT) AS sum_c
+      |FROM ev WHERE user_id BETWEEN 100 AND 900
+      |GROUP BY user_id % 8 ORDER BY g""".stripMargin
+
   val identityLifecycleSql: String =
     """WITH ev AS (SELECT user_id, event_type,
       |                   CAST(floor(value * 100) AS BIGINT) AS value_c
@@ -1605,6 +1696,8 @@ object VersionedQueries {
     QueryDef("x_optimize_where", optimizeWhereScoped, Some(optimizeWhereScopedSql)),
     QueryDef("x_sql_defaults", sqlDefaults, Some(sqlDefaultsSql)),
     QueryDef("x_identity", identityLifecycle, Some(identityLifecycleSql)),
+    QueryDef("x_replace_where", replaceWhereBackfill, Some(replaceWhereBackfillSql)),
+    QueryDef("x_sql_clusterby", sqlClusterBy, Some(sqlClusterBySql)),
     QueryDef("m5_versioned_merge", versionedMerge, Some(versionedMergeSql)),
     QueryDef("m9_condput_merge", versionedMergeCondPut, Some(versionedMergeSql)),
     QueryDef("m10_sql_merge", versionedMergeSqlText, Some(versionedMergeSql)),

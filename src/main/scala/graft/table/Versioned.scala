@@ -969,6 +969,28 @@ object Versioned {
     */
   val GeneratedPrefix = "graft.generated."
 
+  /** Declared clustering keys (the liquid-clustering analog of
+    * `CREATE TABLE ... CLUSTER BY (a, b)`): a comma-joined column list
+    * carried as an ordinary table property. Declaring keys changes NO
+    * data — it records the layout contract that bare `OPTIMIZE t`
+    * maintains INCREMENTALLY ([[zorderIncremental]]: only files not
+    * yet in the clustered generation rewrite, O(unclustered tail) per
+    * run — the property is why OPTIMIZE on a 100 TB table stays a
+    * nightly maintenance job instead of a full rewrite). Validated at
+    * declaration: 1–4 existing zone-stat-typed columns, the same rule
+    * the incremental clusterer enforces. `ALTER TABLE t CLUSTER BY
+    * NONE` (property unset) drops the contract; explicit
+    * `OPTIMIZE ... ZORDER BY` on a declared table refuses — one
+    * layout authority at a time, Databricks' own rule.
+    */
+  val ClusterByKey = "graft.clusterBy"
+
+  /** The declared clustering keys of snapshot `v` (empty: none). */
+  def clusterByAt(spark: SparkSession, dir: String, v: Long): Seq[String] =
+    propertiesAt(spark, dir, v).get(ClusterByKey)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+
   /** The generated-column declarations of snapshot `v`: column →
     * generation expression SQL.
     */
@@ -1233,6 +1255,26 @@ object Versioned {
       // existing rows must already satisfy the contract — declaring a
       // generation the data contradicts would poison every later write
       requireSatisfied(snapshot, generatedChecks(gen))
+    }
+    props.get(ClusterByKey).foreach { v =>
+      // validate the clustering declaration NOW, not at the first
+      // OPTIMIZE — a layout contract the maintainer cannot honor must
+      // refuse at declaration (the zorderIncremental rules)
+      val cols = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(cols.nonEmpty && cols.size <= 4,
+        s"$ClusterByKey takes 1-4 comma-separated columns, got '$v'")
+      val schema = schemaAt(spark, dir, base).getOrElse(
+        readAt(spark, dir, base).schema)
+      val byLower = schema.fieldNames
+        .map(n => n.toLowerCase(java.util.Locale.ROOT) -> n).toMap
+      cols.foreach { c =>
+        val resolved = byLower.get(c.toLowerCase(java.util.Locale.ROOT))
+        require(resolved.isDefined,
+          s"clustering column absent from the snapshot schema: $c")
+        require(zoneableType(schema(resolved.get).dataType),
+          s"clustering column must be zone-stat typed (integral/timestamp/" +
+            s"date/short decimal): $c is ${schema(resolved.get).dataType}")
+      }
     }
     commitAttempt(spark, dir, "set-properties",
       _ => schemaAt(spark, dir, base)
@@ -3560,6 +3602,134 @@ object Versioned {
         }
       }.toSeq: _*)
     }
+  }
+
+  /** Atomic selective overwrite — Delta's `replaceWhere` / the DSv2
+    * `df.writeTo(t).overwrite(cond)` contract: ONE commit deletes
+    * every live row matching `cond` and inserts `source`. This is the
+    * canonical backfill ("recompute one day of a 100 TB table")
+    * without the delete-then-append window in which readers see
+    * neither the old slice nor the new one.
+    *
+    * Source discipline is Delta's: every source row must itself
+    * satisfy `cond` — refused BEFORE any file is written, because a
+    * backfill that strays outside its declared slice would silently
+    * corrupt neighboring data — and the source presents the table's
+    * exact column set (values cast to the committed types, INSERT
+    * semantics). GENERATED columns may be omitted (they recompute, the
+    * same rewrite rule UPDATE/MERGE follow); a declared IDENTITY
+    * column must arrive assigned — replaceWhere is a rewrite, not an
+    * append, so it never claims identity ranges (the NOT NULL check
+    * refuses unassigned rows loudly).
+    *
+    * Copy-on-write at the MATCHED-FILE footprint: only files holding a
+    * live matching row rewrite (their non-matching remainder carries
+    * into fresh files beside the source rows); untouched files carry
+    * verbatim, so at 100 TB the commit cost follows the replaced
+    * slice, not the table. `zoneHint` narrows discovery to
+    * zone-intersecting files exactly as [[deleteWhere]]. DV-aware on
+    * both ends: soft-deleted rows neither count as matches to replace
+    * nor resurrect through the remainder rewrite.
+    *
+    * Commits as a row-MUTATING op (`replacewhere`): the change feed
+    * represents it as the snapshot diff (deletes + inserts), streams
+    * without `skipChangeCommits`/`readChangeFeed` stop loudly. The
+    * commute rule is [[commitRewriteCommuting]]'s, widened with
+    * replaceWhere's own read-set clause: the predicate reads "all
+    * matching rows" TABLE-WIDE, so a concurrently-appended file
+    * holding a live matching row fails the commute and the whole
+    * operation re-plans from the new head — otherwise those rows
+    * would survive a replace that promised to remove them.
+    */
+  def replaceWhere(
+      spark: SparkSession, dir: String, source: DataFrame,
+      cond: org.apache.spark.sql.Column,
+      zoneHint: Option[(String, Long, Long)] = None): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, not}
+    def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    var attempt = 1
+    while (true) {
+      val base = currentVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed versions at $dir — replaceWhere needs an existing " +
+            "table (create it with overwrite/append first)"))
+      val logSchema = schemaAt(spark, dir, base)
+      val tableSchema = logSchema.getOrElse(readAt(spark, dir, base).schema)
+      val gen = generatedAt(spark, dir, base)
+      val tCols = tableSchema.fieldNames.map(lower).toSet
+      val sCols = source.schema.fieldNames.map(lower).toSet
+      val extra = sCols -- tCols
+      require(extra.isEmpty,
+        s"replaceWhere source has columns the table lacks: " +
+          s"${extra.mkString(", ")} — replaceWhere never evolves schema; " +
+          "widen with append(mergeSchema = true) first")
+      val missing = tCols -- sCols -- gen.keys.map(lower)
+      require(missing.isEmpty,
+        s"replaceWhere source omits table columns: ${missing.mkString(", ")}")
+      val aligned = source.select(tableSchema.fields.toSeq.map { f =>
+        if (sCols.contains(lower(f.name))) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name) // omitted GENERATED; recomputed below
+      }: _*)
+      // Delta's replaceWhere constraint: every source row must satisfy
+      // the predicate it replaces into
+      require(aligned.filter(not(coalesce(cond, lit(false)))).isEmpty,
+        "replaceWhere source rows violate the predicate — a backfill must " +
+          "stay inside the slice it replaces")
+      val all = filesAt(spark, dir, base)
+      val candidates = zoneHint match {
+        case Some((zc, lo, hi)) => prunedFiles(spark, dir, base, zc, lo, hi)
+        case None => all
+      }
+      val headDvs = dvsAt(spark, dir, base)
+      def readFiles(files: Seq[String]) =
+        applyDvs(spark, readRaw(spark, dir, logSchema, files), headDvs)
+      val matched =
+        if (candidates.isEmpty) Array.empty[String]
+        else readFiles(candidates).filter(cond)
+          .select(input_file_name().as("f")).distinct()
+          .collect().map(_.getString(0))
+      val touched = candidates.filter(rel => matched.exists(_.endsWith(rel)))
+      // touched files' non-matching remainder carries into the fresh
+      // set beside the source rows; generated columns recompute over
+      // the whole output (deterministic → a no-op on carried rows)
+      val out0 =
+        if (touched.isEmpty) aligned
+        else readFiles(touched).filter(not(coalesce(cond, lit(false))))
+          .unionByName(aligned)
+      val out = regenerated(spark, dir, base, out0)
+      requireSatisfied(out, constraintsAt(spark, dir, base) ++
+        identityChecksAt(spark, dir, base))
+      val fresh = writeDataFiles(toPhysicalFrame(out, logSchema), dir)
+      // replaceWhere's extra read-set clause: files a concurrent commit
+      // ADDED must hold no live matching row, or the replace re-plans
+      def commute(head: Long): Boolean = {
+        val added =
+          (filesAt(spark, dir, head).toSet -- all.toSet -- fresh.toSet).toSeq
+        added.isEmpty || {
+          val hdvs = dvsAt(spark, dir, head)
+          applyDvs(spark,
+            readRaw(spark, dir, schemaAt(spark, dir, head), added), hdvs)
+            .filter(cond).isEmpty
+        }
+      }
+      try {
+        val v = commitRewriteCommuting(
+          spark, dir, base, "replacewhere", tableSchema.json, touched, fresh,
+          commuteCheck = commute).get
+        carryZones(spark, dir, base, v,
+          filesAt(spark, dir, v).toSet -- fresh.toSet, fresh)
+        return v
+      } catch {
+        case e: CommitRace =>
+          // full re-plan from the new head: rediscover matched files and
+          // re-validate under the head's schema/constraints. The fresh
+          // files this attempt wrote are never referenced — vacuum
+          // collects them like any other orphan.
+          if (attempt >= 8) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** MERGE INTO the versioned table — the Delta `DeltaTable.merge`

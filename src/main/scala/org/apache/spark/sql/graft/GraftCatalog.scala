@@ -209,10 +209,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   private def createTableImpl(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: JMap[String, String], gens: Map[String, String]): Table = {
-    require(partitions.isEmpty,
+    // CLUSTER BY (a, b) is the one layout transform graft accepts —
+    // it IS the engine's data-skipping model (declared keys, bare
+    // OPTIMIZE maintains incrementally). Partition transforms refuse:
+    // see the design record in Versioned.scala.
+    val (clusterTs, otherTs) = partitions.partition(
+      _.isInstanceOf[org.apache.spark.sql.connector.expressions.ClusterByTransform])
+    require(otherTs.isEmpty,
       "graft tables do not take partition transforms — data skipping is " +
-        "clustering + zone maps (Versioned.optimizeClusterBy / writeZoneMaps); " +
+        "clustering + zone maps (declare CLUSTER BY (cols), or " +
+        "Versioned.optimizeClusterBy / writeZoneMaps); " +
         "see the design record in Versioned.scala")
+    val clusterCols: Seq[String] = clusterTs.toSeq.flatMap {
+      case c: org.apache.spark.sql.connector.expressions.ClusterByTransform =>
+        c.columnNames.map { ref =>
+          require(ref.fieldNames.length == 1,
+            s"nested CLUSTER BY column is not supported: ${ref.describe()}")
+          ref.fieldNames.head
+        }
+    }
     val dir = tableDir(ident)
     if (isTableDir(dir)) throw new TableAlreadyExistsException(ident)
     val genKey = org.apache.spark.sql.catalyst.util.GeneratedColumn
@@ -235,7 +250,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       "external", "is_managed_location")
     val userProps = properties.asScala.toMap
       .filterNot { case (k, _) => bookkeeping.contains(k) || k.startsWith("option.") }
-    val toSet = userProps ++ gens
+    val clusterProp =
+      if (clusterCols.isEmpty) Map.empty[String, String]
+      else Map(Versioned.ClusterByKey -> clusterCols.mkString(","))
+    val toSet = userProps ++ gens ++ clusterProp
     if (toSet.nonEmpty) Versioned.setProperties(spark, dir, toSet)
     loadTable(ident)
   }
@@ -314,6 +332,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         Versioned.setColumnDefault(spark, dir, name, sql)
       case d: TableChange.DeleteColumn =>
         Versioned.dropColumn(spark, dir, onePart(d.fieldNames, "DROP COLUMN"))
+      case cb: TableChange.ClusterBy =>
+        // ALTER TABLE t CLUSTER BY (cols) re-declares the clustering
+        // contract; CLUSTER BY NONE arrives as an empty column list and
+        // drops it. Existing files keep their layout — the next bare
+        // OPTIMIZE clusters the (now-)unclustered tail under the new keys.
+        val cols = cb.clusteringColumns.toSeq.map(ref =>
+          onePart(ref.fieldNames, "CLUSTER BY"))
+        if (cols.isEmpty)
+          Versioned.unsetProperties(spark, dir, Seq(Versioned.ClusterByKey),
+            ifExists = true)
+        else
+          Versioned.setProperties(spark, dir,
+            Map(Versioned.ClusterByKey -> cols.mkString(",")))
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE ${other.getClass.getSimpleName} is not mapped — " +
           "supported: ADD COLUMNS (mergeSchema widening), RENAME COLUMN, " +

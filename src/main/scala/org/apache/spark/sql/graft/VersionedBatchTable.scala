@@ -102,6 +102,41 @@ private[graft] object VersionedBatchTable {
   def schemaFor(spark: SparkSession, dir: String, v: Long): StructType =
     Versioned.schemaAt(spark, dir, v)
       .getOrElse(Versioned.readAt(spark, dir, v).schema)
+
+  /** Translates a pushed overwrite filter back to a Column for
+    * [[Versioned.replaceWhere]]. Every shape Spark's own
+    * filter-translation emits is covered; anything else refuses loudly
+    * — an overwrite predicate the engine cannot honor must never
+    * degrade into a silent full overwrite.
+    */
+  def filterColumn(f: org.apache.spark.sql.sources.Filter)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => col(a) === lit(v)
+      case EqualNullSafe(a, v) => col(a) <=> lit(v)
+      case GreaterThan(a, v) => col(a) > lit(v)
+      case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+      case LessThan(a, v) => col(a) < lit(v)
+      case LessThanOrEqual(a, v) => col(a) <= lit(v)
+      case In(a, vs) => col(a).isin(vs.toSeq: _*)
+      case IsNull(a) => col(a).isNull
+      case IsNotNull(a) => col(a).isNotNull
+      case StringStartsWith(a, v) => col(a).startsWith(v)
+      case StringEndsWith(a, v) => col(a).endsWith(v)
+      case StringContains(a, v) => col(a).contains(v)
+      case And(l, r) => filterColumn(l) && filterColumn(r)
+      case Or(l, r) => filterColumn(l) || filterColumn(r)
+      case Not(c) => !filterColumn(c)
+      case _: AlwaysTrue => lit(true)
+      case _: AlwaysFalse => lit(false)
+      case other => throw new IllegalArgumentException(
+        s"overwrite-by-filter predicate not supported by graft-versioned: " +
+          s"$other — express the slice with comparisons/IN/null-tests over " +
+          "table columns")
+    }
+  }
 }
 
 /** One resolved (dir, version) snapshot as a DSv2 batch table. A table
@@ -148,6 +183,21 @@ final class VersionedBatchTable(
     declared.orElse(version.map(VersionedBatchTable.schemaFor(spark, dir, _)))
       .getOrElse(new StructType())
 
+  /** Declared clustering keys surface as Spark's own ClusterByTransform
+    * so `DESCRIBE` renders the layout contract; graft tables have no
+    * partition transforms by design (see Versioned.ClusterByKey).
+    */
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    version.map(v => Versioned.clusterByAt(spark, dir, v)) match {
+      case Some(cols) if cols.nonEmpty =>
+        Array(org.apache.spark.sql.connector.expressions.ClusterByTransform(
+          cols.map(c =>
+            org.apache.spark.sql.connector.expressions.FieldReference
+              .column(c)).toSeq))
+      case _ => Array.empty
+    }
+
   override def capabilities(): java.util.Set[TableCapability] =
     if (version.isEmpty) java.util.Collections.emptySet()
     else java.util.Set.of(
@@ -158,7 +208,11 @@ final class VersionedBatchTable(
       // STREAMING_WRITE on purpose — stream writes must keep falling
       // back to the exactly-once V1 sink (VersionedTableSink).
       TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE,
+      // overwrite-by-filter routes `df.writeTo(t).overwrite(cond)` to
+      // the atomic selective overwrite (Delta's replaceWhere): one
+      // commit, matched-file footprint — see Versioned.replaceWhere
+      TableCapability.OVERWRITE_BY_FILTER)
 
   /** SQL/df writes onto the SAME commit paths the Scala API uses:
     * append → [[Versioned.append]], truncate-overwrite →
@@ -169,16 +223,37 @@ final class VersionedBatchTable(
     * insert's input, already materialized by the writing query.
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsOverwrite {
       private var replace = false
+      private var replaceCond: Option[org.apache.spark.sql.Column] = None
       override def truncate(): WriteBuilder = { replace = true; this }
+      // overwrite-by-filter (Delta's replaceWhere): AlwaysTrue is the
+      // full overwrite (same path as TRUNCATE); anything else becomes
+      // the atomic selective overwrite. Untranslatable predicates
+      // refuse loudly in filterColumn — never a silent full overwrite.
+      override def overwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+        if (filters.isEmpty ||
+            filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+          truncate()
+        else {
+          replaceCond = Some(filters.map(VersionedBatchTable.filterColumn)
+            .reduce(_ && _))
+          this
+        }
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame,
                 overwrite: Boolean): Unit = {
-              if (replace || overwrite) Versioned.overwrite(data, dir)
-              else Versioned.append(data, dir)
+              replaceCond match {
+                case Some(c) => Versioned.replaceWhere(spark, dir, data, c)
+                case None =>
+                  if (replace || overwrite) Versioned.overwrite(data, dir)
+                  else Versioned.append(data, dir)
+              }
               ()
             }
           }
