@@ -137,6 +137,9 @@ object GraftSqlParser {
   // REORG TABLE t APPLY (PURGE) — Delta's physical-cleanup rewrite
   private val ReorgStmt =
     """(?is)^\s*REORG\s+TABLE\s+(.+?)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""".r
+  // FSCK REPAIR TABLE t [DRY RUN] — Delta's out-of-band-loss repair
+  private val FsckStmt =
+    """(?is)^\s*FSCK\s+REPAIR\s+TABLE\s+(.+?)(\s+DRY\s+RUN)?\s*;?\s*$""".r
 
   private def cleanIdent(s: String): Boolean =
     !s.exists(c => c == '\'' || c == '"' || c == '(')
@@ -168,6 +171,8 @@ object GraftSqlParser {
         ident(tbl).map(GraftConvertCommand(_))
       case ReorgStmt(tbl) =>
         ident(tbl).map(GraftReorgCommand(_))
+      case FsckStmt(tbl, dry) =>
+        ident(tbl).map(GraftFsckCommand(_, dryRun = dry != null))
       case _ => None
     }
     if (parsed.isEmpty) {
@@ -176,7 +181,7 @@ object GraftSqlParser {
       // identifier failed to parse). DESC[RIBE] HISTORY is NOT in this
       // list: `DESCRIBE history` can legitimately describe a table
       // named `history`, so an unmatched DESC always delegates.
-      val lead = """(?is)^\s*(RESTORE|OPTIMIZE|VACUUM|CONVERT|REORG)\b""".r
+      val lead = """(?is)^\s*(RESTORE|OPTIMIZE|VACUUM|CONVERT|REORG|FSCK)\b""".r
       lead.findFirstIn(sqlText).foreach { _ =>
         throw new IllegalArgumentException(
           "unsupported maintenance statement — supported grammar: " +
@@ -185,6 +190,7 @@ object GraftSqlParser {
             "VACUUM t [RETAIN n HOURS] [DRY RUN]; " +
             "DESC[RIBE] HISTORY t; " +
             "REORG TABLE t APPLY (PURGE); " +
+            "FSCK REPAIR TABLE t [DRY RUN]; " +
             "CONVERT TO GRAFT parquet.`/dir` — where t is a GraftCatalog " +
             s"name or `graft-versioned`.`/table/dir`; got: ${sqlText.trim.take(200)}")
       }
@@ -511,6 +517,27 @@ final case class GraftVacuumCommand(
 
   override def simpleString(maxFields: Int): String =
     s"GraftVacuumCommand ${tableParts.mkString(".")}" + (if (dryRun) " DRY RUN" else "")
+}
+
+/** `FSCK REPAIR TABLE t [DRY RUN]` — Delta's repair of the same name
+  * over [[Versioned.fsckRepair]]: drops log references to data files
+  * deleted out-of-band (distributed existence probe; the commit is a
+  * logged, row-mutating data-loss acknowledgment). Returns one row per
+  * missing file; DRY RUN lists without committing.
+  */
+final case class GraftFsckCommand(tableParts: Seq[String], dryRun: Boolean)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("missing_path", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftDdl.dirOf(spark, tableParts, "FSCK REPAIR TABLE")
+    Versioned.fsckRepair(spark, dir, dryRun = dryRun).map(Row(_))
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftFsckCommand ${tableParts.mkString(".")}" + (if (dryRun) " DRY RUN" else "")
 }
 
 /** `CONVERT TO GRAFT parquet.`/dir`` — Delta's `CONVERT TO DELTA`

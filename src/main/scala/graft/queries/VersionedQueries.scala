@@ -1443,6 +1443,65 @@ object VersionedQueries {
       |FROM ev WHERE user_id BETWEEN 100 AND 900
       |GROUP BY user_id % 8 ORDER BY g""".stripMargin
 
+  // X — FSCK REPAIR under the oracle gate: the 'view' slice lands as
+  // its own data file, is deleted OUT-OF-BAND (simulating a
+  // misdirected lifecycle rule), and fsckRepair drops the dead
+  // reference in one logged commit. The hashed output carries the
+  // surviving content AND the repair observation (exactly one file
+  // repaired, exactly one version committed) — the oracle replays the
+  // loss as "the view slice is gone".
+  def fsckLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_id") % 8 === 5)
+      .withColumn("value_c", floor(col("value") * 100).cast("long"))
+      .select("event_id", "user_id", "event_type", "value_c")
+    val tableDir = scratchDir("graft_xfsck")
+    Versioned.overwrite(
+      ev.filter(col("event_type") =!= "view").coalesce(1), tableDir)   // v1
+    Versioned.append(
+      ev.filter(col("event_type") === "view").coalesce(1), tableDir)   // v2
+    val v0 = Versioned.currentVersion(s, tableDir).get
+    // out-of-band deletion of the view slice's one data file
+    val gone = Versioned.read(s, tableDir)
+      .filter(col("event_type") === "view")
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    val conf = s.sessionState.newHadoopConf()
+    gone.foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).delete(hp, false)
+    }
+    val repaired = Versioned.fsckRepair(s, tableDir)
+    val v1 = Versioned.currentVersion(s, tableDir).get
+    val content = Versioned.read(s, tableDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+      .withColumn("kind", lit("content"))
+      .select("kind", "event_type", "n", "sum_c")
+    val meta = s.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row("meta", "repair",
+        repaired.size.toLong, v1 - v0)),
+      new org.apache.spark.sql.types.StructType()
+        .add("kind", org.apache.spark.sql.types.StringType, false)
+        .add("event_type", org.apache.spark.sql.types.StringType, false)
+        .add("n", org.apache.spark.sql.types.LongType, false)
+        .add("sum_c", org.apache.spark.sql.types.LongType, false))
+    content.unionByName(meta).orderBy("kind", "event_type")
+  }
+
+  val fsckLifecycleSql: String =
+    """WITH ev AS (SELECT event_type,
+      |                   CAST(floor(value * 100) AS BIGINT) AS value_c
+      |            FROM events WHERE event_id % 8 = 5),
+      |u AS (
+      |  SELECT 'content' AS kind, event_type,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(value_c) AS BIGINT) AS sum_c
+      |  FROM ev WHERE event_type <> 'view' GROUP BY event_type
+      |  UNION ALL
+      |  SELECT 'meta', 'repair', CAST(1 AS BIGINT), CAST(1 AS BIGINT))
+      |SELECT kind, event_type, n, sum_c FROM u
+      |ORDER BY kind, event_type""".stripMargin
+
   val identityLifecycleSql: String =
     """WITH ev AS (SELECT user_id, event_type,
       |                   CAST(floor(value * 100) AS BIGINT) AS value_c
@@ -1698,6 +1757,7 @@ object VersionedQueries {
     QueryDef("x_identity", identityLifecycle, Some(identityLifecycleSql)),
     QueryDef("x_replace_where", replaceWhereBackfill, Some(replaceWhereBackfillSql)),
     QueryDef("x_sql_clusterby", sqlClusterBy, Some(sqlClusterBySql)),
+    QueryDef("x_fsck", fsckLifecycle, Some(fsckLifecycleSql)),
     QueryDef("m5_versioned_merge", versionedMerge, Some(versionedMergeSql)),
     QueryDef("m9_condput_merge", versionedMergeCondPut, Some(versionedMergeSql)),
     QueryDef("m10_sql_merge", versionedMergeSqlText, Some(versionedMergeSql)),

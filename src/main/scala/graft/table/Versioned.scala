@@ -4418,6 +4418,23 @@ object Versioned {
       val k = fileKey(f)
       nB.getOrElse(k, Set.empty) == nA.getOrElse(k, Set.empty)
     }
+    // the before-side-only files are the diff's read set from history;
+    // if one is physically GONE (out-of-band deletion, acknowledged by
+    // a later fsck) no change feed can represent its rows — refuse
+    // with the repair named instead of a FileNotFoundException mid-scan.
+    // O(removed files) metadata probes, within the O(changed files) bound.
+    locally {
+      val f = fs(spark, dir)
+      val gone = (bFiles.toSet -- aFiles).toSeq.sorted
+        .filterNot(rel => f.exists(new Path(dataPathStr(dir, rel))))
+      if (gone.nonEmpty) throw new IllegalStateException(
+        s"change window [$from, $to] at $dir reads files that no longer " +
+          s"exist in storage (${gone.take(3).mkString(", ")}${
+            if (gone.size > 3) s", +${gone.size - 3} more" else ""}) — " +
+          "rows deleted out-of-band (see fsckRepair) are unreadable by " +
+          "definition; start the feed after the repair and reconcile " +
+          "downstream state against the repaired snapshot")
+    }
     def side(v: Long, files: Seq[String], dvs: Map[String, Seq[Long]]) =
       readFileSubset(spark, dir, schemaAt(spark, dir, v),
         files.filterNot(unchanged), dvs)
@@ -4927,6 +4944,64 @@ object Versioned {
     * operators state retention in time: "7 days of time travel"
     * holds whether the table commits hourly or every second.
     */
+  /** FSCK REPAIR TABLE (Delta's repair of the same name): drops log
+    * references to data files that no longer exist in storage —
+    * deleted out-of-band by a misdirected lifecycle rule, a manual rm,
+    * or a botched restore. Until repaired, every scan that plans those
+    * files dies with a FileNotFoundException; after it, the table
+    * serves the surviving rows again. The repair is an EXPLICIT,
+    * LOGGED data-loss acknowledgment, never a silent one: the commit
+    * is a row-mutating `fsck` op (streams without skipChangeCommits
+    * stop at it, and change-feed windows spanning it refuse with the
+    * repair named — the lost rows' content is unreadable by
+    * definition, so no feed can represent them as deletes).
+    *
+    * The existence probe is DISTRIBUTED: at 100 TB a snapshot holds
+    * ~10⁶ files, and one driver-side loop of object-store HEADs would
+    * serialize the repair; executors probe partitions of the file list
+    * in parallel and the driver collects only the misses. Deletion
+    * vectors riding a missing file retire with its reference. Returns
+    * the missing relative file names (empty = nothing to repair);
+    * `dryRun` lists without committing, Delta's shape.
+    */
+  def fsckRepair(
+      spark: SparkSession, dir: String, dryRun: Boolean = false): Seq[String] = {
+    var attempt = 1
+    while (true) {
+      val base = currentVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"no committed versions at $dir"))
+      val files = filesAt(spark, dir, base)
+      if (files.isEmpty) return Nil
+      val conf = new org.apache.spark.sql.graft.SerializableHadoopConf(
+        spark.sessionState.newHadoopConf())
+      val dirStr = dir
+      val missing = spark.sparkContext
+        .parallelize(files, math.max(1, math.min(files.size, 64)))
+        .mapPartitions { it =>
+          val f = new Path(dirStr).getFileSystem(conf.value)
+          it.filterNot(rel => f.exists(new Path(dataPathStr(dirStr, rel))))
+        }.collect().toSeq.sorted
+      if (missing.isEmpty || dryRun) return missing
+      val missingKeys = missing.map(fileKey).toSet
+      val keep = files.filterNot(missing.toSet)
+      val schemaJson = schemaAt(spark, dir, base).map(_.json).getOrElse(
+        new org.apache.spark.sql.types.StructType().json)
+      try {
+        val v = commitPinned(spark, dir, base, "fsck", schemaJson, keep,
+          dvsFor = _.filter { case (k, _) => !missingKeys.contains(k) }).get
+        carryZones(spark, dir, base, v, keep.toSet, Nil)
+        return missing
+      } catch {
+        case e: CommitRace =>
+          // a concurrent commit moved the head (it may have added or
+          // rewritten files) — re-probe from the new snapshot
+          if (attempt >= 8) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   def vacuumRetain(
       spark: SparkSession, dir: String, retainMs: Long,
       tmpRetentionMs: Long = 3600000L, dryRun: Boolean = false): Seq[String] = {
