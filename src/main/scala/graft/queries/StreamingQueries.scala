@@ -419,6 +419,82 @@ object StreamingQueries {
       |         'insert' FROM ev)
       |ORDER BY event_id, _change_type, value_c""".stripMargin
 
+  // ST10 — INITIAL-SNAPSHOT ADMISSION CONTROL (maxFilesPerTrigger,
+  // Delta's option): the default first batch of a versioned stream is
+  // the FULL current snapshot — at 100 TB that is ~10⁶ files in one
+  // micro-batch, an un-startable stream. The upstream table lands as
+  // ONE version holding 8 data files; streamed with
+  // maxFilesPerTrigger=3 the snapshot must arrive as exactly
+  // ceil(8/3)=3 micro-batches (offsets `{"version":v,"index":i}` over
+  // the snapshot's deterministic file order), each landed as its own
+  // idempotent commit downstream; a post-drain append then flows as one
+  // ordinary tail batch through the SAME checkpoint. The hashed output
+  // carries the full content (exactly-once across the chunks) plus the
+  // observed batch count — 3 snapshot chunks + 1 tail.
+  def streamChunkedSnapshot(s: SparkSession, dir: String): DataFrame = {
+    import graft.table.Versioned
+    val ev = t(s, dir, "events")
+      .filter(col("event_id") % 4 === 1)
+      .withColumn("value_c", floor(col("value") * 100).cast("long"))
+      .select("event_id", "user_id", "value_c")
+    val upDir = VersionedQueries.scratch("graft_st10_up")
+    val ckpt = VersionedQueries.scratch("graft_st10_ckpt")
+    val downDir = VersionedQueries.scratch("graft_st10_down") + "/table"
+    // ev holds event_id ≡ 1 (mod 4), i.e. ≡ 1 or 5 (mod 8) — the two
+    // classes split the fixture into the snapshot and the tail commit
+    Versioned.overwrite(ev.filter(col("event_id") % 8 === 1).repartition(8), upDir) // v1: 8 files
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    def pump(): Unit = {
+      // default trigger, NOT AvailableNow: the available-now wrapper
+      // latches one end offset, which by design bypasses per-trigger
+      // admission (see the source's scaladoc)
+      val q = s.readStream.format("graft-versioned")
+        .option("path", upDir)
+        .option("maxFilesPerTrigger", "3")
+        .load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          if (!b.isEmpty) {
+            batches.incrementAndGet()
+            Versioned.appendIdempotent(b, downDir, "st10", batchId)
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+    }
+    pump() // snapshot: 3 chunks of ≤3 files
+    Versioned.append(ev.filter(col("event_id") % 8 === 5), upDir) // v2
+    pump() // tail: one batch for (v1, v2]
+    val content = Versioned.read(s, downDir)
+      .groupBy((col("user_id") % 16).as("g"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+      .withColumn("kind", lit("content"))
+      .select("kind", "g", "n", "sum_c")
+    val meta = s.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row("meta", -1L, batches.get(), 0L)),
+      new org.apache.spark.sql.types.StructType()
+        .add("kind", org.apache.spark.sql.types.StringType, false)
+        .add("g", org.apache.spark.sql.types.LongType, false)
+        .add("n", org.apache.spark.sql.types.LongType, false)
+        .add("sum_c", org.apache.spark.sql.types.LongType, false))
+    content.unionByName(meta).orderBy("kind", "g")
+  }
+
+  val streamChunkedSnapshotSql: String =
+    """WITH ev AS (SELECT event_id, user_id,
+      |                   CAST(floor(value * 100) AS BIGINT) AS value_c
+      |            FROM events WHERE event_id % 4 = 1),
+      |u AS (
+      |  SELECT 'content' AS kind, user_id % 16 AS g,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(value_c) AS BIGINT) AS sum_c
+      |  FROM ev GROUP BY user_id % 16
+      |  UNION ALL
+      |  SELECT 'meta', CAST(-1 AS BIGINT), CAST(4 AS BIGINT), CAST(0 AS BIGINT))
+      |SELECT kind, g, n, sum_c FROM u ORDER BY kind, g""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("st1_stream_agg", streamAgg, Some(streamAggSql)),
     QueryDef("st2_stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
@@ -428,5 +504,6 @@ object StreamingQueries {
     QueryDef("st6_stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinSql)),
     QueryDef("st7_stream_sessionize", streamSessionize, Some(streamSessionizeSql)),
     QueryDef("st8_stream_versioned", streamVersioned, Some(streamVersionedSql)),
-    QueryDef("st9_stream_cdf", streamChangeFeed, Some(streamChangeFeedSql)))
+    QueryDef("st9_stream_cdf", streamChangeFeed, Some(streamChangeFeedSql)),
+    QueryDef("st10_stream_chunked", streamChunkedSnapshot, Some(streamChunkedSnapshotSql)))
 }

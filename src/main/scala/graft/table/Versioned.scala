@@ -445,6 +445,61 @@ object Versioned {
         dvs.filter { case (f, _) => keys.contains(fileKey(f)) })
     }
 
+  /** Deterministic admission order over snapshot `v`'s files — the
+    * committed file list sorted by name. A committed version's list is
+    * IMMUTABLE (append-only log; vacuum truncates whole entries), so a
+    * streaming offset recorded as an INDEX into this order replays the
+    * identical slice across checkpoint restarts. This is the
+    * initial-snapshot chunking base for the source's
+    * `maxFilesPerTrigger`/`maxBytesPerTrigger` (Delta's
+    * `DeltaSourceOffset(reservoirVersion, index)` shape).
+    */
+  def snapshotFileOrder(spark: SparkSession, dir: String, v: Long): Seq[String] =
+    filesAt(spark, dir, v).sorted
+
+  /** Reads files `[fromIdx, untilIdx)` of [[snapshotFileOrder]] under
+    * the snapshot's committed schema, with its DVs restricted to the
+    * slice — one initial-snapshot micro-batch of the streaming source
+    * under file/byte admission control. At 100 TB the unchunked first
+    * batch IS the whole table; slicing by index keeps each micro-batch
+    * at the operator's configured appetite while the union of slices
+    * reproduces [[readAt]] exactly (disjoint cover of the same list,
+    * same DV subtraction).
+    */
+  def readSnapshotSlice(
+      spark: SparkSession, dir: String, v: Long,
+      fromIdx: Long, untilIdx: Long): DataFrame = {
+    val files = snapshotFileOrder(spark, dir, v)
+      .slice(math.toIntExact(fromIdx), math.toIntExact(untilIdx))
+    readFileSubset(spark, dir, schemaAt(spark, dir, v), files, dvsAt(spark, dir, v))
+  }
+
+  /** Per-file sizes aligned with [[snapshotFileOrder]] — the
+    * `maxBytesPerTrigger` boundary input. The probe is DISTRIBUTED
+    * (executors stat partitions of the list; a snapshot at 100 TB holds
+    * ~10⁶ files and a driver-side HEAD loop would serialize stream
+    * start) and runs ONCE per source instance: committed files are
+    * immutable, so sizes never need re-probing. Chunk BOUNDARIES chosen
+    * from these sizes need no cross-restart determinism — only the file
+    * ORDER does (offsets carry indices, and each restart re-chunks
+    * forward from the last committed index).
+    */
+  def snapshotFileSizes(spark: SparkSession, dir: String, v: Long): Seq[Long] = {
+    val files = snapshotFileOrder(spark, dir, v)
+    if (files.isEmpty) return Nil
+    val conf = new org.apache.spark.sql.graft.SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
+    val dirStr = dir
+    spark.sparkContext
+      .parallelize(files.zipWithIndex, math.max(1, math.min(files.size, 64)))
+      .mapPartitions { it =>
+        val f = new Path(dirStr).getFileSystem(conf.value)
+        it.map { case (rel, i) =>
+          (i, f.getFileStatus(new Path(dataPathStr(dirStr, rel))).getLen)
+        }
+      }.collect().sortBy(_._1).map(_._2).toSeq
+  }
+
   // ---- column mapping (Delta's columnMapping analog) -------------------
   //
   // A committed schema field may carry metadata key `graft.physical`:
