@@ -147,9 +147,13 @@ object Upsert {
       notMatched: Seq[MergeClause] = Seq(MergeClause.Insert()),
       notMatchedBySource: Seq[MergeClause] = Nil): DataFrame = {
     import MergeClause._
-    require(target.columns.sameElements(source.columns) ||
-      target.columns.toSet == source.columns.toSet,
-      s"merge requires same columns; got ${target.columns.toSeq} vs ${source.columns.toSeq}")
+    // the source may be WIDER than the target: extra source columns are
+    // visible to clause conditions/SET expressions via [[scol]] but
+    // never reach the output (Delta's rule — a CDC feed carries
+    // operation flags and sequence metadata the table never stores)
+    require(target.columns.toSet.subsetOf(source.columns.toSet),
+      s"merge source must carry every target column; got target " +
+        s"${target.columns.toSeq} vs source ${source.columns.toSeq}")
     def slotCheck(cs: Seq[MergeClause], slot: String, ok: MergeClause => Boolean): Unit = {
       cs.foreach(c => require(ok(c),
         s"$slot does not accept ${c.getClass.getSimpleName} clauses"))
@@ -185,7 +189,9 @@ object Upsert {
     val cols = target.columns.toSeq
     val t = cols.foldLeft(target)((d, c) => d.withColumnRenamed(c, T + c))
       .withColumn(T + "present", lit(true))
-    val s = cols.foldLeft(source)((d, c) => d.withColumnRenamed(c, S + c))
+    // prefix EVERY source column (incl. extras) so scol refs resolve
+    val s = source.columns.toSeq.foldLeft(source)(
+      (d, c) => d.withColumnRenamed(c, S + c))
       .withColumn(S + "present", lit(true))
     val on = keys.map(k => t.col(T + k) === s.col(S + k)).reduce(_ && _)
     val j = t.join(s, on, "full_outer")

@@ -140,6 +140,16 @@ object GraftSqlParser {
   // FSCK REPAIR TABLE t [DRY RUN] — Delta's out-of-band-loss repair
   private val FsckStmt =
     """(?is)^\s*FSCK\s+REPAIR\s+TABLE\s+(.+?)(\s+DRY\s+RUN)?\s*;?\s*$""".r
+  // GENERATE symlink_format_manifest FOR TABLE t — Delta's external-
+  // reader manifest
+  private val GenerateStmt =
+    """(?is)^\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+(.+?)\s*;?\s*$""".r
+  // CREATE BLOOMFILTER INDEX ON TABLE t FOR COLUMNS (c1, c2)
+  //   [OPTIONS (fpp = 0.01, itemsPerFile = n)] — Databricks' index DDL
+  private val BloomStmt =
+    ("""(?is)^\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+TABLE\s+(.+?)""" +
+      """\s+FOR\s+COLUMNS\s*\(([^)]+)\)""" +
+      """(?:\s+OPTIONS\s*\(([^)]+)\))?\s*;?\s*$""").r
 
   private def cleanIdent(s: String): Boolean =
     !s.exists(c => c == '\'' || c == '"' || c == '(')
@@ -173,6 +183,19 @@ object GraftSqlParser {
         ident(tbl).map(GraftReorgCommand(_))
       case FsckStmt(tbl, dry) =>
         ident(tbl).map(GraftFsckCommand(_, dryRun = dry != null))
+      case GenerateStmt(tbl) =>
+        ident(tbl).map(GraftGenerateManifestCommand(_))
+      case BloomStmt(tbl, cols, opts) =>
+        val optMap = Option(opts).toSeq
+          .flatMap(_.split(',').toSeq)
+          .map(_.split("=", 2))
+          .collect { case Array(k, v) => k.trim.toLowerCase -> v.trim }
+          .toMap
+        ident(tbl).map(GraftBloomIndexCommand(_,
+          cols.split(',').toSeq.map(_.trim.stripPrefix("`").stripSuffix("`"))
+            .filter(_.nonEmpty),
+          optMap.get("fpp").map(_.toDouble),
+          optMap.get("itemsperfile").map(_.toLong)))
       case _ => None
     }
     if (parsed.isEmpty) {
@@ -181,7 +204,8 @@ object GraftSqlParser {
       // identifier failed to parse). DESC[RIBE] HISTORY is NOT in this
       // list: `DESCRIBE history` can legitimately describe a table
       // named `history`, so an unmatched DESC always delegates.
-      val lead = """(?is)^\s*(RESTORE|OPTIMIZE|VACUUM|CONVERT|REORG|FSCK)\b""".r
+      val lead =
+        """(?is)^\s*(RESTORE|OPTIMIZE|VACUUM|CONVERT|REORG|FSCK|GENERATE|CREATE\s+BLOOMFILTER)\b""".r
       lead.findFirstIn(sqlText).foreach { _ =>
         throw new IllegalArgumentException(
           "unsupported maintenance statement — supported grammar: " +
@@ -191,6 +215,9 @@ object GraftSqlParser {
             "DESC[RIBE] HISTORY t; " +
             "REORG TABLE t APPLY (PURGE); " +
             "FSCK REPAIR TABLE t [DRY RUN]; " +
+            "GENERATE symlink_format_manifest FOR TABLE t; " +
+            "CREATE BLOOMFILTER INDEX ON TABLE t FOR COLUMNS (c1, c2) " +
+            "[OPTIONS (fpp = 0.01, itemsPerFile = n)]; " +
             "CONVERT TO GRAFT parquet.`/dir` — where t is a GraftCatalog " +
             s"name or `graft-versioned`.`/table/dir`; got: ${sqlText.trim.take(200)}")
       }
@@ -538,6 +565,51 @@ final case class GraftFsckCommand(tableParts: Seq[String], dryRun: Boolean)
 
   override def simpleString(maxFields: Int): String =
     s"GraftFsckCommand ${tableParts.mkString(".")}" + (if (dryRun) " DRY RUN" else "")
+}
+
+/** `CREATE BLOOMFILTER INDEX ON TABLE t FOR COLUMNS (…)` — Databricks'
+  * index DDL over [[Versioned.buildBloom]]: one distributed pass blooms
+  * the head snapshot's files for equality-probe data skipping
+  * ([[graft.table.Bloom]]). Returns the indexed version.
+  */
+final case class GraftBloomIndexCommand(
+    tableParts: Seq[String], cols: Seq[String],
+    fpp: Option[Double], itemsPerFile: Option[Long])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("indexed_version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftDdl.dirOf(spark, tableParts, "CREATE BLOOMFILTER INDEX")
+    Seq(Row(Versioned.buildBloom(spark, dir, cols,
+      fpp.getOrElse(0.01), itemsPerFile.getOrElse(1000000L))))
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftBloomIndexCommand ${tableParts.mkString(".")} (${cols.mkString(",")})"
+}
+
+/** `GENERATE symlink_format_manifest FOR TABLE t` — Delta's command of
+  * the same name over [[Versioned.generateManifest]]: publishes the
+  * current snapshot's file list as `_symlink_format_manifest/…/manifest`
+  * text files for engines without a log reader (Presto/Trino/Athena).
+  * Returns one row per manifest written. Refused on DV-bearing or
+  * column-mapped snapshots (raw parquet ≠ logical table there).
+  */
+final case class GraftGenerateManifestCommand(tableParts: Seq[String])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("manifest_path", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftDdl.dirOf(spark, tableParts, "GENERATE symlink_format_manifest")
+    Versioned.generateManifest(spark, dir).map(Row(_))
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftGenerateManifestCommand ${tableParts.mkString(".")}"
 }
 
 /** `CONVERT TO GRAFT parquet.`/dir`` — Delta's `CONVERT TO DELTA`

@@ -1488,6 +1488,207 @@ object VersionedQueries {
     content.unionByName(meta).orderBy("kind", "event_type")
   }
 
+  // X — AUTO COMPACTION under the oracle gate (the Databricks
+  // autoOptimize.autoCompact analog): the table declares the property
+  // with a 4-commit interval, five slices land as per-commit appends
+  // (the streaming-ingest shape), and the cadence hits bin-pack the
+  // accumulated small files as row-preserving follow-on commits.
+  // Version arithmetic is deterministic — overwrite v1, props v2,
+  // appends at v3,v4 (cadence→compact v5), v6,v7, v8 (cadence→compact
+  // v9) — so the hashed output carries the content (unchanged by
+  // compaction, by definition) plus the observed log shape: exactly 2
+  // compact-small commits and a single-file final snapshot.
+  def autoCompactLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_id") % 8 === 2)
+      .withColumn("value_c", floor(col("value") * 100).cast("long"))
+      .select("event_id", "user_id", "value_c")
+    val tableDir = scratchDir("graft_xautocompact")
+    Versioned.overwrite(ev.filter(col("user_id") % 6 === 0).coalesce(1), tableDir) // v1
+    Versioned.setProperties(s, tableDir, Map(
+      "graft.autoOptimize.autoCompact" -> "true",
+      "graft.autoOptimize.interval" -> "4")) // v2
+    (1 to 5).foreach(i =>
+      Versioned.append(ev.filter(col("user_id") % 6 === i).coalesce(1), tableDir))
+    val head = Versioned.currentVersion(s, tableDir).get
+    val compacts = (1L to head)
+      .count(v => Versioned.opAt(s, tableDir, v) == "compact-small").toLong
+    val nFiles = Versioned.filesAt(s, tableDir, head).size.toLong
+    val content = Versioned.read(s, tableDir)
+      .groupBy((col("user_id") % 6).as("g"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+      .withColumn("kind", lit("content"))
+      .select("kind", "g", "n", "sum_c")
+    val meta = s.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row("meta", -1L, compacts, nFiles)),
+      new org.apache.spark.sql.types.StructType()
+        .add("kind", org.apache.spark.sql.types.StringType, false)
+        .add("g", org.apache.spark.sql.types.LongType, false)
+        .add("n", org.apache.spark.sql.types.LongType, false)
+        .add("sum_c", org.apache.spark.sql.types.LongType, false))
+    content.unionByName(meta).orderBy("kind", "g")
+  }
+
+  // X — SYMLINK MANIFEST under the oracle gate (Delta's GENERATE
+  // symlink_format_manifest): the versioned table publishes its
+  // snapshot's file list as a manifest, and the query then reads the
+  // LISTED URIS as plain parquet — the external-engine simulation
+  // (Presto/Trino/Athena have no log reader; the manifest is their
+  // only view of the table). Content through that path must hash-equal
+  // the relational answer; the meta row pins the manifest shape (one
+  // root manifest, listing every snapshot file).
+  def manifestLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_id") % 8 === 6)
+      .withColumn("value_c", floor(col("value") * 100).cast("long"))
+      .select("event_id", "user_id", "value_c")
+    val tableDir = scratchDir("graft_xmanifest")
+    Versioned.overwrite(ev.filter(col("user_id") % 2 === 0).coalesce(2), tableDir) // v1
+    Versioned.append(ev.filter(col("user_id") % 2 === 1).coalesce(2), tableDir)    // v2
+    val manifests = Versioned.generateManifest(s, tableDir)
+    val listed = manifests.flatMap { mf =>
+      val src = scala.io.Source.fromFile(
+        new org.apache.hadoop.fs.Path(mf).toUri.getPath)
+      try src.getLines().toList finally src.close()
+    }
+    val nFiles = Versioned.filesAt(
+      s, tableDir, Versioned.currentVersion(s, tableDir).get).size.toLong
+    // the external reader: a bare parquet scan over the listed URIs
+    val content = s.read.parquet(listed: _*)
+      .groupBy((col("user_id") % 8).as("g"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+      .withColumn("kind", lit("content"))
+      .select("kind", "g", "n", "sum_c")
+    val meta = s.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row("meta", -1L, manifests.size.toLong,
+        if (listed.size.toLong == nFiles) 1L else 0L)),
+      new org.apache.spark.sql.types.StructType()
+        .add("kind", org.apache.spark.sql.types.StringType, false)
+        .add("g", org.apache.spark.sql.types.LongType, false)
+        .add("n", org.apache.spark.sql.types.LongType, false)
+        .add("sum_c", org.apache.spark.sql.types.LongType, false))
+    content.unionByName(meta).orderBy("kind", "g")
+  }
+
+  // X — BLOOM INDEX under the oracle gate (Databricks BLOOMFILTER
+  // INDEX): the table lands as 4 event slices, a bloom build indexes
+  // the high-cardinality derived key (user_id-event_id — unique, so
+  // zone ranges on it would span every file while the bloom rules
+  // files out per value), and two point probes (the min- and
+  // max-event keys) read THROUGH the pruned path. The hashed output
+  // carries the probed rows (exactness) plus meta flags: both probes
+  // pruned to strict file subsets, and a guaranteed-absent key
+  // returned zero rows.
+  def bloomLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_id") % 8 === 7)
+      .withColumn("k", concat_ws("-", col("user_id"), col("event_id")))
+      .withColumn("value_c", floor(col("value") * 100).cast("long"))
+      .select("event_id", "user_id", "k", "value_c")
+    val tableDir = scratchDir("graft_xbloom")
+    Seq(7L, 15L, 23L, 31L).foreach(m =>
+      Versioned.append(ev.filter(col("event_id") % 32 === m).coalesce(1), tableDir))
+    val v = Versioned.buildBloom(s, tableDir, Seq("k"), itemsPerFile = 100000L)
+    val kMin = ev.orderBy(col("event_id").asc).select("k").head().getString(0)
+    val kMax = ev.orderBy(col("event_id").desc).select("k").head().getString(0)
+    val all = Versioned.filesAt(s, tableDir, v).size
+    def prunedOk(key: String): Long =
+      if (Versioned.bloomPrunedFiles(s, tableDir, v, "k", key).size < all) 1L else 0L
+    val hits = Versioned.readWhereEquals(s, tableDir, v, "k", kMin)
+      .unionByName(Versioned.readWhereEquals(s, tableDir, v, "k", kMax))
+      .withColumn("kind", lit("content"))
+      .select(col("kind"), col("event_id"), col("user_id"), col("value_c"))
+    val absent = Versioned.readWhereEquals(s, tableDir, v, "k", "no-such-key").count()
+    val meta = s.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row("meta", -1L,
+        prunedOk(kMin) + prunedOk(kMax), absent)),
+      new org.apache.spark.sql.types.StructType()
+        .add("kind", org.apache.spark.sql.types.StringType, false)
+        .add("event_id", org.apache.spark.sql.types.LongType, false)
+        .add("user_id", org.apache.spark.sql.types.LongType, false)
+        .add("value_c", org.apache.spark.sql.types.LongType, false))
+    hits.unionByName(meta).orderBy("kind", "event_id")
+  }
+
+  // X — APPLY CHANGES (DLT's CDC apply) under the oracle gate: the
+  // events slice becomes a change feed (key = user_id, sequence =
+  // event_id, removals = the 'remove_from_cart' events), applied as
+  // SCD TYPE 2 in TWO time-ordered batches — the second batch must
+  // close the first batch's open rows across the boundary exactly as
+  // a single apply would, so the oracle is ONE window: per key, each
+  // surviving change holds [seq, lead(seq)) with deletes bounding but
+  // never inserting. The hashed output is the full history table.
+  def applyChangesLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_id") % 4 === 2)
+      .select(col("user_id").as("uid"),
+        floor(col("value") * 100).cast("long").as("val"),
+        col("event_id").as("seq"), col("event_type").as("op"))
+    val tableDir = scratchDir("graft_xapply")
+    val mx = ev.agg(max(col("seq"))).head().getLong(0)
+    val del = Some(col("op") === "remove_from_cart")
+    graft.ops.ApplyChanges.scd2(s, tableDir,
+      ev.filter(col("seq") <= mx / 2), Seq("uid"), "seq", del, Seq("op"))
+    graft.ops.ApplyChanges.scd2(s, tableDir,
+      ev.filter(col("seq") > mx / 2), Seq("uid"), "seq", del, Seq("op"))
+    Versioned.read(s, tableDir)
+      .select(col("uid"), col("val"), col("__START_AT").as("start_at"),
+        coalesce(col("__END_AT"), lit(-1L)).as("end_at"))
+      .orderBy("uid", "start_at")
+  }
+
+  val applyChangesLifecycleSql: String =
+    """WITH ev AS (SELECT user_id AS uid,
+      |                   CAST(floor(value * 100) AS BIGINT) AS val,
+      |                   event_id AS seq, event_type AS op
+      |            FROM events WHERE event_id % 4 = 2),
+      |seg AS (SELECT uid, val, seq AS start_at,
+      |               lead(seq) OVER (PARTITION BY uid ORDER BY seq) AS end_at,
+      |               op
+      |        FROM ev)
+      |SELECT uid, val, start_at, COALESCE(end_at, -1) AS end_at
+      |FROM seg WHERE op <> 'remove_from_cart'
+      |ORDER BY uid, start_at""".stripMargin
+
+  val bloomLifecycleSql: String =
+    """WITH ev AS (SELECT event_id, user_id,
+      |                   CAST(floor(value * 100) AS BIGINT) AS value_c
+      |            FROM events WHERE event_id % 8 = 7),
+      |b AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM ev),
+      |u AS (
+      |  SELECT 'content' AS kind, event_id, user_id, value_c
+      |  FROM ev, b WHERE event_id IN (b.lo, b.hi)
+      |  UNION ALL
+      |  SELECT 'meta', CAST(-1 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT))
+      |SELECT kind, event_id, user_id, value_c FROM u
+      |ORDER BY kind, event_id""".stripMargin
+
+  val manifestLifecycleSql: String =
+    """WITH ev AS (SELECT event_id, user_id,
+      |                   CAST(floor(value * 100) AS BIGINT) AS value_c
+      |            FROM events WHERE event_id % 8 = 6),
+      |u AS (
+      |  SELECT 'content' AS kind, user_id % 8 AS g,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(value_c) AS BIGINT) AS sum_c
+      |  FROM ev GROUP BY user_id % 8
+      |  UNION ALL
+      |  SELECT 'meta', CAST(-1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT))
+      |SELECT kind, g, n, sum_c FROM u ORDER BY kind, g""".stripMargin
+
+  val autoCompactLifecycleSql: String =
+    """WITH ev AS (SELECT event_id, user_id,
+      |                   CAST(floor(value * 100) AS BIGINT) AS value_c
+      |            FROM events WHERE event_id % 8 = 2),
+      |u AS (
+      |  SELECT 'content' AS kind, user_id % 6 AS g,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(value_c) AS BIGINT) AS sum_c
+      |  FROM ev GROUP BY user_id % 6
+      |  UNION ALL
+      |  SELECT 'meta', CAST(-1 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT))
+      |SELECT kind, g, n, sum_c FROM u ORDER BY kind, g""".stripMargin
+
   val fsckLifecycleSql: String =
     """WITH ev AS (SELECT event_type,
       |                   CAST(floor(value * 100) AS BIGINT) AS value_c
@@ -1758,6 +1959,10 @@ object VersionedQueries {
     QueryDef("x_replace_where", replaceWhereBackfill, Some(replaceWhereBackfillSql)),
     QueryDef("x_sql_clusterby", sqlClusterBy, Some(sqlClusterBySql)),
     QueryDef("x_fsck", fsckLifecycle, Some(fsckLifecycleSql)),
+    QueryDef("x_autocompact", autoCompactLifecycle, Some(autoCompactLifecycleSql)),
+    QueryDef("x_manifest", manifestLifecycle, Some(manifestLifecycleSql)),
+    QueryDef("x_bloom", bloomLifecycle, Some(bloomLifecycleSql)),
+    QueryDef("x_apply_changes", applyChangesLifecycle, Some(applyChangesLifecycleSql)),
     QueryDef("m5_versioned_merge", versionedMerge, Some(versionedMergeSql)),
     QueryDef("m9_condput_merge", versionedMergeCondPut, Some(versionedMergeSql)),
     QueryDef("m10_sql_merge", versionedMergeSqlText, Some(versionedMergeSql)),

@@ -117,6 +117,37 @@ object Ingest {
     spark.readStream.format("graft-versioned")
       .option("path", dir).option("readChangeFeed", "true").load()
 
+  /** STREAMING CDC APPLY — the end-to-end DLT `apply_changes` pipeline
+    * shape: tail `srcDir`'s change feed and materialize it into
+    * `targetDir` as SCD type 1 or 2 ([[graft.ops.ApplyChanges]]), one
+    * idempotent apply commit per micro-batch (the watermark lands IN
+    * the commit, so retried epochs and checkpoint-wiped replays are
+    * no-ops). Feed plumbing is derived from `_change_type`: `delete`
+    * rows mark removals, `update_preimage` rows (the OLD image of an
+    * update — not a change) are excluded, and the column itself never
+    * reaches the target. `sequenceBy` must be a DATA column the
+    * upstream writers keep monotone per key (an ingestion timestamp /
+    * source commit version — DLT's own contract): an upstream update
+    * that does not advance it is, by the apply's replay rule,
+    * indistinguishable from a stale replay and ignored.
+    */
+  def applyChangesStream(
+      spark: SparkSession, srcDir: String, targetDir: String,
+      keys: Seq[String], sequenceBy: String, checkpoint: String,
+      scdType: Int = 1, appId: String = "graft-apply-changes"): Unit = {
+    import org.apache.spark.sql.functions.col
+    runAvailableNow(versionedChangeFeed(spark, srcDir), checkpoint) {
+      (batch, batchId) =>
+        graft.ops.ApplyChanges.idempotent(
+          spark, targetDir,
+          batch.filter(col("_change_type") =!= "update_preimage"),
+          keys, sequenceBy, appId, batchId,
+          deleteWhen = Some(col("_change_type") === "delete"),
+          exceptColumns = Seq("_change_type"), scdType = scdType)
+        ()
+    }
+  }
+
   /** Seen-files manifest sidecar of a bronze table. */
   def manifestRef(bronze: TableRef): TableRef = TableRef(bronze.dir + "._manifest")
 

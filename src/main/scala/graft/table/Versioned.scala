@@ -978,7 +978,10 @@ object Versioned {
     *    touched-file-discovery broadcast gate (default
     *    [[MergeKeyBroadcastMaxBytes]]);
     *  - `graft.vacuum.retainHours` — the `VACUUM t` DDL's default
-    *    retention when no RETAIN clause is given (default 168).
+    *    retention when no RETAIN clause is given (default 168);
+    *  - `graft.autoOptimize.autoCompact` (+ `.interval`, `.smallBytes`)
+    *    — opportunistic post-append bin-packing every `interval`
+    *    commits ([[maybeAutoCompact]]).
     */
   def propertiesAt(spark: SparkSession, dir: String, v: Long): Map[String, String] =
     propsOf(snapshotJson(spark, dir, v))
@@ -2257,8 +2260,43 @@ object Versioned {
       // the committed version's predecessor is the snapshot it extended.
       carryZones(spark, dir, v - 1, v,
         filesAt(spark, dir, v).toSet -- fresh.toSet, fresh)
+      maybeAutoCompact(spark, dir, v)
       v
     } finally idCached.foreach(_.unpersist())
+  }
+
+  /** Opportunistic post-append compaction — the Databricks
+    * `autoOptimize.autoCompact` analog, interval-triggered: when the
+    * table property `graft.autoOptimize.autoCompact` is true and the
+    * just-committed version lands on the cadence
+    * (`graft.autoOptimize.interval` commits, default 16), files under
+    * `graft.autoOptimize.smallBytes` (default 32 MB) bin-pack as ONE
+    * follow-on row-preserving `compact-small` commit — streaming
+    * ingest, the small-file factory, self-heals every `interval`
+    * micro-batches without an external OPTIMIZE job.
+    *
+    * The trigger is O(1) per commit BY DESIGN: Databricks' per-write
+    * small-file census is a size listing of the written partition,
+    * but this table layout has no physical partitions — a faithful
+    * per-commit census would be O(snapshot files) object-store HEADs
+    * on EVERY append, unpayable at 10⁶ files. The interval cadence
+    * amortizes the census (and the rewrite) to O(files/interval),
+    * the same asymptotic discipline as checkpoint entries. Best-effort
+    * on purpose: the append it rides is already durable, so a
+    * concurrent-writer race or transient storage error abandons the
+    * attempt silently — the next cadence hit retries.
+    */
+  private def maybeAutoCompact(spark: SparkSession, dir: String, v: Long): Unit = {
+    val props = propertiesAt(spark, dir, v)
+    if (!props.get("graft.autoOptimize.autoCompact").exists(_.equalsIgnoreCase("true")))
+      return
+    val interval = props.get("graft.autoOptimize.interval")
+      .flatMap(_.toLongOption).filter(_ > 0).getOrElse(16L)
+    if (v % interval != 0L) return
+    val small = props.get("graft.autoOptimize.smallBytes")
+      .flatMap(_.toLongOption).filter(_ > 0).getOrElse(32L << 20)
+    try { compactSmall(spark, dir, small); () }
+    catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Source-file identities every retained commit loaded via
@@ -2821,6 +2859,7 @@ object Versioned {
         Some(appId -> txnVersion), prev => prev ++ fresh, preCommit = validate)
       committed.foreach(v => carryZones(spark, dir, v - 1, v,
         filesAt(spark, dir, v).toSet -- fresh.toSet, fresh))
+      committed.foreach(maybeAutoCompact(spark, dir, _))
       committed
     }
   }
@@ -3567,6 +3606,83 @@ object Versioned {
   def writeZoneMap(spark: SparkSession, dir: String, v: Long, zoneCol: String): Unit =
     writeZoneMaps(spark, dir, v, Seq(zoneCol))
 
+  private[graft] def logPathOf(dir: String): Path = logPath(dir)
+
+  /** Builds per-file Bloom filters over the HEAD snapshot for `cols`
+    * (Databricks `CREATE BLOOMFILTER INDEX` analog — see
+    * [[graft.table.Bloom]] for the full contract): one distributed
+    * aggregate pass over the raw file bytes, one immutable columnar
+    * sidecar per build, a version-keyed pointer for readers. Returns
+    * the version indexed. Blooms serve EQUALITY probes on
+    * high-cardinality, un-clustered columns where zone ranges span
+    * everything; they are keyed by PHYSICAL column names (stable
+    * across renames) like zones. Files appended after a build are
+    * unprunable until the next build — re-run on a maintenance
+    * cadence, the OPTIMIZE discipline.
+    */
+  def buildBloom(
+      spark: SparkSession, dir: String, cols: Seq[String],
+      fpp: Double = 0.01, itemsPerFile: Long = 1000000L): Long = {
+    require(cols.nonEmpty, "at least one bloom column")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1): $fpp")
+    require(itemsPerFile > 0, s"itemsPerFile must be > 0: $itemsPerFile")
+    val v = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
+    val sch = schemaAt(spark, dir, v)
+    hiveFieldOf(sch).foreach(hf => require(
+      !cols.exists(_.equalsIgnoreCase(hf.name)),
+      s"'${hf.name}' is a hive-layout partition column — its values live " +
+        "in file PATHS, not footers, so a footer bloom would wrongly " +
+        "prune converted files; partition pruning already serves " +
+        "equality on it"))
+    cols.foreach(c => require(
+      sch.forall(_.fieldNames.exists(_.equalsIgnoreCase(c))),
+      s"no such column '$c' at $dir"))
+    val files = filesAt(spark, dir, v)
+    val physCols = cols.map(physicalOf(sch, _))
+    val dataName =
+      if (files.isEmpty) Bloom.build(spark, dir, v, Nil, physCols, None, 1L, fpp)
+      else Bloom.build(spark, dir, v, files, physCols,
+        sch.map(physicalSchema), itemsPerFile, fpp)
+    Bloom.publishPointer(spark, dir, v, dataName, physCols, fpp)
+    v
+  }
+
+  /** The file subset an equality probe `col = value` must read at
+    * snapshot `v`: the newest bloom build at-or-before `v` rules files
+    * OUT; files it never statted (appended since the build, or no
+    * build at all) always stay IN. Never loses rows — false positives
+    * and unstatted files only widen the scan.
+    */
+  def bloomPrunedFiles(
+      spark: SparkSession, dir: String, v: Long,
+      col: String, value: Any): Seq[String] = {
+    val all = filesAt(spark, dir, v)
+    val phys = physicalOf(schemaAt(spark, dir, v), col)
+    Bloom.latestPointerAt(spark, dir, v) match {
+      case Some((_, dataName, cols)) if cols.contains(phys) =>
+        Bloom.pruneEquals(spark, dir, dataName, phys, value, all)
+      case _ => all
+    }
+  }
+
+  /** Equality scan through the bloom index ([[bloomPrunedFiles]]) with
+    * the residual predicate and DV subtraction applied — the
+    * point-lookup twin of [[readWhere]]'s range scan.
+    */
+  def readWhereEquals(
+      spark: SparkSession, dir: String, v: Long,
+      col: String, value: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val pruned = bloomPrunedFiles(spark, dir, v, col, value)
+    val df =
+      if (pruned.isEmpty) readAt(spark, dir, v).limit(0)
+      else applyDvs(spark,
+        readRaw(spark, dir, schemaAt(spark, dir, v), pruned),
+        dvsAt(spark, dir, v))
+    df.filter(c(col) === lit(value))
+  }
+
   /** Range scan using the zone map: only files whose [lo, hi] intersects
     * [lo, hi] are read (the residual predicate still applies — zones
     * prune files, they don't filter rows). Falls back to the full file
@@ -3868,10 +3984,11 @@ object Versioned {
       notMatched: Seq[graft.ops.Upsert.MergeClause] =
         Seq(graft.ops.Upsert.MergeClause.Insert()),
       notMatchedBySource: Seq[graft.ops.Upsert.MergeClause] = Nil,
-      evolveSchema: Boolean = false): Long =
+      evolveSchema: Boolean = false,
+      conditionColumns: Seq[String] = Nil): Long =
     mergeReplanning(
       spark, dir, source, keys, matched, notMatched, notMatchedBySource, None,
-      evolveSchema).get
+      evolveSchema, conditionColumns).get
 
   /** [[merge]] guarded by the same writer-transaction watermark as
     * [[appendIdempotent]]: if the table has already committed
@@ -3896,13 +4013,31 @@ object Versioned {
       Seq(graft.ops.Upsert.MergeClause.Insert()), Nil, Some(appId -> txnVersion))
   }
 
+  /** [[mergeFull]] with a writer-transaction watermark landing in the
+    * SAME commit — the general-clause sibling of [[mergeIdempotent]]
+    * (whose public surface keeps the legacy update-when shape). The
+    * CDC apply layer ([[graft.ops.ApplyChanges]]) builds on this.
+    */
+  private[graft] def mergeFullTxn(
+      spark: SparkSession, dir: String, source: DataFrame, keys: Seq[String],
+      matched: Seq[graft.ops.Upsert.MergeClause],
+      notMatched: Seq[graft.ops.Upsert.MergeClause],
+      txn: Option[(String, Long)],
+      conditionColumns: Seq[String]): Option[Long] = {
+    txn.foreach { case (appId, _) => requireLogSafeAppId(appId) }
+    mergeReplanning(
+      spark, dir, source, keys, matched, notMatched, Nil, txn,
+      evolveSchema = false, conditionColumns)
+  }
+
   private def mergeReplanning(
       spark: SparkSession, dir: String, source: DataFrame, keys: Seq[String],
       matched: Seq[graft.ops.Upsert.MergeClause],
       notMatched: Seq[graft.ops.Upsert.MergeClause],
       notMatchedBySource: Seq[graft.ops.Upsert.MergeClause],
       txn: Option[(String, Long)],
-      evolveSchema: Boolean = false): Option[Long] = {
+      evolveSchema: Boolean = false,
+      conditionColumns: Seq[String] = Nil): Option[Long] = {
     // MERGE is a pure function of (head snapshot, source), so a genuine
     // read-set conflict re-PLANS the whole merge from the new head
     // instead of surfacing CommitRace — a key concurrently inserted
@@ -3911,7 +4046,7 @@ object Versioned {
     while (true) {
       try return mergeOnce(
         spark, dir, source, keys, matched, notMatched, notMatchedBySource, txn,
-        evolveSchema)
+        evolveSchema, conditionColumns)
       catch {
         case e: CommitRace =>
           // 10 attempts with jittered backoff (same shape as
@@ -3933,16 +4068,25 @@ object Versioned {
       notMatched: Seq[graft.ops.Upsert.MergeClause],
       notMatchedBySource: Seq[graft.ops.Upsert.MergeClause],
       txn: Option[(String, Long)],
-      evolveSchema: Boolean = false): Option[Long] = {
+      evolveSchema: Boolean = false,
+      conditionColumns: Seq[String] = Nil): Option[Long] = {
     import org.apache.spark.sql.functions.{broadcast, col}
     require(keys.nonEmpty, "MERGE needs at least one key column")
+    // condition-only source columns (a CDC feed's operation flag /
+    // sequence metadata): visible to clause conditions via scol, never
+    // part of schema checks, evolution, or the table's data
+    conditionColumns.foreach(c => require(
+      source.schema.fieldNames.contains(c),
+      s"conditionColumns names a column the source lacks: $c"))
     val base = currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $dir"))
     val logSchema = schemaAt(spark, dir, base).getOrElse(
       throw new IllegalArgumentException(
         s"MERGE requires a schema-bearing snapshot at $dir"))
     val tTypes = logSchema.fields.map(f => f.name -> f.dataType.catalogString).toMap
-    val sTypes = source.schema.fields.map(f => f.name -> f.dataType.catalogString).toMap
+    val sTypes = source.schema.fields
+      .filterNot(f => conditionColumns.contains(f.name))
+      .map(f => f.name -> f.dataType.catalogString).toMap
     // name resolution is CASE-INSENSITIVE, matching Spark analysis (and
     // Delta's evolution): a source column differing only in case is the
     // SAME column — treating it as new would publish a schema with
@@ -3951,7 +4095,10 @@ object Versioned {
     val tByLower = logSchema.fieldNames.map(n => lower(n) -> n).toMap
     // a column present on BOTH sides must keep its type, evolution or
     // not — MERGE never retypes (the same rule mergeSchema appends apply)
+    conditionColumns.foreach(c => require(!tByLower.contains(lower(c)),
+      s"conditionColumns must not shadow table columns: $c"))
     val retyped = source.schema.fields.toSeq
+      .filterNot(sf => conditionColumns.contains(sf.name))
       .flatMap(sf => tByLower.get(lower(sf.name)).map(tn => (sf.name, tn)))
       .collect { case (sn, tn) if tTypes(tn) != sTypes(sn) => sn }
     require(retyped.isEmpty,
@@ -3978,7 +4125,7 @@ object Versioned {
     // lack them and surface NULL, the mergeSchema read contract);
     // target-only columns stay and the source pads them with NULLs.
     val newCols = source.schema.fields.filterNot(f =>
-      tByLower.contains(lower(f.name))).toSeq
+      tByLower.contains(lower(f.name)) || conditionColumns.contains(f.name)).toSeq
     val outSchema: org.apache.spark.sql.types.StructType =
       if (!evolveSchema || newCols.isEmpty) logSchema
       else {
@@ -4004,7 +4151,17 @@ object Versioned {
         else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
       }: _*)
     }
-    val src = alignTo(source)
+    // the aligned source keeps its condition-only columns appended —
+    // ops.Upsert.mergeFull prefixes every source column, so clause
+    // conditions reference them as scol(name); the output projection
+    // (target columns only) drops them
+    val src = {
+      val have = source.schema.fieldNames.map(lower).toSet
+      source.select((outSchema.fields.toSeq.map { f =>
+        if (have.contains(lower(f.name))) col(f.name).as(f.name)
+        else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+      } ++ conditionColumns.map(col)): _*)
+    }
     val all = filesAt(spark, dir, base)
     val headDvs = dvsAt(spark, dir, base)
     // The key-set broadcast is GATED on the optimizer's size estimate:
@@ -5057,6 +5214,68 @@ object Versioned {
     throw new IllegalStateException("unreachable")
   }
 
+  /** `GENERATE symlink_format_manifest` (Delta's command of the same
+    * name): writes `_symlink_format_manifest/.../manifest` text files
+    * listing the CURRENT snapshot's data files as absolute URIs — the
+    * bridge that lets engines without a log reader (Presto / Trino /
+    * Athena / Hive's SymlinkTextInputFormat) query the table as plain
+    * parquet. Hive-converted layouts get one manifest per `col=val/`
+    * partition directory (Delta's shape — the external engine's
+    * partition pruning keeps working through the manifest tree);
+    * engine-written layouts get a single root manifest. Returns the
+    * manifest paths written.
+    *
+    * Refused when raw parquet bytes do NOT equal the logical snapshot
+    * — deletion vectors (soft-deleted rows would resurface in every
+    * external read) or column mapping (files store physical names the
+    * external engine would surface verbatim) — the same restrictions
+    * Delta applies; `REORG TABLE ... APPLY (PURGE)` materializes both
+    * away, then re-GENERATE. Staleness is the caller's contract, as in
+    * Delta: the manifest is a snapshot of a snapshot — later commits do
+    * not republish it. Cost is O(files) driver-side metadata lines (no
+    * data read), the same order as one checkpoint entry; vacuum never
+    * touches the tree (it sweeps only `d-*` data dirs), so a stale
+    * manifest can at worst dangle — exactly Delta's documented hazard.
+    */
+  def generateManifest(spark: SparkSession, dir: String): Seq[String] = {
+    val head = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
+    require(dvsAt(spark, dir, head).isEmpty,
+      s"symlink manifests cannot represent deletion vectors at $dir — " +
+        "external engines read raw parquet and would resurface " +
+        "soft-deleted rows; run REORG TABLE APPLY (PURGE) first")
+    val schema = schemaAt(spark, dir, head)
+    require(!schema.exists(hasColumnMapping),
+      s"symlink manifests cannot represent column mapping at $dir — " +
+        "files store physical column names external engines would " +
+        "surface verbatim; OPTIMIZE materializes renames, then re-run")
+    val files = filesAt(spark, dir, head)
+    val f = fs(spark, dir)
+    val root = new Path(dir, "_symlink_format_manifest")
+    // wipe the previous generation so partitions dropped since then
+    // don't linger as stale manifests
+    if (f.exists(root)) f.delete(root, true)
+    val groups: Seq[(String, Seq[String])] =
+      if (schema.exists(hasHivePartition))
+        files.groupBy(rel => rel.lastIndexOf('/') match {
+          case -1 => ""
+          case i =>
+            val d = rel.substring(0, i)
+            if (d.contains("=")) d else "" // engine-written d-* files → root
+        }).toSeq.sortBy(_._1)
+      else Seq("" -> files)
+    groups.map { case (sub, fl) =>
+      val mf = new Path(if (sub.isEmpty) root else new Path(root, sub), "manifest")
+      val body = fl.sorted
+        .map(rel => f.makeQualified(dataPath(dir, rel)).toUri.toString)
+        .mkString("", "\n", "\n")
+      val os = f.create(mf, true)
+      try os.write(body.getBytes(StandardCharsets.UTF_8))
+      finally os.close()
+      mf.toString
+    }
+  }
+
   def vacuumRetain(
       spark: SparkSession, dir: String, retainMs: Long,
       tmpRetentionMs: Long = 3600000L, dryRun: Boolean = false): Seq[String] = {
@@ -5161,8 +5380,27 @@ object Versioned {
       rm(versionFile(dir, v), false)
       // sidecars may not exist for a version; record only real paths so
       // a dry run reports exactly what a live run would remove
-      Seq(new Path(logPath(dir), f"v$v%08d.zones.json"), ckptFile(dir, v))
+      Seq(new Path(logPath(dir), f"v$v%08d.zones.json"), ckptFile(dir, v),
+        new Path(logPath(dir), f"v$v%08d.bloom.json"))
         .foreach(p => if (f.exists(p)) rm(p, false))
+    }
+    // bloom data dirs whose pointer no longer survives (dropped above,
+    // or a crashed build that never published one) age-sweep like the
+    // other orphaned sidecars; referenced dirs are immutable and stay
+    locally {
+      val live = f.listStatus(logPath(dir)).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.endsWith(".bloom.json"))
+        .map { n =>
+          val json = readFully(spark, dir, new Path(logPath(dir), n))
+          graft.table.Bloom.parsePointer(json)._1
+        }.toSet
+      f.listStatus(logPath(dir)).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("bloomdata-"))
+        .foreach { st =>
+          if (!live.contains(st.getPath.getName) &&
+              st.getModificationTime < System.currentTimeMillis() - tmpRetentionMs)
+            rm(st.getPath, true)
+        }
     }
     f.listStatus(logPath(dir)).toSeq.foreach { st =>
       val n = st.getPath.getName
