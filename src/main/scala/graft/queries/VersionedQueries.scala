@@ -1650,6 +1650,58 @@ object VersionedQueries {
       |FROM seg WHERE op <> 'remove_from_cart'
       |ORDER BY uid, start_at""".stripMargin
 
+  // X — per-file row-count stats + metadata-only aggregates (Delta's
+  // numRecords/OptimizeMetadataOnlyQuery analog) under the oracle gate:
+  // two appends build a versioned table whose unfiltered
+  // COUNT(*)/MIN/MAX answer from the LOG alone — the `pushed` flag pins
+  // that the executed plan was a LocalTableScan (no data file, not even
+  // a footer, opened) — then a MoR delete proves the metadata count
+  // subtracts DV cardinality exactly, and a time-travel count resolves
+  // at the pinned snapshot. At 10⁶ files this is a handful of log reads
+  // versus a million object-store GETs.
+  def metaCountLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_id") % 16 === 5)
+      .select(col("event_id"), col("user_id"))
+    val tableDir = scratchDir("graft_xmeta")
+    Versioned.append(ev.filter(col("event_id") % 32 === 5), tableDir) // v1
+    Versioned.append(ev.filter(col("event_id") % 32 === 21), tableDir) // v2
+    Versioned.writeZoneMaps(s, tableDir, 2L, Seq("event_id"))
+    val agg = s.read.format("graft-versioned").load(tableDir).agg(
+      count(lit(1)).as("n"), min(col("event_id")).as("lo"),
+      max(col("event_id")).as("hi"))
+    val pushed =
+      if (agg.queryExecution.executedPlan.toString.contains("LocalTableScan")) 1L
+      else 0L
+    val r = agg.head()
+    val v3 = Versioned.deleteWhereMoR(s, tableDir,
+      col("event_id") % 64 === 21).get
+    val afterDelete = Versioned.metaRowCountAt(s, tableDir, v3)
+    val atV1 = Versioned.metaRowCountAt(s, tableDir, 1L)
+    s.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row("meta", r.getLong(0), r.getLong(1),
+        r.getLong(2), pushed,
+        afterDelete.map(Long.box).orNull, atV1.map(Long.box).orNull)),
+      new org.apache.spark.sql.types.StructType()
+        .add("kind", org.apache.spark.sql.types.StringType, false)
+        .add("n", org.apache.spark.sql.types.LongType, false)
+        .add("lo", org.apache.spark.sql.types.LongType, false)
+        .add("hi", org.apache.spark.sql.types.LongType, false)
+        .add("pushed", org.apache.spark.sql.types.LongType, false)
+        .add("n_after_delete", org.apache.spark.sql.types.LongType, true)
+        .add("n_v1", org.apache.spark.sql.types.LongType, true))
+  }
+
+  val metaCountLifecycleSql: String =
+    """WITH ev AS (SELECT event_id FROM events WHERE event_id % 16 = 5)
+      |SELECT 'meta' AS kind,
+      |       (SELECT count(*) FROM ev) AS n,
+      |       (SELECT min(event_id) FROM ev) AS lo,
+      |       (SELECT max(event_id) FROM ev) AS hi,
+      |       CAST(1 AS BIGINT) AS pushed,
+      |       (SELECT count(*) FROM ev WHERE event_id % 64 <> 21) AS n_after_delete,
+      |       (SELECT count(*) FROM ev WHERE event_id % 32 = 5) AS n_v1""".stripMargin
+
   val bloomLifecycleSql: String =
     """WITH ev AS (SELECT event_id, user_id,
       |                   CAST(floor(value * 100) AS BIGINT) AS value_c
@@ -1963,6 +2015,7 @@ object VersionedQueries {
     QueryDef("x_manifest", manifestLifecycle, Some(manifestLifecycleSql)),
     QueryDef("x_bloom", bloomLifecycle, Some(bloomLifecycleSql)),
     QueryDef("x_apply_changes", applyChangesLifecycle, Some(applyChangesLifecycleSql)),
+    QueryDef("x_meta_count", metaCountLifecycle, Some(metaCountLifecycleSql)),
     QueryDef("m5_versioned_merge", versionedMerge, Some(versionedMergeSql)),
     QueryDef("m9_condput_merge", versionedMergeCondPut, Some(versionedMergeSql)),
     QueryDef("m10_sql_merge", versionedMergeSqlText, Some(versionedMergeSql)),

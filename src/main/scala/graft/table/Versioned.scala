@@ -1523,7 +1523,7 @@ object Versioned {
     val v = commitPinned(spark, dir, head, "rename-column", renamed.json, files).get
     // sidecars are physical-keyed, so the carry is a pure copy — data
     // skipping survives the rename with zero re-statting
-    carryZones(spark, dir, head, v, kept = files.toSet, fresh = Nil)
+    carrySidecars(spark, dir, head, v, kept = files.toSet, fresh = Nil)
     v
   }
 
@@ -1580,7 +1580,7 @@ object Versioned {
     })
     val files = filesAt(spark, dir, head)
     val v = commitPinned(spark, dir, head, "set-default", updated.json, files).get
-    carryZones(spark, dir, head, v, kept = files.toSet, fresh = Nil)
+    carrySidecars(spark, dir, head, v, kept = files.toSet, fresh = Nil)
     v
   }
 
@@ -1618,7 +1618,7 @@ object Versioned {
       files, dropPhys = Seq(physicalName(field))).get
     // the dropped column's block falls out of the carry (no schema
     // field stores its physical name anymore); others copy through
-    carryZones(spark, dir, head, v, kept = files.toSet, fresh = Nil)
+    carrySidecars(spark, dir, head, v, kept = files.toSet, fresh = Nil)
     v
   }
 
@@ -2258,7 +2258,7 @@ object Versioned {
       // the previous sidecar (kept files' stats verbatim) and stat only
       // the fresh files — O(batch), not O(table). Versions are dense, so
       // the committed version's predecessor is the snapshot it extended.
-      carryZones(spark, dir, v - 1, v,
+      carrySidecars(spark, dir, v - 1, v,
         filesAt(spark, dir, v).toSet -- fresh.toSet, fresh)
       maybeAutoCompact(spark, dir, v)
       v
@@ -2503,7 +2503,7 @@ object Versioned {
           s"addFiles: already in the snapshot: ${dup.take(3).mkString(", ")}")
         prev ++ relFiles
       }, preCommit = validate).get
-    carryZones(spark, dir, v - 1, v,
+    carrySidecars(spark, dir, v - 1, v,
       filesAt(spark, dir, v).toSet -- relFiles.toSet, relFiles)
     v
   }
@@ -2857,7 +2857,7 @@ object Versioned {
       val committed = commitRetry(spark, dir, "append",
         head => evolvedSchemaJson(spark, dir, head, df, mergeSchema = false, physFor),
         Some(appId -> txnVersion), prev => prev ++ fresh, preCommit = validate)
-      committed.foreach(v => carryZones(spark, dir, v - 1, v,
+      committed.foreach(v => carrySidecars(spark, dir, v - 1, v,
         filesAt(spark, dir, v).toSet -- fresh.toSet, fresh))
       committed.foreach(maybeAutoCompact(spark, dir, _))
       committed
@@ -2890,8 +2890,12 @@ object Versioned {
     }
     guarded(head0, head0.map(constraintsAt(spark, dir, _)).getOrElse(Map.empty))
     val files = writeDataFiles(toPhysicalFrame(df, Some(df.schema)), dir)
-    commitRetry(spark, dir, "overwrite",
+    val v = commitRetry(spark, dir, "overwrite",
       _ => df.schema.json, None, _ => files, preCommit = guarded).get
+    // nothing kept: fresh-file stats cost O(this write), and zones for
+    // still-present zoned columns keep data skipping through overwrite
+    carrySidecars(spark, dir, v - 1, v, kept = Set.empty, fresh = files)
+    v
   }
 
   /** Idempotent overwrite: `overwrite` guarded by the same writer-
@@ -2916,8 +2920,11 @@ object Versioned {
       }
       guarded(head0, head0.map(constraintsAt(spark, dir, _)).getOrElse(Map.empty))
       val files = writeDataFiles(toPhysicalFrame(df, Some(df.schema)), dir)
-      commitRetry(spark, dir, "overwrite", _ => df.schema.json,
+      val committed = commitRetry(spark, dir, "overwrite", _ => df.schema.json,
         Some(appId -> txnVersion), _ => files, preCommit = guarded)
+      committed.foreach(v =>
+        carrySidecars(spark, dir, v - 1, v, kept = Set.empty, fresh = files))
+      committed
     }
   }
 
@@ -3037,7 +3044,7 @@ object Versioned {
     // re-stat the rewritten files under the base sidecar's columns (a
     // stat pass over files the compaction just rewrote anyway) so a
     // zoned table keeps data skipping through OPTIMIZE
-    carryZones(spark, dir, v, nv, kept = Set.empty, fresh = fresh)
+    carrySidecars(spark, dir, v, nv, kept = Set.empty, fresh = fresh)
     nv
   }
 
@@ -3090,6 +3097,9 @@ object Versioned {
         df.schema.fieldNames.contains(c) && zoneableType(df.schema(c).dataType))
     val cols = (zoneCols ++ carried).distinct
     if (cols.nonEmpty) writeZoneMaps(spark, dir, nv, cols)
+    // zones were just republished above; row counts still need their
+    // own carry (fresh rewrite: everything re-stats at O(this rewrite))
+    carryRowCounts(spark, dir, v, nv, kept = Set.empty, fresh = fresh)
     nv
   }
 
@@ -3266,7 +3276,7 @@ object Versioned {
     val fresh = writeDataFiles(toPhysicalFrame(out, Some(schema)), dir)
     val v = commitRewriteCommuting(
       spark, dir, base, "optimize", schema.json, tail, fresh)
-    v.foreach(nv => carryZones(spark, dir, base, nv,
+    v.foreach(nv => carrySidecars(spark, dir, base, nv,
       filesAt(spark, dir, nv).toSet -- fresh.toSet, fresh))
     // a table that was never zoned on these columns gains nothing from
     // the carry — publish stats for the whole snapshot ONCE if no zone
@@ -3406,7 +3416,7 @@ object Versioned {
     val fresh = writeDataFiles(toPhysicalFrame(binned, logSchema), dir)
     val v = commitRewriteCommuting(spark, dir, base, "compact-small",
       logSchema.map(_.json).getOrElse(binned.schema.json), small, fresh).get
-    carryZones(spark, dir, base, v,
+    carrySidecars(spark, dir, base, v,
       filesAt(spark, dir, v).toSet -- fresh.toSet, fresh)
     Some(v)
   }
@@ -3476,7 +3486,7 @@ object Versioned {
     val fresh = writeDataFiles(toPhysicalFrame(purged, logSchema), dir)
     val v = commitRewriteCommuting(spark, dir, base, "reorg",
       logSchema.map(_.json).getOrElse(purged.schema.json), touched, fresh).get
-    carryZones(spark, dir, base, v,
+    carrySidecars(spark, dir, base, v,
       filesAt(spark, dir, v).toSet -- fresh.toSet, fresh)
     Some(v)
   }
@@ -3887,7 +3897,7 @@ object Versioned {
         val v = commitRewriteCommuting(
           spark, dir, base, "replacewhere", tableSchema.json, touched, fresh,
           commuteCheck = commute).get
-        carryZones(spark, dir, base, v,
+        carrySidecars(spark, dir, base, v,
           filesAt(spark, dir, v).toSet -- fresh.toSet, fresh)
         return v
       } catch {
@@ -4293,7 +4303,7 @@ object Versioned {
     val committed = commitRewriteCommuting(
       spark, dir, base, "merge", outSchema.json, touched, fresh,
       commuteCheck = addedDisjoint, txn = txn, pairKeys = keys)
-    committed.foreach(v => carryZones(spark, dir, base, v,
+    committed.foreach(v => carrySidecars(spark, dir, base, v,
       filesAt(spark, dir, v).toSet -- fresh.toSet, fresh))
     committed
   }
@@ -4378,7 +4388,7 @@ object Versioned {
         head => (head.keySet ++ matched.keySet).map { f =>
           f -> (head.getOrElse(f, Seq.empty) ++ matched.getOrElse(f, Seq.empty))
         }.toMap).get
-      carryZones(spark, dir, base, v, kept = all.toSet, fresh = Seq.empty)
+      carrySidecars(spark, dir, base, v, kept = all.toSet, fresh = Seq.empty)
       v
     }
   }
@@ -4422,7 +4432,7 @@ object Versioned {
         head => (head.keySet ++ matched.keySet).map { f =>
           f -> (head.getOrElse(f, Seq.empty) ++ matched.getOrElse(f, Seq.empty))
         }.toMap).get
-      carryZones(spark, dir, base, v, kept = all.toSet, fresh = fresh)
+      carrySidecars(spark, dir, base, v, kept = all.toSet, fresh = fresh)
       v
     }
   }
@@ -4486,7 +4496,7 @@ object Versioned {
       pairKeys = pairKeys(logSchema.getOrElse(touchedDf.schema))).get
     // kept set read back from the PUBLISHED snapshot: a commute-retry
     // may have re-based onto concurrently appended files
-    carryZones(spark, dir, base, v,
+    carrySidecars(spark, dir, base, v,
       filesAt(spark, dir, v).toSet -- fresh.toSet, fresh)
     Some(v)
   }
@@ -4519,6 +4529,175 @@ object Versioned {
       }
       .map(a => readFully(spark, dir,
         new Path(logPath(dir), f"v$a%08d.zones.json")))
+  }
+
+  /** Carries every per-file stat sidecar across a commit: row counts
+    * ([[carryRowCounts]]) plus zone maps ([[carryZones]]). One hook for
+    * all commit paths — kept files keep their stats verbatim, rewritten
+    * output gets fresh stats.
+    */
+  private def carrySidecars(
+      spark: SparkSession, dir: String, baseV: Long, newV: Long,
+      kept: Set[String], fresh: Seq[String]): Unit = {
+    carryRowCounts(spark, dir, baseV, newV, kept, fresh)
+    carryZones(spark, dir, baseV, newV, kept, fresh)
+  }
+
+  /** Row-count sidecar JSON anchoring `baseV`: same bounded-window
+    * probe + marker-gated wide listing discipline as
+    * [[zonedAnchorJson]] — a table without the `.rowstats` marker
+    * never pays an O(log-entries) listing per commit just to learn
+    * there is nothing to carry.
+    */
+  private def rowsAnchorJson(
+      spark: SparkSession, dir: String, baseV: Long): Option[String] = {
+    val f = fs(spark, dir)
+    (baseV to math.max(1L, baseV - 7) by -1L).find(w =>
+      f.exists(RowStats.sidecar(logPath(dir), w)))
+      .orElse {
+        if (!f.exists(new Path(logPath(dir), ".rowstats"))) None
+        else f.listStatus(logPath(dir)).toSeq
+          .map(_.getPath.getName)
+          .collect { case n if n.matches("v\\d{8}\\.rows\\.json") =>
+            n.stripPrefix("v").stripSuffix(".rows.json").toLong }
+          .filter(_ <= baseV)
+          .sorted.lastOption
+      }
+      .map(a => readFully(spark, dir, RowStats.sidecar(logPath(dir), a)))
+  }
+
+  /** Carries the row-count sidecar ([[RowStats]]) across a commit:
+    * kept files copy their counts verbatim from the nearest ancestor
+    * sidecar; fresh files — and kept files a carry gap left uncovered
+    * (concurrent appenders racing; the gap SELF-HEALS like zones') —
+    * are counted with one footer-cheap empty-projection pass.
+    *
+    * Adoption rule: tables already on the discipline (an ancestor
+    * sidecar or the `.rowstats` marker exists) always stat here, and so
+    * does any commit KEEPING nothing (birth, overwrite, full rewrite —
+    * its stat cost is O(what it just wrote) by construction); a
+    * kept-carrying commit on a LEGACY table skips entirely until an
+    * explicit `system.analyze` — a routine append on a pre-feature
+    * 10⁶-file table must never surprise-pay an O(snapshot) stat pass
+    * disguised as self-healing.
+    */
+  private def carryRowCounts(
+      spark: SparkSession, dir: String, baseV: Long, newV: Long,
+      kept: Set[String], fresh: Seq[String]): Unit = {
+    val f = fs(spark, dir)
+    val anchor = rowsAnchorJson(spark, dir, baseV)
+    if (anchor.isEmpty && kept.nonEmpty &&
+        !f.exists(new Path(logPath(dir), ".rowstats"))) return
+    val carried = anchor.map(RowStats.parse).getOrElse(Map.empty)
+      .view.filterKeys(kept).toMap
+    val toStat = ((kept -- carried.keySet).toSeq.sorted ++ fresh).distinct
+    val freshCounts = RowStats.compute(spark, dir, toStat,
+      schemaAt(spark, dir, newV).map(physicalSchema))
+    RowStats.publish(f, logPath(dir), newV, carried ++ freshCounts)
+  }
+
+  /** Physical per-file row counts covering EVERY live file at `v`,
+    * resolved from the nearest row-stats sidecar at-or-below `v`
+    * (files are immutable, so an older sidecar's entries stay exact).
+    * None when any live file is uncovered (legacy table, unhealed
+    * carry gap) — callers must then scan.
+    */
+  def rowCountsAt(
+      spark: SparkSession, dir: String, v: Long): Option[Map[String, Long]] = {
+    val json = rowsAnchorJson(spark, dir, v)
+    if (json.isEmpty) return None
+    val counts = RowStats.parse(json.get)
+    val live = filesAt(spark, dir, v)
+    if (live.forall(counts.contains)) Some(live.map(fl => fl -> counts(fl)).toMap)
+    else None
+  }
+
+  /** Logical `COUNT(*)` at `v` from log metadata ALONE: per-file
+    * physical counts minus the snapshot's deletion-vector
+    * cardinalities — zero data files opened, not even footers. None
+    * when row stats don't cover the whole snapshot. The DSv2 scan
+    * serves unfiltered `SELECT count(*)` from this
+    * ([[org.apache.spark.sql.graft.VersionedBatchTable]]): at 10⁶
+    * files that is a handful of log reads versus 10⁶ object-store
+    * GETs for even footer-only aggregate pushdown.
+    */
+  def metaRowCountAt(spark: SparkSession, dir: String, v: Long): Option[Long] =
+    rowCountsAt(spark, dir, v).map(_.values.sum -
+      dvsAt(spark, dir, v).values.map(_.size.toLong).sum)
+
+  /** `COUNT(*)` at `v`, metadata-first at any coverage: statted files
+    * answer from the log; only uncovered files are scanned (empty
+    * projection — footer cost); DV cardinalities subtract exactly.
+    * Equals `readAt(v).count()` always.
+    */
+  def rowCountAt(spark: SparkSession, dir: String, v: Long): Long = {
+    val counts = rowsAnchorJson(spark, dir, v).map(RowStats.parse)
+      .getOrElse(Map.empty)
+    val live = filesAt(spark, dir, v)
+    val unknown = live.filterNot(counts.contains)
+    val scanned =
+      if (unknown.isEmpty) 0L
+      else RowStats.compute(spark, dir, unknown,
+        schemaAt(spark, dir, v).map(physicalSchema)).values.sum
+    live.filter(counts.contains).map(counts).sum + scanned -
+      dvsAt(spark, dir, v).values.map(_.size.toLong).sum
+  }
+
+  /** Backfills row-count stats for every live head file — the
+    * legacy-table adoption path of the row-stats discipline (one
+    * explicit O(snapshot) footer pass; new tables stat incrementally
+    * from their first commit). Files already covered by an ancestor
+    * sidecar are not re-counted. Returns (head version, files statted
+    * fresh).
+    */
+  def analyzeTable(spark: SparkSession, dir: String): (Long, Long) = {
+    val head = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
+    val live = filesAt(spark, dir, head)
+    val existing = rowsAnchorJson(spark, dir, head).map(RowStats.parse)
+      .getOrElse(Map.empty).view.filterKeys(live.toSet).toMap
+    val toStat = live.filterNot(existing.contains)
+    if (toStat.nonEmpty ||
+        !fs(spark, dir).exists(RowStats.sidecar(logPath(dir), head))) {
+      val freshCounts = RowStats.compute(spark, dir, toStat,
+        schemaAt(spark, dir, head).map(physicalSchema))
+      RowStats.publish(fs(spark, dir), logPath(dir), head,
+        existing ++ freshCounts)
+    }
+    (head, toStat.size.toLong)
+  }
+
+  /** Metadata MIN/MAX of `col` at `v` in the ZONE STAT domain
+    * ([[ZoneMaps]]' long encoding): `Some((min, max))` only when the
+    * snapshot carries NO deletion vectors (a DV could have deleted the
+    * extremum row — per-file ranges cannot see that) and the zone
+    * sidecar covers EVERY live file for the column. Inner Nones mean
+    * every live file is all-NULL for the column (SQL NULL result).
+    * Callers map the longs back through the column type's stat
+    * encoding — and must NOT use this for timestamps: their stats
+    * truncate to epoch seconds, so the true extremum's sub-second part
+    * is unrecoverable.
+    */
+  def metaMinMaxLongAt(
+      spark: SparkSession, dir: String, v: Long,
+      col: String): Option[(Option[Long], Option[Long])] = {
+    if (dvsAt(spark, dir, v).nonEmpty) return None
+    val json = zonedAnchorJson(spark, dir, v)
+    if (json.isEmpty) return None
+    val phys = physicalOf(schemaAt(spark, dir, v), col)
+    val zones = ZoneMaps.parseBlock(json.get, phys) match {
+      case Some(z) => z
+      case None => return None
+    }
+    val byFile = zones.map(z => z._1 -> z).toMap
+    val live = filesAt(spark, dir, v)
+    if (!live.forall(byFile.contains)) return None
+    // all-NULL files carry the empty-range sentinel (MaxValue,
+    // MinValue) — min/max ignore NULLs, so sentinels drop out
+    val real = live.map(byFile)
+      .filterNot(z => z._2 == Long.MaxValue && z._3 == Long.MinValue)
+    if (real.isEmpty) Some((None, None))
+    else Some((Some(real.map(_._2).min), Some(real.map(_._3).max)))
   }
 
   /** Carries the zone-map sidecar across a copy-on-write commit: kept
@@ -5201,7 +5380,7 @@ object Versioned {
       try {
         val v = commitPinned(spark, dir, base, "fsck", schemaJson, keep,
           dvsFor = _.filter { case (k, _) => !missingKeys.contains(k) }).get
-        carryZones(spark, dir, base, v, keep.toSet, Nil)
+        carrySidecars(spark, dir, base, v, keep.toSet, Nil)
         return missing
       } catch {
         case e: CommitRace =>
@@ -5335,6 +5514,18 @@ object Versioned {
               s"checkpoint sidecar publish for v$oldest failed — log NOT truncated")
         }
       }
+      // re-anchor the row-count sidecar at the oldest retained version
+      // the same way: an on-discipline table whose anchor lives below
+      // the window would otherwise lose metadata COUNT(*) at every
+      // retained version until the next commit. Pure copy of the
+      // resolved counts — no files are re-statted.
+      if (!f.exists(RowStats.sidecar(logPath(dir), oldest))) {
+        rowsAnchorJson(spark, dir, oldest).foreach { rj =>
+          val liveAtOldest = filesAt(spark, dir, oldest).toSet
+          RowStats.publish(f, logPath(dir), oldest,
+            RowStats.parse(rj).view.filterKeys(liveAtOldest).toMap)
+        }
+      }
     }
     // files pinned by shallow clones ([[cloneTable]]'s pin sidecars)
     // stay live FOREVER, whatever versions reference them — a clone's
@@ -5381,7 +5572,8 @@ object Versioned {
       // sidecars may not exist for a version; record only real paths so
       // a dry run reports exactly what a live run would remove
       Seq(new Path(logPath(dir), f"v$v%08d.zones.json"), ckptFile(dir, v),
-        new Path(logPath(dir), f"v$v%08d.bloom.json"))
+        new Path(logPath(dir), f"v$v%08d.bloom.json"),
+        RowStats.sidecar(logPath(dir), v))
         .foreach(p => if (f.exists(p)) rm(p, false))
     }
     // bloom data dirs whose pointer no longer survives (dropped above,

@@ -156,6 +156,17 @@ private[graft] object GraftProcedures {
           Seq(row(head))
         }),
 
+      Proc("analyze",
+        "backfill per-file row-count stats for the head snapshot (legacy-table " +
+          "adoption of the numRecords discipline; new tables stat at write)",
+        Seq(in("table", StringType)),
+        new StructType().add("version", LongType, nullable = false)
+          .add("files_statted", LongType, nullable = false),
+        (s, in) => {
+          val (v, n) = Versioned.analyzeTable(s, dirOf(in))
+          Seq(row(v, n))
+        }),
+
       Proc("clone",
         "shallow-clone the source snapshot into a new table (zero data copy); " +
           "version => n forks that retained snapshot instead of the head; " +

@@ -335,6 +335,11 @@ private final class ZonePrunedParquetScanBuilder(
   private var filters: Seq[CExpr] = Nil
   private var aggregation: Option[org.apache.spark.sql.connector.expressions.aggregate.Aggregation] = None
   private var required: Option[StructType] = None
+  // metadata-answered aggregation (Delta's OptimizeMetadataOnlyQuery
+  // analog): see metaAnswer below — when set, build() returns a
+  // LocalScan of the one answer row and NO data file is opened
+  private var metaAgg: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
+  private var metaMemo: Option[(org.apache.spark.sql.connector.expressions.aggregate.Aggregation, Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)])] = None
 
   override def pushFilters(f: Seq[CExpr]): Seq[CExpr] = {
     filters = f
@@ -344,16 +349,113 @@ private final class ZonePrunedParquetScanBuilder(
   override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     protoInner.pushedFilters
 
-  override def pushAggregation(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    val ok = protoInner.pushAggregation(agg)
-    if (ok) aggregation = Some(agg)
-    ok
+  /** The one-row metadata answer to a pushed aggregation, when the LOG
+    * alone can serve it: an UNFILTERED, UNGROUPED aggregate whose every
+    * function is `COUNT(*)` (or `COUNT(col)` on a non-nullable column)
+    * over full row-stats coverage ([[Versioned.metaRowCountAt]] — the
+    * per-file `numRecords` sidecar), or `MIN`/`MAX` over a column whose
+    * zone sidecar covers every live file and whose type round-trips the
+    * long stat domain exactly (integral, date, decimal ≤ 18 — NOT
+    * timestamps: zone stats truncate them to seconds). Any
+    * non-answerable function falls the whole aggregation back to
+    * parquet-level pushdown, so results never mix sources.
+    *
+    * At 100 TB this is the difference between a `COUNT(*)` that opens
+    * 10⁶ footers (one GET each, even with parquet aggregate pushdown)
+    * and one that reads a handful of log sidecars. Sound because the
+    * fast-path precondition excludes deletion vectors, the stats
+    * machinery excludes uncovered files (None, never a guess), and the
+    * empty-range sentinel makes all-NULL files min/max-neutral.
+    */
+  private def metaAnswer(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = {
+    metaMemo match {
+      case Some((a, r)) if a eq agg => return r
+      case _ =>
+    }
+    val r = computeMetaAnswer(agg)
+    metaMemo = Some((agg, r))
+    r
   }
+
+  private def computeMetaAnswer(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.types.{ByteType, DataType, DateType, DecimalType, IntegerType, LongType, ShortType, StructField}
+    if (filters.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    lazy val count: Option[Long] = Versioned.metaRowCountAt(spark, dir, v)
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        full.fields.find(_.name == nr.fieldNames()(0))
+      case _ => None
+    }
+    def statDomainOk(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType => true
+      case d: DecimalType if d.precision <= 18 => true
+      case _ => false
+    }
+    def internalOf(x: Long, dt: DataType): Any = dt match {
+      case ByteType => x.toByte
+      case ShortType => x.toShort
+      case IntegerType | DateType => x.toInt
+      case LongType => x
+      case d: DecimalType =>
+        org.apache.spark.sql.types.Decimal(
+          BigDecimal(BigInt(x), d.scale), d.precision, d.scale)
+      case other => throw new IllegalStateException(
+        s"unreachable: $other passed statDomainOk")
+    }
+    def extreme(e: org.apache.spark.sql.connector.expressions.Expression,
+        isMin: Boolean): Option[(StructField, Any)] =
+      fieldOf(e).filter(f => statDomainOk(f.dataType)).flatMap { f =>
+        Versioned.metaMinMaxLongAt(spark, dir, v, f.name).map { case (mn, mx) =>
+          val pick = if (isMin) mn else mx
+          (StructField(s"${if (isMin) "min" else "max"}(${f.name})",
+            f.dataType, nullable = true),
+            pick.map(internalOf(_, f.dataType)).orNull)
+        }
+      }
+    val answered: Seq[Option[(StructField, Any)]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          count.map(n =>
+            (StructField("count(*)", LongType, nullable = false), n))
+        case c: Count if !c.isDistinct =>
+          // COUNT(col) == COUNT(*) exactly when the committed schema
+          // says the column holds no NULLs
+          fieldOf(c.column).filter(!_.nullable).flatMap(f =>
+            count.map(n =>
+              (StructField(s"count(${f.name})", LongType, nullable = false), n)))
+        case m: Min => extreme(m.column, isMin = true)
+        case m: Max => extreme(m.column, isMin = false)
+        case _ => None
+      }
+    if (answered.isEmpty || answered.exists(_.isEmpty)) None
+    else Some((
+      StructType(answered.map(_.get._1)),
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        answered.map(_.get._2).toArray)))
+  }
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    metaAnswer(agg) match {
+      case Some(sr) =>
+        metaAgg = Some(sr)
+        true
+      case None =>
+        val ok = protoInner.pushAggregation(agg)
+        if (ok) aggregation = Some(agg)
+        ok
+    }
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    protoInner.supportCompletePushDown(agg)
+    metaAnswer(agg).isDefined || protoInner.supportCompletePushDown(agg)
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     required = Some(requiredSchema)
@@ -458,19 +560,29 @@ private final class ZonePrunedParquetScanBuilder(
     }.toMap
   }
 
-  override def build(): Scan = {
-    val pruned = bounds.foldLeft(allFiles) { case (live, (c, (lo, hi))) =>
-      if (lo > hi) Nil
-      else {
-        val keep = Versioned.prunedFiles(spark, dir, v, c, lo, hi).toSet
-        live.filter(keep.contains)
+  override def build(): Scan = metaAgg match {
+    case Some((aggSchema, row)) =>
+      // log-answered aggregate: one driver-local row, zero files opened
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+          Array(row)
+        override def readSchema(): StructType = aggSchema
+        override def description(): String =
+          s"GraftMetaAggScan ${aggSchema.fieldNames.mkString(", ")} (log-only)"
       }
-    }
-    val real = mkInner(pruned)
-    if (filters.nonEmpty) real.pushFilters(filters)
-    aggregation.foreach(real.pushAggregation)
-    required.foreach(real.pruneColumns)
-    real.build()
+    case None =>
+      val pruned = bounds.foldLeft(allFiles) { case (live, (c, (lo, hi))) =>
+        if (lo > hi) Nil
+        else {
+          val keep = Versioned.prunedFiles(spark, dir, v, c, lo, hi).toSet
+          live.filter(keep.contains)
+        }
+      }
+      val real = mkInner(pruned)
+      if (filters.nonEmpty) real.pushFilters(filters)
+      aggregation.foreach(real.pushAggregation)
+      required.foreach(real.pruneColumns)
+      real.build()
   }
 }
 
