@@ -1650,6 +1650,77 @@ object VersionedQueries {
       |FROM seg WHERE op <> 'remove_from_cart'
       |ORDER BY uid, start_at""".stripMargin
 
+  // X — string zone maps under the oracle gate: four range-disjoint
+  // slices keyed by a zero-padded composite string key, string bounds
+  // published through the SAME writeZoneMaps entry point (strings
+  // route to the truncated-bounds sidecar), then an equality probe, a
+  // range probe, and the DSv2 filter path must all prune files — the
+  // three pruning decisions land as a hashed flag sum — while the
+  // returned CONTENT stays exactly the relational answer. ASCII keys,
+  // so DuckDB's binary collation and Spark's UTF8String order agree.
+  def strZonesLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_id") % 8 === 3)
+      .withColumn("k", concat(lit("u-"),
+        lpad(col("user_id").cast("string"), 9, "0"), lit("-"),
+        lpad(col("event_id").cast("string"), 9, "0")))
+      .select("event_id", "user_id", "k")
+    val tableDir = scratchDir("graft_xszone")
+    val umx = ev.agg(max(col("user_id"))).head().getLong(0)
+    val cuts = Seq(0L, umx / 4, umx / 2, 3 * umx / 4, umx + 1)
+    (0 until 4).foreach(i => Versioned.append(
+      ev.filter(col("user_id") >= cuts(i) && col("user_id") < cuts(i + 1))
+        .coalesce(1), tableDir))
+    Versioned.writeZoneMaps(s, tableDir, 4L, Seq("k"))
+    val kMin = ev.agg(min(col("k"))).head().getString(0)
+    val kMax = ev.agg(max(col("k"))).head().getString(0)
+    val p = "u-" + ("%09d".format(umx / 2))
+    val all = Versioned.filesAt(s, tableDir, 4L).size
+    def flag(b: Boolean): Long = if (b) 1L else 0L
+    val prunedEq = flag(
+      Versioned.strPrunedFiles(s, tableDir, 4L, "k", Some(kMin), Some(kMin))
+        .size < all)
+    val prunedRange = flag(
+      Versioned.strPrunedFiles(s, tableDir, 4L, "k", None, Some(p)).size < all)
+    val dsv2 = s.read.format("graft-versioned").load(tableDir)
+      .filter(col("k") === kMax)
+    val dsv2Pruned = flag(
+      """InMemoryFileIndex\((\d+) paths\)""".r
+        .findFirstMatchIn(dsv2.queryExecution.executedPlan.toString)
+        .exists(_.group(1).toInt < all))
+    val nRange = Versioned.readWhereStr(s, tableDir, 4L, "k", None, Some(p))
+      .count()
+    val hits = Versioned.readWhereStr(s, tableDir, 4L, "k", Some(kMin), Some(kMin))
+      .unionByName(dsv2)
+      .withColumn("kind", lit("content"))
+      .select(col("kind"), col("event_id"), col("user_id"), lit(0L).as("n"))
+    val meta = s.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row("meta", -1L,
+        prunedEq + prunedRange + dsv2Pruned, nRange)),
+      new org.apache.spark.sql.types.StructType()
+        .add("kind", org.apache.spark.sql.types.StringType, false)
+        .add("event_id", org.apache.spark.sql.types.LongType, false)
+        .add("user_id", org.apache.spark.sql.types.LongType, false)
+        .add("n", org.apache.spark.sql.types.LongType, false))
+    hits.unionByName(meta).orderBy("kind", "event_id")
+  }
+
+  val strZonesLifecycleSql: String =
+    """WITH ev AS (SELECT event_id, user_id,
+      |                   'u-' || lpad(CAST(user_id AS VARCHAR), 9, '0') ||
+      |                   '-' || lpad(CAST(event_id AS VARCHAR), 9, '0') AS k
+      |            FROM events WHERE event_id % 8 = 3),
+      |b AS (SELECT min(k) AS klo, max(k) AS khi,
+      |             'u-' || lpad(CAST(max(user_id) // 2 AS VARCHAR), 9, '0') AS p
+      |      FROM ev)
+      |SELECT kind, event_id, user_id, n FROM (
+      |  SELECT 'content' AS kind, event_id, user_id, CAST(0 AS BIGINT) AS n
+      |  FROM ev, b WHERE k = b.klo OR k = b.khi
+      |  UNION ALL
+      |  SELECT 'meta', CAST(-1 AS BIGINT), CAST(3 AS BIGINT),
+      |         (SELECT count(*) FROM ev, b WHERE k <= b.p)
+      |) ORDER BY kind, event_id""".stripMargin
+
   // X — per-file row-count stats + metadata-only aggregates (Delta's
   // numRecords/OptimizeMetadataOnlyQuery analog) under the oracle gate:
   // two appends build a versioned table whose unfiltered
@@ -2016,6 +2087,7 @@ object VersionedQueries {
     QueryDef("x_bloom", bloomLifecycle, Some(bloomLifecycleSql)),
     QueryDef("x_apply_changes", applyChangesLifecycle, Some(applyChangesLifecycleSql)),
     QueryDef("x_meta_count", metaCountLifecycle, Some(metaCountLifecycleSql)),
+    QueryDef("x_zone_strings", strZonesLifecycle, Some(strZonesLifecycleSql)),
     QueryDef("m5_versioned_merge", versionedMerge, Some(versionedMergeSql)),
     QueryDef("m9_condput_merge", versionedMergeCondPut, Some(versionedMergeSql)),
     QueryDef("m10_sql_merge", versionedMergeSqlText, Some(versionedMergeSql)),

@@ -3097,9 +3097,11 @@ object Versioned {
         df.schema.fieldNames.contains(c) && zoneableType(df.schema(c).dataType))
     val cols = (zoneCols ++ carried).distinct
     if (cols.nonEmpty) writeZoneMaps(spark, dir, nv, cols)
-    // zones were just republished above; row counts still need their
-    // own carry (fresh rewrite: everything re-stats at O(this rewrite))
+    // zones were just republished above; row counts and string bounds
+    // still need their own carry (fresh rewrite: everything re-stats
+    // at O(this rewrite))
     carryRowCounts(spark, dir, v, nv, kept = Set.empty, fresh = fresh)
+    carryStrZones(spark, dir, v, nv, kept = Set.empty, fresh = fresh)
     nv
   }
 
@@ -3585,6 +3587,16 @@ object Versioned {
   def writeZoneMaps(
       spark: SparkSession, dir: String, v: Long, zoneCols: Seq[String]): Unit = {
     require(zoneCols.nonEmpty, "at least one zone column")
+    // STRING columns route to the string-bounds sidecar (truncated
+    // min/max in code-point order — [[StrZones]]); everything else
+    // stats in the long domain exactly as before. One entry point, two
+    // stat domains — callers zone a mixed column list in one call.
+    val sch0 = schemaAt(spark, dir, v)
+    val (strCols, longCols) = zoneCols.partition(c => sch0.exists(
+      _.fields.exists(f => f.name.equalsIgnoreCase(c) &&
+        f.dataType == org.apache.spark.sql.types.StringType)))
+    if (strCols.nonEmpty) writeStrZones(spark, dir, v, strCols)
+    if (longCols.isEmpty) return
     val files = filesAt(spark, dir, v)
     if (files.isEmpty) return
     // all-null zone column in a file: ZoneMaps.compute records an
@@ -3595,8 +3607,8 @@ object Versioned {
     // sidecar blocks are keyed by PHYSICAL column names (stable across
     // renames): translate the requested logical names and bind the
     // physical schema over the files; prunedFiles translates back
-    val sch = schemaAt(spark, dir, v)
-    val physCols = zoneCols.map(physicalOf(sch, _))
+    val sch = sch0
+    val physCols = longCols.map(physicalOf(sch, _))
     val json = ZoneMaps.blocksJson(physCols,
       ZoneMaps.compute(spark, dir, files, physCols, sch.map(physicalSchema),
         hiveFieldOf(sch)))
@@ -3615,6 +3627,162 @@ object Versioned {
   /** Single-column zone map (the common case). */
   def writeZoneMap(spark: SparkSession, dir: String, v: Long, zoneCol: String): Unit =
     writeZoneMaps(spark, dir, v, Seq(zoneCol))
+
+  /** Publishes per-file truncated min/max bounds for STRING columns —
+    * [[StrZones]], the Iceberg truncate(32)/Delta string-stats analog
+    * and the string half of the data-skipping story `writeZoneMaps`
+    * serves for long-domain types. Reached through `writeZoneMaps` too
+    * (string columns route here), so the `system.zone` procedure and
+    * every existing zoning surface cover strings with zero new API.
+    *
+    * Refused for a hive-layout partition column (its values live in
+    * file PATHS, not footers — a footer stat would record the all-NULL
+    * sentinel and WRONGLY prune converted files; partition pruning
+    * already serves that column).
+    */
+  def writeStrZones(
+      spark: SparkSession, dir: String, v: Long, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "at least one string zone column")
+    val files = filesAt(spark, dir, v)
+    if (files.isEmpty) return
+    val sch = schemaAt(spark, dir, v)
+    hiveFieldOf(sch).foreach(hf => require(
+      !cols.exists(_.equalsIgnoreCase(hf.name)),
+      s"'${hf.name}' is a hive-layout partition column — its values live " +
+        "in file PATHS, not footers; partition pruning already serves it"))
+    val physCols = cols.map(physicalOf(sch, _))
+    val json = StrZones.blocksJson(physCols,
+      StrZones.compute(spark, dir, files, physCols, sch.map(physicalSchema)))
+    val f = fs(spark, dir)
+    val tmp = new Path(logPath(dir), s".v$v.szones.tmp")
+    val out = f.create(tmp, true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (!f.rename(tmp, new Path(logPath(dir), f"v$v%08d.szones.json")))
+      throw new IllegalStateException(s"string-zone publish for v$v failed")
+    val marker = new Path(logPath(dir), ".szoned")
+    if (!f.exists(marker)) f.create(marker, true).close()
+  }
+
+  /** String-zone sidecar JSON anchoring `baseV` — same bounded-window
+    * probe + marker-gated listing as [[zonedAnchorJson]].
+    */
+  private def strAnchorJson(
+      spark: SparkSession, dir: String, baseV: Long): Option[String] = {
+    val f = fs(spark, dir)
+    (baseV to math.max(1L, baseV - 7) by -1L).find(w =>
+      f.exists(new Path(logPath(dir), f"v$w%08d.szones.json")))
+      .orElse {
+        if (!f.exists(new Path(logPath(dir), ".szoned"))) None
+        else f.listStatus(logPath(dir)).toSeq
+          .map(_.getPath.getName)
+          .collect { case n if n.matches("v\\d{8}\\.szones\\.json") =>
+            n.stripPrefix("v").stripSuffix(".szones.json").toLong }
+          .filter(_ <= baseV)
+          .sorted.lastOption
+      }
+      .map(a => readFully(spark, dir,
+        new Path(logPath(dir), f"v$a%08d.szones.json")))
+  }
+
+  /** Carries the string-bounds sidecar across a commit — the
+    * [[carryZones]] discipline verbatim: kept files keep bounds with
+    * zero re-statting, fresh files (and gap-uncovered kept files —
+    * self-heal) stat in one pass; blocks are physical-keyed so RENAME
+    * COLUMN is a pure copy; columns no longer present or no longer
+    * STRING drop out.
+    */
+  private def carryStrZones(
+      spark: SparkSession, dir: String, baseV: Long, newV: Long,
+      kept: Set[String], fresh: Seq[String]): Unit = {
+    val f = fs(spark, dir)
+    val jsonOpt = strAnchorJson(spark, dir, baseV)
+    if (jsonOpt.isEmpty) return
+    val json = jsonOpt.get
+    val baseSchema = schemaAt(spark, dir, baseV)
+    val schema = schemaAt(spark, dir, newV)
+    val isStr = (dt: org.apache.spark.sql.types.DataType) =>
+      dt == org.apache.spark.sql.types.StringType
+    val cols: Seq[(String, String)] = StrZones.blockCols(json).flatMap { basePhys =>
+      schema match {
+        case Some(sc) =>
+          sc.fields.find(fl => physicalName(fl) == basePhys)
+            .filter(fl => isStr(fl.dataType))
+            .map(fl => basePhys -> physicalName(fl))
+            .orElse {
+              baseSchema.flatMap(_.fields.find(fl => physicalName(fl) == basePhys))
+                .map(_.name)
+                .flatMap(logical => sc.fields.find(_.name == logical))
+                .filter(fl => physicalName(fl) == fl.name && isStr(fl.dataType))
+                .map(fl => basePhys -> fl.name)
+            }
+        case None => Some(basePhys -> basePhys)
+      }
+    }
+    if (cols.isEmpty) return
+    val carried = cols.map { case (basePhys, newPhys) =>
+      newPhys -> StrZones.parseBlock(json, basePhys).getOrElse(Seq.empty)
+        .filter(b => kept.contains(b.file))
+    }.toMap
+    val covered = carried.values.flatten.map(_.file).toSet
+    val toStat = (kept -- covered).toSeq.sorted ++ fresh
+    val newCols = cols.map(_._2)
+    val freshStats =
+      if (toStat.isEmpty) Map.empty[String, StrZones.Bounds]
+      else StrZones.compute(spark, dir, toStat, newCols,
+        schema.map(physicalSchema))
+    val merged = newCols.map { c =>
+      c -> (carried(c) ++ freshStats.getOrElse(c, Seq.empty)).sortBy(_.file)
+    }.toMap
+    val out = StrZones.blocksJson(newCols, merged)
+    val tmp = new Path(logPath(dir), s".v$newV.szones.tmp")
+    val o = f.create(tmp, true)
+    try o.write(out.getBytes(StandardCharsets.UTF_8)) finally o.close()
+    if (!f.rename(tmp, new Path(logPath(dir), f"v$newV%08d.szones.json")))
+      throw new IllegalStateException(s"string-zone publish for v$newV failed")
+    val marker = new Path(logPath(dir), ".szoned")
+    if (!f.exists(marker)) f.create(marker, true).close()
+  }
+
+  /** The file subset a string predicate must read at `v`: `qLo`/`qHi`
+    * are the must-hold closed bounds (None = unbounded side; equality
+    * = both Some and equal). Files are skipped only when their
+    * truncated bounds PROVE disjointness in code-point order — the
+    * order Spark compares strings in. Falls back to the full list when
+    * no string-zone sidecar or column block exists at `v`.
+    */
+  def strPrunedFiles(
+      spark: SparkSession, dir: String, v: Long, col: String,
+      qLo: Option[String], qHi: Option[String]): Seq[String] = {
+    val f = fs(spark, dir)
+    val zp = new Path(logPath(dir), f"v$v%08d.szones.json")
+    val all = filesAt(spark, dir, v)
+    if (!f.exists(zp)) return all
+    val json = readFully(spark, dir, zp)
+    val physCol = physicalOf(schemaAt(spark, dir, v), col)
+    StrZones.parseBlock(json, physCol) match {
+      case Some(bounds) => StrZones.prune(all, bounds, qLo, qHi)
+      case None => all
+    }
+  }
+
+  /** Range/point scan through the string zones ([[strPrunedFiles]])
+    * with the residual predicate and DV subtraction applied — the
+    * string twin of [[readWhere]].
+    */
+  def readWhereStr(
+      spark: SparkSession, dir: String, v: Long, col: String,
+      qLo: Option[String], qHi: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val pruned = strPrunedFiles(spark, dir, v, col, qLo, qHi)
+    val df =
+      if (pruned.isEmpty) readAt(spark, dir, v).limit(0)
+      else applyDvs(spark,
+        readRaw(spark, dir, schemaAt(spark, dir, v), pruned),
+        dvsAt(spark, dir, v))
+    val lo = qLo.map(q => c(col) >= lit(q)).getOrElse(lit(true))
+    val hi = qHi.map(q => c(col) <= lit(q)).getOrElse(lit(true))
+    df.filter(lo && hi)
+  }
 
   private[graft] def logPathOf(dir: String): Path = logPath(dir)
 
@@ -4541,6 +4709,7 @@ object Versioned {
       kept: Set[String], fresh: Seq[String]): Unit = {
     carryRowCounts(spark, dir, baseV, newV, kept, fresh)
     carryZones(spark, dir, baseV, newV, kept, fresh)
+    carryStrZones(spark, dir, baseV, newV, kept, fresh)
   }
 
   /** Row-count sidecar JSON anchoring `baseV`: same bounded-window
@@ -5573,6 +5742,7 @@ object Versioned {
       // a dry run reports exactly what a live run would remove
       Seq(new Path(logPath(dir), f"v$v%08d.zones.json"), ckptFile(dir, v),
         new Path(logPath(dir), f"v$v%08d.bloom.json"),
+        new Path(logPath(dir), f"v$v%08d.szones.json"),
         RowStats.sidecar(logPath(dir), v))
         .foreach(p => if (f.exists(p)) rm(p, false))
     }

@@ -560,6 +560,66 @@ private final class ZonePrunedParquetScanBuilder(
     }.toMap
   }
 
+  /** Per-column must-hold string bounds from the pushed conjuncts —
+    * the [[graft.table.StrZones]] twin of [[bounds]]: eq/gt/ge/lt/le
+    * against string literals (both orientations) plus `startsWith`
+    * (prefix p ⇒ [p, increment(p)]). Strict comparisons widen to their
+    * closed superset — sound, marginally less tight. None = that side
+    * unbounded; per column the tightest lows/highs combine in
+    * CODE-POINT order (the order Spark compares strings in).
+    */
+  private def strBounds: Map[String, (Option[String], Option[String])] = {
+    import org.apache.spark.sql.catalyst.expressions.{StartsWith => CSw}
+    import org.apache.spark.sql.types.StringType
+    def conjuncts(e: CExpr): Seq[CExpr] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def str(l: CLit): Option[String] = l.value match {
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case _ => None
+    }
+    val ranges: Seq[(String, (Option[String], Option[String]))] =
+      filters.flatMap(conjuncts).flatMap {
+        case CEq(a: CAttr, l: CLit) if a.dataType == StringType =>
+          str(l).map(v => a.name -> (Some(v), Some(v)))
+        case CEq(l: CLit, a: CAttr) if a.dataType == StringType =>
+          str(l).map(v => a.name -> (Some(v), Some(v)))
+        case CGt(a: CAttr, l: CLit) if a.dataType == StringType =>
+          str(l).map(v => a.name -> (Some(v), None))
+        case CGe(a: CAttr, l: CLit) if a.dataType == StringType =>
+          str(l).map(v => a.name -> (Some(v), None))
+        case CLt(a: CAttr, l: CLit) if a.dataType == StringType =>
+          str(l).map(v => a.name -> (None, Some(v)))
+        case CLe(a: CAttr, l: CLit) if a.dataType == StringType =>
+          str(l).map(v => a.name -> (None, Some(v)))
+        case CGt(l: CLit, a: CAttr) if a.dataType == StringType =>
+          str(l).map(v => a.name -> (None, Some(v)))
+        case CGe(l: CLit, a: CAttr) if a.dataType == StringType =>
+          str(l).map(v => a.name -> (None, Some(v)))
+        case CLt(l: CLit, a: CAttr) if a.dataType == StringType =>
+          str(l).map(v => a.name -> (Some(v), None))
+        case CLe(l: CLit, a: CAttr) if a.dataType == StringType =>
+          str(l).map(v => a.name -> (Some(v), None))
+        case CSw(a: CAttr, l: CLit) =>
+          str(l).filter(_.nonEmpty).map(p =>
+            a.name -> (Some(p), graft.table.StrZones.increment(
+              graft.table.StrZones.prefix(p))))
+        case _ => Nil
+      }
+    ranges.groupBy(_._1).view.mapValues { bs =>
+      val los = bs.flatMap(_._2._1)
+      val his = bs.flatMap(_._2._2)
+      // None = unbounded: absent lows/highs stay unbounded; present
+      // ones combine to the tightest in code-point order
+      (if (los.isEmpty) None else Some(los.max(cpOrdering)),
+        if (his.isEmpty) None else Some(his.min(cpOrdering)))
+    }.toMap
+  }
+
+  private val cpOrdering: Ordering[String] =
+    (a: String, b: String) => graft.table.StrZones.cpCompare(a, b)
+
   override def build(): Scan = metaAgg match {
     case Some((aggSchema, row)) =>
       // log-answered aggregate: one driver-local row, zero files opened
@@ -571,12 +631,23 @@ private final class ZonePrunedParquetScanBuilder(
           s"GraftMetaAggScan ${aggSchema.fieldNames.mkString(", ")} (log-only)"
       }
     case None =>
-      val pruned = bounds.foldLeft(allFiles) { case (live, (c, (lo, hi))) =>
+      val longPruned = bounds.foldLeft(allFiles) { case (live, (c, (lo, hi))) =>
         if (lo > hi) Nil
         else {
           val keep = Versioned.prunedFiles(spark, dir, v, c, lo, hi).toSet
           live.filter(keep.contains)
         }
+      }
+      val pruned = strBounds.foldLeft(longPruned) {
+        case (live, (c, (qLo, qHi))) =>
+          // contradictory conjuncts (lo above hi in code-point order)
+          // can match nothing
+          if (qLo.zip(qHi).exists { case (l, h) =>
+              graft.table.StrZones.cpCompare(l, h) > 0 }) Nil
+          else {
+            val keep = Versioned.strPrunedFiles(spark, dir, v, c, qLo, qHi).toSet
+            live.filter(keep.contains)
+          }
       }
       val real = mkInner(pruned)
       if (filters.nonEmpty) real.pushFilters(filters)
