@@ -140,6 +140,10 @@ object GraftSqlParser {
   // FSCK REPAIR TABLE t [DRY RUN] — Delta's out-of-band-loss repair
   private val FsckStmt =
     """(?is)^\s*FSCK\s+REPAIR\s+TABLE\s+(.+?)(\s+DRY\s+RUN)?\s*;?\s*$""".r
+  // ANALYZE TABLE t COMPUTE STATISTICS — row-count stats backfill
+  // (legacy-table adoption; richer ANALYZE forms delegate to Spark)
+  private val AnalyzeStmt =
+    """(?is)^\s*ANALYZE\s+TABLE\s+(.+?)\s+COMPUTE\s+STATISTICS\s*;?\s*$""".r
   // GENERATE symlink_format_manifest FOR TABLE t — Delta's external-
   // reader manifest
   private val GenerateStmt =
@@ -183,6 +187,8 @@ object GraftSqlParser {
         ident(tbl).map(GraftReorgCommand(_))
       case FsckStmt(tbl, dry) =>
         ident(tbl).map(GraftFsckCommand(_, dryRun = dry != null))
+      case AnalyzeStmt(tbl) =>
+        ident(tbl).map(GraftAnalyzeCommand(_))
       case GenerateStmt(tbl) =>
         ident(tbl).map(GraftGenerateManifestCommand(_))
       case BloomStmt(tbl, cols, opts) =>
@@ -588,6 +594,31 @@ final case class GraftBloomIndexCommand(
 
   override def simpleString(maxFields: Int): String =
     s"GraftBloomIndexCommand ${tableParts.mkString(".")} (${cols.mkString(",")})"
+}
+
+/** `ANALYZE TABLE t COMPUTE STATISTICS` — the stats-backfill spelling
+  * over [[Versioned.analyzeTable]]: counts every live head file the
+  * row-stats sidecar does not cover yet (one explicit O(snapshot)
+  * footer pass — the legacy-table adoption path; tables born after the
+  * discipline stat incrementally at write and backfill zero files).
+  * Richer ANALYZE forms (FOR COLUMNS, PARTITION, NOSCAN) delegate to
+  * Spark's parser untouched.
+  */
+final case class GraftAnalyzeCommand(tableParts: Seq[String])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files_statted", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftDdl.dirOf(spark, tableParts, "ANALYZE TABLE")
+    val (v, n) = Versioned.analyzeTable(spark, dir)
+    Seq(Row(v, n))
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftAnalyzeCommand ${tableParts.mkString(".")}"
 }
 
 /** `GENERATE symlink_format_manifest FOR TABLE t` — Delta's command of

@@ -837,9 +837,12 @@ object Versioned {
       files.size.toLong,
       bytes,
       dvsOf(spark, dir, json).values.map(_.size.toLong).sum,
+      // logical row count from the stats sidecar (DVs subtracted);
+      // NULL on legacy/uncovered snapshots — never a scan from here
+      metaRowCountAt(spark, dir, v),
       constraintsOf(json).keys.toSeq.sorted
     )).toDF("version", "commit_ts", "n_files", "size_bytes",
-      "n_soft_deleted", "constraints")
+      "n_soft_deleted", "num_rows", "constraints")
   }
 
   /** Time travel by wall clock (Delta `TIMESTAMP AS OF`): reads the

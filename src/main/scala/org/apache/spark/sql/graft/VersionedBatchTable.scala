@@ -312,7 +312,8 @@ private final class ZonePrunedParquetScanBuilder(
     extends ScanBuilder
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Attribute => CAttr, EqualTo => CEq, Expression => CExpr, GreaterThan => CGt, GreaterThanOrEqual => CGe, LessThan => CLt, LessThanOrEqual => CLe, Literal => CLit}
 
@@ -461,6 +462,23 @@ private final class ZonePrunedParquetScanBuilder(
     required = Some(requiredSchema)
     protoInner.pruneColumns(requiredSchema)
   }
+
+  /** LIMIT pushdown as FILE-INDEX pruning: an UNFILTERED `LIMIT n` is
+    * satisfied by ANY n rows, so when the row-count sidecar covers the
+    * snapshot, build() plans over the minimal file subset whose counts
+    * reach n instead of the whole table — at 10⁶ files, `SELECT * …
+    * LIMIT 10` plans ONE file. Spark keeps its own Limit on top
+    * (`isPartiallyPushed` = true), so row semantics are exact; a query
+    * with any filter refuses the push (rows matching the residual
+    * predicate could live only in dropped files).
+    */
+  private var limit: Option[Int] = None
+
+  override def pushLimit(n: Int): Boolean = {
+    if (filters.isEmpty && n >= 0) { limit = Some(n); true } else false
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   /** Per-column must-hold [lo, hi] bounds from the pushed conjuncts,
     * expressed in the ZONE-STAT domain ([[graft.table.ZoneMaps]]):
@@ -638,7 +656,7 @@ private final class ZonePrunedParquetScanBuilder(
           live.filter(keep.contains)
         }
       }
-      val pruned = strBounds.foldLeft(longPruned) {
+      val strPruned = strBounds.foldLeft(longPruned) {
         case (live, (c, (qLo, qHi))) =>
           // contradictory conjuncts (lo above hi in code-point order)
           // can match nothing
@@ -648,6 +666,27 @@ private final class ZonePrunedParquetScanBuilder(
             val keep = Versioned.strPrunedFiles(spark, dir, v, c, qLo, qHi).toSet
             live.filter(keep.contains)
           }
+      }
+      val pruned = limit match {
+        case Some(n) if filters.isEmpty && strPruned.nonEmpty =>
+          Versioned.rowCountsAt(spark, dir, v) match {
+            case Some(counts) =>
+              if (n == 0) Nil
+              else {
+                // deterministic order; take files while the rows BEFORE
+                // each still fall short of the limit. Zero-count files
+                // never satisfy it alone, so the accumulate-then-stop
+                // shape keeps taking until coverage (or everything).
+                var acc = 0L
+                strPruned.sorted.takeWhile { f =>
+                  val take = acc < n
+                  acc += counts(f)
+                  take
+                }
+              }
+            case None => strPruned // uncovered snapshot: never guess
+          }
+        case _ => strPruned
       }
       val real = mkInner(pruned)
       if (filters.nonEmpty) real.pushFilters(filters)

@@ -184,6 +184,29 @@ class MetaAggSpec extends SparkSpec {
     assert(agg3.head().getLong(0) == 0L)
   }
 
+  test("unfiltered LIMIT plans over the minimal count-covered file subset") {
+    val dir = tmpDir("ma_limit")
+    (0 until 4).foreach(b =>
+      Versioned.append((b * 25L + 1 to b * 25L + 25).toDF("id").coalesce(1), dir))
+    def paths(df: DataFrame): Int =
+      """InMemoryFileIndex\((\d+) paths\)""".r
+        .findFirstMatchIn(planOf(df)).map(_.group(1).toInt)
+        .getOrElse(fail(s"no file index in plan:\n${planOf(df)}"))
+    val ds = dsv2(dir)
+    val q = ds.limit(10)
+    assert(paths(q) == 1, s"LIMIT 10 over 25-row files must plan 1 file:\n${planOf(q)}")
+    assert(q.collect().length == 10)
+    val q2 = ds.limit(30)
+    assert(paths(q2) == 2)
+    assert(q2.collect().length == 30)
+    // a limit past the table reads everything and returns everything
+    assert(ds.limit(1000).collect().length == 100)
+    // filters refuse the push: matching rows may live in any file
+    val f = ds.filter(col("id") > 90L).limit(5)
+    assert(paths(f) == 4, s"filtered limit must scan all files:\n${planOf(f)}")
+    assert(f.collect().length == 5)
+  }
+
   test("SQL over a catalog table gets the same log-only count") {
     spark.conf.set("spark.sql.catalog.macat",
       "org.apache.spark.sql.graft.GraftCatalog")
@@ -197,5 +220,11 @@ class MetaAggSpec extends SparkSpec {
     // must return the head and zero fresh files
     val a = spark.sql("CALL macat.system.analyze('ma_t')").head()
     assert(a.getLong(1) == 0L, s"expected no fresh stats: $a")
+    // the ANALYZE TABLE spelling runs the same backfill
+    val d = spark.sql("ANALYZE TABLE macat.ma_t COMPUTE STATISTICS").head()
+    assert(d.getLong(1) == 0L, s"expected no fresh stats: $d")
+    // richer ANALYZE forms still delegate to Spark's parser
+    intercept[Exception](
+      spark.sql("ANALYZE TABLE macat.ma_t COMPUTE STATISTICS FOR ALL COLUMNS"))
   }
 }

@@ -976,6 +976,8 @@ class VersionedSpec extends SparkSpec {
     assert(d.getAs[Long]("n_files") == Versioned.filesAt(spark, dir, 3L).size)
     assert(d.getAs[Long]("size_bytes") > 0)
     assert(d.getAs[Long]("n_soft_deleted") == 1L)
+    assert(d.getAs[Long]("num_rows") == 1L,
+      "logical rows = physical counts minus DV cardinality, from the log")
     assert(d.getAs[scala.collection.Seq[String]]("constraints").toSeq == Seq("n_positive"))
     assert(d.getAs[Long]("commit_ts") > 0)
   }
