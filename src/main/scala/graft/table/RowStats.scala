@@ -79,16 +79,38 @@ private[graft] object RowStats {
     }
   }
 
-  /** `{"files":[{"f":"…","n":123},…]}`, entries sorted by file name. */
-  def toJson(counts: Counts): String =
+  /** Entry-count threshold for the FULL-per-commit form: at or below
+    * it every commit's sidecar carries the complete map (one read
+    * resolves — today's small-table behavior); above it, commits write
+    * DELTAS (only what they statted) and the complete map is published
+    * every CheckpointInterval commits — the log's own checkpoint
+    * discipline, keeping per-commit sidecar IO O(batch) instead of
+    * O(snapshot) (a 10⁶-file table would otherwise copy ~60 MB of
+    * counts on EVERY append). Mutable only for tests to exercise the
+    * delta chain at fixture scale.
+    */
+  private[graft] var FullCarryMax: Int = 8192
+
+  /** `{"full":true|false,"files":[{"f":"…","n":123},…]}`, entries
+    * sorted by file name. `full` = this sidecar alone carries every
+    * count its commit could resolve (resolution stops here); absent on
+    * legacy sidecars, which were always written full.
+    */
+  def toJson(counts: Counts, full: Boolean): String =
     counts.toSeq.sortBy(_._1)
       .map { case (f, n) => s"""{"f":"$f","n":$n}""" }
-      .mkString("""{"files":[""", ",", "]}")
+      .mkString(s"""{"full":$full,"files":[""", ",", "]}")
 
-  def parse(json: String): Counts =
-    """\{"f":"([^"]+)","n":(\d+)\}""".r
-      .findAllMatchIn(json)
-      .map(m => m.group(1) -> m.group(2).toLong).toMap
+  /** (full, counts) — a sidecar without the flag predates deltas and
+    * was written full.
+    */
+  def parse(json: String): (Boolean, Counts) = {
+    val full = !json.startsWith("""{"full":false""")
+    (full,
+      """\{"f":"([^"]+)","n":(\d+)\}""".r
+        .findAllMatchIn(json)
+        .map(m => m.group(1) -> m.group(2).toLong).toMap)
+  }
 
   def sidecar(logDir: Path, v: Long): Path =
     new Path(logDir, f"v$v%08d.rows.json")
@@ -98,10 +120,10 @@ private[graft] object RowStats {
     */
   def publish(
       f: org.apache.hadoop.fs.FileSystem, logDir: Path, v: Long,
-      counts: Counts): Unit = {
+      counts: Counts, full: Boolean = true): Unit = {
     val tmp = new Path(logDir, s".v$v.rows.tmp")
     val out = f.create(tmp, true)
-    try out.write(toJson(counts).getBytes(StandardCharsets.UTF_8))
+    try out.write(toJson(counts, full).getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val target = sidecar(logDir, v)
     if (!f.rename(tmp, target)) {

@@ -4715,39 +4715,57 @@ object Versioned {
     carryStrZones(spark, dir, baseV, newV, kept, fresh)
   }
 
-  /** Row-count sidecar JSON anchoring `baseV`: same bounded-window
-    * probe + marker-gated wide listing discipline as
-    * [[zonedAnchorJson]] — a table without the `.rowstats` marker
-    * never pays an O(log-entries) listing per commit just to learn
-    * there is nothing to carry.
+  /** Probed-version cap for [[resolveRowCounts]]'s walk: well past any
+    * real full-sidecar gap (fulls land every CheckpointInterval
+    * data-commits; only a 500-commit run of non-carrying commits —
+    * e.g. pure-MoR deletes — exceeds it, and then resolution honestly
+    * reports un-anchored instead of walking the whole history).
     */
-  private def rowsAnchorJson(
-      spark: SparkSession, dir: String, baseV: Long): Option[String] = {
+  private val RowResolveCap = 512
+
+  /** (accumulated per-file counts, anchored) resolving the row-stats
+    * chain at `v`: walk versions downward, unioning DELTA sidecars
+    * (each records only what its commit statted) until a FULL sidecar
+    * anchors the chain. Per-file counts are immutable, so union order
+    * cannot disagree. An un-anchored result (walk cap, or a chain
+    * vacuumed from under the walk) may under-cover — every caller
+    * coverage-checks against the live file list and falls back rather
+    * than guess.
+    */
+  private def resolveRowCounts(
+      spark: SparkSession, dir: String, v: Long): (Map[String, Long], Boolean) = {
     val f = fs(spark, dir)
-    (baseV to math.max(1L, baseV - 7) by -1L).find(w =>
-      f.exists(RowStats.sidecar(logPath(dir), w)))
-      .orElse {
-        if (!f.exists(new Path(logPath(dir), ".rowstats"))) None
-        else f.listStatus(logPath(dir)).toSeq
-          .map(_.getPath.getName)
-          .collect { case n if n.matches("v\\d{8}\\.rows\\.json") =>
-            n.stripPrefix("v").stripSuffix(".rows.json").toLong }
-          .filter(_ <= baseV)
-          .sorted.lastOption
+    var acc = Map.empty[String, Long]
+    var w = v
+    var probed = 0
+    while (w >= 1 && probed < RowResolveCap) {
+      val p = RowStats.sidecar(logPath(dir), w)
+      if (f.exists(p)) {
+        val (full, counts) = RowStats.parse(readFully(spark, dir, p))
+        acc = counts ++ acc // nearer-to-v entries win (identical anyway)
+        if (full) return (acc, true)
       }
-      .map(a => readFully(spark, dir, RowStats.sidecar(logPath(dir), a)))
+      w -= 1
+      probed += 1
+    }
+    (acc, false)
   }
 
   /** Carries the row-count sidecar ([[RowStats]]) across a commit:
-    * kept files copy their counts verbatim from the nearest ancestor
-    * sidecar; fresh files — and kept files a carry gap left uncovered
-    * (concurrent appenders racing; the gap SELF-HEALS like zones') —
-    * are counted with one footer-cheap empty-projection pass.
+    * kept files keep their resolved counts; fresh files — and kept
+    * files an ANCHORED chain shows uncovered (concurrent appenders
+    * racing; the gap SELF-HEALS like zones') — are counted with one
+    * footer-cheap pass. Small maps (≤ [[RowStats.FullCarryMax]]) and
+    * kept-nothing commits publish the FULL map (one-read resolution);
+    * past the threshold commits publish DELTAS with a full every
+    * CheckpointInterval — O(batch) sidecar IO per append, O(files)
+    * only at checkpoint cadence, exactly the log's own discipline
+    * (a 10⁶-file table must not copy its whole count map per commit).
     *
-    * Adoption rule: tables already on the discipline (an ancestor
-    * sidecar or the `.rowstats` marker exists) always stat here, and so
-    * does any commit KEEPING nothing (birth, overwrite, full rewrite —
-    * its stat cost is O(what it just wrote) by construction); a
+    * Adoption rule: tables already on the discipline (any resolvable
+    * sidecar or the `.rowstats` marker) always stat here, and so does
+    * any commit KEEPING nothing (birth, overwrite, full rewrite — its
+    * stat cost is O(what it just wrote) by construction); a
     * kept-carrying commit on a LEGACY table skips entirely until an
     * explicit `system.analyze` — a routine append on a pre-feature
     * 10⁶-file table must never surprise-pay an O(snapshot) stat pass
@@ -4757,15 +4775,22 @@ object Versioned {
       spark: SparkSession, dir: String, baseV: Long, newV: Long,
       kept: Set[String], fresh: Seq[String]): Unit = {
     val f = fs(spark, dir)
-    val anchor = rowsAnchorJson(spark, dir, baseV)
-    if (anchor.isEmpty && kept.nonEmpty &&
+    val (resolved, anchored) = resolveRowCounts(spark, dir, baseV)
+    if (resolved.isEmpty && !anchored && kept.nonEmpty &&
         !f.exists(new Path(logPath(dir), ".rowstats"))) return
-    val carried = anchor.map(RowStats.parse).getOrElse(Map.empty)
-      .view.filterKeys(kept).toMap
-    val toStat = ((kept -- carried.keySet).toSeq.sorted ++ fresh).distinct
+    val carried = resolved.view.filterKeys(kept).toMap
+    // heal only under an ANCHORED chain: un-anchored "uncovered" could
+    // be the whole snapshot (walk cap), and healing must stay bounded
+    val toHeal =
+      if (anchored) (kept -- carried.keySet).toSeq.sorted else Nil
+    val toStat = (toHeal ++ fresh).distinct
     val freshCounts = RowStats.compute(spark, dir, toStat,
       schemaAt(spark, dir, newV).map(physicalSchema))
-    RowStats.publish(f, logPath(dir), newV, carried ++ freshCounts)
+    val all = carried ++ freshCounts
+    val writeFull = kept.isEmpty || all.size <= RowStats.FullCarryMax ||
+      newV % ckptIntervalOf(propertiesAt(spark, dir, newV)) == 0
+    if (writeFull) RowStats.publish(f, logPath(dir), newV, all, full = true)
+    else RowStats.publish(f, logPath(dir), newV, freshCounts, full = false)
   }
 
   /** Physical per-file row counts covering EVERY live file at `v`,
@@ -4776,9 +4801,8 @@ object Versioned {
     */
   def rowCountsAt(
       spark: SparkSession, dir: String, v: Long): Option[Map[String, Long]] = {
-    val json = rowsAnchorJson(spark, dir, v)
-    if (json.isEmpty) return None
-    val counts = RowStats.parse(json.get)
+    val (counts, _) = resolveRowCounts(spark, dir, v)
+    if (counts.isEmpty) return None
     val live = filesAt(spark, dir, v)
     if (live.forall(counts.contains)) Some(live.map(fl => fl -> counts(fl)).toMap)
     else None
@@ -4803,8 +4827,7 @@ object Versioned {
     * Equals `readAt(v).count()` always.
     */
   def rowCountAt(spark: SparkSession, dir: String, v: Long): Long = {
-    val counts = rowsAnchorJson(spark, dir, v).map(RowStats.parse)
-      .getOrElse(Map.empty)
+    val (counts, _) = resolveRowCounts(spark, dir, v)
     val live = filesAt(spark, dir, v)
     val unknown = live.filterNot(counts.contains)
     val scanned =
@@ -4826,15 +4849,16 @@ object Versioned {
     val head = currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $dir"))
     val live = filesAt(spark, dir, head)
-    val existing = rowsAnchorJson(spark, dir, head).map(RowStats.parse)
-      .getOrElse(Map.empty).view.filterKeys(live.toSet).toMap
+    val existing = resolveRowCounts(spark, dir, head)._1
+      .view.filterKeys(live.toSet).toMap
     val toStat = live.filterNot(existing.contains)
     if (toStat.nonEmpty ||
         !fs(spark, dir).exists(RowStats.sidecar(logPath(dir), head))) {
       val freshCounts = RowStats.compute(spark, dir, toStat,
         schemaAt(spark, dir, head).map(physicalSchema))
+      // always FULL: analyze IS the explicit anchor publication
       RowStats.publish(fs(spark, dir), logPath(dir), head,
-        existing ++ freshCounts)
+        existing ++ freshCounts, full = true)
     }
     (head, toStat.size.toLong)
   }
@@ -5686,16 +5710,23 @@ object Versioned {
               s"checkpoint sidecar publish for v$oldest failed — log NOT truncated")
         }
       }
-      // re-anchor the row-count sidecar at the oldest retained version
-      // the same way: an on-discipline table whose anchor lives below
-      // the window would otherwise lose metadata COUNT(*) at every
-      // retained version until the next commit. Pure copy of the
-      // resolved counts — no files are re-statted.
-      if (!f.exists(RowStats.sidecar(logPath(dir), oldest))) {
-        rowsAnchorJson(spark, dir, oldest).foreach { rj =>
-          val liveAtOldest = filesAt(spark, dir, oldest).toSet
-          RowStats.publish(f, logPath(dir), oldest,
-            RowStats.parse(rj).view.filterKeys(liveAtOldest).toMap)
+      // re-anchor the row-count chain at the oldest retained version
+      // the same way: an on-discipline table whose FULL sidecar lives
+      // below the window would otherwise lose metadata COUNT(*) at
+      // every retained version until the next checkpoint (a DELTA at
+      // the oldest version resolves through ancestors about to be
+      // deleted). Pure copy of the resolved counts — no re-statting.
+      locally {
+        val oldP = RowStats.sidecar(logPath(dir), oldest)
+        val needsAnchor = !f.exists(oldP) ||
+          !RowStats.parse(readFully(spark, dir, oldP))._1
+        if (needsAnchor) {
+          val (resolved, _) = resolveRowCounts(spark, dir, oldest)
+          if (resolved.nonEmpty) {
+            val liveAtOldest = filesAt(spark, dir, oldest).toSet
+            RowStats.publish(f, logPath(dir), oldest,
+              resolved.view.filterKeys(liveAtOldest).toMap, full = true)
+          }
         }
       }
     }

@@ -184,6 +184,42 @@ class MetaAggSpec extends SparkSpec {
     assert(agg3.head().getLong(0) == 0L)
   }
 
+  test("past the full-carry threshold commits write deltas, fulls at checkpoint cadence") {
+    val dir = tmpDir("ma_delta")
+    val saved = graft.table.RowStats.FullCarryMax
+    graft.table.RowStats.FullCarryMax = 2
+    try {
+      (0 until 20).foreach(i =>
+        Versioned.append(Seq((i.toLong, i.toLong)).toDF("id", "x")
+          .coalesce(1), dir))
+      // counts stay exact at EVERY version through the delta chain
+      (1 to 20).foreach(v =>
+        assert(Versioned.metaRowCountAt(spark, dir, v.toLong)
+          .contains(v.toLong), s"wrong meta count at v$v"))
+      def sidecar(v: Long): String = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+          dir, "_graft_log", f"v$v%08d.rows.json")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      // past the threshold: per-commit sidecars are O(batch) DELTAS…
+      assert(sidecar(10).startsWith("""{"full":false"""),
+        s"v10 should be a delta: ${sidecar(10).take(80)}")
+      assert("""\{"f":""".r.findAllIn(sidecar(10)).size == 1,
+        "a delta records only what its commit statted")
+      // …with the complete map at checkpoint cadence
+      assert(sidecar(16).startsWith("""{"full":true"""))
+      assert("""\{"f":""".r.findAllIn(sidecar(16)).size == 16)
+      // vacuum re-anchors when a DELTA heads the retained window: the
+      // chain it resolved through is gone, counts must survive
+      Versioned.vacuum(spark, dir, keepVersions = 3)
+      assert(Versioned.metaRowCountAt(spark, dir, 20L).contains(20L))
+      assert(sidecar(18).startsWith("""{"full":true"""),
+        "the oldest retained version must be re-anchored full")
+      // the DSv2 log-only count path holds through the delta chain
+      val agg = dsv2(dir).agg(count(lit(1)).as("n"))
+      assert(isMetaPlan(agg) && agg.head().getLong(0) == 20L)
+    } finally graft.table.RowStats.FullCarryMax = saved
+  }
+
   test("unfiltered LIMIT plans over the minimal count-covered file subset") {
     val dir = tmpDir("ma_limit")
     (0 until 4).foreach(b =>
