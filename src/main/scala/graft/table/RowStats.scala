@@ -14,15 +14,19 @@ import org.apache.spark.sql.SparkSession
   * log reads versus a million object-store GETs (even footer-only
   * aggregate pushdown pays one GET per file).
   *
-  * Discipline mirrors the zone sidecar exactly: counts are computed for
-  * FRESH files at commit time (an empty-projection scan — the parquet
-  * reader serves bare row counts from footer metadata without decoding
-  * pages), kept files carry verbatim from the nearest ancestor sidecar,
-  * and a carry gap (concurrent appenders racing) self-heals by
-  * re-counting only the uncovered files. Tables created before this
-  * feature existed adopt it via `system.analyze` (one explicit
-  * O(snapshot) footer pass), not silently — a legacy commit must not
-  * surprise-pay a table-sized stat job.
+  * Write discipline: counts are computed for FRESH files at commit
+  * time (footer-cheap — see [[compute]]), kept files carry from the
+  * resolved chain, and a carry gap (concurrent appenders racing)
+  * self-heals by re-counting only the uncovered files. Small maps
+  * (≤ [[FullCarryMax]]) publish the complete map per commit; past the
+  * threshold commits publish O(batch) DELTAS with the complete map at
+  * CheckpointInterval cadence — the log's own checkpoint shape, so a
+  * 10⁶-file table never copies its whole count map per append
+  * ([[Versioned.resolveRowCounts]] walks deltas to the nearest full).
+  * Tables created before this feature existed adopt it via
+  * `system.analyze` (one explicit O(snapshot) footer pass), not
+  * silently — a legacy commit must not surprise-pay a table-sized
+  * stat job.
   *
   * Counts are PHYSICAL rows per file: deletion vectors are not
   * subtracted here (their cardinality is log-known and applied by
@@ -86,10 +90,14 @@ private[graft] object RowStats {
     * every CheckpointInterval commits — the log's own checkpoint
     * discipline, keeping per-commit sidecar IO O(batch) instead of
     * O(snapshot) (a 10⁶-file table would otherwise copy ~60 MB of
-    * counts on EVERY append). Mutable only for tests to exercise the
-    * delta chain at fixture scale.
+    * counts on EVERY append). 1024 caps the full-copy form at ~64 KB
+    * per commit while keeping one-read resolution for most tables;
+    * the 10⁴-commit microbench (BASELINE.md) measured the build at
+    * threshold 8192, so its per-commit cost upper-bounds this
+    * config's. Mutable only for tests to exercise the delta chain at
+    * fixture scale.
     */
-  private[graft] var FullCarryMax: Int = 8192
+  private[graft] var FullCarryMax: Int = 1024
 
   /** `{"full":true|false,"files":[{"f":"…","n":123},…]}`, entries
     * sorted by file name. `full` = this sidecar alone carries every

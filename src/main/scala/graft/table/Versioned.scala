@@ -1332,9 +1332,11 @@ object Versioned {
         val resolved = byLower.get(c.toLowerCase(java.util.Locale.ROOT))
         require(resolved.isDefined,
           s"clustering column absent from the snapshot schema: $c")
-        require(zoneableType(schema(resolved.get).dataType),
+        require(zoneableType(schema(resolved.get).dataType) ||
+          schema(resolved.get).dataType ==
+            org.apache.spark.sql.types.StringType,
           s"clustering column must be zone-stat typed (integral/timestamp/" +
-            s"date/short decimal): $c is ${schema(resolved.get).dataType}")
+            s"date/short decimal/string): $c is ${schema(resolved.get).dataType}")
       }
     }
     commitAttempt(spark, dir, "set-properties",
@@ -3098,7 +3100,17 @@ object Versioned {
         .getOrElse(phys))
       .filter(c =>
         df.schema.fieldNames.contains(c) && zoneableType(df.schema(c).dataType))
-    val cols = (zoneCols ++ carried).distinct
+    // base STRING-zoned columns re-stat too (writeZoneMaps routes them
+    // to the truncated-bounds sidecar) — a rewrite must never cost a
+    // previously-zoned string column its data skipping either
+    val carriedStr = strAnchorJson(spark, dir, v)
+      .map(StrZones.blockCols).getOrElse(Seq.empty)
+      .map(phys => baseSch
+        .flatMap(_.fields.find(f => physicalName(f) == phys).map(_.name))
+        .getOrElse(phys))
+      .filter(c => df.schema.fieldNames.contains(c) &&
+        df.schema(c).dataType == org.apache.spark.sql.types.StringType)
+    val cols = (zoneCols ++ carried ++ carriedStr).distinct
     if (cols.nonEmpty) writeZoneMaps(spark, dir, nv, cols)
     // zones were just republished above; row counts and string bounds
     // still need their own carry (fresh rewrite: everything re-stats
@@ -3155,7 +3167,11 @@ object Versioned {
     val resolved = resolvedOpt.flatMap(_._2)
     val n = if (targetFiles > 0) targetFiles
       else math.max(1, filesAt(spark, dir, v).size)
-    val zoneable = resolved.filter(c => zoneableType(schema(c).dataType))
+    // strings cluster (range partition + sort) and zone like any other
+    // column — writeZoneMaps routes them to the truncated-bounds
+    // sidecar, so `OPTIMIZE … BY (url)` makes string predicates prune
+    val zoneable = resolved.filter(c => zoneableType(schema(c).dataType) ||
+      schema(c).dataType == org.apache.spark.sql.types.StringType)
     val cols = resolved.map(col)
     clusteredRewrite(spark, dir, v,
       df => df.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*),
@@ -3698,6 +3714,10 @@ object Versioned {
       spark: SparkSession, dir: String, baseV: Long, newV: Long,
       kept: Set[String], fresh: Seq[String]): Unit = {
     val f = fs(spark, dir)
+    // a string-zoning rewrite (clusteredRewrite → writeZoneMaps) may
+    // have published newV's sidecar already, with FRESHER stats than a
+    // carry could assemble — never clobber it
+    if (f.exists(new Path(logPath(dir), f"v$newV%08d.szones.json"))) return
     val jsonOpt = strAnchorJson(spark, dir, baseV)
     if (jsonOpt.isEmpty) return
     val json = jsonOpt.get

@@ -87,19 +87,22 @@ class ClusterBySpec extends SparkSpec {
 
   test("invalid declarations refuse: absent column, non-zoneable type, >4 cols") {
     val cat = freshCat("invalid")
-    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, s STRING)")
-    spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 'a')")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, s STRING, d DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 'a', 1.5)")
     val e1 = intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.db.t CLUSTER BY (nope)")
     }
     assert(e1.getMessage.contains("nope"))
+    // STRING clusters since string zones exist (truncated bounds);
+    // a genuinely un-statable type still refuses
+    spark.sql(s"ALTER TABLE $cat.db.t CLUSTER BY (s)")
     val e2 = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.db.t CLUSTER BY (s)")
+      spark.sql(s"ALTER TABLE $cat.db.t CLUSTER BY (d)")
     }
     assert(e2.getMessage.contains("zone-stat typed"))
     // CREATE with a bad declaration refuses too (validated at declare)
     val e3 = intercept[Exception] {
-      spark.sql(s"CREATE TABLE $cat.db.bad (a BIGINT, b STRING) CLUSTER BY (b)")
+      spark.sql(s"CREATE TABLE $cat.db.bad (a BIGINT, b DOUBLE) CLUSTER BY (b)")
     }
     assert(e3.getMessage.contains("zone-stat typed"))
   }

@@ -142,6 +142,36 @@ class StrZonesSpec extends SparkSpec {
       spark, dir, 7L, "key2", Some("k-000030"), Some("k-000030")).count() == 1L)
   }
 
+  test("OPTIMIZE clusters string keys; bounds sharpen to per-file ranges") {
+    val dir = tmpDir("sz_cluster")
+    val rnd = new scala.util.Random(7)
+    // interleaved keys: before clustering every file spans the range
+    (0 to 3).foreach { _ =>
+      Versioned.append(
+        (0 until 25).map { _ =>
+          val k = rnd.nextInt(100000)
+          (k.toLong, f"k-$k%06d")
+        }.toDF("id", "key").coalesce(1), dir)
+    }
+    Versioned.writeZoneMaps(spark, dir, 4L, Seq("key"))
+    val probe = Versioned.read(spark, dir).select("key")
+      .orderBy("key").head().getString(0)
+    val before = Versioned.strPrunedFiles(
+      spark, dir, 4L, "key", Some(probe), Some(probe)).size
+    // the CLUSTER BY declaration accepts string columns
+    Versioned.setProperties(spark, dir,
+      Map(Versioned.ClusterByKey -> "key"))
+    val nv = Versioned.optimizeClusterBy(spark, dir, Seq("key"),
+      targetFiles = 4)
+    val after = Versioned.strPrunedFiles(
+      spark, dir, nv, "key", Some(probe), Some(probe))
+    assert(after.size == 1 && after.size <= before,
+      s"clustering must sharpen string pruning: $before -> ${after.size}")
+    assert(Versioned.readAt(spark, dir, nv).count() == 100L)
+    assert(Versioned.readWhereStr(
+      spark, dir, nv, "key", Some(probe), Some(probe)).count() >= 1L)
+  }
+
   test("sidecar JSON survives hostile content (quotes, newlines, unicode)") {
     val dir = tmpDir("sz_hostile")
     Versioned.append(Seq((1L, "a\"b\\c"), (2L, "x\ny,{}[]"))
