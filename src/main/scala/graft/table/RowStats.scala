@@ -43,8 +43,17 @@ private[graft] object RowStats {
     * at or below it the driver reads the footers directly — a typical
     * commit adds a handful of files, and per-commit job-scheduling
     * overhead on every append would dominate the (tiny) footer reads.
+    * Mutable only for tests to exercise the distributed branch at
+    * fixture scale.
     */
-  private val DriverFooterMax = 64
+  private[graft] var DriverFooterMax = 64
+
+  /** Footers opened by [[compute]] (both branches) — the IO this
+    * module exists to avoid on hot paths. Commit-time stats should
+    * come free from the write job ([[WriteCounts]]); specs pin that by
+    * asserting a zero delta here across an append.
+    */
+  private[graft] val footerReads = new java.util.concurrent.atomic.AtomicLong
 
   /** Per-file row counts over `relFiles` (paths relative to `base`),
     * footer-cheap both ways: small batches read `parquet-hadoop`
@@ -60,6 +69,7 @@ private[graft] object RowStats {
       schema: Option[org.apache.spark.sql.types.StructType] = None): Counts = {
     import org.apache.spark.sql.functions.{count, input_file_name, lit}
     if (relFiles.isEmpty) return Map.empty
+    footerReads.addAndGet(relFiles.size.toLong)
     if (relFiles.size <= DriverFooterMax) {
       val conf = spark.sessionState.newHadoopConf()
       relFiles.map { rel =>
@@ -69,17 +79,30 @@ private[graft] object RowStats {
         try rel -> r.getRecordCount finally r.close()
       }.toMap
     } else {
+      // URI-path keyed O(1) lookup: `input_file_name` reports the full
+      // URI (`file:///…`) while `dataPathStr` may be scheme-less, so
+      // both sides normalize through Path.toUri.getPath. A linear
+      // `endsWith` scan per result row would be O(n²) on the driver —
+      // ~10¹² comparisons at the 10⁶-file ANALYZE this path exists for.
+      val byPath = relFiles.map { rel =>
+        new Path(Versioned.dataPathStr(base, rel)).toUri.getPath -> rel
+      }.toMap
       val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
-      reader.parquet(relFiles.map(Versioned.dataPathStr(base, _)): _*)
+      val counted = reader
+        .parquet(relFiles.map(Versioned.dataPathStr(base, _)): _*)
         .groupBy(input_file_name().as("f"))
         .agg(count(lit(1)).as("n"))
         .collect()
         .map { r =>
-          val rel = relFiles.find(f => r.getString(0).endsWith(f)).getOrElse(
+          val rel = byPath.getOrElse(new Path(r.getString(0)).toUri.getPath,
             throw new IllegalStateException(
               s"row-count row for unknown file ${r.getString(0)}"))
           rel -> r.getLong(1)
         }.toMap
+      // a zero-row parquet file contributes no group; without the
+      // default its count would stay unknown forever (coverage never
+      // completes, ANALYZE re-stats it every run without converging)
+      relFiles.map(f => f -> counted.getOrElse(f, 0L)).toMap
     }
   }
 

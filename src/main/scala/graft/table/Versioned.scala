@@ -2035,18 +2035,24 @@ object Versioned {
 
   /** Writes `df` as a fresh immutable file set and returns its
     * table-relative parquet paths (not yet referenced by any snapshot).
+    * Per-file row counts are captured FROM THE WRITE JOB's own task
+    * metrics ([[WriteCounts]]) so the row-stats sidecar never re-opens
+    * the footers it just wrote; any file the capture cannot vouch for
+    * falls back to the footer pass in [[carryRowCounts]].
     */
   private def writeDataFiles(df: DataFrame, dir: String): Seq[String] = {
     // full UUID: an 8-hex prefix (~2^32 namespace) invites a birthday
     // collision at high commit counts, failing the write spuriously
     val sub = s"d-${UUID.randomUUID().toString}"
-    df.write.parquet(s"$dir/$sub")
+    val byIndex = WriteCounts.capture(df, df.write.parquet(s"$dir/$sub"))
     val f = fs(df.sparkSession, dir)
-    f.listStatus(new Path(dir, sub)).toSeq
+    val rels = f.listStatus(new Path(dir, sub)).toSeq
       .map(_.getPath.getName)
       .filter(n => n.endsWith(".parquet"))
       .sorted
       .map(n => s"$sub/$n")
+    WriteCounts.record(rels, byIndex)
+    rels
   }
 
   /** Schema enforcement + evolution for append commits (Delta's
@@ -4804,7 +4810,11 @@ object Versioned {
     val toHeal =
       if (anchored) (kept -- carried.keySet).toSeq.sorted else Nil
     val toStat = (toHeal ++ fresh).distinct
-    val freshCounts = RowStats.compute(spark, dir, toStat,
+    // the write job already counted its own files (task output
+    // metrics, [[WriteCounts]]) — footer-read only what it couldn't vouch for
+    val captured = WriteCounts.takeAll(toStat)
+    val freshCounts = captured ++ RowStats.compute(
+      spark, dir, toStat.filterNot(captured.contains),
       schemaAt(spark, dir, newV).map(physicalSchema))
     val all = carried ++ freshCounts
     val writeFull = kept.isEmpty || all.size <= RowStats.FullCarryMax ||
