@@ -1594,6 +1594,26 @@ object VersionedQueries {
     val all = Versioned.filesAt(s, tableDir, v).size
     def prunedOk(key: String): Long =
       if (Versioned.bloomPrunedFiles(s, tableDir, v, "k", key).size < all) 1L else 0L
+    // the DSv2 read path must consult the same index: a pushed
+    // equality probe plans a strict file subset AND returns the exact
+    // row — the flag hashes both
+    def dsv2Probe(key: String): Long = {
+      val probe = s.read.format("graft-versioned").load(tableDir)
+        .filter(col("k") === key)
+      val planned = probe.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan match {
+              case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+                p.fileIndex.inputFiles.length
+              case _ => 0
+            }
+        }).sum
+      val exact = probe.select("event_id", "user_id", "value_c").collect().toSet ==
+        Versioned.readWhereEquals(s, tableDir, v, "k", key)
+          .select("event_id", "user_id", "value_c").collect().toSet
+      if (planned < all && exact) 1L else 0L
+    }
     val hits = Versioned.readWhereEquals(s, tableDir, v, "k", kMin)
       .unionByName(Versioned.readWhereEquals(s, tableDir, v, "k", kMax))
       .withColumn("kind", lit("content"))
@@ -1601,7 +1621,7 @@ object VersionedQueries {
     val absent = Versioned.readWhereEquals(s, tableDir, v, "k", "no-such-key").count()
     val meta = s.createDataFrame(java.util.Arrays.asList(
       org.apache.spark.sql.Row("meta", -1L,
-        prunedOk(kMin) + prunedOk(kMax), absent)),
+        prunedOk(kMin) + prunedOk(kMax) + dsv2Probe(kMin), absent)),
       new org.apache.spark.sql.types.StructType()
         .add("kind", org.apache.spark.sql.types.StringType, false)
         .add("event_id", org.apache.spark.sql.types.LongType, false)
@@ -1782,7 +1802,7 @@ object VersionedQueries {
       |  SELECT 'content' AS kind, event_id, user_id, value_c
       |  FROM ev, b WHERE event_id IN (b.lo, b.hi)
       |  UNION ALL
-      |  SELECT 'meta', CAST(-1 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT))
+      |  SELECT 'meta', CAST(-1 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT))
       |SELECT kind, event_id, user_id, value_c FROM u
       |ORDER BY kind, event_id""".stripMargin
 

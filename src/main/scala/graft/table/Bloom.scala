@@ -42,11 +42,22 @@ private[graft] object Bloom {
       -itemsPerFile * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
 
   /** The probe hash of a literal, computed BY SPARK so it is
-    * bit-identical to the build side's `xxhash64(col)` rows.
+    * bit-identical to the build side's `xxhash64(col)` rows. The
+    * literal is `try_cast` to the COLUMN's type first: xxhash64 is
+    * type-sensitive (the same number hashes differently as Int vs
+    * Long), so probing a BIGINT column with an Int literal raw would
+    * silently rule out files that do contain the value. None when the
+    * value cannot represent in the column's type (or is null) — the
+    * caller must then not prune at all and let the residual filter's
+    * coercion semantics decide.
     */
-  def probeHash(spark: SparkSession, value: Any): Long = {
+  def probeHash(
+      spark: SparkSession, value: Any,
+      colType: Option[org.apache.spark.sql.types.DataType]): Option[Long] = {
     import org.apache.spark.sql.functions.{lit, xxhash64}
-    spark.range(1).select(xxhash64(lit(value))).head().getLong(0)
+    val probe = colType.map(lit(value).try_cast(_)).getOrElse(lit(value))
+    val r = spark.range(1).select(probe.isNull.as("n"), xxhash64(probe)).head()
+    if (r.getBoolean(0)) None else Some(r.getLong(1))
   }
 
   /** One bloom per (file, column) over `relFiles`' RAW bytes (no DV
@@ -107,9 +118,13 @@ private[graft] object Bloom {
     */
   def pruneEquals(
       spark: SparkSession, dir: String, dataName: String,
-      physCol: String, value: Any, all: Seq[String]): Seq[String] = {
+      physCol: String, value: Any, all: Seq[String],
+      colType: Option[org.apache.spark.sql.types.DataType] = None): Seq[String] = {
     import org.apache.spark.sql.functions.col
-    val h = probeHash(spark, value)
+    val h = probeHash(spark, value, colType) match {
+      case Some(x) => x
+      case None => return all // unrepresentable/null probe: never prune
+    }
     val sidecar = new Path(Versioned.logPathOf(dir), dataName).toString
     val entries = spark.read.parquet(sidecar)
       .filter(col("c") === physCol)
@@ -156,18 +171,28 @@ private[graft] object Bloom {
 
   def publishPointer(
       spark: SparkSession, dir: String, v: Long, dataName: String,
-      physCols: Seq[String], fpp: Double): Unit =
+      physCols: Seq[String], fpp: Double): Unit = {
     writeBytes(spark, dir, s".v$v.bloom.tmp", f"v$v%08d.bloom.json",
       pointerJson(dataName, physCols, fpp))
+    // the `.bloom` marker gates the log-dir listing below: every
+    // DSv2 equality scan probes for an index, and a never-bloomed
+    // 10⁶-commit table must not pay an O(log-entries) listing per
+    // scan just to learn there is nothing to consult
+    val log = Versioned.logPathOf(dir)
+    val f = log.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new Path(log, ".bloom")
+    if (!f.exists(marker)) f.create(marker, true).close()
+  }
 
   /** The newest build pointer at-or-before `v`: (version, data dir,
-    * cols). One log-dir listing, no per-version probes.
+    * cols). One marker probe for the never-indexed fast path, then one
+    * log-dir listing, no per-version probes.
     */
   def latestPointerAt(
       spark: SparkSession, dir: String, v: Long): Option[(Long, String, Seq[String])] = {
     val log = Versioned.logPathOf(dir)
     val f = log.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!f.exists(log)) return None
+    if (!f.exists(new Path(log, ".bloom"))) return None
     val cands = f.listStatus(log).toSeq.map(_.getPath.getName)
       .collect { case n if n.startsWith("v") && n.endsWith(".bloom.json") =>
         n.stripPrefix("v").stripSuffix(".bloom.json").toLong

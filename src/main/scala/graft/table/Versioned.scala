@@ -3406,24 +3406,77 @@ object Versioned {
     val all = filesAt(spark, dir, base)
     val isHiveCol = hiveFieldOf(schema).exists(_.name.equalsIgnoreCase(whereCol))
     val f = fs(spark, dir)
+    val phys = physicalOf(schema, whereCol)
     val zp = new Path(logPath(dir), f"v$base%08d.zones.json")
     val zoneBlock =
       if (!f.exists(zp)) None
-      else ZoneMaps.parseBlock(
-        readFully(spark, dir, zp), physicalOf(schema, whereCol))
-    require(isHiveCol || zoneBlock.isDefined,
+      else ZoneMaps.parseBlock(readFully(spark, dir, zp), phys)
+    val szp = new Path(logPath(dir), f"v$base%08d.szones.json")
+    val strBlock =
+      if (!f.exists(szp)) None
+      else StrZones.parseBlock(readFully(spark, dir, szp), phys)
+    require(isHiveCol || zoneBlock.isDefined || strBlock.isDefined,
       s"OPTIMIZE WHERE needs '$whereCol' to be a hive-layout partition " +
         s"column or zone-mapped (CALL system.zone) at $dir — an unscoped " +
         "column cannot bound the slice; run plain OPTIMIZE for the whole table")
+    // the long-zone slice compares in the column type's STAT encoding
+    // (dates epoch days, timestamps epoch seconds, short decimals
+    // unscaled), so the WHERE literal must translate through the same
+    // encoding — a bare toLong would silently no-op every non-integral
+    // column. An untranslatable literal on a zones-only column refuses
+    // loudly instead of pretending the slice is empty.
+    val dt = schema.flatMap(_.fields.find(_.name.equalsIgnoreCase(whereCol)))
+      .map(_.dataType)
+    val statVal = dt.flatMap(statLongLiteral(spark, value, _))
+    require(isHiveCol || strBlock.isDefined || zoneBlock.isEmpty ||
+        statVal.isDefined,
+      s"OPTIMIZE WHERE literal '$value' does not parse as '$whereCol's " +
+        s"type (${dt.fold("unknown")(_.simpleString)}) — the zone slice " +
+        "cannot bound it")
     val pathSlice =
       if (isHiveCol) all.filter(_.startsWith(s"$whereCol=$value/")) else Nil
-    val zoneSlice = (zoneBlock, value.toLongOption) match {
+    val zoneSlice = (zoneBlock, statVal) match {
       case (Some(z), Some(v)) => ZoneMaps.prune(all, z, v, v)
       case _ => Nil
     }
-    val slice = (pathSlice ++ zoneSlice).distinct
+    val strSlice = strBlock match {
+      case Some(b) => StrZones.prune(all, b, Some(value), Some(value))
+      case None => Nil
+    }
+    val slice = (pathSlice ++ zoneSlice ++ strSlice).distinct
     if (slice.isEmpty) None
     else compactSmallOf(spark, dir, base, slice, smallBytes, targetFiles)
+  }
+
+  /** The WHERE literal of [[compactSmallWhere]] translated into the
+    * zone-stat long domain of the column's type — the same encoding
+    * [[ZoneMaps.compute]] stats files under. None when the literal
+    * cannot represent in the type (callers refuse rather than prune).
+    */
+  private def statLongLiteral(
+      spark: SparkSession, value: String,
+      dt: org.apache.spark.sql.types.DataType): Option[Long] = {
+    import org.apache.spark.sql.functions.{lit, unix_date}
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => value.toLongOption
+      case DateType =>
+        val r = spark.range(1)
+          .select(unix_date(lit(value).try_cast(DateType)).cast("long")).head()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      case TimestampType =>
+        // epoch SECONDS — the truncation ZoneMaps stats under
+        val r = spark.range(1)
+          .select(lit(value).try_cast(TimestampType).cast("long")).head()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      case d: DecimalType if d.precision <= 18 =>
+        // exact unscaled value; setScale throws when the literal needs
+        // rounding (then no stored decimal can equal it)
+        scala.util.Try(
+          BigDecimal(value).setScale(d.scale).underlying
+            .unscaledValue.longValueExact()).toOption
+      case _ => None
+    }
   }
 
   private def compactSmallOf(
@@ -3490,15 +3543,29 @@ object Versioned {
     val cleanKeys: Set[String] =
       if (retired.isEmpty) all.map(fileKey).toSet
       else {
+        val f = fs(spark, dir)
         val clean = scala.collection.mutable.Set[String]()
         var v = base
         var stop = false
         while (v >= 1 && !stop) {
-          val json = snapshotJson(spark, dir, v)
-          if (droppedPhysOf(json).toSet != retired) stop = true
+          // a vacuumed history ends the walk at the retained window's
+          // edge — files older than every retained add record simply
+          // stay purge candidates (the documented conservative bound)
+          // instead of the walk throwing on a missing version
+          if (!f.exists(versionFile(dir, v))) stop = true
           else {
-            clean ++= addActionsOf(spark, dir, v, json).map(fileKey)
-            v -= 1
+            val json = snapshotJson(spark, dir, v)
+            if (droppedPhysOf(json).toSet != retired) stop = true
+            else if (fullListOf(spark, dir, json).isDefined && v > 1 &&
+                !f.exists(versionFile(dir, v - 1))) {
+              // a full-list commit whose parent is vacuumed cannot
+              // separate its adds from carried files: carried bytes may
+              // predate the DROP, so marking them clean would skip them
+              stop = true
+            } else {
+              clean ++= addActionsOf(spark, dir, v, json).map(fileKey)
+              v -= 1
+            }
           }
         }
         clean.toSet
@@ -3865,10 +3932,16 @@ object Versioned {
       spark: SparkSession, dir: String, v: Long,
       col: String, value: Any): Seq[String] = {
     val all = filesAt(spark, dir, v)
-    val phys = physicalOf(schemaAt(spark, dir, v), col)
+    val sch = schemaAt(spark, dir, v)
+    val phys = physicalOf(sch, col)
+    // the build hashed xxhash64(col) at the COLUMN's type — the probe
+    // literal must hash at that same type or same-valued probes of a
+    // narrower type (Int vs BIGINT) silently lose rows
+    val dt = sch.flatMap(_.fields.find(_.name.equalsIgnoreCase(col)))
+      .map(_.dataType)
     Bloom.latestPointerAt(spark, dir, v) match {
       case Some((_, dataName, cols)) if cols.contains(phys) =>
-        Bloom.pruneEquals(spark, dir, dataName, phys, value, all)
+        Bloom.pruneEquals(spark, dir, dataName, phys, value, all, dt)
       case _ => all
     }
   }
@@ -4044,10 +4117,16 @@ object Versioned {
       val missing = tCols -- sCols -- gen.keys.map(lower)
       require(missing.isEmpty,
         s"replaceWhere source omits table columns: ${missing.mkString(", ")}")
-      val aligned = source.select(tableSchema.fields.toSeq.map { f =>
-        if (sCols.contains(lower(f.name))) col(f.name).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name) // omitted GENERATED; recomputed below
-      }: _*)
+      // regenerate BEFORE the containment check: a predicate over a
+      // generated column the source rightly omitted would otherwise
+      // evaluate NULL → coalesce(false) and refuse a valid backfill
+      // (regeneration is deterministic, so the second pass over the
+      // unioned output below is a no-op on these rows)
+      val aligned = regenerated(spark, dir, base,
+        source.select(tableSchema.fields.toSeq.map { f =>
+          if (sCols.contains(lower(f.name))) col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name) // omitted GENERATED
+        }: _*))
       // Delta's replaceWhere constraint: every source row must satisfy
       // the predicate it replaces into
       require(aligned.filter(not(coalesce(cond, lit(false)))).isEmpty,

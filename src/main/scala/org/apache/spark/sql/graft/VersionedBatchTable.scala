@@ -638,6 +638,30 @@ private final class ZonePrunedParquetScanBuilder(
   private val cpOrdering: Ordering[String] =
     (a: String, b: String) => graft.table.StrZones.cpCompare(a, b)
 
+  /** Equality conjuncts `col = lit` (both orientations) from the
+    * pushed filters, as (column, Scala literal) probes for the
+    * Bloom-filter index ([[Versioned.bloomPrunedFiles]]) — the
+    * point-lookup complement of the zone bounds above: zones need the
+    * layout clustered on the column to bite, a bloom rules files out
+    * for a random-distributed high-cardinality key too. NULL literals
+    * are skipped (`col = NULL` matches nothing and Spark plans it
+    * away before pushdown anyway).
+    */
+  private def eqProbes: Seq[(String, Any)] = {
+    def conjuncts(e: CExpr): Seq[CExpr] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def scalaOf(l: CLit): Option[Any] = Option(
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToScala(l.value, l.dataType))
+    filters.flatMap(conjuncts).flatMap {
+      case CEq(a: CAttr, l: CLit) => scalaOf(l).map(a.name -> _)
+      case CEq(l: CLit, a: CAttr) => scalaOf(l).map(a.name -> _)
+      case _ => Nil
+    }
+  }
+
   override def build(): Scan = metaAgg match {
     case Some((aggSchema, row)) =>
       // log-answered aggregate: one driver-local row, zero files opened
@@ -667,8 +691,17 @@ private final class ZonePrunedParquetScanBuilder(
             live.filter(keep.contains)
           }
       }
+      // bloom point-lookups rule out what zones can't (an unclustered
+      // high-cardinality key spans every file's range); files the
+      // build never statted always stay in, so this only narrows
+      val bloomPruned = eqProbes.foldLeft(strPruned) {
+        case (live, _) if live.isEmpty => live
+        case (live, (c, value)) =>
+          val keep = Versioned.bloomPrunedFiles(spark, dir, v, c, value).toSet
+          live.filter(keep.contains)
+      }
       val pruned = limit match {
-        case Some(n) if filters.isEmpty && strPruned.nonEmpty =>
+        case Some(n) if filters.isEmpty && bloomPruned.nonEmpty =>
           Versioned.rowCountsAt(spark, dir, v) match {
             case Some(counts) =>
               if (n == 0) Nil
@@ -678,15 +711,15 @@ private final class ZonePrunedParquetScanBuilder(
                 // never satisfy it alone, so the accumulate-then-stop
                 // shape keeps taking until coverage (or everything).
                 var acc = 0L
-                strPruned.sorted.takeWhile { f =>
+                bloomPruned.sorted.takeWhile { f =>
                   val take = acc < n
                   acc += counts(f)
                   take
                 }
               }
-            case None => strPruned // uncovered snapshot: never guess
+            case None => bloomPruned // uncovered snapshot: never guess
           }
-        case _ => strPruned
+        case _ => bloomPruned
       }
       val real = mkInner(pruned)
       if (filters.nonEmpty) real.pushFilters(filters)

@@ -89,6 +89,53 @@ class BloomSpec extends SparkSpec {
     assert(Versioned.bloomPrunedFiles(spark, dir, v, "label", "k-30").size < 4)
   }
 
+  test("the DSv2 read path consults the bloom index for pushed equality probes") {
+    val dir = mkTable("bl_dsv2")
+    def filesOf(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan match {
+              case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+                p.fileIndex.inputFiles.length
+            }
+        }).sum
+    def read = spark.read.format("graft-versioned").load(dir)
+    // no index yet: the equality scan plans the full file set
+    assert(filesOf(read.filter(col("key") === "k-30")) == 4)
+    Versioned.buildBloom(spark, dir, Seq("key"), itemsPerFile = 1000L)
+    val prunedPlan = read.filter(col("key") === "k-30")
+    assert(filesOf(prunedPlan) < 4,
+      "a SQL equality probe must plan fewer files once a bloom exists")
+    assert(prunedPlan.select("id").as[Long].collect().toSeq == Seq(30L))
+    // conjunct with a second predicate: still prunes, rows exact
+    val conj = read.filter(col("key") === "k-30" && col("id") > 0L)
+    assert(filesOf(conj) < 4)
+    assert(conj.count() == 1L)
+    // a non-equality filter alone never consults the index
+    assert(filesOf(read.filter(col("key") > "k-30")) == 4)
+  }
+
+  test("a probe literal of a narrower type than the column still finds its rows") {
+    val dir = tmpDir("bl_type")
+    // BIGINT column: xxhash64 hashes Int and Long representations of
+    // the same number differently — the probe must hash at the
+    // COLUMN's type or every file gets wrongly ruled out
+    (0 to 3).foreach { p =>
+      Versioned.append(
+        (1L to 25L).map(i => (p * 25L + i, i)).toDF("id", "v").coalesce(1), dir)
+    }
+    Versioned.buildBloom(spark, dir, Seq("id"), itemsPerFile = 1000L)
+    val hit = Versioned.readWhereEquals(spark, dir, 4L, "id", 30) // Int probe
+    assert(hit.count() == 1L, "Int probe on a BIGINT column must not lose rows")
+    assert(Versioned.bloomPrunedFiles(spark, dir, 4L, "id", 30).size < 4,
+      "a representable narrower probe must still prune")
+    // an unrepresentable probe never prunes (and the residual filter
+    // keeps the result exact)
+    assert(Versioned.bloomPrunedFiles(spark, dir, 4L, "id", "not-a-number")
+      .size == 4)
+  }
+
   test("the DDL spelling builds the index; bad shapes refuse with the grammar named") {
     val dir = mkTable("bl_ddl")
     val rows = spark.sql(

@@ -67,6 +67,45 @@ class OptimizeWhereSpec extends SparkSpec {
     assert(Versioned.read(spark, dir).count() == 16L)
   }
 
+  test("date-typed zone columns translate the WHERE literal through epoch days") {
+    val dir = tmpDir("optw_date")
+    // three date-disjoint appends + one extra small file on day 2
+    Seq("2024-01-01", "2024-01-02", "2024-01-03").foreach(d =>
+      Versioned.append(
+        (1 to 4).map(i => (java.sql.Date.valueOf(d), s"$d#$i")).toDF("d", "s")
+          .coalesce(1), dir))
+    Versioned.append(
+      Seq((java.sql.Date.valueOf("2024-01-02"), "extra")).toDF("d", "s"), dir) // v4
+    Versioned.writeZoneMaps(spark, dir, 4L, Seq("d"))
+    val before = Versioned.filesAt(spark, dir, 4L).toSet
+    val v = spark.sql(s"OPTIMIZE ${pathId(dir)} WHERE d = '2024-01-02'")
+      .as[Long].head()
+    assert(v == 5L, "the date slice must compact, not silently no-op")
+    val after = Versioned.filesAt(spark, dir, 5L).toSet
+    assert((before & after).size == 2, "only day-2's two files rewrite")
+    assert(Versioned.read(spark, dir).count() == 13L)
+    // a literal that does not parse as a date refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"OPTIMIZE ${pathId(dir)} WHERE d = 'not-a-date'")
+    }
+    assert(e.getMessage.contains("does not parse"))
+  }
+
+  test("string-zoned columns slice through the string bounds sidecar") {
+    val dir = tmpDir("optw_str")
+    Seq("a", "m", "z").foreach(p =>
+      Versioned.append(
+        (1 to 4).map(i => (s"$p$i", i.toLong)).toDF("k", "n").coalesce(1), dir))
+    Versioned.append(Seq(("m3", 99L)).toDF("k", "n"), dir) // v4: second m3-file
+    Versioned.writeZoneMaps(spark, dir, 4L, Seq("k"))
+    val before = Versioned.filesAt(spark, dir, 4L).toSet
+    val v = spark.sql(s"OPTIMIZE ${pathId(dir)} WHERE k = 'm3'").as[Long].head()
+    assert(v == 5L, "the string slice must compact via StrZones")
+    val after = Versioned.filesAt(spark, dir, 5L).toSet
+    assert((before & after).size == 2, "a- and z-files must not be touched")
+    assert(Versioned.read(spark, dir).count() == 13L)
+  }
+
   test("unscoped column and WHERE+ZORDER refuse loudly") {
     val dir = tmpDir("optw_refuse")
     Versioned.append((1 to 8).map(i => (i.toLong, s"r$i")).toDF("id", "s"), dir)

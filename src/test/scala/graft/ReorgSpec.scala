@@ -71,6 +71,30 @@ class ReorgSpec extends SparkSpec {
     assert(Versioned.reorgPurge(spark, dir).isEmpty)
   }
 
+  test("purge on a vacuumed history stops at the retained window, never throws") {
+    val dir = tmpDir("reorg_vac")
+    Versioned.append(
+      (1 to 4).map(i => (i.toLong, s"secret$i", s"s$i")).toDF("id", "secret", "s"),
+      dir)                                                                  // v1
+    Versioned.dropColumn(spark, dir, "secret")                              // v2
+    Versioned.append((5 to 6).map(i => (i.toLong, s"s$i")).toDF("id", "s"), dir) // v3
+    // truncate history below the drop: the droppedphys set already
+    // exists at the oldest retained version, so the backward walk has
+    // no growth point to find — it must stop at the window's edge and
+    // fall back to "uncovered files are purge candidates"
+    Versioned.vacuum(spark, dir, keepVersions = 1)
+    val v = Versioned.reorgPurge(spark, dir)
+    assert(v.nonEmpty, "vacuumed-history purge must rewrite, not throw")
+    assert(Versioned.read(spark, dir).as[(Long, String)].collect().toSet ==
+      (1 to 6).map(i => (i.toLong, s"s$i")).toSet)
+    // every surviving file now stores only the current physical schema
+    assert(Versioned.filesAt(spark, dir, v.get).forall(rel =>
+      !spark.read.parquet(Versioned.dataPathStr(dir, rel)).columns
+        .contains("secret")))
+    // and the purge converges: a second run finds nothing stale
+    assert(Versioned.reorgPurge(spark, dir).isEmpty)
+  }
+
   test("reorg classifies as skippable maintenance for streams and CDF") {
     val dir = tmpDir("reorg_class")
     Versioned.append((1 to 5).map(i => (i.toLong, i * 10L)).toDF("id", "x"), dir) // v1

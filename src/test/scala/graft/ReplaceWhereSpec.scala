@@ -22,6 +22,27 @@ class ReplaceWhereSpec extends SparkSpec {
     cat
   }
 
+  test("a predicate over a GENERATED column the source omits still validates") {
+    val dir = tmpDir("rw_gen")
+    Versioned.overwrite(
+      Seq((1L, 10L, 20L), (2L, 30L, 60L)).toDF("id", "amount", "total"), dir)
+    Versioned.setProperties(spark, dir,
+      Map("graft.generated.total" -> "amount * 2"))
+    // the source rightly omits `total` (generated); the containment
+    // check must see its COMPUTED value, not an aligned NULL
+    val v = Versioned.replaceWhere(spark, dir,
+      Seq((9L, 10L)).toDF("id", "amount"), col("total") === 20L)
+    assert(Versioned.read(spark, dir).as[(Long, Long, Long)].collect().toSet ==
+      Set((9L, 10L, 20L), (2L, 30L, 60L)))
+    // and a source row OUTSIDE the generated-column slice still refuses
+    val e = intercept[IllegalArgumentException] {
+      Versioned.replaceWhere(spark, dir,
+        Seq((8L, 50L)).toDF("id", "amount"), col("total") === 20L)
+    }
+    assert(e.getMessage.contains("violate the predicate"))
+    assert(Versioned.currentVersion(spark, dir).contains(v))
+  }
+
   test("replaces the matching slice, keeps the rest, in ONE commit") {
     val dir = tmpDir("rw_basic")
     Versioned.overwrite(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
