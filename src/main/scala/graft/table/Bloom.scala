@@ -117,7 +117,7 @@ private[graft] object Bloom {
     * the sidecar parquet; only names return.
     */
   def pruneEquals(
-      spark: SparkSession, dir: String, dataName: String,
+      spark: SparkSession, dir: String, dataNames: Seq[String],
       physCol: String, value: Any, all: Seq[String],
       colType: Option[org.apache.spark.sql.types.DataType] = None): Seq[String] = {
     import org.apache.spark.sql.functions.col
@@ -125,8 +125,14 @@ private[graft] object Bloom {
       case Some(x) => x
       case None => return all // unrepresentable/null probe: never prune
     }
-    val sidecar = new Path(Versioned.logPathOf(dir), dataName).toString
-    val entries = spark.read.parquet(sidecar)
+    // a file statted in several generations keeps the union "might
+    // contain" verdict — each generation's bloom is a valid bloom of
+    // the same immutable bytes, so any `true` keeps the file (sound;
+    // a lone `false` would also be sound but the union needs no
+    // per-file reconciliation)
+    val sidecars =
+      dataNames.map(n => new Path(Versioned.logPathOf(dir), n).toString)
+    val entries = spark.read.parquet(sidecars: _*)
       .filter(col("c") === physCol)
       .select("f", "bloom")
       .as(org.apache.spark.sql.Encoders.tuple(
@@ -145,16 +151,40 @@ private[graft] object Bloom {
     all.filter(fr => !statted.contains(fr) || mightHave.contains(fr))
   }
 
-  /** Pointer JSON body for `v<N>.bloom.json`. */
-  def pointerJson(dataName: String, physCols: Seq[String], fpp: Double): String =
-    s"""{"data":"$dataName","cols":[${physCols.map("\"" + _ + "\"").mkString(",")}],"fpp":$fpp}"""
+  /** Pointer JSON body for `v<N>.bloom.json`. A pointer may reference
+    * SEVERAL sidecar generations (`datas`): an incremental build stats
+    * only post-build files and appends its generation instead of
+    * copying the (GB-scale at 10⁶ files) existing sidecar forward —
+    * the zorderIncremental discipline. `items` records the per-file
+    * sizing so increments build bit-compatible blooms.
+    */
+  def pointerJson(
+      dataNames: Seq[String], physCols: Seq[String], fpp: Double,
+      itemsPerFile: Long): String =
+    s"""{"datas":[${dataNames.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""cols":[${physCols.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""fpp":$fpp,"items":$itemsPerFile}"""
 
-  def parsePointer(json: String): (String, Seq[String]) = {
-    val data = json.split("\"data\":\"", 2)(1).split("\"", 2)(0)
+  /** (sidecar generations, cols, fpp, itemsPerFile). Legacy pointers
+    * carried a single `"data"` and no `"items"` (builds then defaulted
+    * to 10⁶ items/file).
+    */
+  def parsePointer(json: String): (Seq[String], Seq[String], Double, Long) = {
+    val datas =
+      if (json.contains("\"datas\":[")) {
+        json.split("\"datas\":\\[", 2)(1).split("]", 2)(0)
+          .split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty)
+      } else Seq(json.split("\"data\":\"", 2)(1).split("\"", 2)(0))
     val cols = json.split("\"cols\":\\[", 2)(1).split("]", 2)(0)
       .split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
       .filter(_.nonEmpty)
-    (data, cols)
+    val fpp = json.split("\"fpp\":", 2)(1).split("[,}]", 2)(0).toDouble
+    val items =
+      if (json.contains("\"items\":"))
+        json.split("\"items\":", 2)(1).split("[,}]", 2)(0).toLong
+      else 1000000L
+    (datas, cols, fpp, items)
   }
 
   private def writeBytes(
@@ -170,10 +200,10 @@ private[graft] object Bloom {
   }
 
   def publishPointer(
-      spark: SparkSession, dir: String, v: Long, dataName: String,
-      physCols: Seq[String], fpp: Double): Unit = {
+      spark: SparkSession, dir: String, v: Long, dataNames: Seq[String],
+      physCols: Seq[String], fpp: Double, itemsPerFile: Long): Unit = {
     writeBytes(spark, dir, s".v$v.bloom.tmp", f"v$v%08d.bloom.json",
-      pointerJson(dataName, physCols, fpp))
+      pointerJson(dataNames, physCols, fpp, itemsPerFile))
     // the `.bloom` marker gates the log-dir listing below: every
     // DSv2 equality scan probes for an index, and a never-bloomed
     // 10⁶-commit table must not pay an O(log-entries) listing per
@@ -184,12 +214,14 @@ private[graft] object Bloom {
     if (!f.exists(marker)) f.create(marker, true).close()
   }
 
-  /** The newest build pointer at-or-before `v`: (version, data dir,
-    * cols). One marker probe for the never-indexed fast path, then one
-    * log-dir listing, no per-version probes.
+  /** The newest build pointer at-or-before `v`: (version, sidecar
+    * generations, cols, fpp, items). One marker probe for the
+    * never-indexed fast path, then one log-dir listing, no
+    * per-version probes.
     */
   def latestPointerAt(
-      spark: SparkSession, dir: String, v: Long): Option[(Long, String, Seq[String])] = {
+      spark: SparkSession, dir: String, v: Long)
+      : Option[(Long, Seq[String], Seq[String], Double, Long)] = {
     val log = Versioned.logPathOf(dir)
     val f = log.getFileSystem(spark.sessionState.newHadoopConf())
     if (!f.exists(new Path(log, ".bloom"))) return None
@@ -208,8 +240,21 @@ private[graft] object Bloom {
           new String(bytes, StandardCharsets.UTF_8)
         } finally in.close()
       }
-      val (data, cols) = parsePointer(json)
-      (bv, data, cols)
+      val (datas, cols, fpp, items) = parsePointer(json)
+      (bv, datas, cols, fpp, items)
     }
+  }
+
+  /** Every file name any of the pointer's sidecar generations carries
+    * an entry for — the statted set an incremental build subtracts.
+    * Distributed distinct over the sidecars; only names (log-sized)
+    * reach the driver.
+    */
+  def stattedFiles(
+      spark: SparkSession, dir: String, dataNames: Seq[String]): Set[String] = {
+    val sidecars =
+      dataNames.map(n => new Path(Versioned.logPathOf(dir), n).toString)
+    spark.read.parquet(sidecars: _*).select("f").distinct()
+      .collect().map(_.getString(0)).toSet
   }
 }

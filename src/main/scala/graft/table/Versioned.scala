@@ -3918,8 +3918,46 @@ object Versioned {
       if (files.isEmpty) Bloom.build(spark, dir, v, Nil, physCols, None, 1L, fpp)
       else Bloom.build(spark, dir, v, files, physCols,
         sch.map(physicalSchema), itemsPerFile, fpp)
-    Bloom.publishPointer(spark, dir, v, dataName, physCols, fpp)
+    Bloom.publishPointer(spark, dir, v, Seq(dataName), physCols, fpp,
+      itemsPerFile)
     v
+  }
+
+  /** Incremental bloom maintenance (the [[zorderIncremental]] analog
+    * for the point-lookup index): stats ONLY head files no existing
+    * generation covers — one partial aggregate pass over the appended
+    * data — and publishes a head pointer referencing the prior
+    * generations PLUS the new one. The alternative, a full rebuild,
+    * re-reads the whole table; and copying the existing sidecar
+    * forward would move GBs at 10⁶ files. Columns, fpp, and per-file
+    * sizing carry from the existing pointer so generations stay
+    * bit-compatible. Returns (head, files statted); statting nothing
+    * still re-points at the head (cheap), so later probes need not
+    * walk back. Refuses loudly when no build exists — an increment
+    * has nothing to extend.
+    */
+  def buildBloomIncremental(spark: SparkSession, dir: String): (Long, Long) = {
+    val head = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
+    val (bv, datas, physCols, fpp, items) =
+      Bloom.latestPointerAt(spark, dir, head).getOrElse(
+        throw new IllegalArgumentException(
+          s"no bloom index at $dir — CREATE BLOOMFILTER INDEX first; " +
+            "incremental maintenance extends an existing build"))
+    val live = filesAt(spark, dir, head)
+    val statted = Bloom.stattedFiles(spark, dir, datas)
+    val toStat = live.filterNot(statted.contains)
+    if (toStat.isEmpty) {
+      if (bv != head)
+        Bloom.publishPointer(spark, dir, head, datas, physCols, fpp, items)
+      return (head, 0L)
+    }
+    val sch = schemaAt(spark, dir, head)
+    val fresh = Bloom.build(spark, dir, head, toStat, physCols,
+      sch.map(physicalSchema), items, fpp)
+    Bloom.publishPointer(spark, dir, head, datas :+ fresh, physCols, fpp,
+      items)
+    (head, toStat.size.toLong)
   }
 
   /** The file subset an equality probe `col = value` must read at
@@ -3940,8 +3978,8 @@ object Versioned {
     val dt = sch.flatMap(_.fields.find(_.name.equalsIgnoreCase(col)))
       .map(_.dataType)
     Bloom.latestPointerAt(spark, dir, v) match {
-      case Some((_, dataName, cols)) if cols.contains(phys) =>
-        Bloom.pruneEquals(spark, dir, dataName, phys, value, all, dt)
+      case Some((_, dataNames, cols, _, _)) if cols.contains(phys) =>
+        Bloom.pruneEquals(spark, dir, dataNames, phys, value, all, dt)
       case _ => all
     }
   }
@@ -5895,7 +5933,7 @@ object Versioned {
     locally {
       val live = f.listStatus(logPath(dir)).toSeq.map(_.getPath.getName)
         .filter(n => n.startsWith("v") && n.endsWith(".bloom.json"))
-        .map { n =>
+        .flatMap { n =>
           val json = readFully(spark, dir, new Path(logPath(dir), n))
           graft.table.Bloom.parsePointer(json)._1
         }.toSet

@@ -144,6 +144,17 @@ private[graft] object GraftProcedures {
         (s, in) => Seq(row(Versioned.zorderIncremental(
           s, dirOf(in), splitCols(in, 1), in.getInt(2)).map(Long.box).orNull))),
 
+      Proc("bloom_incremental",
+        "extend the bloom index to files appended since its build " +
+          "(stats only the uncovered files; O(new data) maintenance)",
+        Seq(in("table", StringType)),
+        new StructType().add("version", LongType, nullable = false)
+          .add("files_statted", LongType, nullable = false),
+        (s, in) => {
+          val (v, n) = Versioned.buildBloomIncremental(s, dirOf(in))
+          Seq(row(v, n))
+        }),
+
       Proc("zone",
         "publish zone-map (data skipping) stats for the head snapshot",
         Seq(in("table", StringType), in("columns", StringType)),

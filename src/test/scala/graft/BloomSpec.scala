@@ -136,6 +136,53 @@ class BloomSpec extends SparkSpec {
       .size == 4)
   }
 
+  test("incremental build stats only appended files; both eras prune after") {
+    val dir = mkTable("bl_incr")
+    Versioned.buildBloom(spark, dir, Seq("key"), itemsPerFile = 1000L) // at v4
+    Versioned.append(Seq((999L, "fresh-a")).toDF("id", "key").coalesce(1), dir) // v5
+    Versioned.append(Seq((998L, "fresh-b")).toDF("id", "key").coalesce(1), dir) // v6
+    // pre-increment: fresh files are unprunable (no entries)
+    assert(Versioned.bloomPrunedFiles(spark, dir, 6L, "key", "k-30").size == 3)
+    val (v, statted) = Versioned.buildBloomIncremental(spark, dir)
+    assert(v == 6L && statted == 2L,
+      s"exactly the two appended files must stat (got $statted)")
+    // old-era value: the original generation prunes, fresh files ruled out
+    assert(Versioned.bloomPrunedFiles(spark, dir, 6L, "key", "k-30").size == 1)
+    // fresh-era value: the new generation prunes the old files too
+    assert(Versioned.bloomPrunedFiles(spark, dir, 6L, "key", "fresh-b").size == 1)
+    assert(Versioned.readWhereEquals(spark, dir, 6L, "key", "fresh-b")
+      .as[(Long, String)].collect().toSeq == Seq((998L, "fresh-b")))
+    assert(Versioned.readWhereEquals(spark, dir, 6L, "key", "k-30")
+      .as[(Long, String)].collect().toSeq == Seq((30L, "k-30")))
+    // converged: a second increment stats nothing
+    assert(Versioned.buildBloomIncremental(spark, dir)._2 == 0L)
+    // and refuses on a never-indexed table
+    val bare = tmpDir("bl_incr_bare")
+    Versioned.append(Seq((1L, "x")).toDF("id", "key"), bare)
+    val e = intercept[IllegalArgumentException] {
+      Versioned.buildBloomIncremental(spark, bare)
+    }
+    assert(e.getMessage.contains("no bloom index"))
+  }
+
+  test("CALL system.bloom_incremental runs the increment by table name") {
+    val cat = "blcat1"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "org.apache.spark.sql.graft.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmpDir("blwh1"))
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, key STRING)")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("CREATE BLOOMFILTER INDEX ON TABLE " +
+      s"$cat.db.t FOR COLUMNS (key)")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (3, 'c')")
+    val r = spark.sql(
+      s"CALL $cat.system.bloom_incremental(table => 'db.t')").collect().head
+    assert(r.getLong(1) >= 1L, "the appended files must stat")
+    assert(spark.sql(s"SELECT id FROM $cat.db.t WHERE key = 'c'")
+      .as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("the DDL spelling builds the index; bad shapes refuse with the grammar named") {
     val dir = mkTable("bl_ddl")
     val rows = spark.sql(
