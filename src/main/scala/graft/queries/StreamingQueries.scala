@@ -495,6 +495,53 @@ object StreamingQueries {
       |  SELECT 'meta', CAST(-1 AS BIGINT), CAST(4 AS BIGINT), CAST(0 AS BIGINT))
       |SELECT kind, g, n, sum_c FROM u ORDER BY kind, g""".stripMargin
 
+  // ST11 — APPLY CHANGES end-to-end through a REAL checkpointed stream
+  // (DLT's `apply_changes` fed by CDF, the streaming twin of
+  // x_apply_changes' direct calls): the upstream versioned table takes
+  // two time-ordered CDC appends; each is pumped through the SAME
+  // checkpoint by [[graft.streaming.Ingest.applyChangesStream]] (change
+  // feed → preimage filter → idempotent SCD2 apply), so the second
+  // batch must close the first batch's open rows ACROSS the
+  // stream-restart boundary exactly as one apply would, and a third
+  // pump with no new upstream data must change nothing (replay
+  // safety under AvailableNow restarts — the foreachBatch txn guard).
+  // The hashed output is the full SCD2 history: per key, each change
+  // holds [seq, lead(seq)).
+  def streamApplyChanges(s: SparkSession, dir: String): DataFrame = {
+    import graft.table.Versioned
+    val ev = t(s, dir, "events")
+      .filter(col("event_id") % 8 === 4)
+      .select(col("user_id").as("uid"),
+        floor(col("value") * 100).cast("long").as("val"),
+        col("event_id").as("seq"))
+    val upDir = VersionedQueries.scratch("graft_st11_up")
+    val ckpt = VersionedQueries.scratch("graft_st11_ckpt")
+    val tgt = VersionedQueries.scratch("graft_st11_tgt") + "/table"
+    val mx = ev.agg(max(col("seq"))).head().getLong(0)
+    def pump(): Unit = graft.streaming.Ingest.applyChangesStream(
+      s, upDir, tgt, Seq("uid"), "seq", ckpt, scdType = 2, appId = "st11")
+    Versioned.append(ev.filter(col("seq") <= mx / 2), upDir) // v1
+    pump() // initial snapshot arrives as inserts → SCD2 opens
+    Versioned.append(ev.filter(col("seq") > mx / 2), upDir)  // v2
+    pump() // restart: the tail window closes cross-boundary rows
+    pump() // no new data: must be a no-op through the same checkpoint
+    Versioned.read(s, tgt)
+      .select(col("uid"), col("val"), col("__START_AT").as("start_at"),
+        coalesce(col("__END_AT"), lit(-1L)).as("end_at"))
+      .orderBy("uid", "start_at")
+  }
+
+  val streamApplyChangesSql: String =
+    """WITH ev AS (SELECT user_id AS uid,
+      |                   CAST(floor(value * 100) AS BIGINT) AS val,
+      |                   event_id AS seq
+      |            FROM events WHERE event_id % 8 = 4),
+      |seg AS (SELECT uid, val, seq AS start_at,
+      |               lead(seq) OVER (PARTITION BY uid ORDER BY seq) AS end_at
+      |        FROM ev)
+      |SELECT uid, val, start_at, COALESCE(end_at, -1) AS end_at
+      |FROM seg ORDER BY uid, start_at""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("st1_stream_agg", streamAgg, Some(streamAggSql)),
     QueryDef("st2_stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
@@ -505,5 +552,7 @@ object StreamingQueries {
     QueryDef("st7_stream_sessionize", streamSessionize, Some(streamSessionizeSql)),
     QueryDef("st8_stream_versioned", streamVersioned, Some(streamVersionedSql)),
     QueryDef("st9_stream_cdf", streamChangeFeed, Some(streamChangeFeedSql)),
-    QueryDef("st10_stream_chunked", streamChunkedSnapshot, Some(streamChunkedSnapshotSql)))
+    QueryDef("st10_stream_chunked", streamChunkedSnapshot, Some(streamChunkedSnapshotSql)),
+    QueryDef("st11_stream_apply_changes", streamApplyChanges,
+      Some(streamApplyChangesSql)))
 }
