@@ -4875,9 +4875,52 @@ object Versioned {
     * coverage-checks against the live file list and falls back rather
     * than guess.
     */
+  /** Bounded memo of RESOLVED row-count chains, keyed (dir, v) — the
+    * [[filesMemo]] discipline applied to the row-stats walk: a commit
+    * stream re-resolves its predecessor's chain every commit (up to
+    * CheckpointInterval delta-sidecar reads each), and the commit path
+    * PRIMES this memo with the map it just published, making the
+    * steady-state resolve one metadata stat. Hits re-validate against
+    * the version's OWN sidecar (length, mtime) — the one mutable
+    * surface (re-analyze replaces a head sidecar in place; a deleted
+    * and re-created table changes it too). Per-file counts are
+    * immutable, so a stale-but-validated entry can only differ in
+    * COVERAGE, never in a count's value.
+    */
+  private final case class RowsMemoEntry(
+      len: Long, mtime: Long, counts: Map[String, Long], anchored: Boolean)
+  private val rowsMemo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, RowsMemoEntry](8, 0.75f, true) {
+      override protected def removeEldestEntry(
+          e: java.util.Map.Entry[String, RowsMemoEntry]): Boolean =
+        size() > FilesMemoMax
+    })
+
+  private[graft] def clearRowsMemo(): Unit = rowsMemo.clear()
+
+  private def primeRowsMemo(
+      spark: SparkSession, dir: String, v: Long,
+      counts: Map[String, Long], anchored: Boolean): Unit =
+    try {
+      val st = fs(spark, dir).getFileStatus(RowStats.sidecar(logPath(dir), v))
+      rowsMemo.put(memoKey(dir, v),
+        RowsMemoEntry(st.getLen, st.getModificationTime, counts, anchored))
+      ()
+    } catch { case _: java.io.IOException => () }
+
   private def resolveRowCounts(
       spark: SparkSession, dir: String, v: Long): (Map[String, Long], Boolean) = {
     val f = fs(spark, dir)
+    val key = memoKey(dir, v)
+    val st =
+      try Some(f.getFileStatus(RowStats.sidecar(logPath(dir), v)))
+      catch { case _: java.io.IOException => None }
+    st.foreach { s =>
+      val hit = rowsMemo.get(key)
+      if (hit != null && hit.len == s.getLen &&
+          hit.mtime == s.getModificationTime)
+        return (hit.counts, hit.anchored)
+    }
     var acc = Map.empty[String, Long]
     var w = v
     var probed = 0
@@ -4886,11 +4929,17 @@ object Versioned {
       if (f.exists(p)) {
         val (full, counts) = RowStats.parse(readFully(spark, dir, p))
         acc = counts ++ acc // nearer-to-v entries win (identical anyway)
-        if (full) return (acc, true)
+        if (full) {
+          st.foreach(s => rowsMemo.put(key,
+            RowsMemoEntry(s.getLen, s.getModificationTime, acc, true)))
+          return (acc, true)
+        }
       }
       w -= 1
       probed += 1
     }
+    st.foreach(s => rowsMemo.put(key,
+      RowsMemoEntry(s.getLen, s.getModificationTime, acc, false)))
     (acc, false)
   }
 
@@ -4938,6 +4987,10 @@ object Versioned {
       newV % ckptIntervalOf(propertiesAt(spark, dir, newV)) == 0
     if (writeFull) RowStats.publish(f, logPath(dir), newV, all, full = true)
     else RowStats.publish(f, logPath(dir), newV, freshCounts, full = false)
+    // prime the chain memo with what a walk from newV would now yield,
+    // so the NEXT commit's resolve is one metadata stat, not a
+    // sidecar-chain read per commit
+    primeRowsMemo(spark, dir, newV, all, writeFull || anchored)
   }
 
   /** Physical per-file row counts covering EVERY live file at `v`,
@@ -5006,6 +5059,7 @@ object Versioned {
       // always FULL: analyze IS the explicit anchor publication
       RowStats.publish(fs(spark, dir), logPath(dir), head,
         existing ++ freshCounts, full = true)
+      primeRowsMemo(spark, dir, head, existing ++ freshCounts, anchored = true)
     }
     (head, toStat.size.toLong)
   }

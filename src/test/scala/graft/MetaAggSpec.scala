@@ -243,6 +243,44 @@ class MetaAggSpec extends SparkSpec {
     assert(f.collect().length == 5)
   }
 
+  test("analyzeTable backfills a 10^4-file legacy table in one bounded pass") {
+    val dir = tmpDir("ma_scale")
+    Versioned.append(Seq((0L, "seed")).toDF("id", "s").coalesce(1), dir) // v1
+    val seedRel = Versioned.filesAt(spark, dir, 1L).head
+    val seedBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, seedRel))
+    val n = 10000
+    val rels = (0 until n).map { i =>
+      val rel = s"d-ma-$i/part-0.parquet"
+      val p = java.nio.file.Paths.get(dir, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, seedBytes)
+      rel
+    }
+    val schema = Seq((0L, "")).toDF("id", "s").schema
+    Versioned.addFiles(spark, dir, rels, knownSchema = Some(schema)) // v2
+    // simulate a LEGACY table: drop every row-stats artifact, so the
+    // whole snapshot is uncovered and ANALYZE must stat all 10^4+1
+    // files — the adoption path this feature exists for. The fixed
+    // O(1) path matching makes this one distributed footer pass; the
+    // old per-row endsWith scan was O(n²) on the driver.
+    val log = java.nio.file.Paths.get(dir, "_graft_log")
+    java.nio.file.Files.list(log).forEach { p =>
+      val name = p.getFileName.toString
+      if (name.endsWith(".rows.json") || name == ".rowstats")
+        java.nio.file.Files.delete(p)
+    }
+    assert(Versioned.rowCountsAt(spark, dir, 2L).isEmpty, "fixture must be uncovered")
+    val t0 = System.nanoTime()
+    val (v, statted) = Versioned.analyzeTable(spark, dir)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(v == 2L && statted == (n + 1).toLong)
+    assert(secs < 120.0, f"10^4-file analyze took $secs%.1f s — unbounded?")
+    // coverage converges and the metadata count is exact (1 row/file)
+    assert(Versioned.metaRowCountAt(spark, dir, 2L).contains((n + 1).toLong))
+    assert(Versioned.analyzeTable(spark, dir)._2 == 0L)
+  }
+
   test("SQL over a catalog table gets the same log-only count") {
     spark.conf.set("spark.sql.catalog.macat",
       "org.apache.spark.sql.graft.GraftCatalog")
