@@ -1741,6 +1741,80 @@ object VersionedQueries {
       |         (SELECT count(*) FROM ev, b WHERE k <= b.p)
       |) ORDER BY kind, event_id""".stripMargin
 
+  // X — IN-list file skipping under the oracle gate: four range-
+  // disjoint slices keyed by a long id and a zero-padded string key,
+  // zone maps on both plus a bloom on the string key; a pushed
+  // `col IN (…)` through the DSv2 read must plan the disjunctive UNION
+  // of its per-element point probes — the long-zone IN unions two
+  // cross-file points, the string-zone IN prunes on code-point bounds,
+  // and absent-but-in-range string probes are ruled out by the bloom
+  // alone (zones cannot: the probes sit inside a file's [lo, hi]). The
+  // three pruning decisions land as a hashed flag sum; the returned
+  // CONTENT stays exactly the relational answer.
+  def inPruneLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_id") % 8 === 5)
+      .withColumn("k", concat(lit("e-"),
+        lpad(col("event_id").cast("string"), 12, "0")))
+      .withColumn("value_c", floor(col("value") * 100).cast("long"))
+      .select("event_id", "user_id", "k", "value_c")
+    val tableDir = scratchDir("graft_xinprune")
+    val emx = ev.agg(max(col("event_id"))).head().getLong(0)
+    val cuts = Seq(0L, emx / 4, emx / 2, 3 * emx / 4, emx + 1)
+    (0 until 4).foreach(i => Versioned.append(
+      ev.filter(col("event_id") >= cuts(i) && col("event_id") < cuts(i + 1))
+        .coalesce(1), tableDir))
+    Versioned.writeZoneMaps(s, tableDir, 4L, Seq("event_id", "k"))
+    val v = Versioned.buildBloom(s, tableDir, Seq("k"), fpp = 0.001,
+      itemsPerFile = 100000L)
+    val eMin = ev.agg(min(col("event_id"))).head().getLong(0)
+    val all = Versioned.filesAt(s, tableDir, v).size
+    def planned(df: DataFrame): Int =
+      """InMemoryFileIndex\((\d+) paths\)""".r
+        .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+        .map(_.group(1).toInt).getOrElse(all)
+    def flag(b: Boolean): Long = if (b) 1L else 0L
+    def rd = s.read.format("graft-versioned").load(tableDir)
+    val kMin = "e-" + "%012d".format(eMin)
+    val kMax = "e-" + "%012d".format(emx)
+    // two cross-file long points: the union is 2 files, not the span
+    val longIn = rd.filter(col("event_id").isin(eMin, emx))
+    val fLong = flag(planned(longIn) <= 2 && planned(longIn) < all)
+    // same two points through the string key: string zones prune
+    val strIn = rd.filter(col("k").isin(kMin, kMax))
+    val fStr = flag(planned(strIn) <= 2 && planned(strIn) < all)
+    // absent probes INSIDE the two files' code-point bounds (present
+    // key + "0" sorts between neighbors): only the bloom can rule them
+    // out — requiring < 2 planned files survives a lone false positive
+    val absIn = rd.filter(col("k").isin(kMin + "0", kMax + "0"))
+    val fBloom = flag(planned(absIn) < 2)
+    val nAbsent = absIn.count()
+    val hits = longIn
+      .withColumn("kind", lit("content"))
+      .select(col("kind"), col("event_id"), col("user_id"), col("value_c"))
+    val meta = s.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row("meta", -1L, fLong + fStr + fBloom, nAbsent)),
+      new org.apache.spark.sql.types.StructType()
+        .add("kind", org.apache.spark.sql.types.StringType, false)
+        .add("event_id", org.apache.spark.sql.types.LongType, false)
+        .add("user_id", org.apache.spark.sql.types.LongType, false)
+        .add("value_c", org.apache.spark.sql.types.LongType, false))
+    hits.unionByName(meta).orderBy("kind", "event_id")
+  }
+
+  val inPruneLifecycleSql: String =
+    """WITH ev AS (SELECT event_id, user_id,
+      |                   CAST(floor(value * 100) AS BIGINT) AS value_c
+      |            FROM events WHERE event_id % 8 = 5),
+      |b AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM ev)
+      |SELECT kind, event_id, user_id, value_c FROM (
+      |  SELECT 'content' AS kind, event_id, user_id, value_c
+      |  FROM ev, b WHERE event_id IN (b.lo, b.hi)
+      |  UNION ALL
+      |  SELECT 'meta', CAST(-1 AS BIGINT), CAST(3 AS BIGINT),
+      |         CAST(0 AS BIGINT)
+      |) ORDER BY kind, event_id""".stripMargin
+
   // X — per-file row-count stats + metadata-only aggregates (Delta's
   // numRecords/OptimizeMetadataOnlyQuery analog) under the oracle gate:
   // two appends build a versioned table whose unfiltered
@@ -2105,6 +2179,7 @@ object VersionedQueries {
     QueryDef("x_autocompact", autoCompactLifecycle, Some(autoCompactLifecycleSql)),
     QueryDef("x_manifest", manifestLifecycle, Some(manifestLifecycleSql)),
     QueryDef("x_bloom", bloomLifecycle, Some(bloomLifecycleSql)),
+    QueryDef("x_in_prune", inPruneLifecycle, Some(inPruneLifecycleSql)),
     QueryDef("x_apply_changes", applyChangesLifecycle, Some(applyChangesLifecycleSql)),
     QueryDef("x_meta_count", metaCountLifecycle, Some(metaCountLifecycleSql)),
     QueryDef("x_zone_strings", strZonesLifecycle, Some(strZonesLifecycleSql)),

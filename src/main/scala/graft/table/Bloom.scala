@@ -53,11 +53,25 @@ private[graft] object Bloom {
     */
   def probeHash(
       spark: SparkSession, value: Any,
-      colType: Option[org.apache.spark.sql.types.DataType]): Option[Long] = {
+      colType: Option[org.apache.spark.sql.types.DataType]): Option[Long] =
+    probeHashes(spark, Seq(value), colType).head
+
+  /** [[probeHash]] for a whole IN-list in ONE local job: a single
+    * one-row projection computes every literal's (isNull, xxhash64)
+    * pair, so a k-value probe costs one job instead of k.
+    */
+  def probeHashes(
+      spark: SparkSession, values: Seq[Any],
+      colType: Option[org.apache.spark.sql.types.DataType])
+      : Seq[Option[Long]] = {
     import org.apache.spark.sql.functions.{lit, xxhash64}
-    val probe = colType.map(lit(value).try_cast(_)).getOrElse(lit(value))
-    val r = spark.range(1).select(probe.isNull.as("n"), xxhash64(probe)).head()
-    if (r.getBoolean(0)) None else Some(r.getLong(1))
+    val cols = values.zipWithIndex.flatMap { case (value, i) =>
+      val probe = colType.map(lit(value).try_cast(_)).getOrElse(lit(value))
+      Seq(probe.isNull.as(s"n$i"), xxhash64(probe).as(s"h$i"))
+    }
+    val r = spark.range(1).select(cols: _*).head()
+    values.indices.map(i =>
+      if (r.getBoolean(2 * i)) None else Some(r.getLong(2 * i + 1)))
   }
 
   /** One bloom per (file, column) over `relFiles`' RAW bytes (no DV
@@ -119,12 +133,23 @@ private[graft] object Bloom {
   def pruneEquals(
       spark: SparkSession, dir: String, dataNames: Seq[String],
       physCol: String, value: Any, all: Seq[String],
+      colType: Option[org.apache.spark.sql.types.DataType] = None): Seq[String] =
+    pruneIn(spark, dir, dataNames, physCol, Seq(value), all, colType)
+
+  /** IN-list twin of [[pruneEquals]]: k probe hashes (one local job),
+    * ONE distributed pass over the sidecar — a file survives when ANY
+    * probe might be contained (the disjunct's sound union). Any
+    * unrepresentable/null probe disables pruning entirely: that
+    * element's rows could live in files the other probes rule out.
+    */
+  def pruneIn(
+      spark: SparkSession, dir: String, dataNames: Seq[String],
+      physCol: String, values: Seq[Any], all: Seq[String],
       colType: Option[org.apache.spark.sql.types.DataType] = None): Seq[String] = {
     import org.apache.spark.sql.functions.col
-    val h = probeHash(spark, value, colType) match {
-      case Some(x) => x
-      case None => return all // unrepresentable/null probe: never prune
-    }
+    val hsOpt = probeHashes(spark, values, colType)
+    if (hsOpt.exists(_.isEmpty)) return all
+    val hs: Array[Long] = hsOpt.flatten.distinct.toArray
     // a file statted in several generations keeps the union "might
     // contain" verdict — each generation's bloom is a valid bloom of
     // the same immutable bytes, so any `true` keeps the file (sound;
@@ -141,7 +166,7 @@ private[graft] object Bloom {
     val decided = entries.map { case (fr, bytes) =>
       val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(bytes))
-      (fr, bf.mightContainLong(h))
+      (fr, hs.exists(bf.mightContainLong))
     }(org.apache.spark.sql.Encoders.tuple(
       org.apache.spark.sql.Encoders.STRING,
       org.apache.spark.sql.Encoders.scalaBoolean))

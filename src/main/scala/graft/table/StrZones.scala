@@ -227,4 +227,24 @@ object StrZones {
       }
     }
   }
+
+  /** The subset of `all` an IN-list probe must read: the disjunctive
+    * union of [[prune]] equality probes against ONE parsed bounds
+    * block — a file survives when at least one point sits inside its
+    * [lo, hi] (hi = None is unbounded above, the truncation-overflow
+    * sentinel). All-NULL files skip for any point list, like [[prune]].
+    */
+  def pruneIn(
+      all: Seq[String], bounds: Bounds, points: Seq[String]): Seq[String] = {
+    if (points.isEmpty) return all
+    val byFile = bounds.map(b => b.file -> b).toMap
+    all.filter { file =>
+      byFile.get(file) match {
+        case None => true
+        case Some(Bound(_, None, _)) => false
+        case Some(Bound(_, Some(lo), hi)) =>
+          points.exists(p => cpLe(lo, p) && hi.forall(h => cpLe(p, h)))
+      }
+    }
+  }
 }

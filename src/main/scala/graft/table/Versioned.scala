@@ -3861,6 +3861,26 @@ object Versioned {
     }
   }
 
+  /** The file subset a string IN-list scan must read: the disjunctive
+    * union of [[strPrunedFiles]] point probes, answered in ONE sidecar
+    * parse ([[StrZones.pruneIn]]). Null/absent points contribute
+    * nothing (`col IN (…, NULL)` never matches on the NULL element).
+    */
+  def strPrunedFilesIn(
+      spark: SparkSession, dir: String, v: Long, col: String,
+      points: Seq[String]): Seq[String] = {
+    val f = fs(spark, dir)
+    val zp = new Path(logPath(dir), f"v$v%08d.szones.json")
+    val all = filesAt(spark, dir, v)
+    if (points.isEmpty || !f.exists(zp)) return all
+    val json = readFully(spark, dir, zp)
+    val physCol = physicalOf(schemaAt(spark, dir, v), col)
+    StrZones.parseBlock(json, physCol) match {
+      case Some(bounds) => StrZones.pruneIn(all, bounds, points)
+      case None => all
+    }
+  }
+
   /** Range/point scan through the string zones ([[strPrunedFiles]])
     * with the residual predicate and DV subtraction applied — the
     * string twin of [[readWhere]].
@@ -3984,6 +4004,27 @@ object Versioned {
     }
   }
 
+  /** IN-list twin of [[bloomPrunedFiles]]: k probe hashes, ONE pass
+    * over the bloom sidecar ([[Bloom.pruneIn]]). A file survives when
+    * ANY list element might be contained — the sound union of the
+    * disjunction.
+    */
+  def bloomPrunedFilesIn(
+      spark: SparkSession, dir: String, v: Long,
+      col: String, values: Seq[Any]): Seq[String] = {
+    val all = filesAt(spark, dir, v)
+    if (values.isEmpty) return all
+    val sch = schemaAt(spark, dir, v)
+    val phys = physicalOf(sch, col)
+    val dt = sch.flatMap(_.fields.find(_.name.equalsIgnoreCase(col)))
+      .map(_.dataType)
+    Bloom.latestPointerAt(spark, dir, v) match {
+      case Some((_, dataNames, cols, _, _)) if cols.contains(phys) =>
+        Bloom.pruneIn(spark, dir, dataNames, phys, values, all, dt)
+      case _ => all
+    }
+  }
+
   /** Equality scan through the bloom index ([[bloomPrunedFiles]]) with
     * the residual predicate and DV subtraction applied — the
     * point-lookup twin of [[readWhere]]'s range scan.
@@ -4020,6 +4061,26 @@ object Versioned {
         readRaw(spark, dir, schemaAt(spark, dir, v), pruned),
         dvsAt(spark, dir, v))
     df.filter(col(zoneCol) >= lo && col(zoneCol) <= hi)
+  }
+
+  /** The file subset a zoned IN-list scan must read: the disjunctive
+    * union of point probes against ONE parsed zone block
+    * ([[ZoneMaps.pruneIn]]) — points are in the STAT domain (epoch
+    * days/seconds, unscaled decimal) like [[prunedFiles]] endpoints.
+    */
+  def prunedFilesIn(
+      spark: SparkSession, dir: String, v: Long,
+      zoneCol: String, points: Seq[Long]): Seq[String] = {
+    val f = fs(spark, dir)
+    val zp = new Path(logPath(dir), f"v$v%08d.zones.json")
+    val all = filesAt(spark, dir, v)
+    if (points.isEmpty || !f.exists(zp)) return all
+    val json = readFully(spark, dir, zp)
+    val physCol = physicalOf(schemaAt(spark, dir, v), zoneCol)
+    ZoneMaps.parseBlock(json, physCol) match {
+      case Some(zones) => ZoneMaps.pruneIn(all, zones, points)
+      case None => all
+    }
   }
 
   /** The file subset a zoned range scan of `[lo, hi]` would read. */

@@ -142,4 +142,27 @@ private[graft] object ZoneMaps {
       }
     }
   }
+
+  /** The subset of `all` an IN-list probe must read: the disjunctive
+    * union of [[prune]] point probes against ONE parsed zone block — a
+    * file is skipped only when its range provably misses EVERY point.
+    * Sorting the points lets each file's verdict binary-search for the
+    * first point ≥ its lo instead of scanning the list.
+    */
+  def pruneIn(all: Seq[String], zones: Zones, points: Seq[Long]): Seq[String] = {
+    if (points.isEmpty) return all
+    val sorted = points.distinct.sorted.toArray
+    val byFile = zones.map(z => z._1 -> z).toMap
+    all.filter { file =>
+      byFile.get(file) match {
+        case Some((_, zlo, zhi)) =>
+          val i = {
+            val p = java.util.Arrays.binarySearch(sorted, zlo)
+            if (p >= 0) p else -(p + 1)
+          }
+          i < sorted.length && sorted(i) <= zhi
+        case None => true
+      }
+    }
+  }
 }

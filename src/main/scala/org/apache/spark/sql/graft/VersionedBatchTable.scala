@@ -662,6 +662,97 @@ private final class ZonePrunedParquetScanBuilder(
     }
   }
 
+  /** IN-list conjuncts `col IN (lit, …)` (and their post-OptimizeIn
+    * `InSet` form) from the pushed filters, as (attribute, non-null
+    * CATALYST element values) — the disjunctive complement of
+    * [[eqProbes]]/[[bounds]]: each index prunes to the UNION of its
+    * per-element point probes (long zones in the stat domain, string
+    * zones in code-point order, blooms by typed hash), so
+    * `k IN (a, b, c)` plans only files that might hold at least one
+    * element. NULL elements drop — they never make the predicate TRUE
+    * — and a list with any NON-literal element is unminable. Lists
+    * longer than [[inListCap]] degrade to the [min, max] span in the
+    * orderable domains (a sound superset) and skip the bloom, where k
+    * bitset walks per file stop paying for themselves.
+    */
+  private def inProbes: Seq[(CAttr, Seq[Any])] = {
+    import org.apache.spark.sql.catalyst.expressions.{In => CIn, InSet => CInSet}
+    def conjuncts(e: CExpr): Seq[CExpr] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    filters.flatMap(conjuncts).flatMap {
+      case CIn(a: CAttr, list)
+          if list.nonEmpty && list.forall(_.isInstanceOf[CLit]) =>
+        Some(a -> list.collect { case CLit(x, _) if x != null => x })
+      case CInSet(a: CAttr, hset) if hset.nonEmpty =>
+        Some(a -> hset.toSeq.filter(_ != null))
+      case _ => None
+    }.filter(_._2.nonEmpty)
+  }
+
+  private val inListCap = 256
+
+  /** One IN-probe's pruning pass: intersects `live` with the union
+    * verdicts of the long-zone, string-zone, and bloom indexes for
+    * `a IN (raw…)`. Elements that provably match NO stored value
+    * (fractional decimals) drop from the point set; an element the
+    * stat domain can't express at all disables that index instead.
+    */
+  private def pruneInProbe(live: Seq[String], a: CAttr, raw: Seq[Any]): Seq[String] = {
+    import org.apache.spark.sql.types.{ByteType, DateType, DecimalType, IntegerType, LongType, ShortType, StringType, TimestampType}
+    if (live.isEmpty) return live
+    val capped = raw.size > inListCap
+    // stat-domain points; None = this attr's type has no long domain
+    val longPoints: Option[Seq[Long]] = a.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | DateType =>
+        Some(raw.map(_.asInstanceOf[Number].longValue))
+      case TimestampType =>
+        // micros → truncated-seconds stat domain (floor, like bounds)
+        Some(raw.map(x => Math.floorDiv(x.asInstanceOf[Number].longValue, 1000000L)))
+      case d: DecimalType if d.precision <= 18 =>
+        Some(raw.flatMap { x =>
+          val scaled = x.asInstanceOf[org.apache.spark.sql.types.Decimal]
+            .toBigDecimal * BigDecimal(10).pow(d.scale)
+          // a fractional/overflowing element equals no stored unscaled
+          // value — it contributes nothing to the disjunction
+          if (scaled.isWhole && scaled.abs <= BigDecimal(Long.MaxValue))
+            Some(scaled.toLong)
+          else None
+        })
+      case _ => None
+    }
+    val strPoints: Option[Seq[String]] = a.dataType match {
+      case StringType => Some(raw.map(_.toString))
+      case _ => None
+    }
+    val zoned = longPoints match {
+      case Some(ps) if ps.nonEmpty =>
+        val keep =
+          (if (capped) Versioned.prunedFiles(spark, dir, v, a.name, ps.min, ps.max)
+           else Versioned.prunedFilesIn(spark, dir, v, a.name, ps)).toSet
+        live.filter(keep.contains)
+      case _ => live
+    }
+    val strZoned = strPoints match {
+      case Some(ps) if ps.nonEmpty && zoned.nonEmpty =>
+        val keep =
+          (if (capped) Versioned.strPrunedFiles(spark, dir, v, a.name,
+            Some(ps.min(cpOrdering)), Some(ps.max(cpOrdering)))
+           else Versioned.strPrunedFilesIn(spark, dir, v, a.name, ps)).toSet
+        zoned.filter(keep.contains)
+      case _ => zoned
+    }
+    if (capped || strZoned.isEmpty) strZoned
+    else {
+      val vals = raw.map(x =>
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToScala(x, a.dataType))
+      val keep = Versioned.bloomPrunedFilesIn(spark, dir, v, a.name, vals).toSet
+      strZoned.filter(keep.contains)
+    }
+  }
+
   override def build(): Scan = metaAgg match {
     case Some((aggSchema, row)) =>
       // log-answered aggregate: one driver-local row, zero files opened
@@ -700,8 +791,13 @@ private final class ZonePrunedParquetScanBuilder(
           val keep = Versioned.bloomPrunedFiles(spark, dir, v, c, value).toSet
           live.filter(keep.contains)
       }
+      // IN-lists prune to the union of their per-element point probes
+      // across all three indexes (zones, string zones, blooms)
+      val inPruned = inProbes.foldLeft(bloomPruned) {
+        case (live, (a, raw)) => pruneInProbe(live, a, raw)
+      }
       val pruned = limit match {
-        case Some(n) if filters.isEmpty && bloomPruned.nonEmpty =>
+        case Some(n) if filters.isEmpty && inPruned.nonEmpty =>
           Versioned.rowCountsAt(spark, dir, v) match {
             case Some(counts) =>
               if (n == 0) Nil
@@ -711,15 +807,15 @@ private final class ZonePrunedParquetScanBuilder(
                 // never satisfy it alone, so the accumulate-then-stop
                 // shape keeps taking until coverage (or everything).
                 var acc = 0L
-                bloomPruned.sorted.takeWhile { f =>
+                inPruned.sorted.takeWhile { f =>
                   val take = acc < n
                   acc += counts(f)
                   take
                 }
               }
-            case None => bloomPruned // uncovered snapshot: never guess
+            case None => inPruned // uncovered snapshot: never guess
           }
-        case _ => bloomPruned
+        case _ => inPruned
       }
       val real = mkInner(pruned)
       if (filters.nonEmpty) real.pushFilters(filters)

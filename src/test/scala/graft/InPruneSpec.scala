@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.table.Versioned
+
+/** IN-list file skipping through the DSv2 scan: a pushed
+  * `col IN (a, b, c)` prunes the planned file set to the UNION of its
+  * per-element point probes across the long-zone, string-zone, and
+  * bloom sidecars — the disjunctive complement of the single-point
+  * equality path. Lists past the cap degrade to the [min, max] span
+  * (orderable domains) instead of going unpruned.
+  */
+class InPruneSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 4 files, ids range-partitioned (file p holds ids p·25+1 …
+    * p·25+25, keys "k-<id>"), so each value lives in exactly one file.
+    */
+  private def mkTable(prefix: String): String = {
+    val dir = tmpDir(prefix)
+    (0 to 3).foreach { p =>
+      Versioned.append(
+        (1L to 25L).map(i => (p * 25L + i, f"k-${p * 25L + i}%03d"))
+          .toDF("id", "key").coalesce(1), dir)
+    }
+    assert(Versioned.filesAt(spark, dir, 4L).size == 4)
+    dir
+  }
+
+  private def filesOf(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match {
+            case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+              p.fileIndex.inputFiles.length
+          }
+      }).sum
+
+  private def read(dir: String) =
+    spark.read.format("graft-versioned").load(dir)
+
+  test("long-zone IN prunes to the union of per-element files") {
+    val dir = mkTable("in_zone")
+    Versioned.writeZoneMaps(spark, dir, 4L, Seq("id"))
+    // both elements in ONE file
+    val one = read(dir).filter(col("id").isin(30L, 31L))
+    assert(filesOf(one) == 1, "two same-file points must plan one file")
+    assert(one.select("id").as[Long].collect().sorted.toSeq == Seq(30L, 31L))
+    // elements spanning two files: plans exactly their union, NOT the
+    // whole [30, 80] span
+    val two = read(dir).filter(col("id").isin(30L, 80L))
+    assert(filesOf(two) == 2, "two cross-file points must plan two files")
+    assert(two.count() == 2L)
+    // every element outside every zone: zero files planned, zero rows
+    val none = read(dir).filter(col("id").isin(500L, 600L))
+    assert(filesOf(none) == 0)
+    assert(none.count() == 0L)
+  }
+
+  test("the post-OptimizeIn InSet form (long lists) still prunes") {
+    val dir = mkTable("in_inset")
+    Versioned.writeZoneMaps(spark, dir, 4L, Seq("id"))
+    // 16 elements > spark.sql.optimizer.inSetConversionThreshold (10):
+    // the optimizer rewrites In → InSet before pushdown
+    val vals = (30L to 45L).map(java.lang.Long.valueOf)
+    val q = read(dir).filter(col("id").isin(vals: _*))
+    assert(filesOf(q) == 1, "an InSet within one file must plan one file")
+    assert(q.count() == 16L)
+  }
+
+  test("string-zone IN prunes and NULL elements drop soundly") {
+    val dir = mkTable("in_str")
+    Versioned.writeZoneMaps(spark, dir, 4L, Seq("key"))
+    val q = read(dir).filter(col("key").isin("k-030", "k-031"))
+    assert(filesOf(q) == 1, "same-file string points must plan one file")
+    assert(q.select("id").as[Long].collect().sorted.toSeq == Seq(30L, 31L))
+    // a NULL element never matches a row — it must not disable pruning
+    val withNull = read(dir).filter(
+      col("key").isin("k-030", null))
+    assert(filesOf(withNull) == 1)
+    assert(withNull.select("id").as[Long].collect().toSeq == Seq(30L))
+  }
+
+  test("bloom IN prunes when no zones exist; union keeps every hit") {
+    val dir = mkTable("in_bloom")
+    // no zone sidecars — only the bloom can skip
+    Versioned.buildBloom(spark, dir, Seq("key"), itemsPerFile = 1000L)
+    val q = read(dir).filter(col("key").isin("k-030", "k-080"))
+    assert(filesOf(q) == 2, "bloom IN must plan the two containing files")
+    assert(q.select("id").as[Long].collect().sorted.toSeq == Seq(30L, 80L))
+    // absent values: with 25 keys/file at fpp 1% the fixed probes
+    // deterministically rule out everything
+    val none = read(dir).filter(col("key").isin("zz-1", "zz-2"))
+    assert(filesOf(none) == 0)
+    assert(none.count() == 0L)
+  }
+
+  test("a list past the cap degrades to span pruning, rows exact") {
+    val dir = mkTable("in_cap")
+    Versioned.writeZoneMaps(spark, dir, 4L, Seq("id"))
+    // 300 elements > cap 256, all within files 1-2's [26, 75] span
+    val vals = (26L to 325L).map(java.lang.Long.valueOf)
+    val q = read(dir).filter(col("id").isin(vals: _*))
+    // span [26, 325] intersects files 1, 2, 3 — NOT file 0
+    assert(filesOf(q) == 3, "capped list must span-prune to 3 of 4 files")
+    assert(q.count() == 75L) // ids 26..100 exist
+  }
+
+  test("IN composes with other conjuncts and an unindexed column never prunes") {
+    val dir = mkTable("in_conj")
+    Versioned.writeZoneMaps(spark, dir, 4L, Seq("id"))
+    // each conjunct prunes independently: IN keeps the files of 30 and
+    // 80, the range keeps files whose hi ≥ 50 — the intersection is 2
+    // files (the element-level cross-conjunct contradiction at id=30 is
+    // the residual filter's job, not planning's)
+    val q = read(dir).filter(col("id").isin(30L, 80L) && col("id") >= 50L)
+    assert(filesOf(q) == 2)
+    assert(q.select("id").as[Long].collect().toSeq == Seq(80L))
+    // IN on a column with no sidecar: full plan, exact rows
+    val un = read(dir).filter(col("key").isin("k-030"))
+    assert(filesOf(un) == 4)
+    assert(un.count() == 1L)
+  }
+
+  test("date and timestamp IN probes prune in the stat domain") {
+    val dir = tmpDir("in_ts")
+    (0 to 3).foreach { p =>
+      Versioned.append(
+        (1 to 25).map { i =>
+          val d = java.sql.Date.valueOf(java.time.LocalDate
+            .of(2026, 1, 1).plusDays(p * 25 + i - 1))
+          val t = java.sql.Timestamp.valueOf(
+            java.time.LocalDateTime.of(2026, 1, 1, 0, 0, 0)
+              .plusHours(p * 25 + i - 1))
+          (p * 25L + i, d, t)
+        }.toDF("id", "d", "ts").coalesce(1), dir)
+    }
+    Versioned.writeZoneMaps(spark, dir, 4L, Seq("d", "ts"))
+    val dq = read(dir).filter(col("d").isin(
+      java.sql.Date.valueOf("2026-01-30"), java.sql.Date.valueOf("2026-01-31")))
+    assert(filesOf(dq) == 1, "date IN within one file must plan one file")
+    assert(dq.count() == 2L)
+    val tq = read(dir).filter(col("ts").isin(
+      java.sql.Timestamp.valueOf("2026-01-02 05:00:00")))
+    assert(filesOf(tq) == 1, "timestamp IN must prune via floored seconds")
+    assert(tq.count() == 1L)
+  }
+}
