@@ -1606,7 +1606,9 @@ object VersionedQueries {
             b.scan match {
               case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
                 p.fileIndex.inputFiles.length
-              case _ => 0
+              case s => // runtime-filterable wrapper carries its live count
+                """files=(\d+)""".r.findFirstMatchIn(s.description())
+                  .map(_.group(1).toInt).getOrElse(0)
             }
         }).sum
       val exact = probe.select("event_id", "user_id", "value_c").collect().toSet ==
@@ -1812,6 +1814,72 @@ object VersionedQueries {
       |  FROM ev, b WHERE event_id IN (b.lo, b.hi)
       |  UNION ALL
       |  SELECT 'meta', CAST(-1 AS BIGINT), CAST(3 AS BIGINT),
+      |         CAST(0 AS BIGINT)
+      |) ORDER BY kind, event_id""".stripMargin
+
+  // X — dynamic file pruning under the oracle gate: the fact table is
+  // four range-disjoint event_id slices with zone maps; the dim side is
+  // a SELECTIVE slice (the first tenth of the id range) broadcast into
+  // an equi-join. Spark's PartitionPruning rule sees the scan's
+  // runtime-filterable attributes (SupportsRuntimeV2Filtering) and
+  // plants the dim keys as a runtime IN probe — the scan must re-prune
+  // to a strict file subset AFTER planning, before any pruned-out fact
+  // file is opened. The flag hashes that post-execution live-file
+  // count; the content is the exact join answer.
+  def dfpLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_id") % 8 === 1)
+      .withColumn("value_c", floor(col("value") * 100).cast("long"))
+      .select("event_id", "user_id", "value_c")
+    val tableDir = scratchDir("graft_xdfp")
+    val b = ev.agg(min(col("event_id")), max(col("event_id"))).head()
+    val (eMin, eMax) = (b.getLong(0), b.getLong(1))
+    val cuts = Seq(eMin, eMin + (eMax - eMin) / 4, eMin + (eMax - eMin) / 2,
+      eMin + 3 * (eMax - eMin) / 4, eMax + 1)
+    (0 until 4).foreach(i => Versioned.append(
+      ev.filter(col("event_id") >= cuts(i) && col("event_id") < cuts(i + 1))
+        .coalesce(1), tableDir))
+    Versioned.writeZoneMaps(s, tableDir, 4L, Seq("event_id"))
+    val hi = eMin + (eMax - eMin) / 10 // inside the first quartile
+    val dim = ev.filter(col("event_id") <= hi)
+      .select(col("event_id").as("d_id"))
+    val fact = s.read.format("graft-versioned").load(tableDir)
+    val j = fact.join(broadcast(dim), col("event_id") === col("d_id"))
+      .select("event_id", "user_id", "value_c")
+    val out = j.collect() // runtime filters materialize during execution
+    // AQE nests the scan inside query stages (collect doesn't recurse
+    // into them); the rendered plan string carries the scan's CURRENT
+    // description, whose live-file count the runtime filter mutated
+    val planStr = j.queryExecution.executedPlan.toString
+    val live = """GraftRuntimeFilterable\(files=(\d+)""".r
+      .findFirstMatchIn(planStr).map(_.group(1).toInt)
+    val pruned = if (live.exists(_ < 4)) 1L else 0L
+    val hits = s.createDataFrame(
+      java.util.Arrays.asList(out.map(r => org.apache.spark.sql.Row(
+        "content", r.getLong(0), r.getLong(1), r.getLong(2))): _*),
+      new org.apache.spark.sql.types.StructType()
+        .add("kind", org.apache.spark.sql.types.StringType, false)
+        .add("event_id", org.apache.spark.sql.types.LongType, false)
+        .add("user_id", org.apache.spark.sql.types.LongType, false)
+        .add("value_c", org.apache.spark.sql.types.LongType, false))
+    val meta = s.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row("meta", -1L, pruned, 0L)),
+      hits.schema)
+    hits.unionByName(meta).orderBy("kind", "event_id")
+  }
+
+  val dfpLifecycleSql: String =
+    """WITH ev AS (SELECT event_id, user_id,
+      |                   CAST(floor(value * 100) AS BIGINT) AS value_c
+      |            FROM events WHERE event_id % 8 = 1),
+      |b AS (SELECT min(event_id) AS lo,
+      |             min(event_id) + (max(event_id) - min(event_id)) // 10 AS hi
+      |      FROM ev)
+      |SELECT kind, event_id, user_id, value_c FROM (
+      |  SELECT 'content' AS kind, event_id, user_id, value_c
+      |  FROM ev, b WHERE event_id <= b.hi
+      |  UNION ALL
+      |  SELECT 'meta', CAST(-1 AS BIGINT), CAST(1 AS BIGINT),
       |         CAST(0 AS BIGINT)
       |) ORDER BY kind, event_id""".stripMargin
 
@@ -2180,6 +2248,7 @@ object VersionedQueries {
     QueryDef("x_manifest", manifestLifecycle, Some(manifestLifecycleSql)),
     QueryDef("x_bloom", bloomLifecycle, Some(bloomLifecycleSql)),
     QueryDef("x_in_prune", inPruneLifecycle, Some(inPruneLifecycleSql)),
+    QueryDef("x_dfp", dfpLifecycle, Some(dfpLifecycleSql)),
     QueryDef("x_apply_changes", applyChangesLifecycle, Some(applyChangesLifecycleSql)),
     QueryDef("x_meta_count", metaCountLifecycle, Some(metaCountLifecycleSql)),
     QueryDef("x_zone_strings", strZonesLifecycle, Some(strZonesLifecycleSql)),

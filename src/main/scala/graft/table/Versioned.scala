@@ -4063,6 +4063,30 @@ object Versioned {
     df.filter(col(zoneCol) >= lo && col(zoneCol) <= hi)
   }
 
+  /** LOGICAL names of every column a sidecar can prune on at `v` —
+    * long-zone blocks, string-zone blocks, and the bloom pointer's
+    * columns. The advertisement surface for runtime (join-driven) file
+    * skipping: a scan reports these as filterable attributes, and a
+    * broadcast join on one feeds its build-side keys back as an IN
+    * probe. O(3 sidecar headers), no data file opened.
+    */
+  def skippingColumnsAt(
+      spark: SparkSession, dir: String, v: Long): Seq[String] = {
+    val f = fs(spark, dir)
+    val sch = schemaAt(spark, dir, v)
+    def logicalOf(phys: String): String = sch
+      .flatMap(_.fields.find(x => physicalName(x) == phys).map(_.name))
+      .getOrElse(phys)
+    val zp = new Path(logPath(dir), f"v$v%08d.zones.json")
+    val sp = new Path(logPath(dir), f"v$v%08d.szones.json")
+    val zs = if (f.exists(zp)) ZoneMaps.blockCols(readFully(spark, dir, zp))
+      else Seq.empty
+    val ss = if (f.exists(sp)) StrZones.blockCols(readFully(spark, dir, sp))
+      else Seq.empty
+    val bs = Bloom.latestPointerAt(spark, dir, v).map(_._3).getOrElse(Seq.empty)
+    (zs ++ ss ++ bs).map(logicalOf).distinct
+  }
+
   /** The file subset a zoned IN-list scan must read: the disjunctive
     * union of point probes against ONE parsed zone block
     * ([[ZoneMaps.pruneIn]]) — points are in the STAT domain (epoch

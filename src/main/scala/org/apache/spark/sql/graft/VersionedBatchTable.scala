@@ -676,10 +676,23 @@ private final class ZonePrunedParquetScanBuilder(
     * bitset walks per file stop paying for themselves.
     */
   private def inProbes: Seq[(CAttr, Seq[Any])] = {
-    import org.apache.spark.sql.catalyst.expressions.{In => CIn, InSet => CInSet}
+    import org.apache.spark.sql.catalyst.expressions.{In => CIn, InSet => CInSet, Or => COr}
     def conjuncts(e: CExpr): Seq[CExpr] = e match {
       case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
+    }
+    def disjuncts(e: CExpr): Seq[CExpr] = e match {
+      case COr(l, r) => disjuncts(l) ++ disjuncts(r)
+      case other => Seq(other)
+    }
+    // one disjunct's (attr, element values), when it is a point set
+    def pointSet(e: CExpr): Option[(CAttr, Seq[Any])] = e match {
+      case CEq(a: CAttr, l: CLit) => Some(a -> Seq(l.value))
+      case CEq(l: CLit, a: CAttr) => Some(a -> Seq(l.value))
+      case CIn(a: CAttr, list) if list.forall(_.isInstanceOf[CLit]) =>
+        Some(a -> list.collect { case CLit(x, _) => x })
+      case CInSet(a: CAttr, hset) => Some(a -> hset.toSeq)
+      case _ => None
     }
     filters.flatMap(conjuncts).flatMap {
       case CIn(a: CAttr, list)
@@ -687,6 +700,20 @@ private final class ZonePrunedParquetScanBuilder(
         Some(a -> list.collect { case CLit(x, _) if x != null => x })
       case CInSet(a: CAttr, hset) if hset.nonEmpty =>
         Some(a -> hset.toSeq.filter(_ != null))
+      case or @ COr(_, _) =>
+        // `k = a OR k = b OR k IN (c, d)`: Spark never normalizes a
+        // same-attribute OR-equality chain to In, so mine it here —
+        // sound only when EVERY disjunct is a point set on the SAME
+        // attribute (any other disjunct could match rows anywhere)
+        val sets = disjuncts(or).map(pointSet)
+        if (sets.forall(_.isDefined)) {
+          val flat = sets.flatten
+          flat.map(_._1.exprId).distinct match {
+            case Seq(_) =>
+              Some(flat.head._1 -> flat.flatMap(_._2).filter(_ != null))
+            case _ => None
+          }
+        } else None
       case _ => None
     }.filter(_._2.nonEmpty)
   }
@@ -699,12 +726,15 @@ private final class ZonePrunedParquetScanBuilder(
     * (fractional decimals) drop from the point set; an element the
     * stat domain can't express at all disables that index instead.
     */
-  private def pruneInProbe(live: Seq[String], a: CAttr, raw: Seq[Any]): Seq[String] = {
+  private def pruneInProbe(
+      live: Seq[String], name: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      raw: Seq[Any]): Seq[String] = {
     import org.apache.spark.sql.types.{ByteType, DateType, DecimalType, IntegerType, LongType, ShortType, StringType, TimestampType}
     if (live.isEmpty) return live
     val capped = raw.size > inListCap
     // stat-domain points; None = this attr's type has no long domain
-    val longPoints: Option[Seq[Long]] = a.dataType match {
+    val longPoints: Option[Seq[Long]] = dataType match {
       case ByteType | ShortType | IntegerType | LongType | DateType =>
         Some(raw.map(_.asInstanceOf[Number].longValue))
       case TimestampType =>
@@ -722,24 +752,24 @@ private final class ZonePrunedParquetScanBuilder(
         })
       case _ => None
     }
-    val strPoints: Option[Seq[String]] = a.dataType match {
+    val strPoints: Option[Seq[String]] = dataType match {
       case StringType => Some(raw.map(_.toString))
       case _ => None
     }
     val zoned = longPoints match {
       case Some(ps) if ps.nonEmpty =>
         val keep =
-          (if (capped) Versioned.prunedFiles(spark, dir, v, a.name, ps.min, ps.max)
-           else Versioned.prunedFilesIn(spark, dir, v, a.name, ps)).toSet
+          (if (capped) Versioned.prunedFiles(spark, dir, v, name, ps.min, ps.max)
+           else Versioned.prunedFilesIn(spark, dir, v, name, ps)).toSet
         live.filter(keep.contains)
       case _ => live
     }
     val strZoned = strPoints match {
       case Some(ps) if ps.nonEmpty && zoned.nonEmpty =>
         val keep =
-          (if (capped) Versioned.strPrunedFiles(spark, dir, v, a.name,
+          (if (capped) Versioned.strPrunedFiles(spark, dir, v, name,
             Some(ps.min(cpOrdering)), Some(ps.max(cpOrdering)))
-           else Versioned.strPrunedFilesIn(spark, dir, v, a.name, ps)).toSet
+           else Versioned.strPrunedFilesIn(spark, dir, v, name, ps)).toSet
         zoned.filter(keep.contains)
       case _ => zoned
     }
@@ -747,8 +777,8 @@ private final class ZonePrunedParquetScanBuilder(
     else {
       val vals = raw.map(x =>
         org.apache.spark.sql.catalyst.CatalystTypeConverters
-          .convertToScala(x, a.dataType))
-      val keep = Versioned.bloomPrunedFilesIn(spark, dir, v, a.name, vals).toSet
+          .convertToScala(x, dataType))
+      val keep = Versioned.bloomPrunedFilesIn(spark, dir, v, name, vals).toSet
       strZoned.filter(keep.contains)
     }
   }
@@ -794,7 +824,7 @@ private final class ZonePrunedParquetScanBuilder(
       // IN-lists prune to the union of their per-element point probes
       // across all three indexes (zones, string zones, blooms)
       val inPruned = inProbes.foldLeft(bloomPruned) {
-        case (live, (a, raw)) => pruneInProbe(live, a, raw)
+        case (live, (a, raw)) => pruneInProbe(live, a.name, a.dataType, raw)
       }
       val pruned = limit match {
         case Some(n) if filters.isEmpty && inPruned.nonEmpty =>
@@ -817,11 +847,120 @@ private final class ZonePrunedParquetScanBuilder(
           }
         case _ => inPruned
       }
-      val real = mkInner(pruned)
-      if (filters.nonEmpty) real.pushFilters(filters)
-      aggregation.foreach(real.pushAggregation)
-      required.foreach(real.pruneColumns)
-      real.build()
+      def rebuilt(fs: Seq[String]): Scan = {
+        val real = mkInner(fs)
+        if (filters.nonEmpty) real.pushFilters(filters)
+        aggregation.foreach(real.pushAggregation)
+        required.foreach(real.pruneColumns)
+        real.build()
+      }
+      // join-driven runtime file skipping (Delta's dynamic file
+      // pruning analog): when a sidecar indexes any column, advertise
+      // those columns as runtime-filterable so a broadcast join feeds
+      // its build-side keys back as an IN probe before any pruned-out
+      // fact file is opened. Skipped under aggregate/limit pushdown
+      // (their scans answer from metadata or a capped subset already)
+      // and on unindexed tables (zero overhead).
+      val runtimeCols =
+        if (aggregation.nonEmpty || limit.nonEmpty) Seq.empty[String]
+        else Versioned.skippingColumnsAt(spark, dir, v)
+      if (runtimeCols.isEmpty) rebuilt(pruned)
+      else new RuntimeFilteredScan(pruned, runtimeCols, rebuilt)
+  }
+
+  /** [[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]]
+    * wrapper over the delegated parquet scan — Delta's DYNAMIC FILE
+    * PRUNING analog. Spark's PartitionPruning rule plants a
+    * DynamicPruningSubquery on any equi-join whose other side carries a
+    * selective filter and whose key appears in [[filterAttributes]];
+    * at execution the subquery's distinct build-side keys arrive here
+    * as one V2 `IN` predicate, and the same zone/string-zone/bloom
+    * union probes that serve static IN-lists drop every fact file that
+    * cannot hold a matching key — BEFORE the batch plans its
+    * partitions. At 100 TB: `fact JOIN dim WHERE dim.region = 'EU'`
+    * reads the EU files, not the table. Unprunable predicates leave
+    * the file set unchanged (the join itself keeps rows exact — this
+    * only ever narrows IO).
+    */
+  private final class RuntimeFilteredScan(
+      initial: Seq[String], attrs: Seq[String],
+      rebuild: Seq[String] => Scan) extends Scan
+      with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    import org.apache.spark.sql.connector.expressions.{FieldReference, LiteralValue, NamedReference}
+    private var files = initial
+    private var inner = rebuild(initial)
+    /** Post-filter file count — test/debug introspection. */
+    private[graft] def liveFileCount: Int = files.size
+    override def readSchema(): StructType = inner.readSchema()
+    override def toBatch: org.apache.spark.sql.connector.read.Batch =
+      inner.toBatch
+    override def description(): String =
+      s"GraftRuntimeFilterable(files=${files.size}, ${inner.description()})"
+    // planner stats: sizeInBytes flows from the (statically pruned)
+    // inner parquet scan; numRows answers EXACTLY from the row-count
+    // sidecar when it covers every live file — accurate cardinality
+    // feeds the broadcast threshold and AQE's initial plan, which at
+    // 100 TB decides shuffle-vs-broadcast for every star join
+    private lazy val sidecarCounts = Versioned.rowCountsAt(spark, dir, v)
+    override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+      val size = inner match {
+        case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+          s.estimateStatistics().sizeInBytes()
+        case _ => java.util.OptionalLong.empty()
+      }
+      val rows = sidecarCounts
+        .filter(c => files.forall(c.contains))
+        .map(c => files.map(c).sum)
+      new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes() = size
+        override def numRows() = rows
+          .map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+      }
+    }
+    override def columnarSupportMode(): Scan.ColumnarSupportMode =
+      inner.columnarSupportMode()
+    override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+      inner.supportedCustomMetrics()
+    override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+      inner.reportDriverMetrics()
+    override def filterAttributes(): Array[NamedReference] =
+      attrs.map(a => FieldReference(Seq(a)): NamedReference).toArray
+    override def filter(
+        predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+      def nameOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
+        case r: NamedReference if r.fieldNames().length == 1 =>
+          Some(r.fieldNames()(0))
+        case _ => None
+      }
+      val next = predicates.foldLeft(files) { (live, p) =>
+        val kids = p.children()
+        p.name() match {
+          // the shape translateRuntimeFilterV2 emits: IN(col, k1…kn)
+          // with catalyst-internal literal values
+          case "IN" if kids.nonEmpty =>
+            nameOf(kids.head) match {
+              case Some(c) if kids.tail.forall(_.isInstanceOf[LiteralValue[_]]) =>
+                val lits = kids.tail.map(_.asInstanceOf[LiteralValue[_]])
+                val raw = lits.map(_.value.asInstanceOf[Any]).filter(_ != null)
+                if (raw.isEmpty) live
+                else pruneInProbe(live, c, lits.head.dataType, raw.toSeq)
+              case _ => live
+            }
+          case "=" if kids.length == 2 =>
+            (nameOf(kids(0)), kids(1)) match {
+              case (Some(c), l: LiteralValue[_]) if l.value != null =>
+                pruneInProbe(live, c, l.dataType, Seq(l.value))
+              case _ => live
+            }
+          case _ => live // unminable predicate: never widen, never drop
+        }
+      }
+      if (next.size != files.size) {
+        files = next
+        inner = rebuild(next)
+      }
+    }
   }
 }
 

@@ -98,6 +98,9 @@ class BloomSpec extends SparkSpec {
             b.scan match {
               case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
                 p.fileIndex.inputFiles.length
+              case s => // runtime-filterable wrapper carries its live count
+                """files=(\d+)""".r.findFirstMatchIn(s.description())
+                  .map(_.group(1).toInt).getOrElse(Int.MaxValue)
             }
         }).sum
     def read = spark.read.format("graft-versioned").load(dir)

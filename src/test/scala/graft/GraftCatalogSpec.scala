@@ -334,6 +334,9 @@ class GraftCatalogSpec extends SparkSpec {
             b.scan match {
               case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
                 p.fileIndex.inputFiles.length
+              case s => // runtime-filterable wrapper carries its live count
+                """files=(\d+)""".r.findFirstMatchIn(s.description())
+                  .map(_.group(1).toInt).getOrElse(Int.MaxValue)
             }
         }).sum
     val pruned = filesOf(
@@ -382,6 +385,9 @@ class GraftCatalogSpec extends SparkSpec {
             b.scan match {
               case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
                 p.fileIndex.inputFiles.length
+              case s => // runtime-filterable wrapper carries its live count
+                """files=(\d+)""".r.findFirstMatchIn(s.description())
+                  .map(_.group(1).toInt).getOrElse(Int.MaxValue)
             }
         }).sum
     val full = filesOf(s"SELECT id FROM $cat.dz")

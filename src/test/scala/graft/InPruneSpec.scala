@@ -35,6 +35,9 @@ class InPruneSpec extends SparkSpec {
           b.scan match {
             case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
               p.fileIndex.inputFiles.length
+            case s => // runtime-filterable wrapper: live count in the description
+              """files=(\d+)""".r.findFirstMatchIn(s.description())
+                .map(_.group(1).toInt).getOrElse(Int.MaxValue)
           }
       }).sum
 
@@ -122,6 +125,47 @@ class InPruneSpec extends SparkSpec {
     val un = read(dir).filter(col("key").isin("k-030"))
     assert(filesOf(un) == 4)
     assert(un.count() == 1L)
+  }
+
+  test("a same-column OR-equality chain prunes like the IN it denotes") {
+    val dir = mkTable("in_or")
+    Versioned.writeZoneMaps(spark, dir, 4L, Seq("id"))
+    val q = read(dir).filter(
+      col("id") === 30L || col("id") === 80L || col("id").isin(31L))
+    assert(filesOf(q) == 2, "an OR-of-points chain must plan its union")
+    assert(q.select("id").as[Long].collect().sorted.toSeq == Seq(30L, 31L, 80L))
+    // a disjunct on ANOTHER column poisons the chain: no pruning
+    val mixed = read(dir).filter(col("id") === 30L || col("key") === "k-080")
+    assert(filesOf(mixed) == 4, "a cross-column OR must never prune")
+    assert(mixed.count() == 2L)
+    // a non-point disjunct (range) poisons the chain too
+    val ranged = read(dir).filter(col("id") === 30L || col("id") > 90L)
+    assert(filesOf(ranged) == 4)
+    assert(ranged.count() == 11L)
+  }
+
+  test("a broadcast join's build-side keys prune fact files at runtime (dynamic file pruning)") {
+    val dir = mkTable("in_dfp")
+    Versioned.writeZoneMaps(spark, dir, 4L, Seq("id"))
+    // selective dim as a REAL file scan: a local relation would fold
+    // its filter away and PartitionPruning needs a selective Filter
+    // node on the build side to plant the pruning subquery
+    val dimDir = tmpDir("in_dfp_dim")
+    (1L to 100L).map(i => (i, if (i == 30L) "pick" else "skip"))
+      .toDF("d_id", "d_tag").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("d_tag") === "pick")
+    val j = read(dir).join(
+      org.apache.spark.sql.functions.broadcast(dim), col("id") === col("d_id"))
+    val rows = j.collect()
+    assert(rows.map(_.getAs[Long]("id")).toSeq == Seq(30L))
+    val planStr = j.queryExecution.executedPlan.toString
+    assert(planStr.contains("dynamicpruning"),
+      s"expected a planted runtime filter on the fact scan:\n$planStr")
+    val live = """GraftRuntimeFilterable\(files=(\d+)""".r
+      .findFirstMatchIn(planStr).map(_.group(1).toInt)
+    assert(live.isDefined, s"expected a runtime-filterable graft scan:\n$planStr")
+    assert(live.get < 4,
+      s"runtime filter must prune fact files via the zone index: $live of 4")
   }
 
   test("date and timestamp IN probes prune in the stat domain") {

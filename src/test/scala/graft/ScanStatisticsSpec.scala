@@ -84,4 +84,30 @@ class ScanStatisticsSpec extends SparkSpec {
       s"size estimate not log-derived: ${stats.sizeInBytes}")
     assert(stats.sizeInBytes > 0, "size estimate must be positive")
   }
+
+  test("sidecar-indexed tables report EXACT row counts to the planner") {
+    import spark.implicits._
+    val dir = tmpDir("stat_rows")
+    (0 to 3).foreach { p =>
+      Versioned.append(
+        (1L to 25L).map(i => (p * 25L + i, s"n-$i")).toDF("id", "name")
+          .coalesce(1), dir)
+    }
+    Versioned.writeZoneMaps(spark, dir, 4L, Seq("id"))
+    // read the relation node's own stats: a residual Filter parent
+    // would drop rowCount under default (non-CBO) propagation
+    def relRows(df: org.apache.spark.sql.DataFrame): Option[BigInt] =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.stats.rowCount
+      }.flatten
+    val rows = relRows(spark.read.format("graft-versioned").load(dir))
+    assert(rows.contains(BigInt(100)),
+      s"row count must answer exactly from the sidecar: $rows")
+    // a statically pruned read reports the pruned subset's exact rows
+    val pruned = relRows(spark.read.format("graft-versioned").load(dir)
+      .filter(org.apache.spark.sql.functions.col("id").isin(30L, 31L)))
+    assert(pruned.contains(BigInt(25)),
+      s"pruned row count must cover the one surviving file: $pruned")
+  }
 }
