@@ -103,8 +103,13 @@ private[graft] object Bloom {
       // zone-map rule: suffix match against the known list) and unpivot
       // to the (f, c, bloom) sidecar rows
       val rows = perFile.collectAsList() // one row per file — log-sized
+      // URI-keyed O(1) lookup, the RowStats discipline (O(n²) at scale)
+      val byPath = relFiles.map(rel =>
+        new org.apache.hadoop.fs.Path(
+          Versioned.dataPathStr(dir, rel)).toUri.getPath -> rel).toMap
       rows.forEach { r =>
-        val rel = relFiles.find(fr => r.getString(0).endsWith(fr)).getOrElse(
+        val rel = byPath.getOrElse(
+          new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath,
           throw new IllegalStateException(s"bloom row for unknown file ${r.getString(0)}"))
         physCols.zipWithIndex.foreach { case (c, i) =>
           val b = r.get(i + 1)

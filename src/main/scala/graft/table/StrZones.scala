@@ -136,12 +136,17 @@ object StrZones {
     val aggs = cols.flatMap(c => Seq(
       min(substring(col(c), 1, fetch)).as(s"lo_$c"),
       max(substring(col(c), 1, fetch)).as(s"hi_$c")))
+    // URI-keyed O(1) lookup, the RowStats discipline (O(n²) at scale)
+    val byPath = relFiles.map(rel =>
+      new org.apache.hadoop.fs.Path(
+        Versioned.dataPathStr(base, rel)).toUri.getPath -> rel).toMap
     val stats = scan
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect() // one row per file of one write — log-sized
       .map { r =>
-        val rel = relFiles.find(f => r.getString(0).endsWith(f)).getOrElse(
+        val rel = byPath.getOrElse(
+          new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath,
           throw new IllegalStateException(
             s"string-zone row for unknown file ${r.getString(0)}"))
         rel -> r
@@ -226,6 +231,15 @@ object StrZones {
           aboveLo && belowHi
       }
     }
+  }
+
+  /** The subset of `all` an `IS NOT NULL` scan must read: drop files
+    * statted as all-NULL (lo = None) — no row in them can satisfy the
+    * predicate. Unstatted files and files with any real value stay in.
+    */
+  def pruneNotNull(all: Seq[String], bounds: Bounds): Seq[String] = {
+    val allNull = bounds.collect { case Bound(f, None, _) => f }.toSet
+    all.filterNot(allNull.contains)
   }
 
   /** The subset of `all` an IN-list probe must read: the disjunctive

@@ -4087,6 +4087,34 @@ object Versioned {
     (zs ++ ss ++ bs).map(logicalOf).distinct
   }
 
+  /** The file subset an `IS NOT NULL` scan of `col` must read: files
+    * statted all-NULL in the long-zone OR string-zone sidecar drop
+    * (the sentinel rows both [[ZoneMaps.compute]] and
+    * [[StrZones.compute]] record — post-mergeSchema narrow files are
+    * exactly this shape, so an evolution backfill query skips the
+    * entire pre-widening era from the log alone). Unstatted files
+    * never skip.
+    */
+  def notNullPrunedFiles(
+      spark: SparkSession, dir: String, v: Long, col: String): Seq[String] = {
+    val f = fs(spark, dir)
+    val all = filesAt(spark, dir, v)
+    val physCol = physicalOf(schemaAt(spark, dir, v), col)
+    val zp = new Path(logPath(dir), f"v$v%08d.zones.json")
+    val zoned =
+      if (!f.exists(zp)) all
+      else ZoneMaps.parseBlock(readFully(spark, dir, zp), physCol) match {
+        case Some(zones) => ZoneMaps.pruneNotNull(all, zones)
+        case None => all
+      }
+    val szp = new Path(logPath(dir), f"v$v%08d.szones.json")
+    if (!f.exists(szp) || zoned.isEmpty) zoned
+    else StrZones.parseBlock(readFully(spark, dir, szp), physCol) match {
+      case Some(bounds) => StrZones.pruneNotNull(zoned, bounds)
+      case None => zoned
+    }
+  }
+
   /** The file subset a zoned IN-list scan must read: the disjunctive
     * union of point probes against ONE parsed zone block
     * ([[ZoneMaps.pruneIn]]) — points are in the STAT domain (epoch

@@ -73,12 +73,18 @@ private[graft] object ZoneMaps {
       }
     val aggs = cols.flatMap(c =>
       Seq(min(statCol(c)).as(s"lo_$c"), max(statCol(c)).as(s"hi_$c")))
+    // URI-keyed O(1) lookup, the RowStats discipline: a linear suffix
+    // scan per result row is O(n²) on the driver at ANALYZE scale
+    val byPath = relFiles.map(rel =>
+      new org.apache.hadoop.fs.Path(
+        Versioned.dataPathStr(base, rel)).toUri.getPath -> rel).toMap
     val stats = scan
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect() // one row per file of one write — log-sized, not data-sized
       .map { r =>
-        val rel = relFiles.find(f => r.getString(0).endsWith(f)).getOrElse(
+        val rel = byPath.getOrElse(
+          new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath,
           throw new IllegalStateException(s"stats row for unknown file ${r.getString(0)}"))
         rel -> r
       }
@@ -141,6 +147,16 @@ private[graft] object ZoneMaps {
         case None => true // file without stats can never be skipped
       }
     }
+  }
+
+  /** The subset of `all` an `IS NOT NULL` scan must read: drop files
+    * statted as all-NULL (the EMPTY-range sentinel, zlo > zhi) — no
+    * row in them can satisfy the predicate. Unstatted files and files
+    * with any real value stay in.
+    */
+  def pruneNotNull(all: Seq[String], zones: Zones): Seq[String] = {
+    val allNull = zones.collect { case (f, zlo, zhi) if zlo > zhi => f }.toSet
+    all.filterNot(allNull.contains)
   }
 
   /** The subset of `all` an IN-list probe must read: the disjunctive

@@ -720,6 +720,26 @@ private final class ZonePrunedParquetScanBuilder(
 
   private val inListCap = 256
 
+  /** Columns with a pushed `IS NOT NULL` conjunct and NO other minable
+    * probe — a bounded/equality/IN probe on the column already drops
+    * all-NULL-sentinel files, so mining those again would only re-read
+    * the sidecar. A bare not-null scan (the post-mergeSchema backfill
+    * shape: `WHERE new_col IS NOT NULL`) prunes every pre-widening
+    * file from the log alone.
+    */
+  private def notNullProbes: Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{IsNotNull => CNotNull}
+    def conjuncts(e: CExpr): Seq[CExpr] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val covered = bounds.keySet ++ strBounds.keySet ++
+      eqProbes.map(_._1).toSet ++ inProbes.map(_._1.name).toSet
+    filters.flatMap(conjuncts).collect {
+      case CNotNull(a: CAttr) if !covered.contains(a.name) => a.name
+    }.distinct
+  }
+
   /** One IN-probe's pruning pass: intersects `live` with the union
     * verdicts of the long-zone, string-zone, and bloom indexes for
     * `a IN (raw…)`. Elements that provably match NO stored value
@@ -826,8 +846,15 @@ private final class ZonePrunedParquetScanBuilder(
       val inPruned = inProbes.foldLeft(bloomPruned) {
         case (live, (a, raw)) => pruneInProbe(live, a.name, a.dataType, raw)
       }
+      // bare IS NOT NULL conjuncts drop all-NULL-sentinel files
+      val nnPruned = notNullProbes.foldLeft(inPruned) {
+        case (live, _) if live.isEmpty => live
+        case (live, c) =>
+          val keep = Versioned.notNullPrunedFiles(spark, dir, v, c).toSet
+          live.filter(keep.contains)
+      }
       val pruned = limit match {
-        case Some(n) if filters.isEmpty && inPruned.nonEmpty =>
+        case Some(n) if filters.isEmpty && nnPruned.nonEmpty =>
           Versioned.rowCountsAt(spark, dir, v) match {
             case Some(counts) =>
               if (n == 0) Nil
@@ -837,15 +864,15 @@ private final class ZonePrunedParquetScanBuilder(
                 // never satisfy it alone, so the accumulate-then-stop
                 // shape keeps taking until coverage (or everything).
                 var acc = 0L
-                inPruned.sorted.takeWhile { f =>
+                nnPruned.sorted.takeWhile { f =>
                   val take = acc < n
                   acc += counts(f)
                   take
                 }
               }
-            case None => inPruned // uncovered snapshot: never guess
+            case None => nnPruned // uncovered snapshot: never guess
           }
-        case _ => inPruned
+        case _ => nnPruned
       }
       def rebuilt(fs: Seq[String]): Scan = {
         val real = mkInner(fs)

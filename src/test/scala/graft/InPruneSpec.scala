@@ -168,6 +168,34 @@ class InPruneSpec extends SparkSpec {
       s"runtime filter must prune fact files via the zone index: $live of 4")
   }
 
+  test("a bare IS NOT NULL scan skips all-NULL-sentinel files") {
+    val dir = tmpDir("in_nn")
+    // file 0: key and v all NULL (the post-mergeSchema backfill shape);
+    // files 1-3 carry real values
+    (0 to 3).foreach { p =>
+      Versioned.append(
+        (1L to 25L).map { i =>
+          val id = p * 25L + i
+          (id,
+            if (p == 0) null else f"k-$id%03d",
+            if (p == 0) None else Some(id))
+        }.toDF("id", "key", "v").coalesce(1), dir)
+    }
+    Versioned.writeZoneMaps(spark, dir, 4L, Seq("key", "v"))
+    // string sentinel
+    val qs = read(dir).filter(col("key").isNotNull)
+    assert(filesOf(qs) == 3, "all-NULL string file must be skipped")
+    assert(qs.count() == 75L)
+    // long sentinel
+    val ql = read(dir).filter(col("v").isNotNull)
+    assert(filesOf(ql) == 3, "all-NULL long file must be skipped")
+    assert(ql.count() == 75L)
+    // IS NULL is not minable — full plan, exact rows
+    val nul = read(dir).filter(col("key").isNull)
+    assert(filesOf(nul) == 4)
+    assert(nul.count() == 25L)
+  }
+
   test("date and timestamp IN probes prune in the stat domain") {
     val dir = tmpDir("in_ts")
     (0 to 3).foreach { p =>
