@@ -1883,6 +1883,72 @@ object VersionedQueries {
       |         CAST(0 AS BIGINT)
       |) ORDER BY kind, event_id""".stripMargin
 
+  // X — IS NOT NULL file skipping under the oracle gate: two of four
+  // slices carry an all-NULL derived column (the post-mergeSchema
+  // backfill shape — old files surface a new column as NULL), zone
+  // maps record them as all-NULL sentinels, and a bare
+  // `WHERE col IS NOT NULL` through the DSv2 path must plan only the
+  // value-bearing files. The flag hashes the planned-file decision;
+  // content is the exact relational answer (including the IS NULL
+  // complement, which must never be skipped).
+  def notNullSkipLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_id") % 8 === 6)
+      .withColumn("value_c", floor(col("value") * 100).cast("long"))
+      .select("event_id", "user_id", "value_c")
+    val tableDir = scratchDir("graft_xnotnull")
+    val b = ev.agg(min(col("event_id")), max(col("event_id"))).head()
+    val (eMin, eMax) = (b.getLong(0), b.getLong(1))
+    val mid = eMin + (eMax - eMin) / 2
+    // slices 0-1 (below mid): the derived column is NULL; slices 2-3
+    // carry it — mirroring files written before a schema evolution
+    val tagged = ev.withColumn("seg",
+      when(col("event_id") < mid, lit(null).cast("long"))
+        .otherwise(col("value_c")))
+    val cuts = Seq(eMin, eMin + (eMax - eMin) / 4, mid,
+      eMin + 3 * (eMax - eMin) / 4, eMax + 1)
+    (0 until 4).foreach(i => Versioned.append(
+      tagged.filter(col("event_id") >= cuts(i) && col("event_id") < cuts(i + 1))
+        .coalesce(1), tableDir))
+    Versioned.writeZoneMaps(s, tableDir, 4L, Seq("seg"))
+    val all = Versioned.filesAt(s, tableDir, 4L).size
+    def planned(df: DataFrame): Int =
+      """InMemoryFileIndex\((\d+) paths\)""".r
+        .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+        .map(_.group(1).toInt).getOrElse(all)
+    def rd = s.read.format("graft-versioned").load(tableDir)
+    val notNull = rd.filter(col("seg").isNotNull)
+    val fSkip = if (planned(notNull) == 2 && all == 4) 1L else 0L
+    // the complement must stay unskipped (IS NULL is not minable)
+    val isNull = rd.filter(col("seg").isNull)
+    val fFull = if (planned(isNull) == all) 1L else 0L
+    val hits = notNull
+      .withColumn("kind", lit("content"))
+      .select(col("kind"), col("event_id"), col("user_id"), col("value_c"))
+    val meta = s.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row("meta", -1L, fSkip + fFull, isNull.count())),
+      new org.apache.spark.sql.types.StructType()
+        .add("kind", org.apache.spark.sql.types.StringType, false)
+        .add("event_id", org.apache.spark.sql.types.LongType, false)
+        .add("user_id", org.apache.spark.sql.types.LongType, false)
+        .add("value_c", org.apache.spark.sql.types.LongType, false))
+    hits.unionByName(meta).orderBy("kind", "event_id")
+  }
+
+  val notNullSkipLifecycleSql: String =
+    """WITH ev AS (SELECT event_id, user_id,
+      |                   CAST(floor(value * 100) AS BIGINT) AS value_c
+      |            FROM events WHERE event_id % 8 = 6),
+      |b AS (SELECT min(event_id) + (max(event_id) - min(event_id)) // 2 AS mid
+      |      FROM ev)
+      |SELECT kind, event_id, user_id, value_c FROM (
+      |  SELECT 'content' AS kind, event_id, user_id, value_c
+      |  FROM ev, b WHERE event_id >= b.mid
+      |  UNION ALL
+      |  SELECT 'meta', CAST(-1 AS BIGINT), CAST(2 AS BIGINT),
+      |         (SELECT count(*) FROM ev, b WHERE event_id < b.mid)
+      |) ORDER BY kind, event_id""".stripMargin
+
   // X — per-file row-count stats + metadata-only aggregates (Delta's
   // numRecords/OptimizeMetadataOnlyQuery analog) under the oracle gate:
   // two appends build a versioned table whose unfiltered
@@ -2249,6 +2315,7 @@ object VersionedQueries {
     QueryDef("x_bloom", bloomLifecycle, Some(bloomLifecycleSql)),
     QueryDef("x_in_prune", inPruneLifecycle, Some(inPruneLifecycleSql)),
     QueryDef("x_dfp", dfpLifecycle, Some(dfpLifecycleSql)),
+    QueryDef("x_notnull_skip", notNullSkipLifecycle, Some(notNullSkipLifecycleSql)),
     QueryDef("x_apply_changes", applyChangesLifecycle, Some(applyChangesLifecycleSql)),
     QueryDef("x_meta_count", metaCountLifecycle, Some(metaCountLifecycleSql)),
     QueryDef("x_zone_strings", strZonesLifecycle, Some(strZonesLifecycleSql)),
