@@ -1186,6 +1186,73 @@ object Extensions {
        |      < CASE WHEN lang = 'en' THEN 40 ELSE 90 END
        |ORDER BY doc_id""".stripMargin
 
+  /** Temperature-based domain mixture (operators.Splits): per-domain
+    * keep rates `sqrt(n_min/n_d)` so the dominant source downsamples
+    * sublinearly — the data-mixing pass of a pretraining pipeline,
+    * selection by pure hash (reproducible, zero-shuffle per doc).
+    */
+  def mixtureSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Splits
+      .temperatureSample(t(s, dir, "documents"), "source", "doc_id")
+      .orderBy("source")
+
+  val mixtureSampleSql: String =
+    s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       |           FROM documents GROUP BY source),
+       |m AS (SELECT min(n_docs) AS n_min FROM c),
+       |r AS (SELECT source, n_docs,
+       |        CAST(floor(CAST(1000000.0 AS DOUBLE) *
+       |          sqrt(CAST(n_min AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+       |          AS BIGINT) AS rate_ppm
+       |      FROM c, m)
+       |SELECT r.source, r.n_docs, r.rate_ppm,
+       |  CAST(sum(CASE WHEN
+       |      ${sqlPolyHash("CAST(d.doc_id AS VARCHAR) || ':mix'")} % 1000000
+       |      < r.rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM documents d JOIN r ON d.source = r.source
+       |GROUP BY r.source, r.n_docs, r.rate_ppm
+       |ORDER BY r.source""".stripMargin
+
+  /** Deterministic global training-order shuffle (operators.Splits):
+    * the full permutation is pinned by the meta checksum (computed
+    * over EVERY position); the first 100 positions ship as content.
+    */
+  def shuffleOrder(s: SparkSession, dir: String): DataFrame = {
+    val full = graft.operators.Splits
+      .shuffleOrder(t(s, dir, "documents"), "doc_id")
+    val head = full.filter(col("position") <= 100)
+      .withColumn("kind", lit("content"))
+      .select(col("kind"), col("position"), col("doc_id"), col("h"))
+    val chk = full.agg(
+      sum(col("position") * pmod(col("doc_id"), lit(97L))).as("checksum"),
+      count(lit(1)).as("total")).head()
+    val meta = s.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row("meta", -1L, chk.getLong(0), chk.getLong(1))),
+      new org.apache.spark.sql.types.StructType()
+        .add("kind", org.apache.spark.sql.types.StringType, false)
+        .add("position", org.apache.spark.sql.types.LongType, false)
+        .add("doc_id", org.apache.spark.sql.types.LongType, false)
+        .add("h", org.apache.spark.sql.types.LongType, false))
+    head.unionByName(meta).orderBy("kind", "position")
+  }
+
+  val shuffleOrderSql: String =
+    s"""WITH hh AS (SELECT doc_id,
+       |    ${sqlPolyHash("CAST(doc_id AS VARCHAR) || ':shuffle'")} AS h
+       |  FROM documents),
+       |r AS (SELECT doc_id, h,
+       |    CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS position
+       |  FROM hh)
+       |SELECT kind, position, doc_id, h FROM (
+       |  SELECT 'content' AS kind, position, doc_id, h FROM r
+       |  WHERE position <= 100
+       |  UNION ALL
+       |  SELECT 'meta', CAST(-1 AS BIGINT),
+       |    CAST(sum(position * (doc_id % 97)) AS BIGINT),
+       |    CAST(count(*) AS BIGINT)
+       |  FROM r
+       |) ORDER BY kind, position""".stripMargin
+
   /** Train/test contamination scan: test-split documents sharing word
     * 3-gram shingles with any train-split document (split assignment =
     * the deterministic x_split_assign hash). Candidate generation is an
@@ -1432,6 +1499,8 @@ object Extensions {
     QueryDef("x_pagerank", pagerank, Some(pagerankSql)),
     QueryDef("x_bpe_pairs", bpePairs, Some(bpePairsSql)),
     QueryDef("x_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
+    QueryDef("x_mixture_sample", mixtureSample, Some(mixtureSampleSql)),
+    QueryDef("x_shuffle_order", shuffleOrder, Some(shuffleOrderSql)),
     QueryDef("x_contamination", contamination, Some(contaminationSql)),
     QueryDef("x_approx_distinct", approxDistinct, Some(approxDistinctSql)),
     QueryDef("x_heavy_hitters", heavyHitters, Some(heavyHittersSql)),

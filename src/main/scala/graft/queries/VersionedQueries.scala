@@ -2285,7 +2285,92 @@ object VersionedQueries {
       |       CAST(sum(value_c) AS BIGINT) AS sum_c
       |FROM rows_kept GROUP BY user_id % 10 ORDER BY user_mod""".stripMargin
 
+  // X — storage-partitioned join under the oracle gate: two versioned
+  // tables created `PARTITIONED BY (bucket(8, user_id))`, loaded
+  // through catalog INSERTs (the bucketed write path tags every file),
+  // then joined on the bucket key with V2 bucketing enabled and
+  // broadcast disabled. The scan reports KeyGroupedPartitioning, the
+  // catalog serves the shared bucket function, and the join must plan
+  // with ZERO shuffles — at 100 TB this deletes both sides' shuffle
+  // and sort from every co-bucketed fact-fact join. The flags hash the
+  // no-shuffle decision AND the bucket-keyed scan's presence in the
+  // executed plan; the content is the exact join answer.
+  def spjLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_id") % 8 === 3)
+      .withColumn("v", floor(col("value") * 100).cast("long"))
+      .select("event_id", "user_id", "v")
+    val b = ev.agg(min(col("event_id")), max(col("event_id"))).head()
+    val mid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+    val wh = scratchDir("graft_xspj")
+    val cat = s"spjq_${java.util.UUID.randomUUID().toString.take(8)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "org.apache.spark.sql.graft.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE $cat.db")
+    s.sql(s"CREATE TABLE $cat.db.a (user_id BIGINT, c BIGINT, sv BIGINT) " +
+      "PARTITIONED BY (bucket(8, user_id))")
+    s.sql(s"CREATE TABLE $cat.db.b (user_id BIGINT, c BIGINT, sv BIGINT) " +
+      "PARTITIONED BY (bucket(8, user_id))")
+    ev.filter(col("event_id") < mid).groupBy("user_id")
+      .agg(count(lit(1)).as("c"), sum("v").as("sv"))
+      .createOrReplaceTempView(s"${cat}_src_a")
+    ev.filter(col("event_id") >= mid).groupBy("user_id")
+      .agg(count(lit(1)).as("c"), sum("v").as("sv"))
+      .createOrReplaceTempView(s"${cat}_src_b")
+    s.sql(s"INSERT INTO $cat.db.a SELECT user_id, c, sv FROM ${cat}_src_a")
+    s.sql(s"INSERT INTO $cat.db.b SELECT user_id, c, sv FROM ${cat}_src_b")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      val j = s.sql(s"SELECT a.user_id, a.c + b.c AS cnt, a.sv + b.sv AS total " +
+        s"FROM $cat.db.a a JOIN $cat.db.b b ON a.user_id = b.user_id")
+      val out = j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      val fNoShuffle = if (!plan.contains("Exchange hashpartitioning")) 1L else 0L
+      val fScan = if (plan.contains("GraftBucketKeyed")) 1L else 0L
+      val hits = s.createDataFrame(
+        java.util.Arrays.asList(out.map(r => org.apache.spark.sql.Row(
+          "content", r.getLong(0), r.getLong(1), r.getLong(2))): _*),
+        new org.apache.spark.sql.types.StructType()
+          .add("kind", org.apache.spark.sql.types.StringType, false)
+          .add("user_id", org.apache.spark.sql.types.LongType, false)
+          .add("cnt", org.apache.spark.sql.types.LongType, false)
+          .add("total", org.apache.spark.sql.types.LongType, false))
+      val meta = s.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row("meta", -1L, fNoShuffle + fScan, 0L)),
+        hits.schema)
+      hits.unionByName(meta).orderBy("kind", "user_id")
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  val spjLifecycleSql: String =
+    """WITH ev AS (SELECT event_id, user_id,
+      |                   CAST(floor(value * 100) AS BIGINT) AS v
+      |            FROM events WHERE event_id % 8 = 3),
+      |bnd AS (SELECT min(event_id) +
+      |               (max(event_id) - min(event_id)) // 2 AS mid FROM ev),
+      |a AS (SELECT user_id, count(*) AS c, sum(v) AS sv
+      |      FROM ev, bnd WHERE event_id < mid GROUP BY user_id),
+      |b AS (SELECT user_id, count(*) AS c, sum(v) AS sv
+      |      FROM ev, bnd WHERE event_id >= mid GROUP BY user_id)
+      |SELECT kind, user_id, cnt, total FROM (
+      |  SELECT 'content' AS kind, a.user_id, a.c + b.c AS cnt,
+      |         a.sv + b.sv AS total
+      |  FROM a JOIN b ON a.user_id = b.user_id
+      |  UNION ALL
+      |  SELECT 'meta', CAST(-1 AS BIGINT), CAST(2 AS BIGINT),
+      |         CAST(0 AS BIGINT)
+      |) ORDER BY kind, user_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("x_spj", spjLifecycle, Some(spjLifecycleSql)),
     QueryDef("x_sql_timetravel", sqlTimeTravel, Some(sqlTimeTravelSql)),
     QueryDef("x_sql_catalog", sqlCatalog, Some(sqlCatalogSql)),
     QueryDef("x_sql_dml", sqlDml, Some(sqlDmlSql)),

@@ -1052,6 +1052,44 @@ object Versioned {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
 
+  /** Hash-bucket layout declaration (`"<col>,<numBuckets>"`) — the
+    * storage-partitioned-join contract: every append/overwrite under
+    * the declaration routes rows to files by
+    * `pmod(murmur3(col, 42), n)` (Spark's own HashPartitioning
+    * assignment, shared with [[GraftBucketFunction]]), the file name
+    * carries its bucket id (`….gbNNNNN.parquet`), and the DSv2 scan of
+    * a fully-tagged snapshot reports `KeyGroupedPartitioning` so a
+    * join of two tables bucketed by the same key type and count plans
+    * with ZERO shuffle on either side. Declared via CREATE TABLE
+    * `PARTITIONED BY (bucket(n, col))` or SET TBLPROPERTIES; validated
+    * at declaration ([[setProperties]]). Row-rewriting maintenance
+    * (merge/compact/z-order) emits untagged files, which soundly
+    * DISABLES the partitioning report until [[rebucket]] re-tags.
+    */
+  val BucketByKey = "graft.bucketBy"
+
+  /** The declared bucket layout of snapshot `v`: (column, numBuckets). */
+  def bucketSpecAt(spark: SparkSession, dir: String, v: Long): Option[(String, Int)] =
+    propertiesAt(spark, dir, v).get(BucketByKey).flatMap(parseBucketSpec)
+
+  private[graft] def parseBucketSpec(s: String): Option[(String, Int)] =
+    s.split(",").map(_.trim) match {
+      case Array(c, n) if c.nonEmpty && n.toIntOption.exists(_ > 0) =>
+        Some((c, n.toInt))
+      case _ => None
+    }
+
+  private val BucketTag = raw".*\.gb(\d{5})\.parquet".r
+
+  /** The bucket id a data file's name carries, if the file was written
+    * by the bucketed path. Tag rides the NAME (not the log) so carries,
+    * clones, and checkpoints preserve it for free.
+    */
+  def bucketOfFile(rel: String): Option[Int] = rel match {
+    case BucketTag(b) => Some(b.toInt)
+    case _ => None
+  }
+
   /** The generated-column declarations of snapshot `v`: column →
     * generation expression SQL.
     */
@@ -1338,6 +1376,23 @@ object Versioned {
           s"clustering column must be zone-stat typed (integral/timestamp/" +
             s"date/short decimal/string): $c is ${schema(resolved.get).dataType}")
       }
+    }
+    props.get(BucketByKey).foreach { v =>
+      // the bucketed-layout contract must be honorable by every later
+      // write: column present, key type the shared hash supports,
+      // count a sane task fan-out
+      val (c, n) = parseBucketSpec(v).getOrElse(throw new IllegalArgumentException(
+        s"$BucketByKey takes '<column>,<numBuckets>', got '$v'"))
+      require(n >= 1 && n <= 65536,
+        s"$BucketByKey numBuckets must be in [1, 65536], got $n")
+      val schema = schemaAt(spark, dir, base).getOrElse(
+        readAt(spark, dir, base).schema)
+      val field = schema.fields.find(
+        _.name.equalsIgnoreCase(c)).getOrElse(throw new IllegalArgumentException(
+        s"bucket column absent from the snapshot schema: $c"))
+      require(GraftBucketFunction.supportedKeyType(field.dataType),
+        s"bucket column must be integral/string/date/timestamp: " +
+          s"$c is ${field.dataType.catalogString}")
     }
     commitAttempt(spark, dir, "set-properties",
       _ => schemaAt(spark, dir, base)
@@ -2055,6 +2110,63 @@ object Versioned {
     rels
   }
 
+  /** [[writeDataFiles]] under the bucketed layout: rows route to
+    * exactly one output partition per bucket (`repartition(n, col)` —
+    * partition index = `pmod(murmur3(col, 42), n)`, the
+    * [[GraftBucketFunction]] definition), and each written file is
+    * renamed to carry its bucket id as a `.gbNNNNN.parquet` suffix.
+    * The part-file's own `part-NNNNN` index IS the partition index, so
+    * the tag is read off the name Spark already wrote — no extra job.
+    * Renames are driver-side metadata ops, O(files in this batch).
+    * Empty buckets write no file (absent partition values are the
+    * push-part-values side of SPJ). A name that doesn't parse stays
+    * untagged — the scan then refuses to report partitioning rather
+    * than claim a layout the files don't prove.
+    *
+    * Skew note (the 100 TB contract): one bucket = one write task, so
+    * a hot key concentrates in one task — size `numBuckets` so buckets
+    * stay a few GB, same discipline as [[Bucketed]].
+    */
+  private def writeDataFilesBucketed(
+      df: DataFrame, dir: String, col: String, n: Int): Seq[String] = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    val sub = s"d-${UUID.randomUUID().toString}"
+    val parted = df.repartition(n, fcol(col))
+    val byIndex = WriteCounts.capture(parted, parted.write.parquet(s"$dir/$sub"))
+    val f = fs(df.sparkSession, dir)
+    val raw = f.listStatus(new Path(dir, sub)).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+      .sorted
+    val partIdx = raw"part-(\d+)-.*".r
+    val rels = raw.map { name =>
+      name match {
+        case partIdx(i) =>
+          val tagged =
+            name.stripSuffix(".parquet") + f".gb${i.toInt}%05d.parquet"
+          require(f.rename(new Path(s"$dir/$sub/$name"),
+            new Path(s"$dir/$sub/$tagged")),
+            s"bucket-tag rename failed for $sub/$name at $dir")
+          s"$sub/$tagged"
+        case _ => s"$sub/$name"
+      }
+    }
+    WriteCounts.record(rels, byIndex)
+    rels
+  }
+
+  /** The bucketed-write routing decision for a commit planned against
+    * head `head0`: Some((physical column, n)) when the head declares a
+    * bucket layout and the batch carries the column.
+    */
+  private def bucketPlanFor(
+      spark: SparkSession, dir: String, head0: Option[Long],
+      df: DataFrame, physFor: Map[String, String]): Option[(String, Int)] =
+    head0.flatMap(bucketSpecAt(spark, dir, _)).flatMap { case (c, n) =>
+      df.schema.fieldNames.find(_.equalsIgnoreCase(c))
+        .map(logical => (physFor.getOrElse(logical, logical), n))
+    }
+
   /** Schema enforcement + evolution for append commits (Delta's
     * `mergeSchema` contract). Returns the schema JSON the commit should
     * record.
@@ -2241,10 +2353,14 @@ object Versioned {
       validate(head0, consPlusGen(head0,
         head0.map(constraintsAt(spark, dir, _)).getOrElse(Map.empty)))
       val physFor = physPlanFor(spark, dir, head0, df)
-      val fresh = writeDataFiles(
+      val physDf =
         if (physFor.forall(kv => kv._1 == kv._2)) df
         else df.select(df.columns.toSeq.map(c =>
-          org.apache.spark.sql.functions.col(c).as(physFor(c))): _*), dir)
+          org.apache.spark.sql.functions.col(c).as(physFor(c))): _*)
+      val fresh = bucketPlanFor(spark, dir, head0, df, physFor) match {
+        case Some((bc, n)) => writeDataFilesBucketed(physDf, dir, bc, n)
+        case None => writeDataFiles(physDf, dir)
+      }
       val v = commitRetry(spark, dir, "append",
         head => evolvedSchemaJson(spark, dir, head, df, mergeSchema, physFor),
         None, prev => prev ++ fresh,
@@ -2861,10 +2977,14 @@ object Versioned {
       val head0 = currentVersion(spark, dir)
       validate(head0, head0.map(constraintsAt(spark, dir, _)).getOrElse(Map.empty))
       val physFor = physPlanFor(spark, dir, head0, df)
-      val fresh = writeDataFiles(
+      val physDf =
         if (physFor.forall(kv => kv._1 == kv._2)) df
         else df.select(df.columns.toSeq.map(c =>
-          org.apache.spark.sql.functions.col(c).as(physFor(c))): _*), dir)
+          org.apache.spark.sql.functions.col(c).as(physFor(c))): _*)
+      val fresh = bucketPlanFor(spark, dir, head0, df, physFor) match {
+        case Some((bc, n)) => writeDataFilesBucketed(physDf, dir, bc, n)
+        case None => writeDataFiles(physDf, dir)
+      }
       val committed = commitRetry(spark, dir, "append",
         head => evolvedSchemaJson(spark, dir, head, df, mergeSchema = false, physFor),
         Some(appId -> txnVersion), prev => prev ++ fresh, preCommit = validate)
@@ -2900,7 +3020,11 @@ object Versioned {
       validate(head, cons ++ gen)
     }
     guarded(head0, head0.map(constraintsAt(spark, dir, _)).getOrElse(Map.empty))
-    val files = writeDataFiles(toPhysicalFrame(df, Some(df.schema)), dir)
+    val physDf = toPhysicalFrame(df, Some(df.schema))
+    val files = bucketPlanFor(spark, dir, head0, df, Map.empty) match {
+      case Some((bc, n)) => writeDataFilesBucketed(physDf, dir, bc, n)
+      case None => writeDataFiles(physDf, dir)
+    }
     val v = commitRetry(spark, dir, "overwrite",
       _ => df.schema.json, None, _ => files, preCommit = guarded).get
     // nothing kept: fresh-file stats cost O(this write), and zones for
@@ -2930,7 +3054,11 @@ object Versioned {
         validate(head, cons ++ gen)
       }
       guarded(head0, head0.map(constraintsAt(spark, dir, _)).getOrElse(Map.empty))
-      val files = writeDataFiles(toPhysicalFrame(df, Some(df.schema)), dir)
+      val physDf = toPhysicalFrame(df, Some(df.schema))
+      val files = bucketPlanFor(spark, dir, head0, df, Map.empty) match {
+        case Some((bc, n)) => writeDataFilesBucketed(physDf, dir, bc, n)
+        case None => writeDataFiles(physDf, dir)
+      }
       val committed = commitRetry(spark, dir, "overwrite", _ => df.schema.json,
         Some(appId -> txnVersion), _ => files, preCommit = guarded)
       committed.foreach(v =>
@@ -3496,6 +3624,40 @@ object Versioned {
     val fresh = writeDataFiles(toPhysicalFrame(binned, logSchema), dir)
     val v = commitRewriteCommuting(spark, dir, base, "compact-small",
       logSchema.map(_.json).getOrElse(binned.schema.json), small, fresh).get
+    carrySidecars(spark, dir, base, v,
+      filesAt(spark, dir, v).toSet -- fresh.toSet, fresh)
+    Some(v)
+  }
+
+  /** Restores the bucketed layout after row-rewriting maintenance:
+    * rewrites exactly the UNTAGGED files (merge/compact/z-order
+    * outputs carry no bucket tag, which soundly disables the scan's
+    * co-partitioning report) through the bucketed writer, leaving
+    * already-tagged files untouched — incremental, O(untagged), the
+    * `zorderIncremental` discipline applied to buckets. Row-preserving
+    * rewrite under the commute rule (streams skip it, CDF is silent);
+    * DVs on rewritten files materialize. None = nothing to do.
+    */
+  def rebucket(spark: SparkSession, dir: String): Option[Long] = {
+    val base = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
+    val (c, n) = bucketSpecAt(spark, dir, base).getOrElse(
+      throw new IllegalArgumentException(
+        s"rebucket needs a declared bucket layout at $dir — SET " +
+          s"TBLPROPERTIES ('$BucketByKey' = '<col>,<numBuckets>')"))
+    val untagged = filesAt(spark, dir, base).filter(r => bucketOfFile(r).isEmpty)
+    if (untagged.isEmpty) return None
+    val logSchema = schemaAt(spark, dir, base)
+    val field = logSchema.getOrElse(readAt(spark, dir, base).schema)
+      .fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"bucket column $c absent from the snapshot schema at $dir"))
+    val rows = applyDvs(
+      spark, readRaw(spark, dir, logSchema, untagged), dvsAt(spark, dir, base))
+    val fresh = writeDataFilesBucketed(
+      toPhysicalFrame(rows, logSchema), dir, physicalName(field), n)
+    val v = commitRewriteCommuting(spark, dir, base, "rebucket",
+      logSchema.map(_.json).getOrElse(rows.schema.json), untagged, fresh).get
     carrySidecars(spark, dir, base, v,
       filesAt(spark, dir, v).toSet -- fresh.toSet, fresh)
     Some(v)
@@ -5439,9 +5601,9 @@ object Versioned {
     // row-preserving maintenance and metadata-only commits: their
     // snapshot diff is empty (same row multisets, possibly re-filed or
     // re-named) — contribute nothing
-    val silent = Set("optimize", "compact-small", "reorg", "set-constraint",
-      "drop-constraint", "set-properties", "unset-properties", "set-default",
-      "rename-column", "drop-column")
+    val silent = Set("optimize", "compact-small", "reorg", "rebucket",
+      "set-constraint", "drop-constraint", "set-properties",
+      "unset-properties", "set-default", "rename-column", "drop-column")
     // the table's birth commit, if the window reaches back to it: its
     // "diff" is the full v1 content (there is no v0 snapshot to scan)
     val birth = entries.collectFirst { case (1L, json) =>
@@ -5596,7 +5758,8 @@ object Versioned {
     if (nonAppend.isEmpty) WindowShape.AppendOnly
     else {
       val mutating = nonAppend.filterNot { case (_, op) =>
-        op == "optimize" || op == "compact-small" || op == "reorg" }
+        op == "optimize" || op == "compact-small" || op == "reorg" ||
+          op == "rebucket" }
       if (mutating.isEmpty) WindowShape.RowPreserving
       else WindowShape.RowMutating(mutating)
     }
@@ -5795,8 +5958,9 @@ object Versioned {
       spark: SparkSession, dir: String, from: Long, to: Long,
       skipMutating: Boolean = false): DataFrame = {
     require(from <= to, s"streamBatch window is inverted: $from > $to")
-    val skippable = Set("optimize", "compact-small", "reorg", "set-constraint",
-      "drop-constraint", "set-properties", "unset-properties", "set-default")
+    val skippable = Set("optimize", "compact-small", "reorg", "rebucket",
+      "set-constraint", "drop-constraint", "set-properties",
+      "unset-properties", "set-default")
     val ops = (from + 1 to to).map(v => v -> opAt(spark, dir, v))
     val mutating = ops.filterNot { case (_, op) => op == "append" || skippable(op) }
     require(skipMutating || mutating.isEmpty,

@@ -51,7 +51,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.table.Versioned
 
-class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -209,17 +210,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   private def createTableImpl(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: JMap[String, String], gens: Map[String, String]): Table = {
-    // CLUSTER BY (a, b) is the one layout transform graft accepts —
-    // it IS the engine's data-skipping model (declared keys, bare
-    // OPTIMIZE maintains incrementally). Partition transforms refuse:
-    // see the design record in Versioned.scala.
-    val (clusterTs, otherTs) = partitions.partition(
+    // CLUSTER BY (a, b) and bucket(n, col) are the two layout
+    // transforms graft accepts — clustering IS the engine's
+    // data-skipping model (declared keys, bare OPTIMIZE maintains
+    // incrementally) and bucket() declares the storage-partitioned-
+    // join layout (Versioned.BucketByKey). Other partition transforms
+    // refuse: see the design record in Versioned.scala.
+    val (clusterTs, rest0) = partitions.partition(
       _.isInstanceOf[org.apache.spark.sql.connector.expressions.ClusterByTransform])
+    val (bucketTs, otherTs) = rest0.partition(
+      _.isInstanceOf[org.apache.spark.sql.connector.expressions.BucketTransform])
     require(otherTs.isEmpty,
       "graft tables do not take partition transforms — data skipping is " +
         "clustering + zone maps (declare CLUSTER BY (cols), or " +
-        "Versioned.optimizeClusterBy / writeZoneMaps); " +
+        "Versioned.optimizeClusterBy / writeZoneMaps), and co-located " +
+        "joins are PARTITIONED BY (bucket(n, col)); " +
         "see the design record in Versioned.scala")
+    require(bucketTs.length <= 1,
+      "at most one bucket(n, col) transform per table")
+    val bucketSpec: Option[(String, Int)] = bucketTs.headOption.map {
+      case b: org.apache.spark.sql.connector.expressions.BucketTransform =>
+        val n: Int = b.numBuckets.value()
+        require(b.columns.length == 1,
+          s"bucket takes exactly one column, got ${b.describe()}")
+        val ref = b.columns.head
+        require(ref.fieldNames.length == 1,
+          s"nested bucket column is not supported: ${ref.describe()}")
+        (ref.fieldNames.head, n)
+    }
     val clusterCols: Seq[String] = clusterTs.toSeq.flatMap {
       case c: org.apache.spark.sql.connector.expressions.ClusterByTransform =>
         c.columnNames.map { ref =>
@@ -253,7 +271,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val clusterProp =
       if (clusterCols.isEmpty) Map.empty[String, String]
       else Map(Versioned.ClusterByKey -> clusterCols.mkString(","))
-    val toSet = userProps ++ gens ++ clusterProp
+    val bucketProp = bucketSpec
+      .map { case (c, n) => Map(Versioned.BucketByKey -> s"$c,$n") }
+      .getOrElse(Map.empty[String, String])
+    val toSet = userProps ++ gens ++ clusterProp ++ bucketProp
     if (toSet.nonEmpty) Versioned.setProperties(spark, dir, toSet)
     loadTable(ident)
   }
@@ -389,6 +410,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     GraftProcedures.all(this)
       .map(p => Identifier.of(Array("system"), p.name())).toArray
+
+  // ---- functions --------------------------------------------------------
+
+  /** The one V2 function this catalog serves: `bucket(numBuckets, col)`
+    * — what Spark's storage-partitioned-join machinery resolves a
+    * scan-reported bucket transform against
+    * ([[graft.table.GraftBucketFunction]]). Both sides of a join load
+    * it from their table's catalog; equal canonical names prove the
+    * two layouts share one hash.
+    */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket") graft.table.GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, "bucket"))
 
   // ---- namespaces -------------------------------------------------------
 

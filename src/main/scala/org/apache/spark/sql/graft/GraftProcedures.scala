@@ -223,6 +223,21 @@ private[graft] object GraftProcedures {
                 s"no committed versions at $dir")))))
         }),
 
+      Proc("rebucket",
+        "restore the declared bucket layout: rewrite exactly the untagged " +
+          "files (row-rewriting maintenance outputs) through the bucketed " +
+          "writer so the scan's co-partitioning report returns; tagged " +
+          "files carry untouched",
+        Seq(in("table", StringType)),
+        VersionOut,
+        (s, in) => {
+          val dir = dirOf(in)
+          Seq(row(Versioned.rebucket(s, dir).getOrElse(
+            Versioned.currentVersion(s, dir).getOrElse(
+              throw new IllegalArgumentException(
+                s"no committed versions at $dir")))))
+        }),
+
       Proc("set_property",
         "set one table property (the SET TBLPROPERTIES commit)",
         Seq(in("table", StringType), in("key", StringType),

@@ -188,15 +188,23 @@ final class VersionedBatchTable(
     * partition transforms by design (see Versioned.ClusterByKey).
     */
   override def partitioning()
-      : Array[org.apache.spark.sql.connector.expressions.Transform] =
-    version.map(v => Versioned.clusterByAt(spark, dir, v)) match {
+      : Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    val cluster = version.map(v => Versioned.clusterByAt(spark, dir, v)) match {
       case Some(cols) if cols.nonEmpty =>
-        Array(org.apache.spark.sql.connector.expressions.ClusterByTransform(
-          cols.map(c =>
-            org.apache.spark.sql.connector.expressions.FieldReference
-              .column(c)).toSeq))
-      case _ => Array.empty
+        Array[org.apache.spark.sql.connector.expressions.Transform](
+          org.apache.spark.sql.connector.expressions.ClusterByTransform(
+            cols.map(c =>
+              org.apache.spark.sql.connector.expressions.FieldReference
+                .column(c)).toSeq))
+      case _ =>
+        Array.empty[org.apache.spark.sql.connector.expressions.Transform]
     }
+    val bucket = version.flatMap(v => Versioned.bucketSpecAt(spark, dir, v))
+      .map { case (c, n) =>
+        org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+      }.toArray[org.apache.spark.sql.connector.expressions.Transform]
+    cluster ++ bucket
+  }
 
   override def capabilities(): java.util.Set[TableCapability] =
     if (version.isEmpty) java.util.Collections.emptySet()
@@ -891,8 +899,125 @@ private final class ZonePrunedParquetScanBuilder(
       val runtimeCols =
         if (aggregation.nonEmpty || limit.nonEmpty) Seq.empty[String]
         else Versioned.skippingColumnsAt(spark, dir, v)
-      if (runtimeCols.isEmpty) rebuilt(pruned)
-      else new RuntimeFilteredScan(pruned, runtimeCols, rebuilt)
+      // storage-partitioned-join report: when the snapshot declares a
+      // bucket layout and EVERY live (post-pruning) file carries its
+      // bucket tag, the scan proves co-partitioning to the planner —
+      // a join of two tables bucketed by the same key type and count
+      // then plans with NO shuffle on either side (see BucketKeyedScan).
+      // Untagged files (row-rewriting maintenance outputs) soundly
+      // disable the report until Versioned.rebucket re-tags them.
+      // (key column, numBuckets, tagged live files): reportable when
+      // the key type binds the shared hash and every live file either
+      // carries an in-range tag or provably holds ZERO rows (the
+      // catalog's v1 CREATE commit writes one empty untagged file —
+      // the row-count sidecar vouches for it, and a 0-row file can be
+      // dropped from any scan without changing its answer)
+      val spjPlan: Option[(String, Int, Seq[String])] =
+        if (aggregation.nonEmpty || limit.nonEmpty) None
+        else Versioned.bucketSpecAt(spark, dir, v).flatMap { case (c, n) =>
+          val keyName = full.fields.find(f => f.name.equalsIgnoreCase(c) &&
+            graft.table.GraftBucketFunction.supportedKeyType(f.dataType))
+            .map(_.name)
+          val tagsOk = pruned.forall(r =>
+            Versioned.bucketOfFile(r).forall(b => b >= 0 && b < n))
+          val untagged = pruned.filter(r => Versioned.bucketOfFile(r).isEmpty)
+          lazy val emptiesOk = untagged.isEmpty ||
+            Versioned.rowCountsAt(spark, dir, v).exists(counts =>
+              untagged.forall(f => counts.get(f).contains(0L)))
+          val tagged = pruned.filter(r => Versioned.bucketOfFile(r).isDefined)
+          keyName match {
+            case Some(k) if tagsOk && tagged.nonEmpty && emptiesOk =>
+              Some((k, n, tagged))
+            case _ => None
+          }
+        }
+      spjPlan match {
+        case Some((keyName, n, files)) =>
+          new BucketKeyedScan(rebuilt(files), keyName, n,
+            files.flatMap(Versioned.bucketOfFile).distinct.size)
+        case None =>
+          if (runtimeCols.isEmpty) rebuilt(pruned)
+          else new RuntimeFilteredScan(pruned, runtimeCols, rebuilt)
+      }
+  }
+
+  /** [[org.apache.spark.sql.connector.read.SupportsReportPartitioning]]
+    * wrapper over the delegated parquet scan — the STORAGE-PARTITIONED
+    * JOIN surface (SPARK-37375's public contract, the integration shape
+    * Iceberg ships): the scan regroups the planned parquet splits by
+    * each file's bucket tag into ONE input partition per bucket, each
+    * exposing its bucket id via `HasPartitionKey`, and reports
+    * `KeyGroupedPartitioning(bucket(n, key))`. Spark resolves the
+    * bucket transform against the table catalog's FunctionCatalog
+    * ([[graft.table.GraftBucketFunction]] — the same
+    * `pmod(murmur3(key, 42), n)` the write path assigned rows with),
+    * and under `spark.sql.sources.v2.bucketing.enabled` two scans
+    * reporting the same function + count join WITHOUT shuffling either
+    * side. At 100 TB this deletes the dominant cost of a fact-fact
+    * join: both shuffles and both sorts plan away, each task joining
+    * bucket i against bucket i straight off the scan.
+    *
+    * Trade-off made explicit: grouping by bucket caps scan parallelism
+    * at the bucket count (splits of one bucket coalesce into one task),
+    * so the report only exists where the layout proves it — and
+    * `numBuckets` should be sized like shuffle partitions.
+    */
+  private final class BucketKeyedScan(
+      inner: Scan, keyName: String, numBuckets: Int, presentBuckets: Int)
+      extends Scan
+      with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
+    import org.apache.spark.sql.execution.datasources.FilePartition
+
+    override def readSchema(): StructType = inner.readSchema()
+    override def description(): String =
+      s"GraftBucketKeyed(bucket($numBuckets, $keyName), " +
+        s"present=$presentBuckets, ${inner.description()})"
+    override def columnarSupportMode(): Scan.ColumnarSupportMode =
+      inner.columnarSupportMode()
+    override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+      inner.supportedCustomMetrics()
+    override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+      inner.reportDriverMetrics()
+
+    override def outputPartitioning()
+        : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .bucket(numBuckets, keyName)),
+        presentBuckets)
+
+    override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+      inner match {
+        case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+          s.estimateStatistics()
+        case _ => new org.apache.spark.sql.connector.read.Statistics {
+          override def sizeInBytes() = java.util.OptionalLong.empty()
+          override def numRows() = java.util.OptionalLong.empty()
+        }
+      }
+
+    override def toBatch: Batch = new Batch {
+      private val innerBatch = inner.toBatch
+      private lazy val parts: Array[InputPartition] = {
+        val files = innerBatch.planInputPartitions().flatMap {
+          case fp: FilePartition => fp.files
+          case other => throw new IllegalStateException(
+            s"bucketed scan expected FilePartition splits, got $other")
+        }
+        files.groupBy { pf =>
+          Versioned.bucketOfFile(pf.filePath.toString).getOrElse(
+            throw new IllegalStateException(
+              s"untagged file in a bucket-reported scan: ${pf.filePath}"))
+        }.toSeq.sortBy(_._1).zipWithIndex.map { case ((b, fs), i) =>
+          KeyedFilePartition(FilePartition(i, fs), b): InputPartition
+        }.toArray
+      }
+      override def planInputPartitions(): Array[InputPartition] = parts
+      override def createReaderFactory(): PartitionReaderFactory =
+        KeyUnwrapReaderFactory(innerBatch.createReaderFactory())
+    }
   }
 
   /** [[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]]
@@ -989,6 +1114,40 @@ private final class ZonePrunedParquetScanBuilder(
       }
     }
   }
+}
+
+/** One bucket of a bucket-reported scan: all parquet splits of the
+  * bucket's files as one [[FilePartition]]-shaped input partition,
+  * keyed by the bucket id for Spark's `KeyGroupedPartitioning`
+  * machinery ([[HasPartitionKey]] — the row is compared/grouped by
+  * Spark when aligning the two sides of a storage-partitioned join).
+  */
+private final case class KeyedFilePartition(
+    inner: org.apache.spark.sql.execution.datasources.FilePartition,
+    bucket: Int)
+    extends org.apache.spark.sql.connector.read.InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucket))
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Unwraps [[KeyedFilePartition]] back to the [[FilePartition]] the
+  * delegated parquet reader factory expects — the reader itself is
+  * Spark's own vectorized parquet reader, untouched.
+  */
+private final case class KeyUnwrapReaderFactory(
+    inner: org.apache.spark.sql.connector.read.PartitionReaderFactory)
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  private def un(p: org.apache.spark.sql.connector.read.InputPartition) =
+    p.asInstanceOf[KeyedFilePartition].inner
+  override def createReader(p: org.apache.spark.sql.connector.read.InputPartition) =
+    inner.createReader(un(p))
+  override def createColumnarReader(p: org.apache.spark.sql.connector.read.InputPartition) =
+    inner.createColumnarReader(un(p))
+  override def supportColumnarReads(p: org.apache.spark.sql.connector.read.InputPartition) =
+    inner.supportColumnarReads(un(p))
 }
 
 /** Bridges a DataFrame-producing plan that no file scan can express —

@@ -1,0 +1,246 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.table.Versioned
+
+/** Storage-partitioned joins: the bucketed layout
+  * (`graft.bucketBy = "col,n"` / `PARTITIONED BY (bucket(n, col))`),
+  * the bucket-tagged write path, the scan's `KeyGroupedPartitioning`
+  * report, and the planner outcome that justifies all of it — a join
+  * of two co-bucketed tables with NO shuffle on either side.
+  */
+class BucketSpjSpec extends SparkSpec {
+
+  private def freshCat(tag: String): (String, String) = {
+    val cat = s"spjcat_$tag"
+    val wh = tmpDir(s"spjwh_$tag")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "org.apache.spark.sql.graft.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    (cat, wh)
+  }
+
+  private def withSpj[T](body: => T): T = {
+    val keys = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("bucketed append tags every file and keeps buckets pure") {
+    val dir = tmpDir("spj_pure")
+    val df = spark.range(0, 1000)
+      .select(col("id").as("k"), (col("id") * 7).as("v"))
+    Versioned.overwrite(df.limit(0), dir)
+    Versioned.setProperties(spark, dir, Map(Versioned.BucketByKey -> "k,8"))
+    // overwrite drops the pre-declaration (empty, untagged) v1 file
+    Versioned.overwrite(df, dir)
+    val files = Versioned.filesAt(spark, dir,
+      Versioned.currentVersion(spark, dir).get)
+    assert(files.nonEmpty && files.forall(f =>
+      Versioned.bucketOfFile(f).exists(b => b >= 0 && b < 8)),
+      s"every file must carry a bucket tag in [0, 8): $files")
+    // purity: each row's pmod(hash(k), 8) equals its file's tag
+    val withTag = Versioned.readAt(spark, dir,
+        Versioned.currentVersion(spark, dir).get)
+      .withColumn("f", input_file_name())
+      .withColumn("expect", pmod(hash(col("k")), lit(8)))
+    val impure = withTag.collect().filter { r =>
+      val tag = Versioned.bucketOfFile(r.getAs[String]("f")).get
+      tag != r.getAs[Int]("expect")
+    }
+    assert(impure.isEmpty, s"rows outside their file's bucket: ${impure.take(3).toSeq}")
+    // row-count sidecar covered (WriteCounts path survives the rename)
+    assert(Versioned.rowCountsAt(spark, dir,
+      Versioned.currentVersion(spark, dir).get).exists(_.values.sum == 1000L))
+  }
+
+  test("co-bucketed join plans with zero shuffle; mismatched tables still shuffle") {
+    val (cat, _) = freshCat("join")
+    spark.sql(s"CREATE TABLE $cat.db.a (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql(s"CREATE TABLE $cat.db.b (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql(s"CREATE TABLE $cat.db.c (k BIGINT, w BIGINT)") // unbucketed
+    spark.range(0, 2000).selectExpr("id AS k", "id * 3 AS v")
+      .createOrReplaceTempView("spj_src_a")
+    spark.range(0, 2000).selectExpr("id AS k", "id * 5 AS w")
+      .createOrReplaceTempView("spj_src_b")
+    spark.sql(s"INSERT INTO $cat.db.a SELECT * FROM spj_src_a")
+    spark.sql(s"INSERT INTO $cat.db.b SELECT * FROM spj_src_b")
+    spark.sql(s"INSERT INTO $cat.db.c SELECT * FROM spj_src_b")
+    withSpj {
+      val j = spark.sql(s"SELECT sum(a.v + b.w) AS s FROM $cat.db.a a " +
+        s"JOIN $cat.db.b b ON a.k = b.k")
+      assert(j.head().getLong(0) == (0L until 2000L).map(i => i * 8).sum)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-bucketed join must not shuffle either side:\n$plan")
+      // the same join against an unbucketed table must still shuffle
+      val m = spark.sql(s"SELECT sum(a.v + c.w) AS s FROM $cat.db.a a " +
+        s"JOIN $cat.db.c c ON a.k = c.k")
+      assert(m.head().getLong(0) == (0L until 2000L).map(i => i * 8).sum)
+      assert(m.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"),
+        "bucketed-vs-unbucketed join must fall back to shuffle")
+    }
+  }
+
+  test("rewrite outputs disable the report; rebucket restores it") {
+    val (cat, wh) = freshCat("rebucket")
+    spark.sql(s"CREATE TABLE $cat.db.a (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"CREATE TABLE $cat.db.b (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.range(0, 500).selectExpr("id AS k", "id AS v")
+      .createOrReplaceTempView("spj_src_r")
+    spark.sql(s"INSERT INTO $cat.db.a SELECT * FROM spj_src_r")
+    spark.sql(s"INSERT INTO $cat.db.b SELECT k, v AS w FROM spj_src_r")
+    val aDir = s"$wh/db/a"
+    // a row-level UPDATE rewrites touched files WITHOUT bucket tags
+    spark.sql(s"UPDATE $cat.db.a SET v = v + 1 WHERE k < 50")
+    val head = Versioned.currentVersion(spark, aDir).get
+    assert(Versioned.filesAt(spark, aDir, head)
+      .exists(f => Versioned.bucketOfFile(f).isEmpty),
+      "update must leave untagged rewrite outputs")
+    withSpj {
+      val q = s"SELECT sum(a.v + b.w) AS s FROM $cat.db.a a " +
+        s"JOIN $cat.db.b b ON a.k = b.k"
+      val expected = (0L until 500L).map(i => if (i < 50) 2 * i + 1 else 2 * i).sum
+      val j1 = spark.sql(q)
+      assert(j1.head().getLong(0) == expected)
+      assert(j1.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"),
+        "untagged files must disable the co-partitioning report")
+      // rebucket rewrites ONLY the untagged files and re-tags them
+      val untagged = Versioned.filesAt(spark, aDir, head)
+        .filter(f => Versioned.bucketOfFile(f).isEmpty).toSet
+      assert(Versioned.rebucket(spark, aDir).isDefined)
+      val after = Versioned.currentVersion(spark, aDir).get
+      val files = Versioned.filesAt(spark, aDir, after)
+      assert(files.forall(f => Versioned.bucketOfFile(f).isDefined))
+      assert(Versioned.filesAt(spark, aDir, head).filterNot(untagged)
+        .forall(files.contains), "tagged files must carry, not rewrite")
+      assert(Versioned.rebucket(spark, aDir).isEmpty, "idempotent when tagged")
+      val j2 = spark.sql(q)
+      assert(j2.head().getLong(0) == expected)
+      assert(!j2.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"),
+        "rebucketed table must join shuffle-free again")
+    }
+  }
+
+  test("groupBy on the bucket key aggregates with zero shuffle") {
+    val (cat, _) = freshCat("agg")
+    spark.sql(s"CREATE TABLE $cat.db.a (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.range(0, 2000).selectExpr("id % 100 AS k", "id AS v")
+      .createOrReplaceTempView("spj_src_agg")
+    spark.sql(s"INSERT INTO $cat.db.a SELECT * FROM spj_src_agg")
+    withSpj {
+      val q = spark.sql(s"SELECT k, sum(v) AS s FROM $cat.db.a GROUP BY k")
+      val out = q.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out.size == 100 &&
+        out(0L) == (0L until 2000L by 100L).sum &&
+        out(99L) == (99L until 2000L by 100L).sum)
+      // KeyGroupedPartitioning satisfies the aggregation's clustered
+      // distribution: partial+final aggregate fuse onto the scan
+      assert(!q.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "bucket-keyed groupBy must not shuffle")
+    }
+  }
+
+  test("declaration validates column and type; guards refuse nonsense") {
+    val dir = tmpDir("spj_decl")
+    Versioned.overwrite(
+      spark.range(1).selectExpr("id AS k", "CAST(id AS DOUBLE) AS d"), dir)
+    intercept[IllegalArgumentException] {
+      Versioned.setProperties(spark, dir, Map(Versioned.BucketByKey -> "zz,8"))
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.setProperties(spark, dir, Map(Versioned.BucketByKey -> "d,8"))
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.setProperties(spark, dir, Map(Versioned.BucketByKey -> "k,0"))
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.setProperties(spark, dir, Map(Versioned.BucketByKey -> "k"))
+    }
+    Versioned.setProperties(spark, dir, Map(Versioned.BucketByKey -> "k,16"))
+    assert(Versioned.bucketSpecAt(spark, dir,
+      Versioned.currentVersion(spark, dir).get).contains(("k", 16)))
+  }
+
+  test("one side missing buckets still joins shuffle-free (pushPartValues)") {
+    val (cat, _) = freshCat("partial")
+    spark.sql(s"CREATE TABLE $cat.db.a (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"CREATE TABLE $cat.db.b (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.range(0, 400).selectExpr("id AS k", "id AS v")
+      .createOrReplaceTempView("spj_src_full")
+    // b gets ONLY keys hashing to buckets {0, 1}: two of four bucket
+    // partitions exist, so the two sides' partition VALUES mismatch
+    // and Spark must fill the gaps (pushPartValues), not shuffle
+    spark.range(0, 400).selectExpr("id AS k", "id AS w")
+      .filter(pmod(hash(col("k")), lit(4)) < 2)
+      .createOrReplaceTempView("spj_src_part")
+    spark.sql(s"INSERT INTO $cat.db.a SELECT * FROM spj_src_full")
+    spark.sql(s"INSERT INTO $cat.db.b SELECT * FROM spj_src_part")
+    withSpj {
+      val j = spark.sql(s"SELECT count(*) AS n, sum(a.v + b.w) AS s " +
+        s"FROM $cat.db.a a JOIN $cat.db.b b ON a.k = b.k")
+      val expected = spark.range(0, 400)
+        .filter(pmod(hash(col("id").cast("bigint")), lit(4)) < 2)
+        .selectExpr("count(*) AS n", "sum(id + id) AS s").head()
+      val got = j.head()
+      assert(got.getLong(0) == expected.getLong(0) &&
+        got.getLong(1) == expected.getLong(1))
+      assert(!j.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "partial bucket coverage must not force a shuffle")
+    }
+  }
+
+  test("CALL system.rebucket restores the layout by table name") {
+    val (cat, wh) = freshCat("proc")
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.range(0, 200).selectExpr("id AS k", "id AS v")
+      .createOrReplaceTempView("spj_src_p")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT * FROM spj_src_p")
+    spark.sql(s"DELETE FROM $cat.db.t WHERE k = 7") // leaves a DV'd/untagged shape
+    spark.sql(s"UPDATE $cat.db.t SET v = 0 WHERE k = 8")
+    val dir = s"$wh/db/t"
+    val v = spark.sql(s"CALL $cat.system.rebucket(table => 'db.t')")
+      .collect().head.getLong(0)
+    assert(v == Versioned.currentVersion(spark, dir).get)
+    assert(Versioned.filesAt(spark, dir, v)
+      .forall(f => Versioned.bucketOfFile(f).isDefined))
+    // no-op second call answers the unchanged head
+    assert(spark.sql(s"CALL $cat.system.rebucket(table => 'db.t')")
+      .collect().head.getLong(0) == v)
+  }
+
+  test("overwrite under the declaration re-buckets the replacement snapshot") {
+    val dir = tmpDir("spj_ow")
+    Versioned.overwrite(
+      spark.range(10).selectExpr("id AS k", "id AS v"), dir)
+    Versioned.setProperties(spark, dir, Map(Versioned.BucketByKey -> "k,4"))
+    Versioned.overwrite(
+      spark.range(100).selectExpr("id AS k", "id * 2 AS v"), dir)
+    val head = Versioned.currentVersion(spark, dir).get
+    val files = Versioned.filesAt(spark, dir, head)
+    assert(files.nonEmpty && files.forall(f =>
+      Versioned.bucketOfFile(f).exists(b => b >= 0 && b < 4)))
+    assert(Versioned.readAt(spark, dir, head).agg(sum("v")).head().getLong(0) ==
+      (0L until 100L).map(_ * 2).sum)
+  }
+}

@@ -88,4 +88,43 @@ class CorpusPrepSpec extends SparkSpec {
       assert(r.getLong(5) == r.getLong(4) - r.getLong(3) + 1 && r.getLong(5) >= 1)
     }
   }
+
+  test("temperature sampling keeps the smallest domain whole, downsamples sqrt-wise") {
+    // domains: tiny (100), big (6400 = 64x) -> rates 1e6 and 1e6/8
+    val docs = ((0L until 100L).map(i => (i, "tiny")) ++
+      (1000L until 7400L).map(i => (i, "big"))).toDF("doc_id", "source")
+    val out = Splits.temperatureSample(docs, "source", "doc_id")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (nTiny, rTiny, kTiny) = out("tiny")
+    assert(nTiny == 100L && rTiny == 1000000L && kTiny == 100L,
+      s"smallest domain must keep everything: $out")
+    val (nBig, rBig, kBig) = out("big")
+    assert(nBig == 6400L && rBig == 125000L, s"64x domain rate must be 1/8: $out")
+    // kept fraction within sampling noise of the rate (binomial, n=6400)
+    assert(math.abs(kBig - 800L) < 150L, s"kept count off the 1/8 rate: $kBig")
+    // deterministic on re-evaluation
+    val again = Splits.temperatureSample(docs, "source", "doc_id")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(again("big") == kBig && again("tiny") == kTiny)
+  }
+
+  test("shuffleOrder is a deterministic total permutation, salt-independent") {
+    val docs = (0L until 500L).map(i => (i, i)).toDF("doc_id", "v")
+    val a = Splits.shuffleOrder(docs, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.map(_._1).sorted.toSeq == (1L to 500L), "positions must be 1..n")
+    assert(a.map(_._2).toSet.size == 500, "every doc exactly once")
+    // sharded two-pass rank == the naive global rank by (h, id)
+    val naive = Splits.shuffleOrder(docs, "doc_id").orderBy("h", "doc_id")
+      .collect().map(_.getLong(0))
+    assert(naive.toSeq == (1L to 500L), "rank must follow (h, id) order")
+    val b = Splits.shuffleOrder(docs, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq, "deterministic")
+    val other = Splits.shuffleOrder(docs, "doc_id", epoch = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(other.sortBy(_._1).map(_._2).toSeq != a.sortBy(_._1).map(_._2).toSeq,
+      "a new epoch must yield a different permutation")
+  }
 }

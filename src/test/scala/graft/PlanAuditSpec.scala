@@ -28,7 +28,10 @@ class PlanAuditSpec extends SparkSpec {
   private val boundedBroadcastByDesign = Set(
     "x_ann_topk", "x_ann_ivf", "x_ann_ivf_trained", "x_ann_recall",
     "x_ann_quantized", "x_semdedup_ivf", "m1_insert_only", "m2_upsert_lww",
-    "m5_versioned_merge")
+    "m5_versioned_merge",
+    // single-row broadcast scalar aggregate (the global min domain
+    // count) cross-joined into the per-domain rate computation
+    "x_mixture_sample")
 
   test("no unbounded nested-loop or cartesian join in any declared query") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
