@@ -2311,14 +2311,18 @@ object VersionedQueries {
       "PARTITIONED BY (bucket(8, user_id))")
     s.sql(s"CREATE TABLE $cat.db.b (user_id BIGINT, c BIGINT, sv BIGINT) " +
       "PARTITIONED BY (bucket(8, user_id))")
-    ev.filter(col("event_id") < mid).groupBy("user_id")
+    // join key = user_id mod 1000: present in BOTH halves at every
+    // scale factor (raw user_ids are range-disjoint across ScaleData's
+    // key-shifted replicas, which would empty the join at sf1)
+    val keyed = ev.withColumn("uk", pmod(col("user_id"), lit(1000L)))
+    keyed.filter(col("event_id") < mid).groupBy("uk")
       .agg(count(lit(1)).as("c"), sum("v").as("sv"))
       .createOrReplaceTempView(s"${cat}_src_a")
-    ev.filter(col("event_id") >= mid).groupBy("user_id")
+    keyed.filter(col("event_id") >= mid).groupBy("uk")
       .agg(count(lit(1)).as("c"), sum("v").as("sv"))
       .createOrReplaceTempView(s"${cat}_src_b")
-    s.sql(s"INSERT INTO $cat.db.a SELECT user_id, c, sv FROM ${cat}_src_a")
-    s.sql(s"INSERT INTO $cat.db.b SELECT user_id, c, sv FROM ${cat}_src_b")
+    s.sql(s"INSERT INTO $cat.db.a SELECT uk AS user_id, c, sv FROM ${cat}_src_a")
+    s.sql(s"INSERT INTO $cat.db.b SELECT uk AS user_id, c, sv FROM ${cat}_src_b")
     val confs = Seq(
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
       "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
@@ -2356,10 +2360,10 @@ object VersionedQueries {
       |            FROM events WHERE event_id % 8 = 3),
       |bnd AS (SELECT min(event_id) +
       |               (max(event_id) - min(event_id)) // 2 AS mid FROM ev),
-      |a AS (SELECT user_id, count(*) AS c, sum(v) AS sv
-      |      FROM ev, bnd WHERE event_id < mid GROUP BY user_id),
-      |b AS (SELECT user_id, count(*) AS c, sum(v) AS sv
-      |      FROM ev, bnd WHERE event_id >= mid GROUP BY user_id)
+      |a AS (SELECT user_id % 1000 AS user_id, count(*) AS c, sum(v) AS sv
+      |      FROM ev, bnd WHERE event_id < mid GROUP BY user_id % 1000),
+      |b AS (SELECT user_id % 1000 AS user_id, count(*) AS c, sum(v) AS sv
+      |      FROM ev, bnd WHERE event_id >= mid GROUP BY user_id % 1000)
       |SELECT kind, user_id, cnt, total FROM (
       |  SELECT 'content' AS kind, a.user_id, a.c + b.c AS cnt,
       |         a.sv + b.sv AS total

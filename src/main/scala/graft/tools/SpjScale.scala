@@ -38,9 +38,19 @@ object SpjScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    // SPARK_GRAFT_MULT=k replicates the events table k× under shifted
+    // ids — the local shuffle cost scales with rows, so the ratio at
+    // bigger k is the honest trend line toward cluster scale
+    val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "1").toInt
+    val base = spark.read.parquet(s"$sfDir/events.parquet")
       .select(col("event_id"), col("user_id"),
         floor(col("value") * 100).cast("long").as("v"))
+    val events =
+      if (mult == 1) base
+      else base.crossJoin(
+          spark.range(mult).select(col("id").as("__rep")))
+        .select((col("event_id") * mult + col("__rep")).as("event_id"),
+          col("user_id"), col("v"))
 
     val wh = java.nio.file.Files.createTempDirectory("graft_spjscale").toString
     val cat = "spjscale"
