@@ -141,9 +141,11 @@ object GraftSqlParser {
   private val FsckStmt =
     """(?is)^\s*FSCK\s+REPAIR\s+TABLE\s+(.+?)(\s+DRY\s+RUN)?\s*;?\s*$""".r
   // ANALYZE TABLE t COMPUTE STATISTICS — row-count stats backfill
-  // (legacy-table adoption; richer ANALYZE forms delegate to Spark)
+  // (legacy-table adoption); FOR [ALL] COLUMNS computes the CBO
+  // column statistics (ColStats). Other ANALYZE forms delegate.
   private val AnalyzeStmt =
-    """(?is)^\s*ANALYZE\s+TABLE\s+(.+?)\s+COMPUTE\s+STATISTICS\s*;?\s*$""".r
+    ("""(?is)^\s*ANALYZE\s+TABLE\s+(.+?)\s+COMPUTE\s+STATISTICS""" +
+      """(?:\s+FOR\s+(?:(ALL)\s+COLUMNS|COLUMNS\s+(.+?)))?\s*;?\s*$""").r
   // GENERATE symlink_format_manifest FOR TABLE t — Delta's external-
   // reader manifest
   private val GenerateStmt =
@@ -187,8 +189,15 @@ object GraftSqlParser {
         ident(tbl).map(GraftReorgCommand(_))
       case FsckStmt(tbl, dry) =>
         ident(tbl).map(GraftFsckCommand(_, dryRun = dry != null))
-      case AnalyzeStmt(tbl) =>
-        ident(tbl).map(GraftAnalyzeCommand(_))
+      case AnalyzeStmt(tbl, allCols, colList) =>
+        if (allCols == null && colList == null)
+          ident(tbl).map(GraftAnalyzeCommand(_))
+        else {
+          val cols = Option(colList).toSeq.flatMap(_.split(',').toSeq)
+            .map(_.trim).filter(_.nonEmpty)
+          if (cols.exists(c => !cleanIdent(c))) None
+          else ident(tbl).map(GraftAnalyzeColumnsCommand(_, cols))
+        }
       case GenerateStmt(tbl) =>
         ident(tbl).map(GraftGenerateManifestCommand(_))
       case BloomStmt(tbl, cols, opts) =>
@@ -619,6 +628,32 @@ final case class GraftAnalyzeCommand(tableParts: Seq[String])
 
   override def simpleString(maxFields: Int): String =
     s"GraftAnalyzeCommand ${tableParts.mkString(".")}"
+}
+
+/** `ANALYZE TABLE t COMPUTE STATISTICS FOR [ALL] COLUMNS [c1, …]` —
+  * the CBO stats pass over [[Versioned.analyzeColumns]]: one
+  * distributed aggregate computes per-column NDV/nulls/min/max/string
+  * lengths and publishes the colstats sidecar every DSv2 scan then
+  * reports to the planner (`Statistics.columnStats()` →
+  * `spark.sql.cbo.enabled` estimation and join reorder). Empty `cols`
+  * = ALL COLUMNS.
+  */
+final case class GraftAnalyzeColumnsCommand(
+    tableParts: Seq[String], cols: Seq[String])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("columns_analyzed", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftDdl.dirOf(spark, tableParts, "ANALYZE TABLE FOR COLUMNS")
+    val (v, n) = Versioned.analyzeColumns(spark, dir, cols)
+    Seq(Row(v, n))
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftAnalyzeColumnsCommand ${tableParts.mkString(".")} (${cols.mkString(",")})"
 }
 
 /** `GENERATE symlink_format_manifest FOR TABLE t` — Delta's command of

@@ -2354,6 +2354,148 @@ object VersionedQueries {
     }
   }
 
+  // X — bucket-layout point pruning under the oracle gate: a bucketed
+  // versioned table answers `k = v` / `k IN (…)` reads from ONLY the
+  // probed buckets' files — data skipping the hash layout gives with
+  // no index or sidecar (zones cannot skip on a hash-scattered key).
+  // Flags hash the planned-file decisions; content is the exact
+  // relational answer.
+  def bucketPruneLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_id") % 8 === 4)
+      .withColumn("v", floor(col("value") * 100).cast("long"))
+      .select("event_id", "user_id", "v")
+    val b = ev.agg(min(col("event_id")), max(col("event_id"))).head()
+    val (eMin, eMax) = (b.getLong(0), b.getLong(1))
+    val tableDir = scratchDir("graft_xbucketprune")
+    Versioned.overwrite(ev.limit(0), tableDir)
+    Versioned.setProperties(s, tableDir,
+      Map(Versioned.BucketByKey -> "event_id,8"))
+    Versioned.overwrite(ev, tableDir)
+    def planned(df: DataFrame): Int = {
+      df.collect()
+      """InMemoryFileIndex\((\d+) paths""".r
+        .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+        .map(_.group(1).toInt).getOrElse(-1)
+    }
+    def flag(ok: Boolean): Long = if (ok) 1L else 0L
+    val rd = s.read.format("graft-versioned").load(tableDir)
+    val eq = rd.filter(col("event_id") === eMin)
+    val fEq = flag(planned(eq) == 1)
+    val in = rd.filter(col("event_id").isin(eMin, eMax))
+    val fIn = flag(planned(in) <= 2)
+    val hits = eq.unionByName(in).distinct()
+      .withColumn("kind", lit("content"))
+      .select(col("kind"), col("event_id"), col("user_id"), col("v"))
+    val meta = s.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row("meta", -1L, fEq + fIn, 0L)),
+      new org.apache.spark.sql.types.StructType()
+        .add("kind", org.apache.spark.sql.types.StringType, false)
+        .add("event_id", org.apache.spark.sql.types.LongType, false)
+        .add("user_id", org.apache.spark.sql.types.LongType, false)
+        .add("v", org.apache.spark.sql.types.LongType, false))
+    hits.unionByName(meta).orderBy("kind", "event_id")
+  }
+
+  val bucketPruneLifecycleSql: String =
+    """WITH ev AS (SELECT event_id, user_id,
+      |                   CAST(floor(value * 100) AS BIGINT) AS v
+      |            FROM events WHERE event_id % 8 = 4),
+      |b AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM ev)
+      |SELECT kind, event_id, user_id, v FROM (
+      |  SELECT DISTINCT 'content' AS kind, event_id, user_id, v
+      |  FROM ev, b WHERE event_id IN (b.lo, b.hi)
+      |  UNION ALL
+      |  SELECT 'meta', CAST(-1 AS BIGINT), CAST(2 AS BIGINT),
+      |         CAST(0 AS BIGINT)
+      |) ORDER BY kind, event_id""".stripMargin
+
+  // X — ANALYZE FOR COLUMNS → CBO statistics under the oracle gate:
+  // a versioned table is column-analyzed (one distributed pass → the
+  // colstats sidecar), then read with CBO enabled; the optimizer's
+  // per-attribute statistics must materialize from the scan's
+  // `columnStats()` report with the served NDV within 10% of exact and
+  // the served bounds exact. Flags hash those three decisions; content
+  // is the EXACT per-column statistics (count distinct, nulls,
+  // min/max), which DuckDB replays relationally.
+  def colStatsLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_id") % 8 === 7)
+      .withColumn("v", floor(col("value") * 100).cast("long"))
+      .select("event_id", "user_id", "v")
+    val tableDir = scratchDir("graft_xcolstats")
+    Versioned.overwrite(ev, tableDir)
+    Versioned.analyzeColumns(s, tableDir, Seq("event_id", "user_id", "v"))
+    val exact = ev.agg(
+      countDistinct(col("event_id")).as("d_e"),
+      countDistinct(col("user_id")).as("d_u"),
+      countDistinct(col("v")).as("d_v"),
+      min(col("event_id")).as("min_e"), max(col("event_id")).as("max_e"),
+      min(col("user_id")).as("min_u"), max(col("user_id")).as("max_u"),
+      min(col("v")).as("min_v"), max(col("v")).as("max_v")).head()
+    val prev = s.conf.getOption("spark.sql.cbo.enabled")
+    val attrs = try {
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      val q = s.read.format("graft-versioned").load(tableDir)
+        .filter(col("event_id") >= 0)
+      q.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.stats.attributeStats
+      }.getOrElse(org.apache.spark.sql.catalyst.expressions.AttributeMap(
+        Seq.empty[(org.apache.spark.sql.catalyst.expressions.Attribute,
+          org.apache.spark.sql.catalyst.plans.logical.ColumnStat)]))
+    } finally prev match {
+      case Some(x) => s.conf.set("spark.sql.cbo.enabled", x)
+      case None => s.conf.unset("spark.sql.cbo.enabled")
+    }
+    def served(name: String) = attrs.find(_._1.name == name).map(_._2)
+    def flag(ok: Boolean): Long = if (ok) 1L else 0L
+    val exactD = Map("event_id" -> exact.getLong(0),
+      "user_id" -> exact.getLong(1), "v" -> exact.getLong(2))
+    val exactB = Map(
+      "event_id" -> (exact.getLong(3), exact.getLong(4)),
+      "user_id" -> (exact.getLong(5), exact.getLong(6)),
+      "v" -> (exact.getLong(7), exact.getLong(8)))
+    val fAttrs = flag(Seq("event_id", "user_id", "v").forall(served(_).isDefined))
+    val fNdv = flag(exactD.forall { case (c, d) =>
+      served(c).flatMap(_.distinctCount).exists(est =>
+        (est.toLong - d).abs <= math.max(1L, d / 10L)) })
+    val fBounds = flag(exactB.forall { case (c, (lo, hi)) =>
+      served(c).exists(st => st.min.contains(lo) && st.max.contains(hi)) })
+    val hits = s.createDataFrame(java.util.Arrays.asList(
+      Seq("event_id", "user_id", "v").map(c => org.apache.spark.sql.Row(
+        "content", c, exactD(c), exactB(c)._1, exactB(c)._2)): _*),
+      new org.apache.spark.sql.types.StructType()
+        .add("kind", org.apache.spark.sql.types.StringType, false)
+        .add("col_name", org.apache.spark.sql.types.StringType, false)
+        .add("n_distinct", org.apache.spark.sql.types.LongType, false)
+        .add("min_v", org.apache.spark.sql.types.LongType, false)
+        .add("max_v", org.apache.spark.sql.types.LongType, false))
+    val meta = s.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row("meta", "flags", fAttrs + fNdv + fBounds, 0L, 0L)),
+      hits.schema)
+    hits.unionByName(meta).orderBy("kind", "col_name")
+  }
+
+  val colStatsLifecycleSql: String =
+    """WITH ev AS (SELECT event_id, user_id,
+      |                   CAST(floor(value * 100) AS BIGINT) AS v
+      |            FROM events WHERE event_id % 8 = 7)
+      |SELECT kind, col_name, n_distinct, min_v, max_v FROM (
+      |  SELECT 'content' AS kind, 'event_id' AS col_name,
+      |         CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+      |         min(event_id) AS min_v, max(event_id) AS max_v FROM ev
+      |  UNION ALL
+      |  SELECT 'content', 'user_id', CAST(count(DISTINCT user_id) AS BIGINT),
+      |         min(user_id), max(user_id) FROM ev
+      |  UNION ALL
+      |  SELECT 'content', 'v', CAST(count(DISTINCT v) AS BIGINT),
+      |         min(v), max(v) FROM ev
+      |  UNION ALL
+      |  SELECT 'meta', 'flags', CAST(3 AS BIGINT), CAST(0 AS BIGINT),
+      |         CAST(0 AS BIGINT)
+      |) ORDER BY kind, col_name""".stripMargin
+
   val spjLifecycleSql: String =
     """WITH ev AS (SELECT event_id, user_id,
       |                   CAST(floor(value * 100) AS BIGINT) AS v
@@ -2375,6 +2517,8 @@ object VersionedQueries {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("x_spj", spjLifecycle, Some(spjLifecycleSql)),
+    QueryDef("x_bucket_prune", bucketPruneLifecycle, Some(bucketPruneLifecycleSql)),
+    QueryDef("x_colstats", colStatsLifecycle, Some(colStatsLifecycleSql)),
     QueryDef("x_sql_timetravel", sqlTimeTravel, Some(sqlTimeTravelSql)),
     QueryDef("x_sql_catalog", sqlCatalog, Some(sqlCatalogSql)),
     QueryDef("x_sql_dml", sqlDml, Some(sqlDmlSql)),

@@ -46,6 +46,19 @@ object GraftBucketFunction extends UnboundFunction {
       "the bucket id graft's bucketed writes assign rows to " +
       "(HashPartitioning's own expression)"
 
+  /** The bucket a CATALYST-valued key lands in — the one definition
+    * shared by [[GraftBucketBound.produceResult]] and the scan's
+    * bucket-point pruning ([[org.apache.spark.sql.graft]]): rows with
+    * `col = value` can only live in this bucket's files.
+    */
+  def bucketOf(value: Any, dt: DataType, n: Int): Int = {
+    val h: Int =
+      if (value == null) 42
+      else Murmur3HashFunction.hash(value, dt, 42L).toInt
+    val r = h % n
+    if (r < 0) r + n else r
+  }
+
   override def bind(inputType: StructType): BoundFunction = {
     require(inputType.fields.length == 2,
       s"bucket takes (numBuckets, col), got ${inputType.catalogString}")
@@ -71,14 +84,10 @@ final case class GraftBucketBound(keyType: DataType)
   override def isDeterministic: Boolean = true
 
   override def produceResult(input: InternalRow): Integer = {
-    val n = input.getInt(0)
     // HashPartitioning's fold: null contributes nothing (seed stays),
     // then the 32-bit hash pmods into [0, n)
-    val h: Int =
-      if (input.isNullAt(1)) 42
-      else Murmur3HashFunction.hash(
-        input.get(1, keyType), keyType, 42L).toInt
-    val r = h % n
-    if (r < 0) r + n else r
+    GraftBucketFunction.bucketOf(
+      if (input.isNullAt(1)) null else input.get(1, keyType),
+      keyType, input.getInt(0))
   }
 }

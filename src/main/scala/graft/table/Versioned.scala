@@ -2128,10 +2128,21 @@ object Versioned {
     * stay a few GB, same discipline as [[Bucketed]].
     */
   private def writeDataFilesBucketed(
-      df: DataFrame, dir: String, col: String, n: Int): Seq[String] = {
+      df: DataFrame, dir: String, col: String, n: Int,
+      sortCols: Seq[String] = Nil): Seq[String] = {
     import org.apache.spark.sql.functions.{col => fcol}
     val sub = s"d-${UUID.randomUUID().toString}"
-    val parted = df.repartition(n, fcol(col))
+    // WITHIN-BUCKET clustering: hash scattering makes every bucket
+    // file span the full range of any non-key column, so declared
+    // CLUSTER BY keys sort inside each bucket partition (no extra
+    // shuffle — partition assignment is untouched) and the per-file
+    // zone stats stay tight when a bucket emits several files
+    // (maxRecordsPerFile splits, large batches). The Bucketed-layout
+    // ZoneSpec discipline applied to versioned bucket tables.
+    val parted0 = df.repartition(n, fcol(col))
+    val parted =
+      if (sortCols.isEmpty) parted0
+      else parted0.sortWithinPartitions(sortCols.map(fcol): _*)
     val byIndex = WriteCounts.capture(parted, parted.write.parquet(s"$dir/$sub"))
     val f = fs(df.sparkSession, dir)
     val raw = f.listStatus(new Path(dir, sub)).toSeq
@@ -2156,15 +2167,22 @@ object Versioned {
   }
 
   /** The bucketed-write routing decision for a commit planned against
-    * head `head0`: Some((physical column, n)) when the head declares a
-    * bucket layout and the batch carries the column.
+    * head `head0`: Some((physical column, n, physical within-bucket
+    * sort columns)) when the head declares a bucket layout and the
+    * batch carries the column. Sort columns are the declared CLUSTER
+    * BY keys the batch also carries — see [[writeDataFilesBucketed]].
     */
   private def bucketPlanFor(
       spark: SparkSession, dir: String, head0: Option[Long],
-      df: DataFrame, physFor: Map[String, String]): Option[(String, Int)] =
+      df: DataFrame, physFor: Map[String, String])
+      : Option[(String, Int, Seq[String])] =
     head0.flatMap(bucketSpecAt(spark, dir, _)).flatMap { case (c, n) =>
-      df.schema.fieldNames.find(_.equalsIgnoreCase(c))
-        .map(logical => (physFor.getOrElse(logical, logical), n))
+      df.schema.fieldNames.find(_.equalsIgnoreCase(c)).map { logical =>
+        val sortCols = head0.map(clusterByAt(spark, dir, _)).getOrElse(Nil)
+          .flatMap(sc => df.schema.fieldNames.find(_.equalsIgnoreCase(sc)))
+          .map(l => physFor.getOrElse(l, l))
+        (physFor.getOrElse(logical, logical), n, sortCols)
+      }
     }
 
   /** Schema enforcement + evolution for append commits (Delta's
@@ -2358,7 +2376,7 @@ object Versioned {
         else df.select(df.columns.toSeq.map(c =>
           org.apache.spark.sql.functions.col(c).as(physFor(c))): _*)
       val fresh = bucketPlanFor(spark, dir, head0, df, physFor) match {
-        case Some((bc, n)) => writeDataFilesBucketed(physDf, dir, bc, n)
+        case Some((bc, n, sc)) => writeDataFilesBucketed(physDf, dir, bc, n, sc)
         case None => writeDataFiles(physDf, dir)
       }
       val v = commitRetry(spark, dir, "append",
@@ -2982,7 +3000,7 @@ object Versioned {
         else df.select(df.columns.toSeq.map(c =>
           org.apache.spark.sql.functions.col(c).as(physFor(c))): _*)
       val fresh = bucketPlanFor(spark, dir, head0, df, physFor) match {
-        case Some((bc, n)) => writeDataFilesBucketed(physDf, dir, bc, n)
+        case Some((bc, n, sc)) => writeDataFilesBucketed(physDf, dir, bc, n, sc)
         case None => writeDataFiles(physDf, dir)
       }
       val committed = commitRetry(spark, dir, "append",
@@ -3022,7 +3040,7 @@ object Versioned {
     guarded(head0, head0.map(constraintsAt(spark, dir, _)).getOrElse(Map.empty))
     val physDf = toPhysicalFrame(df, Some(df.schema))
     val files = bucketPlanFor(spark, dir, head0, df, Map.empty) match {
-      case Some((bc, n)) => writeDataFilesBucketed(physDf, dir, bc, n)
+      case Some((bc, n, sc)) => writeDataFilesBucketed(physDf, dir, bc, n, sc)
       case None => writeDataFiles(physDf, dir)
     }
     val v = commitRetry(spark, dir, "overwrite",
@@ -3056,7 +3074,7 @@ object Versioned {
       guarded(head0, head0.map(constraintsAt(spark, dir, _)).getOrElse(Map.empty))
       val physDf = toPhysicalFrame(df, Some(df.schema))
       val files = bucketPlanFor(spark, dir, head0, df, Map.empty) match {
-        case Some((bc, n)) => writeDataFilesBucketed(physDf, dir, bc, n)
+        case Some((bc, n, sc)) => writeDataFilesBucketed(physDf, dir, bc, n, sc)
         case None => writeDataFiles(physDf, dir)
       }
       val committed = commitRetry(spark, dir, "overwrite", _ => df.schema.json,
@@ -3654,8 +3672,12 @@ object Versioned {
           s"bucket column $c absent from the snapshot schema at $dir"))
     val rows = applyDvs(
       spark, readRaw(spark, dir, logSchema, untagged), dvsAt(spark, dir, base))
+    val schemaFields = logSchema.getOrElse(rows.schema).fields
+    val sortPhys = clusterByAt(spark, dir, base)
+      .flatMap(sc => schemaFields.find(_.name.equalsIgnoreCase(sc)))
+      .map(physicalName)
     val fresh = writeDataFilesBucketed(
-      toPhysicalFrame(rows, logSchema), dir, physicalName(field), n)
+      toPhysicalFrame(rows, logSchema), dir, physicalName(field), n, sortPhys)
     val v = commitRewriteCommuting(spark, dir, base, "rebucket",
       logSchema.map(_.json).getOrElse(rows.schema.json), untagged, fresh).get
     carrySidecars(spark, dir, base, v,
@@ -5338,6 +5360,46 @@ object Versioned {
     }
     (head, toStat.size.toLong)
   }
+
+  /** `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` — one
+    * distributed pass computing per-column NDV (HLL++), null count,
+    * min/max, and string lengths over the CURRENT snapshot, published
+    * as the table's colstats sidecar ([[ColStats]]). The DSv2 scan
+    * reports them through `Statistics.columnStats()`, which feeds
+    * Spark's CBO (`spark.sql.cbo.enabled`) — estimation and join
+    * reorder, the 100 TB join-order story. Stats serve until the next
+    * ANALYZE (Spark/Hive's staleness model); time-travel scans BELOW
+    * the analyzed version get none. Returns (analyzed version,
+    * column count).
+    */
+  def analyzeColumns(
+      spark: SparkSession, dir: String, cols0: Seq[String]): (Long, Long) = {
+    val head = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $dir"))
+    val snapshot = readAt(spark, dir, head)
+    val resolved =
+      if (cols0.isEmpty) snapshot.columns.toSeq // FOR ALL COLUMNS
+      else cols0.map { c =>
+        snapshot.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"no column $c at $dir (${snapshot.columns.mkString(", ")})"))
+      }
+    val stats = ColStats.compute(snapshot, resolved)
+    ColStats.write(spark, dir, head, stats)
+    (head, resolved.size.toLong)
+  }
+
+  /** The colstats the snapshot at `v` may serve: the published sidecar
+    * when its analyzed version is ≤ `v` (older stats describing newer
+    * data are the tolerated Spark/Hive staleness; newer stats serving
+    * an older snapshot would describe rows that did not exist).
+    */
+  def colStatsAt(
+      spark: SparkSession, dir: String,
+      v: Long): Option[Map[String, ColStats.Stat]] =
+    ColStats.read(spark, dir).collect {
+      case (analyzed, stats) if analyzed <= v => stats
+    }
 
   /** Metadata MIN/MAX of `col` at `v` in the ZONE STAT domain
     * ([[ZoneMaps]]' long encoding): `Some((min, max))` only when the

@@ -178,6 +178,18 @@ private[graft] object GraftProcedures {
           Seq(row(v, n))
         }),
 
+      Proc("analyze_columns",
+        "compute per-column NDV/null/min-max/length statistics (one " +
+          "distributed pass) and publish the colstats sidecar DSv2 scans " +
+          "report to the CBO; empty cols = all columns",
+        Seq(in("table", StringType), inDefault("cols", StringType, "''")),
+        new StructType().add("version", LongType, nullable = false)
+          .add("columns_analyzed", LongType, nullable = false),
+        (s, in) => {
+          val (v, n) = Versioned.analyzeColumns(s, dirOf(in), splitCols(in, 1))
+          Seq(row(v, n))
+        }),
+
       Proc("clone",
         "shallow-clone the source snapshot into a new table (zero data copy); " +
           "version => n forks that retained snapshot instead of the head; " +

@@ -811,6 +811,83 @@ private final class ZonePrunedParquetScanBuilder(
     }
   }
 
+  /** The table's ANALYZEd per-column statistics as the V2 planner
+    * shape ([[graft.table.ColStats]] — NDV/nulls/min/max/lengths),
+    * served to `Statistics.columnStats()` on every scan this builder
+    * produces; Spark's `transformV2Stats` turns them into catalyst
+    * `ColumnStat`s for CBO estimation and join reorder. Empty when the
+    * table was never analyzed or the scan time-travels below the
+    * analyzed version.
+    */
+  private lazy val v2ColumnStats: java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+    val m = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      ColumnStatistics]()
+    Versioned.colStatsAt(spark, dir, v).foreach(_.foreach { case (c, st) =>
+      full.fields.find(_.name.equalsIgnoreCase(c)).foreach { f =>
+        def longOpt(o: Option[Long]) = o
+          .map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+        def valOpt(o: Option[Long]): java.util.Optional[Object] =
+          if (graft.table.ColStats.longDomain(f.dataType))
+            o.map(x => java.util.Optional.of(
+              graft.table.ColStats.catalystOf(x, f.dataType)
+                .asInstanceOf[Object]))
+              .getOrElse(java.util.Optional.empty[Object]())
+          else java.util.Optional.empty[Object]()
+        m.put(
+          org.apache.spark.sql.connector.expressions.FieldReference(Seq(f.name)),
+          new ColumnStatistics {
+            override def distinctCount() = java.util.OptionalLong.of(st.ndv)
+            override def nullCount() = java.util.OptionalLong.of(st.nulls)
+            override def min(): java.util.Optional[Object] = valOpt(st.min)
+            override def max(): java.util.Optional[Object] = valOpt(st.max)
+            override def avgLen() = longOpt(st.avgLen)
+            override def maxLen() = longOpt(st.maxLen)
+          })
+      }
+    })
+    m
+  }
+
+  /** Merges `inner`'s size/row estimates with [[v2ColumnStats]]. */
+  private def statsOf(inner: Scan): org.apache.spark.sql.connector.read.Statistics = {
+    val (size, rows) = inner match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        val st = s.estimateStatistics()
+        (st.sizeInBytes(), st.numRows())
+      case _ =>
+        (java.util.OptionalLong.empty(), java.util.OptionalLong.empty())
+    }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes() = size
+      override def numRows() = rows
+      override def columnStats() = v2ColumnStats
+    }
+  }
+
+  /** Plain-path decorator adding [[v2ColumnStats]] to the delegated
+    * parquet scan's own statistics — used only when the table carries
+    * ANALYZEd stats (zero overhead otherwise).
+    */
+  private final class ColStatsScan(inner: Scan) extends Scan
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    override def readSchema(): StructType = inner.readSchema()
+    override def toBatch: org.apache.spark.sql.connector.read.Batch =
+      inner.toBatch
+    override def description(): String = s"GraftColStats(${inner.description()})"
+    override def columnarSupportMode(): Scan.ColumnarSupportMode =
+      inner.columnarSupportMode()
+    override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+      inner.supportedCustomMetrics()
+    override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+      inner.reportDriverMetrics()
+    override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+      statsOf(inner)
+  }
+
   override def build(): Scan = metaAgg match {
     case Some((aggSchema, row)) =>
       // log-answered aggregate: one driver-local row, zero files opened
@@ -854,8 +931,48 @@ private final class ZonePrunedParquetScanBuilder(
       val inPruned = inProbes.foldLeft(bloomPruned) {
         case (live, (a, raw)) => pruneInProbe(live, a.name, a.dataType, raw)
       }
+      // BUCKET-LAYOUT point pruning — data skipping the hash layout
+      // gives for free: a row with `k = v` can only live in bucket
+      // pmod(murmur3(v), n)'s files, so an equality/IN probe on the
+      // bucket column keeps exactly the probed buckets' files (plus
+      // untagged files, where rows may sit anywhere). No index, no
+      // sidecar read — at 100 TB a point lookup on the bucket key
+      // opens 1/n of the table. Complements zones, which hash
+      // scattering defeats on exactly this column.
+      val bucketPruned = Versioned.bucketSpecAt(spark, dir, v) match {
+        case Some((bc, n)) if inPruned.nonEmpty =>
+          full.fields.find(f => f.name.equalsIgnoreCase(bc) &&
+              graft.table.GraftBucketFunction.supportedKeyType(f.dataType)) match {
+            case Some(f) =>
+              // catalyst-valued point sets on the bucket column: bare
+              // equalities plus the IN/InSet/OR-chain sets inProbes
+              // already mines (its values are catalyst-typed)
+              def conjuncts(e: CExpr): Seq[CExpr] = e match {
+                case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+                case other => Seq(other)
+              }
+              val eqSets: Seq[Seq[Any]] = filters.flatMap(conjuncts).collect {
+                case CEq(a: CAttr, l: CLit)
+                    if a.name.equalsIgnoreCase(bc) && l.value != null =>
+                  Seq(l.value)
+                case CEq(l: CLit, a: CAttr)
+                    if a.name.equalsIgnoreCase(bc) && l.value != null =>
+                  Seq(l.value)
+              }
+              val inSets: Seq[Seq[Any]] = inProbes.collect {
+                case (a, raw) if a.name.equalsIgnoreCase(bc) && raw.nonEmpty => raw
+              }
+              (eqSets ++ inSets).foldLeft(inPruned) { (live, points) =>
+                val ok = points.map(p => graft.table.GraftBucketFunction
+                  .bucketOf(p, f.dataType, n)).toSet
+                live.filter(r => Versioned.bucketOfFile(r).forall(ok.contains))
+              }
+            case None => inPruned
+          }
+        case _ => inPruned
+      }
       // bare IS NOT NULL conjuncts drop all-NULL-sentinel files
-      val nnPruned = notNullProbes.foldLeft(inPruned) {
+      val nnPruned = notNullProbes.foldLeft(bucketPruned) {
         case (live, _) if live.isEmpty => live
         case (live, c) =>
           val keep = Versioned.notNullPrunedFiles(spark, dir, v, c).toSet
@@ -936,8 +1053,10 @@ private final class ZonePrunedParquetScanBuilder(
           new BucketKeyedScan(rebuilt(files), keyName, n,
             files.flatMap(Versioned.bucketOfFile).distinct.size)
         case None =>
-          if (runtimeCols.isEmpty) rebuilt(pruned)
-          else new RuntimeFilteredScan(pruned, runtimeCols, rebuilt)
+          if (runtimeCols.nonEmpty)
+            new RuntimeFilteredScan(pruned, runtimeCols, rebuilt)
+          else if (!v2ColumnStats.isEmpty) new ColStatsScan(rebuilt(pruned))
+          else rebuilt(pruned)
       }
   }
 
@@ -989,14 +1108,7 @@ private final class ZonePrunedParquetScanBuilder(
         presentBuckets)
 
     override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-      inner match {
-        case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
-          s.estimateStatistics()
-        case _ => new org.apache.spark.sql.connector.read.Statistics {
-          override def sizeInBytes() = java.util.OptionalLong.empty()
-          override def numRows() = java.util.OptionalLong.empty()
-        }
-      }
+      statsOf(inner)
 
     override def toBatch: Batch = new Batch {
       private val innerBatch = inner.toBatch
@@ -1068,6 +1180,7 @@ private final class ZonePrunedParquetScanBuilder(
         override def sizeInBytes() = size
         override def numRows() = rows
           .map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+        override def columnStats() = v2ColumnStats
       }
     }
     override def columnarSupportMode(): Scan.ColumnarSupportMode =

@@ -229,6 +229,70 @@ class BucketSpjSpec extends SparkSpec {
       .collect().head.getLong(0) == v)
   }
 
+  test("point lookups on the bucket key open only that bucket's files") {
+    val (cat, wh) = freshCat("point")
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.range(0, 4000).selectExpr("id AS k", "id * 2 AS v")
+      .createOrReplaceTempView("spj_src_pt")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT * FROM spj_src_pt")
+    def paths(q: String): Int = {
+      val df = spark.sql(q)
+      df.collect()
+      """InMemoryFileIndex\((\d+) paths""".r
+        .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+        .map(_.group(1).toInt).getOrElse(-1)
+    }
+    // equality: exactly one of the 8 bucket files plans
+    assert(paths(s"SELECT v FROM $cat.db.t WHERE k = 17") == 1)
+    assert(spark.sql(s"SELECT v FROM $cat.db.t WHERE k = 17")
+      .head().getLong(0) == 34L)
+    // IN across keys hashing to <= 3 buckets: at most 3 files plan
+    val inPaths = paths(s"SELECT v FROM $cat.db.t WHERE k IN (1, 2, 3)")
+    assert(inPaths >= 1 && inPaths <= 3, s"IN planned $inPaths files")
+    assert(spark.sql(s"SELECT sum(v) AS s FROM $cat.db.t WHERE k IN (1, 2, 3)")
+      .head().getLong(0) == 12L)
+    // a rewrite's untagged file must stay in every point plan
+    spark.sql(s"UPDATE $cat.db.t SET v = 99 WHERE k = 17")
+    assert(spark.sql(s"SELECT v FROM $cat.db.t WHERE k = 17")
+      .head().getLong(0) == 99L)
+    val dir = s"$wh/db/t"
+    assert(Versioned.filesAt(spark, dir,
+      Versioned.currentVersion(spark, dir).get)
+      .exists(f => Versioned.bucketOfFile(f).isEmpty))
+  }
+
+  test("declared CLUSTER BY keys sort within buckets: zones stay tight") {
+    val dir = tmpDir("spj_cluster")
+    val df = spark.range(0, 8000)
+      .selectExpr("id AS k", "id div 8 AS t", "id AS v")
+    Versioned.overwrite(df.limit(0), dir)
+    Versioned.setProperties(spark, dir, Map(
+      Versioned.BucketByKey -> "k,4", Versioned.ClusterByKey -> "t"))
+    Versioned.writeZoneMaps(spark, dir, 1L, Seq("t"))
+    // force several files per bucket so within-bucket order matters
+    val prev = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+    try {
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", "500")
+      Versioned.append(df, dir)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+      case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+    val head = Versioned.currentVersion(spark, dir).get
+    val all = Versioned.filesAt(spark, dir, head)
+    assert(all.count(f => Versioned.bucketOfFile(f).isDefined) >= 8,
+      s"expected multiple files per bucket, got ${all.size}")
+    // a range slice on the cluster key must prune within buckets:
+    // strictly fewer files than the table holds
+    val pruned = Versioned.prunedFiles(spark, dir, head, "t", 0L, 99L)
+    assert(pruned.size < all.size,
+      s"zone pruning on the within-bucket sort key must bite: " +
+        s"${pruned.size} of ${all.size}")
+    // and the sliced read is exact
+    assert(Versioned.readWhere(spark, dir, head, "t", 0L, 99L).count() == 800L)
+  }
+
   test("overwrite under the declaration re-buckets the replacement snapshot") {
     val dir = tmpDir("spj_ow")
     Versioned.overwrite(

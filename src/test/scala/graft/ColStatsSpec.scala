@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.table.{ColStats, Versioned}
+
+/** ANALYZE ... FOR COLUMNS → CBO column statistics: the one-pass
+  * computation, the sidecar round-trip and staleness rule, the SQL and
+  * procedure spellings, and the wiring that matters — the optimizer's
+  * per-attribute statistics populated from the DSv2 scan report.
+  */
+class ColStatsSpec extends SparkSpec {
+
+  private def freshCat(tag: String): (String, String) = {
+    val cat = s"cstat_$tag"
+    val wh = tmpDir(s"cstatwh_$tag")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "org.apache.spark.sql.graft.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    (cat, wh)
+  }
+
+  test("analyzeColumns computes exact nulls/min/max, plausible ndv; staleness rule") {
+    val dir = tmpDir("cs_core")
+    val df = spark.range(0, 1000).selectExpr(
+      "id AS k",
+      "CASE WHEN id % 10 = 0 THEN NULL ELSE id % 37 END AS m",
+      "concat('s', id % 5) AS s")
+    Versioned.overwrite(df, dir)
+    val (v, n) = Versioned.analyzeColumns(spark, dir, Seq("k", "m", "s"))
+    assert(v == 1L && n == 3L)
+    val stats = Versioned.colStatsAt(spark, dir, v).get
+    val k = stats("k")
+    assert(k.nulls == 0L && k.min.contains(0L) && k.max.contains(999L))
+    assert(math.abs(k.ndv - 1000L) < 100L, s"HLL ndv off: ${k.ndv}")
+    val m = stats("m")
+    assert(m.nulls == 100L && m.min.contains(0L) && m.max.contains(36L))
+    assert(m.ndv >= 30L && m.ndv <= 45L)
+    val s = stats("s")
+    assert(s.min.isEmpty && s.avgLen.contains(2L) && s.maxLen.contains(2L))
+    assert(s.ndv >= 4L && s.ndv <= 6L)
+    // append moves the head; stats still serve at the NEW head
+    Versioned.append(spark.range(1000, 1100).selectExpr(
+      "id AS k", "id % 37 AS m", "'sx' AS s"), dir)
+    assert(Versioned.colStatsAt(spark, dir,
+      Versioned.currentVersion(spark, dir).get).isDefined)
+    // ...but never below the analyzed version (time travel)
+    Versioned.analyzeColumns(spark, dir, Seq("k"))
+    assert(Versioned.colStatsAt(spark, dir, 1L).isEmpty)
+  }
+
+  test("CBO reads the reported stats: attributeStats carry ndv and bounds") {
+    val (cat, _) = freshCat("cbo")
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v BIGINT)")
+    spark.range(0, 5000).selectExpr("id % 50 AS k", "id AS v")
+      .createOrReplaceTempView("cs_src")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT * FROM cs_src")
+    val out = spark.sql(
+      s"ANALYZE TABLE $cat.db.t COMPUTE STATISTICS FOR COLUMNS k, v")
+      .collect().head
+    assert(out.getLong(1) == 2L)
+    val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val q = spark.sql(s"SELECT * FROM $cat.db.t WHERE k = 3")
+      val rel = q.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.get
+      val attrs = rel.stats.attributeStats
+      assert(attrs.nonEmpty, "attributeStats must be populated from columnStats()")
+      val kStat = attrs.find(_._1.name == "k").get._2
+      assert(kStat.distinctCount.exists(d =>
+        (d.toLong - 50L).abs <= 5L), s"ndv(k) off: ${kStat.distinctCount}")
+      assert(kStat.min.contains(0L) && kStat.max.contains(49L))
+      assert(kStat.nullCount.contains(BigInt(0)))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None => spark.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+
+  test("FOR ALL COLUMNS and CALL system.analyze_columns cover the surface") {
+    val (cat, wh) = freshCat("all")
+    spark.sql(s"CREATE TABLE $cat.db.t (a BIGINT, b STRING)")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 'x'), (2, 'yy'), (NULL, NULL)")
+    val all = spark.sql(
+      s"ANALYZE TABLE $cat.db.t COMPUTE STATISTICS FOR ALL COLUMNS")
+      .collect().head
+    assert(all.getLong(1) == 2L)
+    val dir = s"$wh/db/t"
+    val head = Versioned.currentVersion(spark, dir).get
+    val stats = Versioned.colStatsAt(spark, dir, head).get
+    assert(stats("a").nulls == 1L && stats("a").min.contains(1L) &&
+      stats("a").max.contains(2L))
+    assert(stats("b").maxLen.contains(2L))
+    // procedure form re-analyzes a subset
+    val pr = spark.sql(
+      s"CALL $cat.system.analyze_columns(table => 'db.t', cols => 'a')")
+      .collect().head
+    assert(pr.getLong(1) == 1L)
+    assert(Versioned.colStatsAt(spark, dir, head).get.keySet == Set("a"))
+    // unknown column refuses loudly
+    intercept[Exception] {
+      Versioned.analyzeColumns(spark, dir, Seq("zz"))
+    }
+  }
+
+  test("sidecar round-trips every field including null markers") {
+    val dir = tmpDir("cs_rt")
+    Versioned.overwrite(spark.range(3).selectExpr("id AS k"), dir)
+    val stats = Map(
+      "k" -> ColStats.Stat(3L, 0L, Some(-5L), Some(9L), None, None),
+      "s" -> ColStats.Stat(2L, 1L, None, None, Some(4L), Some(7L)))
+    ColStats.write(spark, dir, 1L, stats)
+    assert(ColStats.read(spark, dir).contains((1L, stats)))
+  }
+}

@@ -297,8 +297,10 @@ class MetaAggSpec extends SparkSpec {
     // the ANALYZE TABLE spelling runs the same backfill
     val d = spark.sql("ANALYZE TABLE macat.ma_t COMPUTE STATISTICS").head()
     assert(d.getLong(1) == 0L, s"expected no fresh stats: $d")
-    // richer ANALYZE forms still delegate to Spark's parser
-    intercept[Exception](
-      spark.sql("ANALYZE TABLE macat.ma_t COMPUTE STATISTICS FOR ALL COLUMNS"))
+    // FOR ALL COLUMNS is the CBO colstats pass (ColStatsSpec pins the
+    // semantics); here just the routing: one column analyzed
+    val c = spark.sql(
+      "ANALYZE TABLE macat.ma_t COMPUTE STATISTICS FOR ALL COLUMNS").head()
+    assert(c.getLong(1) == 1L, s"expected one analyzed column: $c")
   }
 }
