@@ -1068,16 +1068,26 @@ object Versioned {
     */
   val BucketByKey = "graft.bucketBy"
 
-  /** The declared bucket layout of snapshot `v`: (column, numBuckets). */
-  def bucketSpecAt(spark: SparkSession, dir: String, v: Long): Option[(String, Int)] =
+  /** The declared bucket layout of snapshot `v`: (columns, numBuckets).
+    * Multi-column keys hash with Spark's multi-expression murmur3 fold
+    * (the `HashPartitioning([c1, c2], n)` assignment), so a composite
+    * join key co-partitions exactly like a single one.
+    */
+  def bucketSpecAt(
+      spark: SparkSession, dir: String, v: Long): Option[(Seq[String], Int)] =
     propertiesAt(spark, dir, v).get(BucketByKey).flatMap(parseBucketSpec)
 
-  private[graft] def parseBucketSpec(s: String): Option[(String, Int)] =
-    s.split(",").map(_.trim) match {
-      case Array(c, n) if c.nonEmpty && n.toIntOption.exists(_ > 0) =>
-        Some((c, n.toInt))
-      case _ => None
+  private[graft] def parseBucketSpec(s: String): Option[(Seq[String], Int)] = {
+    val parts = s.split(",").map(_.trim)
+    if (parts.length < 2) None
+    else {
+      val cols = parts.init.toSeq
+      parts.last.toIntOption match {
+        case Some(n) if n > 0 && cols.forall(_.nonEmpty) => Some((cols, n))
+        case _ => None
+      }
     }
+  }
 
   private val BucketTag = raw".*\.gb(\d{5})\.parquet".r
 
@@ -1379,20 +1389,23 @@ object Versioned {
     }
     props.get(BucketByKey).foreach { v =>
       // the bucketed-layout contract must be honorable by every later
-      // write: column present, key type the shared hash supports,
+      // write: columns present, key types the shared hash supports,
       // count a sane task fan-out
-      val (c, n) = parseBucketSpec(v).getOrElse(throw new IllegalArgumentException(
-        s"$BucketByKey takes '<column>,<numBuckets>', got '$v'"))
+      val (cols, n) = parseBucketSpec(v).getOrElse(throw new IllegalArgumentException(
+        s"$BucketByKey takes '<col>[,<col>…],<numBuckets>', got '$v'"))
       require(n >= 1 && n <= 65536,
         s"$BucketByKey numBuckets must be in [1, 65536], got $n")
+      require(cols.size <= 4, s"$BucketByKey takes at most 4 key columns")
       val schema = schemaAt(spark, dir, base).getOrElse(
         readAt(spark, dir, base).schema)
-      val field = schema.fields.find(
-        _.name.equalsIgnoreCase(c)).getOrElse(throw new IllegalArgumentException(
-        s"bucket column absent from the snapshot schema: $c"))
-      require(GraftBucketFunction.supportedKeyType(field.dataType),
-        s"bucket column must be integral/string/date/timestamp: " +
-          s"$c is ${field.dataType.catalogString}")
+      cols.foreach { c =>
+        val field = schema.fields.find(
+          _.name.equalsIgnoreCase(c)).getOrElse(throw new IllegalArgumentException(
+          s"bucket column absent from the snapshot schema: $c"))
+        require(GraftBucketFunction.supportedKeyType(field.dataType),
+          s"bucket column must be integral/string/date/timestamp: " +
+            s"$c is ${field.dataType.catalogString}")
+      }
     }
     commitAttempt(spark, dir, "set-properties",
       _ => schemaAt(spark, dir, base)
@@ -2128,7 +2141,7 @@ object Versioned {
     * stay a few GB, same discipline as [[Bucketed]].
     */
   private def writeDataFilesBucketed(
-      df: DataFrame, dir: String, col: String, n: Int,
+      df: DataFrame, dir: String, bucketCols: Seq[String], n: Int,
       sortCols: Seq[String] = Nil): Seq[String] = {
     import org.apache.spark.sql.functions.{col => fcol}
     val sub = s"d-${UUID.randomUUID().toString}"
@@ -2139,7 +2152,7 @@ object Versioned {
     // zone stats stay tight when a bucket emits several files
     // (maxRecordsPerFile splits, large batches). The Bucketed-layout
     // ZoneSpec discipline applied to versioned bucket tables.
-    val parted0 = df.repartition(n, fcol(col))
+    val parted0 = df.repartition(n, bucketCols.map(fcol): _*)
     val parted =
       if (sortCols.isEmpty) parted0
       else parted0.sortWithinPartitions(sortCols.map(fcol): _*)
@@ -2175,13 +2188,16 @@ object Versioned {
   private def bucketPlanFor(
       spark: SparkSession, dir: String, head0: Option[Long],
       df: DataFrame, physFor: Map[String, String])
-      : Option[(String, Int, Seq[String])] =
-    head0.flatMap(bucketSpecAt(spark, dir, _)).flatMap { case (c, n) =>
-      df.schema.fieldNames.find(_.equalsIgnoreCase(c)).map { logical =>
+      : Option[(Seq[String], Int, Seq[String])] =
+    head0.flatMap(bucketSpecAt(spark, dir, _)).flatMap { case (cols, n) =>
+      val logical = cols.map(c =>
+        df.schema.fieldNames.find(_.equalsIgnoreCase(c)))
+      if (logical.exists(_.isEmpty)) None // batch missing a key column
+      else {
         val sortCols = head0.map(clusterByAt(spark, dir, _)).getOrElse(Nil)
           .flatMap(sc => df.schema.fieldNames.find(_.equalsIgnoreCase(sc)))
           .map(l => physFor.getOrElse(l, l))
-        (physFor.getOrElse(logical, logical), n, sortCols)
+        Some((logical.flatten.map(l => physFor.getOrElse(l, l)), n, sortCols))
       }
     }
 
@@ -3659,17 +3675,18 @@ object Versioned {
   def rebucket(spark: SparkSession, dir: String): Option[Long] = {
     val base = currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $dir"))
-    val (c, n) = bucketSpecAt(spark, dir, base).getOrElse(
+    val (cols, n) = bucketSpecAt(spark, dir, base).getOrElse(
       throw new IllegalArgumentException(
         s"rebucket needs a declared bucket layout at $dir — SET " +
-          s"TBLPROPERTIES ('$BucketByKey' = '<col>,<numBuckets>')"))
+          s"TBLPROPERTIES ('$BucketByKey' = '<col>[,<col>…],<numBuckets>')"))
     val untagged = filesAt(spark, dir, base).filter(r => bucketOfFile(r).isEmpty)
     if (untagged.isEmpty) return None
     val logSchema = schemaAt(spark, dir, base)
-    val field = logSchema.getOrElse(readAt(spark, dir, base).schema)
-      .fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
-        throw new IllegalArgumentException(
-          s"bucket column $c absent from the snapshot schema at $dir"))
+    val fields = cols.map(c =>
+      logSchema.getOrElse(readAt(spark, dir, base).schema)
+        .fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"bucket column $c absent from the snapshot schema at $dir")))
     val rows = applyDvs(
       spark, readRaw(spark, dir, logSchema, untagged), dvsAt(spark, dir, base))
     val schemaFields = logSchema.getOrElse(rows.schema).fields
@@ -3677,7 +3694,8 @@ object Versioned {
       .flatMap(sc => schemaFields.find(_.name.equalsIgnoreCase(sc)))
       .map(physicalName)
     val fresh = writeDataFilesBucketed(
-      toPhysicalFrame(rows, logSchema), dir, physicalName(field), n, sortPhys)
+      toPhysicalFrame(rows, logSchema), dir, fields.map(physicalName), n,
+      sortPhys)
     val v = commitRewriteCommuting(spark, dir, base, "rebucket",
       logSchema.map(_.json).getOrElse(rows.schema.json), untagged, fresh).get
     carrySidecars(spark, dir, base, v,

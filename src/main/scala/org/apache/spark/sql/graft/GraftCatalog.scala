@@ -228,15 +228,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         "see the design record in Versioned.scala")
     require(bucketTs.length <= 1,
       "at most one bucket(n, col) transform per table")
-    val bucketSpec: Option[(String, Int)] = bucketTs.headOption.map {
+    val bucketSpec: Option[(Seq[String], Int)] = bucketTs.headOption.map {
       case b: org.apache.spark.sql.connector.expressions.BucketTransform =>
         val n: Int = b.numBuckets.value()
-        require(b.columns.length == 1,
-          s"bucket takes exactly one column, got ${b.describe()}")
-        val ref = b.columns.head
-        require(ref.fieldNames.length == 1,
-          s"nested bucket column is not supported: ${ref.describe()}")
-        (ref.fieldNames.head, n)
+        require(b.columns.nonEmpty && b.columns.length <= 4,
+          s"bucket takes 1-4 key columns, got ${b.describe()}")
+        val cols = b.columns.map { ref =>
+          require(ref.fieldNames.length == 1,
+            s"nested bucket column is not supported: ${ref.describe()}")
+          ref.fieldNames.head
+        }
+        (cols.toSeq, n)
     }
     val clusterCols: Seq[String] = clusterTs.toSeq.flatMap {
       case c: org.apache.spark.sql.connector.expressions.ClusterByTransform =>
@@ -272,7 +274,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       if (clusterCols.isEmpty) Map.empty[String, String]
       else Map(Versioned.ClusterByKey -> clusterCols.mkString(","))
     val bucketProp = bucketSpec
-      .map { case (c, n) => Map(Versioned.BucketByKey -> s"$c,$n") }
+      .map { case (cols, n) =>
+        Map(Versioned.BucketByKey -> s"${cols.mkString(",")},$n") }
       .getOrElse(Map.empty[String, String])
     val toSet = userProps ++ gens ++ clusterProp ++ bucketProp
     if (toSet.nonEmpty) Versioned.setProperties(spark, dir, toSet)

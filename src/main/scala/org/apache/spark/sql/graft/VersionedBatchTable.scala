@@ -200,8 +200,9 @@ final class VersionedBatchTable(
         Array.empty[org.apache.spark.sql.connector.expressions.Transform]
     }
     val bucket = version.flatMap(v => Versioned.bucketSpecAt(spark, dir, v))
-      .map { case (c, n) =>
-        org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+      .map { case (cols, n) =>
+        org.apache.spark.sql.connector.expressions.Expressions.bucket(
+          n, cols: _*)
       }.toArray[org.apache.spark.sql.connector.expressions.Transform]
     cluster ++ bucket
   }
@@ -940,34 +941,58 @@ private final class ZonePrunedParquetScanBuilder(
       // opens 1/n of the table. Complements zones, which hash
       // scattering defeats on exactly this column.
       val bucketPruned = Versioned.bucketSpecAt(spark, dir, v) match {
-        case Some((bc, n)) if inPruned.nonEmpty =>
-          full.fields.find(f => f.name.equalsIgnoreCase(bc) &&
-              graft.table.GraftBucketFunction.supportedKeyType(f.dataType)) match {
-            case Some(f) =>
-              // catalyst-valued point sets on the bucket column: bare
-              // equalities plus the IN/InSet/OR-chain sets inProbes
-              // already mines (its values are catalyst-typed)
-              def conjuncts(e: CExpr): Seq[CExpr] = e match {
-                case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
-                case other => Seq(other)
-              }
-              val eqSets: Seq[Seq[Any]] = filters.flatMap(conjuncts).collect {
+        case Some((bcols, n)) if inPruned.nonEmpty =>
+          val fields = bcols.map(bc =>
+            full.fields.find(f => f.name.equalsIgnoreCase(bc) &&
+              graft.table.GraftBucketFunction.supportedKeyType(f.dataType)))
+          if (fields.exists(_.isEmpty)) inPruned
+          else {
+            // catalyst-valued point sets per key column: bare
+            // equalities plus the IN/InSet/OR-chain sets inProbes
+            // already mines (its values are catalyst-typed)
+            def conjuncts(e: CExpr): Seq[CExpr] = e match {
+              case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+              case other => Seq(other)
+            }
+            def pointsOf(name: String): Seq[Seq[Any]] = {
+              val eqs = filters.flatMap(conjuncts).collect {
                 case CEq(a: CAttr, l: CLit)
-                    if a.name.equalsIgnoreCase(bc) && l.value != null =>
+                    if a.name.equalsIgnoreCase(name) && l.value != null =>
                   Seq(l.value)
                 case CEq(l: CLit, a: CAttr)
-                    if a.name.equalsIgnoreCase(bc) && l.value != null =>
+                    if a.name.equalsIgnoreCase(name) && l.value != null =>
                   Seq(l.value)
               }
-              val inSets: Seq[Seq[Any]] = inProbes.collect {
-                case (a, raw) if a.name.equalsIgnoreCase(bc) && raw.nonEmpty => raw
+              eqs ++ inProbes.collect {
+                case (a, raw) if a.name.equalsIgnoreCase(name) &&
+                  raw.nonEmpty => raw
               }
-              (eqSets ++ inSets).foldLeft(inPruned) { (live, points) =>
-                val ok = points.map(p => graft.table.GraftBucketFunction
-                  .bucketOf(p, f.dataType, n)).toSet
-                live.filter(r => Versioned.bucketOfFile(r).forall(ok.contains))
+            }
+            // every key column must be point-bounded; the admissible
+            // buckets are those of the CROSS PRODUCT of the per-column
+            // sets (capped — a huge product prunes nothing anyway)
+            val perCol: Seq[Seq[Any]] = fields.flatten.map { f =>
+              val sets = pointsOf(f.name)
+              if (sets.isEmpty) Seq.empty
+              else sets.map(_.toSet).reduce(_ intersect _).toSeq
+            }
+            val product = perCol.map(_.size.toLong).product
+            if (perCol.exists(_.isEmpty) || product > 256L) inPruned
+            else {
+              val combos = perCol.foldLeft(Seq(Seq.empty[Any])) {
+                (acc, vs) => acc.flatMap(c => vs.map(c :+ _))
               }
-            case None => inPruned
+              val ok = combos.map(c => graft.table.GraftBucketFunction
+                .bucketOf(c.zip(fields.flatten.map(_.dataType)), n)).toSet
+              // untagged files stay (rows could sit anywhere) unless
+              // the row-count sidecar proves them EMPTY — the
+              // catalog's v1 CREATE file shape
+              lazy val counts = Versioned.rowCountsAt(spark, dir, v)
+              inPruned.filter(r => Versioned.bucketOfFile(r) match {
+                case Some(b) => ok.contains(b)
+                case None => !counts.exists(_.get(r).contains(0L))
+              })
+            }
           }
         case _ => inPruned
       }
@@ -1029,12 +1054,21 @@ private final class ZonePrunedParquetScanBuilder(
       // catalog's v1 CREATE commit writes one empty untagged file —
       // the row-count sidecar vouches for it, and a 0-row file can be
       // dropped from any scan without changing its answer)
-      val spjPlan: Option[(String, Int, Seq[String])] =
+      // SINGLE-column specs only: Spark's KeyGroupedShuffleSpec and
+      // clustered-distribution matching pair ONE transform per key, so
+      // a composite-hash bucket proves nothing to the planner — and
+      // grouping splits per bucket would CAP scan parallelism at the
+      // bucket count for zero benefit. Multi-column layouts keep their
+      // other dividends (composite point pruning, deterministic
+      // placement) without the report.
+      val spjPlan: Option[(Seq[String], Int, Seq[String])] =
         if (aggregation.nonEmpty || limit.nonEmpty) None
-        else Versioned.bucketSpecAt(spark, dir, v).flatMap { case (c, n) =>
-          val keyName = full.fields.find(f => f.name.equalsIgnoreCase(c) &&
-            graft.table.GraftBucketFunction.supportedKeyType(f.dataType))
-            .map(_.name)
+        else Versioned.bucketSpecAt(spark, dir, v)
+          .filter(_._1.size == 1).flatMap { case (cols, n) =>
+          val keyNames = cols.map(c =>
+            full.fields.find(f => f.name.equalsIgnoreCase(c) &&
+              graft.table.GraftBucketFunction.supportedKeyType(f.dataType))
+              .map(_.name))
           val tagsOk = pruned.forall(r =>
             Versioned.bucketOfFile(r).forall(b => b >= 0 && b < n))
           val untagged = pruned.filter(r => Versioned.bucketOfFile(r).isEmpty)
@@ -1042,15 +1076,14 @@ private final class ZonePrunedParquetScanBuilder(
             Versioned.rowCountsAt(spark, dir, v).exists(counts =>
               untagged.forall(f => counts.get(f).contains(0L)))
           val tagged = pruned.filter(r => Versioned.bucketOfFile(r).isDefined)
-          keyName match {
-            case Some(k) if tagsOk && tagged.nonEmpty && emptiesOk =>
-              Some((k, n, tagged))
-            case _ => None
-          }
+          if (keyNames.forall(_.isDefined) && tagsOk && tagged.nonEmpty &&
+              emptiesOk)
+            Some((keyNames.flatten, n, tagged))
+          else None
         }
       spjPlan match {
-        case Some((keyName, n, files)) =>
-          new BucketKeyedScan(rebuilt(files), keyName, n,
+        case Some((keyNames, n, files)) =>
+          new BucketKeyedScan(rebuilt(files), keyNames, n,
             files.flatMap(Versioned.bucketOfFile).distinct.size)
         case None =>
           if (runtimeCols.nonEmpty)
@@ -1082,7 +1115,7 @@ private final class ZonePrunedParquetScanBuilder(
     * `numBuckets` should be sized like shuffle partitions.
     */
   private final class BucketKeyedScan(
-      inner: Scan, keyName: String, numBuckets: Int, presentBuckets: Int)
+      inner: Scan, keyNames: Seq[String], numBuckets: Int, presentBuckets: Int)
       extends Scan
       with org.apache.spark.sql.connector.read.SupportsReportPartitioning
       with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -1091,7 +1124,7 @@ private final class ZonePrunedParquetScanBuilder(
 
     override def readSchema(): StructType = inner.readSchema()
     override def description(): String =
-      s"GraftBucketKeyed(bucket($numBuckets, $keyName), " +
+      s"GraftBucketKeyed(bucket($numBuckets, ${keyNames.mkString(", ")}), " +
         s"present=$presentBuckets, ${inner.description()})"
     override def columnarSupportMode(): Scan.ColumnarSupportMode =
       inner.columnarSupportMode()
@@ -1104,7 +1137,7 @@ private final class ZonePrunedParquetScanBuilder(
         : org.apache.spark.sql.connector.read.partitioning.Partitioning =
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         Array(org.apache.spark.sql.connector.expressions.Expressions
-          .bucket(numBuckets, keyName)),
+          .bucket(numBuckets, keyNames: _*)),
         presentBuckets)
 
     override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =

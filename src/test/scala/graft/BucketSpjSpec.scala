@@ -175,7 +175,7 @@ class BucketSpjSpec extends SparkSpec {
     }
     Versioned.setProperties(spark, dir, Map(Versioned.BucketByKey -> "k,16"))
     assert(Versioned.bucketSpecAt(spark, dir,
-      Versioned.currentVersion(spark, dir).get).contains(("k", 16)))
+      Versioned.currentVersion(spark, dir).get).contains((Seq("k"), 16)))
   }
 
   test("one side missing buckets still joins shuffle-free (pushPartValues)") {
@@ -291,6 +291,58 @@ class BucketSpjSpec extends SparkSpec {
         s"${pruned.size} of ${all.size}")
     // and the sliced read is exact
     assert(Versioned.readWhere(spark, dir, head, "t", 0L, 99L).count() == 800L)
+  }
+
+  test("composite bucket keys: co-partitioned join and point pruning") {
+    val (cat, _) = freshCat("multi")
+    spark.sql(s"CREATE TABLE $cat.db.a (k1 BIGINT, k2 BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(8, k1, k2))")
+    spark.sql(s"CREATE TABLE $cat.db.b (k1 BIGINT, k2 BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(8, k1, k2))")
+    spark.range(0, 1000)
+      .selectExpr("id % 40 AS k1", "id % 25 AS k2", "id AS v")
+      .createOrReplaceTempView("spj_src_m")
+    spark.sql(s"INSERT INTO $cat.db.a SELECT * FROM spj_src_m")
+    spark.sql(s"INSERT INTO $cat.db.b SELECT k1, k2, v * 2 AS w FROM spj_src_m")
+    withSpj {
+      // joins: Spark's KeyGroupedShuffleSpec pairs ONE transform per
+      // join key, so a single hash over BOTH keys proves nothing —
+      // the join shuffles (correct), and the scan stays ungrouped
+      val j = spark.sql(s"SELECT count(*) AS n, sum(a.v * b.w) AS s " +
+        s"FROM $cat.db.a a JOIN $cat.db.b b ON a.k1 = b.k1 AND a.k2 = b.k2")
+      val exp = spark.sql(
+        """SELECT count(*) AS n, sum(a.v * b.w) AS s FROM spj_src_m a
+          |JOIN (SELECT k1, k2, v * 2 AS w FROM spj_src_m) b
+          |ON a.k1 = b.k1 AND a.k2 = b.k2""".stripMargin).head()
+      val got = j.head()
+      assert(got.getLong(0) == exp.getLong(0) && got.getLong(1) == exp.getLong(1))
+      // the planner gets NO co-partitioning claim from a composite
+      // hash (one transform per key is all Spark can consume), so the
+      // scan must NOT group splits per bucket — parallelism preserved
+      assert(!j.queryExecution.executedPlan.toString.contains("GraftBucketKeyed"),
+        "multi-column buckets must not report (useless grouping would " +
+          "cap scan parallelism)")
+      val g = spark.sql(
+        s"SELECT k1, k2, sum(v) AS s FROM $cat.db.a GROUP BY k1, k2")
+      assert(g.collect().length ==
+        spark.sql("SELECT DISTINCT k1, k2 FROM spj_src_m").count().toInt)
+      // composite point lookup prunes to one bucket's files
+      val q = spark.sql(s"SELECT sum(v) AS s FROM $cat.db.a " +
+        "WHERE k1 = 3 AND k2 = 18")
+      val expPt = spark.sql(
+        "SELECT sum(v) AS s FROM spj_src_m WHERE k1 = 3 AND k2 = 18").head()
+      assert(q.head().getLong(0) == expPt.getLong(0))
+      q.collect()
+      val paths = """InMemoryFileIndex\((\d+) paths""".r
+        .findFirstMatchIn(q.queryExecution.executedPlan.toString)
+        .map(_.group(1).toInt).getOrElse(-1)
+      assert(paths == 1, s"composite point lookup planned $paths files")
+      // a probe on only ONE key column cannot bucket-prune (hash needs
+      // all keys) but stays correct
+      val half = spark.sql(s"SELECT count(*) AS n FROM $cat.db.a WHERE k1 = 3")
+      assert(half.head().getLong(0) ==
+        spark.sql("SELECT count(*) FROM spj_src_m WHERE k1 = 3").head().getLong(0))
+    }
   }
 
   test("overwrite under the declaration re-buckets the replacement snapshot") {
