@@ -853,15 +853,26 @@ private final class ZonePrunedParquetScanBuilder(
     m
   }
 
-  /** Merges `inner`'s size/row estimates with [[v2ColumnStats]]. */
-  private def statsOf(inner: Scan): org.apache.spark.sql.connector.read.Statistics = {
-    val (size, rows) = inner match {
+  /** Merges `inner`'s size estimate, an EXACT `numRows` from the
+    * row-count sidecar over the planned `files` (the parquet FileScan
+    * never reports one, and without a child row count the CBO's filter
+    * and join estimation bail to size-only), and [[v2ColumnStats]].
+    */
+  private def statsOf(
+      inner: Scan, files: Seq[String]): org.apache.spark.sql.connector.read.Statistics = {
+    val (size, rows0) = inner match {
       case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
         val st = s.estimateStatistics()
         (st.sizeInBytes(), st.numRows())
       case _ =>
         (java.util.OptionalLong.empty(), java.util.OptionalLong.empty())
     }
+    val rows =
+      if (rows0.isPresent) rows0
+      else Versioned.rowCountsAt(spark, dir, v)
+        .filter(c => files.forall(c.contains))
+        .map(c => java.util.OptionalLong.of(files.map(c).sum))
+        .getOrElse(java.util.OptionalLong.empty())
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes() = size
       override def numRows() = rows
@@ -873,7 +884,7 @@ private final class ZonePrunedParquetScanBuilder(
     * parquet scan's own statistics — used only when the table carries
     * ANALYZEd stats (zero overhead otherwise).
     */
-  private final class ColStatsScan(inner: Scan) extends Scan
+  private final class ColStatsScan(inner: Scan, files: Seq[String]) extends Scan
       with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     override def readSchema(): StructType = inner.readSchema()
     override def toBatch: org.apache.spark.sql.connector.read.Batch =
@@ -886,7 +897,7 @@ private final class ZonePrunedParquetScanBuilder(
     override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
       inner.reportDriverMetrics()
     override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-      statsOf(inner)
+      statsOf(inner, files)
   }
 
   override def build(): Scan = metaAgg match {
@@ -1084,11 +1095,12 @@ private final class ZonePrunedParquetScanBuilder(
       spjPlan match {
         case Some((keyNames, n, files)) =>
           new BucketKeyedScan(rebuilt(files), keyNames, n,
-            files.flatMap(Versioned.bucketOfFile).distinct.size)
+            files.flatMap(Versioned.bucketOfFile).distinct.size, files)
         case None =>
           if (runtimeCols.nonEmpty)
             new RuntimeFilteredScan(pruned, runtimeCols, rebuilt)
-          else if (!v2ColumnStats.isEmpty) new ColStatsScan(rebuilt(pruned))
+          else if (!v2ColumnStats.isEmpty)
+            new ColStatsScan(rebuilt(pruned), pruned)
           else rebuilt(pruned)
       }
   }
@@ -1115,7 +1127,8 @@ private final class ZonePrunedParquetScanBuilder(
     * `numBuckets` should be sized like shuffle partitions.
     */
   private final class BucketKeyedScan(
-      inner: Scan, keyNames: Seq[String], numBuckets: Int, presentBuckets: Int)
+      inner: Scan, keyNames: Seq[String], numBuckets: Int,
+      presentBuckets: Int, files: Seq[String])
       extends Scan
       with org.apache.spark.sql.connector.read.SupportsReportPartitioning
       with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -1141,7 +1154,7 @@ private final class ZonePrunedParquetScanBuilder(
         presentBuckets)
 
     override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-      statsOf(inner)
+      statsOf(inner, files)
 
     override def toBatch: Batch = new Batch {
       private val innerBatch = inner.toBatch

@@ -345,6 +345,31 @@ class BucketSpjSpec extends SparkSpec {
     }
   }
 
+  test("streaming sink micro-batches land bucketed (appendIdempotent route)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tmpDir("spj_st_src")
+    val tgt = tmpDir("spj_st_tgt") + "/table"
+    val ckpt = tmpDir("spj_st_ckpt")
+    spark.range(0, 300).selectExpr("id AS k", "id AS v")
+      .write.parquet(s"$src/part1")
+    val schema = spark.read.parquet(s"$src/part1").schema
+    // declare the layout before the first micro-batch arrives
+    Versioned.overwrite(spark.range(0).selectExpr("id AS k", "id AS v"), tgt)
+    Versioned.setProperties(spark, tgt, Map(Versioned.BucketByKey -> "k,4"))
+    val q = spark.readStream.schema(schema).parquet(s"$src/*")
+      .writeStream.format("graft-versioned")
+      .option("path", tgt)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val head = Versioned.currentVersion(spark, tgt).get
+    val tagged = Versioned.filesAt(spark, tgt, head)
+      .filter(f => Versioned.bucketOfFile(f).isDefined)
+    assert(tagged.nonEmpty, "stream batch must write bucket-tagged files")
+    assert(Versioned.readAt(spark, tgt, head).count() == 300L)
+  }
+
   test("overwrite under the declaration re-buckets the replacement snapshot") {
     val dir = tmpDir("spj_ow")
     Versioned.overwrite(

@@ -74,6 +74,15 @@ class ColStatsSpec extends SparkSpec {
         (d.toLong - 50L).abs <= 5L), s"ndv(k) off: ${kStat.distinctCount}")
       assert(kStat.min.contains(0L) && kStat.max.contains(49L))
       assert(kStat.nullCount.contains(BigInt(0)))
+      // the estimate CBO computes FROM the ndv: `k = 3` selects
+      // ~n/ndv of the 5000 rows — the number join reorder runs on
+      val filterRows = q.queryExecution.optimizedPlan.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.stats.rowCount
+      }.flatten
+      assert(filterRows.exists(rc =>
+        rc.toLong >= 50L && rc.toLong <= 200L),
+        s"CBO filter estimate should be ~5000/ndv(50) = 100: $filterRows")
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
       case None => spark.conf.unset("spark.sql.cbo.enabled")
