@@ -115,6 +115,54 @@ class ColStatsSpec extends SparkSpec {
     }
   }
 
+  test("CBO join reorder runs on the served stats: selective join builds first") {
+    val (cat, _) = freshCat("reorder")
+    spark.sql(s"CREATE TABLE $cat.db.f (k1 BIGINT, k2 BIGINT, v BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.db.d1 (k1 BIGINT, a BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.db.d2 (k2 BIGINT, b BIGINT)")
+    spark.range(0, 50000)
+      .selectExpr("id % 5000 AS k1", "id % 10 AS k2", "id AS v")
+      .createOrReplaceTempView("ro_f")
+    spark.range(0, 5000).selectExpr("id AS k1", "id AS a")
+      .createOrReplaceTempView("ro_d1")
+    spark.range(0, 5000).selectExpr("id AS k2", "id AS b")
+      .createOrReplaceTempView("ro_d2")
+    spark.sql(s"INSERT INTO $cat.db.f SELECT * FROM ro_f")
+    spark.sql(s"INSERT INTO $cat.db.d1 SELECT * FROM ro_d1")
+    spark.sql(s"INSERT INTO $cat.db.d2 SELECT * FROM ro_d2")
+    Seq("f", "d1", "d2").foreach(t => spark.sql(
+      s"ANALYZE TABLE $cat.db.$t COMPUTE STATISTICS FOR ALL COLUMNS"))
+    // written order joins d1 (unselective) first; `d2.b < 5` makes the
+    // d2 join shrink the intermediate, which only statistics can see
+    def innermostJoinKey(cbo: Boolean): String = {
+      val keys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+      val prev = keys.map(k => k -> spark.conf.getOption(k))
+      try {
+        keys.foreach(k => spark.conf.set(k, cbo.toString))
+        val q = spark.sql(s"SELECT sum(f.v + d1.a + d2.b) AS s FROM $cat.db.f f " +
+          s"JOIN $cat.db.d1 d1 ON f.k1 = d1.k1 " +
+          s"JOIN $cat.db.d2 d2 ON f.k2 = d2.k2 AND d2.b < 5")
+        assert(q.head().getLong(0) ==
+          spark.sql("SELECT sum(f.v + d1.a + d2.b) FROM ro_f f " +
+            "JOIN ro_d1 d1 ON f.k1 = d1.k1 " +
+            "JOIN ro_d2 d2 ON f.k2 = d2.k2 AND d2.b < 5").head().getLong(0))
+        val joins = q.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }
+        // deepest Join = built first; its condition names the key
+        joins.last.condition.get.references.map(_.name)
+          .filter(_.startsWith("k")).head
+      } finally prev.foreach {
+        case (k, Some(x)) => spark.conf.set(k, x)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    assert(innermostJoinKey(cbo = false) == "k1",
+      "without CBO the written order stands (d1 joins first)")
+    assert(innermostJoinKey(cbo = true) == "k2",
+      "with stats, join reorder must build the selective d2 join first")
+  }
+
   test("sidecar round-trips every field including null markers") {
     val dir = tmpDir("cs_rt")
     Versioned.overwrite(spark.range(3).selectExpr("id AS k"), dir)
