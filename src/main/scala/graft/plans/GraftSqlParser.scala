@@ -506,8 +506,22 @@ final case class GraftOptimizeCommand(
         Versioned.compactSmallWhere(spark, dir, c, whereVal.get)
           .getOrElse(head)
       case None =>
+        val bucketed = Versioned.bucketSpecAt(spark, dir, head)
         val declared = Versioned.clusterByAt(spark, dir, head)
-        if (declared.nonEmpty) {
+        if (bucketed.isDefined) {
+          // bucket layout is the ONE authority: bare OPTIMIZE bin-packs
+          // WITHIN buckets (compactSmall routes through the bucketed
+          // writer) and re-tags any untagged rewrite tail; an explicit
+          // ZORDER BY would strip the tags
+          require(zorderBy.isEmpty,
+            s"table declares a bucket layout (${Versioned.BucketByKey}) — " +
+              "bare OPTIMIZE maintains it (within-bucket bin-pack + " +
+              "re-tag); range clustering would strip the bucket tags")
+          val compacted = Versioned.compactSmall(spark, dir)
+          Versioned.rebucket(spark, dir)
+            .orElse(compacted).getOrElse(head)
+        }
+        else if (declared.nonEmpty) {
           // a CLUSTER BY table has ONE layout authority: bare OPTIMIZE
           // maintains the declared keys INCREMENTALLY (only the
           // unclustered tail rewrites — the 100 TB maintenance shape);

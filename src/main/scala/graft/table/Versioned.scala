@@ -3319,6 +3319,16 @@ object Versioned {
     // rewrite's CAS instead of invalidating earlier checks)
     val v = currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $dir"))
+    // ONE layout authority: a range-clustering rewrite would merge
+    // rows across buckets and silently strip every tag — on bucketed
+    // tables, within-bucket order is the declared CLUSTER BY keys
+    // (applied free on every write) and maintenance is compactSmall/
+    // rebucket, both layout-preserving
+    require(bucketSpecAt(spark, dir, v).isEmpty,
+      s"$dir declares a bucket layout ($BucketByKey) — range clustering " +
+        "would strip the bucket tags; declared CLUSTER BY keys already " +
+        "sort within buckets on every write, and bare OPTIMIZE / " +
+        "system.rebucket maintain the layout")
     val schema = schemaAt(spark, dir, v).getOrElse(
       readAt(spark, dir, v).schema)
     // resolve cluster columns case-insensitively to the committed-schema
@@ -3650,14 +3660,33 @@ object Versioned {
       f.getFileStatus(dataPath(dir, rel)).getLen < smallBytes)
     if (small.size <= 1) return None
     val logSchema = schemaAt(spark, dir, base)
-    val binned = applyDvs(
+    val rows = applyDvs(
       spark, readRaw(spark, dir, logSchema, small), dvsAt(spark, dir, base))
-      .coalesce(targetFiles)
     // partial rewrite: the snapshot keeps its other files, so the
-    // binned replacements must store the SAME physical column names
-    val fresh = writeDataFiles(toPhysicalFrame(binned, logSchema), dir)
+    // binned replacements must store the SAME physical column names.
+    // A BUCKET-declared table compacts THROUGH the bucketed writer —
+    // merging across buckets would silently strip the tags and turn
+    // the co-partitioning report off at the very cadence (auto
+    // compaction under streaming ingest) bucketed tables live on;
+    // rows re-route to their buckets and untagged inputs re-tag free.
+    val fresh = bucketSpecAt(spark, dir, base) match {
+      case Some((bcols, n)) =>
+        val fields = logSchema.getOrElse(rows.schema).fields
+        val bphys = bcols.flatMap(c =>
+          fields.find(_.name.equalsIgnoreCase(c))).map(physicalName)
+        if (bphys.size == bcols.size) {
+          val sortPhys = clusterByAt(spark, dir, base)
+            .flatMap(c => fields.find(_.name.equalsIgnoreCase(c)))
+            .map(physicalName)
+          writeDataFilesBucketed(
+            toPhysicalFrame(rows, logSchema), dir, bphys, n, sortPhys)
+        } else writeDataFiles(
+          toPhysicalFrame(rows.coalesce(targetFiles), logSchema), dir)
+      case None =>
+        writeDataFiles(toPhysicalFrame(rows.coalesce(targetFiles), logSchema), dir)
+    }
     val v = commitRewriteCommuting(spark, dir, base, "compact-small",
-      logSchema.map(_.json).getOrElse(binned.schema.json), small, fresh).get
+      logSchema.map(_.json).getOrElse(rows.schema.json), small, fresh).get
     carrySidecars(spark, dir, base, v,
       filesAt(spark, dir, v).toSet -- fresh.toSet, fresh)
     Some(v)

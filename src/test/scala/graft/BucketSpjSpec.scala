@@ -345,6 +345,41 @@ class BucketSpjSpec extends SparkSpec {
     }
   }
 
+  test("compaction and bare OPTIMIZE preserve the bucket layout; zorder refuses") {
+    val (cat, wh) = freshCat("maint")
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    // several small appends: many small tagged files per bucket
+    (0 until 3).foreach { i =>
+      spark.range(i * 100, (i + 1) * 100).selectExpr("id AS k", "id AS v")
+        .createOrReplaceTempView(s"spj_m_$i")
+      spark.sql(s"INSERT INTO $cat.db.t SELECT * FROM spj_m_$i")
+    }
+    val dir = s"$wh/db/t"
+    // an UPDATE leaves an untagged rewrite tail
+    spark.sql(s"UPDATE $cat.db.t SET v = -1 WHERE k = 5")
+    val before = Versioned.currentVersion(spark, dir).get
+    assert(Versioned.filesAt(spark, dir, before)
+      .exists(f => Versioned.bucketOfFile(f).isEmpty))
+    // bin-pack compaction must route THROUGH the bucketed writer:
+    // fresh files tagged, never a cross-bucket merge stripping tags
+    assert(Versioned.compactSmall(spark, dir).isDefined)
+    val afterCompact = Versioned.currentVersion(spark, dir).get
+    assert(Versioned.filesAt(spark, dir, afterCompact)
+      .forall(f => Versioned.bucketOfFile(f).isDefined),
+      "compaction on a bucketed table must re-tag everything it touches")
+    assert(spark.sql(s"SELECT count(*), sum(v) FROM $cat.db.t").head()
+      .getLong(0) == 300L)
+    // bare OPTIMIZE = within-bucket bin-pack + re-tag; ZORDER refuses
+    spark.sql(s"UPDATE $cat.db.t SET v = -2 WHERE k = 7")
+    spark.sql(s"OPTIMIZE $cat.db.t")
+    val afterOpt = Versioned.currentVersion(spark, dir).get
+    assert(Versioned.filesAt(spark, dir, afterOpt)
+      .forall(f => Versioned.bucketOfFile(f).isDefined))
+    intercept[Exception](spark.sql(s"OPTIMIZE $cat.db.t ZORDER BY (v)"))
+    intercept[Exception](Versioned.optimizeClusterBy(spark, dir, Seq("v")))
+  }
+
   test("streaming sink micro-batches land bucketed (appendIdempotent route)") {
     import org.apache.spark.sql.streaming.Trigger
     val src = tmpDir("spj_st_src")
