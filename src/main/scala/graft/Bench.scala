@@ -90,8 +90,14 @@ object Bench {
     val errs = runs.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = runs.map(_._2).sum
+    // Host-load stamp: isolated re-measures of commit-heavy composites
+    // disagree 2-3x across sessions when co-tenant load is high; recording
+    // the 1-min load average alongside the numbers lets noise adjudication
+    // read the JSON instead of reconstructing host state after the fact.
+    val loadavg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${runs.count(_._3.isDefined)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${runs.count(_._3.isDefined)},"loadavg":$loadavg,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     println(json)
     spark.stop()

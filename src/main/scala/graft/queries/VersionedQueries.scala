@@ -2326,6 +2326,7 @@ object VersionedQueries {
     val confs = Seq(
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
       "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.graft.preserveDataGrouping" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
     val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
     try {
@@ -2348,9 +2349,18 @@ object VersionedQueries {
         org.apache.spark.sql.Row("meta", -1L, fNoShuffle + fScan, 0L)),
         hits.schema)
       hits.unionByName(meta).orderBy("kind", "user_id")
-    } finally prev.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None) => s.conf.unset(k)
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+      // Don't leak the per-invocation catalog confs / temp views into the
+      // shared session: repeated gate/bench runs would accumulate one
+      // spjq_<uuid> catalog + two views per call otherwise.
+      s.catalog.dropTempView(s"${cat}_src_a")
+      s.catalog.dropTempView(s"${cat}_src_b")
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
     }
   }
 
@@ -2502,9 +2512,11 @@ object VersionedQueries {
       |            FROM events WHERE event_id % 8 = 3),
       |bnd AS (SELECT min(event_id) +
       |               (max(event_id) - min(event_id)) // 2 AS mid FROM ev),
-      |a AS (SELECT user_id % 1000 AS user_id, count(*) AS c, sum(v) AS sv
+      |a AS (SELECT user_id % 1000 AS user_id, count(*) AS c,
+      |             CAST(sum(v) AS BIGINT) AS sv
       |      FROM ev, bnd WHERE event_id < mid GROUP BY user_id % 1000),
-      |b AS (SELECT user_id % 1000 AS user_id, count(*) AS c, sum(v) AS sv
+      |b AS (SELECT user_id % 1000 AS user_id, count(*) AS c,
+      |             CAST(sum(v) AS BIGINT) AS sv
       |      FROM ev, bnd WHERE event_id >= mid GROUP BY user_id % 1000)
       |SELECT kind, user_id, cnt, total FROM (
       |  SELECT 'content' AS kind, a.user_id, a.c + b.c AS cnt,
@@ -2515,8 +2527,116 @@ object VersionedQueries {
       |         CAST(0 AS BIGINT)
       |) ORDER BY kind, user_id""".stripMargin
 
+  // X — storage-partitioned join SKEW path under the oracle gate: a
+  // co-bucketed join whose big side concentrates ~80% of rows on one
+  // hot key runs under Spark's partially-clustered distribution
+  // (`spark.sql.sources.v2.bucketing.partiallyClusteredDistribution
+  // .enabled`) — the big side's splits stay UNGROUPED (duplicate
+  // partition values allowed, one task per split) and the small side's
+  // matching group is replicated to pair with each, so the hot bucket
+  // fans out across tasks instead of serializing the join onto one.
+  // Requires the scan to report PER-SPLIT HasPartitionKey partitions
+  // (pre-grouping per bucket would leave nothing to split). Flags hash
+  // (1) the shuffle-free probe join, (2) the bucket-keyed scan's
+  // presence, (3) probe-join parallelism EXCEEDING the bucket count —
+  // the skew split itself. Content is the exact join aggregate.
+  def spjSkewLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_id") % 8 === 6)
+      .withColumn("v", floor(col("value") * 100).cast("long"))
+      .withColumn("uk", expr(
+        "CAST(CASE WHEN user_id % 10 < 8 THEN 7 ELSE user_id % 97 END AS BIGINT)"))
+      .select("uk", "v")
+    val wh = scratchDir("graft_xspjskew")
+    val cat = s"spjsk_${java.util.UUID.randomUUID().toString.take(8)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "org.apache.spark.sql.graft.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE $cat.db")
+    s.sql(s"CREATE TABLE $cat.db.big (uk BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, uk))")
+    s.sql(s"CREATE TABLE $cat.db.small (uk BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(4, uk))")
+    ev.createOrReplaceTempView(s"${cat}_src_big")
+    ev.select("uk").distinct()
+      .withColumn("w", (col("uk") * 7).cast("long"))
+      .createOrReplaceTempView(s"${cat}_src_small")
+    // four commits: the hot bucket holds (at least) four files at any
+    // scale factor — the material the skew path must fan out over
+    (1 to 4).foreach(_ =>
+      s.sql(s"INSERT INTO $cat.db.big SELECT uk, v FROM ${cat}_src_big"))
+    s.sql(s"INSERT INTO $cat.db.small SELECT uk, w FROM ${cat}_src_small")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "true",
+      "spark.sql.graft.preserveDataGrouping" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // one scan partition per FILE at every scale: an open cost equal
+      // to the default partition size stops the per-bucket re-pack
+      // from coalescing the hot bucket's files back into one split
+      "spark.sql.files.openCostInBytes" -> "134217728")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      // probe join (no aggregate): the flags read the JOIN's own plan
+      // and parallelism, unpolluted by a downstream exchange
+      val probe = s.sql(s"SELECT b.uk, b.v, sm.w FROM $cat.db.big b " +
+        s"JOIN $cat.db.small sm ON b.uk = sm.uk")
+      val probePlan = probe.queryExecution.executedPlan.toString
+      val fNoShuffle = if (!probePlan.contains("Exchange hashpartitioning")) 1L else 0L
+      val fScan = if (probePlan.contains("GraftBucketKeyed")) 1L else 0L
+      val fSplit =
+        if (probe.queryExecution.toRdd.getNumPartitions > 4) 1L else 0L
+      val j = s.sql(s"SELECT b.uk AS uk, count(*) AS cnt, " +
+        s"CAST(sum(b.v + sm.w) AS BIGINT) AS total " +
+        s"FROM $cat.db.big b JOIN $cat.db.small sm ON b.uk = sm.uk " +
+        s"GROUP BY b.uk")
+      val out = j.collect()
+      val hits = s.createDataFrame(
+        java.util.Arrays.asList(out.map(r => org.apache.spark.sql.Row(
+          "content", r.getLong(0), r.getLong(1), r.getLong(2))): _*),
+        new org.apache.spark.sql.types.StructType()
+          .add("kind", org.apache.spark.sql.types.StringType, false)
+          .add("uk", org.apache.spark.sql.types.LongType, false)
+          .add("cnt", org.apache.spark.sql.types.LongType, false)
+          .add("total", org.apache.spark.sql.types.LongType, false))
+      val meta = s.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row("meta", -1L, fNoShuffle + fScan + fSplit, 0L)),
+        hits.schema)
+      hits.unionByName(meta).orderBy("kind", "uk")
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+      s.catalog.dropTempView(s"${cat}_src_big")
+      s.catalog.dropTempView(s"${cat}_src_small")
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  val spjSkewLifecycleSql: String =
+    """WITH ev AS (SELECT CAST(CASE WHEN user_id % 10 < 8 THEN 7
+      |                          ELSE user_id % 97 END AS BIGINT) AS uk,
+      |                   CAST(floor(value * 100) AS BIGINT) AS v
+      |            FROM events WHERE event_id % 8 = 6),
+      |sm AS (SELECT uk, CAST(uk * 7 AS BIGINT) AS w
+      |       FROM (SELECT DISTINCT uk FROM ev)),
+      |big AS (SELECT uk, v FROM ev
+      |        CROSS JOIN (VALUES (1),(2),(3),(4)) AS r(i))
+      |SELECT kind, uk, cnt, total FROM (
+      |  SELECT 'content' AS kind, b.uk, count(*) AS cnt,
+      |         CAST(sum(b.v + s.w) AS BIGINT) AS total
+      |  FROM big b JOIN sm s ON b.uk = s.uk GROUP BY b.uk
+      |  UNION ALL
+      |  SELECT 'meta', CAST(-1 AS BIGINT), CAST(3 AS BIGINT),
+      |         CAST(0 AS BIGINT)
+      |) ORDER BY kind, uk""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("x_spj", spjLifecycle, Some(spjLifecycleSql)),
+    QueryDef("x_spj_skew", spjSkewLifecycle, Some(spjSkewLifecycleSql)),
     QueryDef("x_bucket_prune", bucketPruneLifecycle, Some(bucketPruneLifecycleSql)),
     QueryDef("x_colstats", colStatsLifecycle, Some(colStatsLifecycleSql)),
     QueryDef("x_sql_timetravel", sqlTimeTravel, Some(sqlTimeTravelSql)),

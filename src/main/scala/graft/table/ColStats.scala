@@ -35,13 +35,27 @@ import org.apache.spark.sql.types._
   */
 object ColStats {
 
+  /** One equi-height histogram bin: value range (double domain, the
+    * same domain catalyst's `HistogramBin` uses) and the approximate
+    * distinct count inside it.
+    */
+  final case class Bin(lo: Double, hi: Double, ndv: Long)
+
   /** One column's published statistics. `min`/`max` are in the long
     * stat domain of [[longDomain]] types; None for strings/unsupported.
+    * `hist` is the equi-height histogram (what Spark's own ANALYZE
+    * builds under `spark.sql.statistics.histogram.enabled`): each bin
+    * holds `histHeight` non-null rows, so a point/range predicate's
+    * selectivity reads off the bins instead of assuming uniformity
+    * between min and max — the difference between n/ndv and the truth
+    * on a Zipfian key.
     */
   final case class Stat(
       ndv: Long, nulls: Long,
       min: Option[Long], max: Option[Long],
-      avgLen: Option[Long], maxLen: Option[Long])
+      avgLen: Option[Long], maxLen: Option[Long],
+      histHeight: Option[Double] = None,
+      hist: Option[Seq[Bin]] = None)
 
   /** Types whose min/max round-trip the long domain exactly. */
   def longDomain(dt: DataType): Boolean = dt match {
@@ -68,9 +82,12 @@ object ColStats {
   }
 
   /** One aggregation pass over `df` for `cols` (must exist in the
-    * frame). Timestamps stat as epoch micros, decimals as unscaled.
+    * frame) plus two histogram passes ([[computeHistograms]]).
+    * Timestamps stat as epoch micros, decimals as unscaled.
     */
-  def compute(df: DataFrame, cols: Seq[String]): Map[String, Stat] = {
+  def compute(
+      df: DataFrame, cols: Seq[String],
+      numBins: Int = 254): Map[String, Stat] = {
     val schema = df.schema
     val aggs = cols.flatMap { c =>
       val dt = schema(schema.fieldIndex(c)).dataType
@@ -103,12 +120,71 @@ object ColStats {
         case o => o.toString.toLong
       })
     val n = row.getAs[Long]("__n")
+    val hists = computeHistograms(df, cols, numBins)
     cols.map { c =>
+      val cnt = get(s"__cnt_$c").getOrElse(0L)
+      val hist = hists.get(c).filter(_ => cnt > 0)
       c -> Stat(
         ndv = get(s"__ndv_$c").getOrElse(0L),
-        nulls = n - get(s"__cnt_$c").getOrElse(0L),
+        nulls = n - cnt,
         min = get(s"__min_$c"), max = get(s"__max_$c"),
-        avgLen = get(s"__avglen_$c"), maxLen = get(s"__maxlen_$c"))
+        avgLen = get(s"__avglen_$c"), maxLen = get(s"__maxlen_$c"),
+        histHeight = hist.map(_ => cnt.toDouble / numBins),
+        hist = hist)
+    }.toMap
+  }
+
+  /** Equi-height histograms for the [[longDomain]] subset of `cols` —
+    * the exact construction Spark's own `ANALYZE TABLE` runs under
+    * `spark.sql.statistics.histogram.enabled`, in two distributed
+    * passes over `df`: (1) ONE aggregation computing every column's
+    * `numBins+1` approximate percentiles (bin endpoints — equi-height
+    * means equal ROW counts per bin, so heavy hitters collapse several
+    * endpoints onto one value and a point predicate on them reads its
+    * true mass off the repeated bins); (2) ONE aggregation computing
+    * per-bin NDVs with Spark's `ApproxCountDistinctForIntervals` (an
+    * HLL++ per interval, the same aggregate Spark's ANALYZE uses).
+    * Columns with no non-null rows, and non-long-domain types, get no
+    * histogram.
+    */
+  def computeHistograms(
+      df: DataFrame, cols: Seq[String],
+      numBins: Int): Map[String, Seq[Bin]] = {
+    import org.apache.spark.sql.graft.Bridge
+    val schema = df.schema
+    val histCols = cols.filter(c =>
+      longDomain(schema(schema.fieldIndex(c)).dataType))
+    if (histCols.isEmpty || numBins < 1) return Map.empty
+    val qs = (0 to numBins).map(i => i.toDouble / numBins).toArray
+    val pAggs = histCols.map(c => percentile_approx(
+      col(c).cast("double"), lit(qs),
+      lit(org.apache.spark.sql.catalyst.expressions.aggregate
+        .ApproximatePercentile.DEFAULT_PERCENTILE_ACCURACY))
+      .as(s"__ep_$c"))
+    val pRow = df.agg(pAggs.head, pAggs.tail: _*).head()
+    val endpoints: Map[String, Array[Double]] = histCols.flatMap { c =>
+      val i = pRow.fieldIndex(s"__ep_$c")
+      if (pRow.isNullAt(i)) None
+      else Some(c -> pRow.getSeq[Double](i).toArray)
+    }.toMap
+    if (endpoints.isEmpty) return Map.empty
+    val live = histCols.filter(endpoints.contains)
+    val nAggs = live.map { c =>
+      Bridge.column(
+        org.apache.spark.sql.catalyst.expressions.aggregate
+          .ApproxCountDistinctForIntervals(
+            Bridge.expression(col(c).cast("double")),
+            Bridge.expression(lit(endpoints(c))),
+            0.05, 0, 0)
+          .toAggregateExpression()).as(s"__ndvs_$c")
+    }
+    val nRow = df.agg(nAggs.head, nAggs.tail: _*).head()
+    live.map { c =>
+      val eps = endpoints(c)
+      val ndvs = nRow.getSeq[Long](nRow.fieldIndex(s"__ndvs_$c"))
+      c -> eps.sliding(2).zip(ndvs.iterator).map { case (Array(lo, hi), d) =>
+        Bin(lo, hi, d)
+      }.toSeq
     }.toMap
   }
 
@@ -122,9 +198,15 @@ object ColStats {
     val body = stats.toSeq.sortBy(_._1).map { case (c, s) =>
       val b64 = java.util.Base64.getEncoder.encodeToString(
         c.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // histogram as a flat [lo,hi,ndv, lo,hi,ndv, …] triple list —
+      // regex-parseable like every other sidecar field
+      val hh = s.histHeight.map(_.toString).getOrElse("null")
+      val hb = s.hist.map(_.map(b => s"${b.lo},${b.hi},${b.ndv}")
+        .mkString("[", ",", "]")).getOrElse("null")
       s"""{"col":"$b64","ndv":${s.ndv},"nulls":${s.nulls},""" +
         s""""min":${opt(s.min)},"max":${opt(s.max)},""" +
-        s""""avglen":${opt(s.avgLen)},"maxlen":${opt(s.maxLen)}}"""
+        s""""avglen":${opt(s.avgLen)},"maxlen":${opt(s.maxLen)},""" +
+        s""""histh":$hh,"hist":$hb}"""
     }.mkString(s"""{"version":$v,"stats":[""", ",", "]}")
     val tmp = new Path(s"$dir/_graft_log/.colstats.tmp")
     val out = f.create(tmp, true)
@@ -146,14 +228,23 @@ object ColStats {
       .map(_.group(1).toLong).getOrElse(return None)
     val entry = ("""\{"col":"([^"]+)","ndv":(\d+),"nulls":(\d+),""" +
       """"min":(-?\d+|null),"max":(-?\d+|null),""" +
-      """"avglen":(-?\d+|null),"maxlen":(-?\d+|null)\}""").r
+      """"avglen":(-?\d+|null),"maxlen":(-?\d+|null)""" +
+      // optional suffix: sidecars written before histograms lack it
+      """(?:,"histh":([-+.eE0-9]+|null),"hist":(\[[^\]]*\]|null))?\}""").r
     def opt(s: String): Option[Long] =
       if (s == "null") None else Some(s.toLong)
     val stats = entry.findAllMatchIn(body).map { m =>
       val c = new String(java.util.Base64.getDecoder.decode(m.group(1)),
         java.nio.charset.StandardCharsets.UTF_8)
+      val histH = Option(m.group(8)).filter(_ != "null").map(_.toDouble)
+      val hist = Option(m.group(9)).filter(_ != "null").map { s =>
+        s.stripPrefix("[").stripSuffix("]").split(",").filter(_.nonEmpty)
+          .grouped(3).map(t => Bin(t(0).toDouble, t(1).toDouble,
+            t(2).toDouble.toLong)).toSeq
+      }.filter(_.nonEmpty)
       c -> Stat(m.group(2).toLong, m.group(3).toLong,
-        opt(m.group(4)), opt(m.group(5)), opt(m.group(6)), opt(m.group(7)))
+        opt(m.group(4)), opt(m.group(5)), opt(m.group(6)), opt(m.group(7)),
+        histH, hist)
     }.toMap
     Some((version, stats))
   }

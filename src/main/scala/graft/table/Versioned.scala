@@ -1406,6 +1406,30 @@ object Versioned {
           s"bucket column must be integral/string/date/timestamp: " +
             s"$c is ${field.dataType.catalogString}")
       }
+      // Redeclaring a DIFFERENT spec over a snapshot whose files already
+      // carry .gbNNNNN tags would leave stale tags the scan trusts:
+      // bucket-point pruning would silently drop files holding matching
+      // rows, and when old tags fall in [0, newN) the SPJ report would
+      // claim KeyGroupedPartitioning under the new spec while files are
+      // grouped under the old — shuffle-free joins missing matches.
+      // rebucket cannot repair that (it only rewrites UNTAGGED files),
+      // so the only sound transition is through a full untagged rewrite.
+      val prior = propertiesAt(spark, dir, base)
+        .get(BucketByKey).flatMap(parseBucketSpec)
+      val normNew = (cols.map(_.toLowerCase(java.util.Locale.ROOT)), n)
+      // prior == None with tagged files present is the unset-then-
+      // redeclare corner: the tags' spec is unknowable, same hazard.
+      val changed = !prior.map { case (pc, pn) =>
+        (pc.map(_.toLowerCase(java.util.Locale.ROOT)), pn)
+      }.contains(normNew)
+      if (changed && filesAt(spark, dir, base).exists(bucketOfFile(_).isDefined))
+        throw new IllegalStateException(
+          s"cannot change $BucketByKey while bucket-tagged files exist at " +
+            s"head: tags written under the old spec would be trusted by " +
+            s"pruning and storage-partitioned joins under the new one. " +
+            s"Rewrite the table first (e.g. overwrite with the spec unset, " +
+            s"or UNSET TBLPROPERTIES then OPTIMIZE) so no tagged file " +
+            s"survives, then declare the new spec and rebucket.")
     }
     commitAttempt(spark, dir, "set-properties",
       _ => schemaAt(spark, dir, base)
@@ -2143,38 +2167,51 @@ object Versioned {
   private def writeDataFilesBucketed(
       df: DataFrame, dir: String, bucketCols: Seq[String], n: Int,
       sortCols: Seq[String] = Nil): Seq[String] = {
-    import org.apache.spark.sql.functions.{col => fcol}
+    import org.apache.spark.sql.functions.{col => fcol, hash => fhash, lit => flit, pmod => fpmod}
     val sub = s"d-${UUID.randomUUID().toString}"
+    // The tag must come from the ROWS, never from the write's partition
+    // index: when the input is ALREADY hash-partitioned on the key
+    // (a distinct/groupBy upstream), Spark elides the repartition and
+    // AQE may have coalesced the upstream exchange — task i then holds
+    // SEVERAL buckets and a part-index-derived tag LIES, silently
+    // misrouting bucket pruning and misaligning storage-partitioned
+    // joins. partitionBy on a computed bucket column routes every row
+    // to its bucket's file whatever the task layout (`hash` is
+    // Murmur3 seed 42 — GraftBucketFunction's own definition, purity
+    // spec-pinned); the repartition below only CLUSTERS (one task per
+    // bucket in the healthy case) so the write stays
+    // one-file-per-non-empty-bucket.
+    val withGb = df.withColumn("__gb",
+      fpmod(fhash(bucketCols.map(fcol): _*), flit(n)))
     // WITHIN-BUCKET clustering: hash scattering makes every bucket
     // file span the full range of any non-key column, so declared
-    // CLUSTER BY keys sort inside each bucket partition (no extra
-    // shuffle — partition assignment is untouched) and the per-file
-    // zone stats stay tight when a bucket emits several files
-    // (maxRecordsPerFile splits, large batches). The Bucketed-layout
-    // ZoneSpec discipline applied to versioned bucket tables.
-    val parted0 = df.repartition(n, bucketCols.map(fcol): _*)
-    val parted =
-      if (sortCols.isEmpty) parted0
-      else parted0.sortWithinPartitions(sortCols.map(fcol): _*)
-    val byIndex = WriteCounts.capture(parted, parted.write.parquet(s"$dir/$sub"))
+    // CLUSTER BY keys sort inside each bucket partition; leading __gb
+    // satisfies the dynamic-partition write's required ordering, so no
+    // extra sort is planned and the zone stats stay tight.
+    val parted = withGb.repartition(n, bucketCols.map(fcol): _*)
+      .sortWithinPartitions((fcol("__gb") +: sortCols.map(fcol)): _*)
+    val byIndex = WriteCounts.capture(parted,
+      parted.write.partitionBy("__gb").parquet(s"$dir/$sub"))
     val f = fs(df.sparkSession, dir)
-    val raw = f.listStatus(new Path(dir, sub)).toSeq
-      .map(_.getPath.getName)
-      .filter(_.endsWith(".parquet"))
-      .sorted
-    val partIdx = raw"part-(\d+)-.*".r
-    val rels = raw.map { name =>
-      name match {
-        case partIdx(i) =>
-          val tagged =
-            name.stripSuffix(".parquet") + f".gb${i.toInt}%05d.parquet"
-          require(f.rename(new Path(s"$dir/$sub/$name"),
-            new Path(s"$dir/$sub/$tagged")),
-            s"bucket-tag rename failed for $sub/$name at $dir")
-          s"$sub/$tagged"
-        case _ => s"$sub/$name"
+    val gbDir = raw"__gb=(\d+)".r
+    val rels = f.listStatus(new Path(dir, sub)).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case gbDir(b) if st.isDirectory =>
+          val files = f.listStatus(st.getPath).toSeq
+            .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
+          val moved = files.map { name =>
+            val tagged =
+              name.stripSuffix(".parquet") + f".gb${b.toInt}%05d.parquet"
+            require(f.rename(new Path(st.getPath, name),
+              new Path(s"$dir/$sub/$tagged")),
+              s"bucket-tag rename failed for $sub/$name at $dir")
+            s"$sub/$tagged"
+          }
+          f.delete(st.getPath, true) // now-empty __gb= dir
+          moved
+        case _ => Nil // _SUCCESS marker stays put
       }
-    }
+    }.sorted
     WriteCounts.record(rels, byIndex)
     rels
   }
@@ -3684,6 +3721,16 @@ object Versioned {
           toPhysicalFrame(rows.coalesce(targetFiles), logSchema), dir)
       case None =>
         writeDataFiles(toPhysicalFrame(rows.coalesce(targetFiles), logSchema), dir)
+    }
+    // A compaction that does not REDUCE the file count is not a
+    // compaction: the bucketed writer emits one file per non-empty
+    // bucket, so a small set spread thinner than its bucket fan-out
+    // would GROW the table (OPTIMIZE on a high-bucket-count table with
+    // few small rows). Commit nothing — the inputs stay live — and
+    // drop the orphaned outputs.
+    if (fresh.size >= small.size) {
+      fresh.foreach(r => f.delete(dataPath(dir, r), false))
+      return None
     }
     val v = commitRewriteCommuting(spark, dir, base, "compact-small",
       logSchema.map(_.json).getOrElse(rows.schema.json), small, fresh).get
@@ -5431,7 +5478,10 @@ object Versioned {
           throw new IllegalArgumentException(
             s"no column $c at $dir (${snapshot.columns.mkString(", ")})"))
       }
-    val stats = ColStats.compute(snapshot, resolved)
+    // histogram granularity follows Spark's own ANALYZE knob
+    val numBins = spark.conf
+      .get("spark.sql.statistics.histogram.numBins", "254").toInt
+    val stats = ColStats.compute(snapshot, resolved, numBins)
     ColStats.write(spark, dir, head, stats)
     (head, resolved.size.toLong)
   }

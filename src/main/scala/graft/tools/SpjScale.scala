@@ -86,6 +86,7 @@ object SpjScale {
     def run(tag: String, bucketing: Boolean): Unit = {
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", bucketing.toString)
       spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      spark.conf.set("spark.sql.graft.preserveDataGrouping", bucketing.toString)
       // warm + verify both modes agree
       val j = timed(s"$tag-join")(spark.sql(joinSql).head().getLong(1))
       val g = timed(s"$tag-agg")(spark.sql(aggSql).head().getLong(0))
@@ -97,6 +98,47 @@ object SpjScale {
     // second pass each to shake warmup
     run("shuffle2", bucketing = false)
     run("spj2", bucketing = true)
+
+    // SKEW leg: a big side concentrating SPARK_GRAFT_SKEW_PCT (default
+    // 80%) of rows on ONE hot key against a small dim, three ways —
+    // the fully-clustered SPJ serializes the hot bucket onto one task;
+    // the partially-clustered path (one task per big-side split, small
+    // side replicated) is the fix this measures.
+    val skewPct = sys.env.getOrElse("SPARK_GRAFT_SKEW_PCT", "80").toInt
+    spark.sql(s"CREATE TABLE $cat.db.skew (k BIGINT, v BIGINT) " +
+      s"PARTITIONED BY (bucket($buckets, k))")
+    spark.sql(s"CREATE TABLE $cat.db.dim (k BIGINT, w BIGINT) " +
+      s"PARTITIONED BY (bucket($buckets, k))")
+    events.selectExpr(
+        s"CAST(CASE WHEN event_id % 100 < $skewPct THEN 7 " +
+          s"ELSE user_id % 9973 END AS BIGINT) AS k", "v")
+      .createOrReplaceTempView("spjscale_skew_src")
+    // several commits: the hot bucket is multi-file, so the partially-
+    // clustered path has real splits to fan out over
+    (1 to 4).foreach(_ => spark.sql(
+      s"INSERT INTO $cat.db.skew SELECT k, v FROM spjscale_skew_src " +
+        "WHERE k IS NOT NULL"))
+    spark.sql(s"INSERT INTO $cat.db.dim " +
+      "SELECT k, CAST(k * 3 AS BIGINT) AS w FROM " +
+      "(SELECT DISTINCT k FROM spjscale_skew_src)")
+    val skewSql = s"SELECT count(*) AS n, sum(s.v + d.w) AS t " +
+      s"FROM $cat.db.skew s JOIN $cat.db.dim d ON s.k = d.k"
+    def runSkew(tag: String, bucketing: Boolean, partial: Boolean): Unit = {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", bucketing.toString)
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      spark.conf.set("spark.sql.graft.preserveDataGrouping", bucketing.toString)
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
+        partial.toString)
+      timed(s"$tag-skewjoin")(spark.sql(skewSql).head().getLong(1))
+      ()
+    }
+    runSkew("shuffle", bucketing = false, partial = false)
+    runSkew("spj-full", bucketing = true, partial = false)
+    runSkew("spj-partial", bucketing = true, partial = true)
+    runSkew("shuffle2", bucketing = false, partial = false)
+    runSkew("spj-full2", bucketing = true, partial = false)
+    runSkew("spj-partial2", bucketing = true, partial = true)
 
     spark.stop()
   }

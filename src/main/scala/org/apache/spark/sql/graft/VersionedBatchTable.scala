@@ -55,6 +55,14 @@ import graft.table.Versioned
 
 private[graft] object VersionedBatchTable {
 
+  /** Session opt-in for the storage-partitioned-join report (Iceberg's
+    * `preserveDataGrouping` analog, same default): `false` keeps plain
+    * scans of bucketed tables at full split parallelism; `true` makes
+    * the scan report `KeyGroupedPartitioning` so co-bucketed joins plan
+    * shuffle-free (Spark then groups tasks at the bucket count).
+    */
+  val PreserveGroupingKey = "spark.sql.graft.preserveDataGrouping"
+
   def pathOf(options: JMap[String, String]): String = {
     val ci = new CaseInsensitiveStringMap(options)
     Option(ci.get("path")).getOrElse(throw new IllegalArgumentException(
@@ -785,13 +793,36 @@ private final class ZonePrunedParquetScanBuilder(
       case StringType => Some(raw.map(_.toString))
       case _ => None
     }
+    // bucket-tag probe (free — the tag rides the file NAME): when the
+    // probed column IS the single-column bucket key, rows equal to any
+    // point can only live in the points' buckets. Hash placement is
+    // immune to the value locality zones need, so this is the probe
+    // that bites on hash-scattered keys — and the one that lets a
+    // runtime (DFP) IN-list skip whole buckets of a bucketed fact.
+    // Untagged files stay unless the row-count sidecar proves them
+    // empty. Type must match the schema exactly (a differently-typed
+    // literal hashes differently than the stored key).
+    val bucketLive: Seq[String] = Versioned.bucketSpecAt(spark, dir, v) match {
+      case Some((Seq(bcol), n)) if bcol.equalsIgnoreCase(name) &&
+          raw.size <= 10000 &&
+          full.fields.exists(f =>
+            f.name.equalsIgnoreCase(name) && f.dataType == dataType) =>
+        val ok = raw.map(x =>
+          graft.table.GraftBucketFunction.bucketOf(x, dataType, n)).toSet
+        lazy val counts = Versioned.rowCountsAt(spark, dir, v)
+        live.filter(r => Versioned.bucketOfFile(r) match {
+          case Some(b) => ok.contains(b)
+          case None => !counts.exists(_.get(r).contains(0L))
+        })
+      case _ => live
+    }
     val zoned = longPoints match {
       case Some(ps) if ps.nonEmpty =>
         val keep =
           (if (capped) Versioned.prunedFiles(spark, dir, v, name, ps.min, ps.max)
            else Versioned.prunedFilesIn(spark, dir, v, name, ps)).toSet
-        live.filter(keep.contains)
-      case _ => live
+        bucketLive.filter(keep.contains)
+      case _ => bucketLive
     }
     val strZoned = strPoints match {
       case Some(ps) if ps.nonEmpty && zoned.nonEmpty =>
@@ -838,6 +869,27 @@ private final class ZonePrunedParquetScanBuilder(
                 .asInstanceOf[Object]))
               .getOrElse(java.util.Optional.empty[Object]())
           else java.util.Optional.empty[Object]()
+        // equi-height histogram → connector Histogram; transformV2Stats
+        // maps it to catalyst's HistogramBin so skewed-predicate
+        // selectivity reads off bins instead of assuming uniformity
+        val v2Hist: java.util.Optional[
+            org.apache.spark.sql.connector.read.colstats.Histogram] =
+          (st.histHeight, st.hist) match {
+            case (Some(h), Some(statBins)) if statBins.nonEmpty =>
+              java.util.Optional.of(
+                new org.apache.spark.sql.connector.read.colstats.Histogram {
+                  override def height(): Double = h
+                  override def bins(): Array[
+                      org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                    statBins.map(b =>
+                      new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                        override def lo(): Double = b.lo
+                        override def hi(): Double = b.hi
+                        override def ndv(): Long = b.ndv
+                      }).toArray
+                })
+            case _ => java.util.Optional.empty()
+          }
         m.put(
           org.apache.spark.sql.connector.expressions.FieldReference(Seq(f.name)),
           new ColumnStatistics {
@@ -847,11 +899,17 @@ private final class ZonePrunedParquetScanBuilder(
             override def max(): java.util.Optional[Object] = valOpt(st.max)
             override def avgLen() = longOpt(st.avgLen)
             override def maxLen() = longOpt(st.maxLen)
+            override def histogram(): java.util.Optional[
+                org.apache.spark.sql.connector.read.colstats.Histogram] = v2Hist
           })
       }
     })
     m
   }
+
+  /** Live deletion vectors at `v` — see the guard in [[statsOf]]. */
+  private lazy val hasDvs: Boolean =
+    Versioned.dvsAt(spark, dir, v).nonEmpty
 
   /** Merges `inner`'s size estimate, an EXACT `numRows` from the
     * row-count sidecar over the planned `files` (the parquet FileScan
@@ -867,8 +925,15 @@ private final class ZonePrunedParquetScanBuilder(
       case _ =>
         (java.util.OptionalLong.empty(), java.util.OptionalLong.empty())
     }
+    // The sidecar records PHYSICAL rows per file; a MoR-mutated snapshot
+    // (live deletion vectors) would overstate. Unreachable today — this
+    // builder is only constructed when dvsAt is empty (newScanBuilder
+    // routes DV'd snapshots to the V1 bridge) — but the claim of EXACT
+    // cardinality is load-bearing for CBO, so guard it here too rather
+    // than trust a distant routing decision.
     val rows =
       if (rows0.isPresent) rows0
+      else if (hasDvs) java.util.OptionalLong.empty()
       else Versioned.rowCountsAt(spark, dir, v)
         .filter(c => files.forall(c.contains))
         .map(c => java.util.OptionalLong.of(files.map(c).sum))
@@ -1051,7 +1116,17 @@ private final class ZonePrunedParquetScanBuilder(
       // and on unindexed tables (zero overhead).
       val runtimeCols =
         if (aggregation.nonEmpty || limit.nonEmpty) Seq.empty[String]
-        else Versioned.skippingColumnsAt(spark, dir, v)
+        else {
+          // a single-column bucket key is runtime-filterable with NO
+          // sidecar at all: the tag probe answers from file names
+          // (pruneInProbe keeps untagged files unless provably empty)
+          val bucketKey = Versioned.bucketSpecAt(spark, dir, v).collect {
+            case (Seq(c), _) => full.fields.collectFirst {
+              case f if f.name.equalsIgnoreCase(c) => f.name
+            }
+          }.flatten
+          (Versioned.skippingColumnsAt(spark, dir, v) ++ bucketKey).distinct
+        }
       // storage-partitioned-join report: when the snapshot declares a
       // bucket layout and EVERY live (post-pruning) file carries its
       // bucket tag, the scan proves co-partitioning to the planner —
@@ -1072,8 +1147,24 @@ private final class ZonePrunedParquetScanBuilder(
       // bucket count for zero benefit. Multi-column layouts keep their
       // other dividends (composite point pruning, deterministic
       // placement) without the report.
+      // Gate on BOTH Spark's SPJ switch (spark.sql.sources.v2.bucketing
+      // .enabled — default TRUE since Spark 4) and an explicit
+      // preserve-grouping opt-in (default FALSE, Iceberg's
+      // preserveDataGrouping design): once a scan reports
+      // KeyGroupedPartitioning, Spark's exec-side grouping caps task
+      // count at the bucket count for EVERY consumer, join or not — so
+      // a plain `SELECT … WHERE …` over a 100 TB bucketed fact would
+      // scan on numBuckets tasks for zero benefit. Sessions that want
+      // the shuffle-free join set the opt-in; everyone else keeps full
+      // split parallelism, runtime file skipping, and bucket-tag
+      // pruning. SQLConf.get reads the planning session's conf (scans
+      // are built at planning time).
+      val preserveGrouping = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString(VersionedBatchTable.PreserveGroupingKey, "false")
+        .equalsIgnoreCase("true")
       val spjPlan: Option[(Seq[String], Int, Seq[String])] =
-        if (aggregation.nonEmpty || limit.nonEmpty) None
+        if (aggregation.nonEmpty || limit.nonEmpty || !preserveGrouping ||
+            !org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled) None
         else Versioned.bucketSpecAt(spark, dir, v)
           .filter(_._1.size == 1).flatMap { case (cols, n) =>
           val keyNames = cols.map(c =>
@@ -1094,8 +1185,7 @@ private final class ZonePrunedParquetScanBuilder(
         }
       spjPlan match {
         case Some((keyNames, n, files)) =>
-          new BucketKeyedScan(rebuilt(files), keyNames, n,
-            files.flatMap(Versioned.bucketOfFile).distinct.size, files)
+          new BucketKeyedScan(keyNames, n, files, runtimeCols, rebuilt)
         case None =>
           if (runtimeCols.nonEmpty)
             new RuntimeFilteredScan(pruned, runtimeCols, rebuilt)
@@ -1108,37 +1198,57 @@ private final class ZonePrunedParquetScanBuilder(
   /** [[org.apache.spark.sql.connector.read.SupportsReportPartitioning]]
     * wrapper over the delegated parquet scan — the STORAGE-PARTITIONED
     * JOIN surface (SPARK-37375's public contract, the integration shape
-    * Iceberg ships): the scan regroups the planned parquet splits by
-    * each file's bucket tag into ONE input partition per bucket, each
-    * exposing its bucket id via `HasPartitionKey`, and reports
-    * `KeyGroupedPartitioning(bucket(n, key))`. Spark resolves the
-    * bucket transform against the table catalog's FunctionCatalog
-    * ([[graft.table.GraftBucketFunction]] — the same
-    * `pmod(murmur3(key, 42), n)` the write path assigned rows with),
-    * and under `spark.sql.sources.v2.bucketing.enabled` two scans
-    * reporting the same function + count join WITHOUT shuffling either
-    * side. At 100 TB this deletes the dominant cost of a fact-fact
-    * join: both shuffles and both sorts plan away, each task joining
-    * bucket i against bucket i straight off the scan.
+    * Iceberg ships): the scan re-slices the planned parquet splits into
+    * PER-SPLIT input partitions, each exposing its file's bucket id via
+    * `HasPartitionKey`, and reports `KeyGroupedPartitioning(bucket(n,
+    * key))`. Spark resolves the bucket transform against the table
+    * catalog's FunctionCatalog ([[graft.table.GraftBucketFunction]] —
+    * the same `pmod(murmur3(key, 42), n)` the write path assigned rows
+    * with), groups the splits by key exec-side (the `groupPartitions`
+    * machinery — grouping is Spark's job, not the connector's), and
+    * under `spark.sql.sources.v2.bucketing.enabled` two scans reporting
+    * the same function + count join WITHOUT shuffling either side. At
+    * 100 TB this deletes the dominant cost of a fact-fact join: both
+    * shuffles and both sorts plan away, each task joining bucket i
+    * against bucket i straight off the scan.
     *
-    * Trade-off made explicit: grouping by bucket caps scan parallelism
-    * at the bucket count (splits of one bucket coalesce into one task),
-    * so the report only exists where the layout proves it — and
-    * `numBuckets` should be sized like shuffle partitions.
+    * Per-split (not pre-grouped-per-bucket) reporting matters twice:
+    * (a) skew — under `spark.sql.sources.v2.bucketing
+    * .partiallyClusteredDistribution.enabled` Spark keeps the larger
+    * side's splits UNGROUPED and replicates the smaller side's matching
+    * group, so one hot bucket no longer serializes the join onto a
+    * single task; (b) a consumer that doesn't take the report (grouping
+    * only happens when the exec side key-groups) falls back to one task
+    * per split — full scan parallelism, not a numBuckets cap.
+    *
+    * The scan also keeps [[SupportsRuntimeV2Filtering]] (dynamic file
+    * pruning composes with SPJ: runtime-dropped files only ever shrink
+    * a bucket's split list, never change a surviving split's key, which
+    * is exactly the subset contract BatchScanExec enforces after
+    * runtime filtering).
     */
   private final class BucketKeyedScan(
-      inner: Scan, keyNames: Seq[String], numBuckets: Int,
-      presentBuckets: Int, files: Seq[String])
+      keyNames: Seq[String], numBuckets: Int, initial: Seq[String],
+      runtimeAttrs: Seq[String], rebuild: Seq[String] => Scan)
       extends Scan
       with org.apache.spark.sql.connector.read.SupportsReportPartitioning
-      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics
+      with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    import org.apache.spark.sql.connector.expressions.{FieldReference, NamedReference}
     import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
     import org.apache.spark.sql.execution.datasources.FilePartition
+
+    private var files = initial
+    private var inner = rebuild(initial)
+    private def presentBuckets: Int =
+      files.flatMap(Versioned.bucketOfFile).distinct.size
+    /** Post-filter file count — test/debug introspection. */
+    private[graft] def liveFileCount: Int = files.size
 
     override def readSchema(): StructType = inner.readSchema()
     override def description(): String =
       s"GraftBucketKeyed(bucket($numBuckets, ${keyNames.mkString(", ")}), " +
-        s"present=$presentBuckets, ${inner.description()})"
+        s"present=$presentBuckets, files=${files.size}, ${inner.description()})"
     override def columnarSupportMode(): Scan.ColumnarSupportMode =
       inner.columnarSupportMode()
     override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
@@ -1156,20 +1266,41 @@ private final class ZonePrunedParquetScanBuilder(
     override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
       statsOf(inner, files)
 
+    override def filterAttributes(): Array[NamedReference] =
+      runtimeAttrs.map(a => FieldReference(Seq(a)): NamedReference).toArray
+    override def filter(
+        predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+      val next = runtimeNarrow(files, predicates)
+      if (next.size != files.size) {
+        files = next
+        inner = rebuild(next)
+      }
+    }
+
     override def toBatch: Batch = new Batch {
       private val innerBatch = inner.toBatch
       private lazy val parts: Array[InputPartition] = {
-        val files = innerBatch.planInputPartitions().flatMap {
+        val pfs = innerBatch.planInputPartitions().flatMap {
           case fp: FilePartition => fp.files
           case other => throw new IllegalStateException(
             s"bucketed scan expected FilePartition splits, got $other")
         }
-        files.groupBy { pf =>
+        // re-pack splits WITHIN each bucket at the session's partition
+        // sizing (small files coalesce, big buckets stay multi-split),
+        // then emit one keyed partition per packed split — Spark's
+        // exec-side groupPartitions owns any further grouping
+        val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+        var idx = -1
+        pfs.groupBy { pf =>
           Versioned.bucketOfFile(pf.filePath.toString).getOrElse(
             throw new IllegalStateException(
               s"untagged file in a bucket-reported scan: ${pf.filePath}"))
-        }.toSeq.sortBy(_._1).zipWithIndex.map { case ((b, fs), i) =>
-          KeyedFilePartition(FilePartition(i, fs), b): InputPartition
+        }.toSeq.sortBy(_._1).flatMap { case (b, fs) =>
+          FilePartition.getFilePartitions(
+              spark, fs.sortBy(-_.length).toIndexedSeq, maxSplit).map { fp =>
+            idx += 1
+            KeyedFilePartition(FilePartition(idx, fp.files), b): InputPartition
+          }
         }.toArray
       }
       override def planInputPartitions(): Array[InputPartition] = parts
@@ -1212,7 +1343,8 @@ private final class ZonePrunedParquetScanBuilder(
     // sidecar when it covers every live file — accurate cardinality
     // feeds the broadcast threshold and AQE's initial plan, which at
     // 100 TB decides shuffle-vs-broadcast for every star join
-    private lazy val sidecarCounts = Versioned.rowCountsAt(spark, dir, v)
+    private lazy val sidecarCounts =
+      if (hasDvs) None else Versioned.rowCountsAt(spark, dir, v)
     override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
       val size = inner match {
         case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
@@ -1239,37 +1371,52 @@ private final class ZonePrunedParquetScanBuilder(
       attrs.map(a => FieldReference(Seq(a)): NamedReference).toArray
     override def filter(
         predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
-      def nameOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
-        case r: NamedReference if r.fieldNames().length == 1 =>
-          Some(r.fieldNames()(0))
-        case _ => None
-      }
-      val next = predicates.foldLeft(files) { (live, p) =>
-        val kids = p.children()
-        p.name() match {
-          // the shape translateRuntimeFilterV2 emits: IN(col, k1…kn)
-          // with catalyst-internal literal values
-          case "IN" if kids.nonEmpty =>
-            nameOf(kids.head) match {
-              case Some(c) if kids.tail.forall(_.isInstanceOf[LiteralValue[_]]) =>
-                val lits = kids.tail.map(_.asInstanceOf[LiteralValue[_]])
-                val raw = lits.map(_.value.asInstanceOf[Any]).filter(_ != null)
-                if (raw.isEmpty) live
-                else pruneInProbe(live, c, lits.head.dataType, raw.toSeq)
-              case _ => live
-            }
-          case "=" if kids.length == 2 =>
-            (nameOf(kids(0)), kids(1)) match {
-              case (Some(c), l: LiteralValue[_]) if l.value != null =>
-                pruneInProbe(live, c, l.dataType, Seq(l.value))
-              case _ => live
-            }
-          case _ => live // unminable predicate: never widen, never drop
-        }
-      }
+      val next = runtimeNarrow(files, predicates)
       if (next.size != files.size) {
         files = next
         inner = rebuild(next)
+      }
+    }
+  }
+
+  /** Applies the V2 runtime predicates (the IN / `=` shapes
+    * translateRuntimeFilterV2 emits, with catalyst-internal literal
+    * values) to a live file list through the same zone/string-zone/
+    * bloom union probes that serve static IN-lists. Unminable
+    * predicates leave the set unchanged — this only ever narrows IO,
+    * never the answer. Shared by the plain runtime-filterable scan and
+    * the bucket-keyed (SPJ) scan.
+    */
+  private def runtimeNarrow(
+      initial: Seq[String],
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Seq[String] = {
+    import org.apache.spark.sql.connector.expressions.{LiteralValue, NamedReference}
+    def nameOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    predicates.foldLeft(initial) { (live, p) =>
+      val kids = p.children()
+      p.name() match {
+        // the shape translateRuntimeFilterV2 emits: IN(col, k1…kn)
+        // with catalyst-internal literal values
+        case "IN" if kids.nonEmpty =>
+          nameOf(kids.head) match {
+            case Some(c) if kids.tail.forall(_.isInstanceOf[LiteralValue[_]]) =>
+              val lits = kids.tail.map(_.asInstanceOf[LiteralValue[_]])
+              val raw = lits.map(_.value.asInstanceOf[Any]).filter(_ != null)
+              if (raw.isEmpty) live
+              else pruneInProbe(live, c, lits.head.dataType, raw.toSeq)
+            case _ => live
+          }
+        case "=" if kids.length == 2 =>
+          (nameOf(kids(0)), kids(1)) match {
+            case (Some(c), l: LiteralValue[_]) if l.value != null =>
+              pruneInProbe(live, c, l.dataType, Seq(l.value))
+            case _ => live
+          }
+        case _ => live // unminable predicate: never widen, never drop
       }
     }
   }

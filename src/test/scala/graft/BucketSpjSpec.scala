@@ -26,6 +26,7 @@ class BucketSpjSpec extends SparkSpec {
     val keys = Seq(
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
       "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.graft.preserveDataGrouping" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
     val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
     keys.foreach { case (k, v) => spark.conf.set(k, v) }
@@ -380,6 +381,34 @@ class BucketSpjSpec extends SparkSpec {
     intercept[Exception](Versioned.optimizeClusterBy(spark, dir, Seq("v")))
   }
 
+  test("compaction that cannot reduce the file count commits nothing") {
+    val dir = tmpDir("spj_nogrow")
+    val df = spark.range(0, 10).selectExpr("id AS k", "id AS v")
+    Versioned.overwrite(df.limit(0), dir)
+    // high bucket fan-out, tiny data: the ten ids scatter over several
+    // of the 64 buckets, one file per non-empty bucket — "compaction"
+    // routing them back through the bucketed writer reproduces the
+    // same per-bucket files, a no-op that must not commit (and on an
+    // even thinner spread could GROW the count)
+    Versioned.setProperties(spark, dir, Map(Versioned.BucketByKey -> "k,64"))
+    Versioned.overwrite(df, dir)
+    val head = Versioned.currentVersion(spark, dir).get
+    val files = Versioned.filesAt(spark, dir, head)
+    assert(files.size >= 2, s"fixture expects several bucket files: $files")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def onDisk: Int = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    val diskBefore = onDisk
+    assert(Versioned.compactSmall(spark, dir).isEmpty,
+      "non-reducing compaction must decline")
+    assert(Versioned.currentVersion(spark, dir).get == head,
+      "declined compaction must not commit")
+    // and no orphaned outputs left behind for vacuum to chase
+    assert(onDisk == diskBefore,
+      "declined compaction must clean its written outputs")
+  }
+
   test("streaming sink micro-batches land bucketed (appendIdempotent route)") {
     import org.apache.spark.sql.streaming.Trigger
     val src = tmpDir("spj_st_src")
@@ -418,5 +447,193 @@ class BucketSpjSpec extends SparkSpec {
       Versioned.bucketOfFile(f).exists(b => b >= 0 && b < 4)))
     assert(Versioned.readAt(spark, dir, head).agg(sum("v")).head().getLong(0) ==
       (0L until 100L).map(_ * 2).sum)
+  }
+
+  test("tags stay content-pure when the repartition is elided (pre-partitioned source)") {
+    // regression: a source ALREADY hash-partitioned on the bucket key
+    // (distinct/groupBy upstream, shuffle.partitions == numBuckets) lets
+    // Spark elide the writer's repartition while AQE coalesces the
+    // upstream exchange — one task then holds several buckets, and the
+    // old part-index-derived tag LIED (observed: a 3-key dim written as
+    // one file tagged gb00000, silently dropping 2 of 3 keys from a
+    // storage-partitioned join)
+    val (cat, wh) = freshCat("purity")
+    spark.sql(s"CREATE TABLE $cat.db.big (uk BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, uk))")
+    spark.sql(s"CREATE TABLE $cat.db.dim (uk BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(4, uk))")
+    spark.range(0, 500)
+      .selectExpr("CASE WHEN id % 5 < 4 THEN 7 ELSE id % 11 END AS uk",
+        "id AS v")
+      .createOrReplaceTempView("spj_pure_src")
+    spark.sql(s"INSERT INTO $cat.db.big SELECT uk, v FROM spj_pure_src")
+    // the hazardous shape: DISTINCT (hash-partitioned on uk) → INSERT
+    spark.sql(s"INSERT INTO $cat.db.dim " +
+      s"SELECT uk, uk * 7 AS w FROM (SELECT DISTINCT uk FROM spj_pure_src)")
+    val dimDir = s"$wh/db/dim"
+    val head = Versioned.currentVersion(spark, dimDir).get
+    // purity: every row's pmod(hash(uk), 4) equals its file's tag
+    val impure = Versioned.readAt(spark, dimDir, head)
+      .withColumn("f", input_file_name())
+      .withColumn("expect", pmod(hash(col("uk")), lit(4)))
+      .collect().filter { r =>
+        Versioned.bucketOfFile(r.getAs[String]("f")).get !=
+          r.getAs[Int]("expect")
+      }
+    assert(impure.isEmpty,
+      s"bucket tags must match row content: ${impure.mkString(", ")}")
+    // and the SPJ join over it loses nothing vs the plain path
+    val q = s"SELECT count(*) AS n FROM $cat.db.big b " +
+      s"JOIN $cat.db.dim d ON b.uk = d.uk"
+    val truth = spark.sql(q).head().getLong(0)
+    withSpj {
+      val j = spark.sql(q)
+      assert(j.head().getLong(0) == truth,
+        "SPJ join must see every key the plain join sees")
+    }
+  }
+
+  test("spec redeclaration over tagged files is refused until a full rewrite") {
+    val dir = tmpDir("spj_redecl")
+    val df = spark.range(0, 100).selectExpr("id AS k", "id AS v")
+    Versioned.overwrite(df.limit(0), dir)
+    Versioned.setProperties(spark, dir, Map(Versioned.BucketByKey -> "k,8"))
+    Versioned.overwrite(df, dir) // tagged under k,8
+    // same spec is idempotent
+    Versioned.setProperties(spark, dir, Map(Versioned.BucketByKey -> "k,8"))
+    // different count / different key: stale .gb tags would be trusted
+    // by pruning and SPJ under the new spec — must refuse
+    intercept[IllegalStateException] {
+      Versioned.setProperties(spark, dir, Map(Versioned.BucketByKey -> "k,4"))
+    }
+    intercept[IllegalStateException] {
+      Versioned.setProperties(spark, dir, Map(Versioned.BucketByKey -> "v,8"))
+    }
+    // unset-then-redeclare is the same hazard (tags' spec unknowable)
+    Versioned.unsetProperties(spark, dir, Seq(Versioned.BucketByKey))
+    intercept[IllegalStateException] {
+      Versioned.setProperties(spark, dir, Map(Versioned.BucketByKey -> "k,4"))
+    }
+    // a full rewrite with no spec declared emits untagged files; the
+    // new declaration is then legal, and the next overwrite tags under it
+    Versioned.overwrite(df, dir)
+    Versioned.setProperties(spark, dir, Map(Versioned.BucketByKey -> "k,4"))
+    Versioned.overwrite(df, dir)
+    val head = Versioned.currentVersion(spark, dir).get
+    assert(Versioned.filesAt(spark, dir, head).forall(f =>
+      Versioned.bucketOfFile(f).exists(b => b >= 0 && b < 4)))
+  }
+
+  private def withConfs[T](confs: (String, String)*)(body: => T): T = {
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("report is gated on v2.bucketing: plain sessions keep split parallelism") {
+    val (cat, _) = freshCat("gate")
+    spark.sql(s"CREATE TABLE $cat.db.a (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.range(0, 400).selectExpr("id AS k", "id AS v")
+      .createOrReplaceTempView("spj_src_gate")
+    // several commits so every bucket holds several files
+    (1 to 5).foreach(_ =>
+      spark.sql(s"INSERT INTO $cat.db.a SELECT * FROM spj_src_gate"))
+    // force ~one split per file so parallelism is observable
+    withConfs(
+      "spark.sql.files.maxPartitionBytes" -> "16384",
+      "spark.sql.files.openCostInBytes" -> "16384") {
+      // default session (preserveDataGrouping unset → false, even though
+      // v2.bucketing defaults true in Spark 4): no bucket-keyed report,
+      // one task per split — a plain scan's parallelism must NOT be
+      // capped at numBuckets
+      val off = spark.sql(s"SELECT k, v FROM $cat.db.a WHERE v >= 0")
+      assert(!off.queryExecution.executedPlan.toString.contains("GraftBucketKeyed"),
+        "without the preserve-grouping opt-in the scan must stay on the plain path")
+      assert(off.queryExecution.toRdd.getNumPartitions > 4,
+        "plain-path scan parallelism must exceed the bucket count")
+      withSpj {
+        val on = spark.sql(s"SELECT k, v FROM $cat.db.a WHERE v >= 0")
+        assert(on.queryExecution.executedPlan.toString.contains("GraftBucketKeyed"),
+          "with v2.bucketing the scan must report the bucket layout")
+      }
+    }
+  }
+
+  test("partially clustered distribution splits the hot bucket's splits") {
+    val (cat, _) = freshCat("skew")
+    spark.sql(s"CREATE TABLE $cat.db.big (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"CREATE TABLE $cat.db.small (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    // hot key 7 dominates; several commits → several files in its bucket
+    spark.range(0, 30000)
+      .selectExpr("CASE WHEN id % 10 < 9 THEN 7 ELSE id % 50 END AS k",
+        "id AS v")
+      .createOrReplaceTempView("spj_src_skew_big")
+    (1 to 4).foreach(_ =>
+      spark.sql(s"INSERT INTO $cat.db.big SELECT * FROM spj_src_skew_big"))
+    spark.range(0, 50).selectExpr("id AS k", "id * 100 AS w")
+      .createOrReplaceTempView("spj_src_skew_small")
+    spark.sql(s"INSERT INTO $cat.db.small SELECT * FROM spj_src_skew_small")
+    val q = s"SELECT b.k, b.v, s.w FROM $cat.db.big b " +
+      s"JOIN $cat.db.small s ON b.k = s.k"
+    // truth from the PLAIN path (no SPJ confs): an SPJ-vs-SPJ compare
+    // would miss a bug that breaks both modes identically
+    val expect =
+      spark.sql(s"SELECT sum(v + w) AS t FROM ($q)").head().getLong(0)
+    withSpj {
+      withConfs(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "true",
+        "spark.sql.files.maxPartitionBytes" -> "16384",
+        "spark.sql.files.openCostInBytes" -> "16384") {
+        val j = spark.sql(q)
+        val plan = j.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange hashpartitioning"),
+          s"partially clustered SPJ must stay shuffle-free:\n$plan")
+        // the hot bucket's splits must run as separate tasks instead of
+        // serializing on one: join parallelism exceeds the bucket count
+        val parts = j.queryExecution.toRdd.getNumPartitions
+        assert(parts > 4,
+          s"hot bucket must split across tasks, got $parts partitions")
+        assert(spark.sql(s"SELECT sum(v + w) AS t FROM ($q)")
+          .head().getLong(0) == expect, "skew path must not change the answer")
+      }
+    }
+  }
+
+  test("dynamic file pruning composes with the bucket-keyed scan via tag probes") {
+    val dir = tmpDir("spj_dfp") + "/table"
+    val df = spark.range(0, 800).selectExpr("id AS k", "id AS v")
+    Versioned.overwrite(df.limit(0), dir)
+    Versioned.setProperties(spark, dir, Map(Versioned.BucketByKey -> "k,8"))
+    Versioned.overwrite(df, dir)
+    // NO zone sidecars: the bucket key alone must advertise runtime
+    // filterability, answered by the file-name tag probe
+    val dimDir = tmpDir("spj_dfp_dim")
+    spark.range(0, 800)
+      .selectExpr("id AS d_k", "IF(id = 42, 'pick', 'skip') AS d_tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("d_tag") === "pick")
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.graft.preserveDataGrouping" -> "true") {
+      val j = spark.read.format("graft-versioned").load(dir)
+        .join(broadcast(dim), col("k") === col("d_k"))
+      val rows = j.collect()
+      assert(rows.map(_.getAs[Long]("v")).toSeq == Seq(42L))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"expected a planted runtime filter on the bucketed fact:\n$plan")
+      val live = """GraftBucketKeyed\(.*files=(\d+)""".r
+        .findFirstMatchIn(plan).map(_.group(1).toInt)
+      assert(live.isDefined, s"expected a bucket-keyed graft scan:\n$plan")
+      assert(live.get == 1,
+        s"one probed key must narrow the scan to its bucket's file: $live of 8")
+    }
   }
 }

@@ -168,8 +168,51 @@ class ColStatsSpec extends SparkSpec {
     Versioned.overwrite(spark.range(3).selectExpr("id AS k"), dir)
     val stats = Map(
       "k" -> ColStats.Stat(3L, 0L, Some(-5L), Some(9L), None, None),
-      "s" -> ColStats.Stat(2L, 1L, None, None, Some(4L), Some(7L)))
+      "s" -> ColStats.Stat(2L, 1L, None, None, Some(4L), Some(7L)),
+      "h" -> ColStats.Stat(9L, 0L, Some(0L), Some(99L), None, None,
+        Some(12.5), Some(Seq(ColStats.Bin(0.0, 3.5, 4L),
+          ColStats.Bin(3.5, 99.0, 5L)))))
     ColStats.write(spark, dir, 1L, stats)
     assert(ColStats.read(spark, dir).contains((1L, stats)))
+  }
+
+  test("equi-height histograms fix skewed-predicate estimation (hot key within 2x)") {
+    val (cat, wh) = freshCat("hist")
+    spark.sql(s"CREATE TABLE $cat.db.z (k BIGINT, v BIGINT)")
+    // Zipfian-ish: 80% of rows carry the hot key 7; the rest spread
+    // over ~1000 values. Uniform n/ndv estimation puts `k = 7` at
+    // ~50000/1000 = 50 rows — off by nearly 3 orders of magnitude.
+    spark.range(0, 50000)
+      .selectExpr("CASE WHEN id % 5 < 4 THEN 7 ELSE id % 1000 END AS k",
+        "id AS v")
+      .createOrReplaceTempView("cs_zipf")
+    spark.sql(s"INSERT INTO $cat.db.z SELECT * FROM cs_zipf")
+    spark.sql(s"ANALYZE TABLE $cat.db.z COMPUTE STATISTICS FOR COLUMNS k")
+    val stats = Versioned.colStatsAt(spark, wh + "/db/z",
+      Versioned.currentVersion(spark, wh + "/db/z").get).get
+    val kStat = stats("k")
+    assert(kStat.hist.exists(_.nonEmpty), "ANALYZE must publish a histogram")
+    assert(kStat.histHeight.exists(h => h > 0.0),
+      s"histogram height must be positive: ${kStat.histHeight}")
+    // ≥60% of equi-height bins collapse onto the hot key
+    val hot = kStat.hist.get.count(b => b.lo == 7.0 && b.hi == 7.0)
+    assert(hot.toDouble / kStat.hist.get.size > 0.6,
+      s"hot key must dominate the bins: $hot of ${kStat.hist.get.size}")
+    val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val truth = 40000L
+      val q = spark.sql(s"SELECT * FROM $cat.db.z WHERE k = 7")
+      val est = q.queryExecution.optimizedPlan.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.stats.rowCount
+      }.flatten
+      assert(est.exists(rc =>
+        rc.toLong >= truth / 2 && rc.toLong <= truth * 2),
+        s"histogram estimate must land within 2x of $truth: $est")
+    } finally prev match {
+      case Some(x) => spark.conf.set("spark.sql.cbo.enabled", x)
+      case None => spark.conf.unset("spark.sql.cbo.enabled")
+    }
   }
 }

@@ -54,6 +54,21 @@ for name in names:
     if len(got) != len(want):
         print(f"FAIL {name}: rows spark={len(got)} oracle={len(want)}")
         fails += 1; continue
+    # Dtype-family check BEFORE any coercion: the driver's gate hashes
+    # dtype-sensitively, so an int64-vs-float64 drift (e.g. DuckDB HUGEINT
+    # from sum(BIGINT) surfacing as float64) must FAIL here too, not be
+    # masked by astype coercion (that masking shipped the x_spj red row).
+    def family(dt):
+        k = dt.kind  # i/u -> int, f -> float, b -> bool, M -> datetime, O/other -> obj
+        return {"i": "int", "u": "int", "f": "float", "b": "bool",
+                "M": "datetime"}.get(k, "obj")
+    dtype_bad = [(c, got[c].dtype, want[c].dtype) for c in got.columns
+                 if family(got[c].dtype) != family(want[c].dtype)]
+    if dtype_bad:
+        c, gd, wd = dtype_bad[0]
+        print(f"FAIL {name}: dtype col {c}: spark={gd} oracle={wd} "
+              f"({len(dtype_bad)} drifting cols)")
+        fails += 1; continue
     neq = []
     for c in got.columns:
         a, b = got[c], want[c].astype(got[c].dtype, errors="ignore") if hasattr(want[c], "astype") else want[c]
