@@ -449,6 +449,52 @@ class BucketSpjSpec extends SparkSpec {
       (0L until 100L).map(_ * 2).sum)
   }
 
+  test("one-side shuffle SPJ: only the unbucketed side moves (v2 bucketing shuffle)") {
+    // SPARK-41413: under spark.sql.sources.v2.bucketing.shuffle.enabled,
+    // a bucketed ⋈ unbucketed join shuffles ONLY the unbucketed side —
+    // by the TABLE's own bucket function (GraftBucketBound.produceResult
+    // evaluated executor-side) — instead of re-shuffling both sides. At
+    // 100 TB this is the fact ⋈ fresh-stage join: the fact's layout is
+    // reused, the small stage pays the only exchange.
+    val (cat, _) = freshCat("oneside")
+    spark.sql(s"CREATE TABLE $cat.db.fact (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.range(0, 4000).selectExpr("id % 500 AS k", "id AS v")
+      .createOrReplaceTempView("spj_oneside_fact")
+    spark.sql(s"INSERT INTO $cat.db.fact SELECT * FROM spj_oneside_fact")
+    // unbucketed side as a REAL file scan (a local relation would
+    // broadcast-fold); broadcast disabled below anyway
+    val stageDir = tmpDir("spj_oneside_stage")
+    spark.range(0, 500).selectExpr("id AS k", "id * 11 AS w")
+      .write.mode("overwrite").parquet(stageDir)
+    val truth = {
+      val j = spark.sql(s"SELECT sum(f.v + s.w) AS t FROM $cat.db.fact f " +
+        s"JOIN parquet.`$stageDir` s ON f.k = s.k")
+      j.head().getLong(0)
+    }
+    withSpj {
+      withConfs("spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true") {
+        val j = spark.sql(s"SELECT sum(f.v + s.w) AS t FROM $cat.db.fact f " +
+          s"JOIN parquet.`$stageDir` s ON f.k = s.k")
+        assert(j.head().getLong(0) == truth)
+        val plan = j.queryExecution.executedPlan.toString
+        assert(plan.contains("GraftBucketKeyed"),
+          s"fact side must keep its bucket-keyed scan:\n$plan")
+        // the join's ONLY exchange is the unbucketed side's, and it
+        // shuffles by the TABLE's bucket function (the aggregate above
+        // the join keeps its own SinglePartition exchange)
+        assert(!plan.contains("Exchange hashpartitioning"),
+          s"neither join side may re-shuffle by plain hash:\n$plan")
+        val kgShuffles =
+          "Exchange keygroupedpartitioning\\(transformexpression\\(GraftBucketBound"
+            .r.findAllIn(plan).size
+        assert(kgShuffles == 1,
+          s"exactly the unbucketed side must shuffle by the bucket " +
+            s"function (got $kgShuffles):\n$plan")
+      }
+    }
+  }
+
   test("tags stay content-pure when the repartition is elided (pre-partitioned source)") {
     // regression: a source ALREADY hash-partitioned on the bucket key
     // (distinct/groupBy upstream, shuffle.partitions == numBuckets) lets
