@@ -2634,9 +2634,101 @@ object VersionedQueries {
       |         CAST(0 AS BIGINT)
       |) ORDER BY kind, uk""".stripMargin
 
+  // X — one-side shuffle SPJ (SPARK-41413) under the oracle gate: a
+  // bucketed fact joined to an UNBUCKETED source shuffles ONLY the
+  // unbucketed side — by the table's own catalog-served bucket
+  // function, evaluated executor-side — while the fact scans in place.
+  // At 100 TB this is the fact ⋈ fresh-stage join: the fact's layout
+  // is reused, the small stage pays the only exchange. Flags hash
+  // (1) the bucket-keyed fact scan's presence, (2) ZERO plain-hash
+  // exchanges, (3) EXACTLY ONE bucket-function exchange (the stage
+  // side's). Content is the exact join aggregate.
+  def spjOneSideLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_id") % 8 === 2)
+      .withColumn("v", floor(col("value") * 100).cast("long"))
+      .withColumn("uk", pmod(col("user_id"), lit(1000L)))
+      .select("uk", "v")
+    val wh = scratchDir("graft_xspjoneside")
+    val cat = s"spjos_${java.util.UUID.randomUUID().toString.take(8)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "org.apache.spark.sql.graft.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE $cat.db")
+    s.sql(s"CREATE TABLE $cat.db.fact (uk BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(8, uk))")
+    ev.createOrReplaceTempView(s"${cat}_src_fact")
+    s.sql(s"INSERT INTO $cat.db.fact SELECT uk, v FROM ${cat}_src_fact")
+    // the unbucketed stage side: a REAL parquet file scan (a local
+    // relation would fold), derived deterministically from the slice
+    val stageDir = s"$wh/stage"
+    ev.select("uk").distinct()
+      .withColumn("w", (col("uk") * 13).cast("long"))
+      .write.mode("overwrite").parquet(stageDir)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true",
+      "spark.sql.graft.preserveDataGrouping" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      // probe join (no aggregate): flags read the JOIN's plan alone
+      val probe = s.sql(s"SELECT f.uk, f.v, st.w FROM $cat.db.fact f " +
+        s"JOIN parquet.`$stageDir` st ON f.uk = st.uk")
+      val plan = probe.queryExecution.executedPlan.toString
+      val fScan = if (plan.contains("GraftBucketKeyed")) 1L else 0L
+      val fNoHash = if (!plan.contains("Exchange hashpartitioning")) 1L else 0L
+      val fOneKg =
+        if (("Exchange keygroupedpartitioning\\(transformexpression\\(" +
+          "GraftBucketBound").r.findAllIn(plan).size == 1) 1L else 0L
+      val j = s.sql(s"SELECT f.uk AS uk, count(*) AS cnt, " +
+        s"CAST(sum(f.v + st.w) AS BIGINT) AS total " +
+        s"FROM $cat.db.fact f JOIN parquet.`$stageDir` st ON f.uk = st.uk " +
+        s"GROUP BY f.uk")
+      val out = j.collect()
+      val hits = s.createDataFrame(
+        java.util.Arrays.asList(out.map(r => org.apache.spark.sql.Row(
+          "content", r.getLong(0), r.getLong(1), r.getLong(2))): _*),
+        new org.apache.spark.sql.types.StructType()
+          .add("kind", org.apache.spark.sql.types.StringType, false)
+          .add("uk", org.apache.spark.sql.types.LongType, false)
+          .add("cnt", org.apache.spark.sql.types.LongType, false)
+          .add("total", org.apache.spark.sql.types.LongType, false))
+      val meta = s.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row("meta", -1L, fScan + fNoHash + fOneKg, 0L)),
+        hits.schema)
+      hits.unionByName(meta).orderBy("kind", "uk")
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+      s.catalog.dropTempView(s"${cat}_src_fact")
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  val spjOneSideLifecycleSql: String =
+    """WITH ev AS (SELECT user_id % 1000 AS uk,
+      |                   CAST(floor(value * 100) AS BIGINT) AS v
+      |            FROM events WHERE event_id % 8 = 2),
+      |st AS (SELECT uk, CAST(uk * 13 AS BIGINT) AS w
+      |       FROM (SELECT DISTINCT uk FROM ev))
+      |SELECT kind, uk, cnt, total FROM (
+      |  SELECT 'content' AS kind, e.uk, count(*) AS cnt,
+      |         CAST(sum(e.v + s.w) AS BIGINT) AS total
+      |  FROM ev e JOIN st s ON e.uk = s.uk GROUP BY e.uk
+      |  UNION ALL
+      |  SELECT 'meta', CAST(-1 AS BIGINT), CAST(3 AS BIGINT),
+      |         CAST(0 AS BIGINT)
+      |) ORDER BY kind, uk""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("x_spj", spjLifecycle, Some(spjLifecycleSql)),
     QueryDef("x_spj_skew", spjSkewLifecycle, Some(spjSkewLifecycleSql)),
+    QueryDef("x_spj_oneside", spjOneSideLifecycle, Some(spjOneSideLifecycleSql)),
     QueryDef("x_bucket_prune", bucketPruneLifecycle, Some(bucketPruneLifecycleSql)),
     QueryDef("x_colstats", colStatsLifecycle, Some(colStatsLifecycleSql)),
     QueryDef("x_sql_timetravel", sqlTimeTravel, Some(sqlTimeTravelSql)),

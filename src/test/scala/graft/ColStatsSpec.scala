@@ -201,15 +201,25 @@ class ColStatsSpec extends SparkSpec {
     val prev = spark.conf.getOption("spark.sql.cbo.enabled")
     try {
       spark.conf.set("spark.sql.cbo.enabled", "true")
+      def estimate(pred: String): Option[BigInt] =
+        spark.sql(s"SELECT * FROM $cat.db.z WHERE $pred")
+          .queryExecution.optimizedPlan.collectFirst {
+            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+              f.stats.rowCount
+          }.flatten
       val truth = 40000L
-      val q = spark.sql(s"SELECT * FROM $cat.db.z WHERE k = 7")
-      val est = q.queryExecution.optimizedPlan.collectFirst {
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-          f.stats.rowCount
-      }.flatten
+      val est = estimate("k = 7")
       assert(est.exists(rc =>
         rc.toLong >= truth / 2 && rc.toLong <= truth * 2),
         s"histogram estimate must land within 2x of $truth: $est")
+      // ranges too: k <= 7 covers the hot mass plus a sliver; uniform
+      // interpolation over [0, 999] would estimate ~8/1000 of the rows
+      val rangeTruth = spark.sql(s"SELECT count(*) FROM $cat.db.z WHERE k <= 7")
+        .head().getLong(0)
+      val rangeEst = estimate("k <= 7")
+      assert(rangeEst.exists(rc =>
+        rc.toLong >= rangeTruth / 2 && rc.toLong <= rangeTruth * 2),
+        s"histogram range estimate must land within 2x of $rangeTruth: $rangeEst")
     } finally prev match {
       case Some(x) => spark.conf.set("spark.sql.cbo.enabled", x)
       case None => spark.conf.unset("spark.sql.cbo.enabled")
