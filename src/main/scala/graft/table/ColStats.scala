@@ -93,6 +93,9 @@ object ColStats {
       val dt = schema(schema.fieldIndex(c)).dataType
       val longCast: Option[String => org.apache.spark.sql.Column] = dt match {
         case TimestampType => Some(n => unix_micros(col(n)))
+        // a bare CAST(date AS BIGINT) is illegal — epoch days is the
+        // stat domain catalystOf reconstructs from
+        case DateType => Some(n => unix_date(col(n)).cast("long"))
         case d: DecimalType if d.precision <= 18 =>
           Some(n => (col(n) * lit(BigDecimal(10).pow(d.scale))).cast("long"))
         case t if longDomain(t) => Some(n => col(n).cast("long"))
@@ -147,17 +150,37 @@ object ColStats {
     * Columns with no non-null rows, and non-long-domain types, get no
     * histogram.
     */
+  /** The double-domain projection of a column for histogram bins —
+    * MUST agree with what catalyst's estimation reads off the SERVED
+    * `ColumnStat` values (`EstimationUtils.toDouble` of the catalyst
+    * min/max): dates in epoch DAYS, timestamps in epoch MICROS (not
+    * the seconds a bare double cast gives), decimals at their actual
+    * numeric value (not unscaled), integrals as themselves. A bare
+    * `CAST(x AS DOUBLE)` is also simply illegal for DATE.
+    */
+  private def histDomain(
+      c: String, dt: DataType): Option[org.apache.spark.sql.Column] =
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(col(c).cast("double"))
+      case DateType => Some(unix_date(col(c)).cast("double"))
+      case TimestampType => Some(unix_micros(col(c)).cast("double"))
+      case d: DecimalType if d.precision <= 18 => Some(col(c).cast("double"))
+      case _ => None
+    }
+
   def computeHistograms(
       df: DataFrame, cols: Seq[String],
       numBins: Int): Map[String, Seq[Bin]] = {
     import org.apache.spark.sql.graft.Bridge
     val schema = df.schema
-    val histCols = cols.filter(c =>
-      longDomain(schema(schema.fieldIndex(c)).dataType))
+    val domains: Map[String, org.apache.spark.sql.Column] = cols.flatMap(c =>
+      histDomain(c, schema(schema.fieldIndex(c)).dataType).map(c -> _)).toMap
+    val histCols = cols.filter(domains.contains)
     if (histCols.isEmpty || numBins < 1) return Map.empty
     val qs = (0 to numBins).map(i => i.toDouble / numBins).toArray
     val pAggs = histCols.map(c => percentile_approx(
-      col(c).cast("double"), lit(qs),
+      domains(c), lit(qs),
       lit(org.apache.spark.sql.catalyst.expressions.aggregate
         .ApproximatePercentile.DEFAULT_PERCENTILE_ACCURACY))
       .as(s"__ep_$c"))
@@ -173,7 +196,7 @@ object ColStats {
       Bridge.column(
         org.apache.spark.sql.catalyst.expressions.aggregate
           .ApproxCountDistinctForIntervals(
-            Bridge.expression(col(c).cast("double")),
+            Bridge.expression(domains(c)),
             Bridge.expression(lit(endpoints(c))),
             0.05, 0, 0)
           .toAggregateExpression()).as(s"__ndvs_$c")

@@ -26,10 +26,12 @@ class ColStatsSpec extends SparkSpec {
     val df = spark.range(0, 1000).selectExpr(
       "id AS k",
       "CASE WHEN id % 10 = 0 THEN NULL ELSE id % 37 END AS m",
-      "concat('s', id % 5) AS s")
+      "concat('s', id % 5) AS s",
+      "date_add(DATE'2020-01-01', CAST(id % 30 AS INT)) AS d",
+      "timestamp_micros(1577836800000000 + id * 1000000) AS t")
     Versioned.overwrite(df, dir)
-    val (v, n) = Versioned.analyzeColumns(spark, dir, Seq("k", "m", "s"))
-    assert(v == 1L && n == 3L)
+    val (v, n) = Versioned.analyzeColumns(spark, dir, Seq("k", "m", "s", "d", "t"))
+    assert(v == 1L && n == 5L)
     val stats = Versioned.colStatsAt(spark, dir, v).get
     val k = stats("k")
     assert(k.nulls == 0L && k.min.contains(0L) && k.max.contains(999L))
@@ -40,9 +42,26 @@ class ColStatsSpec extends SparkSpec {
     val s = stats("s")
     assert(s.min.isEmpty && s.avgLen.contains(2L) && s.maxLen.contains(2L))
     assert(s.ndv >= 4L && s.ndv <= 6L)
+    assert(s.hist.isEmpty, "strings never get a histogram")
+    // histogram domains must match the served min/max domains: dates in
+    // epoch DAYS, timestamps in epoch MICROS — a bare double cast would
+    // refuse DATE outright and put timestamps in seconds while catalyst
+    // estimation compares in micros
+    val d = stats("d")
+    assert(d.hist.exists(_.nonEmpty), "date column must get a histogram")
+    assert(d.hist.get.head.lo == 18262.0 && d.hist.get.last.hi == 18291.0,
+      s"date bins must span epoch days of [2020-01-01, 2020-01-30]: " +
+        s"${d.hist.get.head.lo}..${d.hist.get.last.hi}")
+    val ts = stats("t")
+    assert(ts.hist.exists(_.nonEmpty), "timestamp column must get a histogram")
+    assert(ts.hist.get.head.lo == 1577836800000000.0 &&
+      ts.hist.get.last.hi == 1577836800000000.0 + 999e6,
+      s"timestamp bins must be epoch micros: " +
+        s"${ts.hist.get.head.lo}..${ts.hist.get.last.hi}")
     // append moves the head; stats still serve at the NEW head
     Versioned.append(spark.range(1000, 1100).selectExpr(
-      "id AS k", "id % 37 AS m", "'sx' AS s"), dir)
+      "id AS k", "id % 37 AS m", "'sx' AS s",
+      "DATE'2020-01-01' AS d", "timestamp_micros(1577836800000000) AS t"), dir)
     assert(Versioned.colStatsAt(spark, dir,
       Versioned.currentVersion(spark, dir).get).isDefined)
     // ...but never below the analyzed version (time travel)
