@@ -449,6 +449,36 @@ class BucketSpjSpec extends SparkSpec {
       (0L until 100L).map(_ * 2).sum)
   }
 
+  test("join keys wider than the bucket key still plan shuffle-free (subset conf)") {
+    // spark.sql.requireAllClusterKeysForCoPartition=false: a join on
+    // (k, v) over tables bucketed by k alone is still co-partitioned on
+    // the k component — clustering on k implies rows with equal (k, v)
+    // share a bucket. The common fact-fact shape where the join carries
+    // extra equality columns beyond the layout key.
+    val (cat, _) = freshCat("widerkeys")
+    spark.sql(s"CREATE TABLE $cat.db.a (k BIGINT, v BIGINT, x BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql(s"CREATE TABLE $cat.db.b (k BIGINT, v BIGINT, y BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.range(0, 3000).selectExpr("id % 300 AS k", "id % 7 AS v", "id AS x")
+      .createOrReplaceTempView("spj_wider_src")
+    spark.sql(s"INSERT INTO $cat.db.a SELECT * FROM spj_wider_src")
+    spark.sql(s"INSERT INTO $cat.db.b SELECT k, v, x * 2 AS y FROM spj_wider_src")
+    val q = s"SELECT sum(a.x + b.y) AS t FROM $cat.db.a a " +
+      s"JOIN $cat.db.b b ON a.k = b.k AND a.v = b.v"
+    val truth = spark.sql(q).head().getLong(0)
+    withSpj {
+      withConfs(
+        "spark.sql.requireAllClusterKeysForCoPartition" -> "false") {
+        val j = spark.sql(q)
+        assert(j.head().getLong(0) == truth)
+        assert(!j.queryExecution.executedPlan.toString
+          .contains("Exchange hashpartitioning"),
+          "wider-keyed join over co-bucketed tables must not shuffle")
+      }
+    }
+  }
+
   test("one-side shuffle SPJ: only the unbucketed side moves (v2 bucketing shuffle)") {
     // SPARK-41413: under spark.sql.sources.v2.bucketing.shuffle.enabled,
     // a bucketed ⋈ unbucketed join shuffles ONLY the unbucketed side —
