@@ -711,5 +711,15 @@ class BucketSpjSpec extends SparkSpec {
       assert(live.get == 1,
         s"one probed key must narrow the scan to its bucket's file: $live of 8")
     }
+    // the DEFAULT path (no SPJ opt-in) gets the same tag-probe runtime
+    // pruning through the plain runtime-filterable scan
+    val j2 = spark.read.format("graft-versioned").load(dir)
+      .join(broadcast(dim), col("k") === col("d_k"))
+    assert(j2.collect().map(_.getAs[Long]("v")).toSeq == Seq(42L))
+    val plan2 = j2.queryExecution.executedPlan.toString
+    val live2 = """GraftRuntimeFilterable\(files=(\d+)""".r
+      .findFirstMatchIn(plan2).map(_.group(1).toInt)
+    assert(live2.contains(1),
+      s"plain path must tag-prune to the probed bucket's file: $live2 of 8\n$plan2")
   }
 }
