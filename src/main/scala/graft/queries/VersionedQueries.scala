@@ -2472,6 +2472,18 @@ object VersionedQueries {
         (est.toLong - d).abs <= math.max(1L, d / 10L)) })
     val fBounds = flag(exactB.forall { case (c, (lo, hi)) =>
       served(c).exists(st => st.min.contains(lo) && st.max.contains(hi)) })
+    // equi-height histogram served through transformV2Stats: the
+    // number of bins follows Spark's own knob, and percentiles at 0
+    // and 1 are the exact extrema — so the bin span must equal the
+    // true bounds. This is what lets a skewed point predicate
+    // estimate off bins instead of n/ndv under CBO.
+    val numBins = s.conf
+      .get("spark.sql.statistics.histogram.numBins", "254").toInt
+    val fHist = flag(exactB.forall { case (c, (lo, hi)) =>
+      served(c).flatMap(_.histogram).exists(h =>
+        h.bins.length == numBins &&
+          h.bins.head.lo == lo.toDouble && h.bins.last.hi == hi.toDouble &&
+          h.height > 0.0) })
     val hits = s.createDataFrame(java.util.Arrays.asList(
       Seq("event_id", "user_id", "v").map(c => org.apache.spark.sql.Row(
         "content", c, exactD(c), exactB(c)._1, exactB(c)._2)): _*),
@@ -2482,7 +2494,8 @@ object VersionedQueries {
         .add("min_v", org.apache.spark.sql.types.LongType, false)
         .add("max_v", org.apache.spark.sql.types.LongType, false))
     val meta = s.createDataFrame(java.util.Arrays.asList(
-      org.apache.spark.sql.Row("meta", "flags", fAttrs + fNdv + fBounds, 0L, 0L)),
+      org.apache.spark.sql.Row(
+        "meta", "flags", fAttrs + fNdv + fBounds + fHist, 0L, 0L)),
       hits.schema)
     hits.unionByName(meta).orderBy("kind", "col_name")
   }
@@ -2502,7 +2515,7 @@ object VersionedQueries {
       |  SELECT 'content', 'v', CAST(count(DISTINCT v) AS BIGINT),
       |         min(v), max(v) FROM ev
       |  UNION ALL
-      |  SELECT 'meta', 'flags', CAST(3 AS BIGINT), CAST(0 AS BIGINT),
+      |  SELECT 'meta', 'flags', CAST(4 AS BIGINT), CAST(0 AS BIGINT),
       |         CAST(0 AS BIGINT)
       |) ORDER BY kind, col_name""".stripMargin
 
