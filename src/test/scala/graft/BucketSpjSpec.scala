@@ -569,6 +569,32 @@ class BucketSpjSpec extends SparkSpec {
     }
   }
 
+  test("maxRecordsPerFile splits within a bucket keep tags content-pure") {
+    val dir = tmpDir("spj_maxrec")
+    val df = spark.range(0, 500).selectExpr("7 AS k", "id AS v")
+    Versioned.overwrite(df.limit(0), dir)
+    Versioned.setProperties(spark, dir, Map(Versioned.BucketByKey -> "k,4"))
+    val prev = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+    try {
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", "100")
+      Versioned.overwrite(df, dir)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+      case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+    val head = Versioned.currentVersion(spark, dir).get
+    val files = Versioned.filesAt(spark, dir, head)
+    // one key → one bucket, split across several files by the cap;
+    // every split carries the SAME content-true tag
+    val expectBucket = graft.table.GraftBucketFunction
+      .bucketOf(7L, org.apache.spark.sql.types.LongType, 4)
+    assert(files.size >= 5, s"cap must split the bucket: $files")
+    assert(files.forall(f =>
+      Versioned.bucketOfFile(f).contains(expectBucket)),
+      s"every split must carry bucket $expectBucket: $files")
+    assert(Versioned.readAt(spark, dir, head).count() == 500L)
+  }
+
   test("spec redeclaration over tagged files is refused until a full rewrite") {
     val dir = tmpDir("spj_redecl")
     val df = spark.range(0, 100).selectExpr("id AS k", "id AS v")
