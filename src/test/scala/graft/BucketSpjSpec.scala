@@ -569,6 +569,51 @@ class BucketSpjSpec extends SparkSpec {
     }
   }
 
+  test("string bucket keys: pure tags, point pruning, shuffle-free join") {
+    val (cat, wh) = freshCat("strkey")
+    spark.sql(s"CREATE TABLE $cat.db.a (s STRING, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, s))")
+    spark.sql(s"CREATE TABLE $cat.db.b (s STRING, w BIGINT) " +
+      "PARTITIONED BY (bucket(4, s))")
+    spark.range(0, 1000)
+      .selectExpr("concat('key-', id % 97) AS s", "id AS v")
+      .createOrReplaceTempView("spj_str_src")
+    spark.sql(s"INSERT INTO $cat.db.a SELECT * FROM spj_str_src")
+    spark.sql(s"INSERT INTO $cat.db.b SELECT s, v * 2 AS w FROM spj_str_src")
+    val dirA = s"$wh/db/a"
+    val head = Versioned.currentVersion(spark, dirA).get
+    // purity: each row's pmod(hash(s), 4) equals its file's tag
+    val impure = Versioned.readAt(spark, dirA, head)
+      .withColumn("f", input_file_name())
+      .withColumn("expect", pmod(hash(col("s")), lit(4)))
+      .collect().filter { r =>
+        Versioned.bucketOfFile(r.getAs[String]("f")).get !=
+          r.getAs[Int]("expect")
+      }
+    assert(impure.isEmpty, s"string-key tags must be content-pure: " +
+      s"${impure.take(3).mkString(", ")}")
+    // point lookup on the string key opens only the probed bucket's file
+    val q = spark.read.format("graft-versioned").load(dirA)
+      .filter(col("s") === "key-42")
+    q.collect()
+    val planned = """InMemoryFileIndex\((\d+) paths""".r
+      .findFirstMatchIn(q.queryExecution.executedPlan.toString)
+      .map(_.group(1).toInt)
+    assert(planned.contains(1),
+      s"string point lookup must open one bucket's file: $planned of 4")
+    // and the co-bucketed join plans shuffle-free
+    val truth = spark.sql(s"SELECT sum(a.v + b.w) AS t FROM $cat.db.a a " +
+      s"JOIN $cat.db.b b ON a.s = b.s").head().getLong(0)
+    withSpj {
+      val j = spark.sql(s"SELECT sum(a.v + b.w) AS t FROM $cat.db.a a " +
+        s"JOIN $cat.db.b b ON a.s = b.s")
+      assert(j.head().getLong(0) == truth)
+      assert(!j.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "string-keyed co-bucketed join must not shuffle")
+    }
+  }
+
   test("maxRecordsPerFile splits within a bucket keep tags content-pure") {
     val dir = tmpDir("spj_maxrec")
     val df = spark.range(0, 500).selectExpr("7 AS k", "id AS v")
