@@ -86,10 +86,17 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = runs.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    // Per-query seconds at 3 decimals, cost-DESCENDING: the driver
+    // stores only a bounded tail of stdout, and 148 queries at full
+    // float precision overflowed it (BENCH_r15.json parsed 68 of 148).
+    // Three decimals (ms resolution — below the co-tenant noise floor)
+    // plus most-expensive-first ordering keeps the rows that matter
+    // for round-over-round comparison inside any truncation window.
+    val qs = runs.sortBy(-_._2)
+      .map { case (k, v, _) => jstr(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
     val errs = runs.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
-    val total = runs.map(_._2).sum
+    val total = f"${runs.map(_._2).sum}%.3f"
     // Host-load stamp: isolated re-measures of commit-heavy composites
     // disagree 2-3x across sessions when co-tenant load is high; recording
     // the 1-min load average alongside the numbers lets noise adjudication

@@ -53,6 +53,17 @@ object StreamingQueries {
     // session value is restored for the batch queries afterwards.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    // All stateful drains run on the RocksDB state store provider —
+    // the 100 TB configuration. The default HDFSBackedStateStoreProvider
+    // keeps every key's state ON HEAP per partition; a watermarked
+    // stream-stream join (st4/st6) or unbounded dedup (st3) at 100 TB
+    // event volume outgrows executor heap, while RocksDB spills to
+    // local disk with a bounded block cache. Running the ORACLE gate
+    // under RocksDB means every green st* row certifies the provider a
+    // real deployment would use (provider is latched per-query at first
+    // checkpoint creation, so setting it here scopes it to the drain).
+    val prevProvider = s.conf.get(ProviderConf, "")
+    s.conf.set(ProviderConf, RocksDbProvider)
     try {
       val q = out.writeStream
         .outputMode(mode)
@@ -62,9 +73,17 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      if (prevProvider.isEmpty) s.conf.unset(ProviderConf)
+      else s.conf.set(ProviderConf, prevProvider)
+    }
     s.table(name)
   }
+
+  val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
   /** Streaming source over the events table with the same epoch-micros
     * event-time derivation as the batch queries (Temporal.tsUs). The

@@ -126,6 +126,55 @@ class StreamingStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("RocksDB state store: provider is pinned and dedup state survives a checkpoint restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.StreamingQueries.{ProviderConf, RocksDbProvider}
+    val ckpt = tmpDir("graft-rocksdb-ckpt")
+    val in = MemoryStream[(Long, String)]
+    val prev = spark.conf.get(ProviderConf)
+    spark.conf.set(ProviderConf, RocksDbProvider)
+    // the memory sink refuses checkpoint RECOVERY (not fault-tolerant);
+    // foreachBatch into a concurrent buffer supports it — st10's shape
+    val emitted = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, String)]()
+    try {
+      def startQuery() = in.toDF().toDF("user_id", "event_type")
+        .dropDuplicates("user_id", "event_type")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => emitted.add((r.getLong(0), r.getString(1))))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+
+      val q1 = startQuery()
+      try {
+        in.addData((1L, "click"), (2L, "view"), (1L, "click"))
+        q1.processAllAvailable()
+        // pin the provider: the RocksDB store reports its own custom
+        // metrics in the state-operator progress; the HDFS-backed
+        // default reports none of these
+        val metrics = q1.lastProgress.stateOperators.head.customMetrics
+        assert(metrics.keySet().stream().anyMatch(_.startsWith("rocksdb")),
+          s"state operator reports no rocksdb* metrics: ${metrics.keySet()}")
+        assert(emitted.size == 2, s"expected 2 distinct keys, got $emitted")
+      } finally q1.stop()
+
+      // restart from the SAME checkpoint: the dedup key state must be
+      // reloaded from the RocksDB files, so the replayed duplicate of a
+      // pre-restart key stays suppressed and only the new key is emitted
+      emitted.clear()
+      val q2 = startQuery()
+      try {
+        in.addData((1L, "click"), (3L, "purchase"))
+        q2.processAllAvailable()
+        import scala.jdk.CollectionConverters._
+        assert(emitted.asScala.toSet == Set((3L, "purchase")),
+          s"pre-restart keys must stay suppressed after restart: $emitted")
+      } finally q2.stop()
+    } finally spark.conf.set(ProviderConf, prev)
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch sessionizer") {
     implicit val sqlCtx = spark.sqlContext
     val gapUs = 6L * 3600 * 1000000
