@@ -87,6 +87,80 @@ object TextStats {
       .orderBy(col("n").desc, col("tok").asc)
       .limit(k)
 
+  /** Joiner inside merged BPE tokens (US control char): never appears
+    * between tokens (that's the double-space joiner), so a merged
+    * token's identity survives later rounds unambiguously.
+    */
+  private[graft] val MergeSep = "\u001f"
+
+  /** N-round BPE merge training over whitespace tokens — the
+    * tokenizer-training fixpoint a real corpus pipeline runs, extending
+    * the one-step `x_bpe_pairs` primitive: each round counts adjacent
+    * token pairs corpus-wide, picks the most frequent (ties to the
+    * lexicographically smaller pair id), and applies the merge greedily
+    * left-to-right to every document. Returns the learned merge table
+    * (step, pair, n) — which IS the trained tokenizer.
+    *
+    * Representation: each document is ONE string with every token
+    * wrapped in its own pair of spaces (`' a  b  c '` — double-space
+    * joiner, single-space ends), so the greedy merge scan is a single
+    * builtin `replace`: the pattern `' a  b '` consumes one space from
+    * each side, leaving the neighbours' own spaces intact, which makes
+    * back-to-back merge sites (`a b a b`) all match in one
+    * left-to-right non-overlapping pass — exactly the classic BPE merge
+    * scan, and exactly reproducible by DuckDB's `replace` for the
+    * oracle's unrolled replay.
+    *
+    * Scale shape: per round ONE map-side projection (the replace) and
+    * one map-side-combinable pair count; only the single winning pair
+    * row crosses to the driver per round (the bounded-fixpoint
+    * discipline of Rank.pageRank). The working corpus is re-persisted
+    * every round (spill-to-disk) so round k never recomputes rounds
+    * 1..k−1's replaces — at 100 TB this is the same
+    * materialize-the-working-set choice an iterative trainer must make
+    * whatever the engine.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be positive: $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var seq = docs.select(
+      concat(lit(" "), array_join(Text.tokens(col(textCol)), "  "), lit(" "))
+        .as("seq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    var r = 1
+    var dry = false // a corpus can run out of pairs before `rounds`
+    while (r <= rounds && !dry) {
+      val top = seq
+        .select(split(trim(col("seq")), "  ").as("w")) // literal two spaces
+        .select(explode(expr(
+          "transform(slice(w, 1, size(w) - 1), " +
+            "(x, i) -> concat(x, ' ', element_at(w, i + 2)))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) dry = true
+      else {
+        val (pair, n) = (top(0).getString(0), top(0).getLong(1))
+        merges += ((r.toLong, pair, n))
+        val Array(a, b) = pair.split(" ", 2)
+        val next = seq.select(
+          replace(col("seq"), lit(s" $a  $b "), lit(s" $a$MergeSep$b "))
+            .as("seq"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before releasing the parent round
+        seq.unpersist()
+        seq = next
+      }
+      r += 1
+    }
+    seq.unpersist()
+    merges.toSeq.toDF("step", "pair", "n")
+  }
+
   /** Exact discrete quantiles of the whitespace-token count per group:
     * the value at rank `ceil(q·n / 100)` under a (length, id) total
     * order. Deliberately NOT approx_percentile — its sketch is

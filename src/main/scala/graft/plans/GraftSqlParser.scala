@@ -22,7 +22,7 @@ import graft.table.Versioned
   *   OPTIMIZE <t> [WHERE <col> = <lit>] [ZORDER BY (<c1>, <c2>, ...)]
   *   VACUUM <t> [RETAIN <n> HOURS] [DRY RUN]
   *   REORG TABLE <t> APPLY (PURGE)
-  *   DESC[RIBE] HISTORY <t>
+  *   DESC[RIBE] HISTORY <t> [LIMIT <n>]
   *
   * where either side is a GraftCatalog name (`cat.ns.t`) or the path
   * form (`graft-versioned`.`/table/dir`), and the optional time-travel
@@ -130,7 +130,7 @@ object GraftSqlParser {
     ("""(?is)^\s*VACUUM\s+(.+?)""" +
       """(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*$""").r
   private val HistoryStmt =
-    """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*$""".r
+    """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""".r
   // CONVERT TO GRAFT parquet.`/dir` — Delta's CONVERT TO DELTA spelling
   private val ConvertStmt =
     """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+(.+?)\s*;?\s*$""".r
@@ -181,8 +181,8 @@ object GraftSqlParser {
       case VacuumStmt(tbl, hours, dry) =>
         ident(tbl).map(GraftVacuumCommand(_,
           Option(hours).map(_.toDouble), dryRun = dry != null))
-      case HistoryStmt(tbl) =>
-        ident(tbl).map(GraftDescribeHistoryCommand(_))
+      case HistoryStmt(tbl, lim) =>
+        ident(tbl).map(GraftDescribeHistoryCommand(_, Option(lim).map(_.toInt)))
       case ConvertStmt(tbl) =>
         ident(tbl).map(GraftConvertCommand(_))
       case ReorgStmt(tbl) =>
@@ -227,7 +227,7 @@ object GraftSqlParser {
             "RESTORE TABLE t TO {VERSION AS OF n | TIMESTAMP AS OF 'ts'}; " +
             "OPTIMIZE t [WHERE col = lit] [ZORDER BY (c1, c2)]; " +
             "VACUUM t [RETAIN n HOURS] [DRY RUN]; " +
-            "DESC[RIBE] HISTORY t; " +
+            "DESC[RIBE] HISTORY t [LIMIT n]; " +
             "REORG TABLE t APPLY (PURGE); " +
             "FSCK REPAIR TABLE t [DRY RUN]; " +
             "GENERATE symlink_format_manifest FOR TABLE t; " +
@@ -746,13 +746,17 @@ final case class GraftReorgCommand(tableParts: Seq[String])
     s"GraftReorgCommand ${tableParts.mkString(".")}"
 }
 
-/** `DESC[RIBE] HISTORY t` — Delta's history DDL: one row per retained
-  * version (version, op, commit_ts, n_files), the same log-sized walk
-  * `CALL system.history` serves. Note Delta's own shadowing rule: a
-  * table literally named `history` must be backquoted to DESCRIBE it
-  * as a table.
+/** `DESC[RIBE] HISTORY t [LIMIT n]` — Delta's history DDL: one row per
+  * retained version (version, op, commit_ts, n_files), the same
+  * log-sized walk `CALL system.history` serves. With LIMIT n only the
+  * NEWEST n commits are read — O(n + CheckpointInterval) log entries,
+  * Delta's `history(limit)` — so a monitoring query over a year-old
+  * streamed table never replays its whole log. Note Delta's own
+  * shadowing rule: a table literally named `history` must be
+  * backquoted to DESCRIBE it as a table.
   */
-final case class GraftDescribeHistoryCommand(tableParts: Seq[String])
+final case class GraftDescribeHistoryCommand(
+    tableParts: Seq[String], limit: Option[Int] = None)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -763,7 +767,10 @@ final case class GraftDescribeHistoryCommand(tableParts: Seq[String])
 
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftDdl.dirOf(spark, tableParts, "DESCRIBE HISTORY")
-    Versioned.history(spark, dir).collect().toSeq
+    limit match {
+      case Some(n) => Versioned.history(spark, dir, n).collect().toSeq
+      case None => Versioned.history(spark, dir).collect().toSeq
+    }
   }
 
   override def simpleString(maxFields: Int): String =

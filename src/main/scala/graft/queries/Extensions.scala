@@ -1164,6 +1164,47 @@ object Extensions {
        |SELECT pair, CAST(count(*) AS BIGINT) AS n
        |FROM p GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 30""".stripMargin
 
+  /** Fixpoint rounds for the BPE TRAINER (x_bpe_train). */
+  private val BpeTrainRounds = 6
+
+  /** The tokenizer-training fixpoint itself (TextStats.bpeTrain):
+    * x_bpe_pairs counts ONE merge step; this trains [[BpeTrainRounds]]
+    * merges — per round the winning adjacent pair (count desc, pair asc)
+    * merges greedily left-to-right corpus-wide, and the next round
+    * counts over the REWRITTEN corpus. The oracle replays the identical
+    * rounds as unrolled DuckDB CTEs (the x_pagerank discipline): the
+    * spaced-string representation makes each round's merge one
+    * non-overlapping `replace` in both engines, so the learned merge
+    * table hash-matches exactly.
+    */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextStats
+      .bpeTrain(t(s, dir, "documents"), "text", BpeTrainRounds)
+      .orderBy("step")
+
+  val bpeTrainSql: String = {
+    val rounds = (1 to BpeTrainRounds).map { i =>
+      s"""m$i AS (SELECT pair, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest(list_transform(range(1, len(w)),
+         |          j -> w[j] || ' ' || w[j+1])) AS pair
+         |        FROM (SELECT string_split(trim(seq), '  ') AS w FROM d${i - 1}))
+         |  GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 1),
+         |d$i AS (SELECT replace(seq,
+         |    ' ' || split_part(pair, ' ', 1) || '  ' || split_part(pair, ' ', 2) || ' ',
+         |    ' ' || split_part(pair, ' ', 1) || chr(31) || split_part(pair, ' ', 2) || ' ') AS seq
+         |  FROM d${i - 1}, m$i)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeTrainRounds)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS step, pair, n FROM m$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH d0 AS (SELECT ' ' || array_to_string(${sqlWords("text")}, '  ') || ' ' AS seq
+       |  FROM documents),
+       |$rounds
+       |SELECT step, pair, n FROM (
+       |  $out)
+       |ORDER BY step""".stripMargin
+  }
+
   /** Deterministic stratified sampling: per-language keep rates
     * (downsample the dominant language) decided by a pure hash of the
     * doc id — reproducible across engines/partitionings (never
@@ -1498,6 +1539,7 @@ object Extensions {
     QueryDef("x_quality_topk", qualityTopKPerSource, Some(qualityTopKPerSourceSql)),
     QueryDef("x_pagerank", pagerank, Some(pagerankSql)),
     QueryDef("x_bpe_pairs", bpePairs, Some(bpePairsSql)),
+    QueryDef("x_bpe_train", bpeTrain, Some(bpeTrainSql)),
     QueryDef("x_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     QueryDef("x_mixture_sample", mixtureSample, Some(mixtureSampleSql)),
     QueryDef("x_shuffle_order", shuffleOrder, Some(shuffleOrderSql)),

@@ -3,7 +3,7 @@ package graft.table
 import java.nio.charset.StandardCharsets
 import java.util.UUID
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Log-backed versioned table: the Delta-transaction-log analog the
@@ -800,10 +800,30 @@ object Versioned {
     * [[resolveFiles]], which a vacuum-written checkpoint sidecar
     * serves when the chain below it is truncated).
     */
-  def history(spark: SparkSession, dir: String): DataFrame = {
+  def history(spark: SparkSession, dir: String): DataFrame =
+    historyWindow(spark, dir, Int.MaxValue)
+
+  /** Newest-`limit` commit history (Delta's `history(limit)`): the
+    * monitoring shape — "the last 10 commits of a year-old streaming
+    * table" must not pay one log read per retained version. Reads the
+    * `limit` window's entries plus ONE anchored resolution at its
+    * oldest version ([[resolveFiles]]: nearest checkpoint + delta
+    * suffix), so the cost is O(limit + CheckpointInterval) log reads
+    * on a 10⁵-commit table, not O(10⁵). Rows are oldest-first within
+    * the window, same ordering contract as the unbounded form.
+    */
+  def history(spark: SparkSession, dir: String, limit: Int): DataFrame = {
+    require(limit >= 1, s"history limit must be positive: $limit")
+    historyWindow(spark, dir, limit)
+  }
+
+  private def historyWindow(
+      spark: SparkSession, dir: String, limit: Int): DataFrame = {
     import spark.implicits._
+    val vs = versions(spark, dir)
+    val window = if (limit >= vs.size) vs else vs.takeRight(limit)
     var running: Seq[String] = Seq.empty
-    versions(spark, dir).zipWithIndex.map { case (v, i) =>
+    window.zipWithIndex.map { case (v, i) =>
       val json = snapshotJson(spark, dir, v)
       running =
         if (i == 0) resolveFiles(spark, dir, v, Some(json))
@@ -6300,6 +6320,79 @@ object Versioned {
     vacuum(spark, dir, keep, tmpRetentionMs, dryRun)
   }
 
+  /** Minimum independent delete groups before vacuum ships a sweep to
+    * executors: below it the job-scheduling overhead exceeds the
+    * deletes themselves; above it a driver-side sequential delete loop
+    * is the vacuum wall-clock bottleneck (10⁴ dropped versions × one
+    * round-trip each — Delta distributes exactly this sweep). Var only
+    * as a test seam.
+    */
+  @volatile private[graft] var VacuumDistributedMin: Int = 64
+
+  /** Test seam: how many vacuum sweeps ran executor-side. */
+  private[graft] val vacuumDistributedSweeps =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Hadoop Configuration is not java-serializable; standard wrapper
+    * (the shape of Spark's private SerializableConfiguration) so the
+    * executor-side sweep opens the right FileSystem per path.
+    */
+  private final class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** One delete unit: (absolute path, recursive, guard-on-exists).
+    * Groups are ordered WITHIN (a dropped version's log entry must go
+    * before its own sidecars, so a crash never leaves an entry pointing
+    * at a missing sidecar) and independent ACROSS — which is what makes
+    * the sweep distributable.
+    */
+  private type RmGroup = Seq[(String, Boolean, Boolean)]
+
+  /** Executes delete groups: driver-side below [[VacuumDistributedMin]]
+    * (or on a dry run, which only probes existence), executor-side
+    * above it. Returns the paths actually removed (exists-guarded
+    * members that were absent are omitted — a dry run reports exactly
+    * what a live run would remove).
+    */
+  private def executeDeletes(
+      spark: SparkSession, f: FileSystem, groups: Seq[RmGroup],
+      dryRun: Boolean): Seq[String] = {
+    if (dryRun)
+      groups.flatMap(_.collect {
+        case (p, _, check) if !check || f.exists(new Path(p)) => p })
+    else if (groups.size < VacuumDistributedMin)
+      groups.flatMap(_.collect {
+        case (p, rec, check) if !check || f.exists(new Path(p)) =>
+          f.delete(new Path(p), rec); p })
+    else {
+      vacuumDistributedSweeps.incrementAndGet()
+      val conf = new SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration)
+      // ~64 groups per task amortizes FS-connection setup; capped at
+      // cluster parallelism so small sweeps don't schedule empty tasks
+      val slices = math.max(1, math.min(
+        spark.sparkContext.defaultParallelism, groups.size / 64))
+      spark.sparkContext.parallelize(groups, slices).flatMap { g =>
+        g.flatMap { case (p, rec, check) =>
+          val path = new Path(p)
+          val pfs = path.getFileSystem(conf.value)
+          if (check && !pfs.exists(path)) None
+          else { pfs.delete(path, rec); Some(p) }
+        }
+      }.collect().toSeq
+    }
+  }
+
   def vacuum(
       spark: SparkSession, dir: String, keepVersions: Int = 1,
       tmpRetentionMs: Long = 3600000L, dryRun: Boolean = false): Seq[String] = {
@@ -6407,16 +6500,18 @@ object Versioned {
     // now-unreferenced sidecars age-sweep below or on the next run. All
     // referenced-set computations above already captured what the drop
     // entries knew, so deleting them here changes no decision below.
-    drop.foreach { v =>
-      rm(versionFile(dir, v), false)
-      // sidecars may not exist for a version; record only real paths so
-      // a dry run reports exactly what a live run would remove
-      Seq(new Path(logPath(dir), f"v$v%08d.zones.json"), ckptFile(dir, v),
-        new Path(logPath(dir), f"v$v%08d.bloom.json"),
-        new Path(logPath(dir), f"v$v%08d.szones.json"),
-        RowStats.sidecar(logPath(dir), v))
-        .foreach(p => if (f.exists(p)) rm(p, false))
-    }
+    // one group per dropped version (entry first, then its sidecars —
+    // exists-guarded so a dry run reports only real paths), shipped
+    // executor-side past the threshold: at 10⁴ dropped versions the
+    // driver-side sequential loop was the vacuum wall-clock bottleneck
+    deleted ++= executeDeletes(spark, f, drop.map { v =>
+      (versionFile(dir, v).toString, false, false) +:
+        Seq(new Path(logPath(dir), f"v$v%08d.zones.json"), ckptFile(dir, v),
+          new Path(logPath(dir), f"v$v%08d.bloom.json"),
+          new Path(logPath(dir), f"v$v%08d.szones.json"),
+          RowStats.sidecar(logPath(dir), v))
+          .map(p => (p.toString, false, true))
+    }, dryRun)
     // bloom data dirs whose pointer no longer survives (dropped above,
     // or a crashed build that never published one) age-sweep like the
     // other orphaned sidecars; referenced dirs are immutable and stay
@@ -6451,20 +6546,24 @@ object Versioned {
     }
     // sweep whole data dirs with no live files; else per-file (every
     // parquet in a PUBLISHED dir is in its commit's add list, so files
-    // inside live dirs never need the in-flight guard)
+    // inside live dirs never need the in-flight guard). Decisions are
+    // made driver-side from the listing, then the deletes — each an
+    // independent single-member group — ship executor-side past the
+    // threshold (Delta distributes exactly this data sweep).
     val liveDirs = live.map(_.split("/", 2)(0))
     val refDirs = everReferenced.map(_.split("/", 2)(0))
+    val dataRm = scala.collection.mutable.ArrayBuffer.empty[RmGroup]
     f.listStatus(new Path(dir)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("d-"))
       .foreach { st =>
         val d = st.getPath.getName
         if (!liveDirs.contains(d)) {
           if (refDirs.contains(d) || st.getModificationTime < cutoff)
-            rm(st.getPath, true)
+            dataRm += Seq((st.getPath.toString, true, false))
         } else f.listStatus(st.getPath).toSeq.foreach { fileSt =>
           val rel = s"$d/${fileSt.getPath.getName}"
           if (fileSt.getPath.getName.endsWith(".parquet") && !live.contains(rel))
-            rm(fileSt.getPath, false)
+            dataRm += Seq((fileSt.getPath.toString, false, false))
         }
       }
     // hive partition dirs (a CONVERTed table's original layout) are
@@ -6474,24 +6573,28 @@ object Versioned {
     // addFiles'd). Files a dropped version referenced sweep by the
     // log's word like d-* contents; a dir left empty is removed (it
     // carried values only for files that no longer exist).
-    f.listStatus(new Path(dir)).toSeq
+    val hiveDirs = f.listStatus(new Path(dir)).toSeq
       .filter(st => st.isDirectory && {
         val n = st.getPath.getName
         n.contains("=") && !n.startsWith("_") && !n.startsWith(".")
       })
-      .foreach { st =>
-        val d = st.getPath.getName
-        f.listStatus(st.getPath).toSeq.foreach { fileSt =>
-          val rel = s"$d/${fileSt.getPath.getName}"
-          val dead = fileSt.getPath.getName.endsWith(".parquet") &&
-            !live.contains(rel) &&
-            (everReferenced.contains(rel) ||
-              fileSt.getModificationTime < cutoff)
-          if (dead) rm(fileSt.getPath, false)
-        }
-        if (!dryRun && f.listStatus(st.getPath).isEmpty)
-          f.delete(st.getPath, false)
+    hiveDirs.foreach { st =>
+      val d = st.getPath.getName
+      f.listStatus(st.getPath).toSeq.foreach { fileSt =>
+        val rel = s"$d/${fileSt.getPath.getName}"
+        val dead = fileSt.getPath.getName.endsWith(".parquet") &&
+          !live.contains(rel) &&
+          (everReferenced.contains(rel) ||
+            fileSt.getModificationTime < cutoff)
+        if (dead) dataRm += Seq((fileSt.getPath.toString, false, false))
       }
+    }
+    deleted ++= executeDeletes(spark, f, dataRm.toSeq, dryRun)
+    // emptied hive dirs drop AFTER the sweep lands (they carried values
+    // only for files that no longer exist)
+    if (!dryRun) hiveDirs.foreach { st =>
+      if (f.listStatus(st.getPath).isEmpty) f.delete(st.getPath, false)
+    }
     deleted.toSeq
   }
 }

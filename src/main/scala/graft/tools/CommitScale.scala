@@ -65,6 +65,8 @@ object CommitScale {
     val (cdfRows, cdfMs, cdfReads) = timed(
       Versioned.changesWithType(spark, dir, head - window, head).count())
     val (histRows, histMs, histReads) = timed(Versioned.history(spark, dir).count())
+    val (hist10Rows, hist10Ms, hist10Reads) = timed(
+      Versioned.history(spark, dir, 10).count())
 
     // full clustering rewrite, a tail of fresh commits, then the
     // incremental run whose provenance resolution the checkpoint field
@@ -94,6 +96,7 @@ object CommitScale {
          |"version_as_of":{"ms":$asofMs,"log_reads":$asofReads},
          |"cdf_window_read":{"rows":$cdfRows,"ms":$cdfMs,"log_reads":$cdfReads},
          |"history":{"rows":$histRows,"ms":$histMs,"log_reads":$histReads},
+         |"history_limit10":{"rows":$hist10Rows,"ms":$hist10Ms,"log_reads":$hist10Reads},
          |"zorder_full":{"ms":$zfullMs},
          |"zorder_incremental":{"ms":$zincMs,"log_reads":$zincReads},
          |"vacuum":{"removed":$nDeleted,"ms":$vacMs,"log_reads":$vacReads},

@@ -1140,13 +1140,21 @@ private final class ZonePrunedParquetScanBuilder(
       // catalog's v1 CREATE commit writes one empty untagged file —
       // the row-count sidecar vouches for it, and a 0-row file can be
       // dropped from any scan without changing its answer)
-      // SINGLE-column specs only: Spark's KeyGroupedShuffleSpec and
-      // clustered-distribution matching pair ONE transform per key, so
-      // a composite-hash bucket proves nothing to the planner — and
-      // grouping splits per bucket would CAP scan parallelism at the
-      // bucket count for zero benefit. Multi-column layouts keep their
-      // other dividends (composite point pruning, deterministic
-      // placement) without the report.
+      // SINGLE-column specs only — settled by EXPERIMENT, not design
+      // taste: reporting KeyGroupedPartitioning(bucket(8, k1, k2)) from
+      // both sides of a two-column co-bucketed join still plans
+      // `Exchange hashpartitioning(k1, k2)` on BOTH sides under every
+      // v2.bucketing conf (Spark 4.1.2, round-16 run), because
+      // KeyGroupedPartitioning.satisfies0 requires every partition
+      // expression to have collectLeaves().size == 1 (verified in the
+      // shipped bytecode: $anonfun$satisfies0$7 compares the leaf count
+      // against iconst_1) — a multi-argument transform has one leaf PER
+      // KEY and can never satisfy a ClusteredDistribution. Reporting it
+      // anyway is strictly worse than staying silent: the join shuffles
+      // regardless, while every non-join consumer gets its task count
+      // capped at numBuckets. Multi-column layouts keep their other
+      // dividends (composite point pruning, deterministic placement)
+      // without the report.
       // Gate on BOTH Spark's SPJ switch (spark.sql.sources.v2.bucketing
       // .enabled — default TRUE since Spark 4) and an explicit
       // preserve-grouping opt-in (default FALSE, Iceberg's

@@ -306,9 +306,14 @@ class BucketSpjSpec extends SparkSpec {
     spark.sql(s"INSERT INTO $cat.db.a SELECT * FROM spj_src_m")
     spark.sql(s"INSERT INTO $cat.db.b SELECT k1, k2, v * 2 AS w FROM spj_src_m")
     withSpj {
-      // joins: Spark's KeyGroupedShuffleSpec pairs ONE transform per
-      // join key, so a single hash over BOTH keys proves nothing —
-      // the join shuffles (correct), and the scan stays ungrouped
+      // joins: settled by experiment (round 16) — a scan reporting
+      // KeyGroupedPartitioning(bucket(8, k1, k2)) from BOTH sides still
+      // planned Exchange hashpartitioning(k1, k2) on both, because
+      // KeyGroupedPartitioning.satisfies0 requires collectLeaves().size
+      // == 1 per partition expression (bytecode-verified) and a
+      // multi-arg transform has one leaf per key. So the scan must NOT
+      // report: the join shuffles either way, and the report would cap
+      // every non-join consumer at numBuckets tasks
       val j = spark.sql(s"SELECT count(*) AS n, sum(a.v * b.w) AS s " +
         s"FROM $cat.db.a a JOIN $cat.db.b b ON a.k1 = b.k1 AND a.k2 = b.k2")
       val exp = spark.sql(

@@ -69,15 +69,61 @@ class CommitScaleSpec extends SparkSpec {
 
     assert(Versioned.read(spark, dir).count() == (n + 1).toLong)
 
+    // newest-K history: O(K + CheckpointInterval) log reads — the
+    // monitoring query ("last 10 commits") must not replay the whole
+    // log the way the unbounded walk does
+    Versioned.clearFilesMemo()
+    val (hist10, rHist) = reads(
+      Versioned.history(spark, dir, 10).collect().toSeq)
+    assert(hist10.size == 10)
+    assert(hist10.map(_.getLong(0)) ==
+      ((n - 8).toLong to (n + 1).toLong), "window must be the newest 10")
+    // full walk for the same window's ground truth: n_files agrees
+    val full10 = Versioned.history(spark, dir).collect().toSeq.takeRight(10)
+    assert(hist10.map(r => (r.getLong(0), r.getString(1), r.getLong(3))) ==
+      full10.map(r => (r.getLong(0), r.getString(1), r.getLong(3))))
+    assert(rHist <= 10 + Versioned.CheckpointInterval + 4,
+      s"history(10) opened $rHist log entries on a $n-commit history")
+
     // retention: vacuum truncates 196 versions; the head still resolves
-    // in O(CheckpointInterval) from the published anchor
+    // in O(CheckpointInterval) from the published anchor. 196 dropped
+    // versions exceed VacuumDistributedMin, so this sweep must run
+    // EXECUTOR-side — the driver-loop bottleneck Delta also distributes.
+    val sweeps0 = Versioned.vacuumDistributedSweeps.get()
     Versioned.vacuum(spark, dir, keepVersions = 5)
+    assert(Versioned.vacuumDistributedSweeps.get() > sweeps0,
+      "a 196-version truncation must sweep executor-side")
     assert(Versioned.versions(spark, dir).size == 5)
     val (files2, rFiles2) = reads(Versioned.filesAt(spark, dir, head))
     assert(files2.size == n + 1)
     assert(rFiles2 <= Versioned.CheckpointInterval + 4,
       s"post-vacuum filesAt opened $rFiles2 log entries")
     assert(Versioned.read(spark, dir).count() == (n + 1).toLong)
+  }
+
+  test("distributed vacuum removes exactly what the dry run reported, data files included") {
+    val dir = tmpDir("cs_distvac")
+    // 8 overwrite commits: each leaves the predecessor's d-* dir dead,
+    // so the sweep has real data dirs to remove, not just log entries
+    (1 to 8).foreach(i =>
+      Versioned.overwrite(Seq((i.toLong, s"r$i")).toDF("id", "s"), dir))
+    val before = Versioned.read(spark, dir).collect().toSeq
+    val prevMin = Versioned.VacuumDistributedMin
+    Versioned.VacuumDistributedMin = 2 // force the executor path at fixture scale
+    try {
+      val planned = Versioned.vacuum(spark, dir, keepVersions = 2, dryRun = true)
+      val sweeps0 = Versioned.vacuumDistributedSweeps.get()
+      val removed = Versioned.vacuum(spark, dir, keepVersions = 2)
+      assert(Versioned.vacuumDistributedSweeps.get() > sweeps0)
+      assert(removed.toSet == planned.toSet,
+        s"live run must remove exactly the dry-run report; " +
+          s"extra=${removed.toSet -- planned.toSet} missing=${planned.toSet -- removed.toSet}")
+      assert(removed.exists(_.contains("/d-")), "dead data dirs must be swept")
+      // the table survives intact: retained versions read, head unchanged
+      assert(Versioned.versions(spark, dir) == Seq(7L, 8L))
+      assert(Versioned.read(spark, dir).collect().toSeq == before)
+      assert(Versioned.readAt(spark, dir, 7L).count() == 1L)
+    } finally Versioned.VacuumDistributedMin = prevMin
   }
 
   test("checkpoints record z-order provenance even when EMPTY, bounding the walk") {

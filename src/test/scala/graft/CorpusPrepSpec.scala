@@ -30,6 +30,36 @@ class CorpusPrepSpec extends SparkSpec {
     assert(salted.map(_.toSeq).toSeq != a.map(_.toSeq).toSeq)
   }
 
+  test("bpeTrain merges greedily left-to-right, rewriting the corpus between rounds") {
+    // round 1: 'a b' wins (3 occurrences; 'b a' has 2 — the back-to-back
+    // 'a b a b' doc must count BOTH its 'a b' sites and merge both);
+    // 'x x x' pins non-overlap: greedy yields [x·x, x], ONE pair consumed
+    val docs = Seq(
+      "a b a b", // both sites merge in one pass
+      "a b c",   // one site
+      "x x x"    // overlap case: only the first pair merges
+    ).toDF("text")
+    val merges = TextStats.bpeTrain(docs, "text", 3)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val M = TextStats.MergeSep
+    assert(merges(0) == ((1L, "a b", 3L)))
+    // post-round-1 corpus: [a·b a·b], [a·b c], [x x x] — the surviving
+    // pair set is {a·b a·b: 1, a·b c: 1, x x: 2}, so 'x x' wins round 2
+    assert(merges(1) == ((2L, "x x", 2L)))
+    // post-round-2: [a·b a·b], [a·b c], [x·x x] — all pairs now unique;
+    // lexicographic tiebreak picks the smallest pair id
+    assert(merges(2)._1 == 3L && merges(2)._3 == 1L)
+    assert(merges(2)._2 == Seq(s"a${M}b a${M}b", s"a${M}b c", s"x${M}x x").min)
+
+    // a corpus that runs dry stops early instead of looping: 'a b'
+    // merges once, then no adjacent pair remains anywhere
+    val dry = TextStats.bpeTrain(
+      Seq("only", "a b", "").toDF("text"), "text", 5).collect()
+    assert(dry.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a b")))
+  }
+
   test("vocabulary counts total occurrences with (n desc, tok asc) order") {
     val docs = Seq((1L, "a b b c"), (2L, "b c c a")).toDF("doc_id", "text")
     val v = TextStats.vocabulary(docs, "text", 2).as[(String, Long)].collect().toSeq

@@ -74,6 +74,13 @@ class MaintenanceDdlSpec extends SparkSpec {
     assert(h.select("version", "op").as[(Long, String)].collect().toSeq ==
       Seq((1L, "append"), (2L, "append")))
     assert(spark.sql(s"DESCRIBE HISTORY ${pathId(dir)}").count() == 2L)
+    // LIMIT n reads only the newest n commits (Delta's history(limit))
+    Versioned.append(Seq((3L, "c")).toDF("id", "s"), dir)
+    assert(spark.sql(s"DESC HISTORY ${pathId(dir)} LIMIT 2")
+      .select("version", "op").as[(Long, String)].collect().toSeq ==
+      Seq((2L, "append"), (3L, "append")))
+    // a LIMIT beyond the retained depth is the full walk, not an error
+    assert(spark.sql(s"DESC HISTORY ${pathId(dir)} LIMIT 99").count() == 3L)
     // a table literally named `history` still DESCRIBEs as a table
     Seq((1, "x")).toDF("id", "s").createOrReplaceTempView("history")
     assert(spark.sql("DESCRIBE history").count() > 0)
