@@ -161,6 +161,32 @@ object TextStats {
     merges.toSeq.toDF("step", "pair", "n")
   }
 
+  /** Tokenizes every document with a TRAINED merge table (the
+    * inference half of [[bpeTrain]]): applies the ordered merges to the
+    * spaced-string form, then splits back into tokens — adds a
+    * `bpe_tokens` array column. ONE codegen'd map-side projection
+    * chaining one builtin `replace` per merge, zero shuffle, merge
+    * table as plan literals (tokenizer-sized — tens of KB — never
+    * broadcast-worthy; a production 32k-merge table would compile the
+    * chain into a single expression to stay under codegen method
+    * limits, same plan shape). Later-round pairs may themselves contain
+    * [[MergeSep]] — the split below keeps a merged token atomic, which
+    * is exactly why the joiner is a char that never appears in input
+    * tokens.
+    */
+  def bpeEncode(docs: DataFrame, textCol: String, merges: Seq[String]): DataFrame = {
+    val seq0 = concat(lit(" "), array_join(Text.tokens(col(textCol)), "  "), lit(" "))
+    val merged = merges.foldLeft(seq0) { (acc, pair) =>
+      val Array(a, b) = pair.split(" ", 2)
+      replace(acc, lit(s" $a  $b "), lit(s" $a$MergeSep$b "))
+    }
+    // an empty/all-whitespace document has ZERO tokens, but split("")
+    // yields [""] in every engine — special-case it to the empty array
+    docs.withColumn("bpe_tokens",
+      when(trim(merged) === "", array().cast("array<string>"))
+        .otherwise(split(trim(merged), "  ", -1)))
+  }
+
   /** Exact discrete quantiles of the whitespace-token count per group:
     * the value at rank `ceil(q·n / 100)` under a (length, id) total
     * order. Deliberately NOT approx_percentile — its sketch is

@@ -1205,6 +1205,55 @@ object Extensions {
        |ORDER BY step""".stripMargin
   }
 
+  /** The INFERENCE half of the tokenizer (TextStats.bpeEncode): train
+    * [[BpeTrainRounds]] merges, then tokenize every document with the
+    * learned table — per doc the post-merge token count and how many
+    * tokens are merged pairs. The encode pass is one codegen'd
+    * projection chaining one `replace` per merge (zero shuffle; the
+    * merge table is tokenizer-sized driver state, like a broadcast
+    * vocabulary). The oracle replays the same rounds' rewrites carrying
+    * doc_id through the unrolled CTEs.
+    */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val merges = graft.operators.TextStats
+      .bpeTrain(docs, "text", BpeTrainRounds)
+      .orderBy("step").select("pair").as[String].collect().toSeq
+    graft.operators.TextStats.bpeEncode(docs, "text", merges)
+      .select(col("doc_id"),
+        size(col("bpe_tokens")).cast("long").as("n_tokens"),
+        size(filter(col("bpe_tokens"),
+          tk => tk.contains(graft.operators.TextStats.MergeSep)))
+          .cast("long").as("n_merged"))
+      .orderBy("doc_id")
+  }
+
+  val bpeEncodeSql: String = {
+    val rounds = (1 to BpeTrainRounds).map { i =>
+      s"""m$i AS (SELECT pair
+         |  FROM (SELECT unnest(list_transform(range(1, len(w)),
+         |          j -> w[j] || ' ' || w[j+1])) AS pair
+         |        FROM (SELECT string_split(trim(seq), '  ') AS w FROM d${i - 1}))
+         |  GROUP BY pair ORDER BY count(*) DESC, pair ASC LIMIT 1),
+         |d$i AS (SELECT doc_id, replace(seq,
+         |    ' ' || split_part(pair, ' ', 1) || '  ' || split_part(pair, ' ', 2) || ' ',
+         |    ' ' || split_part(pair, ' ', 1) || chr(31) || split_part(pair, ' ', 2) || ' ') AS seq
+         |  FROM d${i - 1}, m$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d0 AS (SELECT doc_id,
+       |    ' ' || array_to_string(${sqlWords("text")}, '  ') || ' ' AS seq
+       |  FROM documents),
+       |$rounds
+       |SELECT doc_id,
+       |  CASE WHEN trim(seq) = '' THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(len(string_split(trim(seq), '  ')) AS BIGINT) END AS n_tokens,
+       |  CASE WHEN trim(seq) = '' THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(len(list_filter(string_split(trim(seq), '  '),
+       |      t -> contains(t, chr(31)))) AS BIGINT) END AS n_merged
+       |FROM d$BpeTrainRounds ORDER BY doc_id""".stripMargin
+  }
+
   /** Deterministic stratified sampling: per-language keep rates
     * (downsample the dominant language) decided by a pure hash of the
     * doc id — reproducible across engines/partitionings (never
@@ -1540,6 +1589,7 @@ object Extensions {
     QueryDef("x_pagerank", pagerank, Some(pagerankSql)),
     QueryDef("x_bpe_pairs", bpePairs, Some(bpePairsSql)),
     QueryDef("x_bpe_train", bpeTrain, Some(bpeTrainSql)),
+    QueryDef("x_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     QueryDef("x_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     QueryDef("x_mixture_sample", mixtureSample, Some(mixtureSampleSql)),
     QueryDef("x_shuffle_order", shuffleOrder, Some(shuffleOrderSql)),

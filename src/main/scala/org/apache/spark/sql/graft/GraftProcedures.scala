@@ -324,14 +324,21 @@ private[graft] object GraftProcedures {
           Versioned.parseTimestampMillis(in.getUTF8String(1).toString))))),
 
       Proc("history",
-        "commit history: version, operation, commit timestamp, live file count",
-        Seq(in("table", StringType)),
+        "commit history: version, operation, commit timestamp, live file " +
+          "count (limit > 0 reads only the NEWEST `limit` commits — " +
+          "O(limit) log entries, never the whole chain)",
+        Seq(in("table", StringType), inDefault("limit", IntegerType, "0")),
         new StructType().add("version", LongType, nullable = false)
           .add("op", StringType, nullable = false)
           .add("commit_ts", LongType, nullable = false)
           .add("n_files", LongType, nullable = false),
-        (s, in) => Versioned.history(s, dirOf(in)).collect().toSeq.map(r =>
-          row(r.getLong(0), utf8(r.getString(1)), r.getLong(2), r.getLong(3)))),
+        (s, in) => {
+          val lim = in.getInt(1)
+          val df = if (lim > 0) Versioned.history(s, dirOf(in), lim)
+            else Versioned.history(s, dirOf(in))
+          df.collect().toSeq.map(r =>
+            row(r.getLong(0), utf8(r.getString(1)), r.getLong(2), r.getLong(3)))
+        }),
 
       Proc("add_constraint",
         "register a CHECK constraint enforced by every subsequent write",

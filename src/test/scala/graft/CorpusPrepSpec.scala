@@ -60,6 +60,25 @@ class CorpusPrepSpec extends SparkSpec {
       Seq((1L, "a b")))
   }
 
+  test("bpeEncode applies trained merges in order, keeping merged tokens atomic") {
+    val M = TextStats.MergeSep
+    // merges: round 1 'a b', round 2 'a·b c' — the second pair contains
+    // the first round's joiner, so encode must treat it atomically
+    val merges = Seq("a b", s"a${M}b c")
+    val docs = Seq(
+      ("a b c d", Seq(s"a${M}b${M}c", "d")), // both merges fire, chained
+      ("a b a b", Seq(s"a${M}b", s"a${M}b")), // back-to-back sites both merge
+      ("c a d", Seq("c", "a", "d")),         // no site: untouched tokens
+      ("  ", Seq.empty[String])               // whitespace-only → zero tokens
+    ).toDF("text", "expect")
+    val enc = TextStats.bpeEncode(docs, "text", merges)
+      .select("text", "bpe_tokens", "expect")
+      .as[(String, Seq[String], Seq[String])].collect()
+    enc.foreach { case (text, got, expect) =>
+      assert(got == expect, s"encode of '$text'")
+    }
+  }
+
   test("vocabulary counts total occurrences with (n desc, tok asc) order") {
     val docs = Seq((1L, "a b b c"), (2L, "b c c a")).toDF("doc_id", "text")
     val v = TextStats.vocabulary(docs, "text", 2).as[(String, Long)].collect().toSeq

@@ -197,6 +197,11 @@ class GraftCatalogSpec extends SparkSpec {
     val hist = spark.sql(s"CALL $cat.system.history(table => 'db.t')")
     assert(hist.columns.toSeq == Seq("version", "op", "commit_ts", "n_files"))
     assert(hist.count() == 6L)
+    // limit > 0 serves only the newest commits (the bounded walk)
+    val hist2 = spark.sql(
+      s"CALL $cat.system.history(table => 'db.t', limit => 2)")
+    assert(hist2.select("version").as[Long].collect().toSeq ==
+      hist.select("version").as[Long].collect().toSeq.takeRight(2))
 
     val vRestore = spark.sql(
       s"CALL $cat.system.restore(table => 'db.t', version => 2)").as[Long].head
