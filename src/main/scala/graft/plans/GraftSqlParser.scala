@@ -23,6 +23,7 @@ import graft.table.Versioned
   *   VACUUM <t> [RETAIN <n> HOURS] [DRY RUN]
   *   REORG TABLE <t> APPLY (PURGE)
   *   DESC[RIBE] HISTORY <t> [LIMIT <n>]
+  *   DESC[RIBE] DETAIL <t>
   *
   * where either side is a GraftCatalog name (`cat.ns.t`) or the path
   * form (`graft-versioned`.`/table/dir`), and the optional time-travel
@@ -131,6 +132,9 @@ object GraftSqlParser {
       """(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*$""").r
   private val HistoryStmt =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""".r
+  // DESC[RIBE] DETAIL t — Delta's table-summary DDL
+  private val DetailStmt =
+    """(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+(.+?)\s*;?\s*$""".r
   // CONVERT TO GRAFT parquet.`/dir` — Delta's CONVERT TO DELTA spelling
   private val ConvertStmt =
     """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+(.+?)\s*;?\s*$""".r
@@ -183,6 +187,8 @@ object GraftSqlParser {
           Option(hours).map(_.toDouble), dryRun = dry != null))
       case HistoryStmt(tbl, lim) =>
         ident(tbl).map(GraftDescribeHistoryCommand(_, Option(lim).map(_.toInt)))
+      case DetailStmt(tbl) =>
+        ident(tbl).map(GraftDescribeDetailCommand(_))
       case ConvertStmt(tbl) =>
         ident(tbl).map(GraftConvertCommand(_))
       case ReorgStmt(tbl) =>
@@ -775,6 +781,40 @@ final case class GraftDescribeHistoryCommand(
 
   override def simpleString(maxFields: Int): String =
     s"GraftDescribeHistoryCommand ${tableParts.mkString(".")}"
+}
+
+/** `DESC[RIBE] DETAIL t` — Delta's table-summary DDL over
+  * [[Versioned.detail]]: ONE row for the current snapshot (version,
+  * commit time, file count, total bytes, soft-deleted positions,
+  * metadata row count when the stats sidecar covers the snapshot,
+  * constraint names, and the declared CLUSTER BY / bucket layouts).
+  * Log-and-listing cost only — no data file is opened. Delta's
+  * shadowing rule applies as with HISTORY: a table literally named
+  * `detail` must be backquoted to DESCRIBE it as a table.
+  */
+final case class GraftDescribeDetailCommand(tableParts: Seq[String])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("commit_ts", LongType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("n_soft_deleted", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = true)(),
+    AttributeReference("constraints",
+      org.apache.spark.sql.types.ArrayType(StringType, containsNull = false),
+      nullable = false)(),
+    AttributeReference("clustering", StringType, nullable = false)(),
+    AttributeReference("bucket_spec", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftDdl.dirOf(spark, tableParts, "DESCRIBE DETAIL")
+    Versioned.detail(spark, dir).collect().toSeq
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftDescribeDetailCommand ${tableParts.mkString(".")}"
 }
 
 /** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` — Delta's

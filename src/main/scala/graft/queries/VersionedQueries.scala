@@ -956,12 +956,22 @@ object VersionedQueries {
     val hist = s.sql(s"DESC HISTORY $tbl")
       .select(lit("history").as("kind"), col("op").as("k"),
         col("version").as("n"), lit(-1L).as("sum_c"))
+    // the bounded walk (newest 3 of the 6 commits above) and the
+    // DESCRIBE DETAIL summary — both deterministic: versions/ops are
+    // fixed by the statement list, num_rows by the restored content
+    val histLim = s.sql(s"DESC HISTORY $tbl LIMIT 3")
+      .select(lit("hist_limit").as("kind"), col("op").as("k"),
+        col("version").as("n"), lit(-1L).as("sum_c"))
+    val det = s.sql(s"DESCRIBE DETAIL $tbl")
+      .select(lit("detail").as("kind"), lit("head").as("k"),
+        col("version").as("n"), col("num_rows").as("sum_c"))
     val agg = s.sql(
       s"""SELECT 'agg' AS kind, event_type AS k,
          |       CAST(count(*) AS BIGINT) AS n,
          |       CAST(sum(value_c) AS BIGINT) AS sum_c
          |FROM $tbl GROUP BY event_type""".stripMargin)
-    hist.unionByName(agg).orderBy("kind", "n", "k")
+    hist.unionByName(histLim).unionByName(det).unionByName(agg)
+      .orderBy("kind", "n", "k")
   }
 
   val sqlMaintenanceSql: String =
@@ -975,6 +985,12 @@ object VersionedQueries {
       |  SELECT 'history' AS kind, k, CAST(n AS BIGINT) AS n,
       |         CAST(-1 AS BIGINT) AS sum_c
       |  FROM hist
+      |  UNION ALL
+      |  SELECT 'hist_limit', k, CAST(n AS BIGINT), CAST(-1 AS BIGINT)
+      |  FROM hist WHERE n >= 4
+      |  UNION ALL
+      |  SELECT 'detail', 'head', CAST(6 AS BIGINT), CAST(count(*) AS BIGINT)
+      |  FROM ev
       |  UNION ALL
       |  SELECT 'agg', event_type, CAST(count(*) AS BIGINT),
       |         CAST(sum(value_c) AS BIGINT)

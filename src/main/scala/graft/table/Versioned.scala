@@ -860,9 +860,14 @@ object Versioned {
       // logical row count from the stats sidecar (DVs subtracted);
       // NULL on legacy/uncovered snapshots — never a scan from here
       metaRowCountAt(spark, dir, v),
-      constraintsOf(json).keys.toSeq.sorted
+      constraintsOf(json).keys.toSeq.sorted,
+      // declared layouts (Delta's partitionColumns/clusteringColumns
+      // analog): CLUSTER BY columns and the hash-bucket spec
+      clusterByAt(spark, dir, v).mkString(","),
+      bucketSpecAt(spark, dir, v)
+        .map { case (cols, n) => s"${cols.mkString(",")},$n" }.getOrElse("")
     )).toDF("version", "commit_ts", "n_files", "size_bytes",
-      "n_soft_deleted", "num_rows", "constraints")
+      "n_soft_deleted", "num_rows", "constraints", "clustering", "bucket_spec")
   }
 
   /** Time travel by wall clock (Delta `TIMESTAMP AS OF`): reads the
@@ -3943,16 +3948,13 @@ object Versioned {
     // carrying the head's would resurrect or over-delete rows
     val nv = commitPinned(spark, dir, head, "restore", schemaJson, files,
       _ => dvsAt(spark, dir, v)).get
-    val f = fs(spark, dir)
-    val srcZones = new Path(logPath(dir), f"v$v%08d.zones.json")
-    if (f.exists(srcZones)) {
-      val tmp = new Path(logPath(dir), s".v$nv.zones.tmp")
-      val out = f.create(tmp, true)
-      try out.write(readFully(spark, dir, srcZones).getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      if (!f.rename(tmp, new Path(logPath(dir), f"v$nv%08d.zones.json")))
-        throw new IllegalStateException(s"zone-map publish for v$nv failed")
-    }
+    // stats travel WITH the restored snapshot, anchored at the restored
+    // version — its files were live there, so row counts, zones, and
+    // string zones all resolve from v's own chain. The head's sidecars
+    // describe files the restore just dropped; anchoring there would
+    // lose coverage (observed: metaRowCountAt = None after every
+    // restore, demoting COUNT(*) from log metadata to a table scan).
+    carrySidecars(spark, dir, v, nv, kept = files.toSet, fresh = Nil)
     nv
   }
 

@@ -340,6 +340,25 @@ private[graft] object GraftProcedures {
             row(r.getLong(0), utf8(r.getString(1)), r.getLong(2), r.getLong(3)))
         }),
 
+      Proc("detail",
+        "current-snapshot summary: version, commit time, files, bytes, " +
+          "soft-deleted positions, metadata row count, constraints, layouts",
+        Seq(in("table", StringType)),
+        new StructType().add("version", LongType, nullable = false)
+          .add("commit_ts", LongType, nullable = false)
+          .add("n_files", LongType, nullable = false)
+          .add("size_bytes", LongType, nullable = false)
+          .add("n_soft_deleted", LongType, nullable = false)
+          .add("num_rows", LongType, nullable = true)
+          .add("constraints", StringType, nullable = false)
+          .add("clustering", StringType, nullable = false)
+          .add("bucket_spec", StringType, nullable = false),
+        (s, in) => Versioned.detail(s, dirOf(in)).collect().toSeq.map(r =>
+          row(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), if (r.isNullAt(5)) null else r.getLong(5),
+            utf8(r.getSeq[String](6).mkString(",")),
+            utf8(r.getString(7)), utf8(r.getString(8))))),
+
       Proc("add_constraint",
         "register a CHECK constraint enforced by every subsequent write",
         Seq(in("table", StringType), in("name", StringType), in("expr", StringType)),

@@ -202,6 +202,10 @@ class GraftCatalogSpec extends SparkSpec {
       s"CALL $cat.system.history(table => 'db.t', limit => 2)")
     assert(hist2.select("version").as[Long].collect().toSeq ==
       hist.select("version").as[Long].collect().toSeq.takeRight(2))
+    // detail: one summary row for the current snapshot
+    val det = spark.sql(s"CALL $cat.system.detail(table => 'db.t')").collect()(0)
+    assert(det.getAs[Long]("version") == 6L)
+    assert(det.getAs[Long]("n_files") >= 1L && det.getAs[Long]("size_bytes") > 0L)
 
     val vRestore = spark.sql(
       s"CALL $cat.system.restore(table => 'db.t', version => 2)").as[Long].head

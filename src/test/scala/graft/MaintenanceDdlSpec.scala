@@ -65,6 +65,28 @@ class MaintenanceDdlSpec extends SparkSpec {
     assert(Versioned.read(spark, dir).count() == 4L)
   }
 
+  test("DESCRIBE DETAIL summarizes the current snapshot; a table named detail delegates") {
+    val dir = tmpDir("ddl_detail")
+    Versioned.append((1L to 7L).toDF("id").withColumn("s", lit("x")), dir) // v1
+    Versioned.deleteWhereMoR(spark, dir, col("id") === 3L)                 // v2 (DV)
+    Versioned.addConstraint(spark, dir, "pos_id", "id > 0")               // v3
+    Versioned.setProperties(spark, dir,                                   // v4
+      Map(Versioned.ClusterByKey -> "id"))
+    val d = spark.sql(s"DESCRIBE DETAIL ${pathId(dir)}").collect()(0)
+    assert(d.getAs[Long]("version") == 4L)
+    assert(d.getAs[Long]("n_files") >= 1L)
+    assert(d.getAs[Long]("size_bytes") > 0L)
+    assert(d.getAs[Long]("n_soft_deleted") == 1L)
+    assert(d.getAs[Long]("num_rows") == 6L) // 7 appended − 1 soft-deleted
+    assert(d.getAs[scala.collection.Seq[String]]("constraints").toSeq ==
+      Seq("pos_id"))
+    assert(d.getAs[String]("clustering") == "id")
+    assert(d.getAs[String]("bucket_spec") == "")
+    // Delta's shadowing rule: DESCRIBE of a table named `detail` delegates
+    Seq((1, "x")).toDF("id", "s").createOrReplaceTempView("detail")
+    assert(spark.sql("DESCRIBE detail").count() > 0)
+  }
+
   test("DESC HISTORY returns the log walk; plain DESCRIBE still delegates") {
     val dir = tmpDir("ddl_hist")
     Versioned.append(Seq((1L, "a")).toDF("id", "s"), dir)
