@@ -64,6 +64,13 @@ object StreamingQueries {
     // checkpoint creation, so setting it here scopes it to the drain).
     val prevProvider = s.conf.get(ProviderConf, "")
     s.conf.set(ProviderConf, RocksDbProvider)
+    // Changelog checkpointing: upload per-batch CHANGES to the
+    // checkpoint instead of a full RocksDB snapshot — at 100 TB state
+    // the full-snapshot upload per batch dominates commit latency and
+    // scales with STATE size, while the changelog scales with the
+    // BATCH. StreamingStateSpec pins restart-from-checkpoint under it.
+    val prevChangelog = s.conf.get(ChangelogConf, "")
+    s.conf.set(ChangelogConf, "true")
     try {
       val q = out.writeStream
         .outputMode(mode)
@@ -77,6 +84,8 @@ object StreamingQueries {
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
       if (prevProvider.isEmpty) s.conf.unset(ProviderConf)
       else s.conf.set(ProviderConf, prevProvider)
+      if (prevChangelog.isEmpty) s.conf.unset(ChangelogConf)
+      else s.conf.set(ChangelogConf, prevChangelog)
     }
     s.table(name)
   }
@@ -84,6 +93,8 @@ object StreamingQueries {
   val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
   val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  val ChangelogConf =
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
 
   /** Streaming source over the events table with the same epoch-micros
     * event-time derivation as the batch queries (Temporal.tsUs). The

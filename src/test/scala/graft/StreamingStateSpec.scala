@@ -128,11 +128,14 @@ class StreamingStateSpec extends SparkSpec {
 
   test("RocksDB state store: provider is pinned and dedup state survives a checkpoint restart") {
     implicit val sqlCtx = spark.sqlContext
-    import graft.queries.StreamingQueries.{ProviderConf, RocksDbProvider}
+    import graft.queries.StreamingQueries.{ChangelogConf, ProviderConf, RocksDbProvider}
     val ckpt = tmpDir("graft-rocksdb-ckpt")
     val in = MemoryStream[(Long, String)]
     val prev = spark.conf.get(ProviderConf)
     spark.conf.set(ProviderConf, RocksDbProvider)
+    // changelog checkpointing: per-batch CHANGES upload instead of a
+    // full snapshot — the restart below must replay state from them
+    spark.conf.set(ChangelogConf, "true")
     // the memory sink refuses checkpoint RECOVERY (not fault-tolerant);
     // foreachBatch into a concurrent buffer supports it — st10's shape
     val emitted = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, String)]()
@@ -158,6 +161,11 @@ class StreamingStateSpec extends SparkSpec {
         assert(metrics.keySet().stream().anyMatch(_.startsWith("rocksdb")),
           s"state operator reports no rocksdb* metrics: ${metrics.keySet()}")
         assert(emitted.size == 2, s"expected 2 distinct keys, got $emitted")
+        // changelog checkpointing must actually be in effect: the state
+        // checkpoint carries .changelog files, not only full snapshots
+        val changelogs = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+          .filter(_.toString.endsWith(".changelog")).count()
+        assert(changelogs > 0, "checkpoint carries no RocksDB changelog files")
       } finally q1.stop()
 
       // restart from the SAME checkpoint: the dedup key state must be
@@ -172,7 +180,10 @@ class StreamingStateSpec extends SparkSpec {
         assert(emitted.asScala.toSet == Set((3L, "purchase")),
           s"pre-restart keys must stay suppressed after restart: $emitted")
       } finally q2.stop()
-    } finally spark.conf.set(ProviderConf, prev)
+    } finally {
+      spark.conf.set(ProviderConf, prev)
+      spark.conf.unset(ChangelogConf)
+    }
   }
 
   test("flatMapGroupsWithState sessionization matches the batch sessionizer") {
