@@ -250,6 +250,31 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Per-vector nearest-centroid assignment under the trained (when
+    * `trainIters > 0`) or lowest-id-seeded codebook — the shared corpus
+    * partitioning step behind IVF search, cluster-blocked SemDeDup, and
+    * semantic domain balancing (x_cluster_balance). One broadcast of
+    * `nlist` centroids + one map-side-combinable argmax (max_by over a
+    * (cos, -c_id) tiebreak struct) — no window shuffle over n×nlist
+    * rows. Returns (id, c_id).
+    */
+  def assignClusters(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      trainIters: Int = 0): DataFrame = {
+    val p = prepared(emb, idCol, vecCol)
+    val centroids =
+      if (trainIters > 0) kmeansCodebook(p, nlist, trainIters)
+      else p.orderBy(col("id")).limit(nlist)
+        .select(col("id").as("c_id"), col("v").as("c_v"), col("nrm").as("c_n"))
+    p.join(broadcast(centroids), expr("true"))
+      .withColumn("c_cos", Vectors.dot(col("v"), col("c_v")) / (col("nrm") * col("c_n")))
+      .groupBy(col("id"))
+      .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("c_id"))
+  }
+
   /** IVF(-flat) approximate top-k: deterministic codebook — the `nlist`
     * lowest-id vectors, refined by `trainIters` rounds of deterministic
     * k-means when `trainIters > 0` — inverted lists built by

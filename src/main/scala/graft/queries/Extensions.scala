@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Text
-import graft.operators.{Curation, HyperplaneLsh, Multimodal, Quantize, Similarity, Sketches, TextDedup, TextStats}
+import graft.operators.{Curation, HyperplaneLsh, LangModel, Multimodal, Quantize, Similarity, Sketches, TextDedup, TextStats}
 
 /** Training-data pipeline extension queries (BASELINE.json north star):
   * dedup (exact / n-gram Jaccard / MinHash LSH / SimHash / embedding),
@@ -590,6 +590,80 @@ object Extensions {
        |    AS bins_spanned
        |FROM o ORDER BY doc_id""".stripMargin
 
+  /** Sequence packing, no-split form (the document-boundary-respecting
+    * shape trainers use when examples must not cross a context window:
+    * truncating a document mid-attention-span measurably hurts — the
+    * motivation behind best-fit packing): within each doc_id shard,
+    * walk docs in id order and open a new bin whenever the next doc
+    * would overflow the budget; over-long docs are truncated to one
+    * full window. Greedy bin state resets at data-dependent boundaries,
+    * so this is NOT a prefix sum — it's a per-shard sequential fold,
+    * expressed as a Catalyst `aggregate` HOF over the shard's collected
+    * doc list: shard-bounded memory (PackShardSpan docs), zero
+    * cross-shard dependency (unlike x_pack's global offset, no
+    * second pass is needed — ONE shuffle to group shards, then
+    * embarrassingly parallel). Bin ids are globally unique as
+    * shard · span + local bin (each doc opens at most one bin, so
+    * local bin < span). The DuckDB oracle replays the same walk as a
+    * recursive CTE stepping row_number within shard.
+    */
+  def packNosplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), Text.tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("shard", expr(s"doc_id div $PackShardSpan"))
+      .withColumn("n_eff", least(col("n_tok"), lit(PackBudget)))
+    docs
+      .groupBy("shard")
+      .agg(array_sort(collect_list(
+        struct(col("doc_id"), col("n_tok"), col("n_eff")))).as("ds"))
+      .select(col("shard"), explode(expr(
+        s"""aggregate(
+           |  ds,
+           |  struct(
+           |    cast(0 as int) as bin,
+           |    cast(0 as bigint) as fill,
+           |    slice(transform(ds, d -> struct(d.doc_id as doc_id, d.n_tok as n_tok,
+           |      d.n_eff as n_eff, cast(0 as int) as bin, cast(0 as bigint) as off)), 1, 0) as out),
+           |  (acc, d) -> if(acc.fill + d.n_eff <= $PackBudget,
+           |    struct(acc.bin as bin, acc.fill + d.n_eff as fill,
+           |      array_append(acc.out, struct(d.doc_id as doc_id, d.n_tok as n_tok,
+           |        d.n_eff as n_eff, acc.bin as bin, acc.fill as off)) as out),
+           |    struct(acc.bin + 1 as bin, d.n_eff as fill,
+           |      array_append(acc.out, struct(d.doc_id as doc_id, d.n_tok as n_tok,
+           |        d.n_eff as n_eff, acc.bin + 1 as bin, cast(0 as bigint) as off)) as out)),
+           |  acc -> acc.out)""".stripMargin)).as("p"))
+      .select(
+        col("p.doc_id").as("doc_id"),
+        col("p.n_tok").as("n_tok"),
+        col("p.n_eff").as("n_eff"),
+        (col("shard") * lit(PackShardSpan) + col("p.bin")).as("bin_id"),
+        col("p.off").as("bin_off"))
+      .orderBy("doc_id")
+  }
+
+  val packNosplitSql: String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, CAST(len(${sqlWords("text")}) AS BIGINT) AS n_tok,
+       |         doc_id // $PackShardSpan AS shard
+       |  FROM documents),
+       |r AS (SELECT shard, doc_id, n_tok, least(n_tok, $PackBudget) AS n_eff,
+       |        row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+       |      FROM d),
+       |walk AS (
+       |  SELECT shard, rn, doc_id, n_tok, n_eff,
+       |         0 AS bin, CAST(0 AS BIGINT) AS boff, n_eff AS fill
+       |  FROM r WHERE rn = 1
+       |  UNION ALL
+       |  SELECT r.shard, r.rn, r.doc_id, r.n_tok, r.n_eff,
+       |    CASE WHEN w.fill + r.n_eff <= $PackBudget THEN w.bin ELSE w.bin + 1 END,
+       |    CASE WHEN w.fill + r.n_eff <= $PackBudget THEN w.fill ELSE CAST(0 AS BIGINT) END,
+       |    CASE WHEN w.fill + r.n_eff <= $PackBudget THEN w.fill + r.n_eff ELSE r.n_eff END
+       |  FROM walk w JOIN r ON r.shard = w.shard AND r.rn = w.rn + 1)
+       |SELECT doc_id, n_tok, CAST(n_eff AS BIGINT) AS n_eff,
+       |  CAST(shard * $PackShardSpan + bin AS BIGINT) AS bin_id,
+       |  CAST(boff AS BIGINT) AS bin_off
+       |FROM walk ORDER BY doc_id""".stripMargin
+
   // ---- end-to-end curation ----------------------------------------------
 
   /** The capstone: the full curation pipeline (language filter, quality
@@ -978,6 +1052,42 @@ object Extensions {
        |FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.id_b
        |WHERE d.id_b IS NULL
        |ORDER BY e.vec_id""".stripMargin
+
+  /** Semantic domain balancing: temperature-sample over TRAINED k-means
+    * clusters instead of labeled source domains — the data-mixing step
+    * when no domain labels exist (cluster the corpus semantically, then
+    * rebalance cluster mass before sampling). Pure composition of two
+    * proven pieces: Similarity.assignClusters (the broadcast-argmax
+    * corpus partitioning shared with IVF search and SemDeDup) +
+    * Splits.temperatureSample (integer ppm keep rates, pure-hash
+    * selection — zero shuffle beyond the cluster-count agg). The oracle
+    * replays the same fixed-point trainer via `trainedAssignCtes`, then
+    * x_mixture_sample's rate/hash text over the assignment.
+    */
+  def clusterBalance(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Splits.temperatureSample(
+      Similarity.assignClusters(t(s, dir, "embeddings"), "vec_id", "embedding",
+        nlist = 32, trainIters = IvfTrainIters),
+      "c_id", "id", salt = "cbal")
+    .orderBy("c_id")
+
+  val clusterBalanceSql: String =
+    s"""WITH $trainedAssignCtes,
+       |cc AS (SELECT c_id, CAST(count(*) AS BIGINT) AS n_docs
+       |       FROM assign GROUP BY c_id),
+       |m AS (SELECT min(n_docs) AS n_min FROM cc),
+       |r AS (SELECT c_id, n_docs,
+       |        CAST(floor(CAST(1000000.0 AS DOUBLE) *
+       |          sqrt(CAST(n_min AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+       |          AS BIGINT) AS rate_ppm
+       |      FROM cc, m)
+       |SELECT r.c_id, r.n_docs, r.rate_ppm,
+       |  CAST(sum(CASE WHEN
+       |      ${sqlPolyHash("CAST(a.vec_id AS VARCHAR) || ':cbal'")} % 1000000
+       |      < r.rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM assign a JOIN r USING (c_id)
+       |GROUP BY r.c_id, r.n_docs, r.rate_ppm
+       |ORDER BY r.c_id""".stripMargin
 
   /** recall@k of every approximate tier against the exact answer, AS A
     * CHECKED QUERY — the accuracy/speed trade is auditable per round
@@ -1554,6 +1664,132 @@ object Extensions {
        |  CAST(CAST(acc0 % 1000 AS FLOAT) / CAST(1000 AS FLOAT) AS DOUBLE) AS feat0
        |FROM f ORDER BY media_id""".stripMargin
 
+  // ---- corpus LM scoring (CCNet perplexity filter + DSIR weights) -------
+
+  /** Serving-LM prune size for x_lm_bits (generous at test SF so the
+    * prune is a no-op locally; the POINT is the TakeOrderedAndProject
+    * shape that keeps the scoring join's build side O(K) at 100 TB).
+    */
+  private val LmTopK = 50000
+
+  /** Hashed-feature space for x_dsir_weights: count tables are
+    * buckets-bounded, so they broadcast at any corpus size.
+    */
+  private val DsirBuckets = 4096
+
+  /** CCNet-style LM quality gate: train an add-one bigram LM on the
+    * trusted slice (lang = 'en'), score every document's whole-bit
+    * surprisal (operators/LangModel.scala — exact integer log2 via bit
+    * length, the x_pagerank no-floats discipline). Low
+    * milli_bits_per_bigram = fluent under the trained LM; the oracle
+    * replays train + prune + score as plain SQL.
+    */
+  def lmBits(s: SparkSession, dir: String): DataFrame =
+    LangModel.surprisalBits(t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", LmTopK)
+      .orderBy("doc_id")
+
+  val lmBitsSql: String = {
+    val bgs = "list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])"
+    s"""WITH tok AS (SELECT doc_id, lang, ${sqlWords("lower(text)")} AS w FROM documents),
+       |t2 AS (SELECT * FROM tok WHERE len(w) >= 2),
+       |tr AS (SELECT w FROM t2 WHERE lang = 'en'),
+       |pre AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+       |        FROM (SELECT unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1 FROM tr)
+       |        GROUP BY w1),
+       |kept AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12
+       |         FROM (SELECT unnest($bgs) AS bg FROM tr)
+       |         GROUP BY bg ORDER BY c12 DESC, bg LIMIT $LmTopK),
+       |voc AS (SELECT CAST(count(DISTINCT tkn) AS BIGINT) AS v
+       |        FROM (SELECT unnest(w) AS tkn FROM tr)),
+       |db AS (SELECT doc_id, unnest($bgs) AS bg FROM t2),
+       |sc AS (SELECT d.doc_id,
+       |         length(bin(((COALESCE(k2.c1, 0) + voc.v) * ${LangModel.ProbScale})
+       |                    // (COALESCE(k.c12, 0) + 1))) AS bits
+       |       FROM db d
+       |       LEFT JOIN kept k ON d.bg = k.bg
+       |       LEFT JOIN pre k2 ON split_part(d.bg, ' ', 1) = k2.w1
+       |       CROSS JOIN voc)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(bits) AS BIGINT) AS surprisal_bits,
+       |  CAST(sum(bits) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT) AS milli_bits_per_bigram
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Batch-perceptron training rounds / feature buckets for
+    * x_quality_classifier (operators/LangModel.perceptronScores).
+    */
+  private[queries] val PerceptronRounds = 3
+  private[queries] val PerceptronBuckets = 1024
+
+  /** Model-based quality classifier (the DCLM / FineWeb-edu family:
+    * train a linear classifier, score the corpus, keep what scores
+    * high) — a batch perceptron over hashed unigram counts, trained
+    * INSIDE the engine with integer-exact rounds and replayed by the
+    * oracle as unrolled SQL stages.
+    */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame =
+    LangModel.perceptronScores(t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", PerceptronBuckets, PerceptronRounds)
+      .orderBy("doc_id")
+
+  val qualityClassifierSql: String = {
+    val stages = (2 to PerceptronRounds).map { i =>
+      s"""m${i - 1} AS (SELECT ft.doc_id, ft.y, CAST(SUM(w.w * ft.x) AS BIGINT) AS m
+         |  FROM ft JOIN w${i - 1} w USING (f) GROUP BY ft.doc_id, ft.y),
+         |u$i AS (SELECT ft.f, CAST(SUM(ft.y * ft.x) AS BIGINT) AS u
+         |  FROM ft JOIN m${i - 1} mm ON ft.doc_id = mm.doc_id AND mm.y * mm.m <= 0
+         |  GROUP BY ft.f),
+         |w$i AS (SELECT w.f, w.w + COALESCE(u.u, 0) AS w
+         |  FROM w${i - 1} w LEFT JOIN u$i u USING (f))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tk AS (SELECT doc_id,
+       |        CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+       |        ${sqlPolyHash("tkn")} % $PerceptronBuckets AS f
+       |      FROM (SELECT doc_id, lang, unnest(${sqlWords("lower(text)")}) AS tkn
+       |            FROM documents)
+       |      WHERE length(tkn) > 0),
+       |ft AS (SELECT doc_id, y, f, CAST(count(*) AS BIGINT) AS x
+       |       FROM tk GROUP BY 1, 2, 3),
+       |w1 AS (SELECT f, CAST(SUM(y * x) AS BIGINT) AS w FROM ft GROUP BY f),
+       |$stages,
+       |mf AS (SELECT ft.doc_id, ft.y, CAST(SUM(w.w * ft.x) AS BIGINT) AS m
+       |       FROM ft JOIN w$PerceptronRounds w USING (f)
+       |       GROUP BY ft.doc_id, ft.y)
+       |SELECT doc_id, CAST(y AS BIGINT) AS label, m AS margin,
+       |  CASE WHEN m > 0 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS pred
+       |FROM mf ORDER BY doc_id""".stripMargin
+  }
+
+  /** DSIR importance weights (Xie et al. 2023): hashed bag-of-unigrams
+    * log-likelihood ratio between the target slice (lang = 'en') and
+    * the raw corpus, quantized per token to whole bits. Positive
+    * weight_bits = target-like (sample up).
+    */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    LangModel.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", DsirBuckets)
+      .orderBy("doc_id")
+
+  val dsirWeightsSql: String = {
+    val s = LangModel.DsirScale
+    s"""WITH tk AS (SELECT doc_id, lang = 'en' AS is_t, tkn,
+       |        ${sqlPolyHash("tkn")} % $DsirBuckets AS f
+       |      FROM (SELECT doc_id, lang, unnest(${sqlWords("lower(text)")}) AS tkn FROM documents)
+       |      WHERE length(tkn) > 0),
+       |cnt AS (SELECT f, CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+       |               CAST(count(*) AS BIGINT) AS cr FROM tk GROUP BY f),
+       |tot AS (SELECT CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+       |               CAST(count(*) AS BIGINT) AS nr FROM tk),
+       |sc AS (SELECT tk.doc_id,
+       |         length(bin(greatest(1, ((cnt.ct + 1) * $s) // (tot.nt + $DsirBuckets))))
+       |       - length(bin(greatest(1, ((cnt.cr + 1) * $s) // (tot.nr + $DsirBuckets)))) AS lr
+       |       FROM tk JOIN cnt ON tk.f = cnt.f CROSS JOIN tot)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(lr) AS BIGINT) AS weight_bits
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("x_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("x_token_counts", tokenCounts, Some(tokenCountsSql)),
@@ -1590,6 +1826,10 @@ object Extensions {
     QueryDef("x_bpe_pairs", bpePairs, Some(bpePairsSql)),
     QueryDef("x_bpe_train", bpeTrain, Some(bpeTrainSql)),
     QueryDef("x_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
+    QueryDef("x_lm_bits", lmBits, Some(lmBitsSql)),
+    QueryDef("x_dsir_weights", dsirWeights, Some(dsirWeightsSql)),
+    QueryDef("x_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
+    QueryDef("x_cluster_balance", clusterBalance, Some(clusterBalanceSql)),
     QueryDef("x_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     QueryDef("x_mixture_sample", mixtureSample, Some(mixtureSampleSql)),
     QueryDef("x_shuffle_order", shuffleOrder, Some(shuffleOrderSql)),
@@ -1600,6 +1840,7 @@ object Extensions {
     QueryDef("x_sql_surface", sqlSurface, Some(sqlSurfaceSql)),
     QueryDef("x_chunk", chunk, Some(chunkSql)),
     QueryDef("x_pack", pack, Some(packSql)),
+    QueryDef("x_pack_nosplit", packNosplit, Some(packNosplitSql)),
     QueryDef("x_curate", curate, Some(curateSql)),
     QueryDef("x_curate_lsh", curateLsh, Some(curateLshSql)))
 }
