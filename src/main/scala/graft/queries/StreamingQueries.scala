@@ -572,6 +572,52 @@ object StreamingQueries {
       |SELECT uid, val, start_at, COALESCE(end_at, -1) AS end_at
       |FROM seg ORDER BY uid, start_at""".stripMargin
 
+  // ST12 — ONLINE quality scoring: the batch-trained classifier
+  // (x_quality_classifier's exact trainer, same constants) scores a
+  // DOCUMENT STREAM with a stateless per-row token fold — append mode,
+  // no state store, batching-independent by construction (integer adds,
+  // one row in → one row out). The trained weight vector is
+  // `PerceptronBuckets` rows — bounded by the bucket CONSTANT, not the
+  // corpus (the k-means codebook-memo precedent for model-artifact-
+  // scale collects) — pulled to the driver once and shipped into the
+  // projection as a map literal, so the stream side needs no join at
+  // all. At 100 TB this is the serving shape of every model-based
+  // filter: train nightly in batch, score the ingest firehose online,
+  // route on `pred` downstream. The gated row emits EVERY scored doc
+  // (not just pred = +1): on this deliberately unlearnable fixture no
+  // margin is positive, and a keep-only output would green-light the
+  // gate on zero rows — scoring all rows keeps the hash check real.
+  // Oracle: the classifier oracle's per-doc margins and predictions.
+  def streamQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val wmap = graft.operators.LangModel
+      .perceptronWeights(t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en",
+        Extensions.PerceptronBuckets, Extensions.PerceptronRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val raw = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(raw).parquet(s"$dir/documents.parque[t]")
+    val toks = filter(
+      split(trim(lower(col("text"))), "\\s+"),
+      tk => length(tk) > 0)
+    val scored = stream.select(
+      col("doc_id"),
+      aggregate(
+        toks,
+        lit(0L),
+        (acc, tk) => acc + coalesce(
+          element_at(typedlit(wmap),
+            graft.functions.Text.polyHash(tk) % Extensions.PerceptronBuckets),
+          lit(0L))).as("margin"))
+      .withColumn("pred", when(col("margin") > 0, 1L).otherwise(-1L))
+    drainToTable(s, scored, "graft_st12_sink", "append")
+      .orderBy("doc_id")
+  }
+
+  val streamQualityFilterSql: String =
+    s"""WITH base AS (${Extensions.qualityClassifierSql})
+       |SELECT doc_id, margin, pred FROM base
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("st1_stream_agg", streamAgg, Some(streamAggSql)),
     QueryDef("st2_stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
@@ -584,5 +630,7 @@ object StreamingQueries {
     QueryDef("st9_stream_cdf", streamChangeFeed, Some(streamChangeFeedSql)),
     QueryDef("st10_stream_chunked", streamChunkedSnapshot, Some(streamChunkedSnapshotSql)),
     QueryDef("st11_stream_apply_changes", streamApplyChanges,
-      Some(streamApplyChangesSql)))
+      Some(streamApplyChangesSql)),
+    QueryDef("st12_stream_quality_filter", streamQualityFilter,
+      Some(streamQualityFilterSql)))
 }
