@@ -98,25 +98,39 @@ object LangModel {
       .select(col(idCol).as("doc_id"), train.as("is_train"),
         words(col(textCol)).as("w"))
       .filter(size(col("w")) >= 2)
-    val trainTok = tok.filter(col("is_train"))
 
-    // prefix counts: occurrences of each token in positions 1..n-1
-    val prefix = trainTok
-      .select(explode(slice(col("w"), lit(1), size(col("w")) - 1)).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("c1"))
-
-    // bigram counts, pruned to the serving LM: top-K by (count desc,
-    // bigram asc). sort+limit plans as TakeOrderedAndProject — each
-    // partition keeps K candidates, the driver merges K rows total.
-    val kept = trainTok
+    // The WHOLE trained model derives from one aggregation: the bigram
+    // count table (vocabulary-bounded, not corpus-bounded), computed in
+    // a single scan+explode pass over the train slice and checkpointed.
+    // Prefix counts and vocabulary then come from the TABLE, not from
+    // re-tokenizing the corpus: every token of a >= 2-token doc appears
+    // in some bigram (position i is the first component of bigram i for
+    // i < n), so prefix-count(t) = Σ_{w2} count(t, w2) exactly, and the
+    // vocabulary is the distinct token set over bigram components. This
+    // collapses the train side from three corpus passes to one — at
+    // 100 TB the difference between scanning the trusted slice once and
+    // three times (and the fix for the GC thrash three concurrent
+    // string-explode subtrees caused at sf1 under a default heap).
+    val lm = tok.filter(col("is_train"))
       .select(explode(bigrams(col("w"))).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c12"))
-      .sort(col("c12").desc, col("bg").asc)
-      .limit(topK)
+      .localCheckpoint()
+
+    // serving LM: top-K by (count desc, bigram asc). sort+limit plans
+    // as TakeOrderedAndProject — each partition keeps K candidates, the
+    // driver merges K rows total.
+    val kept = lm.sort(col("c12").desc, col("bg").asc).limit(topK)
+
+    // prefix counts: occurrences of each token in positions 1..n-1
+    val prefix = lm
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .groupBy("w1").agg(sum(col("c12")).as("c1"))
 
     // vocabulary size: one scalar, joined in as a 1-row broadcast
-    val vocab = trainTok
-      .select(explode(col("w")).as("tkn"))
+    val vocab = lm
+      .select(explode(array(
+        split(col("bg"), " ").getItem(0),
+        split(col("bg"), " ").getItem(1))).as("tkn"))
       .agg(countDistinct(col("tkn")).as("v"))
 
     tok

@@ -26,7 +26,10 @@ if not SKIP:
 con = duckdb.connect()
 for p in glob.glob(f"{SF}/*.parquet"):
     name = os.path.basename(p)[:-8]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    # a table may be a single driver-written file or a Spark-written
+    # DIRECTORY of part files (e.g. ScaleData's sf1 output)
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
