@@ -31,7 +31,11 @@ class PlanAuditSpec extends SparkSpec {
     "m5_versioned_merge",
     // single-row broadcast scalar aggregate (the global min domain
     // count) cross-joined into the per-domain rate computation
-    "x_mixture_sample")
+    "x_mixture_sample",
+    // same single-row broadcast scalar pattern: vocabulary size
+    // (x_lm_bits), the two DSIR normalizers (x_dsir_weights), and the
+    // min-cluster count inside temperatureSample (x_cluster_balance)
+    "x_lm_bits", "x_dsir_weights", "x_cluster_balance")
 
   test("no unbounded nested-loop or cartesian join in any declared query") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
@@ -163,6 +167,33 @@ class PlanAuditSpec extends SparkSpec {
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(hashExchanges == 0,
       s"redaction must not shuffle (only the final sort repartitions):\n$p")
+  }
+
+  test("x_lm_bits serves a pruned LM: distributed top-K, broadcast scoring joins") {
+    val p = plan("x_lm_bits")
+    // the serving prune must be TakeOrderedAndProject (per-partition
+    // partial top-K, K rows to the driver), never a global sort+limit
+    assert(p.contains("TakeOrderedAndProject"),
+      s"LM prune is not a distributed top-K:\n$p")
+    // scoring joins build on the vocabulary-bounded LM side
+    assert(p.contains("BroadcastHashJoin"), s"scoring should broadcast the LM:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "no shuffle join belongs in LM scoring — both build sides are vocab-bounded")
+  }
+
+  test("x_quality_classifier rounds broadcast the bucket-bounded weight vector") {
+    val p = plan("x_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"),
+      s"weight joins must broadcast (weights are bucket-constant rows):\n$p")
+  }
+
+  test("x_pack_nosplit packs shards independently: one data exchange, no window") {
+    val p = plan("x_pack_nosplit")
+    assert(!p.contains("Window"),
+      "the greedy fold must be a per-shard aggregate, not a window function")
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"expected exactly ONE shard-grouping exchange, found $hashExchanges:\n$p")
   }
 
   test("every declared query plans successfully at sf0.001") {
