@@ -28,7 +28,7 @@ object Extensions {
 
   private def sqlWords(e: String) = s"string_split_regex(trim($e), '\\s+')"
 
-  private def sqlPolyHash(e: String, base: Long = Text.HashBase) =
+  private[queries] def sqlPolyHash(e: String, base: Long = Text.HashBase) =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(string_split($e, ''), c -> CAST(ord(c) AS BIGINT))), " +
       s"(acc,x) -> (acc*$base + x) % ${Text.HashMod})"

@@ -292,6 +292,68 @@ object VersionedQueries {
       |FROM documents WHERE doc_id % 7 <> 0
       |GROUP BY text ORDER BY keep_id""".stripMargin
 
+  /** INCREMENTAL corpus dedup — the continuously-ingested-crawl shape:
+    * each arriving batch self-dedups (first-wins by id), then
+    * anti-joins the ACCEPTED-FINGERPRINT INDEX (a versioned table of
+    * one hash column) instead of rescanning history, and the index
+    * grows by exactly the accepted rows — an append commit. At 100 TB
+    * the difference is structural: history text is never re-read; the
+    * per-batch cost is one fingerprint projection + one anti-join
+    * against an ~8-byte-per-accepted-doc index (AQE broadcasts it
+    * while small, shuffles by fp when large), and the index table
+    * inherits the log's usual machinery (time travel shows what was
+    * accepted as of any batch; vacuum bounds it). x_dedup_versioned
+    * stays the full-rescan twin — this is the path an ingest pipeline
+    * actually runs between those full rebuilds.
+    *
+    * The synthetic corpus carries no exact duplicates, so the query
+    * deterministically PLANTS them (the x_redact precedent): every
+    * doc_id % 5 == 0 document's text becomes one of two boilerplate
+    * blocks, identically in both engines — the within-batch dedup and
+    * the cross-batch index rejection are both verified against
+    * non-trivial input, not vacuously green.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.Text.polyHash(
+          when(col("doc_id") % 5 === 0,
+            concat(lit("graft dup block "), (col("doc_id") % 2).cast("string")))
+          .otherwise(col("text"))).as("fp"))
+    val idx = scratchDir("graft_xdi")
+    // batch 1: self-dedup only (the index is empty), append its fps
+    val a1 = docs.filter(col("doc_id") % 3 =!= 0)
+      .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+    Versioned.append(a1.select(col("doc_id"), col("fp")), idx)
+    // batch 2: self-dedup, then anti-join the index's fp column only
+    val s2 = docs.filter(col("doc_id") % 3 === 0)
+      .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+    val acc2 = s2.join(Versioned.read(s, idx).select("fp"), Seq("fp"), "left_anti")
+    Versioned.append(acc2.select(col("doc_id"), col("fp")), idx)
+    // the FINAL INDEX is the result: everything ever accepted
+    Versioned.read(s, idx)
+      .select(
+        when(col("doc_id") % 3 === 0, 2L).otherwise(1L).as("batch"),
+        col("doc_id"), col("fp"))
+      .orderBy("batch", "doc_id")
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |        CASE WHEN doc_id % 5 = 0
+       |             THEN 'graft dup block ' || CAST(doc_id % 2 AS VARCHAR)
+       |             ELSE text END AS text
+       |      FROM documents),
+       |f AS (SELECT doc_id, ${Extensions.sqlPolyHash("text")} AS fp FROM d),
+       |a1 AS (SELECT fp, min(doc_id) AS doc_id FROM f WHERE doc_id % 3 <> 0 GROUP BY fp),
+       |s2 AS (SELECT fp, min(doc_id) AS doc_id FROM f WHERE doc_id % 3 = 0 GROUP BY fp),
+       |acc2 AS (SELECT s2.fp, s2.doc_id FROM s2 LEFT JOIN a1 ON s2.fp = a1.fp
+       |         WHERE a1.fp IS NULL)
+       |SELECT CASE WHEN doc_id % 3 = 0 THEN CAST(2 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS batch,
+       |       doc_id, fp
+       |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM acc2)
+       |ORDER BY batch, doc_id""".stripMargin
+
   // M9 — the SAME engine composition as m5 (two appends → MoR delete →
   // LWW MERGE → snapshot read), but every commit publishes through the
   // object-store-shaped ConditionalPutLogStore: mutual exclusion by
@@ -2802,5 +2864,6 @@ object VersionedQueries {
     QueryDef("m7_optimize_cluster", optimizeCluster, Some(optimizeClusterSql)),
     QueryDef("m12_zorder", optimizeZOrder, Some(optimizeZOrderSql)),
     QueryDef("m13_merge_evolve", mergeEvolve, Some(mergeEvolveSql)),
-    QueryDef("x_dedup_versioned", dedupVersioned, Some(dedupVersionedSql)))
+    QueryDef("x_dedup_versioned", dedupVersioned, Some(dedupVersionedSql)),
+    QueryDef("x_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)))
 }
