@@ -165,7 +165,12 @@ object TextDedup {
     if (maxShingleFreq != Int.MaxValue)
       return ngramJaccardPairsCapped(docs, idCol, textCol, k, threshold, maxShingleFreq)
     val s = shingled(docs, idCol, textCol, k)
+    // materialize the inverted index once: the self-join below references
+    // this subtree TWICE and Spark plans no common-subexpression sharing
+    // across self-join sides — without the checkpoint the tokenize +
+    // shingle + explode pass runs once per side
     val ex = s.select(col("id"), col("sz"), explode(col("sh")).as("s"))
+      .localCheckpoint()
     val a = ex.select(col("id").as("id_a"), col("sz").as("sz_a"), col("s"))
     val b = ex.select(col("id").as("id_b"), col("sz").as("sz_b"), col("s"))
     a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
@@ -194,9 +199,15 @@ object TextDedup {
       bands: Int = 32): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // materialize signatures once: `banded` below is self-joined, and
+    // without a checkpoint each join side re-runs the whole shingle +
+    // `numHashes`-permutation MinHash computation — the most expensive
+    // map work in this operator — and the verification stage would
+    // re-shingle a third and fourth time
     val s = shingled(docs, idCol, textCol, k)
       .withColumn("hs", array_distinct(transform(col("sh"), h => Text.polyHash(h))))
       .withColumn("sig", Text.minhashSignature(col("hs"), numHashes))
+      .localCheckpoint()
 
     // (id, band_idx, band_key): band key = the band's r signature values.
     val banded = s.select(
@@ -267,6 +278,11 @@ object TextDedup {
         min(col("__df")).over(org.apache.spark.sql.expressions.Window.partitionBy("id")))
       .filter(col("__df") <= maxShingleFreq || col("__df") === col("__mindf"))
       .select("id", "sz", "s")
+      // materialize the capped index once: the candidate self-join below
+      // references `kept` on BOTH sides, and Spark shares nothing across
+      // self-join sides — without this the explode, the df-count
+      // aggregation, and the per-doc min-df window each run twice
+      .localCheckpoint()
     // Size prefilter via the BEST-CASE Jaccard — min(|A|,|B|) shared
     // shingles — computed with the very FP operations and `>=` the
     // verifier uses. Provably lossless against the verifier: J(c) =
@@ -342,7 +358,10 @@ object TextDedup {
     val nChunks = maxHamming + 1
     require(SimhashBits % nChunks == 0, s"$nChunks chunks must divide $SimhashBits bits")
     val chunkBits = SimhashBits / nChunks
-    val sig = simhashSignatures(docs, idCol, textCol)
+    // materialize signatures once: the chunk frame is self-joined below,
+    // and each side would otherwise re-run the 60-bit signature
+    // aggregation (token explode + 60 window sums) from scratch
+    val sig = simhashSignatures(docs, idCol, textCol).localCheckpoint()
     val chunks = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until nChunks).map { i =>
         struct(lit(i).as("chunk"),

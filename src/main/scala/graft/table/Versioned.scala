@@ -5695,9 +5695,28 @@ object Versioned {
     }: _*)
     val b = aligned(before)
     val a = aligned(after)
-    a.exceptAll(b).withColumn("_change_type", lit("insert"))
-      .unionByName(
-        b.exceptAll(a).withColumn("_change_type", lit("delete")))
+    // ONE signed-count aggregate serves both diff directions. Spark
+    // rewrites each `exceptAll` to exactly this shape (union with a
+    // ±1 weight column → sum per full row → replicate-rows generate),
+    // so the naive a.exceptAll(b) ∪ b.exceptAll(a) scans and shuffles
+    // BOTH sides twice to run the same aggregate in each direction.
+    // Folding the two directions into one aggregate halves the scan
+    // and shuffle volume of every snapshot diff while producing the
+    // identical multiset: rows with count delta d > 0 are d inserts,
+    // d < 0 are |d| deletes, d = 0 cancel (the unchanged-file pruning
+    // above already removed the bulk of those). Aggregate-key
+    // normalization (NaN, -0.0) matches exceptAll's, which also keys a
+    // HashAggregate on the full row.
+    import org.apache.spark.sql.functions.{abs, array_repeat, explode, sum, when}
+    val cols = union.toSeq.map(f => col(f.name))
+    val diff = a.withColumn("__cdf_w", lit(1L))
+      .unionByName(b.withColumn("__cdf_w", lit(-1L)))
+      .groupBy(cols: _*)
+      .agg(sum(col("__cdf_w")).as("__cdf_d"))
+      .filter(col("__cdf_d") =!= 0L)
+    diff.select(cols :+ explode(array_repeat(
+      when(col("__cdf_d") > 0L, lit("insert")).otherwise(lit("delete")),
+      abs(col("__cdf_d")).cast("int"))).as("_change_type"): _*)
   }
 
   private def droppedPhysOf(json: String): Seq[String] =
@@ -5868,29 +5887,36 @@ object Versioned {
     */
   private def pairUpdates(diff: DataFrame, keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{coalesce, col, count, lit, row_number, when}
+    import org.apache.spark.sql.functions.{col, lit, row_number, sum, when}
     if (keys.isEmpty || !keys.forall(diff.columns.contains)) return diff
     val dataCols = diff.columns.toSeq.filterNot(c => c == "_change_type")
     val orderCols = dataCols.filterNot(keys.contains).map(col) match {
       case Seq() => Seq(lit(1))
       case cs => cs
     }
-    val w = Window.partitionBy((keys :+ "_change_type").map(col): _*)
-      .orderBy(orderCols: _*)
-    val delN = diff.filter(col("_change_type") === "delete")
-      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n_del"))
-    val insN = diff.filter(col("_change_type") === "insert")
-      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n_ins"))
-    diff.withColumn("__rn", row_number().over(w))
-      .join(delN, keys, "left")
-      .join(insN, keys, "left")
+    // ONE exchange serves the whole conversion: partition by the pairing
+    // keys alone and sort by (_change_type, order cols) — only `delete`
+    // and `insert` exist pre-conversion and 'delete' < 'insert', so a
+    // delete's rank within its key group IS its rank among the group's
+    // deletes, and an insert's is (rank − n_del). The per-side counts
+    // come off the same partitioning as whole-partition window sums.
+    // (The previous form partitioned the ranking window by
+    // keys :+ _change_type and LEFT-JOINED two per-key groupBy counts —
+    // three shuffles of the diff plus two joins for the same result.)
+    val byKey = Window.partitionBy(keys.map(col): _*)
+    val ranked = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_change_type") +: orderCols: _*)
+    diff.withColumn("__rn", row_number().over(ranked))
+      .withColumn("__n_del",
+        sum(when(col("_change_type") === "delete", 1L).otherwise(0L)).over(byKey))
+      .withColumn("__n_ins",
+        sum(when(col("_change_type") === "insert", 1L).otherwise(0L)).over(byKey))
       .withColumn("_change_type",
         when(col("_change_type") === "delete" &&
-          col("__rn") <= coalesce(col("__n_ins"), lit(0L)), lit("update_preimage"))
+          col("__rn") <= col("__n_ins"), lit("update_preimage"))
           .when(col("_change_type") === "insert" &&
-            col("__rn") <= coalesce(col("__n_del"), lit(0L)), lit("update_postimage"))
+            col("__rn") - col("__n_del") <= col("__n_del"), lit("update_postimage"))
           .otherwise(col("_change_type")))
-      .drop("__rn", "__n_del", "__n_ins")
       .select(dataCols.map(col) :+ col("_change_type"): _*)
   }
 
