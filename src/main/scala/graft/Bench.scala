@@ -26,9 +26,22 @@ object Bench {
     ()
   }
 
+  /** /proc/stat first-line tick counters (zeros off-Linux): co-tenant
+    * CPU STEAL is invisible in loadavg but directly degrades measured
+    * wall time under load (observed: 11% steal while 32 cores busy on
+    * an otherwise idle-looking host) — stamping the run's own steal
+    * fraction lets noise adjudication read the JSON.
+    */
+  private def cpuTicks(): Array[Long] =
+    try {
+      val line = java.nio.file.Files.readAllLines(Paths.get("/proc/stat")).get(0)
+      line.trim.split("\\s+").drop(1).map(_.toLong)
+    } catch { case _: Throwable => Array.fill(10)(0L) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val ticks0 = cpuTicks()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -103,8 +116,14 @@ object Bench {
     // read the JSON instead of reconstructing host state after the fact.
     val loadavg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // steal fraction over THIS run's window (field 8 of /proc/stat's
+    // cpu line is steal ticks); loadavg alone misses co-tenant steal
+    val ticks1 = cpuTicks()
+    val dt = ticks1.zip(ticks0).map { case (b, a) => b - a }
+    val steal =
+      if (dt.length > 7 && dt.sum > 0) f"${dt(7).toDouble / dt.sum}%.4f" else "0"
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${runs.count(_._3.isDefined)},"loadavg":$loadavg,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${runs.count(_._3.isDefined)},"loadavg":$loadavg,"steal":$steal,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     println(json)
     spark.stop()

@@ -165,12 +165,13 @@ object TextDedup {
     if (maxShingleFreq != Int.MaxValue)
       return ngramJaccardPairsCapped(docs, idCol, textCol, k, threshold, maxShingleFreq)
     val s = shingled(docs, idCol, textCol, k)
-    // materialize the inverted index once: the self-join below references
-    // this subtree TWICE and Spark plans no common-subexpression sharing
-    // across self-join sides — without the checkpoint the tokenize +
-    // shingle + explode pass runs once per side
+    // NOT checkpointed despite the self-join below reading this subtree
+    // twice: materializing the EXPLODED index (rows ≈ corpus shingles,
+    // deserialized strings) measured strictly slower than recomputing
+    // the projection per side — cache pressure beat the saved explode
+    // (r16 optimization round; the per-doc minhash/simhash signature
+    // checkpoints in this file are the cases where caching wins)
     val ex = s.select(col("id"), col("sz"), explode(col("sh")).as("s"))
-      .localCheckpoint()
     val a = ex.select(col("id").as("id_a"), col("sz").as("sz_a"), col("s"))
     val b = ex.select(col("id").as("id_b"), col("sz").as("sz_b"), col("s"))
     a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
@@ -278,11 +279,11 @@ object TextDedup {
         min(col("__df")).over(org.apache.spark.sql.expressions.Window.partitionBy("id")))
       .filter(col("__df") <= maxShingleFreq || col("__df") === col("__mindf"))
       .select("id", "sz", "s")
-      // materialize the capped index once: the candidate self-join below
-      // references `kept` on BOTH sides, and Spark shares nothing across
-      // self-join sides — without this the explode, the df-count
-      // aggregation, and the per-doc min-df window each run twice
-      .localCheckpoint()
+    // NOT checkpointed despite the self-join reading `kept` twice: the
+    // capped index is still EXPLODED rows, and materializing it measured
+    // 4-6× slower under bench memory pressure than recomputing the
+    // df-count + min-df window per side (r16 optimization round) —
+    // recompute-vs-cache goes to recompute for exploded intermediates
     // Size prefilter via the BEST-CASE Jaccard — min(|A|,|B|) shared
     // shingles — computed with the very FP operations and `>=` the
     // verifier uses. Provably lossless against the verifier: J(c) =

@@ -128,6 +128,14 @@ object TextStats {
       concat(lit(" "), array_join(Text.tokens(col(textCol)), "  "), lit(" "))
         .as("seq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the parent round's corpus stays persisted until the CHILD round is
+    // materialized — by the pair count itself, not a dedicated count()
+    // pass: round r's aggregation computes round r−1's replace from the
+    // parent's cached blocks and fills the child's cache as a side
+    // effect, so each round costs ONE corpus pass instead of two (and
+    // the final round's replace, which no round consumes, is never
+    // computed at all)
+    var prev: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
     var r = 1
     var dry = false // a corpus can run out of pairs before `rounds`
@@ -142,22 +150,22 @@ object TextStats {
         .orderBy(col("n").desc, col("pair").asc)
         .limit(1)
         .collect()
+      prev.foreach(_.unpersist()) // child cache is now filled
+      prev = Some(seq)
       if (top.isEmpty) dry = true
       else {
         val (pair, n) = (top(0).getString(0), top(0).getLong(1))
         merges += ((r.toLong, pair, n))
         val Array(a, b) = pair.split(" ", 2)
-        val next = seq.select(
+        seq = seq.select(
           replace(col("seq"), lit(s" $a  $b "), lit(s" $a$MergeSep$b "))
             .as("seq"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before releasing the parent round
-        seq.unpersist()
-        seq = next
       }
       r += 1
     }
     seq.unpersist()
+    prev.foreach(_.unpersist())
     merges.toSeq.toDF("step", "pair", "n")
   }
 
