@@ -27,22 +27,47 @@ object PlanDump {
     val names = if (args.length > 3) args.drop(3).toSeq
       else SparkEntry.queries.keys.toSeq.sorted
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // experiment passthrough: SPARK_GRAFT_CONF="k=v;k=v" for A/B-ing
+    // session confs without recompiling
+    val extra = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+    val spark = extra.foldLeft(b0) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val unknown = names.toSet.diff(SparkEntry.queries.keySet)
     require(unknown.isEmpty, s"unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    // per-stage wall/shuffle attribution for the measured window
+    // (guide §1.1: decide WHERE the time goes before changing anything)
+    val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = s.stageInfo
+        val ms = (for {a <- i.completionTime; b <- i.submissionTime} yield a - b)
+          .getOrElse(-1L)
+        val m = i.taskMetrics
+        stageLog.add(
+          f"stage ${i.stageId}%4d ${ms}%6d ms ${i.numTasks}%4d tasks " +
+            f"shufR=${m.shuffleReadMetrics.totalBytesRead / 1024}%8d KB " +
+            f"shufW=${m.shuffleWriteMetrics.bytesWritten / 1024}%8d KB " +
+            f"in=${m.inputMetrics.bytesRead / 1024}%8d KB  [${i.name.take(90)}]")
+        ()
+      }
+    })
     names.foreach { name =>
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       spark.catalog.clearCache()
       System.gc()
       spark.sparkContext.setJobDescription(s"plandump: $name")
+      stageLog.clear()
       val t0 = System.nanoTime()
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
@@ -55,6 +80,14 @@ object PlanDump {
           f"-- $name @ $sfDir cpus=$cpus  build=${(tBuilt - t0) / 1e9}%.3fs" +
             f" noop=${(tDone - tBuilt) / 1e9}%.3fs total=${(tDone - t0) / 1e9}%.3fs%n"
         Files.writeString(Paths.get(s"$outDir/${name}_$tag.txt"), hdr + plan)
+        val stages = {
+          // stages may still be completing; give the listener bus a beat
+          Thread.sleep(200)
+          import scala.jdk.CollectionConverters._
+          stageLog.asScala.mkString("\n")
+        }
+        Files.writeString(Paths.get(s"$outDir/${name}_$tag.stages.txt"),
+          hdr + stages + "\n")
         println(hdr.trim)
       } catch {
         case e: Throwable =>
