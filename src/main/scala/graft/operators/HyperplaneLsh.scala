@@ -63,8 +63,15 @@ object HyperplaneLsh {
     val sig = signs.indices
       .map(k => shiftleft(col(s"bit_$k"), k))
       .reduce(_.bitwiseOR(_))
+    // checkpoint the PER-VECTOR signature frame (one row per vector)
+    // before the band explode: `cosinePairs` self-joins the banded
+    // frame, and Spark shares nothing across self-join sides — without
+    // this the `nbits` hyperplane dot products per vector run once per
+    // side (the minhash/simhash signature-cache pattern; the cheap band
+    // explode below still runs per side, which is fine)
     p.select(Seq(col("id"), col("v"), col("nrm")) ++ bits: _*)
       .select(col("id"), col("v"), col("nrm"), sig.as("sig"))
+      .localCheckpoint()
       .select(col("id"), col("v"), col("nrm"), col("sig"),
         posexplode(array((0 until nbits / r).map(b =>
           bandSlice(col("sig"), b, r)): _*)).as(Seq("band", "key")))
