@@ -32,11 +32,11 @@ object Bench {
     * an otherwise idle-looking host) — stamping the run's own steal
     * fraction lets noise adjudication read the JSON.
     */
-  private def cpuTicks(): Array[Long] =
+  private def cpuTicks(): Option[Array[Long]] =
     try {
       val line = java.nio.file.Files.readAllLines(Paths.get("/proc/stat")).get(0)
-      line.trim.split("\\s+").drop(1).map(_.toLong)
-    } catch { case _: Throwable => Array.fill(10)(0L) }
+      Some(line.trim.split("\\s+").drop(1).map(_.toLong))
+    } catch { case _: Throwable => None }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -117,11 +117,14 @@ object Bench {
     val loadavg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     // steal fraction over THIS run's window (field 8 of /proc/stat's
-    // cpu line is steal ticks); loadavg alone misses co-tenant steal
-    val ticks1 = cpuTicks()
-    val dt = ticks1.zip(ticks0).map { case (b, a) => b - a }
-    val steal =
-      if (dt.length > 7 && dt.sum > 0) f"${dt(7).toDouble / dt.sum}%.4f" else "0"
+    // cpu line is steal ticks); loadavg alone misses co-tenant steal.
+    // If EITHER sample failed, stamp null — a lifetime-since-boot delta
+    // would look like a plausible per-run number while measuring the
+    // wrong window.
+    val steal = (for { t0 <- ticks0; t1 <- cpuTicks() } yield {
+      val dt = t1.zip(t0).map { case (b, a) => b - a }
+      if (dt.length > 7 && dt.sum > 0) f"${dt(7).toDouble / dt.sum}%.4f" else "null"
+    }).getOrElse("null")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${runs.count(_._3.isDefined)},"loadavg":$loadavg,"steal":$steal,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), json + "\n")

@@ -167,7 +167,12 @@ object Text {
     val toks = tokens(c)
     val nTok = size(toks).cast("double")
     val uniqRatio = size(array_distinct(toks)).cast("double") / nTok
-    val punct = size(regexp_extract_all(c, lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double")
+    // punct COUNT via strip-and-length-diff: one regex pass and no
+    // per-match string array (regexp_extract_all materialized a
+    // one-char string per punct char just to take its size) — the
+    // integer count, and therefore the score, is unchanged
+    val punct =
+      (length(c) - length(regexp_replace(c, "[^a-zA-Z0-9\\s]", ""))).cast("double")
     val punctRatio = punct / length(c).cast("double")
     lit(0.4) * least(lit(1.0), nTok / lit(20.0)) +
       lit(0.4) * uniqRatio +

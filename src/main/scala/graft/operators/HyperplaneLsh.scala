@@ -68,7 +68,13 @@ object HyperplaneLsh {
     // frame, and Spark shares nothing across self-join sides — without
     // this the `nbits` hyperplane dot products per vector run once per
     // side (the minhash/simhash signature-cache pattern; the cheap band
-    // explode below still runs per side, which is fine)
+    // explode below still runs per side, which is fine).
+    // NB localCheckpoint blocks are NON-REPLICATED: on a cluster with
+    // executor loss or dynamic allocation the frame is unrecoverable
+    // (and the eager checkpoint runs jobs at frame-BUILD time). That is
+    // fine under the local[N] driver contract this operator is measured
+    // on; a cluster deployment should swap in reliable checkpoint() or
+    // persist(DISK_ONLY_2) at this boundary.
     p.select(Seq(col("id"), col("v"), col("nrm")) ++ bits: _*)
       .select(col("id"), col("v"), col("nrm"), sig.as("sig"))
       .localCheckpoint()

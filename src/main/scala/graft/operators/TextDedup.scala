@@ -31,6 +31,24 @@ import graft.functions.Text
   */
 object TextDedup {
 
+  /** Spread a frame for CPU-DENSE map work (shingling, per-token
+    * hashing, signature aggregation — ~10³ the per-byte cost of a plain
+    * scan): when the upstream scan or checkpoint yields fewer partitions
+    * than the session's task slots (the tiny-file / single-row-group
+    * case — a 580 KB parquet is ONE split however many cores the host
+    * has), the whole map stage runs on one core while the rest idle,
+    * and no AQE conf can help because the bottleneck is the scan stage,
+    * not a shuffle read (guide §2.5 "input skew: … repartition
+    * immediately after the read"). Scale-adaptive by construction: at
+    * corpus scale the scan already carries ≥ slots partitions and this
+    * is a no-op; below that the round-robin repartition shuffles only
+    * the small input once, before the expensive expressions run.
+    */
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
+  }
+
   /** Repeated-SUBSTRING detection (the exact-substring dedup of Lee et
     * al. 2022, "Deduplicating Training Data Makes Language Models
     * Better" — arXiv:2107.06499 — at character-window granularity):
@@ -140,10 +158,23 @@ object TextDedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
-  /** (id, shingle-set) projection shared by the Jaccard-based operators. */
-  private def shingled(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    docs.select(col(idCol).as("id"), Text.shingles(col(textCol), k).as("sh"))
+  /** (id, shingle-set) projection shared by the Jaccard-based operators.
+    * `spreadInput` spreads the docs BEFORE shingling so the shingle
+    * expression runs at full task-slot parallelism even when the doc
+    * scan is a single split. Measured per consumer (r17): a WIN for the
+    * uncapped inverted index and MinHash (their cost is the per-side
+    * shingling + join map work), a LOSS for the df-capped pipeline
+    * (multi-partition input inflates the df-count partial-aggregate
+    * output ~7× — each shingle's count arrives once per partition — and
+    * the hot stages there are post-shuffle, which spreading cannot
+    * help), so the capped caller opts out.
+    */
+  private def shingled(docs: DataFrame, idCol: String, textCol: String, k: Int,
+      spreadInput: Boolean = true): DataFrame = {
+    val base = if (spreadInput) spread(docs) else docs
+    base.select(col(idCol).as("id"), Text.shingles(col(textCol), k).as("sh"))
       .withColumn("sz", size(col("sh")))
+  }
 
   /** Exact n-gram Jaccard near-dup pairs via inverted-index self-join:
     * explode distinct shingles, equi-join on the shingle, count shared
@@ -267,8 +298,10 @@ object TextDedup {
       threshold: Double,
       maxShingleFreq: Int): DataFrame = {
     // shingling feeds candidate generation (2×) and verification (2×):
-    // materialize once
-    val s = shingled(docs, idCol, textCol, k).localCheckpoint()
+    // materialize once (spreadInput=false: see shingled — the capped
+    // pipeline's cost is post-shuffle and multi-partition input only
+    // inflates the df-count partial aggregates, measured +40%)
+    val s = shingled(docs, idCol, textCol, k, spreadInput = false).localCheckpoint()
     val ex = s.select(col("id"), col("sz"), explode(col("sh")).as("s"))
     val dfCounts = ex.groupBy(col("s")).agg(count(lit(1)).as("__df"))
     val exDf = ex.join(dfCounts, Seq("s"))
@@ -283,7 +316,21 @@ object TextDedup {
     // capped index is still EXPLODED rows, and materializing it measured
     // 4-6× slower under bench memory pressure than recomputing the
     // df-count + min-df window per side (r16 optimization round) —
-    // recompute-vs-cache goes to recompute for exploded intermediates
+    // recompute-vs-cache goes to recompute for exploded intermediates.
+    // Two restructures of this candidate stage were measured and
+    // REVERTED in r17 (both oracle-green but slower at sf0.1/32 cores):
+    // (a) one-pass per-doc kept-set aggregate (collect_list+min instead
+    // of the per-side window) + self-join of the checkpointed sets —
+    // 7.9 → 9.5 s: the kept-set checkpoint materialization plus the
+    // SMJ the stats-less checkpoint leaves forced cost more than the
+    // saved duplicate window; (b) the same one-pass kept-set feeding
+    // per-shingle COMBINATION generation (groupBy(s) + sorted-array
+    // nested transform, no self-join) — 7.9 → 9.7 s: candidate
+    // generation itself got 2.5× faster but the distinct+verify stages
+    // lost the fusion with the probe side and re-read the candidate
+    // shuffle twice under AQE. The window+self-join form keeps
+    // candidate gen, distinct and verify in two fused codegen spans,
+    // which beats both "cleaner" shapes.
     // Size prefilter via the BEST-CASE Jaccard — min(|A|,|B|) shared
     // shingles — computed with the very FP operations and `>=` the
     // verifier uses. Provably lossless against the verifier: J(c) =

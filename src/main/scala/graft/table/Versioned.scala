@@ -5709,14 +5709,24 @@ object Versioned {
     // HashAggregate on the full row.
     import org.apache.spark.sql.functions.{abs, array_repeat, explode, sum, when}
     val cols = union.toSeq.map(f => col(f.name))
-    val diff = a.withColumn("__cdf_w", lit(1L))
-      .unionByName(b.withColumn("__cdf_w", lit(-1L)))
+    // the internal weight/delta columns must not collide with user
+    // columns — a table that happens to carry "__cdf_w" would be
+    // silently clobbered by withColumn and corrupt the diff; derive
+    // fresh names from the union schema instead (case-insensitive,
+    // matching Spark's default resolution)
+    def fresh(base: String): String = Iterator.from(0)
+      .map(i => if (i == 0) base else s"$base$i")
+      .find(n => !union.exists(_.name.equalsIgnoreCase(n))).get
+    val wCol = fresh("__cdf_w")
+    val dCol = fresh("__cdf_d")
+    val diff = a.withColumn(wCol, lit(1L))
+      .unionByName(b.withColumn(wCol, lit(-1L)))
       .groupBy(cols: _*)
-      .agg(sum(col("__cdf_w")).as("__cdf_d"))
-      .filter(col("__cdf_d") =!= 0L)
+      .agg(sum(col(wCol)).as(dCol))
+      .filter(col(dCol) =!= 0L)
     diff.select(cols :+ explode(array_repeat(
-      when(col("__cdf_d") > 0L, lit("insert")).otherwise(lit("delete")),
-      abs(col("__cdf_d")).cast("int"))).as("_change_type"): _*)
+      when(col(dCol) > 0L, lit("insert")).otherwise(lit("delete")),
+      abs(col(dCol)).cast("int"))).as("_change_type"): _*)
   }
 
   private def droppedPhysOf(json: String): Seq[String] =

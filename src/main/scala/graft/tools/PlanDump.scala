@@ -74,6 +74,10 @@ object PlanDump {
         val tBuilt = System.nanoTime()
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
+        // fixture-build stages vs measured-noop stages are different
+        // questions; drain the async bus so the marker lands between them
+        org.apache.spark.graft.ListenerBusDrain.waitUntilEmpty(spark.sparkContext)
+        stageLog.add(s"-- build/measure boundary ($name) --")
         df.write.format("noop").mode("overwrite").save()
         val tDone = System.nanoTime()
         val hdr =
@@ -81,8 +85,9 @@ object PlanDump {
             f" noop=${(tDone - tBuilt) / 1e9}%.3fs total=${(tDone - t0) / 1e9}%.3fs%n"
         Files.writeString(Paths.get(s"$outDir/${name}_$tag.txt"), hdr + plan)
         val stages = {
-          // stages may still be completing; give the listener bus a beat
-          Thread.sleep(200)
+          // drain, not sleep: the fixed 200 ms nap raced late-completing
+          // stages out of the attribution
+          org.apache.spark.graft.ListenerBusDrain.waitUntilEmpty(spark.sparkContext)
           import scala.jdk.CollectionConverters._
           stageLog.asScala.mkString("\n")
         }

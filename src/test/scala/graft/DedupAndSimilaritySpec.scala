@@ -15,6 +15,19 @@ class DedupAndSimilaritySpec extends SparkSpec {
     (4L, "yet another unrelated document mentioning joins aggregates and windows only"))
     .toDF("doc_id", "text")
 
+  test("spread raises sub-parallelism frames to the task-slot count and is a no-op above it") {
+    val slots = spark.sparkContext.defaultParallelism
+    val narrow = docs.coalesce(1)
+    assert(TextDedup.spread(narrow).rdd.getNumPartitions === slots,
+      "a single-partition frame must spread to the session's task slots")
+    val wide = docs.repartition(slots + 3)
+    // already ≥ slots: spread must NOT add an exchange (same plan object)
+    assert(TextDedup.spread(wide) eq wide)
+    // content is unchanged by spreading (round-robin repartition only)
+    assert(TextDedup.spread(narrow).as[(Long, String)].collect().sorted
+      === docs.as[(Long, String)].collect().sorted)
+  }
+
   test("exact dedup groups identical texts under the minimal id") {
     val out = TextDedup.exact(docs, "doc_id", "text")
     val m = out.as[(Long, Long)].collect().toMap

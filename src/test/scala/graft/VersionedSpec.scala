@@ -191,6 +191,21 @@ class VersionedSpec extends SparkSpec {
       s"multiset diff expected, got $got")
   }
 
+  test("changes() survives user columns named __cdf_w/__cdf_d") {
+    // the signed-count diff uses internal weight/delta columns; a user
+    // table that happens to carry those names must not be clobbered
+    // (r16 ADVICE finding — fresh names are derived from the schema)
+    val dir = tmpDir("vt_cdf_resv")
+    Versioned.append(
+      Seq((1L, 10L, 20L), (2L, 11L, 21L)).toDF("id", "__cdf_w", "__cdf_d"), dir)
+    Versioned.overwrite(
+      Seq((1L, 10L, 20L), (3L, 12L, 22L)).toDF("id", "__cdf_w", "__cdf_d"), dir)
+    val got = Versioned.changes(spark, dir, 1L, 2L)
+      .as[(Long, Long, Long, String)].collect().toSeq.sorted
+    assert(got == Seq((2L, 11L, 21L, "delete"), (3L, 12L, 22L, "insert")),
+      s"diff over reserved-name user columns expected, got $got")
+  }
+
   test("zValue interleaves bits and matches a reference Scala Morton encoder") {
     def mortonRef(x: Long, y: Long): Long = {
       var z = 0L
