@@ -46,31 +46,55 @@ object Rank {
     *              keep the base rank)
     * @param iters fixed iteration count (convergence is geometric in
     *              0.85^t; 5–10 suffices for ranking)
+    *
+    * The iteration runs at the RDD level with ONE retained
+    * HashPartitioner: edges(+degree) and the vertex set are hash-
+    * partitioned once and cached, each round's `edges ⋈ ranks` and
+    * `vertices ⋈ contribs` joins are then NARROW (both sides carry the
+    * same partitioner), and the only per-round shuffle is the contrib
+    * `reduceByKey` — with map-side combining, so at most one (vertex,
+    * partial-sum) row per vertex per partition crosses. The DataFrame
+    * formulation of this loop re-shuffled the loop-INVARIANT edge side
+    * every round: Spark 4.1's AQE reports UnknownPartitioning(0)
+    * through checkpoint/cache leaves, so no DF-level arrangement
+    * removes those exchanges (measured twice, r16 negative results) —
+    * the retained-partitioner loop is the standard fix, and 5
+    * iterations plan 5 shuffles instead of 16. Integer micro-unit
+    * arithmetic is unchanged (Long division/sum, associative), so the
+    * output is bit-identical to the SQL unrolling the oracle replays.
     */
   def pageRank(pairs: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = pairs.sparkSession
     // the pair PLAN executes once: checkpoint before the symmetrizing
-    // union (a union of two selects of one frame runs it twice)
+    // flatMap reads it (ids keep their natural type — keys are only
+    // hashed and compared, never cast)
     val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
-    val sym = p.select(col("id_a").as("s"), col("id_b").as("d"))
-      .unionByName(p.select(col("id_b").as("s"), col("id_a").as("d")))
-      .localCheckpoint()
-    // edges-with-degree is referenced once per iteration: checkpoint it
-    // so iteration k doesn't recompute the degree agg k times
-    val symDeg = sym.join(sym.groupBy("s").agg(count(lit(1)).as("dg")), "s")
-      .localCheckpoint()
-    val vs = nodes.select(col("id").as("v")).localCheckpoint()
-    var ranks = vs.select(col("v"), lit(Scale).as("r"))
+    val sc = spark.sparkContext
+    val eRaw = p.rdd.flatMap(r => Seq((r.get(0), r.get(1)), (r.get(1), r.get(0))))
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(sc.defaultParallelism, eRaw.getNumPartitions))
+    val deg = eRaw.mapValues(_ => 1L).reduceByKey(part, _ + _)
+    // (s, (d, dg)) co-partitioned by s and cached: the loop-invariant side
+    val edges = eRaw.partitionBy(part).join(deg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vs = nodes.select(col("id")).rdd.map(r => (r.get(0), ()))
+      .partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ranks: org.apache.spark.rdd.RDD[(Any, Long)] = vs.mapValues(_ => Scale)
     for (_ <- 0 until iters) {
-      val contribs = symDeg
-        .join(ranks.withColumnRenamed("v", "s"), "s")
-        .select(col("d").as("v"), expr("r div dg").as("c"))
-        .groupBy("v").agg(sum("c").as("c"))
-      ranks = vs
-        .join(contribs, Seq("v"), "left")
-        .select(col("v"),
-          (lit(Base) + expr("(85 * coalesce(c, CAST(0 AS BIGINT))) div 100")).as("r"))
+      val contribs = edges.join(ranks)
+        .map { case (_, ((d, dg), r)) => (d, r / dg) }
+        .reduceByKey(part, _ + _)
+      ranks = vs.leftOuterJoin(contribs)
+        .mapValues { case (_, c) => Base + 85L * c.getOrElse(0L) / 100L }
     }
-    ranks.select(col("v").as("id"), col("r").as("rank_micro"))
+    val idField = nodes.schema(nodes.columns.indexOf("id"))
+    spark.createDataFrame(
+      ranks.map { case (k, r) => org.apache.spark.sql.Row(k, r) },
+      org.apache.spark.sql.types.StructType(Seq(
+        idField.copy(name = "id"),
+        org.apache.spark.sql.types.StructField(
+          "rank_micro", org.apache.spark.sql.types.LongType, nullable = false))))
   }
 }

@@ -454,6 +454,16 @@ object TextDedup {
     * fixpoint is unique, so the output is deterministic regardless of
     * execution order — the DuckDB oracle replays it as a recursive
     * reachability CTE.
+    *
+    * For the common id types (long, int, string) the loop runs at the
+    * RDD level with ONE retained HashPartitioner — the same rewrite as
+    * Rank.pageRank: edges and labels are co-partitioned, each round's
+    * joins are narrow, and the only per-round shuffle is the map-side-
+    * combined min `reduceByKey` (the DataFrame loop re-shuffled the
+    * loop-invariant edge side every round — AQE reports
+    * UnknownPartitioning through checkpoint leaves, r16 negative
+    * result). Other orderable id types take the DataFrame loop below;
+    * both compute the same unique fixpoint.
     */
   def connectedComponents(
       docs: DataFrame,
@@ -469,6 +479,85 @@ object TextDedup {
     // run the pair generation (often a whole LSH/inverted-index
     // pipeline) twice — and per propagation round without any checkpoint
     val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val minOf: Option[(Any, Any) => Any] = nodes.schema.head.dataType match {
+      case LongType =>
+        Some((a, b) => if (a.asInstanceOf[Long] <= b.asInstanceOf[Long]) a else b)
+      case IntegerType =>
+        Some((a, b) => if (a.asInstanceOf[Int] <= b.asInstanceOf[Int]) a else b)
+      case StringType =>
+        Some((a, b) => if (a.asInstanceOf[String] <= b.asInstanceOf[String]) a else b)
+      case _ => None
+    }
+    minOf match {
+      case Some(m) => ccRddLoop(nodes, p, idCol, maxIter, m)
+      case None => ccDfLoop(nodes, p, idCol, maxIter)
+    }
+  }
+
+  /** Retained-partitioner label-propagation loop (see
+    * [[connectedComponents]]): one shuffle per round, loop-invariant
+    * sides cached co-partitioned, convergence checked on a narrow join
+    * of consecutive label states.
+    */
+  private def ccRddLoop(
+      nodes: DataFrame, p: DataFrame, idCol: String, maxIter: Int,
+      minOf: (Any, Any) => Any): DataFrame = {
+    val spark = nodes.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // keyed by dst so the per-round join picks up the neighbor's label
+    val eByDst = p.rdd.flatMap(r => Seq((r.get(1), r.get(0)), (r.get(0), r.get(1))))
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(spark.sparkContext.defaultParallelism, eByDst.getNumPartitions))
+    val edges = eByDst.partitionBy(part).persist(lvl)
+    val vs = nodes.rdd.map(r => (r.get(0), ())).partitionBy(part).persist(lvl)
+    var labels = vs.mapPartitions(
+      _.map { case (k, _) => (k, k) }, preservesPartitioning = true).persist(lvl)
+
+    // one propagation round; returns (labels', changed-count). The count
+    // is the round's one action; it also materializes labels' cache.
+    def propagate(ls: org.apache.spark.rdd.RDD[(Any, Any)])
+        : (org.apache.spark.rdd.RDD[(Any, Any)], Long) = {
+      val neighborMin = edges.join(ls)
+        .map { case (_, (src, comp)) => (src, comp) }
+        .reduceByKey(part, minOf)
+      val next = ls.leftOuterJoin(neighborMin)
+        .mapValues { case (c, n) => n.fold(c)(minOf(c, _)) }
+        .persist(lvl)
+      val changed = next.join(ls).filter { case (_, (a, b)) => a != b }.count()
+      (next, changed)
+    }
+
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val (next, c) = propagate(labels)
+      labels.unpersist(blocking = false)
+      labels = next
+      changed = c
+      iter += 1
+    }
+    if (changed > 0) {
+      val (next, c) = propagate(labels)
+      if (c > 0)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds " +
+            s"($c labels still changing) — component diameter exceeds maxIter")
+      labels.unpersist(blocking = false)
+      labels = next
+    }
+    val idField = nodes.schema.head
+    spark.createDataFrame(
+      labels.map { case (k, c) => org.apache.spark.sql.Row(k, c) },
+      org.apache.spark.sql.types.StructType(Seq(
+        idField.copy(name = idCol), idField.copy(name = "component"))))
+  }
+
+  /** DataFrame fallback loop for id types without a typed min above —
+    * same unique fixpoint, one localCheckpoint + count per round.
+    */
+  private def ccDfLoop(
+      nodes: DataFrame, p: DataFrame, idCol: String, maxIter: Int): DataFrame = {
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
