@@ -60,28 +60,33 @@ object Curation {
     // repetition are the pipeline's heaviest per-byte map work, and a
     // single-split doc scan would run them all on one core (see
     // TextDedup.spread — a no-op at corpus scale).
-    // The checkpoint sits BELOW the threshold filter deliberately: a
-    // filter above the exchange gets predicate-pushed below it, and
-    // since its condition references the scoring expressions, Catalyst
-    // duplicates ALL of them into the pre-spread single-task map side
-    // (measured: a 2.8 s one-task stage scoring every doc a second
-    // time). The checkpoint is the pushdown barrier; the filter then
-    // costs three column comparisons per consumer over materialized
-    // score columns.
-    // materialize once: kept feeds pair generation, component nodes, and
-    // the final representative join — without this the lang/quality/
-    // repetition scoring re-runs for every consumer (and per CC round)
-    val scored = TextDedup.spread(docs).select(
+    // When spreading actually repartitioned, checkpoint the SPREAD DOCS
+    // as a pushdown barrier: the threshold filter above would otherwise
+    // be predicate-pushed below the exchange, and since its condition
+    // references the scoring expressions, Catalyst duplicates ALL of
+    // them into the pre-spread single-task map side (measured: a 2.8 s
+    // one-task stage scoring every doc a second time). Checkpointing
+    // the SCORED frame instead (pre-filter) also works but materializes
+    // every doc's text + scores — measured 10.1 → 18.3 s at sf1, where
+    // the extra full-corpus materialization outgrows the scoring win.
+    val base = {
+      val sp = TextDedup.spread(docs)
+      if (sp eq docs) docs else sp.localCheckpoint()
+    }
+    val scored = base.select(
       col(idCol),
       col(textCol),
       Text.langId(col(textCol)).as("lang_pred"),
       Text.qualityScore(col(textCol)).as("score"),
       TextStats.repetitionScore(col(textCol)).as("repetition"))
-      .localCheckpoint()
+    // materialize once: kept feeds pair generation, component nodes, and
+    // the final representative join — without this the lang/quality/
+    // repetition scoring re-runs for every consumer (and per CC round)
     val kept = scored.filter(
       col("lang_pred") === th.lang &&
         col("score") >= th.minQuality &&
         col("repetition") <= th.maxRepetition)
+      .localCheckpoint()
 
     val pairs = pairGen(kept.select(col(idCol), col(textCol)))
     val comps = TextDedup.connectedComponents(kept, idCol, pairs)
